@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator family from SURVEY §2,
+  * implemented Spark-first in `graft.queries.*` / `graft.operators.*` on the
+  * driver's testdata tables; [[oracleSql]] carries the DuckDB-equivalent SQL
+  * for the correctness gate (omitted only for non-SQL-expressible ops).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the annual-metrics pipeline slice (stage → join → agg → safe
+    * divide), the reference's core vertical (SURVEY §7.2.2).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q04_annual_metrics")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.defs ++ TimeSeriesQueries.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ TimeSeriesQueries.oracles
 }

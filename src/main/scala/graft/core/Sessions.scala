@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory.
+  *
+  * Mirrors the reference's execution profile (dbt-duckdb, single machine,
+  * `profiles.yml:10,14` threads) but on Spark's execution model: the
+  * parallelism knob becomes task parallelism (`spark.sql.shuffle.partitions`),
+  * sized for local[32] test runs; on a real cluster this is raised to
+  * O(cores) and AQE coalesces the rest.
+  */
+object Sessions {
+
+  /** Local session tuned for the test harness (local[n], small data).
+    * UTC session timezone is required for DuckDB-oracle parity.
+    */
+  def local(cpus: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
