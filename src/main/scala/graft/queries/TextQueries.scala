@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.Text
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis + deduplication operator inventory over `documents` —
+  * the training-data-pipeline operators (token counting, fingerprinting,
+  * language ID, quality scoring, exact / Jaccard / MinHash-LSH dedup,
+  * JSON extraction). Every query delegates to the `graft.functions.Text` /
+  * `graft.operators.Dedup` library so the oracle gate exercises the
+  * library code itself.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // Token counting: whitespace + BPE-ish regex tokens, distinct counts,
+    // mean token length.
+    "q30_token_stats" -> { (s, dir) =>
+      val d    = Tables(s, dir).documents
+      val toks = Text.tokens(col("text"))
+      val n    = size(toks).cast(LongType)
+      d.select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        n.as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct_tokens"),
+        Text.regexTokenCount(col("text")).as("n_regex_tokens"),
+        ((length(col("text")) - (n - 1)).cast(DoubleType) / n.cast(DoubleType))
+          .as("mean_token_len"))
+    },
+
+    // Document fingerprinting: md5 of the sorted token multiset — catches
+    // reordered duplicates; canonical id per fingerprint group.
+    "q31_fingerprint" -> { (s, dir) =>
+      val d  = Tables(s, dir).documents
+      val fp = d.select(col("doc_id"),
+                        Text.sortedTokenFingerprint(col("text")).as("fingerprint"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+      fp.withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("is_reordered_dup", col("doc_id") =!= col("canonical_id"))
+    },
+
+    // Language ID: stopword-profile hit ratios + CJK char ratio, argmax
+    // with deterministic profile-order tie-break.
+    "q32_langid" -> { (s, dir) =>
+      val d      = Tables(s, dir).documents
+      val scores = Text.langScores(col("text"))
+      d.select(
+        Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+          scores.map { case (l, c) => c.as(s"score_$l") } ++
+          Seq(Text.cjkRatio(col("text")).as("cjk_ratio"),
+              Text.langId(col("text")).as("predicted_lang")): _*)
+    },
+
+    // Quality scoring: length/diversity/stopword/punctuation components →
+    // 0-100 composite + bucket (py_data_quality_scores-style ladder).
+    "q33_text_quality" -> { (s, dir) =>
+      val d     = Tables(s, dir).documents
+      val toks  = Text.tokens(col("text"))
+      val n     = size(toks).cast(DoubleType)
+      val dr    = size(array_distinct(toks)).cast(DoubleType) / n
+      val stopR = Text.wordListHits(toks, Text.langProfiles.head._2).cast(DoubleType) / n
+      val punct = regexp_count(col("text"), lit("[^\\w\\s]")).cast(DoubleType) /
+        length(col("text")).cast(DoubleType)
+      val score = least(n / 50, lit(1.0)) * 25 + dr * 25 +
+        least(stopR * 5, lit(1.0)) * 25 + (lit(1.0) - least(punct * 10, lit(1.0))) * 25
+      d.select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        dr.as("distinct_ratio"),
+        stopR.as("stopword_ratio"),
+        punct.as("punct_ratio"),
+        score.as("quality_score"),
+        when(score >= 80, "high").when(score >= 60, "medium")
+          .when(score >= 40, "low").otherwise("reject").as("quality_bucket"),
+        (score >= 60).as("is_high_quality"))
+    },
+
+    // Exact dedup by content hash (hash-groupBy; one shuffle on text_hash).
+    "q34_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables(s, dir).documents, "doc_id", "text")
+    },
+
+    // n-gram Jaccard near-dup pairs via shared-shingle inverted index
+    // (never all-pairs).
+    "q35_jaccard_pairs" -> { (s, dir) =>
+      Dedup.jaccardPairs(Tables(s, dir).documents, "doc_id", "text", threshold = 0.5)
+    },
+
+    // MinHash+LSH candidates (md5 min-hash, 8 hashes × 4 bands of 2),
+    // annotated with true trigram Jaccard and a confirmation flag.
+    "q36_minhash_lsh" -> { (s, dir) =>
+      val d    = Tables(s, dir).documents
+      val cand = Dedup.minhashCandidates(d, "doc_id", "text", numHashes = 8, rowsPerBand = 2)
+      Dedup.verifyPairs(cand, Dedup.shingled(d, "doc_id", "text"), threshold = 0.0)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+                (col("jaccard") >= 0.5).as("is_near_dup"))
+    },
+
+    // Semi-structured extraction: JSON props → typed column, aggregated.
+    "q39_json_extract" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      e.select(col("event_type"),
+               get_json_object(col("props"), "$.k").cast(LongType).as("k_value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("k_value")).as("k_sum"),
+             (sum(col("k_value")).cast(DoubleType) / count(col("k_value")).cast(DoubleType))
+               .as("k_avg"))
+    })
+
+  private val enList = Text.langProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+
+  private def langListSql(lang: String): String =
+    Text.langProfiles.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_regex_tokens,
+        |  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len
+        |FROM t""".stripMargin,
+    "q31_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+        |  count(*) OVER (PARTITION BY fingerprint) AS group_size,
+        |  doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS is_reordered_dup
+        |FROM fp""".stripMargin,
+    "q32_langid" -> {
+      val scoreExprs = Text.langProfiles.map { case (l, _) =>
+        s"CAST(len(list_filter(toks, x -> list_contains([${langListSql(l)}], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_$l"
+      }.mkString(",\n        |    ")
+      s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    $scoreExprs,
+         |    CASE WHEN length(text) > 0
+         |         THEN CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |         ELSE 0.0 END AS cjk_ratio
+         |  FROM t)
+         |SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr, cjk_ratio,
+         |  CASE WHEN cjk_ratio > 0.05 THEN 'zh'
+         |       WHEN score_en <= 0.0 AND score_de <= 0.0 AND score_es <= 0.0 AND score_fr <= 0.0 THEN 'und'
+         |       WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+         |       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+         |       WHEN score_es >= score_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang
+         |FROM s""".stripMargin
+    },
+    "q33_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+         |    CAST(len(list_filter(toks, x -> list_contains([$enList], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+         |  FROM t)
+         |SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio, punct_ratio,
+         |  quality_score,
+         |  CASE WHEN quality_score >= 80 THEN 'high' WHEN quality_score >= 60 THEN 'medium'
+         |       WHEN quality_score >= 40 THEN 'low' ELSE 'reject' END AS quality_bucket,
+         |  quality_score >= 60 AS is_high_quality
+         |FROM (SELECT *,
+         |        least(CAST(n_tokens AS DOUBLE) / 50, 1.0) * 25 + distinct_ratio * 25 +
+         |        least(stopword_ratio * 5, 1.0) * 25 + (1.0 - least(punct_ratio * 10, 1.0)) * 25 AS quality_score
+         |      FROM m)""".stripMargin,
+    "q34_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS text_hash,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        |FROM documents""".stripMargin,
+    "q35_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
+        |  FROM documents),
+        |ex AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_shingles, unnest(tg) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n_shingles AS size_a, b.n_shingles AS size_b, COUNT(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, shared,
+        |  CAST(shared AS DOUBLE) / CAST(size_a + size_b - shared AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE CAST(shared AS DOUBLE) / CAST(size_a + size_b - shared AS DOUBLE) >= 0.5""".stripMargin,
+    "q36_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
+        |  FROM documents),
+        |ex AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_shingles, unnest(tg) AS shingle FROM sh),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    min(md5('0|' || shingle)) AS sig_0, min(md5('1|' || shingle)) AS sig_1,
+        |    min(md5('2|' || shingle)) AS sig_2, min(md5('3|' || shingle)) AS sig_3,
+        |    min(md5('4|' || shingle)) AS sig_4, min(md5('5|' || shingle)) AS sig_5,
+        |    min(md5('6|' || shingle)) AS sig_6, min(md5('7|' || shingle)) AS sig_7
+        |  FROM ex GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, md5(sig_0 || sig_1) AS band_hash FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(sig_2 || sig_3) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(sig_4 || sig_5) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(sig_6 || sig_7) FROM sigs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
+        |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) AS jaccard,
+        |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
+        |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) >= 0.5 AS is_near_dup
+        |FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin,
+    "q39_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS k_avg
+        |FROM events GROUP BY event_type""".stripMargin)
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity-search operator inventory over `embeddings`
+  * (`array<float>` → `array<double>`): brute-force cosine top-k baseline,
+  * embedding near-dup pairs, and LSH-bucketed ANN (the 100 TB scale path).
+  *
+  * Dot products are sequential left folds on doubles in both engines
+  * (verified: DuckDB `list_dot_product` ≡ Spark `aggregate(zip_with)`
+  * bitwise), so raw cosine values are oracle-comparable.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NumPlanes = 8
+  private val Dims      = 64
+
+  val defs: Map[String, Q] = Map(
+    // Brute-force cosine top-k: broadcast query set × corpus scan, window
+    // top-k. The exact baseline every ANN variant is measured against.
+    "q37_cosine_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
+    },
+
+    // Embedding near-dup pairs: all-pairs cosine over a broadcastable
+    // side, thresholded. (At 100 TB this shape is replaced by the LSH
+    // variant below — kept as the exact-recall baseline.)
+    "q38_embedding_neardup" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      import graft.functions.Vectors._
+      val v = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val a = v.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      broadcast(a).crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+                cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+    },
+
+    // LSH-bucketed ANN top-k: hyperplane sign buckets (md5-derived ±1
+    // planes over integer-quantized vectors — exactly reproducible), then
+    // exact cosine within bucket only.
+    "q40_ann_lsh" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      annTopKQuantized(e.filter(col("vec_id") < 50), e, k = 3)
+    })
+
+  /** ANN with determinism-hardened bucketing: vectors are quantized to
+    * integers (floor(x·1000)) before the ±1 hyperplane dot, so the bucket
+    * bit is a comparison on an exact integer sum — immune to float fold
+    * order. Exact cosine then runs on the candidate set only.
+    */
+  private def annTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.Vectors._
+    val planes = Similarity.hyperplanes(NumPlanes, Dims)
+    def bucket(vec: org.apache.spark.sql.Column) = {
+      val q = transform(vec, x => floor(x * 1000).cast("long"))
+      val bits = planes.map { plane =>
+        val p = array(plane.map(v => lit(v.toLong)): _*)
+        when(aggregate(zip_with(q, p, (x, y) => x * y), lit(0L), (acc, x) => acc + x) >= 0,
+             lit("1")).otherwise(lit("0"))
+      }
+      concat(bits: _*)
+    }
+    val q = queries.select(col("vec_id").as("query_id"),
+                           col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("bucket", bucket(col("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+                          col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("bucket", bucket(col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+              col("neighbor_id"), col("cosine"))
+  }
+
+  /** DuckDB literal for one ±1 hyperplane as a BIGINT list. */
+  private def planeSql(plane: Seq[Double]): String =
+    plane.map(_.toLong).mkString("[", ", ", "]")
+
+  private val bucketSqlExpr: String = {
+    val planes = Similarity.hyperplanes(NumPlanes, Dims)
+    planes.map { p =>
+      s"(CASE WHEN list_dot_product(list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)), ${planeSql(p)}) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q37_cosine_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN q.nrm > 0 AND c.nrm > 0
+        |         THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS cosine
+        |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id != q.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+        |      FROM s)
+        |WHERE rank <= 3""".stripMargin,
+    "q38_embedding_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |FROM n a, n b
+        |WHERE a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0
+        |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    "q40_ann_lsh" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, nrm, $bucketSqlExpr AS bucket FROM n),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN q.nrm > 0 AND c.nrm > 0
+         |         THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS cosine
+         |  FROM b q JOIN b c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+         |      FROM s)
+         |WHERE rank <= 3""".stripMargin)
+}
