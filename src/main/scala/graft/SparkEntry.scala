@@ -13,21 +13,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the annual-metrics pipeline slice (stage → join → agg → safe
-    * divide), the reference's core vertical (SURVEY §7.2.2).
+    * Runs the reference's full DAG (staging → intermediate → dim → fct)
+    * end-to-end over synthesized raw tables.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q04_annual_metrics")(spark, "/root/testdata/sf0.001")
+    queries("q54_fct_indicators")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ TimeSeriesQueries.defs ++
-      TextQueries.defs ++ VectorQueries.defs
+      TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++
-      TextQueries.oracles ++ VectorQueries.oracles
+      TextQueries.oracles ++ VectorQueries.oracles ++ PipelineQueries.oracles
 }

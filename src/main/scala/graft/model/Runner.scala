@@ -1,0 +1,176 @@
+package graft.model
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+
+import graft.functions.Macros
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** DAG runner: topologically orders registered models over their `deps`
+  * edges and applies each model's materializer (the Spark equivalent of
+  * `dbt run`, SURVEY §3.1). Planning is Catalyst's; this class only owns
+  * scheduling + materialization + contract enforcement.
+  *
+  * Wall-clock-dependent columns are driven by the injected `asOf` clock
+  * and `runId` so results are reproducible (SURVEY §7.4.4).
+  */
+final class Runner(
+    spark: SparkSession,
+    warehouseDir: String,
+    val asOf: Timestamp,
+    val runId: String) {
+
+  private def path(name: String) = s"$warehouseDir/$name"
+
+  def exists(name: String): Boolean = {
+    val p = Paths.get(path(name), "_VERSION")
+    Files.exists(p) || Files.exists(Paths.get(path(name), "_SUCCESS"))
+  }
+
+  /** Current physical location of a materialized table (versioned tables
+    * resolve through the `_VERSION` pointer, giving atomic rewrites for
+    * snapshot merges — the parquet stand-in for a transactional MERGE).
+    */
+  private def currentPath(name: String): String = {
+    val pointer = Paths.get(path(name), "_VERSION")
+    if (Files.exists(pointer)) s"${path(name)}/${Files.readString(pointer).trim}"
+    else path(name)
+  }
+
+  def readTable(name: String): DataFrame = spark.read.parquet(currentPath(name))
+
+  private def writeVersioned(name: String, df: DataFrame): Unit = {
+    val version = s"v_${System.nanoTime()}"
+    df.write.mode("overwrite").parquet(s"${path(name)}/$version")
+    val tmp = Paths.get(path(name), "_VERSION.tmp")
+    Files.createDirectories(Paths.get(path(name)))
+    Files.writeString(tmp, version)
+    Files.move(tmp, Paths.get(path(name), "_VERSION"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Run the DAG over the given source tables; returns every model's
+    * resolved DataFrame (views stay lazy, tables/incrementals/snapshots
+    * read back their materialized output).
+    */
+  def run(models: Seq[Model], sources: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val resolved = scala.collection.mutable.Map[String, DataFrame](sources.toSeq: _*)
+    topoOrder(models).foreach { m =>
+      val missing = m.deps.filterNot(resolved.contains)
+      require(missing.isEmpty, s"model ${m.name}: unresolved deps $missing")
+      val df  = m.transform(resolved.toMap)
+      val out = materialize(m, df)
+      resolved += m.name -> out
+    }
+    resolved.toMap
+  }
+
+  /** Kahn topological sort over dep edges; deterministic (name-ordered)
+    * tie-breaking so runs are reproducible.
+    */
+  def topoOrder(models: Seq[Model]): Seq[Model] = {
+    val byName   = models.map(m => m.name -> m).toMap
+    val inDeg    = scala.collection.mutable.Map(models.map(m =>
+      m.name -> m.deps.count(byName.contains)): _*)
+    val order    = scala.collection.mutable.ArrayBuffer[Model]()
+    val ready    = scala.collection.mutable.PriorityQueue[String]()(Ordering[String].reverse)
+    inDeg.filter(_._2 == 0).keys.foreach(ready.enqueue(_))
+    while (ready.nonEmpty) {
+      val n = ready.dequeue()
+      order += byName(n)
+      models.filter(_.deps.contains(n)).foreach { child =>
+        inDeg(child.name) -= 1
+        if (inDeg(child.name) == 0) ready.enqueue(child.name)
+      }
+    }
+    require(order.size == models.size,
+      s"cycle in model graph: ${models.map(_.name).diff(order.map(_.name).toSeq)}")
+    order.toSeq
+  }
+
+  private def materialize(m: Model, df: DataFrame): DataFrame = m.materialization match {
+    case Materialization.View =>
+      m.contract.foreach(enforce(m.name, df, _))
+      df
+
+    case Materialization.Table =>
+      m.contract.foreach(enforce(m.name, df, _))
+      writeVersioned(m.name, df)
+      readTable(m.name)
+
+    case Materialization.Incremental(uniqueKey, watermarkCol) =>
+      m.contract.foreach(enforce(m.name, df, _))
+      if (!exists(m.name)) {
+        writeVersioned(m.name, df)
+      } else {
+        val existing = readTable(m.name)
+        val wm = existing.agg(max(col(watermarkCol))).head.get(0)
+        val fresh = if (wm == null) df else df.filter(col(watermarkCol) > lit(wm))
+        val toInsert = fresh.join(
+          existing.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
+        // Append into the CURRENT version dir: cheap micro-batch append;
+        // the versioned rewrite path is reserved for snapshot merges.
+        toInsert.write.mode("append").parquet(currentPath(m.name))
+      }
+      readTable(m.name)
+
+    case Materialization.Snapshot(key, checkCols) =>
+      val source = df
+      if (!exists(m.name)) {
+        writeVersioned(m.name, snapshotCols(source, key))
+      } else {
+        val snap    = readTable(m.name).localCheckpoint(true)
+        val current = snap.filter(col("dbt_valid_to").isNull)
+        val changed = checkCols
+          .map(c => !(col(s"cur.$c") <=> col(s"src.$c")))
+          .reduce(_ || _)
+        val joined = current.alias("cur").join(
+          source.alias("src"), col(s"cur.$key") === col(s"src.$key"), "full_outer")
+        val closes = joined // key gone or value changed → close current row
+          .filter(col(s"cur.$key").isNotNull && (col(s"src.$key").isNull || changed))
+          .select(col("cur.*"))
+          .withColumn("dbt_valid_to", lit(asOf))
+        val keeps = joined
+          .filter(col(s"cur.$key").isNotNull && col(s"src.$key").isNotNull && !changed)
+          .select(col("cur.*"))
+        val inserts = joined // new key or changed value → open new row
+          .filter(col(s"src.$key").isNotNull && (col(s"cur.$key").isNull || changed))
+          .select(col("src.*"))
+        val history = snap.filter(col("dbt_valid_to").isNotNull)
+        val merged = history
+          .unionByName(closes)
+          .unionByName(keeps)
+          .unionByName(snapshotCols(inserts, key))
+        writeVersioned(m.name, merged)
+      }
+      readTable(m.name)
+  }
+
+  /** dbt snapshot metadata columns: valid_from/valid_to/scd_id/updated_at. */
+  private def snapshotCols(df: DataFrame, key: String): DataFrame =
+    df.withColumn("dbt_valid_from", lit(asOf))
+      .withColumn("dbt_valid_to", lit(null).cast("timestamp"))
+      .withColumn("dbt_updated_at", lit(asOf))
+      .withColumn("dbt_scd_id",
+        Macros.surrogateKey(col(key), lit(asOf).cast(StringType)))
+
+  /** Contract enforcement: schema (names + types, order-sensitive like a
+    * dbt contract), then not-null / unique data assertions.
+    */
+  private def enforce(name: String, df: DataFrame, c: Contract): Unit = {
+    val got  = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = c.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (got != want)
+      throw ContractViolation(name, s"schema mismatch:\n  got  $got\n  want $want")
+    c.notNull.foreach { col0 =>
+      val n = df.filter(col(col0).isNull).count()
+      if (n > 0) throw ContractViolation(name, s"$n null rows in not-null column $col0")
+    }
+    c.uniqueKeys.foreach { keys =>
+      val n = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
+      if (n > 0) throw ContractViolation(name, s"$n duplicate groups on key (${keys.mkString(",")})")
+    }
+  }
+}

@@ -66,13 +66,17 @@ object Dedup {
         (col("n_shingles") - ceil(lit(threshold) * col("n_shingles")) + 1).cast(LongType)
       else col("n_shingles")
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df_count"), col("shingle"))
+    // Cache: the self-join consumes the prefix twice; without a cut the
+    // dfreq-join + window re-run for each side. Join key is an 8-byte
+    // xxhash64 of the shingle, not the string — less shuffle volume.
     val prefix = ex.join(dfreq, Seq("shingle"))
       .withColumn("rn", row_number().over(wDoc))
       .join(sh.select(col("doc_id"), prefixLen.as("prefix_len")), Seq("doc_id"))
       .filter(col("rn") <= col("prefix_len"))
-      .select(col("doc_id"), col("shingle"))
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle_h"))
+      .cache()
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle_h"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle_h")), Seq("shingle_h"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
@@ -128,7 +132,9 @@ object Dedup {
   /** Candidate near-dup pairs from MinHash+LSH, deduplicated across bands. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    // Cached: both sides of the candidate self-join consume the bands.
     val bands = lshBands(minhashSignatures(df, idCol, textCol, numHashes, n), numHashes, rowsPerBand)
+      .cache()
     val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_idx", "band_hash"))

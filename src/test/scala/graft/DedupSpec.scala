@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operator semantics: exact groups, Jaccard values, prefix-filter
+  * equivalence with the naive algorithm, MinHash recall on true dupes.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f"),
+    (2L, "a b c d e f"),          // exact dup of 1
+    (3L, "a b c d e g"),          // near dup of 1 (shares 3 of 5 trigrams)
+    (4L, "x y z w v u"),          // unrelated
+    (5L, "f e d c b a")           // reversed: same tokens, different trigrams
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash with min-id canonical") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id", "is_duplicate")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((1L, true)))
+    assert(out(3L)._2 == false && out(5L)._2 == false)
+  }
+
+  test("jaccard pairs: identical docs = 1.0; near dup = |∩|/|∪|") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // doc1 trigrams {abc,bcd,cde,def}, doc3 {abc,bcd,cde,deg}: 3/5 = 0.6
+    assert(approx(pairs((1L, 3L)), 0.6))
+    assert(approx(pairs((2L, 3L)), 0.6))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((1L, 5L)))
+  }
+
+  test("prefix-filtered jaccard equals the naive all-pairs result") {
+    // adversarial-ish corpus: skewed token frequencies, variable lengths
+    val corpus = (0 until 40).map { i =>
+      val toks = (0 until 6 + i % 5).map(j => s"w${(i * 7 + j * 3) % 13}")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val smart = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive: all-pairs via full shingle sets
+    val sh = Dedup.shingled(corpus, "doc_id", "text")
+    val naive = sh.alias("a").crossJoin(sh.alias("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          (col("a.n_shingles") + col("b.n_shingles") -
+            size(array_intersect(col("a.shingles"), col("b.shingles")))).cast("double"))
+          .as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(smart == naive)
+  }
+
+  test("minhash LSH candidates include all exact duplicates") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L))) // identical signature → same bands
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: binary transport, per-partition batch extraction,
+  * deterministic stub features, content-hash dedup join.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("documents ride as binary payloads and featurize per partition") {
+    val docs  = Tables(spark, "/root/testdata/sf0.001").documents
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+    assert(media.schema("payload").dataType.typeName == "binary")
+
+    val feats = Multimodal.extractFeatures(media, dims = 8)
+    assert(feats.count() == docs.count())
+    val row = feats.filter(col("media_id") === 0).head()
+    assert(row.feature.length == 8)
+    assert(row.n_bytes > 0)
+
+    // deterministic: re-extraction yields identical features + hashes
+    val again = Multimodal.extractFeatures(media, dims = 8)
+    val a = feats.select("media_id", "content_hash").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = again.select("media_id", "content_hash").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
+  test("content hash joins features back without rereading payloads") {
+    val docs  = Tables(spark, "/root/testdata/sf0.001").documents.limit(50)
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
+    val feats = Multimodal.extractFeatures(media)
+    // identical payloads → identical hash (exact dedup on media)
+    val dupGroups = feats.groupBy("content_hash").count().filter(col("count") > 1).count()
+    assert(dupGroups == 0) // all sf0.001 docs are distinct
+  }
+
+  test("decodeStub is deterministic and null-safe") {
+    val f1 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
+    val f2 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
+    assert(f1.toSeq == f2.toSeq)
+    assert(Multimodal.decodeStub(null).forall(_ == 0.0f))
+  }
+}

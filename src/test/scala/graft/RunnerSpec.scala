@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.model._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DAG runner + materializer semantics: topo order, incremental
+  * high-watermark upsert, SCD2 snapshot merge, contract enforcement.
+  */
+class RunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir() = Files.createTempDirectory("graft-runner").toString
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val t1 = Timestamp.valueOf("2024-02-01 00:00:00")
+
+  test("topoOrder resolves dependencies; cycles are rejected") {
+    val r = new Runner(spark, tmpDir(), t0, "run0")
+    val ms = Seq(
+      Model("c", Seq("b"))(d => d("b")),
+      Model("a", Seq())(d => spark.range(1).toDF()),
+      Model("b", Seq("a"))(d => d("a")))
+    assert(r.topoOrder(ms).map(_.name) == Seq("a", "b", "c"))
+    val cyc = Seq(Model("x", Seq("y"))(d => d("y")),
+                  Model("y", Seq("x"))(d => d("x")))
+    intercept[IllegalArgumentException](r.topoOrder(cyc))
+  }
+
+  test("incremental materializer appends only rows past the watermark, upserted by key") {
+    val wh = tmpDir()
+    def runWith(data: Seq[(String, String, Double)], runId: String) = {
+      val r = new Runner(spark, wh, t0, runId)
+      val df = data.toDF("k", "d", "v").withColumn("d", col("d").cast(DateType))
+      r.run(Seq(Model("inc", Seq("src"),
+        Materialization.Incremental("k", "d"))(deps => deps("src"))),
+        Map("src" -> df))("inc")
+    }
+    val first = runWith(Seq(("a", "2024-01-01", 1.0), ("b", "2024-01-02", 2.0)), "r1")
+    assert(first.count() == 2)
+    // second run: one late row (skipped — watermark), one duplicate key past
+    // watermark (skipped — unique key), one genuinely new row (appended)
+    val second = runWith(Seq(
+      ("a", "2024-01-01", 1.0),       // unchanged
+      ("z", "2023-12-31", 9.0),       // LATE: behind watermark → skipped (reference semantics)
+      ("b", "2024-01-05", 5.0),       // same key past watermark → anti-joined away
+      ("c", "2024-01-03", 3.0)), "r2")
+    val rows = second.orderBy("k").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(rows.find(_.getString(0) == "b").get.getDouble(2) == 2.0) // original kept
+  }
+
+  test("snapshot materializer runs SCD2: insert / update closes old version / hard delete") {
+    val wh = tmpDir()
+    def snap(data: Seq[(String, Double)], asOf: Timestamp) = {
+      val r = new Runner(spark, wh, asOf, "s")
+      r.run(Seq(Model("snap", Seq("src"),
+        Materialization.Snapshot("k", Seq("v")))(deps => deps("src"))),
+        Map("src" -> data.toDF("k", "v")))("snap")
+    }
+    snap(Seq(("a", 1.0), ("b", 2.0)), t0)
+    val v2 = snap(Seq(("a", 1.5), ("c", 3.0)), t1) // a changed, b deleted, c new
+    val rows = v2.select("k", "v", "dbt_valid_from", "dbt_valid_to")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+    assert(rows == Set(
+      ("a", 1.0, t0, Some(t1)),   // closed old version
+      ("a", 1.5, t1, None),       // new current version
+      ("b", 2.0, t0, Some(t1)),   // hard delete → invalidated
+      ("c", 3.0, t1, None)))      // fresh insert
+  }
+
+  test("contract enforcement rejects schema drift and constraint violations") {
+    val r = new Runner(spark, tmpDir(), t0, "c")
+    val good = StructType(Seq(StructField("k", StringType), StructField("v", DoubleType)))
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("k", "v")
+    // schema ok, unique violated
+    intercept[ContractViolation] {
+      r.run(Seq(Model("m", Seq("src"), Materialization.Table,
+        Some(Contract(good, uniqueKeys = Seq(Seq("k")))))(d => d("src"))),
+        Map("src" -> df))
+    }
+    // schema mismatch
+    intercept[ContractViolation] {
+      r.run(Seq(Model("m2", Seq("src"), Materialization.Table,
+        Some(Contract(StructType(Seq(StructField("k", IntegerType))))))(d => d("src"))),
+        Map("src" -> df))
+    }
+    // passing contract materializes
+    val ok = r.run(Seq(Model("m3", Seq("src"), Materialization.Table,
+      Some(Contract(good, notNull = Seq("k"))))(d => d("src"))),
+      Map("src" -> df))("m3")
+    assert(ok.count() == 2)
+  }
+}

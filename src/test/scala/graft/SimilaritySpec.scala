@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.Vectors
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Vector math + ANN operator semantics. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot product matches the composable fold bit-for-bit") {
+    val df = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 16 + j)),
+                 Array.tabulate(16)(j => math.cos(i * 16 + j)))
+    }.toDF("id", "a", "b")
+    val rows = df.select(
+      Vectors.dot(col("a"), col("b")).as("native"),
+      Vectors.dotComposable(col("a"), col("b")).as("composable")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+
+  test("cosine: orthogonal→0, identical→1, zero-norm→null") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(1.0, 2.0), Array(1.0, 2.0)),
+      (Array(0.0, 0.0), Array(1.0, 2.0))
+    ).toDF("a", "b").select(Vectors.cosine(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(approx(rows(0).getDouble(0), 0.0))
+    assert(approx(rows(1).getDouble(0), 1.0))
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("bruteForceTopK returns k nearest excluding self, deterministic tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // closest to 0
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f))    // farthest from 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("hyperplanes are deterministic and ±1-valued") {
+    val p1 = Similarity.hyperplanes(4, 8)
+    val p2 = Similarity.hyperplanes(4, 8)
+    assert(p1 == p2)
+    assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+
+  test("annTopK finds identical vectors (same bucket by construction)") {
+    val base = Array.tabulate(8)(j => math.sin(j).toFloat)
+    val vecs = (Seq((0L, base), (1L, base)) ++
+      (2 until 20).map(i => (i.toLong, Array.tabulate(8)(j => math.cos(i * 8 + j).toFloat))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
+      k = 1, numPlanes = 4, dims = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L)) // the identical vector shares every plane sign
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions on real multilingual samples (the synthetic
+  * testdata shares one vocabulary across lang labels, so discrimination
+  * is proven here instead).
+  */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId discriminates real language samples") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it is a good day for all of us"),
+      ("de", "der hund ist nicht zu hause und die katze ist mit der maus"),
+      ("fr", "le chat est dans la maison et les oiseaux sont sur une branche pour la nuit"),
+      ("es", "el perro es un animal que vive con los humanos por una larga historia"),
+      ("zh", "这是一个中文句子 用于测试语言识别功能 谢谢")
+    ).toDF("expected", "text")
+    val got = samples.select(col("expected"), Text.langId(col("text")).as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (want, have) => assert(want == have, s"expected $want got $have") }
+  }
+
+  test("langId returns 'und' when nothing matches") {
+    val got = Seq("zzz qqq xxx").toDF("text")
+      .select(Text.langId(col("text"))).collect().head.getString(0)
+    assert(got == "und")
+  }
+
+  test("shingles builds distinct word trigrams; short docs give none") {
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(Text.shingles(col("text"), 3).as("s")).collect()
+    assert(out(0).getSeq[String](0).toSet == Set("a b c", "b c d"))
+    assert(out(1).getSeq[String](0).isEmpty)
+  }
+
+  test("sortedTokenFingerprint matches on reordered documents") {
+    val out = Seq("b a c", "c b a", "a b d").toDF("text")
+      .select(Text.sortedTokenFingerprint(col("text")).as("f"))
+      .collect().map(_.getString(0))
+    assert(out(0) == out(1) && out(0) != out(2))
+  }
+
+  test("wordListHits counts total (not distinct) occurrences") {
+    val n = Seq("the cat the dog the").toDF("text")
+      .select(Text.wordListHits(Text.tokens(col("text")), Seq("the", "a")))
+      .collect().head.getLong(0)
+    assert(n == 3)
+  }
+
+  test("regexTokenCount counts word runs and isolated punctuation") {
+    val n = Seq("hello, world! it's fine").toDF("text")
+      .select(Text.regexTokenCount(col("text"))).collect().head.getLong(0)
+    // hello , world ! it ' s fine → 8
+    assert(n == 8)
+  }
+}
