@@ -100,6 +100,65 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
   }
 
+  /** 64-bit SimHash per document over distinct trigram-shingle features,
+    * as a 64-char '0'/'1' string (portable across engines — no int64 sign
+    * issues). Shingle features (not unigrams): with a small vocabulary
+    * most documents contain most words, so unigram simhashes collapse;
+    * trigrams keep the fingerprint discriminative.
+    *
+    * Bit b of a feature = bit (3 − b%4) of hex digit b/4 of md5(token);
+    * the document bit is the sign of Σ(±1) over its features (ties → 1).
+    * Hex-digit values come from `ascii()` arithmetic, so the whole
+    * construction is reproducible in any engine with md5 — the DuckDB
+    * oracle replicates it exactly.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Text.shingles(col(textCol), 3)).as("token"))
+      .withColumn("hex", md5(col("token")))
+    val bitSums = (0 until 64).map { b =>
+      val a   = ascii(substring(col("hex"), b / 4 + 1, 1))
+      val v   = when(a <= 57, a - 48).otherwise(a - 87) // '0'-'9' | 'a'-'f'
+      val bit = shiftright(v, 3 - b % 4) % 2
+      sum(bit * 2 - 1).as(s"s_$b")
+    }
+    val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val bits = (0 until 64).map(b => when(col(s"s_$b") >= 0, "1").otherwise("0"))
+    sums.select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit bands,
+    * verified by Hamming distance ≤ maxHamming. Banding is exact for
+    * distance ≤ 3 (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands
+    * untouched); for larger thresholds it is the standard recall
+    * approximation.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol).cache()
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band_idx"),
+               substring(col("simhash"), k * 16 + 1, 16).as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+              col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val a = bands.select(col("band_idx"), col("band_val"),
+                         col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = bands.select(col("band_idx"), col("band_val"),
+                         col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    val hamming = (0 until 64)
+      .map(i => when(substring(col("sh_a"), i + 1, 1) =!= substring(col("sh_b"), i + 1, 1), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming_distance", hamming)
+      .filter(col("hamming_distance") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming_distance"))
+  }
+
   /** MinHash signature columns sig_0..sig_{k-1} per document. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 8, n: Int = 3): DataFrame = {

@@ -103,6 +103,12 @@ object TextQueries {
                 (col("jaccard") >= 0.5).as("is_near_dup"))
     },
 
+    // SimHash near-dup: 64-bit md5-derived simhash, 4×16-bit band
+    // candidates, Hamming-verified.
+    "q41_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxHamming = 3)
+    },
+
     // Semi-structured extraction: JSON props → typed column, aggregated.
     "q39_json_extract" -> { (s, dir) =>
       val e = Tables(s, dir).events
@@ -229,6 +235,40 @@ object TextQueries {
         |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
         |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) >= 0.5 AS is_near_dup
         |FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin,
+    "q41_simhash" -> {
+      val bitSums = (0 until 64).map { b =>
+        val ch = s"substring(hex, ${b / 4 + 1}, 1)"
+        val v  = s"(CASE WHEN ascii($ch) <= 57 THEN ascii($ch) - 48 ELSE ascii($ch) - 87 END)"
+        s"SUM((($v >> ${3 - b % 4}) % 2) * 2 - 1) AS s_$b"
+      }.mkString(",\n        ")
+      val bitStr  = (0 until 64)
+        .map(b => s"CASE WHEN s_$b >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      val hamming = (0 until 64)
+        .map(i => s"CASE WHEN substring(sh_a, ${i + 1}, 1) != substring(sh_b, ${i + 1}, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ex AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS token
+         |  FROM documents),
+         |hx AS (SELECT doc_id, md5(token) AS hex FROM ex),
+         |sums AS (
+         |  SELECT doc_id,
+         |        $bitSums
+         |  FROM hx GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $bitStr AS simhash FROM sums),
+         |bands AS (
+         |  SELECT doc_id, simhash, k AS band_idx, substring(simhash, k * 16 + 1, 16) AS band_val
+         |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming_distance
+         |FROM cand
+         |WHERE $hamming <= 3""".stripMargin
+    },
     "q39_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,

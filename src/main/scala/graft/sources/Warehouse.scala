@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Physical-layout utilities for the 100 TB path: partitioned writes
+  * (partition pruning), bucketed tables (shuffle-free co-located joins),
+  * and key salting (skew mitigation). The reference delegates all of this
+  * to a single DuckDB file; at cluster scale the layout IS the query plan.
+  */
+object Warehouse {
+
+  /** Write partitioned-by-column parquet — predicates on `partitionCols`
+    * prune entire directories at scan time (verify with
+    * `.explain`: PartitionFilters).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Register a bucketed table: both sides of a recurring equi-join
+    * bucketed by the join key on the same bucket count join WITHOUT a
+    * shuffle (no Exchange in the plan) — the Spark rendering of
+    * co-located joins. Requires saveAsTable (bucket metadata lives in the
+    * catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Salt a skewed build-side key: explode each right-side row into
+    * `saltBuckets` copies and scatter left-side rows uniformly, so one hot
+    * key spreads over `saltBuckets` reducers. AQE's skew-join handles
+    * moderate skew automatically; salting is the explicit fallback for
+    * pathological keys. Returns (saltedLeft, saltedRight, joinKeys).
+    */
+  def saltedJoinSides(left: DataFrame, right: DataFrame, key: String,
+                      saltBuckets: Int): (DataFrame, DataFrame, Seq[String]) = {
+    // deterministic pseudo-random salt: stable across retries (no rand(),
+    // which would break task-retry idempotence at scale)
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+    val saltedRight = right
+      .withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    (saltedLeft, saltedRight, Seq(key, "__salt"))
+  }
+
+  /** Relative shuffle-partition sizing: partitions ≈ input bytes / target
+    * partition size, clamped — the knob that keeps partitions
+    * memory-resident as SF scales (SURVEY: spill-aware sizing).
+    */
+  def adviseShufflePartitions(spark: SparkSession, inputBytes: Long,
+                              targetPartitionBytes: Long = 128L << 20,
+                              minP: Int = 4, maxP: Int = 4096): Int =
+    math.min(maxP, math.max(minP, (inputBytes / targetPartitionBytes).toInt)).toInt
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.sources.Warehouse
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the "is this the plan you'd want at 100 TB"
+  * checks: predicate pushdown reaches the parquet scan, column pruning
+  * shrinks ReadSchema, small dims broadcast, bucketed joins don't shuffle,
+  * partitioned writes prune, salting splits a hot key.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters push down to the parquet scan and projection prunes columns") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$plan")
+    // projection pruning: q09 reads only 2 of 6 event columns
+    val spine = SparkEntry.queries("q09_distinct_spine")(spark, dir)
+    val spinePlan = planOf(spine)
+    assert(spinePlan.contains("ReadSchema: struct<ts:bigint,user_id:bigint>") ||
+           spinePlan.contains("ReadSchema: struct<user_id:bigint,ts:bigint>"),
+      s"scan reads more than the projected columns:\n$spinePlan")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    val df = SparkEntry.queries("q04_annual_metrics")(spark, dir)
+    assert(planOf(df).contains("BroadcastHashJoin"))
+    val fct = SparkEntry.queries("q54_fct_indicators")(spark, dir)
+    assert(planOf(fct).contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations run partial then final (map-side combine)") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"))
+    // partial + final pairs: at least two HashAggregate levels
+    assert(plan.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2)
+  }
+
+  test("bucketed join on the bucket key plans without an Exchange") {
+    val t = graft.core.Tables(spark, dir)
+    Warehouse.writeBucketed(t.orders, "b_orders", "o_custkey", 4)
+    Warehouse.writeBucketed(
+      t.customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        .groupBy("o_custkey").count()
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+        s"bucketed join still shuffles on the join key:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("partitioned writes prune partitions under a partition predicate") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    val t = graft.core.Tables(spark, dir)
+    Warehouse.writePartitioned(
+      t.events.withColumn("event_date", to_date(col("ts"))), out, Seq("event_date"))
+    val pruned = spark.read.parquet(out).filter(col("event_date") === "2024-01-05")
+    val plan = planOf(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"no partition filter:\n$plan")
+    assert(pruned.count() > 0)
+  }
+
+  test("salting spreads a hot key across buckets with identical join results") {
+    import spark.implicits._
+    val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
+    val right = Seq(("hot", "H"), ("k1", "A"), ("k2", "B"))
+    val (sl, sr, keys) = Warehouse.saltedJoinSides(
+      left.toDF("k", "v"), right.toDF("k", "name"), "k", saltBuckets = 4)
+    val salted = sl.join(sr, keys).groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = left.toDF("k", "v").join(right.toDF("k", "name"), "k")
+      .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    // the hot key genuinely uses >1 salt bucket
+    val buckets = sl.filter(col("k") === "hot").select("__salt").distinct().count()
+    assert(buckets > 1)
+  }
+}
