@@ -22,12 +22,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ TimeSeriesQueries.defs ++
-      TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs
+      TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs ++
+      TemporalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++
-      TextQueries.oracles ++ VectorQueries.oracles ++ PipelineQueries.oracles
+      TextQueries.oracles ++ VectorQueries.oracles ++ PipelineQueries.oracles ++
+      TemporalQueries.oracles
 }

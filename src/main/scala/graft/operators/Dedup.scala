@@ -61,24 +61,41 @@ object Dedup {
     val sh = shingled(df, idCol, textCol, n).cache()
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df_count"))
-    val prefixLen =
-      if (threshold > 0)
-        (col("n_shingles") - ceil(lit(threshold) * col("n_shingles")) + 1).cast(LongType)
-      else col("n_shingles")
+    // AllPairs asymmetric prefixes (Bayardo et al.): the larger document
+    // PROBES with prefix |S|−⌈t·|S|⌉+1; the smaller document is INDEXED
+    // with the shorter prefix |S|+1−⌈(2t/(1+t))·|S|⌉. The 1e-9 slack on
+    // the ceil argument errs toward LONGER prefixes (never loses pairs to
+    // float rounding).
+    val nS = col("n_shingles")
+    val (probeLen, indexLen) =
+      if (threshold > 0) (
+        (nS - ceil(lit(threshold) * nS - 1e-9) + 1).cast(LongType),
+        (nS + 1 - ceil(lit(2 * threshold / (1 + threshold)) * nS - 1e-9)).cast(LongType))
+      else (nS, nS)
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df_count"), col("shingle"))
-    // Cache: the self-join consumes the prefix twice; without a cut the
-    // dfreq-join + window re-run for each side. Join key is an 8-byte
+    // Cache: the candidate join consumes the ranked prefix twice; without
+    // a cut the dfreq-join + window re-run per side. Join key is an 8-byte
     // xxhash64 of the shingle, not the string — less shuffle volume.
-    val prefix = ex.join(dfreq, Seq("shingle"))
+    val ranked = ex.join(dfreq, Seq("shingle"))
       .withColumn("rn", row_number().over(wDoc))
-      .join(sh.select(col("doc_id"), prefixLen.as("prefix_len")), Seq("doc_id"))
-      .filter(col("rn") <= col("prefix_len"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle_h"))
+      .join(sh.select(col("doc_id"), col("n_shingles"),
+                      probeLen.as("probe_len"), indexLen.as("index_len")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("rn"),
+              col("probe_len"), col("index_len"),
+              xxhash64(col("shingle")).as("shingle_h"))
       .cache()
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle_h"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle_h")), Seq("shingle_h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val probe = ranked.filter(col("rn") <= col("probe_len"))
+      .select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b"), col("shingle_h"))
+    val index = ranked.filter(col("rn") <= col("index_len"))
+      .select(col("doc_id").as("doc_a"), col("n_shingles").as("size_a"), col("shingle_h"))
+    val cand = probe.join(index, Seq("shingle_h"))
+      // index side holds the smaller set (ties broken by id) + length
+      // filter: J ≥ t ⇒ min ≥ t·max
+      .filter((col("size_a") < col("size_b")) ||
+              (col("size_a") === col("size_b") && col("doc_a") < col("doc_b")))
+      .filter(col("size_a").cast(DoubleType) >= lit(threshold) * col("size_b").cast(DoubleType) - 1e-9)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+              greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()
     verifyPairs(cand, sh, threshold)
   }
@@ -116,13 +133,19 @@ object Dedup {
     val ex = df.select(col(idCol).as("doc_id"),
         explode(graft.functions.Text.shingles(col(textCol), 3)).as("token"))
       .withColumn("hex", md5(col("token")))
-    val bitSums = (0 until 64).map { b =>
-      val a   = ascii(substring(col("hex"), b / 4 + 1, 1))
-      val v   = when(a <= 57, a - 48).otherwise(a - 87) // '0'-'9' | 'a'-'f'
-      val bit = shiftright(v, 3 - b % 4) % 2
-      sum(bit * 2 - 1).as(s"s_$b")
+    // One projection materializes the 16 hex-digit values per feature row;
+    // the 64 bit-sums are then pure integer arithmetic on those — the
+    // string work (substring/ascii) runs 16×, not 64×, per row, all inside
+    // whole-stage codegen.
+    val digitVals = (0 until 16).map { d =>
+      val a = ascii(substring(col("hex"), d + 1, 1))
+      when(a <= 57, a - 48).otherwise(a - 87).as(s"v_$d") // '0'-'9' | 'a'-'f'
     }
-    val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val withVals = ex.select(col("doc_id") +: digitVals: _*)
+    val bitSums = (0 until 64).map { b =>
+      sum((shiftright(col(s"v_${b / 4}"), 3 - b % 4) % 2) * 2 - 1).as(s"s_$b")
+    }
+    val sums = withVals.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val bits = (0 until 64).map(b => when(col(s"s_$b") >= 0, "1").otherwise("0"))
     sums.select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
