@@ -28,7 +28,15 @@ object Text {
     * O(tokens²) per document. `zip_with` arguments are evaluated once,
     * keeping this linear.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graftx.ShingleArray.shinglesNative(text, n)
+
+  /** The composable-built-ins form of [[shingles]], kept as the reference
+    * semantics the native expression must match (TextSpec asserts
+    * equality). ~40× slower: HOFs evaluate interpreted with intermediate
+    * arrays per step.
+    */
+  def shinglesComposable(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     val m    = greatest(size(toks) - (n - 1), lit(0))
     val base = slice(toks, lit(1), m)

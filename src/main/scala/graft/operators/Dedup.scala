@@ -85,15 +85,25 @@ object Dedup {
               xxhash64(col("shingle")).as("shingle_h"))
       .cache()
     val probe = ranked.filter(col("rn") <= col("probe_len"))
-      .select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b"), col("shingle_h"))
+      .select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b"),
+              col("rn").as("rn_b"), col("shingle_h"))
     val index = ranked.filter(col("rn") <= col("index_len"))
-      .select(col("doc_id").as("doc_a"), col("n_shingles").as("size_a"), col("shingle_h"))
+      .select(col("doc_id").as("doc_a"), col("n_shingles").as("size_a"),
+              col("rn").as("rn_a"), col("shingle_h"))
+    // PPJoin positional filter: for the first common element of a true
+    // pair, overlap ≤ 1 + min(remaining suffix lengths); requiring that
+    // bound ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉ can only drop collisions whose pair
+    // cannot reach the threshold (the smallest common element of any
+    // qualifying pair always passes).
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("size_a") + col("size_b")) - 1e-9)
     val cand = probe.join(index, Seq("shingle_h"))
       // index side holds the smaller set (ties broken by id) + length
       // filter: J ≥ t ⇒ min ≥ t·max
       .filter((col("size_a") < col("size_b")) ||
               (col("size_a") === col("size_b") && col("doc_a") < col("doc_b")))
       .filter(col("size_a").cast(DoubleType) >= lit(threshold) * col("size_b").cast(DoubleType) - 1e-9)
+      .filter(lit(1) + least(col("size_a") - col("rn_a"), col("size_b") - col("rn_b")) >= alpha)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
               greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()
@@ -109,7 +119,9 @@ object Dedup {
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
                       col("n_shingles").as("size_b"))
     cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("shared",
+        org.apache.spark.sql.graftx.IntersectSize
+          .intersectSize(col("sh_a"), col("sh_b")).cast(LongType))
       .withColumn("jaccard",
         col("shared").cast(DoubleType) /
           (col("size_a") + col("size_b") - col("shared")).cast(DoubleType))

@@ -46,6 +46,21 @@ object VectorQueries {
         .filter(col("cosine") >= 0.4)
     },
 
+    // Per-label centroids in long format (label × dimension), elementwise
+    // exact decimal sums — the clustering/aggregation primitive for
+    // embedding pipelines. Long format keeps the oracle to scalar columns.
+    "q45_embedding_centroids" -> { (s, dir) =>
+      import graft.functions.Exact
+      val e = Tables(s, dir).embeddings
+      e.select(col("label").cast("long").as("label"),
+               posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim_pos"))
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          (sum(Exact.dec(col("col"), 7)).cast("double") /
+            count(col("col")).cast("double")).as("centroid_component"))
+    },
+
     // LSH-bucketed ANN top-k: hyperplane sign buckets (md5-derived ±1
     // planes over integer-quantized vectors — exactly reproducible), then
     // exact cosine within bucket only.
@@ -128,6 +143,13 @@ object VectorQueries {
         |FROM n a, n b
         |WHERE a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0
         |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    "q45_embedding_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim_pos,
+        |  COUNT(*) AS n_vectors,
+        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,7))) AS DOUBLE)
+        |    / CAST(COUNT(embedding[i]) AS DOUBLE) AS centroid_component
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |GROUP BY 1, 2""".stripMargin,
     "q40_ann_lsh" ->
       s"""WITH n AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

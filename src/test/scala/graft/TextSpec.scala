@@ -36,6 +36,20 @@ class TextSpec extends SparkSpec {
     assert(out(1).getSeq[String](0).isEmpty)
   }
 
+  test("native shingles ≡ composable shingles (values AND order) on real docs") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+      .union(Seq((9998L, "a b", "x", "x", 3L), (9999L, "a a a a", "x", "x", 7L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    for (n <- Seq(2, 3, 5)) {
+      val mismatch = docs.select(
+        Text.shingles(col("text"), n).as("native"),
+        Text.shinglesComposable(col("text"), n).as("composable"))
+        .filter(not(col("native") === col("composable")))
+        .count()
+      assert(mismatch == 0, s"n=$n")
+    }
+  }
+
   test("sortedTokenFingerprint matches on reordered documents") {
     val out = Seq("b a c", "c b a", "a b d").toDF("text")
       .select(Text.sortedTokenFingerprint(col("text")).as("f"))
