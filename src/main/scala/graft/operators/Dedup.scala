@@ -194,14 +194,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming_distance"))
   }
 
-  /** MinHash signature columns sig_0..sig_{k-1} per document. */
+  /** MinHash signature columns sig_0..sig_{k-1} per document — one-pass
+    * [[org.apache.spark.sql.graftx.MinHashSigs]] TypedImperativeAggregate,
+    * byte-identical to k separate `min(md5('k|' || shingle))` aggregates
+    * (the form the DuckDB oracle runs).
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 8, n: Int = 3): DataFrame = {
     val ex = shingled(df, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val aggs = (0 until numHashes).map(k =>
-      min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"sig_$k"))
-    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    ex.groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.graftx.MinHashSigs
+        .minhashSigs(col("shingle"), numHashes).as("sigs"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(k => col("sigs")(k).as(s"sig_$k")): _*)
   }
 
   /** LSH banding over the signatures: band b hashes rows
