@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** OLAP breadth beyond the reference's own usage (it has no grouping
+  * sets, one window function, and no set operations — SURVEY §2.4/2.5/2.7
+  * note their absence): rollup/cube, the full ranking-window family,
+  * UNION/INTERSECT/EXCEPT, and pivot — so a consumer with broader OLAP
+  * needs doesn't fall off the engine.
+  */
+object OlapQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // ROLLUP: region → nation → total revenue hierarchy with grouping ids.
+    "q46_rollup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sumExact(col("o_totalprice")).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("revenue"), col("n_orders"))
+    },
+
+    // Full ranking-window family on one ordered partition (the reference
+    // uses only rank()).
+    "q47_window_family" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val rev = t.orders
+        .groupBy(col("o_custkey"),
+                 year(col("o_orderdate")).cast(LongType).as("reference_year"))
+        .agg(sumExact(col("o_totalprice")).as("revenue"))
+      val w = Window.partitionBy(col("reference_year"))
+        .orderBy(col("revenue").desc_nulls_last, col("o_custkey"))
+      rev.select(
+        col("o_custkey"), col("reference_year"), col("revenue"),
+        rank().over(w).cast(LongType).as("rnk"),
+        dense_rank().over(w).cast(LongType).as("dense_rnk"),
+        row_number().over(w).cast(LongType).as("row_num"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        cume_dist().over(w).as("cume_dist_frac"),
+        percent_rank().over(w).as("pct_rank_frac"))
+    },
+
+    // Set operations over customer activity: ordered-in-1995 vs
+    // ordered-in-1996 (UNION / INTERSECT / EXCEPT are absent from the
+    // reference's SQL entirely).
+    "q48_set_ops" -> { (s, dir) =>
+      val o  = Tables(s, dir).orders
+      def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct()
+      val a = buyers(1995); val b = buyers(1996)
+      a.union(b).distinct().withColumn("set_op", lit("union"))
+        .unionByName(a.intersect(b).withColumn("set_op", lit("intersect")))
+        .unionByName(a.except(b).withColumn("set_op", lit("except")))
+    },
+
+    // Pivot: average order price per nation × order-priority bucket as
+    // columns (conditional-aggregation form keeps the oracle portable).
+    "q49_pivot" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val base = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_orderpriority"), col("o_totalprice"))
+      def avgFor(p: String) = {
+        val n = count(when(col("o_orderpriority") === p, lit(1)))
+        when(n > 0,
+          sum(when(col("o_orderpriority") === p, dec(col("o_totalprice")))).cast(DoubleType) /
+            n.cast(DoubleType))
+      }
+      base.groupBy(col("n_name").as("nation_name"))
+        .agg(
+          avgFor("1-URGENT").as("avg_urgent"),
+          avgFor("2-HIGH").as("avg_high"),
+          avgFor("3-MEDIUM").as("avg_medium"),
+          avgFor("4-NOT SPECIFIED").as("avg_not_specified"),
+          avgFor("5-LOW").as("avg_low"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q46_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q47_window_family" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS reference_year,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, reference_year, revenue,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+        |  CAST(row_number() OVER w AS BIGINT) AS row_num,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  cume_dist() OVER w AS cume_dist_frac,
+        |  percent_rank() OVER w AS pct_rank_frac
+        |FROM rev
+        |WINDOW w AS (PARTITION BY reference_year ORDER BY revenue DESC NULLS LAST, o_custkey)""".stripMargin,
+    "q48_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT o_custkey, 'union' AS set_op FROM (SELECT * FROM a UNION SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'intersect' FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'except' FROM (SELECT * FROM a EXCEPT SELECT * FROM b)""".stripMargin,
+    "q49_pivot" ->
+      """SELECT n_name AS nation_name,
+        |  CASE WHEN COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) > 0
+        |       THEN CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |            / CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS DOUBLE) END AS avg_urgent,
+        |  CASE WHEN COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) > 0
+        |       THEN CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |            / CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS DOUBLE) END AS avg_high,
+        |  CASE WHEN COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) > 0
+        |       THEN CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |            / CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS DOUBLE) END AS avg_medium,
+        |  CASE WHEN COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) > 0
+        |       THEN CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |            / CAST(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS DOUBLE) END AS avg_not_specified,
+        |  CASE WHEN COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) > 0
+        |       THEN CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |            / CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS DOUBLE) END AS avg_low
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+}
