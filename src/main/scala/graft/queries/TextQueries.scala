@@ -109,6 +109,40 @@ object TextQueries {
       Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxHamming = 3)
     },
 
+    // Deterministic train/val/test split: md5-derived bucket in [0,100) —
+    // reproducible across engines/runs/partitionings (never rand(), which
+    // breaks task-retry idempotence). 90/5/5.
+    "q61_train_split" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      // bucket = first 4 md5 hex digits as int, mod 100 (ascii arithmetic —
+      // portable, no conv() needed in the oracle)
+      val hex = md5(concat(lit("split|"), col("doc_id").cast(StringType)))
+      val digit = (i: Int) => {
+        val a = ascii(substring(hex, i + 1, 1))
+        when(a <= 57, a - 48).otherwise(a - 87)
+      }
+      val bucket = (digit(0) * 4096 + digit(1) * 256 + digit(2) * 16 + digit(3)) % 100
+      d.select(
+        col("doc_id"), col("lang"),
+        bucket.cast(LongType).as("split_bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "validation")
+          .otherwise("test").as("split"))
+    },
+
+    // Token-budget sharding: documents packed into training shards of
+    // ~5000 tokens by cumulative count in deterministic id order — the
+    // shard-assignment step of a dataset build.
+    "q62_token_shards" -> { (s, dir) =>
+      val d  = Tables(s, dir).documents
+      val nt = size(Text.tokens(col("text"))).cast(LongType)
+      val w  = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      d.select(col("doc_id"), nt.as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("shard_id",
+          floor((col("cum_tokens") - col("n_tokens")) / 5000.0).cast(LongType))
+    },
+
     // Semi-structured extraction: JSON props → typed column, aggregated.
     "q39_json_extract" -> { (s, dir) =>
       val e = Tables(s, dir).events
@@ -269,6 +303,26 @@ object TextQueries {
          |FROM cand
          |WHERE $hamming <= 3""".stripMargin
     },
+    "q61_train_split" -> {
+      def digit(i: Int) =
+        s"(CASE WHEN ascii(substring(hex, ${i + 1}, 1)) <= 57 THEN ascii(substring(hex, ${i + 1}, 1)) - 48 ELSE ascii(substring(hex, ${i + 1}, 1)) - 87 END)"
+      val bucket = s"((${digit(0)} * 4096 + ${digit(1)} * 256 + ${digit(2)} * 16 + ${digit(3)}) % 100)"
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, md5('split|' || CAST(doc_id AS VARCHAR)) AS hex FROM documents)
+         |SELECT doc_id, lang,
+         |  CAST($bucket AS BIGINT) AS split_bucket,
+         |  CASE WHEN $bucket < 90 THEN 'train'
+         |       WHEN $bucket < 95 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM h""".stripMargin
+    },
+    "q62_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 5000.0) AS BIGINT) AS shard_id
+        |FROM t""".stripMargin,
     "q39_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
