@@ -131,16 +131,15 @@ object TextQueries {
 
     // Token-budget sharding: documents packed into training shards of
     // ~5000 tokens by cumulative count in deterministic id order — the
-    // shard-assignment step of a dataset build.
+    // shard-assignment step of a dataset build. Uses the two-pass parallel
+    // prefix sum (Sharding.byBudget) — NOT a global unpartitioned window,
+    // which would funnel every row through one task at scale.
     "q62_token_shards" -> { (s, dir) =>
       val d  = Tables(s, dir).documents
       val nt = size(Text.tokens(col("text"))).cast(LongType)
-      val w  = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      d.select(col("doc_id"), nt.as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .withColumn("shard_id",
-          floor((col("cum_tokens") - col("n_tokens")) / 5000.0).cast(LongType))
+      graft.operators.Sharding.byBudget(
+        d.select(col("doc_id"), nt.as("n_tokens")),
+        "doc_id", "n_tokens", budget = 5000L)
     },
 
     // Semi-structured extraction: JSON props → typed column, aggregated.
@@ -320,12 +319,12 @@ object TextQueries {
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
         |SELECT doc_id, n_tokens,
-        |  SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
         |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 5000.0) AS BIGINT) AS shard_id
         |FROM t""".stripMargin,
     "q39_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
         |    / CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS k_avg
         |FROM events GROUP BY event_type""".stripMargin)

@@ -373,7 +373,7 @@ object TimeSeriesQueries {
          |  SELECT user_id,
          |         coalesce(CAST(value = lag(value) OVER ($winSql) AS BIGINT), 0) AS is_repeat
          |  FROM events)
-         |SELECT user_id, COUNT(*) AS n_obs, SUM(is_repeat) AS repeated_values,
+         |SELECT user_id, COUNT(*) AS n_obs, CAST(SUM(is_repeat) AS BIGINT) AS repeated_values,
          |  CASE WHEN COUNT(*) > 1
          |       THEN greatest(0.0, 100.0 - CAST(SUM(is_repeat) AS DOUBLE) / CAST(COUNT(*) - 1 AS DOUBLE) * 100.0 * 2.0)
          |       ELSE 100.0 END AS consistency_score

@@ -69,6 +69,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
+        # dtype KIND must match: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in
+        # pandas while Spark sum(long) -> int64; 5 == 5.0 passes a value
+        # compare but the driver's hash of dtyped values fails. Cast sums to
+        # BIGINT in the oracle SQL (round-1 lesson: q21/q39/q62).
+        kind_bad = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+                    if got[c].dtype.kind != want[c].dtype.kind]
+        if kind_bad:
+            c, g, w = kind_bad[0]
+            print(f"FAIL {name}: dtype col={c} spark={g} duckdb={w}")
+            n_fail += 1
+            continue
         bad = None
         for c in got.columns:
             gv, wv = got[c].tolist(), want[c].tolist()
