@@ -39,6 +39,7 @@ object Forecast {
       prediction_interval_lower: Double,
       prediction_interval_upper: Double,
       prediction_interval_width: Double,
+      prediction_interval_margin: Double,
       forecast_confidence: String,
       forecast_generated_at: Timestamp,
       model_version: String,
@@ -77,8 +78,9 @@ object Forecast {
       val methods   = Array(esF, holtF, lr(i))
       val present   = methods.filterNot(_.isNaN)
       val ensemble  = if (present.isEmpty) Double.NaN else present.sum / present.length
-      val (lo, hi)  = interval(s, ensemble)
-      val width     = hi - lo
+      val m         = margin(s)
+      val (lo, hi)  = (ensemble - m, ensemble + m)
+      val width     = hi - lo // reference computes upper-lower, not 2*margin
       ForecastRow(
         country_code = country,
         forecast_date = fDate,
@@ -92,6 +94,7 @@ object Forecast {
         prediction_interval_lower = lo,
         prediction_interval_upper = hi,
         prediction_interval_width = width,
+        prediction_interval_margin = m,
         forecast_confidence =
           if (width < 1.0) "high" else if (width < 2.0) "medium" else "low",
         forecast_generated_at = asOf,
@@ -124,32 +127,61 @@ object Forecast {
     (level, trend)
   }
 
-  /** OLS extrapolation over index positions (`:74-104`). */
+  /** Mirror of Spark's `CAST(double AS DECIMAL(18,6))`: shortest-repr
+    * BigDecimal, HALF_UP to scale 6 — identical to the DuckDB oracle's
+    * decimal cast on this data, so exact-decimal sums below are
+    * bit-matchable across engines AND order-independent.
+    */
+  private def q6(d: Double): BigDecimal =
+    BigDecimal(d).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+
+  /** OLS extrapolation over index positions (`:74-104`). Computed from
+    * exact decimal power sums (Σy, Σxy exact; Σx, Σx² closed-form
+    * integers) with the final double arithmetic in a fixed order —
+    * the same closed form `graft.functions.Exact.olsSlopeExact` uses, so
+    * the q59 oracle hash-matches. Mathematically identical to the
+    * reference's centered numpy formula (`:95-98`).
+    */
   def linearRegression(s: Array[Double], periods: Int): Array[Double] = {
     if (s.length < 3) return Array.fill(periods)(if (s.nonEmpty) s.last else Double.NaN)
-    val n     = s.length
-    val xMean = (n - 1) / 2.0
-    val yMean = s.sum / n
-    var num = 0.0; var den = 0.0
-    var i = 0
-    while (i < n) {
-      num += (i - xMean) * (s(i) - yMean)
-      den += (i - xMean) * (i - xMean)
-      i += 1
-    }
-    val slope     = num / den
-    val intercept = yMean - slope * xMean
+    val n   = s.length
+    var sy  = BigDecimal(0)
+    var sxy = BigDecimal(0)
+    var i   = 0
+    while (i < n) { val qy = q6(s(i)); sy += qy; sxy += BigDecimal(i) * qy; i += 1 }
+    val nD   = n.toDouble
+    val sx   = (n.toLong * (n - 1) / 2).toDouble          // Σ i, i = 0..n-1
+    val sxx  = (n.toLong * (n - 1) * (2L * n - 1) / 6).toDouble // Σ i²
+    val syD  = sy.toDouble
+    val sxyD = sxy.toDouble
+    val slope     = (nD * sxyD - sx * syD) / (nD * sxx - sx * sx)
+    val intercept = (syD - slope * sx) / nD
     Array.tabulate(periods)(k => intercept + slope * (n + k))
+  }
+
+  /** Half-width of the volatility-based 95% prediction interval
+    * (`:106-122`): 1.96 · std(first differences, ddof=1) · √(1 + 1/n),
+    * from exact decimal difference power sums (order-independent, oracle
+    * bit-matchable). Ensemble-independent — this is the column the q59
+    * hash gate checks; lower/upper/width center on the (spec-gated)
+    * ensemble.
+    */
+  def margin(s: Array[Double]): Double = {
+    if (s.length < 5) return 1.0
+    var sd  = BigDecimal(0)
+    var sdd = BigDecimal(0)
+    var i   = 1
+    while (i < s.length) { val d = q6(s(i)) - q6(s(i - 1)); sd += d; sdd += d * d; i += 1 }
+    val m    = (s.length - 1).toDouble
+    val sdD  = sd.toDouble
+    val sddD = sdd.toDouble
+    val varS = (m * sddD - sdD * sdD) / (m * (m - 1.0))
+    1.96 * math.sqrt(varS) * math.sqrt(1 + 1.0 / s.length)
   }
 
   /** Volatility-based 95% prediction interval (`:106-122`). */
   def interval(s: Array[Double], forecast: Double): (Double, Double) = {
-    if (s.length < 5) return (forecast - 1, forecast + 1)
-    val diffs = s.sliding(2).map(p => p(1) - p(0)).toArray
-    val m     = diffs.sum / diffs.length
-    val varS  = diffs.map(d => (d - m) * (d - m)).sum / (diffs.length - 1)
-    val std   = math.sqrt(varS)
-    val margin = 1.96 * std * math.sqrt(1 + 1.0 / s.length)
-    (forecast - margin, forecast + margin)
+    val m = margin(s)
+    (forecast - m, forecast + m)
   }
 }

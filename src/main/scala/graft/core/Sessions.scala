@@ -22,6 +22,9 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // events.ts is TIMESTAMP(NANOS) parquet; static so every reader
+      // agrees and no accessor mutates session config (Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

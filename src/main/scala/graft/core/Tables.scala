@@ -23,9 +23,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     * reader rejects; read nanos as long and truncate to microseconds —
     * exactly what DuckDB's reader does, so oracle parity holds.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set ONCE at
+    * session build ([[Sessions.local]] and the driver mains) — a per-read
+    * `spark.conf.set` here would be a global-config race in any
+    * concurrent runner.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build (see graft.core.Sessions)")
     val raw = table("events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -16,7 +16,8 @@ final case class Model(
     name: String,
     deps: Seq[String],
     materialization: Materialization = Materialization.View,
-    contract: Option[Contract] = None)(
+    contract: Option[Contract] = None,
+    customSchema: Option[String] = None)(
     val transform: Map[String, DataFrame] => DataFrame)
 
 /** Materialization strategies (reference: view / table / incremental
@@ -32,13 +33,36 @@ object Materialization {
   /** Full-refresh parquet table (CREATE TABLE AS equivalent). */
   case object Table extends Materialization
 
+  /** Schema-drift policy for incremental appends
+    * (`fct_economic_indicators.sql:5` `on_schema_change`).
+    */
+  sealed trait OnSchemaChange
+  object OnSchemaChange {
+
+    /** dbt default: the target schema is frozen; new upstream columns are
+      * dropped, removed ones fail the append loudly.
+      */
+    case object Ignore extends OnSchemaChange
+
+    /** `append_new_columns`: new upstream columns widen the target (old
+      * rows read back null-filled); removed columns stay, null-filled on
+      * new rows. Implemented with mixed-schema parquet files + mergeSchema
+      * reads — no rewrite of existing data, so widening is O(1) at any
+      * table size.
+      */
+    case object AppendNewColumns extends OnSchemaChange
+  }
+
   /** High-watermark append with upsert key: only rows with
     * `watermarkCol > max(existing)` are processed, then anti-joined on
     * `uniqueKey` before append (dbt incremental + unique_key semantics,
     * `fct_economic_indicators.sql:28-31`). Late back-period revisions are
     * deliberately skipped — the snapshot captures those (SURVEY §7.4.8).
     */
-  final case class Incremental(uniqueKey: String, watermarkCol: String) extends Materialization
+  final case class Incremental(
+      uniqueKey: String,
+      watermarkCol: String,
+      onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore) extends Materialization
 
   /** SCD Type-2 history with `check` strategy on `checkCols` and hard-
     * delete invalidation (`snap_gdp_history.sql`): changed rows close the

@@ -20,9 +20,38 @@ final class Runner(
     spark: SparkSession,
     warehouseDir: String,
     val asOf: Timestamp,
-    val runId: String) {
+    val runId: String,
+    val env: String = "prod") {
 
-  private def path(name: String) = s"$warehouseDir/$name"
+  /** `generate_schema_name` port (`macros/data_quality.sql:66-73`): prod
+    * targets use the model's custom schema as-is; any other target is
+    * prefixed `env_` so dev runs never collide with prod relations.
+    */
+  def schemaName(customSchema: String): String =
+    if (env == "prod") customSchema.trim else s"${env}_${customSchema.trim}"
+
+  // name → warehouse subdirectory, recorded at materialization so
+  // readTable resolves custom-schema models after a run.
+  private val schemaDirs = scala.collection.mutable.Map.empty[String, String]
+
+  /** `log_row_count` port (`macros/data_quality.sql:49-63`): one line per
+    * table-backed model, also collected for inspection/alerting.
+    */
+  val auditLog = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def logRowCount(name: String, df: DataFrame): Unit = {
+    // parquet metadata count — no full scan
+    val line = s"Row count for $name: ${df.count()}"
+    auditLog += line
+    // scalastyle:off println
+    println(s"[graft] $line")
+    // scalastyle:on println
+  }
+
+  private def path(name: String) =
+    schemaDirs.get(name) match {
+      case Some(schema) => s"$warehouseDir/$schema/$name"
+      case None         => s"$warehouseDir/$name"
+    }
 
   def exists(name: String): Boolean = {
     val p = Paths.get(path(name), "_VERSION")
@@ -39,7 +68,12 @@ final class Runner(
     else path(name)
   }
 
-  def readTable(name: String): DataFrame = spark.read.parquet(currentPath(name))
+  /** mergeSchema: append_new_columns incrementals accumulate mixed-schema
+    * files; merging footers unions them with older files null-filled —
+    * footer-only work, no data rewrite.
+    */
+  def readTable(name: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(currentPath(name))
 
   private def writeVersioned(name: String, df: DataFrame): Unit = {
     val version = s"v_${System.nanoTime()}"
@@ -60,8 +94,10 @@ final class Runner(
     topoOrder(models).foreach { m =>
       val missing = m.deps.filterNot(resolved.contains)
       require(missing.isEmpty, s"model ${m.name}: unresolved deps $missing")
+      m.customSchema.foreach(cs => schemaDirs += m.name -> schemaName(cs))
       val df  = m.transform(resolved.toMap)
       val out = materialize(m, df)
+      if (m.materialization != Materialization.View) logRowCount(m.name, out)
       resolved += m.name -> out
     }
     resolved.toMap
@@ -100,7 +136,7 @@ final class Runner(
       writeVersioned(m.name, df)
       readTable(m.name)
 
-    case Materialization.Incremental(uniqueKey, watermarkCol) =>
+    case Materialization.Incremental(uniqueKey, watermarkCol, onSchemaChange) =>
       m.contract.foreach(enforce(m.name, df, _))
       if (!exists(m.name)) {
         writeVersioned(m.name, df)
@@ -108,8 +144,18 @@ final class Runner(
         val existing = readTable(m.name)
         val wm = existing.agg(max(col(watermarkCol))).head.get(0)
         val fresh = if (wm == null) df else df.filter(col(watermarkCol) > lit(wm))
-        val toInsert = fresh.join(
+        val toInsert0 = fresh.join(
           existing.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
+        val toInsert = onSchemaChange match {
+          // dbt default: frozen target schema — extra upstream columns are
+          // dropped; a removed column fails the select loudly.
+          case Materialization.OnSchemaChange.Ignore =>
+            toInsert0.select(existing.columns.map(col): _*)
+          // append_new_columns: write the batch with its own (wider)
+          // schema; mergeSchema reads widen the table, old rows null-fill.
+          case Materialization.OnSchemaChange.AppendNewColumns =>
+            toInsert0
+        }
         // Append into the CURRENT version dir: cheap micro-batch append;
         // the versioned rewrite path is reserved for snapshot merges.
         toInsert.write.mode("append").parquet(currentPath(m.name))

@@ -43,7 +43,8 @@ object EurostatModels {
       Marts.dimCountry(d("country_metadata"), d("stg_eurostat__gdp"), asOf)),
     Model("fct_economic_indicators",
       Seq("int_country_monthly_indicators", "dim_country"),
-      Materialization.Incremental("indicator_key", "reference_date"))(d =>
+      Materialization.Incremental("indicator_key", "reference_date",
+        Materialization.OnSchemaChange.AppendNewColumns))(d => // fct_economic_indicators.sql:5
       Marts.fctEconomicIndicators(
         d("int_country_monthly_indicators"), d("dim_country"), asOf, runId)),
     Model("rpt_annual_economic_summary",

@@ -130,16 +130,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document over distinct trigram-shingle features,
-    * as a 64-char '0'/'1' string (portable across engines — no int64 sign
-    * issues). Shingle features (not unigrams): with a small vocabulary
-    * most documents contain most words, so unigram simhashes collapse;
+    * packed into a single signed LongType (bit 0 = MSB = the sign bit).
+    * Shingle features (not unigrams): with a small vocabulary most
+    * documents contain most words, so unigram simhashes collapse;
     * trigrams keep the fingerprint discriminative.
     *
     * Bit b of a feature = bit (3 − b%4) of hex digit b/4 of md5(token);
     * the document bit is the sign of Σ(±1) over its features (ties → 1).
-    * Hex-digit values come from `ascii()` arithmetic, so the whole
-    * construction is reproducible in any engine with md5 — the DuckDB
-    * oracle replicates it exactly.
+    * Hex-digit values come from `ascii()` arithmetic and the packing is
+    * plain integer OR of compile-time bit literals, so the whole
+    * construction is reproducible in any engine with md5 + int64 — the
+    * DuckDB oracle replicates it exactly (min-long spelled as
+    * `-9223372036854775807 - 1`; DuckDB rejects `1 << 63`).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("doc_id"),
@@ -158,15 +160,20 @@ object Dedup {
       sum((shiftright(col(s"v_${b / 4}"), 3 - b % 4) % 2) * 2 - 1).as(s"s_$b")
     }
     val sums = withVals.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val bits = (0 until 64).map(b => when(col(s"s_$b") >= 0, "1").otherwise("0"))
-    sums.select(col("doc_id"), concat(bits: _*).as("simhash"))
+    // 1L << 63 wraps to Long.MinValue at Scala compile time — bit 0 is the
+    // sign bit; OR-ing 64 literals stays inside whole-stage codegen.
+    val packed = (0 until 64)
+      .map(b => when(col(s"s_$b") >= 0, lit(1L << (63 - b))).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    sums.select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: candidates share one of four 16-bit bands,
-    * verified by Hamming distance ≤ maxHamming. Banding is exact for
-    * distance ≤ 3 (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands
-    * untouched); for larger thresholds it is the standard recall
-    * approximation.
+  /** SimHash near-dup pairs: candidates share one of four 16-bit bands
+    * (arithmetic shift + mask off the packed long), verified by Hamming
+    * distance = `bit_count(xor)` — two codegen'd integer ops per pair
+    * instead of 64 substring compares. Banding is exact for distance ≤ 3
+    * (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands untouched); for
+    * larger thresholds it is the standard recall approximation.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
@@ -174,22 +181,20 @@ object Dedup {
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band_idx"),
-               substring(col("simhash"), k * 16 + 1, 16).as("band_val"))): _*)).as("b"))
+               (shiftright(col("simhash"), 48 - k * 16) bitwiseAND lit(65535L))
+                 .as("band_val"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
               col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
     val a = bands.select(col("band_idx"), col("band_val"),
                          col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = bands.select(col("band_idx"), col("band_val"),
                          col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    val hamming = (0 until 64)
-      .map(i => when(substring(col("sh_a"), i + 1, 1) =!= substring(col("sh_b"), i + 1, 1), 1L)
-        .otherwise(0L))
-      .reduce(_ + _)
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
       .distinct()
-      .withColumn("hamming_distance", hamming)
+      .withColumn("hamming_distance",
+        bit_count(col("sh_a") bitwiseXOR col("sh_b")).cast(LongType))
       .filter(col("hamming_distance") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming_distance"))
   }

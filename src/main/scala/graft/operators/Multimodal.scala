@@ -44,12 +44,17 @@ object Multimodal {
     * the testdata plumbing (documents.text as fake payloads).
     */
   def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
-                   modality: String): Dataset[MediaRecord] = {
+                   modality: String): Dataset[MediaRecord] =
+    asMediaTable(df, idCol, payloadCol, lit(modality))
+
+  /** Column-valued modality variant (e.g. routed per row from metadata). */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
+                   modality: org.apache.spark.sql.Column): Dataset[MediaRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(
       col(idCol).cast(LongType).as("media_id"),
-      lit(modality).as("modality"),
+      modality.as("modality"),
       col(payloadCol).cast(BinaryType).as("payload"),
       concat(lit("testdata://"), col(idCol).cast(StringType)).as("source_uri"))
       .as[MediaRecord]

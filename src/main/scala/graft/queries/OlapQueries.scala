@@ -61,7 +61,10 @@ object OlapQueries {
       val o  = Tables(s, dir).orders
       def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
         .select(col("o_custkey")).distinct()
-      val a = buyers(1995); val b = buyers(1996)
+      // Each buyer set feeds union + intersect + except; Catalyst does not
+      // dedupe common subtrees, so without a cut this is 6 scans of orders
+      // for a 2-scan job. The cut is the distinct sets (tiny: custkeys).
+      val a = buyers(1995).cache(); val b = buyers(1996).cache()
       a.union(b).distinct().withColumn("set_op", lit("union"))
         .unionByName(a.intersect(b).withColumn("set_op", lit("intersect")))
         .unionByName(a.except(b).withColumn("set_op", lit("except")))

@@ -58,14 +58,20 @@ object PipelineQueries {
     cached(t, "sg")(Staging.gdp(TestdataRaw.rawGdp(t)))
   private def stgPop(t: Tables) =
     cached(t, "sp")(Staging.population(TestdataRaw.rawPopulation(t)))
-  private def intAnnual(t: Tables) =
-    Intermediate.annualMetrics(stgGdp(t), stgPop(t), stgUnemp(t), stgInfl(t))
-  private def intMonthly(t: Tables) =
-    Intermediate.monthlyIndicators(stgUnemp(t), stgInfl(t), intAnnual(t))
-  private def dim(t: Tables) =
-    Marts.dimCountry(TestdataRaw.seedCountryMetadata(t), stgGdp(t), AsOf)
-  private def fct(t: Tables) =
-    Marts.fctEconomicIndicators(intMonthly(t), dim(t), AsOf, "graft-run")
+  // The intermediate/mart layers are cached too (all tiny: countries ×
+  // months): q54/q56/q57/q58/q59 each consume fct, and without the cut the
+  // whole staging→fct chain re-plans and re-runs per query — the bench
+  // then charges the pipeline build to five queries instead of one. At
+  // real scale the Runner materializes these as tables; the cache is the
+  // query-level analog.
+  private def intAnnual(t: Tables) = cached(t, "ia")(
+    Intermediate.annualMetrics(stgGdp(t), stgPop(t), stgUnemp(t), stgInfl(t)))
+  private def intMonthly(t: Tables) = cached(t, "im")(
+    Intermediate.monthlyIndicators(stgUnemp(t), stgInfl(t), intAnnual(t)))
+  private def dim(t: Tables) = cached(t, "dim")(
+    Marts.dimCountry(TestdataRaw.seedCountryMetadata(t), stgGdp(t), AsOf))
+  private def fct(t: Tables) = cached(t, "fct")(
+    Marts.fctEconomicIndicators(intMonthly(t), dim(t), AsOf, "graft-run"))
 
   val defs: Map[String, Q] = Map(
     "q50_stg_unemployment" -> { (s, dir) => out(stgUnemp(Tables(s, dir))) },
@@ -80,8 +86,28 @@ object PipelineQueries {
     "q56_anomaly_detection" -> { (s, dir) => out(Anomaly.detect(fct(Tables(s, dir)))) },
     "q57_quality_scores" -> { (s, dir) => out(QualityScores.score(fct(Tables(s, dir)), AsOf)) },
     // Sequential ES/Holt recurrences — not SQL-expressible; rows-only gate
-    // + ScalaTest parity specs (SURVEY §2.9b).
+    // + ScalaTest parity specs (SURVEY §2.9b). The SQL-expressible legs
+    // are hash-gated separately by q59.
     "q58_forecast" -> { (s, dir) => out(Forecast.forecast(fct(Tables(s, dir)), AsOf)) },
+    // Oracle-gated decomposition of the forecast: the OLS extrapolation,
+    // interval margin, date expansion, horizon, and margin-derived
+    // confidence bucket are all closed-form — hash-matched vs DuckDB.
+    // Only the es/holt recurrences stay ScalaTest-gated (ForecastSpec).
+    "q59_forecast_ols" -> { (s, dir) =>
+      val f = Forecast.forecast(fct(Tables(s, dir)), AsOf)
+      out(f.select(
+        col("country_code"),
+        col("forecast_date"),
+        col("forecast_horizon_months").cast("long"),
+        col("last_actual_date"),
+        col("last_actual_value"),
+        col("forecast_linear_reg"),
+        col("prediction_interval_margin"),
+        when(col("prediction_interval_margin") * 2.0 < 1.0, "high")
+          .when(col("prediction_interval_margin") * 2.0 < 2.0, "medium")
+          .otherwise("low").as("margin_confidence"),
+        col("min_training_samples").cast("long")))
+    },
     "q60_consistency_test" -> { (s, dir) =>
       out(EurostatModels.euAggregateConsistencyViolations(stgGdp(Tables(s, dir))))
     })
@@ -463,6 +489,53 @@ object PipelineQueries {
         |        0.30 * completeness_score + 0.25 * timeliness_score +
         |        0.25 * validity_score + 0.20 * consistency_score AS overall_quality_score
         |      FROM final)""".stripMargin),
+    "q59_forecast_ols" -> (withCtes(stgCtes, intAnnualCte, intMonthlyCte, dimCte, fctCte) +
+      """, unemp AS (
+        |  SELECT country_code, reference_date, unemployment_rate_pct AS y
+        |  FROM fct WHERE unemployment_rate_pct IS NOT NULL),
+        |pos AS (
+        |  SELECT country_code, reference_date, y,
+        |    CAST(row_number() OVER (PARTITION BY country_code ORDER BY reference_date) AS BIGINT) - 1 AS i,
+        |    lag(y) OVER (PARTITION BY country_code ORDER BY reference_date) AS y_prev
+        |  FROM unemp),
+        |sums AS (
+        |  SELECT country_code,
+        |    COUNT(*) AS n,
+        |    max(reference_date) AS last_date,
+        |    max_by(y, reference_date) AS last_value,
+        |    CAST(SUM(i) AS DOUBLE) AS sx,
+        |    CAST(SUM(i * i) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(i AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    COUNT(y_prev) AS m,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6)) - CAST(y_prev AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+        |    CAST(SUM((CAST(y AS DECIMAL(18,6)) - CAST(y_prev AS DECIMAL(18,6)))
+        |           * (CAST(y AS DECIMAL(18,6)) - CAST(y_prev AS DECIMAL(18,6)))) AS DOUBLE) AS sdd
+        |  FROM pos GROUP BY 1 HAVING COUNT(*) >= 24),
+        |params AS (
+        |  SELECT *,
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+        |  FROM sums),
+        |params2 AS (
+        |  SELECT *,
+        |    (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept,
+        |    CASE WHEN n < 5 THEN 1.0
+        |         ELSE 1.96 * sqrt((CAST(m AS DOUBLE) * sdd - sd * sd)
+        |                          / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)))
+        |              * sqrt(1 + 1.0 / CAST(n AS DOUBLE)) END AS margin
+        |  FROM params)
+        |SELECT country_code,
+        |  CAST(date_trunc('month', last_date + to_months(h)) AS VARCHAR) AS forecast_date,
+        |  CAST(h AS BIGINT) AS forecast_horizon_months,
+        |  CAST(last_date AS VARCHAR) AS last_actual_date,
+        |  last_value AS last_actual_value,
+        |  intercept + slope * CAST(n + h - 1 AS DOUBLE) AS forecast_linear_reg,
+        |  margin AS prediction_interval_margin,
+        |  CASE WHEN margin * 2.0 < 1.0 THEN 'high'
+        |       WHEN margin * 2.0 < 2.0 THEN 'medium'
+        |       ELSE 'low' END AS margin_confidence,
+        |  CAST(n AS BIGINT) AS min_training_samples
+        |FROM params2 CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS h)""".stripMargin),
     "q60_consistency_test" -> (withCtes(stgCtes) +
       """, totals AS (
         |  SELECT reference_year,

@@ -142,6 +142,29 @@ object TextQueries {
         "doc_id", "n_tokens", budget = 5000L)
     },
 
+    // Multimodal plumbing, oracle-gated end to end: documents.text rides
+    // as an opaque binary payload through the MediaRecord schema and the
+    // batched per-partition extractor (Multimodal.extractFeatures — the
+    // stubbed-codec path); the gate checks the bytes survived transport
+    // bit-exactly (content_hash = md5 of utf8 payload), byte length,
+    // per-row modality routing, stub feature width, and content-hash
+    // dedup. Only the codec internals stay stubbed.
+    "q63_multimodal" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val media = graft.operators.Multimodal.asMediaTable(
+        d, "doc_id", "text",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+                   (col("doc_id") % 3).cast("int") + 1))
+      val feats = graft.operators.Multimodal.extractFeatures(media).toDF()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+      feats.select(
+          col("media_id"), col("modality"), col("n_bytes"), col("content_hash"),
+          size(col("feature")).cast(LongType).as("feature_dims"))
+        .withColumn("canonical_id", min(col("media_id")).over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("is_duplicate", col("media_id") =!= col("canonical_id"))
+    },
+
     // Semi-structured extraction: JSON props → typed column, aggregated.
     "q39_json_extract" -> { (s, dir) =>
       val e = Tables(s, dir).events
@@ -274,11 +297,12 @@ object TextQueries {
         val v  = s"(CASE WHEN ascii($ch) <= 57 THEN ascii($ch) - 48 ELSE ascii($ch) - 87 END)"
         s"SUM((($v >> ${3 - b % 4}) % 2) * 2 - 1) AS s_$b"
       }.mkString(",\n        ")
-      val bitStr  = (0 until 64)
-        .map(b => s"CASE WHEN s_$b >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-      val hamming = (0 until 64)
-        .map(i => s"CASE WHEN substring(sh_a, ${i + 1}, 1) != substring(sh_b, ${i + 1}, 1) THEN 1 ELSE 0 END")
-        .mkString(" + ")
+      // Packed int64 simhash: bit 0 is the sign bit, so its literal is the
+      // min-long expression (DuckDB rejects 1 << 63 as overflow).
+      val packed = (0 until 64).map { b =>
+        val bitLit = if (b == 0) "(-9223372036854775807 - 1)" else s"${1L << (63 - b)}"
+        s"(CASE WHEN s_$b >= 0 THEN $bitLit ELSE 0 END)"
+      }.mkString(" | ")
       s"""WITH ex AS (
          |  SELECT doc_id,
          |    unnest(list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
@@ -289,18 +313,18 @@ object TextQueries {
          |  SELECT doc_id,
          |        $bitSums
          |  FROM hx GROUP BY doc_id),
-         |sh AS (SELECT doc_id, $bitStr AS simhash FROM sums),
+         |sh AS (SELECT doc_id, $packed AS simhash FROM sums),
          |bands AS (
-         |  SELECT doc_id, simhash, k AS band_idx, substring(simhash, k * 16 + 1, 16) AS band_val
+         |  SELECT doc_id, simhash, k AS band_idx, (simhash >> (48 - k * 16)) & 65535 AS band_val
          |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         a.simhash AS sh_a, b.simhash AS sh_b
          |  FROM bands a JOIN bands b
          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming_distance
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming_distance
          |FROM cand
-         |WHERE $hamming <= 3""".stripMargin
+         |WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
     },
     "q61_train_split" -> {
       def digit(i: Int) =
@@ -322,6 +346,16 @@ object TextQueries {
         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
         |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 5000.0) AS BIGINT) AS shard_id
         |FROM t""".stripMargin,
+    "q63_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  CAST(8 AS BIGINT) AS feature_dims,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        |FROM documents""".stripMargin,
     "q39_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

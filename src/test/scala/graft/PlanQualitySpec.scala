@@ -74,6 +74,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("q62 prefix sum range-partitions the data; no full-data single-partition window") {
+    // The scale-killer this guards against: Window.orderBy with no
+    // partitioning funnels every row through ONE task. The two-pass
+    // prefix sum (Sharding.runningTotal) must (a) range-partition the
+    // full data by doc_id, and (b) confine any SinglePartition exchange
+    // to the per-partition-totals branch, i.e. strictly AFTER an
+    // aggregation (one row per partition, constant-sized).
+    val df   = SparkEntry.queries("q62_token_shards")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("rangepartitioning(doc_id"),
+      s"no range partitioning on doc_id in:\n$plan")
+    // Walk the tree: every SinglePartition exchange must have an Aggregate
+    // below it (the P-row offsets), never a raw scan/projection of documents.
+    val offenders = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 &&
+            e.child.collect {
+              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            }.isEmpty => e
+    }
+    assert(offenders.isEmpty,
+      s"single-partition exchange over non-aggregated data:\n$plan")
+    // and the result is identical to the naive global window
+    val naive = {
+      val d  = graft.core.Tables(spark, dir).documents
+      val nt = size(graft.functions.Text.tokens(col("text"))).cast("long")
+      val w  = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      d.select(col("doc_id"), nt.as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("shard_id",
+          floor((col("cum_tokens") - col("n_tokens")) / 5000.0).cast("long"))
+    }
+    assert(df.exceptAll(naive).isEmpty && naive.exceptAll(df).isEmpty)
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))

@@ -72,6 +72,61 @@ class RunnerSpec extends SparkSpec {
       ("c", 3.0, t1, None)))      // fresh insert
   }
 
+  test("on_schema_change=append_new_columns widens the target; ignore keeps it frozen") {
+    // append_new_columns (fct_economic_indicators.sql:5): a widened
+    // upstream adds the column, old rows read back null-filled, no crash.
+    val wh = tmpDir()
+    def runInc(df: org.apache.spark.sql.DataFrame, runId: String,
+               osc: Materialization.OnSchemaChange) = {
+      val r = new Runner(spark, wh, t0, runId)
+      r.run(Seq(Model("inc", Seq("src"),
+        Materialization.Incremental("k", "d", osc))(deps => deps("src"))),
+        Map("src" -> df))("inc")
+    }
+    val base = Seq(("a", "2024-01-01", 1.0)).toDF("k", "d", "v")
+      .withColumn("d", col("d").cast(DateType))
+    runInc(base, "r1", Materialization.OnSchemaChange.AppendNewColumns)
+    val widened = Seq(("b", "2024-01-02", 2.0, "extra")).toDF("k", "d", "v", "note")
+      .withColumn("d", col("d").cast(DateType))
+    val out = runInc(widened, "r2", Materialization.OnSchemaChange.AppendNewColumns)
+    assert(out.columns.toSet == Set("k", "d", "v", "note"))
+    val byK = out.collect().map(r => r.getString(0) -> Option(r.getAs[String]("note"))).toMap
+    assert(byK == Map("a" -> None, "b" -> Some("extra"))) // old row null-filled
+
+    // ignore (dbt default): the extra column is dropped, target stays frozen
+    val wh2 = tmpDir()
+    def runIgnore(df: org.apache.spark.sql.DataFrame, runId: String) = {
+      val r = new Runner(spark, wh2, t0, runId)
+      r.run(Seq(Model("inc", Seq("src"),
+        Materialization.Incremental("k", "d"))(deps => deps("src"))),
+        Map("src" -> df))("inc")
+    }
+    runIgnore(base, "r1")
+    val out2 = runIgnore(widened, "r2")
+    assert(out2.columns.toSet == Set("k", "d", "v"))
+  }
+
+  test("run logs a row count per table-backed model (log_row_count port)") {
+    val r = new Runner(spark, tmpDir(), t0, "lg")
+    r.run(Seq(
+      Model("t1", Seq("src"), Materialization.Table)(d => d("src")),
+      Model("v1", Seq("t1"))(d => d("t1"))), // view → not logged
+      Map("src" -> Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")))
+    assert(r.auditLog.toSeq == Seq("Row count for t1: 2"))
+  }
+
+  test("generate_schema_name routes non-prod targets to env-prefixed schemas") {
+    val wh = tmpDir()
+    val dev = new Runner(spark, wh, t0, "sr", env = "dev")
+    assert(dev.schemaName("analytics") == "dev_analytics")
+    dev.run(Seq(Model("m", Seq("src"), Materialization.Table,
+      customSchema = Some("analytics"))(d => d("src"))),
+      Map("src" -> Seq(("a", 1.0)).toDF("k", "v")))
+    assert(Files.exists(java.nio.file.Paths.get(wh, "dev_analytics", "m", "_VERSION")))
+    val prod = new Runner(spark, wh, t0, "sr2", env = "prod")
+    assert(prod.schemaName("analytics") == "analytics")
+  }
+
   test("contract enforcement rejects schema drift and constraint violations") {
     val r = new Runner(spark, tmpDir(), t0, "c")
     val good = StructType(Seq(StructField("k", StringType), StructField("v", DoubleType)))
