@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.Text
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import org.apache.spark.sql.DataFrame
 
 /** Document deduplication operators for training-data pipelines: exact,
@@ -11,12 +11,12 @@ import org.apache.spark.sql.DataFrame
   * derived keys — the scale path at 100 TB is: hash-partition by the
   * derived key (text hash / shingle / band bucket), never all-pairs.
   *
-  * MinHash here is md5-based: the per-permutation hash of a shingle is
-  * `md5(k || '|' || shingle)` and the signature component is the
-  * lexicographic MIN of those hex strings per document. Hex-string min is
-  * a valid uniform min-hash (md5 is uniform on the hex alphabet) and is
-  * exactly reproducible in any engine with md5 — which makes the whole
-  * LSH pipeline oracle-checkable.
+  * MinHash here is md5-seeded Kirsch–Mitzenmacher: each shingle is
+  * md5-hashed once, permutation k's value is `(h1 + k·h2) mod 2^32` over
+  * the digest's first two 32-bit words, and the signature component is
+  * the numeric MIN per document ([[org.apache.spark.sql.graftx.MinHashSigs]]).
+  * Exactly reproducible in any engine with md5 + int64 arithmetic — which
+  * makes the whole LSH pipeline oracle-checkable.
   */
 object Dedup {
 
@@ -145,27 +145,14 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("doc_id"),
-        explode(graft.functions.Text.shingles(col(textCol), 3)).as("token"))
-      .withColumn("hex", md5(col("token")))
-    // One projection materializes the 16 hex-digit values per feature row;
-    // the 64 bit-sums are then pure integer arithmetic on those — the
-    // string work (substring/ascii) runs 16×, not 64×, per row, all inside
-    // whole-stage codegen.
-    val digitVals = (0 until 16).map { d =>
-      val a = ascii(substring(col("hex"), d + 1, 1))
-      when(a <= 57, a - 48).otherwise(a - 87).as(s"v_$d") // '0'-'9' | 'a'-'f'
-    }
-    val withVals = ex.select(col("doc_id") +: digitVals: _*)
-    val bitSums = (0 until 64).map { b =>
-      sum((shiftright(col(s"v_${b / 4}"), 3 - b % 4) % 2) * 2 - 1).as(s"s_$b")
-    }
-    val sums = withVals.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    // 1L << 63 wraps to Long.MinValue at Scala compile time — bit 0 is the
-    // sign bit; OR-ing 64 literals stays inside whole-stage codegen.
-    val packed = (0 until 64)
-      .map(b => when(col(s"s_$b") >= 0, lit(1L << (63 - b))).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    sums.select(col("doc_id"), packed.as("simhash"))
+      explode(graft.functions.Text.shingles(col(textCol), 3)).as("token"))
+    // One-pass TypedImperativeAggregate (graftx.SimhashAgg): md5 + bit
+    // counting in plain JVM code with a 65-int buffer and vector-add
+    // merges. The expression form (16 hex-digit extractions × feature row
+    // + a 64-term assembly) was the round-1 q41 hot spot — its generated
+    // code was big enough that codegen/JIT constants dominated.
+    ex.groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.graftx.SimhashAgg.simhash64(col("token")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit bands
@@ -200,9 +187,9 @@ object Dedup {
   }
 
   /** MinHash signature columns sig_0..sig_{k-1} per document — one-pass
-    * [[org.apache.spark.sql.graftx.MinHashSigs]] TypedImperativeAggregate,
-    * byte-identical to k separate `min(md5('k|' || shingle))` aggregates
-    * (the form the DuckDB oracle runs).
+    * [[org.apache.spark.sql.graftx.MinHashSigs]] TypedImperativeAggregate
+    * (one md5 per shingle, K–M-derived permutations), bit-identical to the
+    * hex-digit arithmetic the DuckDB oracle runs.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 8, n: Int = 3): DataFrame = {
@@ -225,8 +212,11 @@ object Dedup {
   def lshBands(signatures: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"sig_$k"))
-      struct(lit(b).as("band_idx"), md5(concat(cols: _*)).as("band_hash"))
+      // '|' separator: numeric sigs are variable-width, unlike the old
+      // fixed 32-char hex minima
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => col(s"sig_$k").cast(StringType))
+      struct(lit(b).as("band_idx"), md5(concat_ws("|", cols: _*)).as("band_hash"))
     }
     signatures
       .select(col("doc_id"), explode(array(bands: _*)).as("band"))

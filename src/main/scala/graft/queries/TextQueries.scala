@@ -262,25 +262,33 @@ object TextQueries {
         |  CAST(shared AS DOUBLE) / CAST(size_a + size_b - shared AS DOUBLE) AS jaccard
         |FROM pairs
         |WHERE CAST(shared AS DOUBLE) / CAST(size_a + size_b - shared AS DOUBLE) >= 0.5""".stripMargin,
-    "q36_minhash_lsh" ->
-      """WITH sh AS (
+    "q36_minhash_lsh" -> {
+      // h1/h2 = first/second 8 hex digits of md5(shingle) as integers —
+      // the oracle restatement of MinHashSigs' big-endian digest words.
+      def hexVal(start: Int): String = (0 until 8).map { j =>
+        val ch = s"substring(hex, ${start + j}, 1)"
+        val v  = s"(CASE WHEN ascii($ch) <= 57 THEN ascii($ch) - 48 ELSE ascii($ch) - 87 END)"
+        s"CAST($v AS BIGINT) * ${1L << (4 * (7 - j))}"
+      }.mkString(" + ")
+      val sigCols = (0 until 8)
+        .map(k => s"min((h1 + $k * h2) % 4294967296) AS sig_$k").mkString(",\n        |    ")
+      s"""WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
         |  FROM documents),
         |ex AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_shingles, unnest(tg) AS shingle FROM sh),
+        |hx AS (SELECT doc_id, md5(shingle) AS hex FROM ex),
+        |hv AS (SELECT doc_id, ${hexVal(1)} AS h1, ${hexVal(9)} AS h2 FROM hx),
         |sigs AS (
         |  SELECT doc_id,
-        |    min(md5('0|' || shingle)) AS sig_0, min(md5('1|' || shingle)) AS sig_1,
-        |    min(md5('2|' || shingle)) AS sig_2, min(md5('3|' || shingle)) AS sig_3,
-        |    min(md5('4|' || shingle)) AS sig_4, min(md5('5|' || shingle)) AS sig_5,
-        |    min(md5('6|' || shingle)) AS sig_6, min(md5('7|' || shingle)) AS sig_7
-        |  FROM ex GROUP BY doc_id),
+        |    $sigCols
+        |  FROM hv GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, md5(sig_0 || sig_1) AS band_hash FROM sigs
-        |  UNION ALL SELECT doc_id, 1, md5(sig_2 || sig_3) FROM sigs
-        |  UNION ALL SELECT doc_id, 2, md5(sig_4 || sig_5) FROM sigs
-        |  UNION ALL SELECT doc_id, 3, md5(sig_6 || sig_7) FROM sigs),
+        |  SELECT doc_id, 0 AS band_idx, md5(CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR)) AS band_hash FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR)) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR)) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(CAST(sig_6 AS VARCHAR) || '|' || CAST(sig_7 AS VARCHAR)) FROM sigs),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
@@ -290,7 +298,8 @@ object TextQueries {
         |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) AS jaccard,
         |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
         |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) >= 0.5 AS is_near_dup
-        |FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin,
+        |FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin
+    },
     "q41_simhash" -> {
       val bitSums = (0 until 64).map { b =>
         val ch = s"substring(hex, ${b / 4 + 1}, 1)"

@@ -1,5 +1,6 @@
 package org.apache.spark.sql.graftx
 
+import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.Column
@@ -8,15 +9,20 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** One-pass MinHash signature aggregate: for each of `numHashes`
-  * permutations k, the minimum of `md5("k|" || value)` hex over the group
-  * — byte-identical to K separate `min(md5(concat("k|", v)))` aggregates
-  * (the oracle-checkable md5 min-hash family, `graft.operators.Dedup`),
-  * but hashing each input row once per permutation in a single buffer
-  * pass instead of K independent aggregate pipelines.
+/** One-pass MinHash signature aggregate using the Kirsch–Mitzenmacher
+  * construction (ESA'06, public): each input value is md5-hashed ONCE;
+  * permutation k's hash is `(h1 + k·h2) mod 2^32`, where h1/h2 are the
+  * first/second 4 bytes of the digest read big-endian (= the first/second
+  * 8 hex digits). The signature component is the MIN of those per group.
+  *
+  * Versus k independent `min(md5(k || value))` aggregates this cuts the
+  * hash work k-fold — at 100 TB the md5 of every shingle is the dominant
+  * CPU cost of the whole MinHash pipeline — while staying exactly
+  * reproducible in any engine with md5 + int64 arithmetic (the DuckDB
+  * oracle recomputes h1/h2 from hex digits and takes the same mins).
   *
   * TypedImperativeAggregate: the buffer is the K current minima;
   * partial-merge is elementwise min, so the result is order-independent.
@@ -26,67 +32,63 @@ case class MinHashSigs(
     numHashes: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[String]]
+    extends TypedImperativeAggregate[Array[Long]]
     with ExpectsInputTypes with UnaryLike[Expression] {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = true
 
   @transient private lazy val md5 =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  private def md5Hex(s: String): String = {
-    val d  = md5.get()
-    d.reset()
-    val bytes = d.digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(32)
-    var i = 0
-    while (i < bytes.length) {
-      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
-      sb.append(Character.forDigit(bytes(i) & 0xf, 16))
-      i += 1
-    }
-    sb.toString
-  }
+  // Long.MaxValue = "no input seen" sentinel; all real hashes are < 2^32.
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
 
-  override def createAggregationBuffer(): Array[String] = new Array[String](numHashes)
-
-  override def update(buffer: Array[String], input: InternalRow): Array[String] = {
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) return buffer
-    val s = v.asInstanceOf[UTF8String].toString
+    val d = md5.get()
+    d.reset()
+    val b  = d.digest(v.asInstanceOf[UTF8String].toString.getBytes(StandardCharsets.UTF_8))
+    val h1 = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+    val h2 = ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) | ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
     var k = 0
     while (k < numHashes) {
-      val h = md5Hex(s"$k|$s")
-      if (buffer(k) == null || h.compareTo(buffer(k)) < 0) buffer(k) = h
+      val h = (h1 + k * h2) & 0xffffffffL // k·h2 < 2^35: no overflow, mod = mask
+      if (h < buffer(k)) buffer(k) = h
       k += 1
     }
     buffer
   }
 
-  override def merge(b1: Array[String], b2: Array[String]): Array[String] = {
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var k = 0
     while (k < numHashes) {
-      if (b1(k) == null || (b2(k) != null && b2(k).compareTo(b1(k)) < 0)) b1(k) = b2(k)
+      if (b2(k) < b1(k)) b1(k) = b2(k)
       k += 1
     }
     b1
   }
 
-  override def eval(buffer: Array[String]): Any =
-    new GenericArrayData(buffer.map(s => if (s == null) null else UTF8String.fromString(s)))
+  override def eval(buffer: Array[Long]): Any =
+    new GenericArrayData(buffer.map(v =>
+      if (v == Long.MaxValue) null else java.lang.Long.valueOf(v)))
 
-  override def serialize(buffer: Array[String]): Array[Byte] = {
-    // hex strings contain no '\n'; nulls encode as empty
-    buffer.map(s => if (s == null) "" else s)
-      .mkString("\n").getBytes(StandardCharsets.UTF_8)
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(numHashes * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[String] = {
-    val parts = new String(bytes, StandardCharsets.UTF_8).split("\n", -1)
-    parts.map(s => if (s.isEmpty) null else s)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb  = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { out(i) = bb.getLong(); i += 1 }
+    out
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSigs =

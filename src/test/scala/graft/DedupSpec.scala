@@ -59,6 +59,33 @@ class DedupSpec extends SparkSpec {
     assert(smart == naive)
   }
 
+  test("simhash aggregate matches a reference bit-count implementation") {
+    // Independent recomputation: per distinct trigram, bit b = bit (7-b%8)
+    // of byte b/8 of md5; document bit set iff 2*ones >= n. Exercises the
+    // distributed update/merge/serialize path against local arithmetic.
+    def refSimhash(text: String): Long = {
+      val toks = text.split(" ")
+      val tris = (0 until math.max(toks.length - 2, 1))
+        .map(i => toks.slice(i, i + 3).mkString(" ")).distinct
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](64)
+      tris.foreach { t =>
+        val b = md.digest(t.getBytes("UTF-8"))
+        for (i <- 0 until 64) counts(i) += (b(i / 8) >> (7 - i % 8)) & 1
+      }
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (2 * counts(i) >= tris.length) acc | (1L << (63 - i)) else acc)
+    }
+    val got = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.collect().map(r => r.getLong(0) -> refSimhash(r.getString(1))).toMap
+    assert(got == want)
+    // near-dup pair structure: exact dup at hamming 0, reversed text differs
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L)
+  }
+
   test("minhash LSH candidates include all exact duplicates") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
