@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.Vectors._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -65,6 +65,98 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+              col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF-flat ANN (the inverted-file coarse-quantizer family, à la FAISS):
+    *
+    *  1. `nlist` seed centroids are picked deterministically — the corpus
+    *     vectors with the smallest `md5("ivf|" || id)` (a reproducible
+    *     pseudo-random sample; `TakeOrdered` = per-partition top-k, no
+    *     full sort). They're COLLECTED (nlist·dims doubles — centroids fit
+    *     in memory by construction, that is the point of IVF) and embedded
+    *     as literals;
+    *  2. corpus assignment to the nearest centroid (cosine, ties → lowest
+    *     centroid id) is then a pure shuffle-free projection: nlist dot
+    *     products per row inside one codegen stage — the corpus is
+    *     scanned once and NEVER shuffled;
+    *  3. each query probes its `nprobe` closest centroid lists (query set
+    *     is the small side: a crossJoin with nlist rows + a window);
+    *  4. exact cosine runs on probed-list candidates only, top-k per
+    *     query — candidate volume ≈ corpus · nprobe / nlist.
+    *
+    * All arithmetic is left-fold double dot products (bitwise equal to
+    * DuckDB `list_dot_product`), so the whole index build + search is
+    * oracle-checkable. Versus hyperplane LSH ([[annTopK]]): IVF adapts to
+    * the data distribution (lists partition the corpus evenly-ish even
+    * when vectors cluster on one side of every hyperplane) at the price of
+    * a centroid-selection pass.
+    */
+  def annTopKIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val n = corpus.select(
+      col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // 1. deterministic seed sample, collected to the driver
+    val seeds: Array[(Long, Array[Double])] = n
+      .orderBy(md5(concat(lit("ivf|"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // centroid norms via the same left fold the engines run
+    val cents = seeds.map { case (id, cv) =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      (id, cv, math.sqrt(s))
+    }
+    def centSim(vec: Column, nrm: Column, cv: Array[Double], cnrm: Double): Column = {
+      val d = dot(vec, array(cv.map(lit(_)): _*))
+      when(nrm > 0 && lit(cnrm) > 0, d / (nrm * lit(cnrm)))
+    }
+    // 2. nearest-centroid assignment via array_max over nlist
+    // (sim, -centroid_id) structs — linear expression size (a when/
+    // otherwise fold would embed the accumulator twice per step: 2^nlist
+    // nodes). null sim → -∞ and the NEGATED id make struct ordering
+    // equivalent to "ORDER BY sim DESC NULLS LAST, centroid_id ASC".
+    val assigned = {
+      val entries = cents.sortBy(_._1).map { case (id, cv, cnrm) =>
+        struct(
+          coalesce(centSim(col("v"), col("nrm"), cv, cnrm),
+                   lit(Double.NegativeInfinity)).as("sim"),
+          lit(-id).as("ncid"))
+      }
+      n.withColumn("centroid_id", -array_max(array(entries: _*)).getField("ncid"))
+    }
+    // 3. query-side probes: queries are the small side, so a window over
+    // (queries × nlist) rows is constant work per query
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val seedDf = broadcast(
+      corpus.sparkSession.createDataFrame(
+        cents.map { case (id, cv, cnrm) => (id, cv.toSeq, cnrm) }.toSeq)
+        .toDF("centroid_id", "cv", "cnrm"))
+    val probeSim = when(col("qn") > 0 && col("cnrm") > 0,
+      dot(col("qv"), col("cv")) / (col("qn") * col("cnrm")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(probeSim.desc_nulls_last, col("centroid_id"))
+    val probes = broadcast(q.crossJoin(seedDf)
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id")))
+    // 4. exact cosine on probed lists only; corpus side stays unshuffled
+    // (broadcast-hash join on centroid_id)
+    val scored = probes.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              cosinePrenormed(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
     scored

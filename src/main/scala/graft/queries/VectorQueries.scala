@@ -67,6 +67,17 @@ object VectorQueries {
     "q40_ann_lsh" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       annTopKQuantized(e.filter(col("vec_id") < 50), e, k = 3)
+    },
+
+    // IVF-flat ANN: deterministic seed centroids, shuffle-free
+    // nearest-centroid assignment (collected centroid literals), nprobe
+    // probed lists, exact cosine on candidates. The data-adaptive ANN
+    // scale path alongside q40's data-independent hyperplane LSH.
+    "q64_ann_ivf" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.annTopKIvf(
+        e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 4)
     })
 
   /** ANN with determinism-hardened bucketing: vectors are quantized to
@@ -150,6 +161,43 @@ object VectorQueries {
         |    / CAST(COUNT(embedding[i]) AS DOUBLE) AS centroid_component
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY 1, 2""".stripMargin,
+    "q64_ann_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        |  FROM n ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT n.vec_id, n.v, n.nrm, s.centroid_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      (CASE WHEN n.nrm > 0 AND s.cnrm > 0
+        |            THEN list_dot_product(n.v, s.cv) / (n.nrm * s.cnrm) END) DESC NULLS LAST,
+        |      s.centroid_id) AS rn
+        |  FROM n CROSS JOIN seeds s),
+        |lists AS (SELECT vec_id, v, nrm, centroid_id FROM assign WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, s.centroid_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      (CASE WHEN q.nrm > 0 AND s.cnrm > 0
+        |            THEN list_dot_product(q.v, s.cv) / (q.nrm * s.cnrm) END) DESC NULLS LAST,
+        |      s.centroid_id) AS prn
+        |  FROM n q CROSS JOIN seeds s WHERE q.vec_id < 50),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, p.qn, l.vec_id AS neighbor_id, l.v AS cv2, l.nrm AS cn
+        |  FROM (SELECT * FROM qprobe WHERE prn <= 4) p
+        |  JOIN lists l ON p.centroid_id = l.centroid_id
+        |  WHERE l.vec_id != p.query_id),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |    CASE WHEN qn > 0 AND cn > 0
+        |         THEN list_dot_product(qv, cv2) / (qn * cn) END AS cosine
+        |  FROM cand)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+        |      FROM sc)
+        |WHERE rank <= 3""".stripMargin,
     "q40_ann_lsh" ->
       s"""WITH n AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
