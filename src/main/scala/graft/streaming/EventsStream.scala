@@ -26,9 +26,14 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of events from a directory of parquet files. */
+  /** File-source stream of events from a directory of parquet files.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session build
+    * (see [[graft.core.Sessions]]) — same contract as `Tables.events`.
+    */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build (see graft.core.Sessions)")
     spark.readStream
       .schema(eventSchema)
       .parquet(dir)
@@ -71,6 +76,65 @@ object EventsStream {
           val next = UserRunning(uid, n, total, if (n > 0) total / n else 0.0)
           state.update(next)
           next
+      }
+  }
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long, total_cents: Long)
+  final case class ClosedSession(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long,
+      total_value: Double,
+      duration_seconds: Long)
+
+  private def epochUs(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Gap-based session windows per user as a STREAM — the
+    * `flatMapGroupsWithState` rendering of [[graft.operators.TemporalJoins]]
+    * `.sessionize`: events ≤ `gapMinutes` apart extend the open session,
+    * a larger gap closes it and emits the finished row. The open session
+    * rides in `GroupState` across micro-batches, so arbitrarily long
+    * sessions cost O(1) state per user. Totals accumulate in integer
+    * cents (values carry ≤2 decimals — TESTDATA probe), so the emitted
+    * double equals the batch operator's exact-decimal sum bitwise.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.select(col("user_id"), col("ts"), col("value")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[OpenSession]) =>
+          def cents(v: Double): Long =
+            BigDecimal(v).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+              .underlying.unscaledValue.longValueExact
+          def close(s: OpenSession): ClosedSession = ClosedSession(
+            uid,
+            java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(s.start_us * 1000)),
+            java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(s.last_us * 1000)),
+            s.n, s.total_cents / 100.0, (s.last_us - s.start_us) / 1000000L)
+          val sorted = batch.toArray.sortBy(e => epochUs(e.ts))
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          var open   = state.getOption
+          sorted.foreach { e =>
+            val us = epochUs(e.ts)
+            open match {
+              case Some(s) if us - s.last_us <= gapUs =>
+                open = Some(OpenSession(s.start_us, us, s.n + 1, s.total_cents + cents(e.value)))
+              case Some(s) =>
+                closed += close(s)
+                open = Some(OpenSession(us, us, 1L, cents(e.value)))
+              case None =>
+                open = Some(OpenSession(us, us, 1L, cents(e.value)))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
       }
   }
 

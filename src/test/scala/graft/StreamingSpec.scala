@@ -37,6 +37,33 @@ class StreamingSpec extends SparkSpec {
     assert(s == 1000) // every event lands in exactly one tumbling window
   }
 
+  test("flatMapGroupsWithState sessionization matches batch sessions (closed ones)") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.sessionizeStream(EventsStream.read(spark, eventsDir)).toDF(),
+      "stream_sessions", OutputMode.Append())
+      .select("user_id", "session_start", "session_end",
+              "n_events", "total_value", "duration_seconds")
+    val ev = graft.core.Tables(spark, dir).events
+    val sess = graft.operators.TemporalJoins
+      .sessionize(ev, Seq("user_id"), "ts", 30L * 60 * 1000000)
+    val batch = sess.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+           ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
+             .cast("long").as("duration_seconds"))
+    // each user's LAST session is still open in stream state → closed only
+    val closedBatch = batch
+      .withColumn("max_seq", max(col("session_seq")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("session_seq") < col("max_seq"))
+      .select("user_id", "session_start", "session_end",
+              "n_events", "total_value", "duration_seconds")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closedBatch).isEmpty, "stream rows missing from batch")
+    assert(closedBatch.exceptAll(streamed).isEmpty, "batch rows missing from stream")
+  }
+
   test("mapGroupsWithState accumulates running per-user stats") {
     val out = EventsStream.runToMemorySink(
       EventsStream.runningUserStats(
