@@ -138,6 +138,40 @@ object EventsStream {
       }
   }
 
+  /** Streaming incremental sink: the `writeStream.foreachBatch` form of
+    * `Materialization.Incremental` — each micro-batch anti-joins the
+    * parquet target on `uniqueKey` and appends only unseen keys, so the
+    * sink is idempotent under replays (same semantics the batch Runner
+    * proves in RunnerSpec, here driven by a stream). `checkpointDir`
+    * carries source offsets across restarts.
+    */
+  def incrementalSink(
+      df: DataFrame,
+      targetDir: String,
+      uniqueKey: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark  = batch.sparkSession
+        val target = new java.io.File(targetDir)
+        val exists = target.exists &&
+          target.listFiles(f => f.getName.endsWith(".parquet")).nonEmpty
+        if (!exists) {
+          batch.write.mode("overwrite").parquet(targetDir)
+        } else {
+          val existing = spark.read.parquet(targetDir)
+          batch
+            .join(existing.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
+            .write.mode("append").parquet(targetDir)
+        }
+        ()
+      }
+      .start()
+
   /** Drive a streaming DataFrame to completion against currently-available
     * files (Trigger.AvailableNow-style smoke path for local verification).
     */

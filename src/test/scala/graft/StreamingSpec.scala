@@ -64,6 +64,25 @@ class StreamingSpec extends SparkSpec {
     assert(closedBatch.exceptAll(streamed).isEmpty, "batch rows missing from stream")
   }
 
+  test("foreachBatch incremental sink upserts by key and replays idempotently") {
+    val target = java.nio.file.Files.createTempDirectory("graft-inc-target").toString
+    def runOnce(checkpoint: String): Unit = {
+      val q = EventsStream.incrementalSink(
+        EventsStream.read(spark, eventsDir).select("event_id", "ts", "value"),
+        target, "event_id", checkpoint, s"inc_sink_${checkpoint.hashCode}")
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce(java.nio.file.Files.createTempDirectory("graft-inc-cp1").toString)
+    val after1 = spark.read.parquet(target).count()
+    assert(after1 == 1000) // every distinct event_id landed once
+    // fresh checkpoint → the source REPLAYS everything; the key anti-join
+    // must keep the target unchanged
+    runOnce(java.nio.file.Files.createTempDirectory("graft-inc-cp2").toString)
+    val after2 = spark.read.parquet(target)
+    assert(after2.count() == 1000)
+    assert(after2.select("event_id").distinct().count() == 1000)
+  }
+
   test("mapGroupsWithState accumulates running per-user stats") {
     val out = EventsStream.runToMemorySink(
       EventsStream.runningUserStats(
