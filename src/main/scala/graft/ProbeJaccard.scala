@@ -23,6 +23,8 @@ object ProbeJaccard {
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     time("explode count")(ex.count())
     time("dfreq groupBy")(ex.groupBy(col("shingle")).agg(count(lit(1))).agg(count(lit(1))).collect())
+    time("candidate count")(
+      println("  candidates: " + Dedup.jaccardCandidates(sh, 0.5).count()))
     time("full jaccardPairs")(Dedup.jaccardPairs(d, "doc_id", "text", 0.5).count())
     time("full again (warm)")(Dedup.jaccardPairs(d, "doc_id", "text", 0.5).count())
     spark.stop()

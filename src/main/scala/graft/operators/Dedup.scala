@@ -59,6 +59,13 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3): DataFrame = {
     val sh = shingled(df, idCol, textCol, n).cache()
+    verifyPairs(jaccardCandidates(sh, threshold), sh, threshold)
+  }
+
+  /** The AllPairs/PPJoin candidate set for [[jaccardPairs]], exposed so
+    * callers (and probes) can measure the filter's selectivity.
+    */
+  def jaccardCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df_count"))
     // AllPairs asymmetric prefixes (Bayardo et al.): the larger document
@@ -97,7 +104,7 @@ object Dedup {
     // qualifying pair always passes).
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("size_a") + col("size_b")) - 1e-9)
-    val cand = probe.join(index, Seq("shingle_h"))
+    probe.join(index, Seq("shingle_h"))
       // index side holds the smaller set (ties broken by id) + length
       // filter: J ≥ t ⇒ min ≥ t·max
       .filter((col("size_a") < col("size_b")) ||
@@ -107,7 +114,6 @@ object Dedup {
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
               greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()
-    verifyPairs(cand, sh, threshold)
   }
 
   /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs against
