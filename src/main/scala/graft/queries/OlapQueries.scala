@@ -34,6 +34,29 @@ object OlapQueries {
           col("revenue"), col("n_orders"))
     },
 
+    // GROUPING SETS: explicit aggregation lattice (segment×priority,
+    // segment, priority, grand total) with per-column grouping flags —
+    // the general form rollup/cube specialize.
+    "q65_grouping_sets" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+              col("o_custkey") === col("c_custkey"))
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment"), col("o_orderpriority")),
+              Seq(col("c_mktsegment")), Seq(col("o_orderpriority")), Seq()),
+          col("c_mktsegment"), col("o_orderpriority"))
+        .agg(grouping(col("c_mktsegment")).cast(LongType).as("grp_segment"),
+             grouping(col("o_orderpriority")).cast(LongType).as("grp_priority"),
+             sumExact(col("o_totalprice")).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+          col("grp_segment"), col("grp_priority"),
+          col("revenue"), col("n_orders"))
+    },
+
     // Full ranking-window family on one ordered partition (the reference
     // uses only rank()).
     "q47_window_family" -> { (s, dir) =>
@@ -104,6 +127,15 @@ object OlapQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q65_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS grp_segment,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS grp_priority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), (o_orderpriority), ())""".stripMargin,
     "q47_window_family" ->
       """WITH rev AS (
         |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS reference_year,

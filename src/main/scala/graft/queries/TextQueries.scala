@@ -142,6 +142,21 @@ object TextQueries {
         "doc_id", "n_tokens", budget = 5000L)
     },
 
+    // KMV distinct-count sketch: per-language distinct-token cardinality
+    // estimated with the k-minimum-values sketch (graftx.KmvDistinct,
+    // k=64) next to the exact count — mergeable O(k) state per group, and
+    // (unlike HLL) deterministic enough that the ESTIMATE itself
+    // hash-gates against the DuckDB oracle.
+    "q66_kmv_distinct" -> { (s, dir) =>
+      val d   = Tables(s, dir).documents
+      val tok = d.select(col("lang"), explode(Text.tokens(col("text"))).as("token"))
+      tok.groupBy(col("lang"))
+        .agg(
+          org.apache.spark.sql.graftx.KmvDistinct.kmvDistinct(col("token"), 64)
+            .as("est_distinct_tokens"),
+          countDistinct(col("token")).as("exact_distinct_tokens"))
+    },
+
     // Multimodal plumbing, oracle-gated end to end: documents.text rides
     // as an opaque binary payload through the MediaRecord schema and the
     // batched per-partition extractor (Multimodal.extractFeatures — the
@@ -355,6 +370,31 @@ object TextQueries {
         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
         |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 5000.0) AS BIGINT) AS shard_id
         |FROM t""".stripMargin,
+    "q66_kmv_distinct" -> {
+      def hv = (0 until 8).map { j =>
+        val ch = s"substring(hex, ${j + 1}, 1)"
+        val v  = s"(CASE WHEN ascii($ch) <= 57 THEN ascii($ch) - 48 ELSE ascii($ch) - 87 END)"
+        s"CAST($v AS BIGINT) * ${1L << (4 * (7 - j))}"
+      }.mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+         |h AS (SELECT DISTINCT lang, hv FROM
+         |        (SELECT lang, $hv AS hv FROM (SELECT lang, md5(token) AS hex FROM tok))),
+         |ranked AS (
+         |  SELECT lang, hv,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS nh
+         |  FROM h),
+         |kth AS (
+         |  SELECT lang, max(CASE WHEN rn = 64 THEN hv END) AS h_k, max(nh) AS nh
+         |  FROM ranked GROUP BY lang),
+         |ex AS (SELECT lang, COUNT(DISTINCT token) AS exact_distinct_tokens FROM tok GROUP BY lang)
+         |SELECT k.lang,
+         |  CASE WHEN k.nh < 64 THEN CAST(k.nh AS DOUBLE)
+         |       ELSE (64 - 1) * 4294967296.0 / CAST(k.h_k AS DOUBLE) END AS est_distinct_tokens,
+         |  ex.exact_distinct_tokens
+         |FROM kth k JOIN ex USING (lang)""".stripMargin
+    },
     "q63_multimodal" ->
       """SELECT doc_id AS media_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
