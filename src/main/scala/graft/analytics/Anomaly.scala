@@ -59,7 +59,7 @@ object Anomaly {
     val sx     = sum(Exact.dec(c, 6)).over(wc).cast(DoubleType)
     val sxx    = sum(Exact.dec(c, 6) * Exact.dec(c, 6)).over(wc).cast(DoubleType)
     val nd     = n.cast(DoubleType)
-    val sd     = when(n > 1, sqrt((nd * sxx - sx * sx) / (nd * (nd - 1.0))))
+    val sd     = when(n > 1, sqrt(greatest(lit(0.0), (nd * sxx - sx * sx) / (nd * (nd - 1.0)))))
     // pandas: std==0 or NaN → z column of zeros; guard len(series) > 10
     val z = when(n > MinObs,
       when(sd.isNull || sd === 0, lit(0.0)).otherwise((c - mean) / sd))

@@ -70,6 +70,7 @@ object Forecast {
     val (level, trend) = holt(s)
     val lr             = linearRegression(s, Horizon)
     val lastValue      = s.last
+    val m              = margin(s) // horizon-independent: hoisted out of the loop
     (0 until Horizon).iterator.map { i =>
       val fDate = Date.valueOf(
         lastDate.toLocalDate.plusMonths(i + 1).withDayOfMonth(1))
@@ -78,7 +79,6 @@ object Forecast {
       val methods   = Array(esF, holtF, lr(i))
       val present   = methods.filterNot(_.isNaN)
       val ensemble  = if (present.isEmpty) Double.NaN else present.sum / present.length
-      val m         = margin(s)
       val (lo, hi)  = (ensemble - m, ensemble + m)
       val width     = hi - lo // reference computes upper-lower, not 2*margin
       ForecastRow(
@@ -175,7 +175,10 @@ object Forecast {
     val m    = (s.length - 1).toDouble
     val sdD  = sd.toDouble
     val sddD = sdd.toDouble
-    val varS = (m * sddD - sdD * sdD) / (m * (m - 1.0))
+    // clamp: the closed form rounds to a tiny NEGATIVE for
+    // constant-difference series (m·Σd² − (Σd)² ≈ −1e-15) — unclamped
+    // that is NaN here and a sqrt-domain ERROR in the DuckDB oracle
+    val varS = math.max(0.0, (m * sddD - sdD * sdD) / (m * (m - 1.0)))
     1.96 * math.sqrt(varS) * math.sqrt(1 + 1.0 / s.length)
   }
 

@@ -39,7 +39,7 @@ object Exact {
     val n   = count(c).cast(DoubleType)
     val sx  = sum(dec(c, scale)).cast(DoubleType)
     val sxx = sum(dec(c, scale) * dec(c, scale)).cast(DoubleType)
-    when(count(c) > 1, sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))))
+    when(count(c) > 1, sqrt(greatest(lit(0.0), (n * sxx - sx * sx) / (n * (n - lit(1.0))))))
       .otherwise(lit(null).cast(DoubleType))
   }
 

@@ -50,7 +50,23 @@ final class Runner(
   private def path(name: String) =
     schemaDirs.get(name) match {
       case Some(schema) => s"$warehouseDir/$schema/$name"
-      case None         => s"$warehouseDir/$name"
+      case None =>
+        // Fresh Runner (no run() yet): a custom-schema relation from an
+        // earlier run lives under warehouseDir/<schema>/<name>. Prefer the
+        // default location, else scan one directory level — and remember
+        // the hit so subsequent calls don't re-scan.
+        val direct = Paths.get(warehouseDir, name)
+        if (Files.exists(direct)) direct.toString
+        else {
+          val hit = Option(new java.io.File(warehouseDir).listFiles())
+            .getOrElse(Array.empty)
+            .filter(_.isDirectory)
+            .sortBy(_.getName)
+            .map(d => (d.getName, new java.io.File(d, name)))
+            .find(_._2.exists())
+          hit.foreach { case (schema, _) => schemaDirs += name -> schema }
+          hit.map(_._2.toString).getOrElse(direct.toString)
+        }
     }
 
   def exists(name: String): Boolean = {
@@ -68,12 +84,14 @@ final class Runner(
     else path(name)
   }
 
-  /** mergeSchema: append_new_columns incrementals accumulate mixed-schema
-    * files; merging footers unions them with older files null-filled —
-    * footer-only work, no data rewrite.
+  /** append_new_columns incrementals accumulate mixed-schema files (the
+    * `_WIDENING` marker records this durably); only those pay the
+    * all-footers mergeSchema read — every other table reads one footer.
     */
-  def readTable(name: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(currentPath(name))
+  def readTable(name: String): DataFrame = {
+    val merge = Files.exists(Paths.get(path(name), "_WIDENING"))
+    spark.read.option("mergeSchema", merge.toString).parquet(currentPath(name))
+  }
 
   private def writeVersioned(name: String, df: DataFrame): Unit = {
     val version = s"v_${System.nanoTime()}"
@@ -138,6 +156,10 @@ final class Runner(
 
     case Materialization.Incremental(uniqueKey, watermarkCol, onSchemaChange) =>
       m.contract.foreach(enforce(m.name, df, _))
+      if (onSchemaChange == Materialization.OnSchemaChange.AppendNewColumns) {
+        Files.createDirectories(Paths.get(path(m.name)))
+        Files.writeString(Paths.get(path(m.name), "_WIDENING"), "append_new_columns")
+      }
       if (!exists(m.name)) {
         writeVersioned(m.name, df)
       } else {

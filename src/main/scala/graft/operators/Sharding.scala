@@ -23,11 +23,16 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
   *     regardless of data volume — and are broadcast-joined back as
   *     offsets.
   *
-  * Total cost: one range shuffle of the projected columns (reused by both
-  * branches via Spark's ReuseExchange), a #partitions-row aggregate, and a
-  * broadcast join. The result is identical to the single-task global
-  * window for any partition count because the id column is unique and the
-  * per-partition fold order matches the global id order.
+  * The folded output is CACHED and the offsets derive from it
+  * (`max_by(local_cum, id)` per partition), so both consumers observe the
+  * SAME materialization of the sampled range boundaries — correctness
+  * does not depend on Catalyst's ReuseExchange deduplicating two
+  * evaluations of a sampled (seed-per-RDD) exchange. Total cost: one
+  * range shuffle of the projected columns, one cached pass, a
+  * #partitions-row aggregate, and a broadcast join. The result is
+  * identical to the single-task global window for any partition count
+  * because the id column is unique and the per-partition fold order
+  * matches the global id order.
   */
 object Sharding {
 
@@ -57,14 +62,16 @@ object Sharding {
         acc += r.getLong(1)
         Row.fromSeq(r.toSeq :+ acc)
       }
-    }(Encoders.row(outSchema))
+    }(Encoders.row(outSchema)).cache()
 
-    // Pass 2: exclusive prefix of the per-partition totals. The global
-    // window here sees exactly `parts` rows (one per partition) — bounded
-    // by the partition count, not the data size.
-    val offsets = base
+    // Pass 2: exclusive prefix of the per-partition totals, derived from
+    // the CACHED fold (partition total = running sum at the partition's
+    // max id — max_by, so negative values are fine). The global window
+    // here sees exactly `parts` rows (one per partition) — bounded by the
+    // partition count, not the data size.
+    val offsets = local
       .groupBy(col("__pid"))
-      .agg(sum(col(valCol)).as("__psum"))
+      .agg(max_by(col("__local_cum"), col(idCol)).as("__psum"))
       .withColumn(
         "__offset",
         coalesce(

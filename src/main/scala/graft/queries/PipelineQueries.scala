@@ -377,9 +377,9 @@ object PipelineQueries {
         |  WINDOW wc AS (PARTITION BY country_code)),
         |z AS (
         |  SELECT *,
-        |    CASE WHEN n_u > 1 THEN sqrt((n_u * sxx_u - sx_u * sx_u) / (n_u * (n_u - 1.0))) END AS sd_u,
+        |    CASE WHEN n_u > 1 THEN sqrt(greatest(0.0, (n_u * sxx_u - sx_u * sx_u) / (n_u * (n_u - 1.0)))) END AS sd_u,
         |    CAST(sx_u / n_u AS DOUBLE) AS mean_u,
-        |    CASE WHEN n_i > 1 THEN sqrt((n_i * sxx_i - sx_i * sx_i) / (n_i * (n_i - 1.0))) END AS sd_i,
+        |    CASE WHEN n_i > 1 THEN sqrt(greatest(0.0, (n_i * sxx_i - sx_i * sx_i) / (n_i * (n_i - 1.0)))) END AS sd_i,
         |    CAST(sx_i / n_i AS DOUBLE) AS mean_i
         |  FROM stats),
         |flags AS (
@@ -520,8 +520,8 @@ object PipelineQueries {
         |  SELECT *,
         |    (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept,
         |    CASE WHEN n < 5 THEN 1.0
-        |         ELSE 1.96 * sqrt((CAST(m AS DOUBLE) * sdd - sd * sd)
-        |                          / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)))
+        |         ELSE 1.96 * sqrt(greatest(0.0, (CAST(m AS DOUBLE) * sdd - sd * sd)
+        |                          / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0))))
         |              * sqrt(1 + 1.0 / CAST(n AS DOUBLE)) END AS margin
         |  FROM params)
         |SELECT country_code,

@@ -31,7 +31,7 @@ object TimeSeriesQueries {
     val n   = count(c).over(w).cast(DoubleType)
     val sx  = sum(dec(c)).over(w).cast(DoubleType)
     val sxx = sum(dec(c) * dec(c)).over(w).cast(DoubleType)
-    when(count(c).over(w) > 1, sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))))
+    when(count(c).over(w) > 1, sqrt(greatest(lit(0.0), (n * sxx - sx * sx) / (n * (n - lit(1.0))))))
       .otherwise(lit(null).cast(DoubleType))
   }
 
@@ -202,7 +202,7 @@ object TimeSeriesQueries {
             val n   = count(col("d")).cast(DoubleType)
             val sx  = sum(col("d")).cast(DoubleType)
             val sxx = sum(col("d") * col("d")).cast(DoubleType)
-            when(count(col("d")) > 1, sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))))
+            when(count(col("d")) > 1, sqrt(greatest(lit(0.0), (n * sxx - sx * sx) / (n * (n - lit(1.0))))))
               .otherwise(lit(null).cast(DoubleType)).as("diff_stddev")
           })
         .withColumn("interval_halfwidth", col("diff_stddev") * 1.96)
@@ -328,7 +328,7 @@ object TimeSeriesQueries {
         |  FROM events WINDOW wu AS (PARTITION BY user_id)),
         |z AS (
         |  SELECT user_id, event_id, value,
-        |    CASE WHEN n_v > 1 THEN sqrt((n_v * sxx - sx * sx) / (n_v * (n_v - 1.0))) END AS sd,
+        |    CASE WHEN n_v > 1 THEN sqrt(greatest(0.0, (n_v * sxx - sx * sx) / (n_v * (n_v - 1.0)))) END AS sd,
         |    mean_v, n_v
         |  FROM stats)
         |SELECT user_id, event_id, value,
@@ -385,11 +385,11 @@ object TimeSeriesQueries {
          |  FROM events)
          |SELECT user_id, COUNT(*) AS n_diffs,
          |  CASE WHEN COUNT(d) > 1
-         |       THEN sqrt((CAST(COUNT(d) AS DOUBLE) * CAST(SUM(d * d) AS DOUBLE) - CAST(SUM(d) AS DOUBLE) * CAST(SUM(d) AS DOUBLE))
-         |                 / (CAST(COUNT(d) AS DOUBLE) * (CAST(COUNT(d) AS DOUBLE) - 1.0))) END AS diff_stddev,
+         |       THEN sqrt(greatest(0.0, (CAST(COUNT(d) AS DOUBLE) * CAST(SUM(d * d) AS DOUBLE) - CAST(SUM(d) AS DOUBLE) * CAST(SUM(d) AS DOUBLE))
+         |                 / (CAST(COUNT(d) AS DOUBLE) * (CAST(COUNT(d) AS DOUBLE) - 1.0)))) END AS diff_stddev,
          |  CASE WHEN COUNT(d) > 1
-         |       THEN sqrt((CAST(COUNT(d) AS DOUBLE) * CAST(SUM(d * d) AS DOUBLE) - CAST(SUM(d) AS DOUBLE) * CAST(SUM(d) AS DOUBLE))
-         |                 / (CAST(COUNT(d) AS DOUBLE) * (CAST(COUNT(d) AS DOUBLE) - 1.0))) END * 1.96 AS interval_halfwidth
+         |       THEN sqrt(greatest(0.0, (CAST(COUNT(d) AS DOUBLE) * CAST(SUM(d * d) AS DOUBLE) - CAST(SUM(d) AS DOUBLE) * CAST(SUM(d) AS DOUBLE))
+         |                 / (CAST(COUNT(d) AS DOUBLE) * (CAST(COUNT(d) AS DOUBLE) - 1.0)))) END * 1.96 AS interval_halfwidth
          |FROM d WHERE d IS NOT NULL GROUP BY user_id""".stripMargin,
     "q23_forecast_horizon" ->
       """WITH last AS (

@@ -27,13 +27,20 @@ object EventsStream {
     StructField("props", StringType)))
 
   /** File-source stream of events from a directory of parquet files.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session build
-    * (see [[graft.core.Sessions]]) — same contract as `Tables.events`.
+    * `spark.sql.legacy.parquet.nanosAsLong` follows the same contract as
+    * `Tables.events`: set at session build ideally; self-configured only
+    * when unset (constant value — no race); conflicting explicit settings
+    * error.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build (see graft.core.Sessions)")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.getOption(key) match {
+      case Some("true") => ()
+      case None         => spark.conf.set(key, "true")
+      case Some(other)  =>
+        throw new IllegalStateException(
+          s"$key=$other conflicts with the events stream reader (see graft.core.Sessions)")
+    }
     spark.readStream
       .schema(eventSchema)
       .parquet(dir)
@@ -125,7 +132,11 @@ object EventsStream {
             val us = epochUs(e.ts)
             open match {
               case Some(s) if us - s.last_us <= gapUs =>
-                open = Some(OpenSession(s.start_us, us, s.n + 1, s.total_cents + cents(e.value)))
+                // min/max clamp: a LATE in-gap event from a later
+                // micro-batch must never move the session boundaries
+                // backwards (it can only widen them)
+                open = Some(OpenSession(math.min(s.start_us, us), math.max(s.last_us, us),
+                  s.n + 1, s.total_cents + cents(e.value)))
               case Some(s) =>
                 closed += close(s)
                 open = Some(OpenSession(us, us, 1L, cents(e.value)))

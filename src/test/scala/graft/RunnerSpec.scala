@@ -125,6 +125,11 @@ class RunnerSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(wh, "dev_analytics", "m", "_VERSION")))
     val prod = new Runner(spark, wh, t0, "sr2", env = "prod")
     assert(prod.schemaName("analytics") == "analytics")
+    // a FRESH runner (no run() yet) must still resolve the custom-schema
+    // relation on disk
+    val fresh = new Runner(spark, wh, t0, "sr3", env = "dev")
+    assert(fresh.exists("m"))
+    assert(fresh.readTable("m").count() == 1)
   }
 
   test("contract enforcement rejects schema drift and constraint violations") {

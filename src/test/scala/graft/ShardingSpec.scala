@@ -29,6 +29,18 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("runningTotal stays correct with exchange reuse disabled") {
+    // The offsets derive from the CACHED fold, so correctness must not
+    // depend on ReuseExchange deduplicating two evaluations of the
+    // sampled range shuffle.
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val got = Sharding.runningTotal(df, "id", "w", "cum", 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
   test("byBudget assigns a row to the shard its first unit falls into") {
     // weights all 1, budget 10 → ids 1..10 shard 0, 11..20 shard 1, ...
     val ones = (1L to 25L).map(i => (i, 1L)).toDF("id", "w")

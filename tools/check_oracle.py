@@ -69,12 +69,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
-        # dtype KIND must match: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in
-        # pandas while Spark sum(long) -> int64; 5 == 5.0 passes a value
-        # compare but the driver's hash of dtyped values fails. Cast sums to
-        # BIGINT in the oracle SQL (round-1 lesson: q21/q39/q62).
+        # FULL dtype must match: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in
+        # pandas while Spark sum(long) -> int64 (round-1 q21/q39/q62), and
+        # int32-vs-int64 / float32-vs-float64 width skew fails the driver's
+        # dtyped hash just the same. norm() already canonicalizes datetimes.
         kind_bad = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
-                    if got[c].dtype.kind != want[c].dtype.kind]
+                    if str(got[c].dtype) != str(want[c].dtype)]
         if kind_bad:
             c, g, w = kind_bad[0]
             print(f"FAIL {name}: dtype col={c} spark={g} duckdb={w}")
