@@ -192,6 +192,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming_distance"))
   }
 
+  /** Duplicate-CLUSTER resolution: near-dup pairs only relate documents
+    * pairwise; choosing one canonical per transitive group needs connected
+    * components. Iterative min-label propagation: every node starts
+    * labeled with itself; each round takes the min label over itself and
+    * its neighbors; fixpoint when no label changes. Converges in
+    * O(component diameter) rounds — dup clusters are shallow (stars /
+    * short chains), so this is 2-4 joins in practice, each a plain
+    * shuffle-bounded equi-join (the standard label-propagation scheme,
+    * e.g. Kiveris et al. "Connected Components in MapReduce", SOCC'14).
+    *
+    * `nodes`: one column `id` (all ids, so singletons keep themselves);
+    * `pairs`: undirected edges (aCol, bCol). Returns (id, cluster_id)
+    * with cluster_id = min id in the component.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
+      .union(pairs.select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
+      .distinct().cache()
+    var labels = nodes.select(col("id").cast(LongType).as("id"))
+      .distinct().withColumn("cluster_id", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("dc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dc")).as("nc"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+                least(col("cluster_id"), coalesce(col("nc"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      changed = next.join(labels.select(col("id"), col("cluster_id").as("oc")), Seq("id"))
+        .filter(col("cluster_id") =!= col("oc")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+
   /** MinHash signature columns sig_0..sig_{k-1} per document — one-pass
     * [[org.apache.spark.sql.graftx.MinHashSigs]] TypedImperativeAggregate
     * (one md5 per shingle, K–M-derived permutations), bit-identical to the

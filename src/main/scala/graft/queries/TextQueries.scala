@@ -142,6 +142,27 @@ object TextQueries {
         "doc_id", "n_tokens", budget = 5000L)
     },
 
+    // Duplicate-cluster assignment: exact-dup edges + Jaccard near-dup
+    // pairs → connected components (min-label propagation), every doc
+    // labeled with its transitive cluster's min id. The step after pair
+    // mining that an actual dedup pipeline ships: keep one doc per
+    // CLUSTER, not per pair.
+    "q67_dedup_clusters" -> { (s, dir) =>
+      val d  = Tables(s, dir).documents
+      val sh = Dedup.shingled(d, "doc_id", "text").cache()
+      val exactEdges = Dedup.exact(d, "doc_id", "text")
+        .filter(col("is_duplicate"))
+        .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b"))
+      val jacEdges = Dedup.verifyPairs(Dedup.jaccardCandidates(sh, 0.5), sh, 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = Dedup.connectedComponents(
+        d.select(col("doc_id").as("id")), exactEdges.union(jacEdges), "doc_a", "doc_b")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      comp.select(col("id").as("doc_id"), col("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    },
+
     // KMV distinct-count sketch: per-language distinct-token cardinality
     // estimated with the k-minimum-values sketch (graftx.KmvDistinct,
     // k=64) next to the exact count — mergeable O(k) state per group, and
@@ -370,6 +391,36 @@ object TextQueries {
         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
         |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 5000.0) AS BIGINT) AS shard_id
         |FROM t""".stripMargin,
+    "q67_dedup_clusters" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
+        |  FROM documents),
+        |ex AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_shingles, unnest(tg) AS shingle FROM sh),
+        |jpairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n_shingles AS sa, b.n_shingles AS sb, COUNT(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |jed AS (SELECT doc_a, doc_b FROM jpairs
+        |        WHERE CAST(shared AS DOUBLE) / CAST(sa + sb - shared AS DOUBLE) >= 0.5),
+        |eed AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |        FROM documents a JOIN documents b
+        |        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM jed UNION SELECT doc_b, doc_a FROM jed
+        |  UNION SELECT doc_a, doc_b FROM eed UNION SELECT doc_b, doc_a FROM eed),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT rc.id, e.d FROM reach rc JOIN edges e ON rc.r = e.s),
+        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  id = cluster_id AS is_canonical
+        |FROM comp""".stripMargin,
     "q66_kmv_distinct" -> {
       def hv = (0 until 8).map { j =>
         val ch = s"substring(hex, ${j + 1}, 1)"

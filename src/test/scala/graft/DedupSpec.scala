@@ -86,6 +86,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 0L)
   }
 
+  test("connected components label transitive clusters with the min id") {
+    // chain 1-2-3 (transitive: 1 and 3 never share an edge), pair 5-4
+    // (reversed order), singleton 9
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
   test("minhash LSH candidates include all exact duplicates") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -46,6 +46,20 @@ class ForecastSpec extends SparkSpec {
     assert(Forecast.interval(Array(1.0, 2.0), 10.0) == ((9.0, 11.0))) // <5 obs fallback
   }
 
+  test("constant-difference series: margin is 0, not NaN (variance clamp)") {
+    // exactly linear series → all first differences equal → true variance
+    // 0, but the power-sum closed form rounds to ~-1e-15; unclamped that
+    // is sqrt(negative) = NaN (and a sqrt-domain ERROR in the oracle)
+    // this shape rounds NEGATIVE (m·Σd² − (Σd)² = −7.1e-15) → clamped to 0
+    val neg = Array.tabulate(24)(i => 0.3 * i)
+    assert(Forecast.margin(neg) == 0.0)
+    // this shape rounds tiny-positive → near-zero margin, never NaN
+    val pos = Array.tabulate(30)(i => 1.0 + 0.3 * i)
+    assert(!Forecast.margin(pos).isNaN && Forecast.margin(pos) < 1e-6)
+    val (lo, hi) = Forecast.interval(pos, 5.0)
+    assert(approx(lo, 5.0) && approx(hi, 5.0))
+  }
+
   test("forecast emits 6 rows per qualifying country; <24 months skipped") {
     val asOf = Timestamp.valueOf("2024-06-01 00:00:00")
     val rows =
