@@ -211,8 +211,13 @@ object Dedup {
     val edges = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
       .union(pairs.select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
       .distinct().cache()
-    var labels = nodes.select(col("id").cast(LongType).as("id"))
-      .distinct().withColumn("cluster_id", col("id")).cache()
+    // Only EDGE ENDPOINTS need iteration — in a dedup corpus the vast
+    // majority of docs are singletons and can skip the loop entirely
+    // (label = self). The iterated set is |dup docs|, not |corpus|.
+    val edgeNodes = edges.select(col("src").as("id")).distinct().cache()
+    // localCheckpoint (eager) truncates the per-iteration lineage so
+    // analysis cost doesn't grow round over round.
+    var labels = edgeNodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -220,19 +225,23 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("dc")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dc")).as("nc"))
+      // carry the previous label through the checkpoint: convergence
+      // detection is then a filter on materialized rows, not another join
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-                least(col("cluster_id"), coalesce(col("nc"), col("cluster_id"))).as("cluster_id"))
-        .cache()
-      changed = next.join(labels.select(col("id"), col("cluster_id").as("oc")), Seq("id"))
-        .filter(col("cluster_id") =!= col("oc")).count()
-      labels.unpersist()
-      labels = next
+                least(col("cluster_id"), coalesce(col("nc"), col("cluster_id"))).as("new_cid"),
+                col("cluster_id").as("old_cid"))
+        .localCheckpoint(true)
+      changed = next.filter(col("new_cid") =!= col("old_cid")).count()
+      labels = next.select(col("id"), col("new_cid").as("cluster_id"))
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
-    labels
+    val singletons = nodes.select(col("id").cast(LongType).as("id")).distinct()
+      .join(edgeNodes, Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    labels.unionByName(singletons)
   }
 
   /** MinHash signature columns sig_0..sig_{k-1} per document — one-pass
