@@ -16,14 +16,7 @@ object ProbeCC {
       r
     }
     spark.range(1000).selectExpr("sum(id)").collect()
-    val sh = Dedup.shingled(d, "doc_id", "text").cache()
-    time("shingled")(sh.count())
-    val exactEdges = Dedup.exact(d, "doc_id", "text")
-      .filter(col("is_duplicate"))
-      .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b"))
-    val jacEdges = Dedup.verifyPairs(Dedup.jaccardCandidates(sh, 0.5), sh, 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = exactEdges.union(jacEdges).cache()
+    val edges = Dedup.dupEdges(d, "doc_id", "text", threshold = 0.5).cache()
     time("edge mining")(println("  edges: " + edges.count()))
     time("components loop")(
       println("  rows: " + Dedup.connectedComponents(

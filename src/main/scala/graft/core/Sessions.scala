@@ -12,6 +12,24 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** events.ts is TIMESTAMP(NANOS) parquet: readers need
+    * `spark.sql.legacy.parquet.nanosAsLong=true`. Set at session build
+    * ideally; for plain external sessions this self-configures — but only
+    * when the key is UNSET, and always to the same constant, so
+    * concurrent readers cannot race to different values. An explicitly
+    * conflicting setting is an error, not silently flipped.
+    */
+  def ensureNanosAsLong(spark: SparkSession): Unit = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.getOption(key) match {
+      case Some("true") => ()
+      case None         => spark.conf.set(key, "true")
+      case Some(other)  =>
+        throw new IllegalStateException(
+          s"$key=$other conflicts with the events readers; set it true at session build")
+    }
+  }
+
   /** Local session tuned for the test harness (local[n], small data).
     * UTC session timezone is required for DuckDB-oracle parity.
     */

@@ -22,25 +22,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame   = table("lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     * reader rejects; read nanos as long and truncate to microseconds —
-    * exactly what DuckDB's reader does, so oracle parity holds.
-    *
-    * `spark.sql.legacy.parquet.nanosAsLong=true` should be set ONCE at
-    * session build ([[Sessions.local]] and the driver mains). For plain
-    * external sessions the accessor self-configures — but only when the
-    * key is UNSET, and always to the same constant, so concurrent readers
-    * cannot race to different values. An explicit conflicting setting is
-    * an error, not silently flipped.
+    * exactly what DuckDB's reader does, so oracle parity holds. Conf
+    * contract: [[Sessions.ensureNanosAsLong]].
     */
   def events: DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    spark.conf.getOption(key) match {
-      case Some("true") => ()
-      case None         => spark.conf.set(key, "true")
-      case Some(other)  =>
-        throw new IllegalStateException(
-          s"$key=$other conflicts with the events reader; set it true at session build " +
-            "(see graft.core.Sessions)")
-    }
+    Sessions.ensureNanosAsLong(spark)
     val raw = table("events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -53,8 +53,11 @@ final class Runner(
       case None =>
         // Fresh Runner (no run() yet): a custom-schema relation from an
         // earlier run lives under warehouseDir/<schema>/<name>. Prefer the
-        // default location, else scan one directory level — and remember
-        // the hit so subsequent calls don't re-scan.
+        // default location, else scan one directory level — accepting ONLY
+        // schema dirs stamped with THIS env (`_ENV` marker, written at
+        // materialization), so a dev runner can never silently resolve a
+        // prod relation (or vice versa); require an actual materialized
+        // table (_VERSION/_SUCCESS), not a stray file. The hit is cached.
         val direct = Paths.get(warehouseDir, name)
         if (Files.exists(direct)) direct.toString
         else {
@@ -62,8 +65,14 @@ final class Runner(
             .getOrElse(Array.empty)
             .filter(_.isDirectory)
             .sortBy(_.getName)
+            .filter { d =>
+              val marker = Paths.get(d.getPath, "_ENV")
+              Files.exists(marker) && Files.readString(marker).trim == env
+            }
             .map(d => (d.getName, new java.io.File(d, name)))
-            .find(_._2.exists())
+            .find { case (_, t) =>
+              new java.io.File(t, "_VERSION").exists || new java.io.File(t, "_SUCCESS").exists
+            }
           hit.foreach { case (schema, _) => schemaDirs += name -> schema }
           hit.map(_._2.toString).getOrElse(direct.toString)
         }
@@ -87,6 +96,8 @@ final class Runner(
   /** append_new_columns incrementals accumulate mixed-schema files (the
     * `_WIDENING` marker records this durably); only those pay the
     * all-footers mergeSchema read — every other table reads one footer.
+    * A warehouse widened by a pre-marker build can opt in by touching
+    * `_WIDENING` in the table directory.
     */
   def readTable(name: String): DataFrame = {
     val merge = Files.exists(Paths.get(path(name), "_WIDENING"))
@@ -112,7 +123,15 @@ final class Runner(
     topoOrder(models).foreach { m =>
       val missing = m.deps.filterNot(resolved.contains)
       require(missing.isEmpty, s"model ${m.name}: unresolved deps $missing")
-      m.customSchema.foreach(cs => schemaDirs += m.name -> schemaName(cs))
+      m.customSchema.foreach { cs =>
+        val schema = schemaName(cs)
+        schemaDirs += m.name -> schema
+        // env stamp: lets fresh Runners resolve this schema dir later
+        // without ever crossing env boundaries (see path())
+        val dir = Paths.get(warehouseDir, schema)
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ENV"), env)
+      }
       val df  = m.transform(resolved.toMap)
       val out = materialize(m, df)
       if (m.materialization != Materialization.View) logRowCount(m.name, out)

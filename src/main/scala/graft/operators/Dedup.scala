@@ -192,6 +192,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming_distance"))
   }
 
+  /** The standard duplicate edge set for cluster resolution: exact-dup
+    * star edges (canonical → dup) plus verified Jaccard near-dup pairs at
+    * `threshold`. One definition shared by the oracle-gated query (q67)
+    * and the perf probes so measurements describe the shipped pipeline.
+    */
+  def dupEdges(df: DataFrame, idCol: String, textCol: String,
+               threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(df, idCol, textCol).cache()
+    val exactEdges = exact(df, idCol, textCol)
+      .filter(col("is_duplicate"))
+      .select(col("canonical_id").as("doc_a"), col(idCol).as("doc_b"))
+    val jacEdges = verifyPairs(jaccardCandidates(sh, threshold), sh, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    exactEdges.union(jacEdges)
+  }
+
   /** Duplicate-CLUSTER resolution: near-dup pairs only relate documents
     * pairwise; choosing one canonical per transitive group needs connected
     * components. Iterative min-label propagation: every node starts
@@ -216,8 +232,11 @@ object Dedup {
     // (label = self). The iterated set is |dup docs|, not |corpus|.
     val edgeNodes = edges.select(col("src").as("id")).distinct().cache()
     // localCheckpoint (eager) truncates the per-iteration lineage so
-    // analysis cost doesn't grow round over round.
-    var labels = edgeNodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
+    // analysis cost doesn't grow round over round; `cp` tracks the
+    // CHECKPOINTED frame so the previous round's blocks can be freed once
+    // the next one is materialized.
+    var cp      = edgeNodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
+    var labels  = cp
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -234,10 +253,15 @@ object Dedup {
                 col("cluster_id").as("old_cid"))
         .localCheckpoint(true)
       changed = next.filter(col("new_cid") =!= col("old_cid")).count()
+      cp.unpersist() // safe: `next` is already materialized
+      cp = next
       labels = next.select(col("id"), col("new_cid").as("cluster_id"))
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+    // the result only references the final checkpoint + edgeNodes; the
+    // edge cache can go now
+    edges.unpersist()
     val singletons = nodes.select(col("id").cast(LongType).as("id")).distinct()
       .join(edgeNodes, Seq("id"), "left_anti")
       .withColumn("cluster_id", col("id"))

@@ -3,43 +3,41 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 
 /** Distributed running totals and token-budget sharding — the
   * shard-assignment step of a training-dataset build.
   *
   * A naive `Window.orderBy(id)` running sum moves EVERY row through one
   * task (Spark warns "No Partition Defined for Window operation"); at
-  * 100 TB that is the classic scale-killer. Instead we use the textbook
-  * two-pass parallel prefix sum:
+  * 100 TB that is the classic scale-killer. Instead: the textbook
+  * two-pass parallel prefix sum over an EXPLICIT range bucketing:
   *
-  *  1. range-partition by the (unique) id column, so partition `i` holds a
-  *     contiguous id range and all ids in partition `i` sort before those
-  *     in partition `i+1`;
-  *  2. a per-partition sequential fold produces the LOCAL running sum
-  *     (no shuffle — the sort is within partitions);
-  *  3. per-partition totals (ONE row per partition) get an exclusive
-  *     prefix sum — a global window over #partitions rows, constant-sized
+  *  1. bucket boundaries are computed ONCE on the driver (approximate
+  *     quantiles of the id column) and embedded as literals, so the
+  *     bucket of a row is a pure deterministic function of its id —
+  *     every re-evaluation, task retry, or plan branch agrees without
+  *     caching anything (unlike `repartitionByRange`, whose sampled
+  *     boundaries are seeded per RDD instantiation);
+  *  2. a per-bucket sequential fold (sort within partitions, reset at
+  *     bucket changes) produces the LOCAL running sum — no extra shuffle;
+  *  3. per-bucket totals (ONE row per bucket) get an exclusive prefix
+  *     sum — a global window over #buckets rows, constant-sized
   *     regardless of data volume — and are broadcast-joined back as
   *     offsets.
   *
-  * The folded output is CACHED and the offsets derive from it
-  * (`max_by(local_cum, id)` per partition), so both consumers observe the
-  * SAME materialization of the sampled range boundaries — correctness
-  * does not depend on Catalyst's ReuseExchange deduplicating two
-  * evaluations of a sampled (seed-per-RDD) exchange. Total cost: one
-  * range shuffle of the projected columns, one cached pass, a
-  * #partitions-row aggregate, and a broadcast join. The result is
-  * identical to the single-task global window for any partition count
-  * because the id column is unique and the per-partition fold order
-  * matches the global id order.
+  * Total cost: one driver-side quantile pass, one hash shuffle on the
+  * bucket id, a #buckets-row aggregate, and a broadcast join. The result
+  * is identical to the single-task global window for any bucket count
+  * because the id column is unique and the per-bucket fold order matches
+  * the global id order.
   */
 object Sharding {
 
   /** `cumCol` = running total of `valCol` in ascending `idCol` order
     * (inclusive of the current row), computed with the two-pass parallel
-    * prefix sum above. `idCol` must be unique; `valCol` must be castable
-    * to long. Output columns: idCol, valCol (as long), cumCol.
+    * prefix sum above. `idCol` must be unique and numeric; `valCol` must
+    * be castable to long. Output columns: idCol, valCol (as long), cumCol.
     */
   def runningTotal(
       df: DataFrame,
@@ -47,31 +45,43 @@ object Sharding {
       valCol: String,
       cumCol: String,
       parts: Int = 32): DataFrame = {
+    // 1. literal bucket boundaries: bucket(id) is then deterministic
+    // across every evaluation — no cross-branch cache needed
+    val bounds =
+      if (parts <= 1) Array.empty[Double]
+      else df.stat
+        .approxQuantile(idCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+        .distinct.sorted
+    val bucket: Column = bounds.zipWithIndex
+      .foldRight(lit(bounds.length): Column) { case ((b, i), rest) =>
+        when(col(idCol) <= b, i).otherwise(rest)
+      }
     val base = df
       .select(col(idCol), col(valCol).cast(LongType).as(valCol))
-      .repartitionByRange(parts, col(idCol))
-      .withColumn("__pid", spark_partition_id())
+      .withColumn("__pid", bucket.cast(LongType))
 
-    // Pass 1: per-partition sequential fold in id order — the one place a
-    // row-at-a-time fold is the right tool (running state, zero shuffle).
-    val sorted    = base.sortWithinPartitions(col(idCol))
+    // Pass 1: per-bucket sequential fold in id order — the accumulator
+    // resets when the bucket changes within a physical partition.
+    val sorted    = base.repartition(parts, col("__pid"))
+      .sortWithinPartitions(col("__pid"), col(idCol))
     val outSchema = sorted.schema.add("__local_cum", LongType, nullable = false)
     val local = sorted.mapPartitions { it =>
       var acc = 0L
+      var pid = Long.MinValue
       it.map { r =>
+        val p = r.getLong(2)
+        if (p != pid) { acc = 0L; pid = p }
         acc += r.getLong(1)
         Row.fromSeq(r.toSeq :+ acc)
       }
-    }(Encoders.row(outSchema)).cache()
+    }(Encoders.row(outSchema))
 
-    // Pass 2: exclusive prefix of the per-partition totals, derived from
-    // the CACHED fold (partition total = running sum at the partition's
-    // max id — max_by, so negative values are fine). The global window
-    // here sees exactly `parts` rows (one per partition) — bounded by the
-    // partition count, not the data size.
-    val offsets = local
+    // Pass 2: exclusive prefix of the per-bucket totals (from `base`,
+    // consistent with pass 1 because bucketing is literal-deterministic).
+    // The global window here sees at most `parts` rows.
+    val offsets = base
       .groupBy(col("__pid"))
-      .agg(max_by(col("__local_cum"), col(idCol)).as("__psum"))
+      .agg(sum(col(valCol)).as("__psum"))
       .withColumn(
         "__offset",
         coalesce(

@@ -148,15 +148,10 @@ object TextQueries {
     // mining that an actual dedup pipeline ships: keep one doc per
     // CLUSTER, not per pair.
     "q67_dedup_clusters" -> { (s, dir) =>
-      val d  = Tables(s, dir).documents
-      val sh = Dedup.shingled(d, "doc_id", "text").cache()
-      val exactEdges = Dedup.exact(d, "doc_id", "text")
-        .filter(col("is_duplicate"))
-        .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b"))
-      val jacEdges = Dedup.verifyPairs(Dedup.jaccardCandidates(sh, 0.5), sh, 0.5)
-        .select(col("doc_a"), col("doc_b"))
+      val d = Tables(s, dir).documents
       val comp = Dedup.connectedComponents(
-        d.select(col("doc_id").as("id")), exactEdges.union(jacEdges), "doc_a", "doc_b")
+        d.select(col("doc_id").as("id")),
+        Dedup.dupEdges(d, "doc_id", "text", threshold = 0.5), "doc_a", "doc_b")
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
       comp.select(col("id").as("doc_id"), col("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))

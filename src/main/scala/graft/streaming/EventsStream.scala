@@ -27,20 +27,10 @@ object EventsStream {
     StructField("props", StringType)))
 
   /** File-source stream of events from a directory of parquet files.
-    * `spark.sql.legacy.parquet.nanosAsLong` follows the same contract as
-    * `Tables.events`: set at session build ideally; self-configured only
-    * when unset (constant value — no race); conflicting explicit settings
-    * error.
+    * Conf contract: [[graft.core.Sessions.ensureNanosAsLong]].
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    spark.conf.getOption(key) match {
-      case Some("true") => ()
-      case None         => spark.conf.set(key, "true")
-      case Some(other)  =>
-        throw new IllegalStateException(
-          s"$key=$other conflicts with the events stream reader (see graft.core.Sessions)")
-    }
+    graft.core.Sessions.ensureNanosAsLong(spark)
     spark.readStream
       .schema(eventSchema)
       .parquet(dir)
@@ -131,12 +121,18 @@ object EventsStream {
           sorted.foreach { e =>
             val us = epochUs(e.ts)
             open match {
-              case Some(s) if us - s.last_us <= gapUs =>
-                // min/max clamp: a LATE in-gap event from a later
-                // micro-batch must never move the session boundaries
-                // backwards (it can only widen them)
+              // in-gap of the open session's WINDOW [start − gap, last + gap]:
+              // min/max clamp so a late in-gap event from a later micro-batch
+              // widens the boundaries but never drags them backwards
+              case Some(s) if us - s.last_us <= gapUs && us >= s.start_us - gapUs =>
                 open = Some(OpenSession(math.min(s.start_us, us), math.max(s.last_us, us),
                   s.n + 1, s.total_cents + cents(e.value)))
+              // older than gap BEFORE the open session: it belongs to an
+              // already-emitted session — dropped, the watermark semantics
+              // (the naive `us - last <= gap` test is trivially true for
+              // any old event and would double-count it into the open
+              // session)
+              case Some(s) if us < s.start_us - gapUs => ()
               case Some(s) =>
                 closed += close(s)
                 open = Some(OpenSession(us, us, 1L, cents(e.value)))
@@ -169,8 +165,11 @@ object EventsStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark  = batch.sparkSession
         val target = new java.io.File(targetDir)
+        // ANY existing content counts (partitioned layouts nest their
+        // parquet files) — a non-parquet obstruction then fails the read
+        // loudly instead of being silently overwritten
         val exists = target.exists &&
-          target.listFiles(f => f.getName.endsWith(".parquet")).nonEmpty
+          Option(target.list()).exists(_.nonEmpty)
         if (!exists) {
           batch.write.mode("overwrite").parquet(targetDir)
         } else {

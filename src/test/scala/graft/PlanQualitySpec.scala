@@ -74,17 +74,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
-  test("q62 prefix sum range-partitions the data; no full-data single-partition window") {
+  test("q62 prefix sum bucket-partitions the data; no full-data single-partition window") {
     // The scale-killer this guards against: Window.orderBy with no
     // partitioning funnels every row through ONE task. The two-pass
-    // prefix sum (Sharding.runningTotal) must (a) range-partition the
-    // full data by doc_id, and (b) confine any SinglePartition exchange
-    // to the per-partition-totals branch, i.e. strictly AFTER an
-    // aggregation (one row per partition, constant-sized).
+    // prefix sum (Sharding.runningTotal) must (a) spread the full data
+    // over literal-deterministic id buckets, and (b) confine any
+    // SinglePartition exchange to the per-bucket-totals branch, i.e.
+    // strictly AFTER an aggregation (one row per bucket, constant-sized).
     val df   = SparkEntry.queries("q62_token_shards")(spark, dir)
     val plan = planOf(df)
-    assert(plan.contains("rangepartitioning(doc_id"),
-      s"no range partitioning on doc_id in:\n$plan")
+    assert(plan.contains("hashpartitioning(__pid"),
+      s"no parallel bucket partitioning in:\n$plan")
     // Walk the tree: every SinglePartition exchange must have an Aggregate
     // below it (the P-row offsets), never a raw scan/projection of documents.
     val offenders = df.queryExecution.executedPlan.collect {
