@@ -64,6 +64,46 @@ class StreamingSpec extends SparkSpec {
     assert(closedBatch.exceptAll(streamed).isEmpty, "batch rows missing from stream")
   }
 
+  test("sessionization carries state across micro-batches; late events clamp or drop") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-mb").toString
+    def minNs(m: Long): Long = m * 60L * 1000000000L // minutes → epoch nanos
+    def writeBatch(rows: Seq[(Long, Long, Long)], file: String): Unit = {
+      // the file source doesn't recurse: stage the part file at the root
+      val scratch = java.nio.file.Files.createTempDirectory("graft-mb-scratch")
+      rows.map { case (id, tsMin, uid) => (id, minNs(tsMin), uid, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = new java.io.File(scratch.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(streamDir, s"$file.parquet"))
+    }
+    // batch 1: user 1 at 10:00 and 10:20 (open session), user 2 at 11:00
+    writeBatch(Seq((1L, 600L, 1L), (2L, 620L, 1L), (3L, 660L, 2L)), "b1")
+    val q = EventsStream.sessionizeStream(EventsStream.read(spark, streamDir)).toDF()
+      .writeStream.format("memory").queryName("mb_sessions")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    assert(spark.table("mb_sessions").count() == 0) // nothing closed yet
+    // batch 2 (sorted in-batch: 08:00, 10:05, 12:00, 13:00 for user 1):
+    //  08:00 → more than a gap BEFORE the open session's start → dropped
+    //  10:05 → inside the open session's window → merged (n grows, bounds keep)
+    //  12:00 → closes [10:00,10:20] (now 3 events), opens [12:00]
+    //  13:00 → closes [12:00,12:00], opens [13:00]
+    writeBatch(Seq((4L, 480L, 1L), (5L, 605L, 1L), (6L, 720L, 1L), (7L, 780L, 1L)), "b2")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mb_sessions")
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000, r.getTimestamp(2).getTime / 60000,
+                 r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, 600L, 620L, 3L, 3.0),   // late 10:05 merged; 08:00 dropped
+      (1L, 720L, 720L, 1L, 1.0)))  // the 12:00 singleton; 13:00 + user 2 still open
+  }
+
   test("foreachBatch incremental sink upserts by key and replays idempotently") {
     val target = java.nio.file.Files.createTempDirectory("graft-inc-target").toString
     def runOnce(checkpoint: String): Unit = {
