@@ -142,6 +142,21 @@ object TextQueries {
         "doc_id", "n_tokens", budget = 5000L)
     },
 
+    // Deterministic stratified sampling: N docs per language stratum,
+    // selected by smallest md5-derived key — reproducible across engines,
+    // runs, partitionings, and task retries (the same discipline as the
+    // q61 split: never rand()). One shuffle on the stratum key; top-N via
+    // per-stratum window.
+    "q68_stratified_sample" -> { (s, dir) =>
+      val d   = Tables(s, dir).documents
+      val key = md5(concat(lit("sample|"), col("doc_id").cast(StringType)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("sample_key"), col("doc_id"))
+      d.select(col("doc_id"), col("lang"), key.as("sample_key"))
+        .withColumn("sample_rank", row_number().over(w).cast(LongType))
+        .filter(col("sample_rank") <= 50)
+    },
+
     // Duplicate-cluster assignment: exact-dup edges + Jaccard near-dup
     // pairs → connected components (min-label propagation), every doc
     // labeled with its transitive cluster's min id. The step after pair
@@ -386,6 +401,14 @@ object TextQueries {
         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
         |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 5000.0) AS BIGINT) AS shard_id
         |FROM t""".stripMargin,
+    "q68_stratified_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, md5('sample|' || CAST(doc_id AS VARCHAR)) AS sample_key
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_key, sample_rank
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS BIGINT) AS sample_rank
+        |      FROM keyed)
+        |WHERE sample_rank <= 50""".stripMargin,
     "q67_dedup_clusters" ->
       """WITH RECURSIVE
         |sh AS (
