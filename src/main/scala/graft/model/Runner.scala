@@ -67,7 +67,10 @@ final class Runner(
             .sortBy(_.getName)
             .filter { d =>
               val marker = Paths.get(d.getPath, "_ENV")
-              Files.exists(marker) && Files.readString(marker).trim == env
+              // matching env stamp, or an unstamped legacy dir (built
+              // before markers existed — env can't be attributed, accept
+              // for back-compat); a dir stamped with ANOTHER env is out
+              if (Files.exists(marker)) Files.readString(marker).trim == env else true
             }
             .map(d => (d.getName, new java.io.File(d, name)))
             .find { case (_, t) =>

@@ -253,7 +253,9 @@ object Dedup {
                 col("cluster_id").as("old_cid"))
         .localCheckpoint(true)
       changed = next.filter(col("new_cid") =!= col("old_cid")).count()
-      cp.unpersist() // safe: `next` is already materialized
+      // dropping the reference is what frees the previous round's
+      // checkpoint blocks (ContextCleaner reclaims unreferenced RDDs;
+      // Dataset.unpersist can't reach localCheckpoint storage)
       cp = next
       labels = next.select(col("id"), col("new_cid").as("cluster_id"))
       i += 1

@@ -46,7 +46,9 @@ object Sharding {
       cumCol: String,
       parts: Int = 32): DataFrame = {
     // 1. literal bucket boundaries: bucket(id) is then deterministic
-    // across every evaluation — no cross-branch cache needed
+    // across every evaluation — no cross-branch cache needed. NOTE: this
+    // quantile pass runs eagerly at CONSTRUCTION (like the IVF seed
+    // collection) — building the plan costs one scan of (idCol).
     val bounds =
       if (parts <= 1) Array.empty[Double]
       else df.stat
@@ -76,10 +78,12 @@ object Sharding {
       }
     }(Encoders.row(outSchema))
 
-    // Pass 2: exclusive prefix of the per-bucket totals (from `base`,
-    // consistent with pass 1 because bucketing is literal-deterministic).
-    // The global window here sees at most `parts` rows.
-    val offsets = base
+    // Pass 2: exclusive prefix of the per-bucket totals — aggregated from
+    // `sorted` so the exchange subtree is IDENTICAL to pass 1's and
+    // ReuseExchange serves it from the same shuffle output (one data
+    // scan, not two; consistent regardless because bucketing is
+    // literal-deterministic). The global window sees ≤ `parts` rows.
+    val offsets = sorted
       .groupBy(col("__pid"))
       .agg(sum(col(valCol)).as("__psum"))
       .withColumn(

@@ -127,11 +127,14 @@ object EventsStream {
               case Some(s) if us - s.last_us <= gapUs && us >= s.start_us - gapUs =>
                 open = Some(OpenSession(math.min(s.start_us, us), math.max(s.last_us, us),
                   s.n + 1, s.total_cents + cents(e.value)))
-              // older than gap BEFORE the open session: it belongs to an
-              // already-emitted session — dropped, the watermark semantics
-              // (the naive `us - last <= gap` test is trivially true for
-              // any old event and would double-count it into the open
-              // session)
+              // older than gap BEFORE the open session: beyond this
+              // operator's O(1) state horizon — dropped, the explicit
+              // late-data POLICY (the naive `us - last <= gap` test is
+              // trivially true for any old event and would double-count
+              // it into the open session). Exact batch parity for
+              // arbitrary lateness needs unbounded state; a real
+              // deployment bounds lateness with a source watermark so
+              // such events are filtered upstream.
               case Some(s) if us < s.start_us - gapUs => ()
               case Some(s) =>
                 closed += close(s)
@@ -165,11 +168,13 @@ object EventsStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark  = batch.sparkSession
         val target = new java.io.File(targetDir)
-        // ANY existing content counts (partitioned layouts nest their
-        // parquet files) — a non-parquet obstruction then fails the read
-        // loudly instead of being silently overwritten
+        // ANY existing DATA content counts (partitioned layouts nest their
+        // parquet files) — but ignore metadata/temp entries (_temporary
+        // from a crashed write, _SUCCESS, .crc) so replay after a failed
+        // first batch recovers by overwriting rather than failing the
+        // read forever. A non-parquet obstruction still fails loudly.
         val exists = target.exists &&
-          Option(target.list()).exists(_.nonEmpty)
+          Option(target.list()).exists(_.exists(n => !n.startsWith("_") && !n.startsWith(".")))
         if (!exists) {
           batch.write.mode("overwrite").parquet(targetDir)
         } else {

@@ -30,9 +30,10 @@ class ShardingSpec extends SparkSpec {
   }
 
   test("runningTotal stays correct with exchange reuse disabled") {
-    // The offsets derive from the CACHED fold, so correctness must not
-    // depend on ReuseExchange deduplicating two evaluations of the
-    // sampled range shuffle.
+    // Bucket boundaries are literal-deterministic, so the fold and the
+    // offsets branches agree even when ReuseExchange can't dedupe their
+    // shuffles — reuse is a performance optimization, never a
+    // correctness dependency.
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try {
       val got = Sharding.runningTotal(df, "id", "w", "cum", 8)
