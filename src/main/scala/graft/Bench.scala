@@ -24,10 +24,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ONE compact line: the driver keeps only the tail of stdout, and the
+    // round-2 full-precision line (~2.6 KB for 62 queries) overflowed that
+    // window, so its head — metric/value — was truncated and `parsed` came
+    // back null. Millisecond precision keeps the line well under the
+    // driver's capture window.
+    def s3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

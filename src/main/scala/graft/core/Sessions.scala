@@ -21,13 +21,16 @@ object Sessions {
     */
   def ensureNanosAsLong(spark: SparkSession): Unit = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    spark.conf.getOption(key) match {
-      case Some("true") => ()
-      case None         => spark.conf.set(key, "true")
-      case Some(other)  =>
-        throw new IllegalStateException(
-          s"$key=$other conflicts with the events readers; set it true at session build")
-    }
+    // conf.getOption returns the REGISTERED DEFAULT ("false") for sessions
+    // that never set the key, so it cannot distinguish "unset" from "user
+    // said false" — the self-configure fallback must consult the user-set
+    // map directly (graftx.Bridge; round-2 advisor finding).
+    if (!org.apache.spark.sql.graftx.Bridge.isExplicitlySet(spark, key))
+      spark.conf.set(key, "true")
+    else if (spark.conf.get(key) != "true")
+      throw new IllegalStateException(
+        s"$key=${spark.conf.get(key)} conflicts with the events readers; " +
+          "set it true at session build")
   }
 
   /** Local session tuned for the test harness (local[n], small data).

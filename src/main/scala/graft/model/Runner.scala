@@ -39,7 +39,13 @@ final class Runner(
     */
   val auditLog = scala.collection.mutable.ArrayBuffer.empty[String]
   private def logRowCount(name: String, df: DataFrame): Unit = {
-    // parquet metadata count — no full scan
+    // count(*) on a bare parquet scan IS a Spark job, but not a data scan:
+    // the pruned read schema is empty (struct<>), so the vectorized reader
+    // emits counted empty batches from row-group metadata without decoding
+    // any pages — per-file footer cost, not per-row (RunnerSpec asserts
+    // the empty ReadSchema). Collapsing it to a driver-only footer read
+    // needs DSv2 parquet + aggregatePushdown, which would drop v1
+    // bucketing — not worth it for an audit line.
     val line = s"Row count for $name: ${df.count()}"
     auditLog += line
     // scalastyle:off println
@@ -183,11 +189,12 @@ final class Runner(
         Files.writeString(Paths.get(path(m.name), "_WIDENING"), "append_new_columns")
       }
       if (!exists(m.name)) {
-        writeVersioned(m.name, df)
+        writeVersioned(m.name, latestPerKey(df, uniqueKey, watermarkCol))
       } else {
         val existing = readTable(m.name)
         val wm = existing.agg(max(col(watermarkCol))).head.get(0)
-        val fresh = if (wm == null) df else df.filter(col(watermarkCol) > lit(wm))
+        val fresh0 = if (wm == null) df else df.filter(col(watermarkCol) > lit(wm))
+        val fresh  = latestPerKey(fresh0, uniqueKey, watermarkCol)
         val toInsert0 = fresh.join(
           existing.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
         val toInsert = onSchemaChange match {
@@ -236,6 +243,20 @@ final class Runner(
         writeVersioned(m.name, merged)
       }
       readTable(m.name)
+  }
+
+  /** In-batch upsert rule for incremental models: one row per `uniqueKey`
+    * per batch — latest watermark wins, remaining (scalar) columns break
+    * ties deterministically. Without this, a batch carrying duplicate keys
+    * writes every copy and violates the documented upsert-by-key invariant
+    * (the target-side anti-join only guards against ALREADY-WRITTEN keys).
+    */
+  private def latestPerKey(df: DataFrame, uniqueKey: String, watermarkCol: String): DataFrame = {
+    val rest = df.columns.filterNot(c => c == uniqueKey || c == watermarkCol)
+      .sorted.map(col(_).asc_nulls_last)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(uniqueKey))
+      .orderBy(col(watermarkCol).desc_nulls_last +: rest: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
   /** dbt snapshot metadata columns: valid_from/valid_to/scd_id/updated_at. */

@@ -165,8 +165,19 @@ object EventsStream {
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark  = batch.sparkSession
+      .foreachBatch { (batch0: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark  = batch0.sparkSession
+        // In-batch dedupe on uniqueKey (the anti-join below only guards
+        // against keys ALREADY in the target — a batch carrying duplicate
+        // keys would otherwise write every copy, including on the first
+        // overwrite batch). Deterministic pick: smallest remaining-column
+        // tuple, so the sink output is independent of partitioning.
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(uniqueKey))
+          .orderBy(batch0.columns.filterNot(_ == uniqueKey).sorted.map(col(_).asc_nulls_last): _*)
+        val batch = batch0
+          .withColumn("__rn", row_number().over(keyW))
+          .filter(col("__rn") === 1).drop("__rn")
         val target = new java.io.File(targetDir)
         // ANY existing DATA content counts (partitioned layouts nest their
         // parquet files) — but ignore metadata/temp entries (_temporary

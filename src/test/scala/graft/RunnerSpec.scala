@@ -115,6 +115,20 @@ class RunnerSpec extends SparkSpec {
     assert(r.auditLog.toSeq == Seq("Row count for t1: 2"))
   }
 
+  test("audit count(*) decodes no columns: the scan's pruned ReadSchema is empty") {
+    // logRowCount's documented cost model: count(*) over a parquet-backed
+    // model launches a job but reads only row-group metadata — which is
+    // visible in the plan as an empty pruned read schema (struct<>).
+    val r = new Runner(spark, tmpDir(), t0, "lp")
+    r.run(Seq(Model("t2", Seq("src"), Materialization.Table)(d => d("src"))),
+      Map("src" -> Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")))
+    val counted = r.readTable("t2").groupBy().count()
+    counted.collect()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<>"),
+      s"audit count decodes column data:\n$plan")
+  }
+
   test("generate_schema_name routes non-prod targets to env-prefixed schemas") {
     val wh = tmpDir()
     val dev = new Runner(spark, wh, t0, "sr", env = "dev")
