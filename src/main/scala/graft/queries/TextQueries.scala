@@ -145,16 +145,22 @@ object TextQueries {
     // Deterministic stratified sampling: N docs per language stratum,
     // selected by smallest md5-derived key — reproducible across engines,
     // runs, partitionings, and task retries (the same discipline as the
-    // q61 split: never rand()). One shuffle on the stratum key; top-N via
-    // per-stratum window.
+    // q61 split: never rand()). Two-level top-N via the bounded-heap
+    // TopKPairs aggregate: map-side partial aggregation reduces every
+    // input task to ≤ 50 pairs per stratum BEFORE the shuffle, so no task
+    // ever sorts a whole stratum (the round-2 single-task-per-stratum
+    // window is gone — PlanQualitySpec asserts the plan shape).
     "q68_stratified_sample" -> { (s, dir) =>
       val d   = Tables(s, dir).documents
       val key = md5(concat(lit("sample|"), col("doc_id").cast(StringType)))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("sample_key"), col("doc_id"))
       d.select(col("doc_id"), col("lang"), key.as("sample_key"))
-        .withColumn("sample_rank", row_number().over(w).cast(LongType))
-        .filter(col("sample_rank") <= 50)
+        .groupBy(col("lang"))
+        .agg(org.apache.spark.sql.graftx.TopKPairs
+          .topK(col("sample_key"), col("doc_id"), 50).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("col.id").as("doc_id"), col("lang"),
+                col("col.key").as("sample_key"),
+                (col("pos") + 1).cast(LongType).as("sample_rank"))
     },
 
     // Duplicate-cluster assignment: exact-dup edges + Jaccard near-dup

@@ -14,6 +14,17 @@ class PlanQualitySpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Physical plan with exchanges, unwrapped for tree collection: under
+    * AQE the executedPlan root is an AdaptiveSparkPlanExec LEAF node —
+    * `collect` over it sees nothing inside (sparkPlan is no alternative:
+    * EnsureRequirements hasn't inserted exchanges there yet).
+    */
+  private def physical(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
   test("filters push down to the parquet scan and projection prunes columns") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
     val plan = planOf(df)
@@ -87,7 +98,7 @@ class PlanQualitySpec extends SparkSpec {
       s"no parallel bucket partitioning in:\n$plan")
     // Walk the tree: every SinglePartition exchange must have an Aggregate
     // below it (the P-row offsets), never a raw scan/projection of documents.
-    val offenders = df.queryExecution.executedPlan.collect {
+    val offenders = physical(df).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
           if e.outputPartitioning.numPartitions == 1 &&
             e.child.collect {
@@ -108,6 +119,27 @@ class PlanQualitySpec extends SparkSpec {
           floor((col("cum_tokens") - col("n_tokens")) / 5000.0).cast("long"))
     }
     assert(df.exceptAll(naive).isEmpty && naive.exceptAll(df).isEmpty)
+  }
+
+  test("q68 stratified sample is a two-level top-N: no per-stratum window, partial agg") {
+    // The round-2 scale-killer: row_number over Window.partitionBy(lang)
+    // pushes each language's ENTIRE corpus through one task to keep 50
+    // rows. The TopKPairs rewrite must plan as ObjectHashAggregate with a
+    // partial level BEFORE the stratum shuffle (map-side top-50) and no
+    // Window/global Sort over the full data.
+    val df   = SparkEntry.queries("q68_stratified_sample")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"stratum window still present:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no object-hash aggregate:\n$plan")
+    val aggs = physical(df).collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"no partial+final aggregate pair:\n$plan")
+    // no exchange below the partial aggregate (it runs on scan partitions)
+    val partial = aggs.last
+    assert(partial.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"partial top-k runs after a shuffle:\n$plan")
   }
 
   test("salting spreads a hot key across buckets with identical join results") {
