@@ -4,7 +4,7 @@ import graft.functions.Text
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 
 /** Document deduplication operators for training-data pipelines: exact,
   * n-gram Jaccard, and MinHash+LSH. All are shuffle-bounded joins/aggs on
@@ -19,6 +19,21 @@ import org.apache.spark.sql.DataFrame
   * makes the whole LSH pipeline oracle-checkable.
   */
 object Dedup {
+
+  /** Cache `tmp` frames for the duration of `build`, FORCE the result
+    * (eager localCheckpoint — pair/edge outputs are tiny next to the
+    * corpus), then free the caches. Without the force-then-free, every
+    * pair-mining call left its intermediate caches pinned in executor
+    * storage for the life of the session (round-2 advisor finding); with
+    * it, the caches serve exactly the multi-consumer evaluation they were
+    * cut for and nothing outlives the call. The trade: the returned frame
+    * is materialized at call time rather than first action.
+    */
+  private def withCaches(tmp: DataFrame*)(build: => DataFrame): DataFrame = {
+    tmp.foreach(_.cache())
+    try build.localCheckpoint(true)
+    finally tmp.foreach(_.unpersist(false))
+  }
 
   /** Exact dedup by content hash: every row keeps its hash, the canonical
     * (minimum) id in its duplicate group, and a duplicate flag. One
@@ -58,8 +73,8 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3): DataFrame = {
-    val sh = shingled(df, idCol, textCol, n).cache()
-    verifyPairs(jaccardCandidates(sh, threshold), sh, threshold)
+    val sh = shingled(df, idCol, textCol, n)
+    withCaches(sh) { verifyPairs(jaccardCandidates(sh, threshold), sh, threshold) }
   }
 
   /** The AllPairs/PPJoin candidate set for [[jaccardPairs]], exposed so
@@ -80,9 +95,10 @@ object Dedup {
         (nS + 1 - ceil(lit(2 * threshold / (1 + threshold)) * nS - 1e-9)).cast(LongType))
       else (nS, nS)
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df_count"), col("shingle"))
-    // Cache: the candidate join consumes the ranked prefix twice; without
-    // a cut the dfreq-join + window re-run per side. Join key is an 8-byte
-    // xxhash64 of the shingle, not the string — less shuffle volume.
+    // Cache: the candidate self-join consumes the ranked prefix twice;
+    // without a cut the dfreq-join + window re-run per side. Join key is
+    // an 8-byte xxhash64 of the shingle, not the string — less shuffle
+    // volume. Freed before return (candidates are a tiny pair set).
     val ranked = ex.join(dfreq, Seq("shingle"))
       .withColumn("rn", row_number().over(wDoc))
       .join(sh.select(col("doc_id"), col("n_shingles"),
@@ -90,7 +106,6 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"), col("rn"),
               col("probe_len"), col("index_len"),
               xxhash64(col("shingle")).as("shingle_h"))
-      .cache()
     val probe = ranked.filter(col("rn") <= col("probe_len"))
       .select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b"),
               col("rn").as("rn_b"), col("shingle_h"))
@@ -104,16 +119,18 @@ object Dedup {
     // qualifying pair always passes).
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("size_a") + col("size_b")) - 1e-9)
-    probe.join(index, Seq("shingle_h"))
-      // index side holds the smaller set (ties broken by id) + length
-      // filter: J ≥ t ⇒ min ≥ t·max
-      .filter((col("size_a") < col("size_b")) ||
-              (col("size_a") === col("size_b") && col("doc_a") < col("doc_b")))
-      .filter(col("size_a").cast(DoubleType) >= lit(threshold) * col("size_b").cast(DoubleType) - 1e-9)
-      .filter(lit(1) + least(col("size_a") - col("rn_a"), col("size_b") - col("rn_b")) >= alpha)
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-              greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .distinct()
+    withCaches(ranked) {
+      probe.join(index, Seq("shingle_h"))
+        // index side holds the smaller set (ties broken by id) + length
+        // filter: J ≥ t ⇒ min ≥ t·max
+        .filter((col("size_a") < col("size_b")) ||
+                (col("size_a") === col("size_b") && col("doc_a") < col("doc_b")))
+        .filter(col("size_a").cast(DoubleType) >= lit(threshold) * col("size_b").cast(DoubleType) - 1e-9)
+        .filter(lit(1) + least(col("size_a") - col("rn_a"), col("size_b") - col("rn_b")) >= alpha)
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+                greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct()
+    }
   }
 
   /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs against
@@ -170,7 +187,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(df, idCol, textCol).cache()
+    val sh = simhash(df, idCol, textCol)
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band_idx"),
@@ -182,14 +199,16 @@ object Dedup {
                          col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = bands.select(col("band_idx"), col("band_val"),
                          col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .distinct()
-      .withColumn("hamming_distance",
-        bit_count(col("sh_a") bitwiseXOR col("sh_b")).cast(LongType))
-      .filter(col("hamming_distance") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming_distance"))
+    withCaches(sh) {
+      a.join(b, Seq("band_idx", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+        .distinct()
+        .withColumn("hamming_distance",
+          bit_count(col("sh_a") bitwiseXOR col("sh_b")).cast(LongType))
+        .filter(col("hamming_distance") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming_distance"))
+    }
   }
 
   /** The standard duplicate edge set for cluster resolution: exact-dup
@@ -199,13 +218,15 @@ object Dedup {
     */
   def dupEdges(df: DataFrame, idCol: String, textCol: String,
                threshold: Double = 0.5): DataFrame = {
-    val sh = shingled(df, idCol, textCol).cache()
+    val sh = shingled(df, idCol, textCol)
     val exactEdges = exact(df, idCol, textCol)
       .filter(col("is_duplicate"))
       .select(col("canonical_id").as("doc_a"), col(idCol).as("doc_b"))
-    val jacEdges = verifyPairs(jaccardCandidates(sh, threshold), sh, threshold)
-      .select(col("doc_a"), col("doc_b"))
-    exactEdges.union(jacEdges)
+    withCaches(sh) {
+      val jacEdges = verifyPairs(jaccardCandidates(sh, threshold), sh, threshold)
+        .select(col("doc_a"), col("doc_b"))
+      exactEdges.union(jacEdges)
+    }
   }
 
   /** Duplicate-CLUSTER resolution: near-dup pairs only relate documents
@@ -224,50 +245,58 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+    val spark = nodes.sparkSession
     val edges = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
       .union(pairs.select(col(bCol).cast(LongType).as("src"), col(aCol).cast(LongType).as("dst")))
       .distinct().cache()
-    // Only EDGE ENDPOINTS need iteration — in a dedup corpus the vast
-    // majority of docs are singletons and can skip the loop entirely
-    // (label = self). The iterated set is |dup docs|, not |corpus|.
-    val edgeNodes = edges.select(col("src").as("id")).distinct().cache()
-    // localCheckpoint (eager) truncates the per-iteration lineage so
-    // analysis cost doesn't grow round over round; `cp` tracks the
-    // CHECKPOINTED frame so the previous round's blocks can be freed once
-    // the next one is materialized.
-    var cp      = edgeNodes.withColumn("cluster_id", col("id")).localCheckpoint(true)
-    var labels  = cp
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster_id").as("dc")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dc")).as("nc"))
-      // carry the previous label through the checkpoint: convergence
-      // detection is then a filter on materialized rows, not another join
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-                least(col("cluster_id"), coalesce(col("nc"), col("cluster_id"))).as("new_cid"),
-                col("cluster_id").as("old_cid"))
-        .localCheckpoint(true)
-      changed = next.filter(col("new_cid") =!= col("old_cid")).count()
-      // dropping the reference is what frees the previous round's
-      // checkpoint blocks (ContextCleaner reclaims unreferenced RDDs;
-      // Dataset.unpersist can't reach localCheckpoint storage)
-      cp = next
-      labels = next.select(col("id"), col("new_cid").as("cluster_id"))
-      i += 1
+    try {
+      // Only EDGE ENDPOINTS need iteration — in a dedup corpus the vast
+      // majority of docs are singletons and can skip the loop entirely
+      // (label = self). The iterated set is |dup docs|, not |corpus|.
+      // Checkpointed (not cached): the singleton anti-join below may be
+      // consumed long after this call returns, and checkpoint blocks are
+      // reclaimed by the ContextCleaner once unreferenced — a cache here
+      // would leak executor storage across invocations.
+      val edgeNodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+      // Per-round lineage is truncated by an EAGER localCheckpoint, and
+      // the convergence count rides a LongAccumulator on the checkpoint
+      // materialization itself — ONE action per round, not a checkpoint
+      // plus a separate count job. (Task retries can only over-count: a
+      // zero-change round counts 0 on every attempt, so the fixpoint test
+      // is exact; an inflated nonzero just buys one extra no-op round.)
+      var labels  = edgeNodes.withColumn("cluster_id", col("id"))
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("cluster_id").as("dc")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("dc")).as("nc"))
+        val joined = labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+                  least(col("cluster_id"), coalesce(col("nc"), col("cluster_id"))).as("new_cid"),
+                  col("cluster_id").as("old_cid"))
+        val acc = spark.sparkContext.longAccumulator(s"cc_changes_$i")
+        val next = joined.mapPartitions { it =>
+          it.map { r => if (r.getLong(1) != r.getLong(2)) acc.add(1L); r }
+        }(Encoders.row(joined.schema)).localCheckpoint(true)
+        changed = acc.value
+        // dropping the previous `labels` reference frees its checkpoint
+        // blocks (ContextCleaner reclaims unreferenced RDDs)
+        labels = next.select(col("id"), col("new_cid").as("cluster_id"))
+        i += 1
+      }
+      require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+      val singletons = nodes.select(col("id").cast(LongType).as("id")).distinct()
+        .join(edgeNodes, Seq("id"), "left_anti")
+        .withColumn("cluster_id", col("id"))
+      labels.unionByName(singletons)
+    } finally {
+      // the result references only checkpoints (labels, edgeNodes) — the
+      // edge cache can go even on the non-convergence throw path
+      edges.unpersist(false)
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
-    // the result only references the final checkpoint + edgeNodes; the
-    // edge cache can go now
-    edges.unpersist()
-    val singletons = nodes.select(col("id").cast(LongType).as("id")).distinct()
-      .join(edgeNodes, Seq("id"), "left_anti")
-      .withColumn("cluster_id", col("id"))
-    labels.unionByName(singletons)
   }
 
   /** MinHash signature columns sig_0..sig_{k-1} per document — one-pass
@@ -313,12 +342,13 @@ object Dedup {
                         numHashes: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
     // Cached: both sides of the candidate self-join consume the bands.
     val bands = lshBands(minhashSignatures(df, idCol, textCol, numHashes, n), numHashes, rowsPerBand)
-      .cache()
     val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    withCaches(bands) {
+      a.join(b, Seq("band_idx", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    }
   }
 }
