@@ -85,10 +85,34 @@ object PipelineQueries {
     },
     "q56_anomaly_detection" -> { (s, dir) => out(Anomaly.detect(fct(Tables(s, dir)))) },
     "q57_quality_scores" -> { (s, dir) => out(QualityScores.score(fct(Tables(s, dir)), AsOf)) },
-    // Sequential ES/Holt recurrences — not SQL-expressible; rows-only gate
-    // + ScalaTest parity specs (SURVEY §2.9b). The SQL-expressible legs
-    // are hash-gated separately by q59.
-    "q58_forecast" -> { (s, dir) => out(Forecast.forecast(fct(Tables(s, dir)), AsOf)) },
+    // FULL forecast surface, hash-gated: the sequential ES/Holt
+    // recurrences fold in DuckDB via list_reduce over
+    // list(y ORDER BY reference_date) — bit-identical to the Scala loop
+    // (same IEEE ops in the same order; fuzz-verified) — so every column,
+    // including the ensemble and intervals centered on it, oracle-gates.
+    // Int-typed columns cast to long and the injected asOf timestamp to
+    // string for dtype-stable hashing.
+    "q58_forecast" -> { (s, dir) =>
+      val f = Forecast.forecast(fct(Tables(s, dir)), AsOf)
+      out(f.select(
+        col("country_code"),
+        col("forecast_date"),
+        col("forecast_horizon_months").cast("long"),
+        col("last_actual_date"),
+        col("last_actual_value"),
+        col("forecast_exp_smoothing"),
+        col("forecast_holt"),
+        col("forecast_linear_reg"),
+        col("forecast_ensemble"),
+        col("prediction_interval_lower"),
+        col("prediction_interval_upper"),
+        col("prediction_interval_width"),
+        col("prediction_interval_margin"),
+        col("forecast_confidence"),
+        col("forecast_generated_at").cast(StringType),
+        col("model_version"),
+        col("min_training_samples").cast("long")))
+    },
     // Oracle-gated decomposition of the forecast: the OLS extrapolation,
     // interval margin, date expansion, horizon, and margin-derived
     // confidence bucket are all closed-form — hash-matched vs DuckDB.
@@ -489,6 +513,90 @@ object PipelineQueries {
         |        0.30 * completeness_score + 0.25 * timeliness_score +
         |        0.25 * validity_score + 0.20 * consistency_score AS overall_quality_score
         |      FROM final)""".stripMargin),
+    // The ES/Holt recurrences fold with list_reduce. The Holt state rides
+    // in ONE list-valued struct field updated atomically: DuckDB 1.0's
+    // list_reduce mutates the accumulator struct IN PLACE field by field
+    // (a later field reads earlier fields' NEW values), so a
+    // {level, trend} two-field state would corrupt — packing both into a
+    // single assignment sidesteps the evaluation-order dependency under
+    // either in-place or snapshot semantics. Arithmetic is written with
+    // the exact operand order of Forecast.expSmoothing/holt, so the
+    // doubles are bit-identical (1 - 0.3 == 0.7 exactly in IEEE, etc.).
+    "q58_forecast" -> (withCtes(stgCtes, intAnnualCte, intMonthlyCte, dimCte, fctCte) +
+      """, unemp AS (
+        |  SELECT country_code, reference_date, unemployment_rate_pct AS y
+        |  FROM fct WHERE unemployment_rate_pct IS NOT NULL),
+        |pos AS (
+        |  SELECT country_code, reference_date, y,
+        |    CAST(row_number() OVER (PARTITION BY country_code ORDER BY reference_date) AS BIGINT) - 1 AS i,
+        |    lag(y) OVER (PARTITION BY country_code ORDER BY reference_date) AS y_prev
+        |  FROM unemp),
+        |sums AS (
+        |  SELECT country_code,
+        |    COUNT(*) AS n,
+        |    max(reference_date) AS last_date,
+        |    max_by(y, reference_date) AS last_value,
+        |    list(y ORDER BY reference_date) AS ys,
+        |    CAST(SUM(i) AS DOUBLE) AS sx,
+        |    CAST(SUM(i * i) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(i AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    COUNT(y_prev) AS m,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6)) - CAST(y_prev AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+        |    CAST(SUM((CAST(y AS DECIMAL(18,6)) - CAST(y_prev AS DECIMAL(18,6)))
+        |           * (CAST(y AS DECIMAL(18,6)) - CAST(y_prev AS DECIMAL(18,6)))) AS DOUBLE) AS sdd
+        |  FROM pos GROUP BY 1 HAVING COUNT(*) >= 24),
+        |folds AS (
+        |  SELECT *,
+        |    list_reduce(ys, (acc, x) -> 0.3*x + (1-0.3)*acc) AS es_last,
+        |    list_reduce(
+        |      [{'st': [ys[1], ys[2] - ys[1]], 'x': CAST(0 AS DOUBLE)}] ||
+        |      list_transform(ys[2:], x -> {'st': CAST([] AS DOUBLE[]), 'x': x}),
+        |      (acc, e) -> {'st': [0.3*e.x + (1-0.3)*(acc.st[1] + acc.st[2]),
+        |                          0.1*((0.3*e.x + (1-0.3)*(acc.st[1] + acc.st[2])) - acc.st[1]) + (1-0.1)*acc.st[2]],
+        |                   'x': e.x}) AS hf
+        |  FROM sums),
+        |params AS (
+        |  SELECT *,
+        |    hf.st[1] AS holt_level, hf.st[2] AS holt_trend,
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+        |  FROM folds),
+        |params2 AS (
+        |  SELECT *,
+        |    (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept,
+        |    CASE WHEN n < 5 THEN 1.0
+        |         ELSE 1.96 * sqrt(greatest(0.0, (CAST(m AS DOUBLE) * sdd - sd * sd)
+        |                          / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0))))
+        |              * sqrt(1 + 1.0 / CAST(n AS DOUBLE)) END AS margin
+        |  FROM params),
+        |fc AS (
+        |  SELECT country_code, h, last_date, last_value, margin, n,
+        |    es_last + CAST(h - 1 AS DOUBLE) * holt_trend AS es_f,
+        |    holt_level + CAST(h AS DOUBLE) * holt_trend AS holt_f,
+        |    intercept + slope * CAST(n + h - 1 AS DOUBLE) AS lr_f
+        |  FROM params2 CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS h)),
+        |fc2 AS (SELECT *, ((es_f + holt_f) + lr_f) / CAST(3 AS DOUBLE) AS ens FROM fc),
+        |fc3 AS (SELECT *, ens - margin AS lo, ens + margin AS hi FROM fc2)
+        |SELECT country_code,
+        |  CAST(date_trunc('month', last_date + to_months(h)) AS VARCHAR) AS forecast_date,
+        |  CAST(h AS BIGINT) AS forecast_horizon_months,
+        |  CAST(last_date AS VARCHAR) AS last_actual_date,
+        |  last_value AS last_actual_value,
+        |  es_f AS forecast_exp_smoothing,
+        |  holt_f AS forecast_holt,
+        |  lr_f AS forecast_linear_reg,
+        |  ens AS forecast_ensemble,
+        |  lo AS prediction_interval_lower,
+        |  hi AS prediction_interval_upper,
+        |  hi - lo AS prediction_interval_width,
+        |  margin AS prediction_interval_margin,
+        |  CASE WHEN hi - lo < 1.0 THEN 'high'
+        |       WHEN hi - lo < 2.0 THEN 'medium'
+        |       ELSE 'low' END AS forecast_confidence,
+        |  CAST(TIMESTAMP '2002-01-01 00:00:00' AS VARCHAR) AS forecast_generated_at,
+        |  '1.0.0' AS model_version,
+        |  CAST(n AS BIGINT) AS min_training_samples
+        |FROM fc3""".stripMargin),
     "q59_forecast_ols" -> (withCtes(stgCtes, intAnnualCte, intMonthlyCte, dimCte, fctCte) +
       """, unemp AS (
         |  SELECT country_code, reference_date, unemployment_rate_pct AS y
