@@ -34,26 +34,48 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
   */
 object Sharding {
 
-  /** `cumCol` = running total of `valCol` in ascending `idCol` order
-    * (inclusive of the current row), computed with the two-pass parallel
-    * prefix sum above. `idCol` must be unique and numeric; `valCol` must
-    * be castable to long. Output columns: idCol, valCol (as long), cumCol.
+  /** EXPLICIT boundary pass: approximate quantiles of `idCol`, collected
+    * on the driver and meant to be embedded as literals by
+    * [[runningTotal]]. This RUNS A SCAN of (idCol) when called — it is
+    * the eager step of the two-pass prefix sum, surfaced as its own API
+    * so callers building plans they may never execute don't pay it
+    * implicitly, and so one boundary set can be reused across several
+    * derived plans.
+    */
+  def boundaries(df: DataFrame, idCol: String, parts: Int = 32): Array[Double] =
+    if (parts <= 1) Array.empty[Double]
+    else df.stat
+      .approxQuantile(idCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
+      .distinct.sorted
+
+  /** Convenience overload: computes [[boundaries]] (ONE EAGER SCAN of
+    * `idCol` at call time) and delegates.
     */
   def runningTotal(
       df: DataFrame,
       idCol: String,
       valCol: String,
       cumCol: String,
-      parts: Int = 32): DataFrame = {
-    // 1. literal bucket boundaries: bucket(id) is then deterministic
-    // across every evaluation — no cross-branch cache needed. NOTE: this
-    // quantile pass runs eagerly at CONSTRUCTION (like the IVF seed
-    // collection) — building the plan costs one scan of (idCol).
-    val bounds =
-      if (parts <= 1) Array.empty[Double]
-      else df.stat
-        .approxQuantile(idCol, (1 until parts).map(_.toDouble / parts).toArray, 0.001)
-        .distinct.sorted
+      parts: Int): DataFrame =
+    runningTotal(df, idCol, valCol, cumCol, boundaries(df, idCol, parts))
+
+  def runningTotal(df: DataFrame, idCol: String, valCol: String, cumCol: String): DataFrame =
+    runningTotal(df, idCol, valCol, cumCol, 32)
+
+  /** `cumCol` = running total of `valCol` in ascending `idCol` order
+    * (inclusive of the current row), computed with the two-pass parallel
+    * prefix sum above over literal `bounds` (from [[boundaries]], or any
+    * sorted split points). Pure plan construction — no job runs here.
+    * `idCol` must be unique and numeric; `valCol` must be castable to
+    * long. Output columns: idCol, valCol (as long), cumCol.
+    */
+  def runningTotal(
+      df: DataFrame,
+      idCol: String,
+      valCol: String,
+      cumCol: String,
+      bounds: Array[Double]): DataFrame = {
+    val parts = bounds.length + 1
     val bucket: Column = bounds.zipWithIndex
       .foldRight(lit(bounds.length): Column) { case ((b, i), rest) =>
         when(col(idCol) <= b, i).otherwise(rest)
@@ -79,11 +101,17 @@ object Sharding {
     }(Encoders.row(outSchema))
 
     // Pass 2: exclusive prefix of the per-bucket totals — aggregated from
-    // `sorted` so the exchange subtree is IDENTICAL to pass 1's and
-    // ReuseExchange serves it from the same shuffle output (one data
-    // scan, not two; consistent regardless because bucketing is
-    // literal-deterministic). The global window sees ≤ `parts` rows.
-    val offsets = sorted
+    // `local` (the fold output), NOT from `sorted`: a column-pruned
+    // re-derivation of `sorted` canonicalizes differently (pass 2 needs no
+    // id column), so its exchange would NOT be reused and the input would
+    // be scanned and shuffled twice — measured, not hypothetical (the
+    // round-2 plan did exactly that). The object-typed fold blocks
+    // pruning, so both consumers reference the IDENTICAL exchange subtree
+    // and ReuseExchange/AQE stage reuse serves pass 2 from pass 1's
+    // shuffle output: one scan, one shuffle write, two shuffle reads plus
+    // a (linear, cheap) re-fold — asserted by PlanQualitySpec. The global
+    // window sees ≤ `parts` rows.
+    val offsets = local
       .groupBy(col("__pid"))
       .agg(sum(col(valCol)).as("__psum"))
       .withColumn(

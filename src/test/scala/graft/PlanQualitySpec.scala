@@ -121,6 +121,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(df.exceptAll(naive).isEmpty && naive.exceptAll(df).isEmpty)
   }
 
+  test("q62 executes ONE scan of documents (pass 2 reuses pass 1's exchange)") {
+    // The "one data scan" cost story of Sharding.runningTotal depends on
+    // ReuseExchange/AQE stage reuse actually deduplicating the identical
+    // repartition+sort subtree consumed by both the per-bucket fold and
+    // the per-bucket totals. If a plan change breaks canonical equality,
+    // this silently becomes two scans — so pin it: after execution, the
+    // final adaptive plan must reference the documents scan ONCE, with a
+    // reused stage/exchange for the second consumer.
+    val df = SparkEntry.queries("q62_token_shards")(spark, dir)
+    df.collect() // materialize THIS plan (count() would build a different one)
+    val full = df.queryExecution.executedPlan.toString
+    // the adaptive plan prints "== Final Plan ==" then "== Initial Plan ==";
+    // only the final section reflects what actually ran
+    val plan = full.split("== Initial Plan ==")(0)
+    val scans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 documents scan, saw $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
+  }
+
   test("q68 stratified sample is a two-level top-N: no per-stratum window, partial agg") {
     // The round-2 scale-killer: row_number over Window.partitionBy(lang)
     // pushes each language's ENTIRE corpus through one task to keep 50
