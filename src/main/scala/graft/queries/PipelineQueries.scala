@@ -134,6 +134,39 @@ object PipelineQueries {
     },
     "q60_consistency_test" -> { (s, dir) =>
       out(EurostatModels.euAggregateConsistencyViolations(stgGdp(Tables(s, dir))))
+    },
+    // Semantic-layer gate: the README metric registry (semantic.Metrics)
+    // computed over fct at annual grain — all six simple metrics, the
+    // derived gdp_per_capita, and both window metrics (yoy growth,
+    // cumulative growth vs first year). Every consumer aggregating via
+    // the registry gets exactly these values; the oracle pins them.
+    "q69_metric_rollup" -> { (s, dir) =>
+      val M = graft.semantic.Metrics
+      val yearly = fct(Tables(s, dir))
+        .groupBy(col("country_code"), col("reference_year"))
+        .agg(
+          M.simple("total_gdp"), M.simple("population"),
+          M.simple("average_gdp_per_capita"), M.simple("unemployment_rate"),
+          M.simple("monthly_inflation"), M.simple("annual_inflation"),
+          max(col("annual_gdp_million_eur")).as("annual_gdp_million_eur"))
+      out(yearly
+        .withColumn("gdp_per_capita_derived",
+          M.gdpPerCapitaDerived(col("total_gdp"), col("population")))
+        .withColumn("gdp_growth",
+          M.gdpGrowth(col("country_code"), col("reference_year")))
+        .withColumn("cumulative_gdp_growth",
+          M.cumulativeGdpGrowth(col("country_code"), col("reference_year")))
+        .drop("annual_gdp_million_eur")
+        .withColumn("reference_year", col("reference_year").cast("long")))
+    },
+    // The monthly-grain registry metric: trailing 12-month unemployment
+    // trend (exact decimal window mean) per country over fct.
+    "q70_metric_trend" -> { (s, dir) =>
+      out(fct(Tables(s, dir))
+        .select(col("indicator_key"), col("country_code"), col("reference_date"),
+                col("unemployment_rate_pct"))
+        .withColumn("unemployment_trend",
+          graft.semantic.Metrics.unemploymentTrend(col("country_code"), col("reference_date"))))
     })
 
   // ---------------------------------------------------------------- SQL
@@ -644,6 +677,46 @@ object PipelineQueries {
         |       ELSE 'low' END AS margin_confidence,
         |  CAST(n AS BIGINT) AS min_training_samples
         |FROM params2 CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS h)""".stripMargin),
+    "q69_metric_rollup" -> (withCtes(stgCtes, intAnnualCte, intMonthlyCte, dimCte, fctCte) +
+      """, yearly AS (
+        |  SELECT country_code, reference_year,
+        |    CAST(SUM(CAST(annual_gdp_million_eur AS DECIMAL(18,6))) AS DOUBLE) AS total_gdp,
+        |    CAST(SUM(CAST(annual_population_count AS DECIMAL(18,6))) AS DOUBLE) AS population,
+        |    CAST(SUM(CAST(annual_gdp_per_capita_eur AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(COUNT(annual_gdp_per_capita_eur) AS DOUBLE) AS average_gdp_per_capita,
+        |    CAST(SUM(CAST(unemployment_rate_pct AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(COUNT(unemployment_rate_pct) AS DOUBLE) AS unemployment_rate,
+        |    CAST(SUM(CAST(inflation_rate_mom_pct AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(COUNT(inflation_rate_mom_pct) AS DOUBLE) AS monthly_inflation,
+        |    CAST(SUM(CAST(inflation_rate_mom_pct AS DECIMAL(18,6))) AS DOUBLE) AS annual_inflation,
+        |    max(annual_gdp_million_eur) AS annual_gdp
+        |  FROM fct GROUP BY 1, 2),
+        |w1 AS (
+        |  SELECT *,
+        |    lag(annual_gdp) OVER (PARTITION BY country_code ORDER BY reference_year) AS prev_gdp,
+        |    first_value(annual_gdp IGNORE NULLS) OVER
+        |      (PARTITION BY country_code ORDER BY reference_year
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS base_gdp
+        |  FROM yearly)
+        |SELECT country_code, CAST(reference_year AS BIGINT) AS reference_year,
+        |  total_gdp, population, average_gdp_per_capita, unemployment_rate,
+        |  monthly_inflation, annual_inflation,
+        |  CASE WHEN population IS NULL OR population = 0 THEN NULL
+        |       ELSE (total_gdp * 1000000.0) / population END AS gdp_per_capita_derived,
+        |  CASE WHEN prev_gdp IS NOT NULL AND prev_gdp != 0
+        |       THEN (annual_gdp - prev_gdp) / prev_gdp * 100 END AS gdp_growth,
+        |  CASE WHEN base_gdp IS NOT NULL AND base_gdp != 0
+        |       THEN (annual_gdp - base_gdp) / base_gdp * 100 END AS cumulative_gdp_growth
+        |FROM w1""".stripMargin),
+    "q70_metric_trend" -> (withCtes(stgCtes, intAnnualCte, intMonthlyCte, dimCte, fctCte) +
+      """SELECT indicator_key, country_code,
+        |  CAST(reference_date AS VARCHAR) AS reference_date,
+        |  unemployment_rate_pct,
+        |  CAST(SUM(CAST(unemployment_rate_pct AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    / CAST(COUNT(unemployment_rate_pct) OVER w AS DOUBLE) AS unemployment_trend
+        |FROM fct
+        |WINDOW w AS (PARTITION BY country_code ORDER BY reference_date
+        |             ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)""".stripMargin),
     "q60_consistency_test" -> (withCtes(stgCtes) +
       """, totals AS (
         |  SELECT reference_year,

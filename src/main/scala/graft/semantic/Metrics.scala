@@ -43,9 +43,20 @@ object Metrics {
   def gdpGrowth(partition: Column, order: Column): Column =
     Macros.yoyChange(col("annual_gdp_million_eur"), partition, order).as("gdp_growth")
 
-  def unemploymentTrend(partition: Column, order: Column): Column =
-    Macros.rollingAvg(col("unemployment_rate_pct"), partition, order, 12)
+  /** Trailing 12-period mean, computed like every multi-row reduction in
+    * this engine: exact decimal window sum / non-null count (plain double
+    * `avg` over a frame is engine- and order-dependent — the q06/q52
+    * discipline), so the metric itself hash-gates (q70).
+    */
+  def unemploymentTrend(partition: Column, order: Column): Column = {
+    val w = Window.partitionBy(partition).orderBy(order)
+      .rowsBetween(-11, Window.currentRow)
+    (sum(Exact.dec(col("unemployment_rate_pct"), 6)).over(w)
+        .cast(org.apache.spark.sql.types.DoubleType) /
+      count(col("unemployment_rate_pct")).over(w)
+        .cast(org.apache.spark.sql.types.DoubleType))
       .as("unemployment_trend")
+  }
 
   /** Cumulative metric: running growth vs the first value in the window. */
   def cumulativeGdpGrowth(partition: Column, order: Column): Column = {
