@@ -8,11 +8,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * video payloads ride as opaque `binary` columns with typed metadata;
   * decode / feature-extraction runs batched per partition.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment — see `decodeStub`): the Spark-side contract that matters
-  * at 100 TB is real and tested — schema, binary transport, partition
-  * batching, deterministic feature signature, and the
-  * `repartition(payload-size-aware)` guidance below.
+  * The IMAGE branch decodes for real via `javax.imageio` (JDK built-in:
+  * PNG/JPEG — no external dependency), emitting width/height/per-channel
+  * means; audio/video stay stubbed (`decodeStub` — no codecs in this
+  * environment). The Spark-side contract that matters at 100 TB is real
+  * and tested either way — schema, binary transport, partition batching,
+  * deterministic feature signature.
   *
   * Scale notes: media rows are orders of magnitude wider than text rows —
   * partition by byte budget (`maxRecordsPerFile` / salted keys), never by
@@ -32,7 +33,13 @@ object Multimodal {
       modality: String,
       n_bytes: Long,
       content_hash: String,
-      feature: Array[Float])  // stub embedding
+      is_decoded: Boolean,        // image branch: payload decoded by imageio
+      image_width: Option[Long],
+      image_height: Option[Long],
+      mean_r: Option[Double],     // per-channel pixel means, 0-255 scale
+      mean_g: Option[Double],
+      mean_b: Option[Double],
+      feature: Array[Float])      // stub embedding (all modalities)
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -76,21 +83,81 @@ object Multimodal {
     out
   }
 
+  /** REAL image decode: `javax.imageio` (PNG/JPEG), returning
+    * (width, height, mean_r, mean_g, mean_b) with means on the 0-255
+    * scale, or None when the payload isn't a decodable image — an
+    * undecodable byte string is a data condition, not a task failure.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic PNG fixture: (id%7+1)×(id%5+1) pixels of the constant
+    * color ((id·3)%256, (id·5)%256, (id·7)%256). PNG is lossless, so the
+    * decoded means equal the constants exactly — which is what lets the
+    * decode path itself hash-gate against a DuckDB oracle computing the
+    * same arithmetic from the id (q71).
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (id % 7).toInt + 1
+    val h = (id % 5).toInt + 1
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (((id * 3) % 256).toInt << 16) | (((id * 5) % 256).toInt << 8) |
+      ((id * 7) % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Batched per-partition feature extraction — mapPartitions so a real
     * codec can amortize model/codec init once per partition (the Scala
-    * rendering of a `mapInPandas` batch UDF).
+    * rendering of a `mapInPandas` batch UDF). Image payloads decode via
+    * [[decodeImage]]; audio/video fall through to the stub.
     */
   def extractFeatures(media: Dataset[MediaRecord], dims: Int = 8): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition init happens here (codec/model load in real life)
+      // per-partition init happens here (digest instance; a real audio/
+      // video codec would load its native state once per partition too)
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         md.reset()
         val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
         val hash  = md.digest(bytes).map("%02x".format(_)).mkString
+        val img   = if (r.modality == "image") decodeImage(r.payload) else None
         MediaFeatures(r.media_id, r.modality, bytes.length.toLong, hash,
+          is_decoded = img.isDefined,
+          image_width = img.map(_._1.toLong),
+          image_height = img.map(_._2.toLong),
+          mean_r = img.map(_._3),
+          mean_g = img.map(_._4),
+          mean_b = img.map(_._5),
           decodeStub(r.payload, dims))
       }
     }

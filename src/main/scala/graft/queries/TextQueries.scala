@@ -211,10 +211,32 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
       feats.select(
           col("media_id"), col("modality"), col("n_bytes"), col("content_hash"),
+          // text payloads are not decodable images: the decode columns
+          // gate the NEGATIVE path here (-1 sentinels keep dtypes stable);
+          // q71 gates the positive path on real PNGs
+          col("is_decoded"),
+          coalesce(col("image_width"), lit(-1L)).as("image_width"),
+          coalesce(col("image_height"), lit(-1L)).as("image_height"),
           size(col("feature")).cast(LongType).as("feature_dims"))
         .withColumn("canonical_id", min(col("media_id")).over(w))
         .withColumn("group_size", count(lit(1)).over(w))
         .withColumn("is_duplicate", col("media_id") =!= col("canonical_id"))
+    },
+
+    // REAL image decode, oracle-gated end to end: deterministic PNG
+    // payloads generated from doc_id (Multimodal.syntheticPng) decode via
+    // javax.imageio inside the batched extractor; PNG is lossless, so
+    // width/height/channel means equal the id-derived constants the
+    // oracle recomputes arithmetically.
+    "q71_image_decode" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val media = ids.map(id => graft.operators.Multimodal.MediaRecord(
+        id, "image", graft.operators.Multimodal.syntheticPng(id), s"synthetic://$id"))
+      graft.operators.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("is_decoded"),
+                col("image_width"), col("image_height"),
+                col("mean_r"), col("mean_g"), col("mean_b"))
     },
 
     // Semi-structured extraction: JSON props → typed column, aggregated.
@@ -475,10 +497,21 @@ object TextQueries {
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash,
+        |  false AS is_decoded,
+        |  CAST(-1 AS BIGINT) AS image_width,
+        |  CAST(-1 AS BIGINT) AS image_height,
         |  CAST(8 AS BIGINT) AS feature_dims,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
         |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        |FROM documents""".stripMargin,
+    "q71_image_decode" ->
+      """SELECT doc_id AS media_id, true AS is_decoded,
+        |  CAST(doc_id % 7 + 1 AS BIGINT) AS image_width,
+        |  CAST(doc_id % 5 + 1 AS BIGINT) AS image_height,
+        |  CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
         |FROM documents""".stripMargin,
     "q39_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,

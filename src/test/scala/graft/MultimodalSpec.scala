@@ -36,6 +36,28 @@ class MultimodalSpec extends SparkSpec {
     assert(dupGroups == 0) // all sf0.001 docs are distinct
   }
 
+  test("javax.imageio branch decodes real PNGs: width/height/channel means") {
+    import spark.implicits._
+    // fixture: id=17 -> 4x3 PNG of constant color (51, 85, 119)
+    val img = Multimodal.decodeImage(Multimodal.syntheticPng(17L))
+    assert(img.contains((4, 3, 51.0, 85.0, 119.0)))
+    // undecodable bytes are a data condition, not a failure
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    // end to end through the batched extractor: image decodes, audio stays
+    // stubbed, modality routing decides
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.syntheticPng(1L), "s://1"),
+      Multimodal.MediaRecord(2L, "audio", Array[Byte](1, 2, 3), "s://2")).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(out(0).is_decoded && out(0).image_width.contains(2L) &&
+      out(0).image_height.contains(2L))
+    assert(out(0).mean_r.contains(3.0) && out(0).mean_g.contains(5.0) &&
+      out(0).mean_b.contains(7.0))
+    assert(!out(1).is_decoded && out(1).image_width.isEmpty && out(1).mean_r.isEmpty)
+  }
+
   test("decodeStub is deterministic and null-safe") {
     val f1 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
     val f2 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
