@@ -29,7 +29,9 @@ object Bench {
     // window, so its head — metric/value — was truncated and `parsed` came
     // back null. Millisecond precision keeps the line well under the
     // driver's capture window.
-    def s3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale — a
+    // comma-decimal locale would emit invalid JSON
+    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

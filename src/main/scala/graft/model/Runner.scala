@@ -246,16 +246,21 @@ final class Runner(
   }
 
   /** In-batch upsert rule for incremental models: one row per `uniqueKey`
-    * per batch — latest watermark wins, remaining (scalar) columns break
-    * ties deterministically. Without this, a batch carrying duplicate keys
-    * writes every copy and violates the documented upsert-by-key invariant
-    * (the target-side anti-join only guards against ALREADY-WRITTEN keys).
+    * per batch — latest watermark wins; ORDERABLE remaining columns break
+    * ties deterministically (non-orderable columns — maps — are excluded
+    * rather than failing analysis; rows tying on everything orderable are
+    * identical for dedup purposes). Without this, a batch carrying
+    * duplicate keys writes every copy and violates the documented
+    * upsert-by-key invariant (the target-side anti-join only guards
+    * against ALREADY-WRITTEN keys).
     */
   private def latestPerKey(df: DataFrame, uniqueKey: String, watermarkCol: String): DataFrame = {
-    val rest = df.columns.filterNot(c => c == uniqueKey || c == watermarkCol)
-      .sorted.map(col(_).asc_nulls_last)
+    val rest = df.schema.fields
+      .filter(f => f.name != uniqueKey && f.name != watermarkCol &&
+        org.apache.spark.sql.graftx.Bridge.isOrderable(f.dataType))
+      .map(_.name).sorted.map(col(_).asc_nulls_last)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(uniqueKey))
-      .orderBy(col(watermarkCol).desc_nulls_last +: rest: _*)
+      .orderBy(col(watermarkCol).desc_nulls_last +: rest.toSeq: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -35,6 +35,15 @@ object Dedup {
     finally tmp.foreach(_.unpersist(false))
   }
 
+  /** `materialize = false` skips the cache/checkpoint machinery and
+    * returns the RAW composed plan — for plan inspection (PlanDump): an
+    * eager checkpoint collapses the plan to an ExistingRDD scan, which
+    * documents nothing and runs the mining job just to print it. Executing
+    * the lazy form recomputes shared stages; use the default for real runs.
+    */
+  private def withCachesIf(materialize: Boolean, tmp: DataFrame*)(build: => DataFrame): DataFrame =
+    if (materialize) withCaches(tmp: _*)(build) else build
+
   /** Exact dedup by content hash: every row keeps its hash, the canonical
     * (minimum) id in its duplicate group, and a duplicate flag. One
     * shuffle on the text hash; at scale this is a hash-partitioned
@@ -72,15 +81,19 @@ object Dedup {
     * join and a quadratic blowup on skewed shingle frequencies at 100 TB.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, n: Int = 3): DataFrame = {
+                   threshold: Double, n: Int = 3,
+                   materialize: Boolean = true): DataFrame = {
     val sh = shingled(df, idCol, textCol, n)
-    withCaches(sh) { verifyPairs(jaccardCandidates(sh, threshold), sh, threshold) }
+    withCachesIf(materialize, sh) {
+      verifyPairs(jaccardCandidates(sh, threshold, materialize), sh, threshold)
+    }
   }
 
   /** The AllPairs/PPJoin candidate set for [[jaccardPairs]], exposed so
     * callers (and probes) can measure the filter's selectivity.
     */
-  def jaccardCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+  def jaccardCandidates(sh: DataFrame, threshold: Double,
+                        materialize: Boolean = true): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df_count"))
     // AllPairs asymmetric prefixes (Bayardo et al.): the larger document
@@ -119,7 +132,7 @@ object Dedup {
     // qualifying pair always passes).
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("size_a") + col("size_b")) - 1e-9)
-    withCaches(ranked) {
+    withCachesIf(materialize, ranked) {
       probe.join(index, Seq("shingle_h"))
         // index side holds the smaller set (ties broken by id) + length
         // filter: J ≥ t ⇒ min ≥ t·max
@@ -186,7 +199,7 @@ object Dedup {
     * larger thresholds it is the standard recall approximation.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, materialize: Boolean = true): DataFrame = {
     val sh = simhash(df, idCol, textCol)
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k =>
@@ -199,7 +212,7 @@ object Dedup {
                          col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = bands.select(col("band_idx"), col("band_val"),
                          col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    withCaches(sh) {
+    withCachesIf(materialize, sh) {
       a.join(b, Seq("band_idx", "band_val"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))

@@ -117,6 +117,7 @@ object Multimodal {
     * same arithmetic from the id (q71).
     */
   def syntheticPng(id: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
     val w = (id % 7).toInt + 1
     val h = (id % 5).toInt + 1
     val img = new java.awt.image.BufferedImage(
@@ -144,7 +145,11 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       // per-partition init happens here (digest instance; a real audio/
-      // video codec would load its native state once per partition too)
+      // video codec would load its native state once per partition too).
+      // ImageIO defaults to a FILE-backed stream cache — one temp file
+      // created and deleted per decode, hammering executor local disk;
+      // in-memory payloads never need it.
+      javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         md.reset()

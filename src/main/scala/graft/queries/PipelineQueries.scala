@@ -45,10 +45,9 @@ object PipelineQueries {
     * reference materializing marts as tables (`dbt_project.yml:45`).
     * Cached per (session, sfDir), shared across pipeline queries.
     */
-  private val stageCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val stageCache = new graft.core.SessionCache[(String, String)]
   private def cached(t: Tables, key: String)(build: => DataFrame): DataFrame =
-    stageCache.getOrElseUpdate((t.spark, t.dir, key), build.cache())
+    stageCache.getOrElseUpdate(t.spark, (t.dir, key))(build.cache())
 
   private def stgUnemp(t: Tables) =
     cached(t, "su")(Staging.unemployment(TestdataRaw.rawUnemployment(t)))

@@ -255,11 +255,12 @@ object TextQueries {
   /** Verified Jaccard pairs at threshold 0.5, mined once per
     * (session, dir) — Dedup.jaccardPairs returns an eagerly-checkpointed
     * frame, so the memo holds materialized pairs, not a live cache.
+    * Weak-keyed on the session so stopped sessions don't pin their pair
+    * frames for the JVM lifetime.
     */
-  private val jacCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val jacCache = new graft.core.SessionCache[String]
   private def jaccard05(s: SparkSession, dir: String): DataFrame =
-    jacCache.getOrElseUpdate((s, dir),
+    jacCache.getOrElseUpdate(s, dir)(
       Dedup.jaccardPairs(Tables(s, dir).documents, "doc_id", "text", threshold = 0.5))
 
   private val enList = Text.langProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")

@@ -151,16 +151,20 @@ object EventsStream {
   /** Streaming incremental sink: the `writeStream.foreachBatch` form of
     * `Materialization.Incremental` — each micro-batch anti-joins the
     * parquet target on `uniqueKey` and appends only unseen keys, so the
-    * sink is idempotent under replays (same semantics the batch Runner
-    * proves in RunnerSpec, here driven by a stream). `checkpointDir`
-    * carries source offsets across restarts.
+    * sink is idempotent under replays, and dedupes each batch on the key
+    * first. In-batch pick: with `orderCol` set, LATEST `orderCol` wins
+    * (the batch Runner's latest-watermark rule); without it, the smallest
+    * orderable-column tuple wins — deterministic under any partitioning,
+    * but NOT time-aware. `checkpointDir` carries source offsets across
+    * restarts.
     */
   def incrementalSink(
       df: DataFrame,
       targetDir: String,
       uniqueKey: String,
       checkpointDir: String,
-      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+      queryName: String,
+      orderCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
@@ -170,11 +174,18 @@ object EventsStream {
         // In-batch dedupe on uniqueKey (the anti-join below only guards
         // against keys ALREADY in the target — a batch carrying duplicate
         // keys would otherwise write every copy, including on the first
-        // overwrite batch). Deterministic pick: smallest remaining-column
-        // tuple, so the sink output is independent of partitioning.
+        // overwrite batch). Non-orderable columns (maps) are excluded from
+        // the tie-break; the key itself is appended so the ordering is
+        // never empty (a key-only schema carries no other information —
+        // any pick is the same row).
+        val rest = batch0.schema.fields
+          .filter(f => f.name != uniqueKey && !orderCol.contains(f.name) &&
+            org.apache.spark.sql.graftx.Bridge.isOrderable(f.dataType))
+          .map(_.name).sorted.map(col(_).asc_nulls_last)
+        val ordering = orderCol.map(col(_).desc_nulls_last).toSeq ++
+          rest :+ col(uniqueKey).asc
         val keyW = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(uniqueKey))
-          .orderBy(batch0.columns.filterNot(_ == uniqueKey).sorted.map(col(_).asc_nulls_last): _*)
+          .partitionBy(col(uniqueKey)).orderBy(ordering: _*)
         val batch = batch0
           .withColumn("__rn", row_number().over(keyW))
           .filter(col("__rn") === 1).drop("__rn")

@@ -25,4 +25,11 @@ object Bridge {
   def isExplicitlySet(spark: org.apache.spark.sql.SparkSession, key: String): Boolean =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.conf.settings.containsKey(key)
+
+  /** Whether a data type supports ORDER BY (maps don't; arrays/structs of
+    * orderable children do) — Catalyst's own rule, re-exported for callers
+    * that build orderings over arbitrary schemas.
+    */
+  def isOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
 }

@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k aggregate: keeps the `k` smallest `(key, id)` pairs per
-  * group under `(key ASC, id ASC)` binary order, evaluated as a sorted
-  * `array<struct<key,id>>`.
+  * group under `(key ASC, id ASC)` binary order — MULTISET semantics, so
+  * duplicate pairs count once each, exactly like a sort-limit — evaluated
+  * as a sorted `array<struct<key,id>>`.
   *
   * This is the scale shape for "N rows per stratum" sampling: a
   * `row_number().over(Window.partitionBy(stratum))` funnels each stratum's
@@ -37,8 +38,10 @@ case class TopKPairs(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[(UTF8String, Long)]]
+    extends TypedImperativeAggregate[TopKPairs.Buf]
     with ExpectsInputTypes with BinaryLike[Expression] {
+
+  import TopKPairs.Buf
 
   require(k >= 1, "TopKPairs needs k >= 1")
 
@@ -50,72 +53,62 @@ case class TopKPairs(
     containsNull = false)
   override def nullable: Boolean = false
 
-  @transient private lazy val cmp = new java.util.Comparator[(UTF8String, Long)] {
-    override def compare(a: (UTF8String, Long), b: (UTF8String, Long)): Int = {
-      val c = a._1.compareTo(b._1)
-      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-    }
-  }
+  override def createAggregationBuffer(): Buf = new Buf
 
-  override def createAggregationBuffer(): java.util.TreeSet[(UTF8String, Long)] =
-    new java.util.TreeSet[(UTF8String, Long)](cmp)
-
-  override def update(
-      buffer: java.util.TreeSet[(UTF8String, Long)],
-      input: InternalRow): java.util.TreeSet[(UTF8String, Long)] = {
+  override def update(buffer: Buf, input: InternalRow): Buf = {
     val kv = left.eval(input)
     val iv = right.eval(input)
     if (kv == null || iv == null) return buffer
     // clone: eval may return a reused/unsafe-backed buffer
-    val pair = (kv.asInstanceOf[UTF8String].clone(), iv.asInstanceOf[Long])
-    if (buffer.size < k) buffer.add(pair)
-    else if (cmp.compare(pair, buffer.last) < 0 && buffer.add(pair))
-      buffer.remove(buffer.last)
+    buffer.add((kv.asInstanceOf[UTF8String].clone(), iv.asInstanceOf[Long]), 1, k)
     buffer
   }
 
-  override def merge(
-      b1: java.util.TreeSet[(UTF8String, Long)],
-      b2: java.util.TreeSet[(UTF8String, Long)]): java.util.TreeSet[(UTF8String, Long)] = {
-    b1.addAll(b2)
-    while (b1.size > k) b1.remove(b1.last)
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.m.forEach((pair, cnt) => b1.add(pair, cnt, k))
     b1
   }
 
-  override def eval(buffer: java.util.TreeSet[(UTF8String, Long)]): Any = {
-    val rows = new Array[Any](buffer.size)
+  override def eval(buffer: Buf): Any = {
+    val rows = new Array[Any](buffer.n)
     var i = 0
-    val it = buffer.iterator()
+    val it = buffer.m.entrySet().iterator()
     while (it.hasNext) {
-      val (key, id) = it.next()
-      rows(i) = new GenericInternalRow(Array[Any](key, id))
-      i += 1
+      val e = it.next()
+      var c = e.getValue.intValue()
+      while (c > 0) {
+        rows(i) = new GenericInternalRow(Array[Any](e.getKey._1, e.getKey._2))
+        i += 1; c -= 1
+      }
     }
     new GenericArrayData(rows)
   }
 
-  override def serialize(buffer: java.util.TreeSet[(UTF8String, Long)]): Array[Byte] = {
-    var n = 4
-    buffer.forEach { case (key, _) => n += 4 + key.numBytes() + 8 }
-    val bb = ByteBuffer.allocate(n)
-    bb.putInt(buffer.size)
-    buffer.forEach { case (key, id) =>
-      val b = key.getBytes
-      bb.putInt(b.length); bb.put(b); bb.putLong(id)
+  override def serialize(buffer: Buf): Array[Byte] = {
+    var bytes = 4
+    buffer.m.forEach((pair, _) => bytes += 4 + pair._1.numBytes() + 8 + 4)
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buffer.m.size)
+    buffer.m.forEach { (pair, cnt) =>
+      val b = pair._1.getBytes
+      bb.putInt(b.length); bb.put(b); bb.putLong(pair._2); bb.putInt(cnt)
     }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(UTF8String, Long)] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val bb  = ByteBuffer.wrap(bytes)
     val n   = bb.getInt()
-    val out = createAggregationBuffer()
+    val out = new Buf
     var i = 0
     while (i < n) {
       val len = bb.getInt()
       val b   = new Array[Byte](len)
       bb.get(b)
-      out.add((UTF8String.fromBytes(b), bb.getLong()))
+      val id  = bb.getLong()
+      val cnt = bb.getInt()
+      out.m.put((UTF8String.fromBytes(b), id), cnt)
+      out.n += cnt
       i += 1
     }
     out
@@ -131,8 +124,41 @@ case class TopKPairs(
 }
 
 object TopKPairs {
-  /** `array<struct<key,id>>` of the k smallest (key, id) pairs per group,
-    * sorted ascending.
+
+  private val cmp = new java.util.Comparator[(UTF8String, Long)] {
+    override def compare(a: (UTF8String, Long), b: (UTF8String, Long)): Int = {
+      val c = a._1.compareTo(b._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  /** Bounded multiset of pairs: TreeMap pair → multiplicity, plus the
+    * total count `n` (Σ multiplicities ≤ k after every mutation).
+    */
+  final class Buf {
+    val m = new java.util.TreeMap[(UTF8String, Long), Integer](cmp)
+    var n = 0
+
+    /** Add `cnt` copies of `pair`, then trim the largest entries so the
+      * total stays ≤ k. Skips the insert outright when the buffer is full
+      * and `pair` is not smaller than the current maximum.
+      */
+    def add(pair: (UTF8String, Long), cnt: Int, k: Int): Unit = {
+      if (n >= k && cmp.compare(pair, m.lastKey) >= 0) return
+      m.merge(pair, cnt, (a, b) => a + b)
+      n += cnt
+      while (n > k) {
+        val last = m.lastEntry
+        val drop = math.min(last.getValue.intValue(), n - k)
+        if (drop == last.getValue.intValue()) m.remove(last.getKey)
+        else last.setValue(last.getValue - drop)
+        n -= drop
+      }
+    }
+  }
+
+  /** `array<struct<key,id>>` of the k smallest (key, id) pairs per group
+    * (duplicates kept, like a sort-limit), sorted ascending.
     */
   def topK(key: Column, id: Column, k: Int): Column =
     Bridge.column(

@@ -39,6 +39,15 @@ class TopKSpec extends SparkSpec {
     assert(viaAgg(base, 2) == Set(("g", "same", 2L, 1L), ("g", "same", 5L, 2L)))
   }
 
+  test("duplicate (key,id) pairs keep multiset semantics like a sort-limit") {
+    val base = Seq(("g", "k", 1L), ("g", "k", 1L), ("g", "z", 9L)).toDF("g", "key", "id")
+    assert(viaAgg(base, 2) == Set(("g", "k", 1L, 1L), ("g", "k", 1L, 2L)))
+    for (parts <- Seq(1, 3)) {
+      assert(viaAgg(base.repartition(parts), 3) ==
+        Set(("g", "k", 1L, 1L), ("g", "k", 1L, 2L), ("g", "z", 9L, 3L)), s"parts=$parts")
+    }
+  }
+
   test("nulls are skipped like built-in aggregates") {
     val base = Seq(("g", Some("a"), Some(1L)), ("g", None, Some(2L)), ("g", Some("b"), None))
       .toDF("g", "key", "id")
