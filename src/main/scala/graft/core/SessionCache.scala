@@ -1,15 +1,18 @@
 package graft.core
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-session memo for shared/materialized frames (the query-level analog
   * of a pipeline materializing a stage once for all consumers).
   *
-  * Sessions are WEAK keys: once a session is stopped and dereferenced, its
-  * entries — and the frames they pin — become GC-reclaimable instead of
-  * living for the JVM lifetime (a plain `TrieMap[(SparkSession, …), _]`
-  * leaks every session ever seen). Entries for the LIVE session do stay
-  * pinned for that session's lifetime — that is the point of the memo.
+  * Eviction is by SPARK LISTENER, not weak keys alone: a cached DataFrame
+  * strongly references its own SparkSession, so with a bare WeakHashMap
+  * the key stays reachable through the map's own values and is never
+  * collected (the documented WeakHashMap pitfall). On application end the
+  * session's entry is dropped explicitly, releasing the session graph and
+  * every memoized frame; the WeakHashMap remains as a backstop for
+  * sessions discarded without a clean stop once their frames are gone.
   */
 final class SessionCache[K] {
 
@@ -22,6 +25,10 @@ final class SessionCache[K] {
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[K, DataFrame]
         bySession.put(spark, m)
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+            bySession.synchronized { bySession.remove(spark); () }
+        })
       }
       m
     }

@@ -245,24 +245,15 @@ final class Runner(
       readTable(m.name)
   }
 
-  /** In-batch upsert rule for incremental models: one row per `uniqueKey`
-    * per batch — latest watermark wins; ORDERABLE remaining columns break
-    * ties deterministically (non-orderable columns — maps — are excluded
-    * rather than failing analysis; rows tying on everything orderable are
-    * identical for dedup purposes). Without this, a batch carrying
+  /** In-batch upsert rule for incremental models (shared with the
+    * streaming sink — `functions.Upserts`): one row per `uniqueKey` per
+    * batch, latest watermark wins. Without this, a batch carrying
     * duplicate keys writes every copy and violates the documented
     * upsert-by-key invariant (the target-side anti-join only guards
     * against ALREADY-WRITTEN keys).
     */
-  private def latestPerKey(df: DataFrame, uniqueKey: String, watermarkCol: String): DataFrame = {
-    val rest = df.schema.fields
-      .filter(f => f.name != uniqueKey && f.name != watermarkCol &&
-        org.apache.spark.sql.graftx.Bridge.isOrderable(f.dataType))
-      .map(_.name).sorted.map(col(_).asc_nulls_last)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(uniqueKey))
-      .orderBy(col(watermarkCol).desc_nulls_last +: rest.toSeq: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+  private def latestPerKey(df: DataFrame, uniqueKey: String, watermarkCol: String): DataFrame =
+    graft.functions.Upserts.latestPerKey(df, uniqueKey, Some(watermarkCol))
 
   /** dbt snapshot metadata columns: valid_from/valid_to/scd_id/updated_at. */
   private def snapshotCols(df: DataFrame, key: String): DataFrame =

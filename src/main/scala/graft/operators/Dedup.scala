@@ -363,12 +363,13 @@ object Dedup {
 
   /** Candidate near-dup pairs from MinHash+LSH, deduplicated across bands. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+                        numHashes: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
+                        materialize: Boolean = true): DataFrame = {
     // Cached: both sides of the candidate self-join consume the bands.
     val bands = lshBands(minhashSignatures(df, idCol, textCol, numHashes, n), numHashes, rowsPerBand)
     val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    withCaches(bands) {
+    withCachesIf(materialize, bands) {
       a.join(b, Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))

@@ -254,9 +254,14 @@ object TextQueries {
 
   /** Verified Jaccard pairs at threshold 0.5, mined once per
     * (session, dir) — Dedup.jaccardPairs returns an eagerly-checkpointed
-    * frame, so the memo holds materialized pairs, not a live cache.
-    * Weak-keyed on the session so stopped sessions don't pin their pair
-    * frames for the JVM lifetime.
+    * frame, so the memo holds materialized pairs, not a live cache;
+    * evicted when the session's application ends (SessionCache).
+    * CLUSTER CAVEAT: localCheckpoint blocks are not recomputable — if an
+    * executor is lost, the memoized frame dies with it for the rest of
+    * the session. Correct for local/test drivers (the gate); a long-lived
+    * multi-executor deployment should materialize mined pairs as a TABLE
+    * via the Runner (which is what the model layer does for every shared
+    * stage) instead of relying on this in-session memo.
     */
   private val jacCache = new graft.core.SessionCache[String]
   private def jaccard05(s: SparkSession, dir: String): DataFrame =

@@ -174,21 +174,8 @@ object EventsStream {
         // In-batch dedupe on uniqueKey (the anti-join below only guards
         // against keys ALREADY in the target — a batch carrying duplicate
         // keys would otherwise write every copy, including on the first
-        // overwrite batch). Non-orderable columns (maps) are excluded from
-        // the tie-break; the key itself is appended so the ordering is
-        // never empty (a key-only schema carries no other information —
-        // any pick is the same row).
-        val rest = batch0.schema.fields
-          .filter(f => f.name != uniqueKey && !orderCol.contains(f.name) &&
-            org.apache.spark.sql.graftx.Bridge.isOrderable(f.dataType))
-          .map(_.name).sorted.map(col(_).asc_nulls_last)
-        val ordering = orderCol.map(col(_).desc_nulls_last).toSeq ++
-          rest :+ col(uniqueKey).asc
-        val keyW = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(uniqueKey)).orderBy(ordering: _*)
-        val batch = batch0
-          .withColumn("__rn", row_number().over(keyW))
-          .filter(col("__rn") === 1).drop("__rn")
+        // overwrite batch). Same rule as the batch Runner: Upserts.
+        val batch = graft.functions.Upserts.latestPerKey(batch0.toDF(), uniqueKey, orderCol)
         val target = new java.io.File(targetDir)
         // ANY existing DATA content counts (partitioned layouts nest their
         // parquet files) — but ignore metadata/temp entries (_temporary
