@@ -52,6 +52,24 @@ class RunnerSpec extends SparkSpec {
     assert(rows.find(_.getString(0) == "b").get.getDouble(2) == 2.0) // original kept
   }
 
+  test("incremental batch carrying duplicate keys writes one row per key, latest watermark wins") {
+    val wh = tmpDir()
+    val r  = new Runner(spark, wh, t0, "dup")
+    val df = Seq(
+      ("a", "2024-01-01", 1.0),
+      ("a", "2024-01-03", 3.0),  // later watermark → must be the survivor
+      ("a", "2024-01-02", 2.0),
+      ("b", "2024-01-01", 9.0))
+      .toDF("k", "d", "v").withColumn("d", col("d").cast(DateType))
+      .repartition(3) // dupes spread across partitions: pick must be layout-independent
+    val out = r.run(Seq(Model("inc", Seq("src"),
+      Materialization.Incremental("k", "d"))(deps => deps("src"))),
+      Map("src" -> df))("inc")
+    val rows = out.orderBy("k").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getString(0) == "a" && rows.head.getDouble(2) == 3.0)
+  }
+
   test("snapshot materializer runs SCD2: insert / update closes old version / hard delete") {
     val wh = tmpDir()
     def snap(data: Seq[(String, Double)], asOf: Timestamp) = {

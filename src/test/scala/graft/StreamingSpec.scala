@@ -123,6 +123,32 @@ class StreamingSpec extends SparkSpec {
     assert(after2.select("event_id").distinct().count() == 1000)
   }
 
+  test("incremental sink dedupes duplicate keys within a batch; orderCol picks latest") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-dup-src").toString
+    // one batch carrying THREE versions of key 1 (different ts) + key 2
+    Seq((1L, 100L, 10.0), (1L, 300L, 30.0), (1L, 200L, 20.0), (2L, 50L, 5.0))
+      .toDF("event_id", "ts", "value")
+      .repartition(3) // dupes spread across partitions — the pick must not depend on layout
+      .write.mode("overwrite").parquet(srcDir)
+    val target = java.nio.file.Files.createTempDirectory("graft-dup-target").toString
+    val cp     = java.nio.file.Files.createTempDirectory("graft-dup-cp").toString
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .parquet(srcDir)
+    val q = EventsStream.incrementalSink(stream, target, "event_id", cp, "dup_sink",
+      orderCol = Some("ts"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.size == 2)
+    assert(rows(1L) == ((300L, 30.0)), "latest ts must win within the batch")
+    assert(rows(2L) == ((50L, 5.0)))
+  }
+
   test("mapGroupsWithState accumulates running per-user stats") {
     val out = EventsStream.runToMemorySink(
       EventsStream.runningUserStats(
