@@ -135,6 +135,43 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL image resize: decode, scale to `width`×`height` with
+    * Graphics2D, re-encode as PNG. None when the payload isn't a
+    * decodable image. Headless-safe (BufferedImage needs no display).
+    */
+  def resizeImage(payload: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { src =>
+        val dst = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = dst.createGraphics()
+        try g.drawImage(src, 0, 0, width, height, null)
+        finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
+    } catch { case _: Exception => None }
+
+  /** Batched image resize over a media table — the `mapInPandas`-shaped
+    * batch op: per-partition init (stream-cache off), every image payload
+    * rewritten to a `width`×`height` PNG; non-images and undecodable
+    * payloads pass through unchanged.
+    */
+  def resizeAll(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        if (r.modality != "image") r
+        else resizeImage(r.payload, width, height)
+          .map(p => r.copy(payload = p)).getOrElse(r)
+      }
+    }
+  }
+
   /** Batched per-partition feature extraction — mapPartitions so a real
     * codec can amortize model/codec init once per partition (the Scala
     * rendering of a `mapInPandas` batch UDF). Image payloads decode via

@@ -240,6 +240,22 @@ object TextQueries {
                 col("mean_r"), col("mean_g"), col("mean_b"))
     },
 
+    // REAL image resize, oracle-gated: synthetic PNGs rewritten to 4×3
+    // via Graphics2D in the batched resizeAll op, then decoded back —
+    // dims become the resize target and the constant color survives any
+    // interpolation, so the means still equal the id-derived constants.
+    "q72_image_resize" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val media = ids.map(id => graft.operators.Multimodal.MediaRecord(
+        id, "image", graft.operators.Multimodal.syntheticPng(id), s"synthetic://$id"))
+      val resized = graft.operators.Multimodal.resizeAll(media, 4, 3)
+      graft.operators.Multimodal.extractFeatures(resized).toDF()
+        .select(col("media_id"), col("is_decoded"),
+                col("image_width"), col("image_height"),
+                col("mean_r"), col("mean_g"), col("mean_b"))
+    },
+
     // Semi-structured extraction: JSON props → typed column, aggregated.
     "q39_json_extract" -> { (s, dir) =>
       val e = Tables(s, dir).events
@@ -521,6 +537,14 @@ object TextQueries {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
         |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        |FROM documents""".stripMargin,
+    "q72_image_resize" ->
+      """SELECT doc_id AS media_id, true AS is_decoded,
+        |  CAST(4 AS BIGINT) AS image_width,
+        |  CAST(3 AS BIGINT) AS image_height,
+        |  CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
         |FROM documents""".stripMargin,
     "q71_image_decode" ->
       """SELECT doc_id AS media_id, true AS is_decoded,

@@ -58,6 +58,21 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(1).is_decoded && out(1).image_width.isEmpty && out(1).mean_r.isEmpty)
   }
 
+  test("resizeImage rescales for real; resizeAll passes non-images through") {
+    import spark.implicits._
+    // constant-color 4x3 source (id=17) → 5x4: dims change, color survives
+    val resized = Multimodal.resizeImage(Multimodal.syntheticPng(17L), 5, 4)
+    assert(resized.isDefined)
+    assert(Multimodal.decodeImage(resized.get).contains((5, 4, 51.0, 85.0, 119.0)))
+    assert(Multimodal.resizeImage("junk".getBytes("UTF-8"), 5, 4).isEmpty)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.syntheticPng(1L), "s://1"),
+      Multimodal.MediaRecord(2L, "audio", Array[Byte](1, 2, 3), "s://2")).toDS()
+    val out = Multimodal.resizeAll(media, 6, 2).collect().sortBy(_.media_id)
+    assert(Multimodal.decodeImage(out(0).payload).contains((6, 2, 3.0, 5.0, 7.0)))
+    assert(out(1).payload.toSeq == Seq[Byte](1, 2, 3)) // untouched
+  }
+
   test("decodeStub is deterministic and null-safe") {
     val f1 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
     val f2 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
