@@ -256,6 +256,20 @@ object TextQueries {
                 col("mean_r"), col("mean_g"), col("mean_b"))
     },
 
+    // Frame sampling, oracle-gated: GVID containers of (doc_id%4)+2 PNG
+    // frames; every 2nd frame decodes (real imageio) into its own row —
+    // frame f of video id is syntheticPng(id·31+f), so the oracle
+    // regenerates every sampled frame's dims/means arithmetically.
+    "q73_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val media = ids.map(id => graft.operators.Multimodal.MediaRecord(
+        id, "video",
+        graft.operators.Multimodal.syntheticVideo(id, (id % 4).toInt + 2),
+        s"synthetic://$id"))
+      graft.operators.Multimodal.sampleFrames(media, every = 2).toDF()
+    },
+
     // Semi-structured extraction: JSON props → typed column, aggregated.
     "q39_json_extract" -> { (s, dir) =>
       val e = Tables(s, dir).events
@@ -538,6 +552,18 @@ object TextQueries {
         |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
         |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
         |FROM documents""".stripMargin,
+    "q73_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(CAST(doc_id % 4 + 2 AS INTEGER))) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST((doc_id * 31 + frame_idx) % 7 + 1 AS BIGINT) AS frame_width,
+        |  CAST((doc_id * 31 + frame_idx) % 5 + 1 AS BIGINT) AS frame_height,
+        |  CAST(((doc_id * 31 + frame_idx) * 3) % 256 AS DOUBLE) AS mean_r,
+        |  CAST(((doc_id * 31 + frame_idx) * 5) % 256 AS DOUBLE) AS mean_g,
+        |  CAST(((doc_id * 31 + frame_idx) * 7) % 256 AS DOUBLE) AS mean_b
+        |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
     "q72_image_resize" ->
       """SELECT doc_id AS media_id, true AS is_decoded,
         |  CAST(4 AS BIGINT) AS image_width,

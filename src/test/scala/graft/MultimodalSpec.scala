@@ -73,6 +73,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).payload.toSeq == Seq[Byte](1, 2, 3)) // untouched
   }
 
+  test("GVID container round-trips and sampleFrames decodes every k-th frame") {
+    import spark.implicits._
+    val vid = Multimodal.syntheticVideo(17L, 4)
+    assert(Multimodal.videoFrames(vid).length == 4)
+    assert(Multimodal.videoFrames("junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.videoFrames(null).isEmpty)
+    val media = Seq(
+      Multimodal.MediaRecord(17L, "video", vid, "s://17"),
+      Multimodal.MediaRecord(9L, "image", Multimodal.syntheticPng(9L), "s://9")).toDS()
+    val out = Multimodal.sampleFrames(media, every = 2).collect().sortBy(_.frame_idx)
+    // frames 0 and 2 of video 17; image rows are not videos → skipped
+    assert(out.map(f => (f.media_id, f.frame_idx)).toSeq == Seq((17L, 0L), (17L, 2L)))
+    val f0 = out(0) // frame 0 = syntheticPng(17*31+0 = 527)
+    assert(f0.frame_width == 527 % 7 + 1 && f0.frame_height == 527 % 5 + 1)
+    assert(f0.mean_r == (527 * 3) % 256 && f0.mean_g == (527 * 5) % 256 &&
+      f0.mean_b == (527 * 7) % 256)
+  }
+
   test("decodeStub is deterministic and null-safe") {
     val f1 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
     val f2 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
