@@ -6,13 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Per-session memo for shared/materialized frames (the query-level analog
   * of a pipeline materializing a stage once for all consumers).
   *
-  * Eviction is by SPARK LISTENER, not weak keys alone: a cached DataFrame
-  * strongly references its own SparkSession, so with a bare WeakHashMap
-  * the key stays reachable through the map's own values and is never
-  * collected (the documented WeakHashMap pitfall). On application end the
-  * session's entry is dropped explicitly, releasing the session graph and
-  * every memoized frame; the WeakHashMap remains as a backstop for
-  * sessions discarded without a clean stop once their frames are gone.
+  * Eviction: a cached DataFrame strongly references its own SparkSession,
+  * so a bare WeakHashMap never collects (the documented value→key
+  * pitfall). Entries are therefore dropped EXPLICITLY — on application
+  * end via listener, and for any session whose SparkContext has stopped
+  * on the next cache access. Honest scope: a session abandoned WITHOUT
+  * stopping, in an application that never touches the cache again, stays
+  * pinned until one of those events — acceptable for this engine's
+  * drivers (one app, one or few sessions), not a general-purpose
+  * session registry.
   */
 final class SessionCache[K] {
 
@@ -21,6 +23,8 @@ final class SessionCache[K] {
 
   def getOrElseUpdate(spark: SparkSession, key: K)(build: => DataFrame): DataFrame = {
     val inner = bySession.synchronized {
+      // evict entries of stopped contexts (their frames are dead anyway)
+      bySession.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
       var m = bySession.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[K, DataFrame]

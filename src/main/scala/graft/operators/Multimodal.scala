@@ -139,12 +139,19 @@ object Multimodal {
     * Graphics2D, re-encode as PNG. None when the payload isn't a
     * decodable image. Headless-safe (BufferedImage needs no display).
     */
-  def resizeImage(payload: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+  def resizeImage(payload: Array[Byte], width: Int, height: Int): Option[Array[Byte]] = {
+    // programmer errors fail loudly BEFORE the catch below, which exists
+    // only to classify undecodable DATA as None
+    require(width >= 1 && height >= 1, s"resize target must be positive: ${width}x$height")
     if (payload == null || payload.isEmpty) None
     else try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { src =>
-        val dst = new java.awt.image.BufferedImage(
-          width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        // preserve alpha: drawing an RGBA source onto a 3-channel buffer
+        // composites transparency onto black; PNG re-encode keeps alpha
+        val destType =
+          if (src.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+          else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        val dst = new java.awt.image.BufferedImage(width, height, destType)
         val g = dst.createGraphics()
         try g.drawImage(src, 0, 0, width, height, null)
         finally g.dispose()
@@ -153,6 +160,7 @@ object Multimodal {
         bos.toByteArray
       }
     } catch { case _: Exception => None }
+  }
 
   /** Batched image resize over a media table — the `mapInPandas`-shaped
     * batch op: per-partition init (stream-cache off), every image payload
@@ -160,6 +168,7 @@ object Multimodal {
     * payloads pass through unchanged.
     */
   def resizeAll(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
+    require(width >= 1 && height >= 1, s"resize target must be positive: ${width}x$height")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
@@ -196,19 +205,34 @@ object Multimodal {
     bb.array()
   }
 
-  /** Parse a GVID container into its frame payloads (empty for anything
-    * that isn't one — undecodable media is a data condition).
+  /** Parse a GVID container, copying out only the frames `keep` selects
+    * (skipped frames advance the buffer position WITHOUT copying their
+    * bytes — video rows are the widest in the corpus, and materializing
+    * (every−1)/every frames just to drop them would dominate sampling
+    * cost). Empty for anything that isn't a GVID payload — undecodable
+    * media is a data condition.
     */
-  def videoFrames(payload: Array[Byte]): Seq[Array[Byte]] =
+  def selectVideoFrames(payload: Array[Byte], keep: Int => Boolean): Seq[(Int, Array[Byte])] =
     if (payload == null || payload.length < 8 ||
         new String(payload, 0, 4, "US-ASCII") != "GVID") Seq.empty
     else try {
       val bb = java.nio.ByteBuffer.wrap(payload); bb.position(4)
-      val n  = bb.getInt()
-      (0 until n).map { _ =>
-        val len = bb.getInt(); val f = new Array[Byte](len); bb.get(f); f
+      val n   = bb.getInt()
+      val out = Seq.newBuilder[(Int, Array[Byte])]
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt()
+        if (keep(i)) {
+          val f = new Array[Byte](len); bb.get(f); out += ((i, f))
+        } else bb.position(bb.position() + len)
+        i += 1
       }
+      out.result()
     } catch { case _: Exception => Seq.empty }
+
+  /** All frame payloads of a GVID container. */
+  def videoFrames(payload: Array[Byte]): Seq[Array[Byte]] =
+    selectVideoFrames(payload, _ => true).map(_._2)
 
   /** Frame sampling — the video leg of the batch-UDF family: every
     * `every`-th frame of each video row is decoded (REAL imageio per
@@ -224,9 +248,8 @@ object Multimodal {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.filter(_.modality == "video").flatMap { r =>
-        videoFrames(r.payload).iterator.zipWithIndex
-          .filter(_._2 % every == 0)
-          .flatMap { case (frame, f) =>
+        selectVideoFrames(r.payload, _ % every == 0).iterator
+          .flatMap { case (f, frame) =>
             decodeImage(frame).map { case (w, h, mr, mg, mb) =>
               FrameFeatures(r.media_id, f.toLong, w.toLong, h.toLong, mr, mg, mb)
             }
