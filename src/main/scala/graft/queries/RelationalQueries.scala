@@ -25,6 +25,29 @@ object RelationalQueries {
   val defs: Map[String, Q] = Map(
     // A-family: grouped aggregation with exact sums/avgs (TPC-H Q1 shape;
     // reference analog: monthly→annual rollups, int_country_annual_metrics.sql:37-59).
+    // Multi-way star join: fact ⋈ part ⋈ supplier ⋈ nation, all three
+    // dims broadcast (fact side never shuffles for the joins — only the
+    // final group-by exchanges). Exercises the part/supplier tables and
+    // the canonical revenue-by-two-dimensions shape.
+    "q74_part_margin" -> { (s, dir) =>
+      val t   = Tables(s, dir)
+      val one = lit(1).cast(DecimalType(18, 2))
+      t.lineitem
+        .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("p_brand"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          sumExact(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_lineitems"))
+    },
+
     "q01_pricing_summary" -> { (s, dir) =>
       val l   = Tables(s, dir).lineitem
       val one = lit(1).cast(DecimalType(18, 2))
@@ -217,6 +240,17 @@ object RelationalQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q74_part_margin" ->
+      """SELECT p_brand, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

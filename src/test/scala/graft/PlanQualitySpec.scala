@@ -43,6 +43,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(planOf(df).contains("BroadcastHashJoin"))
     val fct = SparkEntry.queries("q54_fct_indicators")(spark, dir)
     assert(planOf(fct).contains("BroadcastHashJoin"))
+    // q74's star join: all three dims broadcast, and the only exchange of
+    // the fact side is the final group-by (no shuffle for any join)
+    val star = SparkEntry.queries("q74_part_margin")(spark, dir)
+    val bhj = physical(star).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size == 3, s"expected 3 broadcast joins:\n${planOf(star)}")
+    assert(!planOf(star).contains("SortMergeJoin"))
   }
 
   test("aggregations run partial then final (map-side combine)") {
