@@ -18,8 +18,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class SessionCache[K] {
 
+  /** Lazy holder: `putIfAbsent` races only over cheap allocations of this
+    * wrapper; the expensive `build` runs once, on the single canonical
+    * holder, when its `value` is first forced. (A bare
+    * `TrieMap.getOrElseUpdate(key, build)` may evaluate `build` in more
+    * than one losing thread — for eagerly-materializing builds like the
+    * Jaccard pair mining that means a duplicate full job whose blocks
+    * linger until GC.)
+    */
+  private final class Memo(build: () => DataFrame) { lazy val value: DataFrame = build() }
+
   private val bySession =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[K, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[K, Memo]]()
 
   def getOrElseUpdate(spark: SparkSession, key: K)(build: => DataFrame): DataFrame = {
     val inner = bySession.synchronized {
@@ -27,7 +37,7 @@ final class SessionCache[K] {
       bySession.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
       var m = bySession.get(spark)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[K, DataFrame]
+        m = scala.collection.concurrent.TrieMap.empty[K, Memo]
         bySession.put(spark, m)
         spark.sparkContext.addSparkListener(new SparkListener {
           override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
@@ -36,6 +46,12 @@ final class SessionCache[K] {
       }
       m
     }
-    inner.getOrElseUpdate(key, build)
+    val memo = inner.get(key) match {
+      case Some(m) => m
+      case None =>
+        val fresh = new Memo(() => build)
+        inner.putIfAbsent(key, fresh).getOrElse(fresh)
+    }
+    memo.value
   }
 }

@@ -1,0 +1,285 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and shard-packing: segment-level (C4-style "line") dedup,
+  * repetition-based quality filtering (the Gopher rules' shape),
+  * benchmark decontamination by n-gram overlap, and deterministic
+  * weighted sampling.
+  *
+  * Scale discipline shared by all four:
+  *  - the per-document tokenization work stays inside projections
+  *    (codegen'd column functions, no UDFs);
+  *  - cross-document state is always a partial-aggregated `groupBy`
+  *    (map-side combine) followed by an equi-join — never a window over a
+  *    content-keyed partition, which a boilerplate segment repeated across
+  *    billions of documents would turn into one giant task;
+  *  - every sampling/keep decision derives from md5 of the row key, so
+  *    results are reproducible across engines, runs, partitionings, and
+  *    task retries (never `rand()`).
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokens-per-segment for the C4-style segment dedup. Documents here are
+    * single-space token streams with no newline structure (TESTDATA.md), so
+    * fixed 10-token windows stand in for the reference corpus's lines.
+    */
+  private val SegTokens = 10
+
+  private def md5Bucket16(prefix: String, key: Column): Column = {
+    // First 4 md5 hex digits as an integer in [0, 65536) — ascii
+    // arithmetic, portable to the DuckDB oracle without conv().
+    val hex = md5(concat(lit(prefix), key.cast(StringType)))
+    def digit(i: Int): Column = {
+      val a = ascii(substring(hex, i + 1, 1))
+      when(a <= 57, a - 48).otherwise(a - 87)
+    }
+    digit(0) * 4096 + digit(1) * 256 + digit(2) * 16 + digit(3)
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // ---------------------------------------------------------------
+    // q75: segment-level exact dedup (the "line dedup" step of C4/
+    // RefinedWeb-style curation): split every document into 10-token
+    // segments, keep only the globally FIRST occurrence of each distinct
+    // segment (first = smallest (doc_id, seg_idx)), and rebuild each
+    // document from its surviving segments.
+    //
+    // Shape at 100 TB: segment reassembly is one shuffle on
+    // (doc_id, seg_idx); first-occurrence is groupBy(seg) + min(struct) —
+    // partial aggregation collapses a segment repeated in billions of
+    // docs to one row per map task BEFORE the shuffle (a window
+    // partitioned by segment would put that hot segment through one
+    // task); the verdict comes back via an equi-join on the segment.
+    // ---------------------------------------------------------------
+    "q75_segment_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val tok = docs.select(
+        col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val segs = tok
+        .groupBy(col("doc_id"),
+                 floor(col("pos") / SegTokens).cast(IntegerType).as("seg_idx"))
+        .agg(array_join(
+               transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                         x => x.getField("tok")),
+               " ").as("seg"))
+      val firsts = segs.groupBy(col("seg"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first_occ"))
+      val flagged = segs.join(firsts, "seg")
+        .select(col("doc_id"), col("seg_idx"), col("seg"),
+                (col("doc_id") === col("first_occ.doc_id") &&
+                 col("seg_idx") === col("first_occ.seg_idx")).as("kept"))
+      flagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_segments"),
+             array_join(
+               transform(
+                 array_sort(collect_list(
+                   when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+                 x => x.getField("seg")),
+               " ").as("clean_text"))
+    },
+
+    // ---------------------------------------------------------------
+    // q76: repetition-based quality metrics (the shape of the Gopher
+    // rules): duplicate-word fraction, most-frequent-token share, and
+    // duplicate-bigram fraction, plus a pass/fail filter flag.
+    //
+    // Word frequencies go explode → two-level groupBy (both partial-
+    // aggregated); bigram stats never leave the projection —
+    // total bigrams is size(tokens)-1 and distinct bigrams is the native
+    // single-pass ShingleArray(n=2), so no second explode. All fractions
+    // are single IEEE divisions of exact integers — deterministic under
+    // any partitioning, which is what lets them hash-gate.
+    // ---------------------------------------------------------------
+    "q76_repetition_quality" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val wc = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      // min(struct(-cnt, tok)): max count, ties broken to the
+      // lexicographically smallest token — deterministic.
+      val words = wc.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+             count(lit(1)).as("n_distinct_tokens"),
+             min(struct((-col("cnt")).as("negcnt"), col("tok").as("tok"))).as("top"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+                col("top.tok").as("top_token"),
+                (-col("top.negcnt")).as("top_token_count"))
+      val grams = docs.select(
+        col("doc_id"),
+        greatest(size(Text.tokens(col("text"))) - 1, lit(0))
+          .cast(LongType).as("n_bigrams"),
+        size(Text.shingles(col("text"), 2)).cast(LongType).as("n_distinct_bigrams"))
+      val dupWordFrac = (col("n_tokens") - col("n_distinct_tokens")) /
+        col("n_tokens").cast(DoubleType)
+      val topFrac = col("top_token_count") / col("n_tokens").cast(DoubleType)
+      val dupBigramFrac = when(col("n_bigrams") > 0,
+        (col("n_bigrams") - col("n_distinct_bigrams")) /
+          col("n_bigrams").cast(DoubleType)).otherwise(0.0)
+      words.join(grams, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+                dupWordFrac.as("dup_word_frac"),
+                col("top_token"), col("top_token_count"),
+                topFrac.as("top_token_frac"),
+                col("n_bigrams"), col("n_distinct_bigrams"),
+                dupBigramFrac.as("dup_bigram_frac"),
+                (dupWordFrac <= 0.6 && topFrac <= 0.2 && dupBigramFrac <= 0.4)
+                  .as("passes_repetition_filter"))
+    },
+
+    // ---------------------------------------------------------------
+    // q77: benchmark decontamination — flag corpus documents sharing any
+    // 8-token n-gram with a held-out benchmark set (docs with
+    // doc_id % 10 == 0 stand in for the benchmark). An 8-gram in common
+    // is effectively a copied span, the standard contamination signal.
+    //
+    // Shape at 100 TB: the benchmark side is DISTINCT n-grams of the
+    // benchmark corpus — in production benchmarks are tiny relative to
+    // the corpus, so this side broadcasts; here it is a regular
+    // partial-agg'd distinct + shuffle equi-join (the general shape that
+    // needs no size assumption). Corpus n-grams are per-doc DISTINCT
+    // (native single-pass ShingleArray), so the join multiplicity is at
+    // most one row per (doc, shared n-gram) and the groupBy count is the
+    // number of distinct overlapping n-grams.
+    // ---------------------------------------------------------------
+    "q77_decontaminate" -> { (s, dir) =>
+      val docs  = Tables(s, dir).documents
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select(explode(Text.shingles(col("text"), 8)).as("ngram"))
+        .distinct()
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val hits = corpus
+        .select(col("doc_id"), explode(Text.shingles(col("text"), 8)).as("ngram"))
+        .join(bench, "ngram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      corpus.select(col("doc_id"), col("lang"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+                coalesce(col("n_overlap"), lit(0L)).as("n_overlap_ngrams"),
+                (coalesce(col("n_overlap"), lit(0L)) > 0).as("is_contaminated"))
+    },
+
+    // ---------------------------------------------------------------
+    // q79: deterministic weighted sampling — keep each document with
+    // probability proportional to its length (capped at 400 chars), the
+    // "sample long documents preferentially" step of a data mix. The
+    // keep decision compares an md5-derived bucket against the weight in
+    // ALL-INTEGER arithmetic (bucket·400 < cap·65536), so no float
+    // rounding can differ between engines; a pure projection + filter,
+    // no shuffle at all.
+    // ---------------------------------------------------------------
+    "q79_weighted_sample" -> { (s, dir) =>
+      val docs   = Tables(s, dir).documents
+      val bucket = md5Bucket16("wsample|", col("doc_id")).cast(LongType)
+      val cap    = least(col("n_chars"), lit(400L))
+      docs.select(col("doc_id"), col("lang"), col("n_chars"),
+                  bucket.as("keep_bucket"),
+                  (cap.cast(DoubleType) / 400.0).as("sample_weight"))
+        .filter(col("keep_bucket") * 400L < cap * 65536L)
+    })
+
+  private def digitSql(i: Int): String =
+    s"(CASE WHEN ascii(substring(hex, ${i + 1}, 1)) <= 57" +
+      s" THEN ascii(substring(hex, ${i + 1}, 1)) - 48" +
+      s" ELSE ascii(substring(hex, ${i + 1}, 1)) - 87 END)"
+
+  val oracles: Map[String, String] = Map(
+    "q75_segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |  FROM t, generate_series(1, len(toks)) AS g(i)),
+         |seg AS (
+         |  SELECT doc_id, CAST(floor(pos / $SegTokens) AS INT) AS seg_idx,
+         |         string_agg(tok, ' ' ORDER BY pos) AS seg
+         |  FROM tok GROUP BY doc_id, seg_idx),
+         |flagged AS (
+         |  SELECT doc_id, seg_idx, seg,
+         |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS kept
+         |  FROM seg)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segments,
+         |  coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), '')
+         |    AS clean_text
+         |FROM flagged GROUP BY doc_id""".stripMargin,
+
+    "q76_repetition_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |wc AS (
+        |  SELECT doc_id, tok, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+        |words AS (
+        |  SELECT doc_id,
+        |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |    min(ROW(-cnt, tok)) AS top
+        |  FROM wc GROUP BY doc_id),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(count(DISTINCT toks[i] || ' ' || toks[i + 1]) AS BIGINT)
+        |      AS n_distinct_bigrams
+        |  FROM t, generate_series(1, len(toks) - 1) AS g(i)
+        |  GROUP BY doc_id, len(toks))
+        |SELECT w.doc_id, n_tokens, n_distinct_tokens,
+        |  (n_tokens - n_distinct_tokens) / CAST(n_tokens AS DOUBLE) AS dup_word_frac,
+        |  w.top['v2'] AS top_token,
+        |  CAST(-w.top['v1'] AS BIGINT) AS top_token_count,
+        |  (-w.top['v1']) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+        |  n_bigrams, n_distinct_bigrams,
+        |  CASE WHEN n_bigrams > 0
+        |       THEN (n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE)
+        |       ELSE 0.0 END AS dup_bigram_frac,
+        |  ((n_tokens - n_distinct_tokens) / CAST(n_tokens AS DOUBLE) <= 0.6
+        |   AND (-w.top['v1']) / CAST(n_tokens AS DOUBLE) <= 0.2
+        |   AND (CASE WHEN n_bigrams > 0
+        |             THEN (n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE)
+        |             ELSE 0.0 END) <= 0.4) AS passes_repetition_filter
+        |FROM words w JOIN grams USING (doc_id)""".stripMargin,
+
+    "q77_decontaminate" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS ngram
+        |  FROM t, generate_series(1, len(toks) - 7) AS g(i)
+        |  WHERE doc_id % 10 = 0),
+        |corpusng AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
+        |  FROM t, generate_series(1, len(toks) - 7) AS g(i)
+        |  WHERE doc_id % 10 <> 0),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM corpusng JOIN bench USING (ngram) GROUP BY doc_id)
+        |SELECT t.doc_id, t.lang,
+        |  coalesce(n_overlap, 0) AS n_overlap_ngrams,
+        |  coalesce(n_overlap, 0) > 0 AS is_contaminated
+        |FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+        |WHERE t.doc_id % 10 <> 0""".stripMargin,
+
+    "q79_weighted_sample" -> {
+      val bucket =
+        s"(${digitSql(0)} * 4096 + ${digitSql(1)} * 256 + ${digitSql(2)} * 16 + ${digitSql(3)})"
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         md5('wsample|' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars,
+         |  CAST($bucket AS BIGINT) AS keep_bucket,
+         |  CAST(least(n_chars, 400) AS DOUBLE) / 400.0 AS sample_weight
+         |FROM h
+         |WHERE CAST($bucket AS BIGINT) * 400 < least(n_chars, 400) * 65536""".stripMargin
+    })
+}

@@ -91,23 +91,15 @@ object TextQueries {
     // (never all-pairs). Mined once per (session, dir) and shared with
     // the cluster-resolution query (q67) — the query-level analog of a
     // pipeline materializing its pair table once for all consumers.
-    "q35_jaccard_pairs" -> { (s, dir) => jaccard05(s, dir) },
+    "q35_jaccard_pairs" -> { (s, dir) => jaccardQuery(s, dir) },
 
     // MinHash+LSH candidates (md5 min-hash, 8 hashes × 4 bands of 2),
     // annotated with true trigram Jaccard and a confirmation flag.
-    "q36_minhash_lsh" -> { (s, dir) =>
-      val d    = Tables(s, dir).documents
-      val cand = Dedup.minhashCandidates(d, "doc_id", "text", numHashes = 8, rowsPerBand = 2)
-      Dedup.verifyPairs(cand, Dedup.shingled(d, "doc_id", "text"), threshold = 0.0)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"),
-                (col("jaccard") >= 0.5).as("is_near_dup"))
-    },
+    "q36_minhash_lsh" -> { (s, dir) => minhashQuery(s, dir) },
 
     // SimHash near-dup: 64-bit md5-derived simhash, 4×16-bit band
     // candidates, Hamming-verified.
-    "q41_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text", maxHamming = 3)
-    },
+    "q41_simhash" -> { (s, dir) => simhashQuery(s, dir) },
 
     // Deterministic train/val/test split: md5-derived bucket in [0,100) —
     // reproducible across engines/runs/partitionings (never rand(), which
@@ -297,6 +289,31 @@ object TextQueries {
   private def jaccard05(s: SparkSession, dir: String): DataFrame =
     jacCache.getOrElseUpdate(s, dir)(
       Dedup.jaccardPairs(Tables(s, dir).documents, "doc_id", "text", threshold = 0.5))
+
+  /** Shipped q35/q36/q41, parameterized on `materialize` so plan-inspection
+    * callers (PlanDump) dump the LAZY form of the exact shipped query
+    * instead of hand-mirroring it (which silently drifts when the shipped
+    * projection changes). materialize=true is the shipped/memoized path;
+    * materialize=false builds the same plan without running the eager
+    * mining job.
+    */
+  def jaccardQuery(s: SparkSession, dir: String, materialize: Boolean = true): DataFrame =
+    if (materialize) jaccard05(s, dir)
+    else Dedup.jaccardPairs(Tables(s, dir).documents, "doc_id", "text",
+                            threshold = 0.5, materialize = false)
+
+  def minhashQuery(s: SparkSession, dir: String, materialize: Boolean = true): DataFrame = {
+    val d    = Tables(s, dir).documents
+    val cand = Dedup.minhashCandidates(d, "doc_id", "text",
+      numHashes = 8, rowsPerBand = 2, materialize = materialize)
+    Dedup.verifyPairs(cand, Dedup.shingled(d, "doc_id", "text"), threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+              (col("jaccard") >= 0.5).as("is_near_dup"))
+  }
+
+  def simhashQuery(s: SparkSession, dir: String, materialize: Boolean = true): DataFrame =
+    Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text",
+                       maxHamming = 3, materialize = materialize)
 
   private val enList = Text.langProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
 
