@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ TimeSeriesQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs ++
-      TemporalQueries.defs ++ OlapQueries.defs
+      TemporalQueries.defs ++ OlapQueries.defs ++ CurationQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +31,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++
       TextQueries.oracles ++ VectorQueries.oracles ++ PipelineQueries.oracles ++
-      TemporalQueries.oracles ++ OlapQueries.oracles
+      TemporalQueries.oracles ++ OlapQueries.oracles ++ CurationQueries.oracles
 }

@@ -196,11 +196,14 @@ object CurationQueries {
       s" ELSE ascii(substring(hex, ${i + 1}, 1)) - 87 END)"
 
   val oracles: Map[String, String] = Map(
+    // DuckDB 1.0.0 rejects lateral generate_series(column) — index via
+    // unnest(generate_series(...)) in a subquery instead (verified form).
     "q75_segment_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |tok AS (
          |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
-         |  FROM t, generate_series(1, len(toks)) AS g(i)),
+         |  FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks))) AS i FROM t)),
          |seg AS (
          |  SELECT doc_id, CAST(floor(pos / $SegTokens) AS INT) AS seg_idx,
          |         string_agg(tok, ' ' ORDER BY pos) AS seg
@@ -225,26 +228,33 @@ object CurationQueries {
         |  SELECT doc_id,
         |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
         |    CAST(count(*) AS BIGINT) AS n_distinct_tokens,
-        |    min(ROW(-cnt, tok)) AS top
+        |    min(struct_pack(negcnt := -cnt, tok := tok)) AS top
         |  FROM wc GROUP BY doc_id),
-        |grams AS (
+        |grams0 AS (
         |  SELECT doc_id,
-        |    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
         |    CAST(count(DISTINCT toks[i] || ' ' || toks[i + 1]) AS BIGINT)
         |      AS n_distinct_bigrams
-        |  FROM t, generate_series(1, len(toks) - 1) AS g(i)
-        |  GROUP BY doc_id, len(toks))
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
+        |  GROUP BY doc_id),
+        |grams AS (
+        |  -- LEFT JOIN from t: docs with <2 tokens produce no bigram rows in
+        |  -- grams0 but must still appear with 0/0 (Spark keeps every doc).
+        |  SELECT t.doc_id,
+        |    CAST(greatest(len(t.toks) - 1, 0) AS BIGINT) AS n_bigrams,
+        |    coalesce(g.n_distinct_bigrams, 0) AS n_distinct_bigrams
+        |  FROM t LEFT JOIN grams0 g USING (doc_id))
         |SELECT w.doc_id, n_tokens, n_distinct_tokens,
         |  (n_tokens - n_distinct_tokens) / CAST(n_tokens AS DOUBLE) AS dup_word_frac,
-        |  w.top['v2'] AS top_token,
-        |  CAST(-w.top['v1'] AS BIGINT) AS top_token_count,
-        |  (-w.top['v1']) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+        |  w.top['tok'] AS top_token,
+        |  CAST(-w.top['negcnt'] AS BIGINT) AS top_token_count,
+        |  (-w.top['negcnt']) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
         |  n_bigrams, n_distinct_bigrams,
         |  CASE WHEN n_bigrams > 0
         |       THEN (n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE)
         |       ELSE 0.0 END AS dup_bigram_frac,
         |  ((n_tokens - n_distinct_tokens) / CAST(n_tokens AS DOUBLE) <= 0.6
-        |   AND (-w.top['v1']) / CAST(n_tokens AS DOUBLE) <= 0.2
+        |   AND (-w.top['negcnt']) / CAST(n_tokens AS DOUBLE) <= 0.2
         |   AND (CASE WHEN n_bigrams > 0
         |             THEN (n_bigrams - n_distinct_bigrams) / CAST(n_bigrams AS DOUBLE)
         |             ELSE 0.0 END) <= 0.4) AS passes_repetition_filter
@@ -254,12 +264,14 @@ object CurationQueries {
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |bench AS (
         |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS ngram
-        |  FROM t, generate_series(1, len(toks) - 7) AS g(i)
-        |  WHERE doc_id % 10 = 0),
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM t WHERE doc_id % 10 = 0)),
         |corpusng AS (
         |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
-        |  FROM t, generate_series(1, len(toks) - 7) AS g(i)
-        |  WHERE doc_id % 10 <> 0),
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM t WHERE doc_id % 10 <> 0)),
         |hits AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
         |  FROM corpusng JOIN bench USING (ngram) GROUP BY doc_id)
