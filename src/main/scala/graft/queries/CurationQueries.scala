@@ -172,6 +172,87 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q78: corpus unigram-LM scoring — the "perplexity filter" of a
+    // training-data pipeline, with the corpus itself as the LM: global
+    // token frequencies, p(tok) = cnt/total, and each document scored by
+    // its mean log-probability (low = rare-token-heavy / atypical docs).
+    //
+    // Shape at 100 TB: the LM is one partial-aggregated groupBy(tok) —
+    // vocabulary-sized output, broadcast back onto the token stream, so
+    // the corpus is never shuffled to score it. Determinism: cnt/total is
+    // one integer→double division and the per-doc reduction is a
+    // sequential left-to-right fold over the pos-sorted log-prob array
+    // (collect_list order is partition-dependent; array_sort fixes it),
+    // mirrored by DuckDB list_reduce over list(... ORDER BY pos) —
+    // bit-identical IEEE op sequences, no merge-order float sums.
+    // ---------------------------------------------------------------
+    "q78_unigram_lm" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val tok = docs.select(
+        col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("total"))
+      val scored = tok
+        .join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("pos"),
+                log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType))
+                  .as("logp"))
+      val sumLogp = aggregate(
+        transform(array_sort(collect_list(struct(col("pos"), col("logp")))),
+                  x => x.getField("logp")),
+        lit(0.0), (acc, x) => acc + x)
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sumLogp.as("sum_logprob"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_logprob"),
+                (col("sum_logprob") / col("n_tokens").cast(DoubleType))
+                  .as("avg_logprob"),
+                // exp() is not correctly rounded and differs by 1 ulp
+                // between JVM Math.exp and DuckDB's libm — quantize to
+                // 1e-9 on both sides (floor(x·1e9+0.5), the same trick as
+                // the engine round() divergence).
+                (floor(exp(-(col("sum_logprob") / col("n_tokens").cast(DoubleType)))
+                   * 1e9 + 0.5) / 1e9).as("perplexity"))
+    },
+
+    // ---------------------------------------------------------------
+    // q82: n-gram novelty — per document, the fraction of its distinct
+    // 8-grams whose globally FIRST occurrence (min doc_id) is this
+    // document. The inverse of contamination: a measure of how much new
+    // text each document contributes to the corpus (RefinedWeb-style
+    // "what does another crawl snapshot add" accounting).
+    //
+    // Same scale discipline as q75: first-occurrence is
+    // groupBy(ngram).min(doc_id) — partial aggregation collapses an
+    // n-gram repeated across billions of docs BEFORE its shuffle — and
+    // the verdict returns via an equi-join on the n-gram. The exploded
+    // n-gram stream is cached only because it feeds both the aggregate
+    // and the join probe at bench scale; at 100 TB you would recompute
+    // the (cheap, scan-local) explode instead of materializing it.
+    // ---------------------------------------------------------------
+    "q82_ngram_novelty" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val ng = docs
+        .select(col("doc_id"), explode(Text.shingles(col("text"), 8)).as("ngram"))
+        .cache()
+      val firsts = ng.groupBy(col("ngram")).agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = ng.join(firsts, "ngram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+               .as("n_novel"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+                coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+                coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+                when(col("n_ngrams").isNotNull,
+                     col("n_novel") / col("n_ngrams").cast(DoubleType))
+                  .otherwise(0.0).as("novelty_frac"))
+    },
+
+    // ---------------------------------------------------------------
     // q79: deterministic weighted sampling — keep each document with
     // probability proportional to its length (capped at 400 chars), the
     // "sample long documents preferentially" step of a data mix. The
@@ -280,6 +361,50 @@ object CurationQueries {
         |  coalesce(n_overlap, 0) > 0 AS is_contaminated
         |FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
         |WHERE t.doc_id % 10 <> 0""".stripMargin,
+
+    // list_reduce folds left-to-right starting from the first element;
+    // Spark's aggregate starts from 0.0 — identical in IEEE because
+    // 0.0 + x == x for every finite x (log-probs are never -0.0).
+    "q78_unigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks))) AS i FROM t)),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab),
+        |scored AS (
+        |  SELECT doc_id, pos,
+        |         ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+        |  FROM tok JOIN vocab USING (tok) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, s AS sum_logprob,
+        |  s / CAST(n_tokens AS DOUBLE) AS avg_logprob,
+        |  floor(exp(-(s / CAST(n_tokens AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS perplexity
+        |FROM agg""".stripMargin,
+
+    "q82_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 7)) AS i FROM t)),
+        |firsts AS (SELECT ngram, min(doc_id) AS first_doc FROM ng GROUP BY ngram),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_ngrams,
+        |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM ng JOIN firsts USING (ngram) GROUP BY doc_id)
+        |SELECT t.doc_id, t.lang,
+        |  coalesce(n_ngrams, 0) AS n_ngrams,
+        |  coalesce(n_novel, 0) AS n_novel,
+        |  CASE WHEN n_ngrams IS NOT NULL
+        |       THEN n_novel / CAST(n_ngrams AS DOUBLE) ELSE 0.0 END AS novelty_frac
+        |FROM t LEFT JOIN perdoc USING (doc_id)""".stripMargin,
 
     "q79_weighted_sample" -> {
       val bucket =

@@ -70,6 +70,72 @@ object TemporalQueries {
         .withColumn("duration_seconds",
           floor((unix_micros(col("session_end")) - unix_micros(col("session_start"))) / 1000000L)
             .cast("long"))
+    },
+
+    // ---------------------------------------------------------------
+    // q80: sequential funnel — per user, the first 'view', the first
+    // 'click' at-or-after it, and the first 'purchase' at-or-after that
+    // click, plus how deep the user got. The standard 3-step product
+    // funnel, expressed as stepwise conditional-min aggregations.
+    //
+    // Shape at 100 TB: three partial-aggregated groupBy(user_id) mins
+    // and two equi-joins, all hash-partitioned on user_id — Catalyst
+    // reuses the partitioning across the chain, and each step's input
+    // is pre-filtered to one event_type before its shuffle. No windows,
+    // no per-user event sorting: a user's whole history never passes
+    // through one task.
+    // ---------------------------------------------------------------
+    "q80_funnel" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val clicks = e.filter(col("event_type") === "click")
+        .join(views, "user_id")
+        .filter(col("ts") >= col("first_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .join(clicks, "user_id")
+        .filter(col("ts") >= col("first_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+      e.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .join(views, Seq("user_id"), "left")
+        .join(clicks, Seq("user_id"), "left")
+        .join(purchases, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_events"),
+                col("first_view"), col("first_click"), col("first_purchase"),
+                when(col("first_purchase").isNotNull, 3L)
+                  .when(col("first_click").isNotNull, 2L)
+                  .when(col("first_view").isNotNull, 1L)
+                  .otherwise(0L).as("reached_step"))
+    },
+
+    // ---------------------------------------------------------------
+    // q81: cohort retention — users grouped by first-activity date, and
+    // for each cohort the count of users still active in each 7-day
+    // offset window. Day-offset buckets are pure integer arithmetic
+    // (datediff/7), so the result is partitioning-independent.
+    //
+    // Shape at 100 TB: cohort assignment is one groupBy(user_id) min;
+    // the activity stream joins it on user_id (both sides partitioned
+    // the same way), then the per-(cohort, week) distinct-user count is
+    // a two-key groupBy whose distinct is bounded by the user dimension,
+    // not the event volume — partial aggregation dedupes
+    // (user, cohort, week) map-side before the final shuffle.
+    // ---------------------------------------------------------------
+    "q81_retention" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_date"))
+      e.select(col("user_id"), to_date(col("ts")).as("d"))
+        .join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_date"),
+                floor(datediff(col("d"), col("cohort_date")) / 7)
+                  .cast("long").as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort_date"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_date"), "yyyy-MM-dd").as("cohort_date"),
+                col("week_offset"), col("n_users"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -117,5 +183,41 @@ object TemporalQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000) AS BIGINT) AS duration_seconds
-        |FROM sessions GROUP BY user_id, session_seq""".stripMargin)
+        |FROM sessions GROUP BY user_id, session_seq""".stripMargin,
+
+    "q80_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS first_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.first_view
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.first_click
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT u.user_id, u.n_events, v.first_view, c.first_click, p.first_purchase,
+        |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2
+        |            WHEN v.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS reached_step
+        |FROM u
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q81_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, cohort.cohort_date,
+        |    CAST(floor(date_diff('day', cohort.cohort_date, CAST(e.ts AS DATE)) / 7)
+        |         AS BIGINT) AS week_offset
+        |  FROM events e JOIN cohort USING (user_id))
+        |SELECT CAST(cohort_date AS VARCHAR) AS cohort_date, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a GROUP BY a.cohort_date, week_offset""".stripMargin)
 }

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.queries.{CurationQueries, TemporalQueries}
+import org.apache.spark.sql.DataFrame
+
+/** Semantics of the corpus-curation (q75–q82) and event-analytics
+  * (q80/q81) queries on crafted fixtures — the edge cases the sf
+  * testdata never exercises (sub-2-token docs, out-of-order funnel
+  * steps), plus partitioning-invariance of the sequential log-prob fold.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a crafted documents/events fixture dir and return its path. */
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("curation_fixture").toString
+    val docs = Seq(
+      // doc 0: repeated content; shares its first 10-token segment with doc 1
+      (0L, "a b c d e f g h i j a b c d e f g h i j", "en", "web", 39L),
+      // doc 1: same first segment as doc 0 (not first occurrence), then new
+      (1L, "a b c d e f g h i j k l m n o p q r s t", "en", "web", 39L),
+      // doc 2: single token — sub-2-token edge (no bigrams, no 8-grams)
+      (2L, "z", "de", "web", 1L),
+      // doc 3: all-distinct tokens, fully novel
+      (3L, "aa bb cc dd ee ff gg hh ii jj", "fr", "web", 29L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val events = Seq(
+      // user 1: view → click → purchase, in order → step 3
+      (0L, ts(1), 1L, "view", 1.0, "{}"),
+      (1L, ts(2), 1L, "click", 1.0, "{}"),
+      (2L, ts(3), 1L, "purchase", 1.0, "{}"),
+      // user 2: click BEFORE its only view; no click after → step 1
+      (3L, ts(1), 2L, "click", 1.0, "{}"),
+      (4L, ts(2), 2L, "view", 1.0, "{}"),
+      // user 3: no view at all → step 0 even with click+purchase
+      (5L, ts(1), 3L, "click", 1.0, "{}"),
+      (6L, ts(2), 3L, "purchase", 1.0, "{}"),
+      // user 4: view then purchase but never a click → step 1
+      (7L, ts(1), 4L, "view", 1.0, "{}"),
+      (8L, ts(2), 4L, "purchase", 1.0, "{}"))
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def run(name: String): DataFrame = {
+    val defs = CurationQueries.defs ++ TemporalQueries.defs
+    defs(name)(spark, fixtureDir)
+  }
+
+  test("q75 segment dedup keeps only the globally first occurrence") {
+    val byDoc = run("q75_segment_dedup")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 0: two identical segments; only the first survives
+    assert(byDoc(0L) == ((2L, 1L, "a b c d e f g h i j")))
+    // doc 1: first segment already seen in doc 0; second is new
+    assert(byDoc(1L) == ((2L, 1L, "k l m n o p q r s t")))
+    // doc 2: one 1-token segment, first occurrence
+    assert(byDoc(2L) == ((1L, 1L, "z")))
+    assert(byDoc.size == 4)
+  }
+
+  test("q76 repetition metrics handle the sub-2-token edge") {
+    val byDoc = run("q76_repetition_quality")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_distinct_bigrams"),
+         r.getAs[Double]("dup_word_frac"), r.getAs[Boolean]("passes_repetition_filter")))
+      .toMap
+    // single-token doc: zero bigrams, top-token share 1.0 → fails filter
+    assert(byDoc(2L) == ((0L, 0L, 0.0, false)))
+    // doc 0: 20 tokens / 10 distinct → dup_word_frac 0.5; 19 bigrams,
+    // 10 distinct ("j a" bridges the repeats, "a b".."i j" dup'd)
+    assert(byDoc(0L)._1 == 19L && byDoc(0L)._2 == 10L && byDoc(0L)._3 == 0.5)
+    // doc 3: all distinct → passes
+    assert(byDoc(3L)._4)
+  }
+
+  test("q78 unigram-LM score is invariant to input partitioning") {
+    val base = run("q78_unigram_lm")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("sum_logprob"),
+         r.getAs[Double]("perplexity"))).toMap
+    assert(base.size == 4)
+    // rare-token doc 3 scores lower (higher perplexity) than common doc 0
+    assert(base(3L)._3 > base(0L)._3)
+    // bit-identical across shuffle-partition settings (sequential fold)
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val alt = run("q78_unigram_lm")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Double]("sum_logprob"),
+           r.getAs[Double]("perplexity"))).toMap
+      assert(alt == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("q82 ngram novelty: first doc fully novel, short docs kept at 0") {
+    val byDoc = run("q82_ngram_novelty")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_novel"),
+         r.getAs[Double]("novelty_frac"))).toMap
+    assert(byDoc.size == 4)
+    assert(byDoc(0L)._3 == 1.0)          // first occurrence of everything it has
+    assert(byDoc(2L) == ((0L, 0L, 0.0))) // <8 tokens: no 8-grams, still present
+    assert(byDoc(3L)._3 == 1.0)          // disjoint vocabulary
+    // doc 1 shares its first three 8-grams with doc 0's tail ("a b..j" span)
+    assert(byDoc(1L)._2 < byDoc(1L)._1)
+  }
+
+  test("q80 funnel: steps must occur in order, starting from a view") {
+    val byUser = run("q80_funnel")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("reached_step"))
+      .toMap
+    assert(byUser == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("q81 retention buckets day offsets into 7-day windows") {
+    val dir = Files.createTempDirectory("retention_fixture").toString
+    def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    Seq(
+      (0L, ts(1), 1L, "view", 1.0, "{}"),  // cohort 2024-01-01, offset 0
+      (1L, ts(7), 1L, "view", 1.0, "{}"),  // day 6 → offset 0
+      (2L, ts(8), 1L, "view", 1.0, "{}"),  // day 7 → offset 1
+      (3L, ts(2), 2L, "view", 1.0, "{}"))  // cohort 2024-01-02, offset 0
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = TemporalQueries.defs("q81_retention")(spark, dir)
+      .collect().map(r => (r.getAs[String]("cohort_date"),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_users"))).toSet
+    assert(got == Set(("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+                      ("2024-01-02", 0L, 1L)))
+  }
+}
