@@ -169,6 +169,31 @@ class PlanQualitySpec extends SparkSpec {
     }.isEmpty, s"partial top-k runs after a shuffle:\n$plan")
   }
 
+  test("q78 unigram LM broadcasts the vocabulary; the token stream is never shuffled to score") {
+    val df   = SparkEntry.queries("q78_unigram_lm")(spark, dir)
+    val plan = planOf(df)
+    // vocab equi-join broadcasts; the single-row total arrives via a
+    // broadcast nested-loop cross — the corpus side of scoring sees no
+    // SortMergeJoin (its only shuffles are the two aggregations).
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"total not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for scoring:\n$plan")
+  }
+
+  test("funnel/retention/curation plans use partial aggregation, never per-entity windows") {
+    // The q68 lesson generalized: every new analytics operator that keeps
+    // "first/min per entity" must plan as partial+final aggregation, not
+    // row_number over an entity-partitioned window (one task per hot
+    // entity at 100 TB).
+    for (q <- Seq("q80_funnel", "q81_retention", "q75_segment_dedup",
+                  "q82_ngram_novelty", "q76_repetition_quality")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("Window"), s"$q plans a window:\n$plan")
+      assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+        s"$q has no hash aggregate:\n$plan")
+    }
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
