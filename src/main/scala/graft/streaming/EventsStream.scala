@@ -52,6 +52,27 @@ object EventsStream {
               col("window.end").as("window_end"),
               col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact deduplication on a key, with the watermark bounding
+    * how long per-key state is retained — the streaming analog of the
+    * batch exact-dedup operator (a re-delivered event inside the
+    * watermark horizon is dropped; state for keys older than the horizon
+    * is evicted, so state size tracks the horizon, not the stream).
+    */
+  def dedupStream(events: DataFrame,
+                  keys: Seq[String] = Seq("event_id"),
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keys :+ "ts")
+
+  /** Stream–static enrichment: the streaming fact joined to a static
+    * (batch) dimension — the streaming analog of the fct ⟕ dim broadcast
+    * join. The dim is re-read per micro-batch by Spark; broadcasting it
+    * keeps each micro-batch shuffle-free.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double, mean: Double)
 

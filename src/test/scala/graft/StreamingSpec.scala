@@ -149,6 +149,54 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L) == ((50L, 5.0)))
   }
 
+  test("streaming dedup drops re-delivered events across micro-batches; state is watermark-bounded") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    def minNs(m: Long): Long = m * 60L * 1000000000L
+    def writeBatch(rows: Seq[(Long, Long)], file: String): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-dedup-scratch")
+      rows.map { case (id, tsMin) => (id, minNs(tsMin), id, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = new java.io.File(scratch.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(streamDir, s"$file.parquet"))
+    }
+    writeBatch(Seq((1L, 600L), (2L, 620L)), "b1")
+    val q = EventsStream.dedupStream(EventsStream.read(spark, streamDir))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // batch 2 re-delivers event 2 (same id, same ts) and adds event 3 —
+    // the duplicate must be dropped even though it arrives in a later
+    // micro-batch (per-key state persisted, bounded by the watermark)
+    writeBatch(Seq((2L, 620L), (3L, 640L)), "b2")
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
+  test("stream-static enrichment joins each micro-batch to the dim without shuffling it") {
+    import spark.implicits._
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "user_name")
+    val out = EventsStream.runToMemorySink(
+      EventsStream.enrich(
+        EventsStream.read(spark, eventsDir).select("event_id", "user_id", "value"),
+        dim, "user_id"),
+      "enrich_stream", OutputMode.Append())
+    assert(out.count() == 1000) // left join keeps every streamed event
+    // every event whose user_id has a dim row is enriched; others null
+    val named = out.filter(col("user_name").isNotNull)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(named.subsetOf(Set(1L, 2L)) && named.nonEmpty)
+    val batchExpected = graft.core.Tables(spark, dir).events
+      .filter(col("user_id").isin(1L, 2L)).count()
+    assert(out.filter(col("user_name").isNotNull).count() == batchExpected)
+  }
+
   test("mapGroupsWithState accumulates running per-user stats") {
     val out = EventsStream.runToMemorySink(
       EventsStream.runningUserStats(
