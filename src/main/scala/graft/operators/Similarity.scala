@@ -116,24 +116,16 @@ object Similarity {
       while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
       (id, cv, math.sqrt(s))
     }
-    def centSim(vec: Column, nrm: Column, cv: Array[Double], cnrm: Double): Column = {
-      val d = dot(vec, array(cv.map(lit(_)): _*))
-      when(nrm > 0 && lit(cnrm) > 0, d / (nrm * lit(cnrm)))
-    }
-    // 2. nearest-centroid assignment via array_max over nlist
-    // (sim, -centroid_id) structs — linear expression size (a when/
-    // otherwise fold would embed the accumulator twice per step: 2^nlist
-    // nodes). null sim → -∞ and the NEGATED id make struct ordering
-    // equivalent to "ORDER BY sim DESC NULLS LAST, centroid_id ASC".
-    val assigned = {
-      val entries = cents.sortBy(_._1).map { case (id, cv, cnrm) =>
-        struct(
-          coalesce(centSim(col("v"), col("nrm"), cv, cnrm),
-                   lit(Double.NegativeInfinity)).as("sim"),
-          lit(-id).as("ncid"))
-      }
-      n.withColumn("centroid_id", -array_max(array(entries: _*)).getField("ncid"))
-    }
+    // 2. nearest-centroid assignment: one codegen'd NearestCentroid call
+    // carrying the centroid matrix as a reference object. The composable
+    // array_max-over-structs form embeds nlist × dims literal nodes in
+    // the plan (>1k at 16×64) whose codegen/JIT compile dominated the
+    // query (~2.5 s fixed at sf0.1); semantics are bit-identical
+    // ("ORDER BY sim DESC NULLS LAST, centroid_id ASC" — SimilaritySpec
+    // asserts equality to the composable form).
+    val assigned = n.withColumn("centroid_id",
+      org.apache.spark.sql.graftx.NearestCentroid.nearest(
+        col("v"), col("nrm"), cents.toSeq))
     // 3. query-side probes: queries are the small side, so a window over
     // (queries × nlist) rows is constant work per query
     val q = queries.select(

@@ -19,6 +19,41 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
   }
 
+  test("NearestCentroid matches the composable array_max form bit-for-bit") {
+    import org.apache.spark.sql.graftx.NearestCentroid
+    // centroids: a degenerate zero-norm one, two colinear ones (tie on
+    // cosine → smallest id must win), and a generic one
+    val cents = Seq(
+      (3L, Array(0.5, 0.5, 0.0, 0.1), math.sqrt(0.51)),
+      (7L, Array(0.0, 0.0, 0.0, 0.0), 0.0),
+      (11L, Array(1.0, 0.0, 1.0, 0.0), math.sqrt(2.0)),
+      (12L, Array(2.0, 0.0, 2.0, 0.0), math.sqrt(8.0)))
+    val vecs = (0 until 200).map { i =>
+      val v = Array.tabulate(4)(j => math.sin(i * 4 + j) * (if (i % 17 == 0) 0 else 1))
+      (i.toLong, v)
+    }.toDF("id", "v").withColumn("nrm",
+      sqrt(Vectors.dot(col("v"), col("v"))))
+    val composable = {
+      val entries = cents.sortBy(_._1).map { case (cid, cv, cnrm) =>
+        val d = Vectors.dot(col("v"), array(cv.map(lit(_)): _*))
+        struct(
+          coalesce(when(col("nrm") > 0 && lit(cnrm) > 0, d / (col("nrm") * lit(cnrm))),
+                   lit(Double.NegativeInfinity)).as("sim"),
+          lit(-cid).as("ncid"))
+      }
+      -array_max(array(entries: _*)).getField("ncid")
+    }
+    val rows = vecs.select(
+      NearestCentroid.nearest(col("v"), col("nrm"), cents).as("native"),
+      composable.cast("long").as("composable")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // the zero-norm vectors (i % 17 == 0) resolve to the smallest id
+    val zeroNorm = vecs.filter(col("nrm") === 0.0)
+      .select(NearestCentroid.nearest(col("v"), col("nrm"), cents))
+      .collect().map(_.getLong(0)).toSet
+    assert(zeroNorm == Set(3L))
+  }
+
   test("cosine: orthogonal→0, identical→1, zero-norm→null") {
     val df = Seq(
       (Array(1.0, 0.0), Array(0.0, 1.0)),
