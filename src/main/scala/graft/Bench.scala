@@ -32,7 +32,10 @@ object Bench {
     // Locale.ROOT: the f-interpolator honors the JVM default locale — a
     // comma-decimal locale would emit invalid JSON
     def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
+    // Keys shortened to their qNN prefix: 82 full-name entries (~2.7 KB)
+    // overflowed the capture window again in round 5 even at ms precision.
+    // Full-name ↔ qNN mapping lives in PERF.md.
+    val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
