@@ -108,16 +108,20 @@ object Dedup {
         (nS + 1 - ceil(lit(2 * threshold / (1 + threshold)) * nS - 1e-9)).cast(LongType))
       else (nS, nS)
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df_count"), col("shingle"))
+    // n_shingles rides the SAME doc_id window as the prefix rank (count
+    // over the unordered-frame spec shares the rank window's exchange +
+    // sort), so the doc-length join back to `sh` — a whole extra shuffle
+    // of the exploded postings — is gone.
+    val wDocAll = Window.partitionBy(col("doc_id"))
     // Cache: the candidate self-join consumes the ranked prefix twice;
     // without a cut the dfreq-join + window re-run per side. Join key is
     // an 8-byte xxhash64 of the shingle, not the string — less shuffle
     // volume. Freed before return (candidates are a tiny pair set).
     val ranked = ex.join(dfreq, Seq("shingle"))
       .withColumn("rn", row_number().over(wDoc))
-      .join(sh.select(col("doc_id"), col("n_shingles"),
-                      probeLen.as("probe_len"), indexLen.as("index_len")), Seq("doc_id"))
+      .withColumn("n_shingles", count(lit(1)).over(wDocAll))
       .select(col("doc_id"), col("n_shingles"), col("rn"),
-              col("probe_len"), col("index_len"),
+              probeLen.as("probe_len"), indexLen.as("index_len"),
               xxhash64(col("shingle")).as("shingle_h"))
     val probe = ranked.filter(col("rn") <= col("probe_len"))
       .select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b"),
