@@ -37,12 +37,25 @@ object CurationQueries {
     // First 4 md5 hex digits as an integer in [0, 65536) — ascii
     // arithmetic, portable to the DuckDB oracle without conv().
     val hex = md5(concat(lit(prefix), key.cast(StringType)))
+    hexValue16(hex, 0)
+  }
+
+  /** md5 hex digits [from, from+4) as an integer in [0, 65536) — the
+    * building block for the bloom filter's Kirsch–Mitzenmacher hash pair.
+    */
+  private def hexValue16(hex: Column, from: Int): Column = {
     def digit(i: Int): Column = {
       val a = ascii(substring(hex, i + 1, 1))
       when(a <= 57, a - 48).otherwise(a - 87)
     }
-    digit(0) * 4096 + digit(1) * 256 + digit(2) * 16 + digit(3)
+    digit(from) * 4096 + digit(from + 1) * 256 + digit(from + 2) * 16 + digit(from + 3)
   }
+
+  /** Chunking geometry for q84: 50-token windows advancing by 40 (10-token
+    * overlap) — the context-window packing shape of a training/RAG corpus.
+    */
+  private val ChunkW = 50
+  private val ChunkS = 40
 
   val defs: Map[String, Q] = Map(
 
@@ -269,6 +282,97 @@ object CurationQueries {
                   bucket.as("keep_bucket"),
                   (cap.cast(DoubleType) / 400.0).as("sample_weight"))
         .filter(col("keep_bucket") * 400L < cap * 65536L)
+    },
+
+    // ---------------------------------------------------------------
+    // q83: Bloom-filter decontamination — the SCALE path for q77. q77
+    // joins the corpus n-gram stream against the benchmark's distinct
+    // n-grams, which at 100 TB means shuffling (or broadcasting) a set
+    // that grows with the benchmark. Here the benchmark side is folded
+    // into a 2^16-bit Bloom filter — 2048 constant-size rows (32 bits
+    // per BIGINT word; bit 63 is unrepresentable as a DuckDB literal
+    // shift) that BROADCAST no matter how big the benchmark gets — and
+    // each corpus n-gram probes k=4 bit positions. Hits are a superset
+    // of q77's exact overlaps (false positives only, never false
+    // negatives — q83b in CurationSpec asserts the containment).
+    //
+    // Determinism (what lets a Bloom ESTIMATE hash-gate): positions are
+    // md5-seeded Kirsch–Mitzenmacher, pos_j = (h1 + j·h2) mod 2^16 with
+    // h1/h2 = hex digits [0,4)/[4,8) of md5('bloom|'||ngram) — integer
+    // arithmetic any engine reproduces bit-for-bit, unlike library
+    // bloom layouts (Spark's BloomFilterAggregate is
+    // implementation-defined).
+    // ---------------------------------------------------------------
+    "q83_bloom_decontaminate" -> { (s, dir) =>
+      val docs  = Tables(s, dir).documents
+      val ones  = expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+      val wordIdx = floor(col("pos") / 32).cast(LongType).as("word_idx")
+      def positions(ng: DataFrame): DataFrame = {
+        val hex = md5(concat(lit("bloom|"), col("ngram")))
+        ng.select(ng.columns.map(col) :+ hexValue16(hex, 0).as("h1") :+
+                    hexValue16(hex, 4).as("h2"): _*)
+          .select(ng.columns.map(col) :+
+            explode(array((0 until 4).map(j =>
+              (col("h1") + col("h2") * j) % 65536): _*)).as("pos"): _*)
+      }
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select(explode(Text.shingles(col("text"), 8)).as("ngram"))
+        .distinct()
+      val bloom = positions(bench)
+        .select(wordIdx, ones.as("mask"))
+        .groupBy(col("word_idx"))
+        .agg(expr("bit_or(mask)").as("words"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val probes = positions(
+          corpus.select(col("doc_id"),
+                        explode(Text.shingles(col("text"), 8)).as("ngram")))
+        .select(col("doc_id"), col("ngram"), wordIdx, ones.as("mask"))
+      val perNgram = probes
+        .join(broadcast(bloom), Seq("word_idx"), "left")
+        .select(col("doc_id"), col("ngram"),
+                (coalesce(col("words"), lit(0L)).bitwiseAND(col("mask")) =!= 0L)
+                  .as("hit"))
+        .groupBy(col("doc_id"), col("ngram"))
+        .agg(expr("bool_and(hit)").as("inbloom"))
+      val hits = perNgram.groupBy(col("doc_id"))
+        .agg(sum(when(col("inbloom"), 1L).otherwise(0L)).as("n_bloom_hits"))
+      corpus.select(col("doc_id"), col("lang"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+                coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
+                (coalesce(col("n_bloom_hits"), lit(0L)) > 0).as("is_flagged_bloom"))
+    },
+
+    // ---------------------------------------------------------------
+    // q84: context-window chunking — split every document into W=50-token
+    // chunks advancing by S=40 (10-token overlap), the chunking step of
+    // a RAG / long-context training corpus. Pure projection + explode
+    // (one generated row per chunk, no shuffle, no window): chunk count
+    // and boundaries are closed-form integer arithmetic, so the operator
+    // is a scan-local flatMap at any scale.
+    // ---------------------------------------------------------------
+    "q84_chunk_windows" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val n = size(Text.tokens(col("text")))
+      // chunks = 1 + max(0, ceil((n-W)/S)) — integer form, shared with the
+      // oracle (greatest against 0 first: (n-W+S-1) goes negative for
+      // short docs and floor-division must not produce -1 chunks).
+      val nChunks = lit(1) +
+        greatest(lit(0), floor((n - ChunkW + ChunkS - 1) / lit(ChunkS.toDouble)))
+          .cast(IntegerType)
+      docs
+        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"),
+                n.as("n_tokens"), nChunks.as("n_chunks"))
+        .select(col("doc_id"), col("lang"), col("toks"), col("n_tokens"),
+                explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("lang"),
+                col("chunk_idx").cast(LongType).as("chunk_idx"),
+                (col("chunk_idx") * ChunkS).cast(LongType).as("chunk_start"),
+                least(lit(ChunkW), col("n_tokens") - col("chunk_idx") * ChunkS)
+                  .cast(LongType).as("n_chunk_tokens"),
+                array_join(
+                  slice(col("toks"), col("chunk_idx") * ChunkS + 1, lit(ChunkW)),
+                  " ").as("chunk_text"))
     })
 
   private def digitSql(i: Int): String =
@@ -418,5 +522,68 @@ object CurationQueries {
          |  CAST(least(n_chars, 400) AS DOUBLE) / 400.0 AS sample_weight
          |FROM h
          |WHERE CAST($bucket AS BIGINT) * 400 < least(n_chars, 400) * 65536""".stripMargin
-    })
+    },
+
+    "q83_bloom_decontaminate" -> {
+      val h1 =
+        s"(${digitSql(0)} * 4096 + ${digitSql(1)} * 256 + ${digitSql(2)} * 16 + ${digitSql(3)})"
+      val h2 =
+        s"(${digitSql(4)} * 4096 + ${digitSql(5)} * 256 + ${digitSql(6)} * 16 + ${digitSql(7)})"
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |bng AS (
+         |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS ngram
+         |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |        FROM t WHERE doc_id % 10 = 0)),
+         |bh AS (SELECT ngram, md5('bloom' || '|' || ngram) AS hex FROM bng),
+         |bpos AS (
+         |  SELECT ($h1 + j * $h2) % 65536 AS pos
+         |  FROM (SELECT hex, unnest([0, 1, 2, 3]) AS j FROM bh)),
+         |bloom AS (
+         |  SELECT pos // 32 AS word_idx,
+         |         bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS words
+         |  FROM bpos GROUP BY 1),
+         |cng AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |        FROM t WHERE doc_id % 10 <> 0)),
+         |cpos AS (
+         |  SELECT doc_id, ngram, ($h1 + j * $h2) % 65536 AS pos
+         |  FROM (SELECT doc_id, ngram, md5('bloom' || '|' || ngram) AS hex,
+         |               unnest([0, 1, 2, 3]) AS j FROM cng)),
+         |perngram AS (
+         |  SELECT doc_id, ngram,
+         |         bool_and(coalesce(words & (CAST(1 AS BIGINT) << (pos % 32)), 0) <> 0)
+         |           AS inbloom
+         |  FROM cpos LEFT JOIN bloom ON cpos.pos // 32 = bloom.word_idx
+         |  GROUP BY doc_id, ngram),
+         |hits AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN inbloom THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_bloom_hits
+         |  FROM perngram GROUP BY doc_id)
+         |SELECT t.doc_id, t.lang,
+         |  coalesce(n_bloom_hits, 0) AS n_bloom_hits,
+         |  coalesce(n_bloom_hits, 0) > 0 AS is_flagged_bloom
+         |FROM t LEFT JOIN hits USING (doc_id)
+         |WHERE t.doc_id % 10 <> 0""".stripMargin
+    },
+
+    "q84_chunk_windows" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         |         len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, toks, n_tokens,
+         |         1 + greatest(0, (n_tokens - $ChunkW + $ChunkS - 1) // $ChunkS)
+         |           AS n_chunks
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CAST(k AS BIGINT) AS chunk_idx,
+         |  CAST(k * $ChunkS AS BIGINT) AS chunk_start,
+         |  CAST(least($ChunkW, n_tokens - k * $ChunkS) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(toks[k * $ChunkS + 1 : k * $ChunkS + $ChunkW], ' ')
+         |    AS chunk_text
+         |FROM (SELECT doc_id, lang, toks, n_tokens,
+         |             unnest(generate_series(0, n_chunks - 1)) AS k FROM c)""".stripMargin)
 }

@@ -136,4 +136,44 @@ class CurationSpec extends SparkSpec {
     assert(got == Set(("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
                       ("2024-01-02", 0L, 1L)))
   }
+
+  test("q83 bloom hits contain q77's exact overlaps (no false negatives)") {
+    val exact = run("q77_decontaminate")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_overlap_ngrams"), r.getAs[Boolean]("is_contaminated"))).toMap
+    val bloom = run("q83_bloom_decontaminate")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bloom_hits"), r.getAs[Boolean]("is_flagged_bloom"))).toMap
+    assert(bloom.keySet == exact.keySet) // same corpus side (bench docs excluded)
+    exact.foreach { case (id, (nExact, flagged)) =>
+      // a Bloom filter can only ADD hits (false positives), never drop one
+      assert(bloom(id)._1 >= nExact, s"doc $id lost exact overlaps")
+      if (flagged) assert(bloom(id)._2, s"doc $id contaminated but not flagged")
+    }
+    // doc 1 genuinely shares 8-grams with bench doc 0; doc 2 has none
+    assert(exact(1L)._2 && bloom(1L)._2)
+    assert(exact(2L)._1 == 0L)
+  }
+
+  test("q84 chunking covers every token with W=50/S=40 overlap") {
+    val dir  = Files.createTempDirectory("chunk_fixture").toString
+    val toks = (0 until 95).map(i => s"w$i") // 95 tokens → chunks at 0/40/80
+    Seq((0L, toks.mkString(" "), "en", "web", 0L),
+        (1L, "solo", "en", "web", 4L)) // 1 token → exactly one chunk
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = CurationQueries.defs("q84_chunk_windows")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("chunk_start"), r.getAs[Long]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text")))
+    val d0 = rows.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.map(c => (c._3, c._4)).toSeq == Seq((0L, 50L), (40L, 50L), (80L, 15L)))
+    d0.foreach { case (_, _, start, n, text) =>
+      assert(text == toks.slice(start.toInt, start.toInt + n.toInt).mkString(" "))
+    }
+    // every token position is covered by at least one chunk
+    val covered = d0.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 95L).toSet)
+    assert(rows.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 1L, "solo")))
+  }
 }
