@@ -32,4 +32,17 @@ object Bridge {
     */
   def isOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
     org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
+
+  /** Register a function builder on an EXISTING session's (session-scoped)
+    * function registry — the post-hoc path for sessions not built with
+    * `spark.sql.extensions=graft.GraftExtensions`. `sessionState` is
+    * `private[sql]`, hence bridged here.
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(name, info, builder)
 }
