@@ -344,6 +344,35 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q86: source-mixture rebalancing — downsample every source to the
+    // SMALLEST source's size (uniform target mixture), the domain-mixing
+    // step of a training-data build. Per-source counts are one partial-
+    // agg'd groupBy whose output is source-cardinality-sized (broadcasts
+    // at any corpus scale); the keep decision is then a scan-local
+    // all-integer comparison (bucket·n_source < 2^16·target_n) on an
+    // md5-derived bucket — reproducible across engines, runs,
+    // partitionings, and task retries, and the kept count concentrates
+    // on target_n per source without any per-source sort or shuffle of
+    // the corpus itself.
+    // ---------------------------------------------------------------
+    "q86_mixture_rebalance" -> { (s, dir) =>
+      val docs   = Tables(s, dir).documents
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      val target = counts.agg(min(col("n_source")).as("target_n"))
+      val bucket = md5Bucket16("mix|", col("doc_id")).cast(LongType)
+      docs.select(col("doc_id"), col("lang"), col("source"),
+                  bucket.as("keep_bucket"))
+        .join(broadcast(counts), "source")
+        .crossJoin(broadcast(target))
+        .filter(col("keep_bucket") * col("n_source") <
+                  lit(65536L) * col("target_n"))
+        .select(col("doc_id"), col("lang"), col("source"),
+                col("n_source"), col("target_n"),
+                (col("target_n").cast(DoubleType) /
+                  col("n_source").cast(DoubleType)).as("sample_rate"))
+    },
+
+    // ---------------------------------------------------------------
     // q84: context-window chunking — split every document into W=50-token
     // chunks advancing by S=40 (10-token overlap), the chunking step of
     // a RAG / long-context training corpus. Pure projection + explode
@@ -566,6 +595,23 @@ object CurationQueries {
          |  coalesce(n_bloom_hits, 0) > 0 AS is_flagged_bloom
          |FROM t LEFT JOIN hits USING (doc_id)
          |WHERE t.doc_id % 10 <> 0""".stripMargin
+    },
+
+    "q86_mixture_rebalance" -> {
+      val bucket =
+        s"(${digitSql(0)} * 4096 + ${digitSql(1)} * 256 + ${digitSql(2)} * 16 + ${digitSql(3)})"
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |         md5('mix|' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM documents),
+         |counts AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_source
+         |  FROM documents GROUP BY source),
+         |tgt AS (SELECT min(n_source) AS target_n FROM counts)
+         |SELECT doc_id, lang, h.source, n_source, target_n,
+         |  CAST(target_n AS DOUBLE) / CAST(n_source AS DOUBLE) AS sample_rate
+         |FROM h JOIN counts USING (source) CROSS JOIN tgt
+         |WHERE CAST($bucket AS BIGINT) * n_source < 65536 * target_n""".stripMargin
     },
 
     "q84_chunk_windows" ->

@@ -78,6 +78,32 @@ object VectorQueries {
       Similarity.annTopKIvf(
         e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
         k = 3, nlist = 16, nprobe = 4)
+    },
+
+    // Scalar int8 quantization — the embedding-compression step of a
+    // vector-search pipeline (4× smaller than float32, 8× smaller than
+    // the double form): per-DIMENSION global min/max → 256 uniform codes.
+    // The stats side is one partial-agg'd groupBy whose output is
+    // dimension-sized (64 rows) no matter how many vectors exist, so it
+    // BROADCASTS back onto the scan at any scale; the quantize itself is
+    // then a scan-local projection. Determinism: min/max are exact, and
+    // code = floor(normalized·255 + 0.5) is one fixed IEEE op sequence,
+    // so codes AND dequantized values hash-gate.
+    "q85_embedding_quantize" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val longf = e
+        .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim_pos"),
+                col("col").as("v"))
+      val stats = longf.groupBy(col("dim_pos"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val codeD = when(col("mx") > col("mn"),
+        floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 255 + 0.5)
+          .cast("double")).otherwise(0.0)
+      longf.join(broadcast(stats), "dim_pos")
+        .select(col("vec_id"), col("dim_pos"),
+                codeD.cast("long").as("code"),
+                (col("mn") + codeD / 255.0 * (col("mx") - col("mn"))).as("dequant"))
     })
 
   /** ANN with determinism-hardened bucketing: vectors are quantized to
@@ -213,5 +239,20 @@ object VectorQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
          |      FROM s)
-         |WHERE rank <= 3""".stripMargin)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q85_embedding_quantize" ->
+      s"""WITH longf AS (
+         |  SELECT vec_id, CAST(i AS BIGINT) AS dim_pos,
+         |         CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i)),
+         |stats AS (SELECT dim_pos, min(v) AS mn, max(v) AS mx FROM longf GROUP BY 1)
+         |SELECT vec_id, dim_pos,
+         |  CAST(CASE WHEN mx > mn
+         |            THEN floor((v - mn) / (mx - mn) * 255 + 0.5)
+         |            ELSE 0.0 END AS BIGINT) AS code,
+         |  mn + (CASE WHEN mx > mn
+         |             THEN floor((v - mn) / (mx - mn) * 255 + 0.5)
+         |             ELSE 0.0 END) / 255.0 * (mx - mn) AS dequant
+         |FROM longf JOIN stats USING (dim_pos)""".stripMargin)
 }

@@ -194,6 +194,35 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q83 bloom probe broadcasts the constant-size filter; q84/q86 stay shuffle-lean") {
+    // The whole point of q83 over q77: the benchmark side collapses to a
+    // ≤2048-row bit table that BROADCASTS onto the corpus n-gram stream —
+    // no shuffle of the corpus against a benchmark-sized set.
+    val bloomPlan = planOf(SparkEntry.queries("q83_bloom_decontaminate")(spark, dir))
+    assert(bloomPlan.contains("BroadcastHashJoin"), s"bloom not broadcast:\n$bloomPlan")
+    assert(!bloomPlan.contains("SortMergeJoin"), s"corpus shuffled against bloom:\n$bloomPlan")
+    // q84 chunking is a scan-local flatMap: projection + explode, ZERO
+    // exchanges of any kind.
+    val chunkPlan = physical(SparkEntry.queries("q84_chunk_windows")(spark, dir))
+    val chunkExchanges = chunkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(chunkExchanges.isEmpty, s"chunking shuffles:\n$chunkPlan")
+    // q86's only shuffle is the tiny per-source count; both the counts
+    // and the single-row target come back by broadcast.
+    val mixPlan = planOf(SparkEntry.queries("q86_mixture_rebalance")(spark, dir))
+    assert(mixPlan.contains("BroadcastHashJoin"), s"counts not broadcast:\n$mixPlan")
+    assert(mixPlan.contains("BroadcastNestedLoopJoin"), s"target not broadcast:\n$mixPlan")
+    assert(!mixPlan.contains("SortMergeJoin"), s"corpus shuffled to rebalance:\n$mixPlan")
+  }
+
+  test("q85 quantization broadcasts the per-dimension stats onto the scan") {
+    val plan = planOf(SparkEntry.queries("q85_embedding_quantize")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"stats not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"vectors shuffled to quantize:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
