@@ -35,6 +35,11 @@ object Bench {
     // Keys shortened to their qNN prefix: 82 full-name entries (~2.7 KB)
     // overflowed the capture window again in round 5 even at ms precision.
     // Full-name ↔ qNN mapping lives in PERF.md.
+    // Uniqueness of the shortened keys is an INVARIANT, not a hope: a
+    // future prefix collision would emit duplicate JSON keys and silently
+    // drop a query's timing in any parser.
+    require(results.keys.map(_.takeWhile(_ != '_')).toSet.size == results.size,
+      "duplicate qNN prefixes in SparkEntry.queries — rename the new query")
     val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

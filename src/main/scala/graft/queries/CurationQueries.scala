@@ -304,38 +304,47 @@ object CurationQueries {
     // implementation-defined).
     // ---------------------------------------------------------------
     "q83_bloom_decontaminate" -> { (s, dir) =>
-      val docs  = Tables(s, dir).documents
-      val ones  = expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-      val wordIdx = floor(col("pos") / 32).cast(LongType).as("word_idx")
-      def positions(ng: DataFrame): DataFrame = {
+      val docs = Tables(s, dir).documents
+      def hashed(ng: DataFrame): DataFrame = {
         val hex = md5(concat(lit("bloom|"), col("ngram")))
         ng.select(ng.columns.map(col) :+ hexValue16(hex, 0).as("h1") :+
                     hexValue16(hex, 4).as("h2"): _*)
-          .select(ng.columns.map(col) :+
-            explode(array((0 until 4).map(j =>
-              (col("h1") + col("h2") * j) % 65536): _*)).as("pos"): _*)
       }
+      def pos(j: Int): Column = (col("h1") + col("h2") * j) % 65536
       val bench = docs.filter(col("doc_id") % 10 === 0)
         .select(explode(Text.shingles(col("text"), 8)).as("ngram"))
         .distinct()
-      val bloom = positions(bench)
-        .select(wordIdx, ones.as("mask"))
+      val bloom = hashed(bench)
+        .select(explode(array((0 until 4).map(pos): _*)).as("p"))
+        .select(floor(col("p") / 32).cast(LongType).as("word_idx"),
+                expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
         .groupBy(col("word_idx"))
         .agg(expr("bit_or(mask)").as("words"))
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-      val probes = positions(
-          corpus.select(col("doc_id"),
-                        explode(Text.shingles(col("text"), 8)).as("ngram")))
-        .select(col("doc_id"), col("ngram"), wordIdx, ones.as("mask"))
-      val perNgram = probes
-        .join(broadcast(bloom), Seq("word_idx"), "left")
-        .select(col("doc_id"), col("ngram"),
-                (coalesce(col("words"), lit(0L)).bitwiseAND(col("mask")) =!= 0L)
-                  .as("hit"))
-        .groupBy(col("doc_id"), col("ngram"))
-        .agg(expr("bool_and(hit)").as("inbloom"))
-      val hits = perNgram.groupBy(col("doc_id"))
-        .agg(sum(when(col("inbloom"), 1L).otherwise(0L)).as("n_bloom_hits"))
+      // The probe NEVER shuffles the n-gram stream (shingles are per-doc
+      // distinct, so there is nothing to pre-aggregate and a
+      // (doc_id, ngram)-keyed exchange would carry every corpus n-gram
+      // string — the exact cost the bloom exists to avoid): the k=4
+      // probed positions stay as plain columns, each resolved against the
+      // 2048-row bloom by its own broadcast join, AND-folded per row.
+      // The only corpus exchange left is the doc_id-keyed hit count.
+      val probed = (0 until 4).foldLeft(
+        hashed(corpus.select(col("doc_id"),
+                             explode(Text.shingles(col("text"), 8)).as("ngram")))
+          .select(col("doc_id") +: (0 until 4).map(j =>
+            pos(j).as(s"p_$j")): _*)) { (df, j) =>
+        df.withColumn(s"wi_$j", floor(col(s"p_$j") / 32).cast(LongType))
+          .join(broadcast(bloom.select(col("word_idx").as(s"wi_$j"),
+                                       col("words").as(s"w_$j"))),
+                Seq(s"wi_$j"), "left")
+      }
+      val hitAll = (0 until 4).map { j =>
+        coalesce(col(s"w_$j"), lit(0L))
+          .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p_$j % 32 AS INT))")) =!= 0L
+      }.reduce(_ && _)
+      val hits = probed
+        .groupBy(col("doc_id"))
+        .agg(sum(when(hitAll, 1L).otherwise(0L)).as("n_bloom_hits"))
       corpus.select(col("doc_id"), col("lang"))
         .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),

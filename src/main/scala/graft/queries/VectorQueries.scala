@@ -241,11 +241,15 @@ object VectorQueries {
          |      FROM s)
          |WHERE rank <= 3""".stripMargin,
 
+    // dims derive from the ACTUAL array per row (posexplode parity for any
+    // length / NULL arrays), never a hardcoded width.
     "q85_embedding_quantize" ->
       s"""WITH longf AS (
          |  SELECT vec_id, CAST(i AS BIGINT) AS dim_pos,
          |         CAST(embedding[i] AS DOUBLE) AS v
-         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i)),
+         |  FROM (SELECT vec_id, embedding,
+         |               unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)),
          |stats AS (SELECT dim_pos, min(v) AS mn, max(v) AS mx FROM longf GROUP BY 1)
          |SELECT vec_id, dim_pos,
          |  CAST(CASE WHEN mx > mn
