@@ -5,7 +5,7 @@ import graft.functions.Text
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Text-analysis + deduplication operator inventory over `documents` —
   * the training-data-pipeline operators (token counting, fingerprinting,
@@ -96,6 +96,70 @@ object TextQueries {
     // MinHash+LSH candidates (md5 min-hash, 8 hashes × 4 bands of 2),
     // annotated with true trigram Jaccard and a confirmation flag.
     "q36_minhash_lsh" -> { (s, dir) => minhashQuery(s, dir) },
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    // MOSS algorithm): positional 4-token k-gram hashes, and from every
+    // window of 5 consecutive hashes select the minimum (rightmost on
+    // ties, encoded as min(struct(hash, -pos))); the distinct selected
+    // (pos, hash) pairs are the document's fingerprint. Guarantees any
+    // shared run of ≥ w+k-1 tokens contributes a shared fingerprint,
+    // with ~2/(w+1) density — the local-fingerprint complement to q31's
+    // whole-document hash.
+    //
+    // Shape at 100 TB: everything is ARRAY-NATIVE inside one projection —
+    // gram build (zip_with over slices), per-gram 16-bit md5 hash, window
+    // argmin (array_min over slices: structs compare field-wise), distinct
+    // — so the operator is scan-local; no shuffle, no window function, no
+    // explode until the final (small) fingerprint set. The md5 runs ONCE
+    // per gram (own transform pass): hex-digit extraction inside a lambda
+    // re-evaluates its argument per reference, so hashing and digit
+    // arithmetic stay in separate transforms.
+    "q87_winnow_fingerprint" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val (k, w) = (4, 5)
+      val toks = Text.tokens(col("text"))
+      val m    = greatest(size(toks) - (k - 1), lit(0))
+      val grams = (1 until k).foldLeft(slice(toks, lit(1), m)) { (acc, o) =>
+        zip_with(acc, slice(toks, lit(1 + o), m), (a, b) => concat(a, lit(" "), b))
+      }
+      def hash16(hex: Column): Column = {
+        def digit(i: Int): Column = {
+          val a = ascii(substring(hex, i + 1, 1))
+          when(a <= 57, a - 48).otherwise(a - 87)
+        }
+        digit(0) * 4096 + digit(1) * 256 + digit(2) * 16 + digit(3)
+      }
+      docs.select(col("doc_id"), grams.as("grams"))
+        .filter(size(col("grams")) > 0)
+        .select(col("doc_id"), size(col("grams")).as("ng"),
+                transform(col("grams"),
+                          g => md5(concat(lit("win|"), g))).as("hexes"))
+        .select(col("doc_id"), col("ng"),
+                zip_with(transform(col("hexes"), h => hash16(h)),
+                         sequence(lit(0), col("ng") - 1),
+                         (h, p) => struct(h.as("h"), (-p).as("negpos")))
+                  .as("pairs"))
+        .select(col("doc_id"), {
+          // Sliding-window min as a zip_with fold over w SHIFTED SLICES of
+          // the pair array — never `transform(windows, j => …pairs…)`:
+          // CollapseProject inlines a single-use column into the lambda,
+          // and a lambda's reference to an outer expression re-evaluates
+          // it PER ELEMENT (the q87 draft cost 23 s at sf0.1 that way;
+          // this form runs in milliseconds). Short docs (ng < w): the
+          // later slices come up short, zip_with null-pads, and
+          // least(a, null) = a — equivalent to one window of length ng.
+          val nwin = greatest(col("ng") - (w - 1), lit(1))
+          val sel = (1 until w).foldLeft(slice(col("pairs"), lit(1), nwin)) {
+            (acc, o) =>
+              zip_with(acc, slice(col("pairs"), lit(1 + o), nwin),
+                       (a, b) => least(a, b))
+          }
+          explode(array_distinct(sel)).as("fp")
+        })
+        .select(col("doc_id"),
+                (-col("fp.negpos")).cast(LongType).as("fp_pos"),
+                col("fp.h").cast(LongType).as("fp_hash"))
+    },
 
     // SimHash near-dup: 64-bit md5-derived simhash, 4×16-bit band
     // candidates, Hamming-verified.
@@ -321,6 +385,39 @@ object TextQueries {
     Text.langProfiles.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // Relational winnowing: the same min(struct(hash, -pos)) per sliding
+    // window, built from an explicit window-start × gram range join (the
+    // array-native Spark form and this row form select identical
+    // fingerprints; DISTINCT collapses windows that picked the same gram).
+    "q87_winnow_fingerprint" -> {
+      def digit(i: Int) =
+        s"(CASE WHEN ascii(substring(hex, ${i + 1}, 1)) <= 57" +
+          s" THEN ascii(substring(hex, ${i + 1}, 1)) - 48" +
+          s" ELSE ascii(substring(hex, ${i + 1}, 1)) - 87 END)"
+      val h16 = s"(${digit(0)} * 4096 + ${digit(1)} * 256 + ${digit(2)} * 16 + ${digit(3)})"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         md5('win|' || array_to_string(toks[i:i+3], ' ')) AS hex
+         |  FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks) - 3)) AS i FROM t)),
+         |hashed AS (SELECT doc_id, pos, $h16 AS h FROM grams),
+         |counts AS (SELECT doc_id, count(*) AS ng FROM hashed GROUP BY doc_id),
+         |wins AS (
+         |  SELECT doc_id, ng, unnest(generate_series(0, greatest(ng - 5, 0))) AS j
+         |  FROM counts),
+         |sel AS (
+         |  SELECT g.doc_id, w.j,
+         |         min(struct_pack(h := g.h, negpos := -g.pos)) AS top
+         |  FROM hashed g JOIN wins w
+         |    ON g.doc_id = w.doc_id
+         |   AND g.pos >= w.j AND g.pos < w.j + least(5, w.ng)
+         |  GROUP BY g.doc_id, w.j)
+         |SELECT DISTINCT doc_id,
+         |  CAST(-top['negpos'] AS BIGINT) AS fp_pos,
+         |  CAST(top['h'] AS BIGINT) AS fp_hash
+         |FROM sel""".stripMargin
+    },
     "q30_token_stats" ->
       """WITH t AS (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id, lang, n_chars,

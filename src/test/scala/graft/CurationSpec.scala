@@ -155,6 +155,33 @@ class CurationSpec extends SparkSpec {
     assert(exact(2L)._1 == 0L)
   }
 
+  test("q87 winnowing: shared ≥(w+k-1)-token runs share a fingerprint; short docs drop out") {
+    val fps = graft.queries.TextQueries.defs("q87_winnow_fingerprint")(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1)
+    // docs 0 and 1 share their first 10 tokens (≥ w+k-1 = 8): the MOSS
+    // guarantee says at least one fingerprint HASH must be common
+    val h0 = byDoc(0L).map(_._3).toSet
+    val h1 = byDoc(1L).map(_._3).toSet
+    assert((h0 & h1).nonEmpty, s"shared run produced no shared fingerprint: $h0 vs $h1")
+    // doc 2 has 1 token (< k): no grams, no fingerprints, no row
+    assert(!byDoc.contains(2L))
+    // density: never more fingerprints than windows, and positions in range
+    byDoc.foreach { case (_, rows) =>
+      rows.foreach { case (_, pos, h) =>
+        assert(pos >= 0 && h >= 0 && h < 65536)
+      }
+    }
+    // doc 0's text repeats identically (tokens 0-9 == 10-19): its
+    // fingerprint HASHES at offset pos and pos+10 coincide where both
+    // positions were selected — sanity that hashing is positional-content
+    // based, not position-salted
+    val d0 = byDoc(0L).map(r => r._2 -> r._3).toMap
+    d0.foreach { case (pos, h) =>
+      if (d0.contains(pos + 10) && pos + 10 <= 6) assert(d0(pos + 10) == h)
+    }
+  }
+
   test("q84 chunking covers every token with W=50/S=40 overlap") {
     val dir  = Files.createTempDirectory("chunk_fixture").toString
     val toks = (0 until 95).map(i => s"w$i") // 95 tokens → chunks at 0/40/80
