@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ TimeSeriesQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs ++
-      TemporalQueries.defs ++ OlapQueries.defs ++ CurationQueries.defs
+      TemporalQueries.defs ++ OlapQueries.defs ++ CurationQueries.defs ++
+      RetrievalQueries.defs ++ GraphQueries.defs ++ IncrementalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++
       TextQueries.oracles ++ VectorQueries.oracles ++ PipelineQueries.oracles ++
-      TemporalQueries.oracles ++ OlapQueries.oracles ++ CurationQueries.oracles
+      TemporalQueries.oracles ++ OlapQueries.oracles ++ CurationQueries.oracles ++
+      RetrievalQueries.oracles ++ GraphQueries.oracles ++ IncrementalQueries.oracles
 }

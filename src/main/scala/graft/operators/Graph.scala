@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Iterative graph analytics over edge DataFrames — the second graph
+  * operator family next to [[Dedup.connectedComponents]]. PageRank here is
+  * the link-analysis primitive a crawl-curation pipeline uses to weight
+  * documents by their (co-occurrence / hyperlink) graph centrality.
+  *
+  * Determinism contract: all arithmetic is INTEGER-scaled (ranks are
+  * BIGINT units of 1e-12, damping 0.85 applied as ·85 div 100). Integer
+  * sums are associative-exact, so the result is bit-identical across
+  * partitionings, merge orders, and engines — the same discipline that
+  * lets q59's decimal power sums and q66's KMV estimate hash-gate. The
+  * truncation error vs real-valued PageRank is ≤ indegree·1e-12 per node
+  * per iteration, far below any ranking-relevant signal.
+  *
+  * 100 TB shape: each iteration is ONE equi-join (edges ⋈ ranks on src —
+  * both sides shuffle on the join key; on a real cluster you bucket both
+  * by node id so iterations reuse the layout) plus ONE partial+final
+  * aggregation on dst. The rank frame stays node-sized; edges are never
+  * materialized per iteration (cache them once at the call site). No
+  * windows, no driver-side collection, no per-node loops.
+  */
+object Graph {
+
+  /** Rank scale: 1 unit = 1e-12 of total rank mass. */
+  val Scale = 1000000000000L
+
+  /** Damped PageRank over a directed edge list, `iters` synchronous
+    * iterations from a uniform start. Nodes = distinct edge sources
+    * (callers pass symmetric edge sets when the graph is undirected, so
+    * every node has out-degree ≥ 1 — no dangling-mass redistribution).
+    *
+    * @param edges DataFrame with `src`, `dst` (any integral type)
+    * @return DataFrame of (node, rank_e12): BIGINT rank in 1e-12 units
+    */
+  def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0,100)")
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg, "src")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    // teleport + init are integer divisions of the scaled mass — computed
+    // per-row against the broadcast single-row count, never collected.
+    val teleport = expr(s"($Scale * ${100 - dampingPct}) div (n * 100)")
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"$Scale div n").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr(s"(rank * $dampingPct) div (outdeg * 100)").as("c"))
+      val inRank = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_rank"))
+      ranks = nodes.crossJoin(broadcast(n))
+        .join(inRank, col("node") === col("dst"), "left")
+        .select(col("node"),
+                (teleport + coalesce(col("in_rank"), lit(0L))).as("rank"))
+    }
+    ranks.select(col("node"), col("rank").as("rank_e12"))
+  }
+}

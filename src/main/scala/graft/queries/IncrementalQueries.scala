@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental-ingestion operators — the "snapshot delta" slice of a crawl
+  * pipeline: new documents are admitted against the EXISTING corpus
+  * without reprocessing it (the batch analog of the streaming dedup in
+  * `streaming.EventsStream`; the corpus-wide batch dedup family is
+  * q34–q36/q67).
+  */
+object IncrementalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** doc_id < Split = the already-ingested corpus; >= Split = the new
+    * crawl snapshot being admitted.
+    */
+  private val Split = 400L
+
+  val defs: Map[String, Q] = Map(
+    // ---------------------------------------------------------------
+    // q91: snapshot-delta dedup. Each NEW document is checked against
+    // the base corpus on two ladders: (1) exact/reorder duplication —
+    // its sorted-token fingerprint (q31's) exists in the base; (2)
+    // near-duplication — ≥ half of its distinct 8-grams already occur
+    // in the base (containment, the asymmetric Jaccard a crawl
+    // pipeline actually wants: "is this new page mostly old text?").
+    // Verdicts are all-integer (2·overlap vs n_ngrams — no float
+    // thresholds), so the row hash-gates exactly.
+    //
+    // 100 TB shape: base fingerprints and base n-grams are corpus-scale
+    // TABLES, not broadcasts — both checks are equi-joins (bucket both
+    // sides by the join key in a real deployment and the delta admits
+    // with zero wide shuffles of the base). The base side is
+    // groupBy-distinct, so partial aggregation collapses repeated
+    // n-grams map-side; the delta side's n-grams are per-doc distinct
+    // by construction (Text.shingles). The q83 bloom is the
+    // constant-memory fast-path refinement when a ~0.1% false-drop
+    // rate is acceptable; this is the exact path.
+    // ---------------------------------------------------------------
+    "q91_snapshot_dedup" -> { (s, dir) =>
+      val docs  = Tables(s, dir).documents
+      val base  = docs.filter(col("doc_id") < Split)
+      val delta = docs.filter(col("doc_id") >= Split)
+      val baseFp = base
+        .select(Text.sortedTokenFingerprint(col("text")).as("fp"))
+        .distinct()
+        .withColumn("fp_hit", lit(true))
+      val exact = delta
+        .select(col("doc_id"), col("lang"),
+                Text.sortedTokenFingerprint(col("text")).as("fp"))
+        .join(baseFp, Seq("fp"), "left")
+      val baseNg = base
+        .select(explode(Text.shingles(col("text"), 8)).as("ngram"))
+        .distinct()
+        .withColumn("ng_hit", lit(1L))
+      val overlap = delta
+        .select(col("doc_id"), explode(Text.shingles(col("text"), 8)).as("ngram"))
+        .join(baseNg, Seq("ngram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"),
+             sum(coalesce(col("ng_hit"), lit(0L))).as("n_overlap"))
+      exact.join(overlap, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("lang"),
+          coalesce(col("fp_hit"), lit(false)).as("is_exact_dup"),
+          coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .withColumn("containment_permille",
+          when(col("n_ngrams") > 0,
+               expr("(n_overlap * 1000) div n_ngrams")).otherwise(lit(0L)))
+        .withColumn("keep",
+          !col("is_exact_dup") &&
+            (col("n_ngrams") === 0 || col("n_overlap") * 2 < col("n_ngrams")))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q91_snapshot_dedup" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |basefp AS (
+         |  SELECT DISTINCT md5(array_to_string(list_sort(toks), ' ')) AS fp
+         |  FROM t WHERE doc_id < $Split),
+         |deltafp AS (
+         |  SELECT doc_id, lang,
+         |         md5(array_to_string(list_sort(toks), ' ')) AS fp
+         |  FROM t WHERE doc_id >= $Split),
+         |baseng AS (
+         |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS ngram
+         |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |        FROM t WHERE doc_id < $Split)),
+         |deltang AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |        FROM t WHERE doc_id >= $Split)),
+         |ov AS (
+         |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |         CAST(sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_overlap
+         |  FROM deltang d LEFT JOIN baseng b ON d.ngram = b.ngram
+         |  GROUP BY d.doc_id),
+         |j AS (
+         |  SELECT f.doc_id, f.lang,
+         |         coalesce(f.fp IN (SELECT fp FROM basefp), FALSE) AS is_exact_dup,
+         |         coalesce(n_ngrams, 0) AS n_ngrams,
+         |         coalesce(n_overlap, 0) AS n_overlap
+         |  FROM deltafp f LEFT JOIN ov ON ov.doc_id = f.doc_id)
+         |SELECT doc_id, lang, is_exact_dup, n_ngrams, n_overlap,
+         |  CASE WHEN n_ngrams > 0 THEN (n_overlap * 1000) // n_ngrams
+         |       ELSE 0 END AS containment_permille,
+         |  (NOT is_exact_dup) AND (n_ngrams = 0 OR n_overlap * 2 < n_ngrams)
+         |    AS keep
+         |FROM j""".stripMargin
+  )
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Text-retrieval + frequency-sketch operators over `documents` — the
+  * "index-free search" slice of the training-data pipeline: BM25 keyword
+  * retrieval for a fixed query (corpus triage / boosted sampling by
+  * topicality) and a count-min sketch for heavy-hitter token frequencies
+  * (the streaming-friendly complement to an exact groupBy count).
+  *
+  * Scale discipline shared by both: per-document statistics are computed
+  * scan-local (pure projections over the token array — no explode+shuffle
+  * for a FIXED term set), corpus-level statistics collapse to constant-size
+  * frames (a single stats row / a ≤ d·w-row sketch) that broadcast back
+  * onto the scan. The corpus itself is never shuffled.
+  */
+object RetrievalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The fixed BM25 query terms (present in the synthetic vocabulary). */
+  private val BmTerms = Seq("spark", "join", "vector")
+
+  /** i-th hex digit of an md5 column as an int (ascii arithmetic — portable
+    * to the DuckDB oracle without conv()). Same idiom as q61/q79.
+    */
+  private def hexDigit(hex: Column, i: Int): Column = {
+    val a = ascii(substring(hex, i + 1, 1))
+    when(a <= 57, a - 48).otherwise(a - 87)
+  }
+
+  /** Four hex digits starting at `from` as a 0..65535 int. */
+  private def hex4(hex: Column, from: Int): Column =
+    hexDigit(hex, from) * 4096 + hexDigit(hex, from + 1) * 256 +
+      hexDigit(hex, from + 2) * 16 + hexDigit(hex, from + 3)
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** Kirsch–Mitzenmacher bucket row for hash row j: (h1 + j·h2) mod w,
+    * h1/h2 = two independent 16-bit slices of one md5 — ONE hash per token,
+    * d derived positions (the same derivation MinHashSigs uses).
+    */
+  private def cmsBuckets(hex: Column): Column = {
+    val h1 = hex4(hex, 0)
+    val h2 = hex4(hex, 4)
+    array((0 until CmsDepth).map(j => (h1 + lit(j) * h2) % CmsWidth): _*)
+  }
+
+  val defs: Map[String, Q] = Map(
+    // ---------------------------------------------------------------
+    // q88: BM25 top-k retrieval for a fixed 3-term query. Okapi BM25
+    // (k1=1.2, b=0.75) — the standard keyword-relevance score
+    // (Robertson & Spärck Jones; the reference ranks indicators by
+    // threshold predicates, this is the text-corpus analog used to
+    // triage training data by topicality).
+    //
+    // 100 TB shape: because the query terms are literals, per-document
+    // term frequencies are PROJECTIONS over the token array
+    // (size(filter(toks, t = term)) — scan-local, codegen'd, no
+    // explode, no shuffle). Corpus stats (N, Σdl, per-term document
+    // frequencies) collapse to ONE row that returns by broadcast; the
+    // only movement of document data is the final TakeOrdered top-25.
+    // avgdl is Σdl/N computed from exact integer sums — no
+    // merge-order float accumulation anywhere; the 3-term score sums
+    // in fixed expression order and is quantized to 1e-9 (same ulp
+    // discipline as q78's perplexity).
+    // ---------------------------------------------------------------
+    "q88_bm25_topk" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val toks = Text.tokens(col("text"))
+      val tfCols = BmTerms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === lit(t))).cast(LongType).as(s"tf$i")
+      }
+      val base = docs.select(
+        col("doc_id") +: col("lang") +:
+          size(toks).cast(LongType).as("dl") +: tfCols: _*)
+      val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+        BmTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+      def contrib(i: Int): Column = {
+        val tf  = col(s"tf$i").cast(DoubleType)
+        val dfq = col(s"df$i").cast(DoubleType)
+        val idf = log(lit(1.0) +
+          (col("n_docs").cast(DoubleType) - dfq + lit(0.5)) / (dfq + lit(0.5)))
+        val denom = tf + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl").cast(DoubleType) / avgdl))
+        when(col(s"tf$i") > 0, idf * (tf * lit(2.2)) / denom).otherwise(lit(0.0))
+      }
+      val score = BmTerms.indices.map(contrib).reduce(_ + _) // fixed order
+      val nMatched = BmTerms.indices
+        .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("lang"), nMatched.as("n_terms_matched"),
+                (floor(score * 1e9 + 0.5) / 1e9).as("bm25_score"))
+        .filter(col("n_terms_matched") > 0)
+        .orderBy(col("bm25_score").desc, col("doc_id").asc)
+        .limit(25)
+    },
+
+    // ---------------------------------------------------------------
+    // q89: count-min sketch heavy hitters (Cormode & Muthukrishnan).
+    // The token-frequency sketch: d=4 rows × w=1024 counters, each
+    // token occurrence incrementing one counter per row at a
+    // K–M-derived md5 position; the estimate for a token is the MIN
+    // over its d counters — an overestimate by construction, exact
+    // for tokens that collide with nothing in some row.
+    //
+    // Like q66's KMV: the ESTIMATE itself hash-gates, because every
+    // position derives from md5 — no engine-defined hash layouts.
+    // 100 TB shape: the sketch is a ≤ d·w-row aggregate (partial
+    // map-side combine collapses each scan task to ≤ 4096 counters
+    // before the shuffle) that BROADCASTS back onto the probe side;
+    // the probe set here is the vocabulary (the exact truth is also
+    // computed to exhibit the overcount), in production an arbitrary
+    // candidate list. The corpus is scanned, never shuffled at width.
+    // ---------------------------------------------------------------
+    "q89_cms_heavy_hitters" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      // CMS is LINEAR: summing each occurrence into its buckets equals
+      // summing per-token counts into the same buckets. Folding through
+      // the (partial-agg'd) token counts first pays ONE corpus
+      // aggregation and one md5 per DISTINCT token instead of one per
+      // occurrence (measured 3.3 s → sub-second at sf0.1); the exact
+      // counts were needed anyway to exhibit the overcount. With an
+      // unbounded vocabulary you'd fold occurrences straight into the
+      // ≤ d·w-counter partial aggregate instead — same operator, the
+      // map-side combine still collapses every task to ≤ 4096 rows.
+      val truth = docs
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+        .withColumn("hex", md5(concat(lit("cms|"), col("tok"))))
+      val entries = truth.select(
+        col("true_cnt"),
+        posexplode(cmsBuckets(col("hex"))).as(Seq("r", "bucket")))
+      val cms = entries.groupBy(col("r"), col("bucket"))
+        .agg(sum(col("true_cnt")).as("cnt"))
+      val probe = truth.select(
+        col("tok"), col("true_cnt"),
+        posexplode(cmsBuckets(col("hex"))).as(Seq("r", "bucket")))
+      probe.join(broadcast(cms), Seq("r", "bucket"))
+        .groupBy(col("tok"), col("true_cnt"))
+        .agg(min(col("cnt")).as("cms_estimate"))
+        .select(col("tok"), col("true_cnt"), col("cms_estimate"),
+                (col("cms_estimate") - col("true_cnt")).as("overcount"))
+    }
+  )
+
+  private def digitSql(i: Int): String =
+    s"(CASE WHEN ascii(substring(hex, ${i + 1}, 1)) <= 57" +
+      s" THEN ascii(substring(hex, ${i + 1}, 1)) - 48" +
+      s" ELSE ascii(substring(hex, ${i + 1}, 1)) - 87 END)"
+
+  private def hex4Sql(from: Int): String =
+    s"(${digitSql(from)} * 4096 + ${digitSql(from + 1)} * 256 + " +
+      s"${digitSql(from + 2)} * 16 + ${digitSql(from + 3)})"
+
+  val oracles: Map[String, String] = Map(
+    "q88_bm25_topk" -> {
+      val terms = BmTerms
+      val tfSel = terms.zipWithIndex
+        .map { case (t, i) => s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }
+        .mkString(", ")
+      val dfSel = terms.indices
+        .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      def contrib(i: Int) =
+        s"""CASE WHEN tf$i > 0 THEN
+           |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+           |           / (CAST(df$i AS DOUBLE) + 0.5))
+           |  * (CAST(tf$i AS DOUBLE) * 2.2)
+           |  / (CAST(tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+           |       (CAST(dl AS DOUBLE)
+           |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+           |ELSE 0.0 END""".stripMargin
+      val matched = terms.indices
+        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, len(toks) AS dl, $tfSel
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfSel FROM base)
+         |SELECT doc_id, lang,
+         |  CAST($matched AS BIGINT) AS n_terms_matched,
+         |  floor((${terms.indices.map(i => s"(${contrib(i)})").mkString(" + ")})
+         |        * 1e9 + 0.5) / 1e9 AS bm25_score
+         |FROM base CROSS JOIN stats
+         |WHERE $matched > 0
+         |ORDER BY bm25_score DESC, doc_id ASC
+         |LIMIT 25""".stripMargin
+    },
+
+    "q89_cms_heavy_hitters" -> {
+      // DuckDB 1.0 rejects lateral unnest over column-derived arrays
+      // (ADVICE r4), so the d bucket rows unpivot via UNION ALL.
+      def unpivot(src: String, extra: String) = (0 until CmsDepth).map { j =>
+        s"SELECT $extra CAST($j AS INTEGER) AS r, (h1 + $j * h2) % $CmsWidth AS bucket FROM $src"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT tok, md5('cms|' || tok) AS hex
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |hashed AS (SELECT tok, ${hex4Sql(0)} AS h1, ${hex4Sql(4)} AS h2 FROM tok),
+         |e AS (
+         |  ${unpivot("hashed", "")}),
+         |cms AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM e GROUP BY r, bucket),
+         |truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt,
+         |                 min(hex) AS hex
+         |          FROM tok GROUP BY tok),
+         |th AS (SELECT tok, true_cnt, ${hex4Sql(0)} AS h1, ${hex4Sql(4)} AS h2
+         |       FROM truth),
+         |probe AS (
+         |  ${unpivot("th", "tok, true_cnt,")}),
+         |est AS (
+         |  SELECT tok, true_cnt, min(cnt) AS cms_estimate
+         |  FROM probe JOIN cms USING (r, bucket) GROUP BY tok, true_cnt)
+         |SELECT tok, true_cnt, cms_estimate,
+         |       cms_estimate - true_cnt AS overcount
+         |FROM est""".stripMargin
+    }
+  )
+}

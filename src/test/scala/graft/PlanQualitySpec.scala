@@ -186,7 +186,8 @@ class PlanQualitySpec extends SparkSpec {
     // row_number over an entity-partitioned window (one task per hot
     // entity at 100 TB).
     for (q <- Seq("q80_funnel", "q81_retention", "q75_segment_dedup",
-                  "q82_ngram_novelty", "q76_repetition_quality")) {
+                  "q82_ngram_novelty", "q76_repetition_quality",
+                  "q91_snapshot_dedup")) {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("Window"), s"$q plans a window:\n$plan")
       assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
@@ -221,6 +222,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"stats not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"vectors shuffled to quantize:\n$plan")
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
+  test("q88 BM25 is projection-only tf + broadcast stats + TakeOrdered top-k") {
+    // The fixed-term design goal: NO explode of the corpus (term counts are
+    // scan-local array projections), the single stats row broadcasts back,
+    // and the only movement of document rows is the top-25 TakeOrdered.
+    val df   = SparkEntry.queries("q88_bm25_topk")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Generate"), s"corpus exploded for tf:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for stats:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"stats not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k is a full sort:\n$plan")
+  }
+
+  test("q89 CMS collapses map-side and broadcasts onto the probe") {
+    // The sketch aggregate must plan partial+final (each scan task reduces
+    // to ≤ d·w counters BEFORE the shuffle) and the ≤4096-row sketch joins
+    // the probe side by broadcast — the token stream is never sort-merged.
+    val df   = SparkEntry.queries("q89_cms_heavy_hitters")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe sort-merged:\n$plan")
+    assert(plan.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"no partial+final sketch aggregate:\n$plan")
+  }
+
+  test("q90 PageRank iterations are join+partial-agg, no windows, edges cached") {
+    val df   = SparkEntry.queries("q90_pagerank")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"pagerank plans a window:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"edges not cached across iterations:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
   }
 
   test("salting spreads a hot key across buckets with identical join results") {

@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Semantics of the retrieval (q88/q89) and graph (q90) operators:
+  * BM25's scan-local projection tf ≡ the explode+groupBy formulation,
+  * CMS never undercounts and is partition-invariant, and integer-scaled
+  * PageRank matches an exact driver-side reference fold on a crafted
+  * graph (same truncating arithmetic) and conserves rank mass.
+  */
+class RetrievalGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q88 scan-local tf equals the explode+groupBy BM25 formulation") {
+    val df = SparkEntry.queries("q88_bm25_topk")(spark, dir)
+    // alternative shape: explode tokens, filter to the terms, count
+    val docs  = graft.core.Tables(spark, dir).documents
+    val terms = Seq("spark", "join", "vector")
+    val tf = docs
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tfCols = col("doc_id") +: terms.zipWithIndex.map { case (t, i) =>
+      size(filter(graft.functions.Text.tokens(col("text")), x => x === lit(t)))
+        .cast("long").as(s"tf$i")
+    }
+    val base = docs.select(tfCols: _*)
+    base.collect().foreach { r =>
+      val id = r.getLong(0)
+      terms.zipWithIndex.foreach { case (t, i) =>
+        assert(r.getLong(i + 1) == tf.getOrElse((id, t), 0L),
+          s"tf mismatch doc=$id term=$t")
+      }
+    }
+    // and the top-k is well-formed: scores strictly ordered after tiebreak
+    val rows = df.collect()
+    assert(rows.length == 25)
+    val keys = rows.map(r => (-r.getDouble(3), r.getLong(0)))
+    assert(keys.sameElements(keys.sorted), "top-k not in (score desc, id) order")
+  }
+
+  test("q89 CMS never undercounts and is invariant to input partitioning") {
+    val out = SparkEntry.queries("q89_cms_heavy_hitters")(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"CMS undercounts ${r.getString(0)}")
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+    // the sketch is a commutative aggregate: totals survive any partitioning
+    val spread = out.repartition(13).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap == spread)
+  }
+
+  test("q91 flags exact reorder-dups and containment near-dups on a crafted fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_fixture").toString
+    val ws = (1 to 12).map(i => s"w$i").mkString(" ") // 12 tokens → 5 8-grams
+    val docs = Seq(
+      (0L, ws, "en", "web", 1L),                                  // base
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12", "en", "web", 1L), // base
+      // delta: exact reorder of base doc 0 → exact dup, not kept
+      (400L, (1 to 12).reverse.map(i => s"w$i").mkString(" "), "en", "web", 1L),
+      // delta: shares a long prefix with base doc 1 (high containment)
+      (401L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 zz", "en", "web", 1L),
+      // delta: fully novel text → kept
+      (402L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11 n12", "en", "web", 1L),
+      // delta: too short for 8-grams, novel tokens → kept (n_ngrams=0)
+      (403L, "s1 s2 s3", "en", "web", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q91_snapshot_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getLong(3), r.getLong(4), r.getBoolean(6))).toMap
+    assert(out(400L) == ((true, 5L, 0L, false)), s"reorder dup: ${out(400L)}")
+    // doc 401 shares 4 of its 5 8-grams with base doc 1 → 800‰, dropped
+    assert(out(401L) == ((false, 5L, 4L, false)), s"near dup: ${out(401L)}")
+    assert(out(402L) == ((false, 5L, 0L, true)), s"novel: ${out(402L)}")
+    assert(out(403L) == ((false, 0L, 0L, true)), s"short novel: ${out(403L)}")
+  }
+
+  test("pageRank matches an exact integer reference fold on a crafted graph") {
+    // path graph 1–2–3 (symmetric): hand-foldable, asymmetric degrees
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // driver-side reference with the SAME truncating integer arithmetic
+    val adj    = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    val n      = 3L
+    var rank   = adj.keys.map(_ -> Graph.Scale / n).toMap
+    val telep  = Graph.Scale * 15 / (n * 100)
+    for (_ <- 1 to 3) {
+      val in = adj.toSeq
+        .flatMap { case (u, vs) => vs.map(v => v -> (rank(u) * 85 / (vs.size * 100))) }
+        .groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+      rank = adj.keys.map(v => v -> (telep + in.getOrElse(v, 0L))).toMap
+    }
+    assert(got == rank, s"got $got expected $rank")
+  }
+
+  test("pageRank conserves rank mass up to truncation and is partition-invariant") {
+    val t  = graft.core.Tables(spark, dir)
+    val li = t.lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.okey") === col("b.okey") && col("a.part") =!= col("b.part"))
+      .select(col("a.part").as("src"), col("b.part").as("dst")).distinct()
+    val r1 = Graph.pageRank(edges, 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nNodes = r1.size
+    val mass = r1.values.sum
+    // every division truncates < 1 unit; per iteration the loss is bounded
+    // by (#edges + #nodes) units — at 1e-12 scale, far under 0.1% of mass
+    assert(mass <= Graph.Scale && mass > (Graph.Scale * 999L) / 1000L,
+      s"mass $mass out of range for $nNodes nodes")
+    assert(r1.values.forall(_ > 0))
+    val r2 = Graph.pageRank(edges.repartition(7), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r2, "pageRank not partition-invariant")
+  }
+}
