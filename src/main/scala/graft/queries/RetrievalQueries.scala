@@ -149,6 +149,89 @@ object RetrievalQueries {
         .agg(min(col("cnt")).as("cms_estimate"))
         .select(col("tok"), col("true_cnt"), col("cms_estimate"),
                 (col("cms_estimate") - col("true_cnt")).as("overcount"))
+    },
+
+    // ---------------------------------------------------------------
+    // q92: per-document keyword extraction — top-3 tokens by tf·idf
+    // (idf = ln(N/df)). The per-doc counterpart to q88's corpus-level
+    // retrieval: the "what is this document about" tagging step.
+    //
+    // 100 TB shape: tf = ONE corpus-token aggregation (map-side partial
+    // combine — tokens repeat within a doc's partition); df is
+    // vocabulary-sized and broadcasts; the top-3 runs as the bounded-
+    // heap TopKPairs aggregate (map-side ≤3 pairs per doc — NO
+    // row_number window funnelling a doc's tokens through one task).
+    // Ranking determinism: the heap key is a 19-digit zero-padded
+    // inverted quantized score + '|' + token, so binary ASC order ==
+    // (score DESC, token ASC) exactly — the oracle's ORDER BY.
+    // ---------------------------------------------------------------
+    "q92_tfidf_keywords" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val tf = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val Big = 1000000000000000000L // 10^18 — scores scale to < 10^12
+      val scaled = floor(col("tf").cast(DoubleType) *
+        log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)) *
+        1e9 + 0.5).cast(LongType)
+      val key = concat(lpad((lit(Big) - scaled).cast(StringType), 19, "0"),
+                       lit("|"), col("tok"))
+      tf.join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), key.as("key"), col("tf"))
+        .groupBy(col("doc_id"))
+        .agg(org.apache.spark.sql.graftx.TopKPairs
+          .topK(col("key"), col("tf"), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")))
+        .select(
+          col("doc_id"), (col("pos") + 1).cast(LongType).as("kw_rank"),
+          substring_index(col("col.key"), "|", -1).as("tok"),
+          col("col.id").as("tf"),
+          ((lit(Big) - substring(col("col.key"), 1, 19).cast(LongType))
+            .cast(DoubleType) / 1e9).as("tfidf_score"))
+    },
+
+    // ---------------------------------------------------------------
+    // q93: fixed-bin histogram quantile sketch over events.value — the
+    // mergeable approximate-quantile op for 100 TB numeric columns
+    // (the constant-size complement to q18's exact percentile_cont):
+    // pass 1 collapses to ONE (min, max, count) row; pass 2 bins every
+    // value into 1024 uniform buckets with a scan-local projection and
+    // partial+final counts. The CDF walk and the quantile pick run
+    // over ≤ 1024 rows — the only Window in the plan sees the
+    // CONSTANT-size histogram, never the data. Estimates are
+    // deterministic (bin assignment is pure IEEE arithmetic, identical
+    // in the oracle), so the rows hash-gate.
+    // ---------------------------------------------------------------
+    "q93_histogram_quantiles" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val stats = e.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+                        count(col("value")).as("n"))
+      val binned = e.select(col("value")).filter(col("value").isNotNull)
+        .crossJoin(broadcast(stats))
+        .select(least(floor((col("value") - col("vmin")) /
+                  (col("vmax") - col("vmin")) * 1024), lit(1023.0))
+                  .cast(LongType).as("bin"))
+      val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cdf = hist.withColumn("cum_cnt", sum(col("cnt")).over(w))
+      val targets = stats.select(explode(array(Seq(50, 90, 99).map(p =>
+        struct(lit(p.toLong).as("pct"),
+               expr(s"(n * $p + 99) div 100").as("target_rank"))): _*)).as("t"))
+        .select(col("t.pct"), col("t.target_rank"))
+      targets.join(cdf, col("cum_cnt") >= col("target_rank"))
+        .groupBy(col("pct"), col("target_rank"))
+        .agg(min(col("bin")).as("bin_idx"))
+        .crossJoin(broadcast(stats))
+        .select(col("pct"), col("target_rank"), col("bin_idx"),
+          (col("vmin") + col("bin_idx").cast(DoubleType) *
+            (col("vmax") - col("vmin")) / 1024).as("bin_lo"),
+          (col("vmin") + (col("bin_idx") + 1).cast(DoubleType) *
+            (col("vmax") - col("vmin")) / 1024).as("bin_hi"))
     }
   )
 
@@ -222,6 +305,55 @@ object RetrievalQueries {
          |SELECT tok, true_cnt, cms_estimate,
          |       cms_estimate - true_cnt AS overcount
          |FROM est""".stripMargin
-    }
+    },
+
+    "q92_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, tf,
+        |    CAST(floor(CAST(tf AS DOUBLE)
+        |               * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |               * 1e9 + 0.5) AS BIGINT) AS scaled
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, tok, tf, scaled,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY scaled DESC, tok ASC) AS kw_rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, tok, tf,
+        |  CAST(scaled AS DOUBLE) / 1e9 AS tfidf_score
+        |FROM ranked WHERE kw_rank <= 3""".stripMargin,
+
+    "q93_histogram_quantiles" ->
+      """WITH stats AS (
+        |  SELECT min(value) AS vmin, max(value) AS vmax, count(value) AS n
+        |  FROM events),
+        |binned AS (
+        |  SELECT CAST(least(floor((value - vmin) / (vmax - vmin) * 1024),
+        |                    1023.0) AS BIGINT) AS bin
+        |  FROM events CROSS JOIN stats WHERE value IS NOT NULL),
+        |hist AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+        |cdf AS (
+        |  SELECT bin, sum(cnt) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+        |  FROM hist),
+        |targets AS (
+        |  SELECT pct, (n * pct + 99) // 100 AS target_rank
+        |  FROM (SELECT unnest([CAST(50 AS BIGINT),
+        |                       CAST(90 AS BIGINT),
+        |                       CAST(99 AS BIGINT)]) AS pct) CROSS JOIN stats),
+        |sel AS (
+        |  SELECT pct, target_rank, min(bin) AS bin_idx
+        |  FROM targets JOIN cdf ON cum_cnt >= target_rank
+        |  GROUP BY pct, target_rank)
+        |SELECT pct, target_rank, bin_idx,
+        |  vmin + CAST(bin_idx AS DOUBLE) * (vmax - vmin) / 1024 AS bin_lo,
+        |  vmin + CAST(bin_idx + 1 AS DOUBLE) * (vmax - vmin) / 1024 AS bin_hi
+        |FROM sel CROSS JOIN stats""".stripMargin
   )
 }

@@ -258,6 +258,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
   }
 
+  test("q92 keyword top-3 is a bounded-heap aggregate, no per-doc window") {
+    val df   = SparkEntry.queries("q92_tfidf_keywords")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"per-doc window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no TopKPairs aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"df not broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"N not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"tf shuffled to score:\n$plan")
+  }
+
+  test("q93 histogram sketch: the only window runs over the aggregated bins") {
+    // The data path is projection + partial/final count; a Window is fine
+    // ONLY downstream of the ≤1024-row histogram aggregate — never over
+    // raw events.
+    val df = SparkEntry.queries("q93_histogram_quantiles")(spark, dir)
+    val wins = physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the CDF window")
+    wins.foreach { w =>
+      assert(w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty, s"CDF window runs over non-aggregated data:\n${planOf(df)}")
+    }
+    assert(planOf(df).contains("BroadcastNestedLoopJoin"),
+      s"stats not broadcast:\n${planOf(df)}")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))

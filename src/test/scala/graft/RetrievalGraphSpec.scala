@@ -57,6 +57,42 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap == spread)
   }
 
+  test("q92 heap-encoded top-3 equals the window formulation") {
+    val got = SparkEntry.queries("q92_tfidf_keywords")(spark, dir)
+    // naive alternative: row_number window over the same quantized score
+    val docs = graft.core.Tables(spark, dir).documents
+    val tf = docs
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scaled = floor(col("tf").cast("double") *
+      log(col("n_docs").cast("double") / col("df").cast("double")) * 1e9 + 0.5)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("scaled").desc, col("tok").asc)
+    val naive = tf.join(dfreq, "tok").crossJoin(n)
+      .select(col("doc_id"), col("tok"), col("tf"), scaled.as("scaled"))
+      .withColumn("kw_rank", row_number().over(w).cast("long"))
+      .filter(col("kw_rank") <= 3)
+      .select(col("doc_id"), col("kw_rank"), col("tok"), col("tf"),
+              (col("scaled").cast("double") / 1e9).as("tfidf_score"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "TopKPairs top-3 diverges from the window formulation")
+  }
+
+  test("q93 bin estimates bracket the exact quantile values") {
+    val rows = SparkEntry.queries("q93_histogram_quantiles")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(Array(50L, 90L, 99L)))
+    val values = graft.core.Tables(spark, dir).events
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    rows.foreach { r =>
+      val exact = values(r.getLong(1).toInt - 1) // target_rank is 1-based
+      assert(r.getDouble(3) <= exact && exact <= r.getDouble(4),
+        s"p${r.getLong(0)}: exact $exact outside [${r.getDouble(3)}, ${r.getDouble(4)}]")
+    }
+  }
+
   test("q91 flags exact reorder-dups and containment near-dups on a crafted fixture") {
     val dir = java.nio.file.Files.createTempDirectory("snap_fixture").toString
     val ws = (1 to 12).map(i => s"w$i").mkString(" ") // 12 tokens → 5 8-grams
