@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The md5-hex-digit decoding idiom shared by every deterministic-key
+  * operator (train/val/test split, weighted sampling, bloom positions,
+  * CMS/winnowing hashes, stratified sample keys): hex digits extracted
+  * with ascii arithmetic, which is portable to the DuckDB oracle without
+  * `conv()`. One definition — Column form for the Spark side, string form
+  * for the oracle SQL — so the two can never drift independently.
+  */
+object HexKeys {
+
+  /** i-th hex digit (0-based) of a lowercase-hex column as an int 0..15. */
+  def digit(hex: Column, i: Int): Column = {
+    val a = ascii(substring(hex, i + 1, 1))
+    when(a <= 57, a - 48).otherwise(a - 87)
+  }
+
+  /** Hex digits [from, from+4) as an integer in [0, 65536) — the building
+    * block for Kirsch–Mitzenmacher hash pairs and md5 bucket keys.
+    */
+  def value16(hex: Column, from: Int = 0): Column =
+    digit(hex, from) * 4096 + digit(hex, from + 1) * 256 +
+      digit(hex, from + 2) * 16 + digit(hex, from + 3)
+
+  /** SQL form of [[digit]] over a column reference `hexCol`. */
+  def digitSql(i: Int, hexCol: String = "hex"): String =
+    s"(CASE WHEN ascii(substring($hexCol, ${i + 1}, 1)) <= 57" +
+      s" THEN ascii(substring($hexCol, ${i + 1}, 1)) - 48" +
+      s" ELSE ascii(substring($hexCol, ${i + 1}, 1)) - 87 END)"
+
+  /** SQL form of [[value16]]. */
+  def value16Sql(from: Int = 0, hexCol: String = "hex"): String =
+    s"(${digitSql(from, hexCol)} * 4096 + ${digitSql(from + 1, hexCol)} * 256 + " +
+      s"${digitSql(from + 2, hexCol)} * 16 + ${digitSql(from + 3, hexCol)})"
+}

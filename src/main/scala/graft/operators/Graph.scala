@@ -29,26 +29,45 @@ object Graph {
   val Scale = 1000000000000L
 
   /** Damped PageRank over a directed edge list, `iters` synchronous
-    * iterations from a uniform start. Nodes = distinct edge sources
-    * (callers pass symmetric edge sets when the graph is undirected, so
-    * every node has out-degree ≥ 1 — no dangling-mass redistribution).
+    * iterations from a uniform start. Nodes = distinct src ∪ dst, so sink
+    * nodes (no out-edges) are ranked too. Dangling-node mass is DROPPED,
+    * not redistributed (the "remove dangling" simplification): a sink
+    * receives teleport + in-flow but emits nothing, so total mass shrinks
+    * by its damped rank each iteration. Callers pass symmetric edge sets
+    * when the graph is undirected — then nothing dangles and mass is
+    * conserved up to truncation (RetrievalGraphSpec asserts it).
+    *
+    * Long chains: every `checkpointEvery` iterations the rank frame is
+    * `localCheckpoint`ed — the same lineage-truncation discipline as
+    * [[Dedup.connectedComponents]] — so the logical plan depth stays
+    * bounded instead of nesting 2 joins + an aggregate per iteration
+    * (a deep enough unchecked chain superlinearly inflates Catalyst
+    * analysis and can overflow the driver stack). Same caveat as there:
+    * localCheckpoint blocks are not recomputable after executor loss; a
+    * long-lived deployment should materialize ranks as a table instead.
     *
     * @param edges DataFrame with `src`, `dst` (any integral type)
     * @return DataFrame of (node, rank_e12): BIGINT rank in 1e-12 units
     */
-  def pageRank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
+  def pageRank(
+      edges: DataFrame,
+      iters: Int,
+      dampingPct: Int = 85,
+      checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0,100)")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val withDeg = edges.join(outdeg, "src")
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
     val n = nodes.agg(count(lit(1)).as("n"))
     // teleport + init are integer divisions of the scaled mass — computed
     // per-row against the broadcast single-row count, never collected.
     val teleport = expr(s"($Scale * ${100 - dampingPct}) div (n * 100)")
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"$Scale div n").as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr(s"(rank * $dampingPct) div (outdeg * 100)").as("c"))
@@ -57,6 +76,7 @@ object Graph {
         .join(inRank, col("node") === col("dst"), "left")
         .select(col("node"),
                 (teleport + coalesce(col("in_rank"), lit(0L))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("rank").as("rank_e12"))
   }

@@ -43,13 +43,8 @@ object CurationQueries {
   /** md5 hex digits [from, from+4) as an integer in [0, 65536) — the
     * building block for the bloom filter's Kirsch–Mitzenmacher hash pair.
     */
-  private def hexValue16(hex: Column, from: Int): Column = {
-    def digit(i: Int): Column = {
-      val a = ascii(substring(hex, i + 1, 1))
-      when(a <= 57, a - 48).otherwise(a - 87)
-    }
-    digit(from) * 4096 + digit(from + 1) * 256 + digit(from + 2) * 16 + digit(from + 3)
-  }
+  private def hexValue16(hex: Column, from: Int): Column =
+    graft.functions.HexKeys.value16(hex, from)
 
   /** Chunking geometry for q84: 50-token windows advancing by 40 (10-token
     * overlap) — the context-window packing shape of a training/RAG corpus.
@@ -413,10 +408,7 @@ object CurationQueries {
                   " ").as("chunk_text"))
     })
 
-  private def digitSql(i: Int): String =
-    s"(CASE WHEN ascii(substring(hex, ${i + 1}, 1)) <= 57" +
-      s" THEN ascii(substring(hex, ${i + 1}, 1)) - 48" +
-      s" ELSE ascii(substring(hex, ${i + 1}, 1)) - 87 END)"
+  private def digitSql(i: Int): String = graft.functions.HexKeys.digitSql(i)
 
   val oracles: Map[String, String] = Map(
     // DuckDB 1.0.0 rejects lateral generate_series(column) — index via

@@ -58,7 +58,8 @@ object GraphQueries {
          |  SELECT DISTINCT a.part AS src, b.part AS dst
          |  FROM li a JOIN li b ON a.okey = b.okey AND a.part <> b.part),
          |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
          |nn AS (SELECT count(*) AS n FROM nodes),
          |r0 AS (SELECT node, $S // n AS rank FROM nodes CROSS JOIN nn),
          |${(1 to Iters).map(i => iter(s"r${i - 1}", i)).mkString(",\n")}

@@ -25,19 +25,6 @@ object RetrievalQueries {
   /** The fixed BM25 query terms (present in the synthetic vocabulary). */
   private val BmTerms = Seq("spark", "join", "vector")
 
-  /** i-th hex digit of an md5 column as an int (ascii arithmetic — portable
-    * to the DuckDB oracle without conv()). Same idiom as q61/q79.
-    */
-  private def hexDigit(hex: Column, i: Int): Column = {
-    val a = ascii(substring(hex, i + 1, 1))
-    when(a <= 57, a - 48).otherwise(a - 87)
-  }
-
-  /** Four hex digits starting at `from` as a 0..65535 int. */
-  private def hex4(hex: Column, from: Int): Column =
-    hexDigit(hex, from) * 4096 + hexDigit(hex, from + 1) * 256 +
-      hexDigit(hex, from + 2) * 16 + hexDigit(hex, from + 3)
-
   private val CmsDepth = 4
   private val CmsWidth = 1024
 
@@ -46,8 +33,8 @@ object RetrievalQueries {
     * d derived positions (the same derivation MinHashSigs uses).
     */
   private def cmsBuckets(hex: Column): Column = {
-    val h1 = hex4(hex, 0)
-    val h2 = hex4(hex, 4)
+    val h1 = graft.functions.HexKeys.value16(hex, 0)
+    val h2 = graft.functions.HexKeys.value16(hex, 4)
     array((0 until CmsDepth).map(j => (h1 + lit(j) * h2) % CmsWidth): _*)
   }
 
@@ -61,24 +48,28 @@ object RetrievalQueries {
     //
     // 100 TB shape: because the query terms are literals, per-document
     // term frequencies are PROJECTIONS over the token array
-    // (size(filter(toks, t = term)) — scan-local, codegen'd, no
-    // explode, no shuffle). Corpus stats (N, Σdl, per-term document
-    // frequencies) collapse to ONE row that returns by broadcast; the
-    // only movement of document data is the final TakeOrdered top-25.
-    // avgdl is Σdl/N computed from exact integer sums — no
-    // merge-order float accumulation anywhere; the 3-term score sums
-    // in fixed expression order and is quantized to 1e-9 (same ulp
-    // discipline as q78's perplexity).
+    // (size(filter(toks, t = term)) — scan-local, no explode, no
+    // shuffle; the filter HOF evaluates interpreted, so the token
+    // array is aliased in its OWN projection first — multi-referenced
+    // non-cheap aliases are not inlined by CollapseProject, so the
+    // split runs once per row, not once per tf column). Corpus stats
+    // (N, Σdl, per-term document frequencies) collapse to ONE row that
+    // returns by broadcast; the only movement of document data is the
+    // final TakeOrdered top-25. avgdl is Σdl/N computed from exact
+    // integer sums — no merge-order float accumulation anywhere; the
+    // 3-term score sums in fixed expression order and is quantized to
+    // 1e-9 (same ulp discipline as q78's perplexity).
     // ---------------------------------------------------------------
     "q88_bm25_topk" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
-      val toks = Text.tokens(col("text"))
+      val withToks = docs.select(
+        col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
       val tfCols = BmTerms.zipWithIndex.map { case (t, i) =>
-        size(filter(toks, x => x === lit(t))).cast(LongType).as(s"tf$i")
+        size(filter(col("toks"), x => x === lit(t))).cast(LongType).as(s"tf$i")
       }
-      val base = docs.select(
+      val base = withToks.select(
         col("doc_id") +: col("lang") +:
-          size(toks).cast(LongType).as("dl") +: tfCols: _*)
+          size(col("toks")).cast(LongType).as("dl") +: tfCols: _*)
       val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
         BmTerms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
@@ -235,14 +226,8 @@ object RetrievalQueries {
     }
   )
 
-  private def digitSql(i: Int): String =
-    s"(CASE WHEN ascii(substring(hex, ${i + 1}, 1)) <= 57" +
-      s" THEN ascii(substring(hex, ${i + 1}, 1)) - 48" +
-      s" ELSE ascii(substring(hex, ${i + 1}, 1)) - 87 END)"
-
   private def hex4Sql(from: Int): String =
-    s"(${digitSql(from)} * 4096 + ${digitSql(from + 1)} * 256 + " +
-      s"${digitSql(from + 2)} * 16 + ${digitSql(from + 3)})"
+    graft.functions.HexKeys.value16Sql(from)
 
   val oracles: Map[String, String] = Map(
     "q88_bm25_topk" -> {

@@ -122,13 +122,7 @@ object TextQueries {
       val grams = (1 until k).foldLeft(slice(toks, lit(1), m)) { (acc, o) =>
         zip_with(acc, slice(toks, lit(1 + o), m), (a, b) => concat(a, lit(" "), b))
       }
-      def hash16(hex: Column): Column = {
-        def digit(i: Int): Column = {
-          val a = ascii(substring(hex, i + 1, 1))
-          when(a <= 57, a - 48).otherwise(a - 87)
-        }
-        digit(0) * 4096 + digit(1) * 256 + digit(2) * 16 + digit(3)
-      }
+      def hash16(hex: Column): Column = graft.functions.HexKeys.value16(hex)
       docs.select(col("doc_id"), grams.as("grams"))
         .filter(size(col("grams")) > 0)
         .select(col("doc_id"), size(col("grams")).as("ng"),
@@ -173,11 +167,7 @@ object TextQueries {
       // bucket = first 4 md5 hex digits as int, mod 100 (ascii arithmetic —
       // portable, no conv() needed in the oracle)
       val hex = md5(concat(lit("split|"), col("doc_id").cast(StringType)))
-      val digit = (i: Int) => {
-        val a = ascii(substring(hex, i + 1, 1))
-        when(a <= 57, a - 48).otherwise(a - 87)
-      }
-      val bucket = (digit(0) * 4096 + digit(1) * 256 + digit(2) * 16 + digit(3)) % 100
+      val bucket = graft.functions.HexKeys.value16(hex) % 100
       d.select(
         col("doc_id"), col("lang"),
         bucket.cast(LongType).as("split_bucket"),
@@ -390,11 +380,7 @@ object TextQueries {
     // array-native Spark form and this row form select identical
     // fingerprints; DISTINCT collapses windows that picked the same gram).
     "q87_winnow_fingerprint" -> {
-      def digit(i: Int) =
-        s"(CASE WHEN ascii(substring(hex, ${i + 1}, 1)) <= 57" +
-          s" THEN ascii(substring(hex, ${i + 1}, 1)) - 48" +
-          s" ELSE ascii(substring(hex, ${i + 1}, 1)) - 87 END)"
-      val h16 = s"(${digit(0)} * 4096 + ${digit(1)} * 256 + ${digit(2)} * 16 + ${digit(3)})"
+      val h16 = graft.functions.HexKeys.value16Sql()
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |grams AS (
          |  SELECT doc_id, i - 1 AS pos,
@@ -571,9 +557,7 @@ object TextQueries {
          |WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
     },
     "q61_train_split" -> {
-      def digit(i: Int) =
-        s"(CASE WHEN ascii(substring(hex, ${i + 1}, 1)) <= 57 THEN ascii(substring(hex, ${i + 1}, 1)) - 48 ELSE ascii(substring(hex, ${i + 1}, 1)) - 87 END)"
-      val bucket = s"((${digit(0)} * 4096 + ${digit(1)} * 256 + ${digit(2)} * 16 + ${digit(3)}) % 100)"
+      val bucket = s"(${graft.functions.HexKeys.value16Sql()} % 100)"
       s"""WITH h AS (
          |  SELECT doc_id, lang, md5('split|' || CAST(doc_id AS VARCHAR)) AS hex FROM documents)
          |SELECT doc_id, lang,

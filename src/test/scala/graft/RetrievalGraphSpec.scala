@@ -43,18 +43,62 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(keys.sameElements(keys.sorted), "top-k not in (score desc, id) order")
   }
 
-  test("q89 CMS never undercounts and is invariant to input partitioning") {
-    val out = SparkEntry.queries("q89_cms_heavy_hitters")(spark, dir)
-    val rows = out.collect()
+  test("q89 CMS never undercounts on the sf data") {
+    val rows = SparkEntry.queries("q89_cms_heavy_hitters")(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(3) >= 0L, s"CMS undercounts ${r.getString(0)}")
       assert(r.getLong(2) >= r.getLong(1))
     }
-    // the sketch is a commutative aggregate: totals survive any partitioning
-    val spread = out.repartition(13).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap == spread)
+  }
+
+  test("q89 CMS matches a driver-side reference sketch under forced collisions, " +
+       "independent of input file layout") {
+    // 1501 distinct tokens in 1024-wide rows GUARANTEE bucket collisions,
+    // so the min-over-counters estimate path actually runs (the sf
+    // vocabulary is ~31 tokens — zero collisions, estimate == truth).
+    val text1 = (1 to 1500).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, text1, "en", "web", 1L),
+      (1L, Seq.fill(100)("hot").mkString(" "), "en", "web", 1L),
+      (2L, "hot t1 t2 t3", "en", "web", 1L))
+    // same rows, two different file layouts — the INPUT partitioning the
+    // sketch build must be invariant to
+    val (dirA, dirB) = {
+      import java.nio.file.Files
+      val a = Files.createTempDirectory("cms_a").toString
+      val b = Files.createTempDirectory("cms_b").toString
+      val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      df.coalesce(1).write.parquet(s"$a/documents.parquet")
+      df.repartition(5).write.parquet(s"$b/documents.parquet")
+      (a, b)
+    }
+    def run(d: String): Map[String, (Long, Long)] =
+      SparkEntry.queries("q89_cms_heavy_hitters")(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val outA = run(dirA)
+    assert(outA == run(dirB), "sketch depends on input file layout")
+    assert(outA.values.exists(v => v._2 > v._1), "no collision exercised")
+
+    // independent reference: exact counts + the same md5/K-M positions
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val counts = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    def buckets(tok: String): Seq[(Int, Int)] = {
+      val hex = md5hex(s"cms|$tok")
+      val h1  = Integer.parseInt(hex.substring(0, 4), 16)
+      val h2  = Integer.parseInt(hex.substring(4, 8), 16)
+      (0 until 4).map(j => j -> (h1 + j * h2) % 1024)
+    }
+    val sketch = new scala.collection.mutable.HashMap[(Int, Int), Long]()
+      .withDefaultValue(0L)
+    for ((t, c) <- counts; b <- buckets(t)) sketch(b) += c
+    val expected = counts.map { case (t, c) =>
+      t -> (c, buckets(t).map(sketch).min)
+    }
+    assert(outA == expected, "CMS diverges from the reference sketch")
   }
 
   test("q92 heap-encoded top-3 equals the window formulation") {
@@ -138,6 +182,24 @@ class RetrievalGraphSpec extends SparkSpec {
       rank = adj.keys.map(v => v -> (telep + in.getOrElse(v, 0L))).toMap
     }
     assert(got == rank, s"got $got expected $rank")
+  }
+
+  test("pageRank ranks sink nodes; dangling mass drops as documented") {
+    // directed 1→2 only: node 2 is a sink and must still be ranked
+    val got = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val S = Graph.Scale
+    val telep = S * 15 / (2 * 100)
+    val r1 = Map(1L -> telep, 2L -> (telep + (S / 2) * 85 / 100))
+    val r2 = Map(1L -> telep, 2L -> (telep + r1(1L) * 85 / 100))
+    assert(got == r2, s"got $got expected $r2")
+  }
+
+  test("pageRank checkpointing is semantics-preserving") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    def run(every: Int) = Graph.pageRank(edges, iters = 7, checkpointEvery = every)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) == run(100), "lineage truncation changed the result")
   }
 
   test("pageRank conserves rank mass up to truncation and is partition-invariant") {
