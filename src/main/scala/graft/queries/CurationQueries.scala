@@ -377,6 +377,38 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q96: temperature-based mixture sampling (α = 0.5) — the softer
+    // sibling of q86's uniform rebalance: each source keeps with
+    // probability (n_min/n_source)^α, the multilingual-sampling
+    // temperature that upweights small sources WITHOUT flattening the
+    // mixture entirely (expected kept ≈ √(n_min·n_source), between
+    // n_min and n_source). Same scale discipline as q86: counts
+    // broadcast, keep decision scan-local and retry-idempotent. The
+    // threshold √(n_min·n_source) is the ONLY non-integer step — IEEE
+    // sqrt is correctly rounded, so floor(sqrt(CAST(n_min·n_source)))
+    // is bit-identical across engines; the keep comparison itself
+    // stays all-integer (bucket·n_source < 2¹⁶·thr).
+    // ---------------------------------------------------------------
+    "q96_temperature_mix" -> { (s, dir) =>
+      val docs   = Tables(s, dir).documents
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      val target = counts.agg(min(col("n_source")).as("n_min"))
+      val thr = floor(sqrt((col("n_min") * col("n_source")).cast(DoubleType)))
+        .cast(LongType)
+      val bucket = md5Bucket16("temp|", col("doc_id")).cast(LongType)
+      docs.select(col("doc_id"), col("lang"), col("source"),
+                  bucket.as("keep_bucket"))
+        .join(broadcast(counts), "source")
+        .crossJoin(broadcast(target))
+        .withColumn("thr", thr)
+        .filter(col("keep_bucket") * col("n_source") < lit(65536L) * col("thr"))
+        .select(col("doc_id"), col("lang"), col("source"),
+                col("n_source"), col("n_min"), col("thr"),
+                (col("thr").cast(DoubleType) / col("n_source").cast(DoubleType))
+                  .as("sample_rate"))
+    },
+
+    // ---------------------------------------------------------------
     // q84: context-window chunking — split every document into W=50-token
     // chunks advancing by S=40 (10-token overlap), the chunking step of
     // a RAG / long-context training corpus. Pure projection + explode
@@ -613,6 +645,29 @@ object CurationQueries {
          |  CAST(target_n AS DOUBLE) / CAST(n_source AS DOUBLE) AS sample_rate
          |FROM h JOIN counts USING (source) CROSS JOIN tgt
          |WHERE CAST($bucket AS BIGINT) * n_source < 65536 * target_n""".stripMargin
+    },
+
+    "q96_temperature_mix" -> {
+      val bucket =
+        s"(${digitSql(0)} * 4096 + ${digitSql(1)} * 256 + ${digitSql(2)} * 16 + ${digitSql(3)})"
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |         md5('temp|' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM documents),
+         |counts AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_source
+         |  FROM documents GROUP BY source),
+         |tgt AS (SELECT min(n_source) AS n_min FROM counts),
+         |t AS (
+         |  SELECT doc_id, lang, h.source, n_source, n_min,
+         |         CAST(floor(sqrt(CAST(n_min * n_source AS DOUBLE))) AS BIGINT)
+         |           AS thr,
+         |         CAST($bucket AS BIGINT) AS keep_bucket
+         |  FROM h JOIN counts USING (source) CROSS JOIN tgt)
+         |SELECT doc_id, lang, source, n_source, n_min, thr,
+         |  CAST(thr AS DOUBLE) / CAST(n_source AS DOUBLE) AS sample_rate
+         |FROM t
+         |WHERE keep_bucket * n_source < 65536 * thr""".stripMargin
     },
 
     "q84_chunk_windows" ->

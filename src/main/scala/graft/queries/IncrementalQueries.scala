@@ -76,6 +76,39 @@ object IncrementalQueries {
         .withColumn("keep",
           !col("is_exact_dup") &&
             (col("n_ngrams") === 0 || col("n_overlap") * 2 < col("n_ngrams")))
+    },
+
+    // ---------------------------------------------------------------
+    // q95: deterministic epoch shuffle — the global permutation +
+    // shard/offset assignment of a training-data build ("shuffle the
+    // corpus each epoch, then serve it in fixed-size shards"). The
+    // permutation key is md5-derived (never rand() — retry-idempotent,
+    // engine-reproducible) and made UNIQUE by packing doc_id into the
+    // low 31 bits under a 32-bit hash: key = h32·2³¹ + doc_id, which
+    // stays under Long.MaxValue (2³²−1)·2³¹ + doc_id < 2⁶³.
+    //
+    // 100 TB shape: the global rank comes from Sharding.runningTotal's
+    // two-pass parallel prefix sum over the permutation key — the SAME
+    // machinery as q62, so no Window.orderBy(key) funnelling the corpus
+    // through one task. Weight 1 per row makes the running total the
+    // 1-based permutation rank; shard/offset are then scan-local
+    // integer arithmetic.
+    // ---------------------------------------------------------------
+    "q95_epoch_shuffle" -> { (s, dir) =>
+      val d   = Tables(s, dir).documents
+      val hex = md5(concat(lit("epoch0|"), col("doc_id").cast(StringType)))
+      val h32 = graft.functions.HexKeys.value16(hex, 0).cast(LongType) * 65536L +
+        graft.functions.HexKeys.value16(hex, 4).cast(LongType)
+      val keyed = d.select(
+        (h32 * 2147483648L + col("doc_id")).as("perm_key"),
+        lit(1L).as("one"))
+      graft.operators.Sharding
+        .runningTotal(keyed, "perm_key", "one", "epoch_rank")
+        .select(
+          (col("perm_key") % 2147483648L).as("doc_id"),
+          col("perm_key"), col("epoch_rank"),
+          expr("(epoch_rank - 1) div 64").as("shard_id"),
+          ((col("epoch_rank") - 1) % 64).as("shard_offset"))
     }
   )
 
@@ -114,6 +147,24 @@ object IncrementalQueries {
          |       ELSE 0 END AS containment_permille,
          |  (NOT is_exact_dup) AND (n_ngrams = 0 OR n_overlap * 2 < n_ngrams)
          |    AS keep
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+
+    "q95_epoch_shuffle" -> {
+      val h32 = s"(CAST(${graft.functions.HexKeys.value16Sql(0)} AS BIGINT) * 65536 + " +
+        s"CAST(${graft.functions.HexKeys.value16Sql(4)} AS BIGINT))"
+      s"""WITH h AS (
+         |  SELECT doc_id, md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, $h32 * 2147483648 + doc_id AS perm_key FROM h),
+         |ranked AS (
+         |  SELECT doc_id, perm_key,
+         |         row_number() OVER (ORDER BY perm_key) AS epoch_rank
+         |  FROM keyed)
+         |SELECT doc_id, perm_key, CAST(epoch_rank AS BIGINT) AS epoch_rank,
+         |  (epoch_rank - 1) // 64 AS shard_id,
+         |  (epoch_rank - 1) % 64 AS shard_offset
+         |FROM ranked""".stripMargin
+    }
   )
 }

@@ -146,6 +146,34 @@ object TimeSeriesQueries {
             col("value") > col("q3") + (col("q3") - col("q1")) * 1.5).as("is_iqr_outlier"))
     },
 
+    // Robust (median/MAD) outlier scoring per event type — the
+    // Iglewicz–Hoaglin modified z-score (0.6745·(x−med)/MAD, |z|>3.5),
+    // the outlier filter a curation pipeline applies to long-tailed
+    // per-document statistics (perplexity, length) where mean/stddev
+    // (q17) are themselves dragged by the outliers. Exact interpolated
+    // percentiles like q18 (the same Spark percentile ≡ DuckDB
+    // quantile_cont bridge); the per-group medians broadcast back.
+    // This is the EXACT-verification complement: at 100 TB you'd feed
+    // the q93 histogram sketch's bin medians instead — same downstream
+    // shape, constant-size stats.
+    "q94_mad_outliers" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val med = e.groupBy(col("event_type").as("et"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), col("event_type") === col("et"))
+        .select(col("event_id"), col("event_type"), col("value"), col("med"),
+                abs(col("value") - col("med")).as("absdev"))
+      val mad = dev.groupBy(col("event_type").as("et2"))
+        .agg(expr("percentile(absdev, 0.5)").as("mad"))
+      val z = when(col("mad") =!= 0.0,
+        lit(0.6745) * (col("value") - col("med")) / col("mad")).otherwise(lit(0.0))
+      dev.join(broadcast(mad), col("event_type") === col("et2"))
+        .select(col("event_id"), col("event_type"), col("value"),
+                col("med"), col("mad"),
+                (floor(z * 1e9 + 0.5) / 1e9).as("robust_z"),
+                coalesce(abs(z) > 3.5, lit(false)).as("is_mad_outlier"))
+    },
+
     // OLS trend per entity from exact power sums — regr_slope/intercept
     // semantics, order-independent (py_unemployment_forecast.py:74-104).
     "q19_ols_trend" -> { (s, dir) =>
@@ -342,6 +370,26 @@ object TimeSeriesQueries {
         |SELECT user_id, event_id, value, q1, q3,
         |  (value < q1 - (q3 - q1) * 1.5 OR value > q3 + (q3 - q1) * 1.5) AS is_iqr_outlier
         |FROM events JOIN q ON user_id = uid""".stripMargin,
+    "q94_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type AS et, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT event_id, event_type, value, med, abs(value - med) AS absdev
+        |  FROM events JOIN med ON event_type = et),
+        |mad AS (
+        |  SELECT event_type AS et2, quantile_cont(absdev, 0.5) AS mad
+        |  FROM dev GROUP BY 1),
+        |z AS (
+        |  SELECT event_id, event_type, value, med, mad,
+        |    CASE WHEN mad != 0.0 THEN 0.6745 * (value - med) / mad
+        |         ELSE 0.0 END AS zr
+        |  FROM dev JOIN mad ON event_type = et2)
+        |SELECT event_id, event_type, value, med, mad,
+        |  floor(zr * 1e9 + 0.5) / 1e9 AS robust_z,
+        |  coalesce(abs(zr) > 3.5, false) AS is_mad_outlier
+        |FROM z""".stripMargin,
+
     "q19_ols_trend" ->
       """WITH pts AS (
         |  SELECT user_id,

@@ -286,6 +286,27 @@ class PlanQualitySpec extends SparkSpec {
       s"stats not broadcast:\n${planOf(df)}")
   }
 
+  test("q94 robust stats broadcast back; q95 epoch rank reuses the q62 prefix-sum shape") {
+    val madPlan = planOf(SparkEntry.queries("q94_mad_outliers")(spark, dir))
+    assert(madPlan.contains("BroadcastHashJoin"), s"medians not broadcast:\n$madPlan")
+    assert(!madPlan.contains("SortMergeJoin"), s"events shuffled for scoring:\n$madPlan")
+    // q95: same guarantees as q62 — bucket-partitioned prefix sum, and any
+    // single-partition exchange sits strictly above an aggregate
+    val df   = SparkEntry.queries("q95_epoch_shuffle")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("hashpartitioning(__pid"),
+      s"no parallel bucket partitioning in:\n$plan")
+    val offenders = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 &&
+            e.child.collect {
+              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            }.isEmpty => e
+    }
+    assert(offenders.isEmpty,
+      s"single-partition exchange over non-aggregated data:\n$plan")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))

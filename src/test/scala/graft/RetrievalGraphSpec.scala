@@ -163,6 +163,35 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(out(403L) == ((false, 0L, 0L, true)), s"short novel: ${out(403L)}")
   }
 
+  test("q96 temperature sampling concentrates on sqrt(n_min*n_source) under skew") {
+    // the sf corpus has UNIFORM sources (thr = n_source, everything kept),
+    // so the temperature path needs a skewed fixture: 400/100/25 docs
+    val dirF = java.nio.file.Files.createTempDirectory("temp_fixture").toString
+    val docs = (0 until 400).map(i => (i.toLong, s"a$i", "en", "big", 1L)) ++
+      (0 until 100).map(i => (400L + i, s"b$i", "en", "mid", 1L)) ++
+      (0 until 25).map(i => (500L + i, s"c$i", "en", "small", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dirF/documents.parquet")
+    val out = SparkEntry.queries("q96_temperature_mix")(spark, dirF)
+    val kept = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest source keeps everything (thr = n_source)
+    assert(kept("small") == 25L, s"smallest source subsampled: $kept")
+    // expected kept ≈ sqrt(25·n): big → 100, mid → 50; allow binomial noise
+    assert(kept("big") >= 60 && kept("big") <= 140, s"big: $kept")
+    assert(kept("mid") >= 30 && kept("mid") <= 70, s"mid: $kept")
+    // softer than q86: the big source keeps MORE than the uniform target
+    val uniform = SparkEntry.queries("q86_mixture_rebalance")(spark, dirF)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("big") > uniform("big"), s"not softer than uniform: $kept vs $uniform")
+    // deterministic: a second run keeps the identical doc set
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = SparkEntry.queries("q96_temperature_mix")(spark, dirF)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
+  }
+
   test("pageRank matches an exact integer reference fold on a crafted graph") {
     // path graph 1–2–3 (symmetric): hand-foldable, asymmetric degrees
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
