@@ -25,6 +25,20 @@ object HexKeys {
     digit(hex, from) * 4096 + digit(hex, from + 1) * 256 +
       digit(hex, from + 2) * 16 + digit(hex, from + 3)
 
+  /** Kirsch–Mitzenmacher bucket array for a depth-`d` width-`w` sketch:
+    * position j = (h1 + j·h2) mod w with h1/h2 two independent 16-bit
+    * slices of one md5 — ONE hash per key, d derived positions (the same
+    * derivation MinHashSigs uses). Shared by the batch CMS (q89) and the
+    * streaming sketch.
+    */
+  def kmBuckets(hex: Column, depth: Int, width: Int): Column = {
+    val h1 = value16(hex, 0)
+    val h2 = value16(hex, 4)
+    org.apache.spark.sql.functions.array(
+      (0 until depth).map(j =>
+        (h1 + org.apache.spark.sql.functions.lit(j) * h2) % width): _*)
+  }
+
   /** SQL form of [[digit]] over a column reference `hexCol`. */
   def digitSql(i: Int, hexCol: String = "hex"): String =
     s"(CASE WHEN ascii(substring($hexCol, ${i + 1}, 1)) <= 57" +

@@ -28,15 +28,12 @@ object RetrievalQueries {
   private val CmsDepth = 4
   private val CmsWidth = 1024
 
-  /** Kirsch–Mitzenmacher bucket row for hash row j: (h1 + j·h2) mod w,
-    * h1/h2 = two independent 16-bit slices of one md5 — ONE hash per token,
-    * d derived positions (the same derivation MinHashSigs uses).
+  /** K–M bucket row per hash row — shared derivation in
+    * [[graft.functions.HexKeys.kmBuckets]] (also used by the streaming
+    * sketch in `streaming.EventsStream`).
     */
-  private def cmsBuckets(hex: Column): Column = {
-    val h1 = graft.functions.HexKeys.value16(hex, 0)
-    val h2 = graft.functions.HexKeys.value16(hex, 4)
-    array((0 until CmsDepth).map(j => (h1 + lit(j) * h2) % CmsWidth): _*)
-  }
+  private def cmsBuckets(hex: Column): Column =
+    graft.functions.HexKeys.kmBuckets(hex, CmsDepth, CmsWidth)
 
   val defs: Map[String, Q] = Map(
     // ---------------------------------------------------------------

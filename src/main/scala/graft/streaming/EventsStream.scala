@@ -52,6 +52,31 @@ object EventsStream {
               col("window.end").as("window_end"),
               col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming count-min sketch over a key column — approximate
+    * frequencies with CONSTANT state: the aggregation keys are the
+    * (row, bucket) counter coordinates, so streaming state is ≤ d·w rows
+    * no matter how many distinct keys the stream carries (an exact
+    * per-key streaming count's state grows with the key cardinality —
+    * the precise failure mode sketches exist to avoid). Same md5/K–M
+    * derivation as the batch CMS (q89, [[graft.functions.HexKeys
+    * .kmBuckets]]), so a drained stream's sketch is BIT-IDENTICAL to the
+    * batch-built one (StreamingSpec asserts it) and estimates from it
+    * are the deterministic min-over-counters.
+    */
+  def cmsSketchStream(
+      events: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 1024,
+      prefix: String = "cms|"): DataFrame = {
+    val hex = md5(concat(lit(prefix), col(keyCol).cast("string")))
+    events
+      .select(posexplode(graft.functions.HexKeys.kmBuckets(hex, depth, width))
+        .as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming exact deduplication on a key, with the watermark bounding
     * how long per-key state is retained — the streaming analog of the
     * batch exact-dedup operator (a re-delivered event inside the

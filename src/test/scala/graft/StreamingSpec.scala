@@ -37,6 +37,37 @@ class StreamingSpec extends SparkSpec {
     assert(s == 1000) // every event lands in exactly one tumbling window
   }
 
+  test("streaming CMS sketch is bit-identical to the batch sketch; state is constant-size") {
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.cmsSketchStream(EventsStream.read(spark, eventsDir), "user_id"),
+      "stream_cms")
+    val batch = EventsStream.cmsSketchStream(
+      graft.core.Tables(spark, dir).events
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "user_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "drained stream sketch differs from the batch sketch")
+    // the whole point: state rows are bounded by d·w, not by key cardinality
+    assert(streamed.count() <= 4 * 1024)
+    // and estimates from the sketch never undercount the exact frequency
+    val sketch = streamed.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exact = graft.core.Tables(spark, dir).events
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    exact.foreach { case (uid, n) =>
+      val hex = md5hex(s"cms|$uid")
+      val h1  = Integer.parseInt(hex.substring(0, 4), 16)
+      val h2  = Integer.parseInt(hex.substring(4, 8), 16)
+      val est = (0 until 4).map(j => sketch((j, (h1 + j * h2) % 1024))).min
+      assert(est >= n, s"sketch undercounts user $uid: $est < $n")
+    }
+  }
+
   test("flatMapGroupsWithState sessionization matches batch sessions (closed ones)") {
     import org.apache.spark.sql.expressions.Window
     val streamed = EventsStream.runToMemorySink(
