@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.DotProduct
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Lloyd k-means over an embedding column — the clustering primitive of a
+  * training-data pipeline (semantic dedup groups, topic balancing,
+  * coreset selection), deterministic enough to hash-gate against a SQL
+  * oracle.
+  *
+  * Determinism contract (every step engine-reproducible):
+  *  - seeds = first k vectors in md5(seed-prefix‖id) order (never rand());
+  *  - assignment distance d² = x·x − 2·x·c + c·c with every dot product a
+  *    SEQUENTIAL ascending-index fold (graftx.DotProduct's codegen loop ≡
+  *    DuckDB's list_dot_product ≡ the driver-side fold used for c·c), so
+  *    the doubles are bit-identical everywhere; ties break on cluster id;
+  *  - centroid updates are per-dimension DECIMAL(18,7) power sums
+  *    (`graft.functions.Exact` discipline, the q45 bridge) — exact,
+  *    merge-order independent — divided by exact counts;
+  *  - empty clusters keep their previous centroid.
+  *
+  * 100 TB shape: centroids are k·dims doubles — driver-sized BY
+  * CONSTRUCTION (the q64 IVF argument), so each assignment pass embeds
+  * them as literals and is a SHUFFLE-FREE codegen projection over the
+  * scan; each update pass is one partial+final aggregation of (cluster,
+  * dim) cells. Per iteration: one scan + one aggregation shuffle of
+  * k·dims·P cells — no join, no window, the corpus is never shuffled.
+  * The collect per iteration moves k·dims doubles to the driver, nothing
+  * data-sized.
+  */
+object Clustering {
+
+  /** @param vecs   input frame
+    * @param idCol  unique integral id column
+    * @param vecCol array&lt;float&gt;/array&lt;double&gt; embedding column
+    * @return (idCol, cluster_id, dist2) — final assignment against the
+    *         last updated centroids; dist2 quantized to 1e-9
+    */
+  def kmeans(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seedPrefix: String = "km|"): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+
+    // seed selection: a TakeOrdered of k rows (k·dims doubles — driver-
+    // sized by construction, the q64 argument); md5-hex string ASC order
+    // ≡ the oracle's ORDER BY md5(...), vec_id
+    val seeds: Array[Seq[Double]] = v
+      .orderBy(md5(concat(lit(seedPrefix), col(idCol).cast(StringType))),
+               col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1))
+
+    // sequential ascending fold — same order as DotProduct's codegen loop
+    // and DuckDB's list_dot_product, so c·c is the identical double
+    def selfDot(c: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+
+    def litArray(c: Seq[Double]): Column = array(c.map(lit): _*)
+
+    /** Shuffle-free assignment projection against literal centroids:
+      * cluster = argmin over k of (x·x − 2·x·cⱼ + cⱼ·cⱼ), ties to the
+      * smaller cluster id via the struct's field-lexicographic order.
+      */
+    def assign(centroids: Array[Seq[Double]]): DataFrame = {
+      val xx = DotProduct.dotNative(col("v"), col("v"))
+      val best = least(centroids.zipWithIndex.map { case (c, j) =>
+        struct(
+          (xx - lit(2.0) * DotProduct.dotNative(col("v"), litArray(c)) +
+            lit(selfDot(c))).as("d2"),
+          lit(j.toLong).as("cid"))
+      }: _*)
+      v.select(col(idCol), col("v"), best.getField("cid").as("cluster_id"),
+               best.getField("d2").as("dist2"))
+    }
+
+    var centroids = seeds
+    for (_ <- 1 to iters) {
+      // one partial+final aggregation of (cluster, dim) cells; exact
+      // decimal sums so the new components are merge-order independent
+      val cells = assign(centroids)
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster_id"), col("dim"))
+        .agg((sum(graft.functions.Exact.dec(col("x"), 7)).cast(DoubleType) /
+               count(col("x")).cast(DoubleType)).as("c"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getInt(1)) -> r.getDouble(2))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (prev, j) =>
+        if (cells.contains((j, 0))) prev.indices.map(d => cells((j, d)))
+        else prev // empty cluster keeps its centroid
+      }
+    }
+    assign(centroids).select(
+      col(idCol), col("cluster_id"),
+      (floor(col("dist2") * 1e9 + 0.5) / 1e9).as("dist2"))
+  }
+}

@@ -69,6 +69,15 @@ object VectorQueries {
       annTopKQuantized(e.filter(col("vec_id") < 50), e, k = 3)
     },
 
+    // Lloyd k-means (k=8, 2 iterations): md5-ordered seeds, shuffle-free
+    // literal-centroid assignment, exact decimal centroid updates — the
+    // clustering primitive for semantic grouping / topic balancing. See
+    // operators.Clustering for the determinism + 100 TB contract.
+    "q97_kmeans" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      graft.operators.Clustering.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
+    },
+
     // IVF-flat ANN: deterministic seed centroids, shuffle-free
     // nearest-centroid assignment (collected centroid literals), nprobe
     // probed lists, exact cosine on candidates. The data-adaptive ANN
@@ -187,6 +196,50 @@ object VectorQueries {
         |    / CAST(COUNT(embedding[i]) AS DOUBLE) AS centroid_component
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY 1, 2""".stripMargin,
+    "q97_kmeans" -> {
+      // one Lloyd iteration: assign against centroids CTE `cs`, then the
+      // per-(cluster, dim) decimal-exact means, empty clusters keeping
+      // their previous centroid via the LEFT JOIN coalesce
+      def dist(vec: String, cen: String) =
+        s"list_dot_product($vec, $vec) - 2 * list_dot_product($vec, $cen)" +
+          s" + list_dot_product($cen, $cen)"
+      def iter(prev: String, i: Int) =
+        s"""a$i AS (
+           |  SELECT n.vec_id, n.v, s.cid,
+           |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |      ${dist("n.v", "s.v")} ASC, s.cid ASC) AS rn
+           |  FROM n CROSS JOIN $prev s),
+           |u$i AS (
+           |  SELECT cid, i AS dim,
+           |    CAST(SUM(CAST(v[i] AS DECIMAL(18,7))) AS DOUBLE)
+           |      / CAST(COUNT(*) AS DOUBLE) AS comp
+           |  FROM (SELECT v, cid FROM a$i WHERE rn = 1)
+           |       CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+           |  GROUP BY cid, i),
+           |c$i AS (
+           |  SELECT s.cid, coalesce(u.cv, s.v) AS v
+           |  FROM $prev s LEFT JOIN
+           |    (SELECT cid, list(comp ORDER BY dim) AS cv FROM u$i GROUP BY cid) u
+           |    USING (cid))""".stripMargin
+      s"""WITH n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT CAST(rn - 1 AS BIGINT) AS cid, v FROM (
+         |    SELECT v, row_number() OVER (
+         |      ORDER BY md5('km|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM n) WHERE rn <= 8),
+         |${iter("seeds", 1)},
+         |${iter("c1", 2)},
+         |af AS (
+         |  SELECT n.vec_id, s.cid, ${dist("n.v", "s.v")} AS d2,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${dist("n.v", "s.v")} ASC, s.cid ASC) AS rn
+         |  FROM n CROSS JOIN c2 s)
+         |SELECT vec_id, cid AS cluster_id,
+         |  floor(d2 * 1e9 + 0.5) / 1e9 AS dist2
+         |FROM af WHERE rn = 1""".stripMargin
+    },
+
     "q64_ann_ivf" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -307,6 +307,19 @@ class PlanQualitySpec extends SparkSpec {
       s"single-partition exchange over non-aggregated data:\n$plan")
   }
 
+  test("q97 k-means assignment is a shuffle-free projection over the scan") {
+    // centroids are literals (driver-sized by construction), so the final
+    // assignment plans with ZERO exchanges, joins, or windows — the
+    // corpus is scanned once and never moved.
+    val df = SparkEntry.queries("q97_kmeans")(spark, dir)
+    val p  = physical(df)
+    assert(p.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, s"assignment shuffles:\n${planOf(df)}")
+    assert(!planOf(df).contains("Join"), s"assignment joins:\n${planOf(df)}")
+    assert(!planOf(df).contains("Window"), s"assignment windows:\n${planOf(df)}")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))

@@ -192,6 +192,24 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(ids1.sameElements(ids2))
   }
 
+  test("kmeans separates two obvious clusters and assigns every point") {
+    val dims = 64
+    def vec(a: Double, b: Double): Seq[Double] =
+      Seq(a, b) ++ Seq.fill(dims - 2)(0.0)
+    // two tight groups far apart; ids interleaved so seeds hit both
+    val pts = (0 until 10).map(i => (i.toLong, vec(0.0 + i * 0.01, 0.0))) ++
+      (10 until 20).map(i => (i.toLong, vec(10.0 + i * 0.01, 10.0)))
+    val df = pts.toDF("vec_id", "embedding")
+    val out = graft.operators.Clustering
+      .kmeans(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 20)
+    val groupA = (0 until 10).map(i => out(i.toLong)).toSet
+    val groupB = (10 until 20).map(i => out(i.toLong)).toSet
+    assert(groupA.size == 1 && groupB.size == 1 && groupA != groupB,
+      s"clusters not separated: $out")
+  }
+
   test("pageRank matches an exact integer reference fold on a crafted graph") {
     // path graph 1–2–3 (symmetric): hand-foldable, asymmetric degrees
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
