@@ -78,6 +78,41 @@ object VectorQueries {
       graft.operators.Clustering.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
     },
 
+    // Semantic dedup (SemDeDup shape): cluster first, then pairwise cosine
+    // ONLY within clusters — a vector is dropped when a lower-id
+    // cluster-mate is ≥ 0.4-cosine similar. The cluster partition is what
+    // makes embedding dedup tractable at corpus scale: the quadratic
+    // compare is bounded per cluster (pick k so clusters fit; SemDeDup
+    // uses k ≈ 10⁵ at web scale), and the cluster-key self-join is a
+    // plain bucketable equi-join — vs q38's exact-recall full crossJoin
+    // baseline. Cosine compares are bit-deterministic (sequential-fold
+    // dot products), so the verdicts hash-gate.
+    "q98_semantic_dedup" -> { (s, dir) =>
+      import graft.functions.Vectors
+      val e = Tables(s, dir).embeddings
+      val assigned = graft.operators.Clustering
+        .kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("vec_id"), col("cluster_id"))
+      val w = assigned
+        .join(e.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+              "vec_id")
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val a = w.select(col("vec_id").as("id_a"), col("cluster_id").as("cid_a"),
+                       col("v").as("va"), col("nrm").as("na"))
+      val b = w.select(col("vec_id").as("id_b"), col("cluster_id").as("cid_b"),
+                       col("v").as("vb"), col("nrm").as("nb"))
+      val dups = a.join(b, col("cid_a") === col("cid_b") && col("id_a") < col("id_b"))
+        .filter(col("na") > 0 && col("nb") > 0 &&
+                Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
+        .groupBy(col("id_b").as("vec_id"))
+        .agg(count(lit(1)).as("n_dup"))
+      w.select(col("vec_id"), col("cluster_id"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster_id"),
+                coalesce(col("n_dup"), lit(0L)).as("n_dup_neighbors"),
+                (coalesce(col("n_dup"), lit(0L)) === 0L).as("keep"))
+    },
+
     // IVF-flat ANN: deterministic seed centroids, shuffle-free
     // nearest-centroid assignment (collected centroid literals), nprobe
     // probed lists, exact cosine on candidates. The data-adaptive ANN
@@ -164,6 +199,52 @@ object VectorQueries {
     }.mkString(" || ")
   }
 
+  /** The unrolled 2-iteration Lloyd CTE chain shared by the q97 and q98
+    * oracles: seeds → (assign, update) ×2 → final assignment `af`
+    * (pick rows with rn = 1). One assign = cross join against the
+    * k-row centroid CTE with d² = x·x − 2·x·c + c·c (sequential
+    * list_dot_product folds, ties to the smaller cid); one update = the
+    * q45 DECIMAL(18,7) exact per-(cluster, dim) means, empty clusters
+    * keeping their previous centroid via the LEFT JOIN coalesce.
+    */
+  private def kmeansOracleCtes: String = {
+    def dist(vec: String, cen: String) =
+      s"list_dot_product($vec, $vec) - 2 * list_dot_product($vec, $cen)" +
+        s" + list_dot_product($cen, $cen)"
+    def iter(prev: String, i: Int) =
+      s"""a$i AS (
+         |  SELECT n.vec_id, n.v, s.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${dist("n.v", "s.v")} ASC, s.cid ASC) AS rn
+         |  FROM n CROSS JOIN $prev s),
+         |u$i AS (
+         |  SELECT cid, i AS dim,
+         |    CAST(SUM(CAST(v[i] AS DECIMAL(18,7))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS comp
+         |  FROM (SELECT v, cid FROM a$i WHERE rn = 1)
+         |       CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+         |  GROUP BY cid, i),
+         |c$i AS (
+         |  SELECT s.cid, coalesce(u.cv, s.v) AS v
+         |  FROM $prev s LEFT JOIN
+         |    (SELECT cid, list(comp ORDER BY dim) AS cv FROM u$i GROUP BY cid) u
+         |    USING (cid))""".stripMargin
+    s"""n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(rn - 1 AS BIGINT) AS cid, v FROM (
+       |    SELECT v, row_number() OVER (
+       |      ORDER BY md5('km|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM n) WHERE rn <= 8),
+       |${iter("seeds", 1)},
+       |${iter("c1", 2)},
+       |af AS (
+       |  SELECT n.vec_id, s.cid, ${dist("n.v", "s.v")} AS d2,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${dist("n.v", "s.v")} ASC, s.cid ASC) AS rn
+       |  FROM n CROSS JOIN c2 s)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q37_cosine_topk" ->
       """WITH n AS (
@@ -196,49 +277,29 @@ object VectorQueries {
         |    / CAST(COUNT(embedding[i]) AS DOUBLE) AS centroid_component
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY 1, 2""".stripMargin,
-    "q97_kmeans" -> {
-      // one Lloyd iteration: assign against centroids CTE `cs`, then the
-      // per-(cluster, dim) decimal-exact means, empty clusters keeping
-      // their previous centroid via the LEFT JOIN coalesce
-      def dist(vec: String, cen: String) =
-        s"list_dot_product($vec, $vec) - 2 * list_dot_product($vec, $cen)" +
-          s" + list_dot_product($cen, $cen)"
-      def iter(prev: String, i: Int) =
-        s"""a$i AS (
-           |  SELECT n.vec_id, n.v, s.cid,
-           |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-           |      ${dist("n.v", "s.v")} ASC, s.cid ASC) AS rn
-           |  FROM n CROSS JOIN $prev s),
-           |u$i AS (
-           |  SELECT cid, i AS dim,
-           |    CAST(SUM(CAST(v[i] AS DECIMAL(18,7))) AS DOUBLE)
-           |      / CAST(COUNT(*) AS DOUBLE) AS comp
-           |  FROM (SELECT v, cid FROM a$i WHERE rn = 1)
-           |       CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
-           |  GROUP BY cid, i),
-           |c$i AS (
-           |  SELECT s.cid, coalesce(u.cv, s.v) AS v
-           |  FROM $prev s LEFT JOIN
-           |    (SELECT cid, list(comp ORDER BY dim) AS cv FROM u$i GROUP BY cid) u
-           |    USING (cid))""".stripMargin
-      s"""WITH n AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |seeds AS (
-         |  SELECT CAST(rn - 1 AS BIGINT) AS cid, v FROM (
-         |    SELECT v, row_number() OVER (
-         |      ORDER BY md5('km|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |    FROM n) WHERE rn <= 8),
-         |${iter("seeds", 1)},
-         |${iter("c1", 2)},
-         |af AS (
-         |  SELECT n.vec_id, s.cid, ${dist("n.v", "s.v")} AS d2,
-         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |      ${dist("n.v", "s.v")} ASC, s.cid ASC) AS rn
-         |  FROM n CROSS JOIN c2 s)
+    "q97_kmeans" ->
+      s"""WITH $kmeansOracleCtes
          |SELECT vec_id, cid AS cluster_id,
          |  floor(d2 * 1e9 + 0.5) / 1e9 AS dist2
-         |FROM af WHERE rn = 1""".stripMargin
-    },
+         |FROM af WHERE rn = 1""".stripMargin,
+
+    "q98_semantic_dedup" ->
+      s"""WITH $kmeansOracleCtes,
+         |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+         |w AS (
+         |  SELECT asg.vec_id, asg.cid, n.v,
+         |         sqrt(list_dot_product(n.v, n.v)) AS nrm
+         |  FROM asg JOIN n USING (vec_id)),
+         |dups AS (
+         |  SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_dup
+         |  FROM w a JOIN w b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0
+         |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+         |  GROUP BY b.vec_id)
+         |SELECT w.vec_id, w.cid AS cluster_id,
+         |  coalesce(n_dup, 0) AS n_dup_neighbors,
+         |  coalesce(n_dup, 0) = 0 AS keep
+         |FROM w LEFT JOIN dups USING (vec_id)""".stripMargin,
 
     "q64_ann_ivf" ->
       """WITH n AS (

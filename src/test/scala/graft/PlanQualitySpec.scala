@@ -320,6 +320,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!planOf(df).contains("Window"), s"assignment windows:\n${planOf(df)}")
   }
 
+  test("q98 semantic dedup compares only within clusters via an equi-join") {
+    // the SemDeDup point: the pairwise compare joins on the CLUSTER key
+    // (bucketable equi-join, pairs bounded per cluster) — never a full
+    // cartesian over the corpus like the q38 exact baseline
+    val plan = planOf(SparkEntry.queries("q98_semantic_dedup")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"corpus cross-joined:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join on the cluster key:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
