@@ -409,6 +409,37 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q100: dataset-card rollup — the per-source/per-language corpus
+    // profile a training-data release ships (docs, tokens, chars, exact
+    // dedup rate from the q31 fingerprint) over GROUPING SETS
+    // ((source), (source, lang), ()) so one aggregation yields the
+    // whole card lattice. All metrics are integer counts (countDistinct
+    // included — exact, merge-order free), so the card hash-gates.
+    // ---------------------------------------------------------------
+    "q100_dataset_card" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val base = docs.select(
+        col("source"), col("lang"), col("n_chars"),
+        size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        Text.sortedTokenFingerprint(col("text")).as("fp"))
+      base.groupingSets(
+          Seq(Seq(col("source")), Seq(col("source"), col("lang")), Seq()),
+          col("source"), col("lang"))
+        .agg(grouping(col("source")).cast(LongType).as("grp_source"),
+             grouping(col("lang")).cast(LongType).as("grp_lang"),
+             count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("n_tokens"),
+             sum(col("n_chars")).as("n_chars"),
+             countDistinct(col("fp")).as("n_unique_docs"))
+        .select(
+          coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("grp_source"), col("grp_lang"),
+          col("n_docs"), col("n_tokens"), col("n_chars"), col("n_unique_docs"),
+          (col("n_docs") - col("n_unique_docs")).as("n_exact_dups"))
+    },
+
+    // ---------------------------------------------------------------
     // q84: context-window chunking — split every document into W=50-token
     // chunks advancing by S=40 (10-token overlap), the chunking step of
     // a RAG / long-context training corpus. Pure projection + explode
@@ -669,6 +700,24 @@ object CurationQueries {
          |FROM t
          |WHERE keep_bucket * n_source < 65536 * thr""".stripMargin
     },
+
+    "q100_dataset_card" ->
+      """WITH base AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp
+        |  FROM documents)
+        |SELECT coalesce(source, 'ALL') AS source,
+        |  coalesce(lang, 'ALL') AS lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS grp_source,
+        |  CAST(GROUPING(lang) AS BIGINT) AS grp_lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+        |  COUNT(*) - CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups
+        |FROM base
+        |GROUP BY GROUPING SETS ((source), (source, lang), ())""".stripMargin,
 
     "q84_chunk_windows" ->
       s"""WITH t AS (

@@ -113,6 +113,24 @@ object VectorQueries {
                 (coalesce(col("n_dup"), lit(0L)) === 0L).as("keep"))
     },
 
+    // Cluster medoid selection: per k-means cluster, the member closest
+    // to the centroid (ties to the smaller id) — the representative-
+    // picking step of diversity-preserving sampling ("keep one per
+    // semantic group"). One partial+final min-struct aggregation over the
+    // q97 assignment; no window, no sort of the corpus.
+    "q99_cluster_medoids" -> { (s, dir) =>
+      val e  = Tables(s, dir).embeddings
+      val km = graft.operators.Clustering
+        .kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
+      km.groupBy(col("cluster_id"))
+        .agg(min(struct(col("dist2"), col("vec_id"))).as("m"),
+             count(lit(1)).as("cluster_size"))
+        .select(col("cluster_id"),
+                col("m.vec_id").as("medoid_id"),
+                col("m.dist2").as("medoid_dist2"),
+                col("cluster_size"))
+    },
+
     // IVF-flat ANN: deterministic seed centroids, shuffle-free
     // nearest-centroid assignment (collected centroid literals), nprobe
     // probed lists, exact cosine on candidates. The data-adaptive ANN
@@ -300,6 +318,21 @@ object VectorQueries {
          |  coalesce(n_dup, 0) AS n_dup_neighbors,
          |  coalesce(n_dup, 0) = 0 AS keep
          |FROM w LEFT JOIN dups USING (vec_id)""".stripMargin,
+
+    "q99_cluster_medoids" ->
+      s"""WITH $kmeansOracleCtes,
+         |asg AS (
+         |  SELECT vec_id, cid, floor(d2 * 1e9 + 0.5) / 1e9 AS dist2
+         |  FROM af WHERE rn = 1),
+         |ranked AS (
+         |  SELECT vec_id, cid, dist2,
+         |    row_number() OVER (PARTITION BY cid
+         |                       ORDER BY dist2 ASC, vec_id ASC) AS mrn,
+         |    count(*) OVER (PARTITION BY cid) AS cluster_size
+         |  FROM asg)
+         |SELECT cid AS cluster_id, vec_id AS medoid_id,
+         |  dist2 AS medoid_dist2, CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM ranked WHERE mrn = 1""".stripMargin,
 
     "q64_ann_ivf" ->
       """WITH n AS (
