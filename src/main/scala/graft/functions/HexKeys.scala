@@ -34,9 +34,7 @@ object HexKeys {
   def kmBuckets(hex: Column, depth: Int, width: Int): Column = {
     val h1 = value16(hex, 0)
     val h2 = value16(hex, 4)
-    org.apache.spark.sql.functions.array(
-      (0 until depth).map(j =>
-        (h1 + org.apache.spark.sql.functions.lit(j) * h2) % width): _*)
+    array((0 until depth).map(j => (h1 + lit(j) * h2) % width): _*)
   }
 
   /** SQL form of [[digit]] over a column reference `hexCol`. */

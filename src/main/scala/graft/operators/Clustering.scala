@@ -35,8 +35,12 @@ object Clustering {
   /** @param vecs   input frame
     * @param idCol  unique integral id column
     * @param vecCol array&lt;float&gt;/array&lt;double&gt; embedding column
-    * @return (idCol, cluster_id, dist2) — final assignment against the
-    *         last updated centroids; dist2 quantized to 1e-9
+    * @param keepVectors when true the output retains the double-cast
+    *                    vector as `v` — callers that need the embedding
+    *                    downstream (q98's within-cluster cosine) avoid
+    *                    re-joining the corpus just to fetch it back
+    * @return (idCol, cluster_id, dist2[, v]) — final assignment against
+    *         the last updated centroids; dist2 quantized to 1e-9
     */
   def kmeans(
       vecs: DataFrame,
@@ -44,7 +48,8 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int,
-      seedPrefix: String = "km|"): DataFrame = {
+      seedPrefix: String = "km|",
+      keepVectors: Boolean = false): DataFrame = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
 
@@ -57,6 +62,7 @@ object Clustering {
       .limit(k)
       .collect()
       .map(_.getSeq[Double](1))
+    require(seeds.nonEmpty, "kmeans: input frame has no rows to seed from")
 
     // sequential ascending fold — same order as DotProduct's codegen loop
     // and DuckDB's list_dot_product, so c·c is the identical double
@@ -74,12 +80,15 @@ object Clustering {
       */
     def assign(centroids: Array[Seq[Double]]): DataFrame = {
       val xx = DotProduct.dotNative(col("v"), col("v"))
-      val best = least(centroids.zipWithIndex.map { case (c, j) =>
+      val structs = centroids.zipWithIndex.map { case (c, j) =>
         struct(
           (xx - lit(2.0) * DotProduct.dotNative(col("v"), litArray(c)) +
             lit(selfDot(c))).as("d2"),
           lit(j.toLong).as("cid"))
-      }: _*)
+      }
+      // least() requires ≥ 2 arguments; with a single centroid (k = 1, or
+      // fewer input rows than k) the argmin is that centroid's struct
+      val best = if (structs.length == 1) structs.head else least(structs: _*)
       v.select(col(idCol), col("v"), best.getField("cid").as("cluster_id"),
                best.getField("d2").as("dist2"))
     }
@@ -97,12 +106,18 @@ object Clustering {
         .map(r => (r.getLong(0).toInt, r.getInt(1)) -> r.getDouble(2))
         .toMap
       centroids = centroids.zipWithIndex.map { case (prev, j) =>
-        if (cells.contains((j, 0))) prev.indices.map(d => cells((j, d)))
+        if (cells.contains((j, 0)))
+          prev.indices.map(d => cells.getOrElse((j, d), throw new IllegalArgumentException(
+            s"kmeans: cluster $j has no dimension-$d cell — input vectors are " +
+              s"ragged (shorter than the ${prev.length}-dim seeds); " +
+              "kmeans requires a uniform embedding width")))
         else prev // empty cluster keeps its centroid
       }
     }
-    assign(centroids).select(
-      col(idCol), col("cluster_id"),
-      (floor(col("dist2") * 1e9 + 0.5) / 1e9).as("dist2"))
+    val out = assign(centroids)
+    val cols = col(idCol) +: col("cluster_id") +:
+      (floor(col("dist2") * 1e9 + 0.5) / 1e9).as("dist2") +:
+      (if (keepVectors) Seq(col("v")) else Nil)
+    out.select(cols: _*)
   }
 }

@@ -99,8 +99,18 @@ object IncrementalQueries {
       val hex = md5(concat(lit("epoch0|"), col("doc_id").cast(StringType)))
       val h32 = graft.functions.HexKeys.value16(hex, 0).cast(LongType) * 65536L +
         graft.functions.HexKeys.value16(hex, 4).cast(LongType)
+      // the 31-bit packing is a PRECONDITION, not an assumption: an out-of-
+      // range doc_id would silently collide key spaces and mis-recover on
+      // the modulo, so fail loudly instead (raise_error evaluates only on
+      // violating rows; the happy path stays codegen'd)
       val keyed = d.select(
-        (h32 * 2147483648L + col("doc_id")).as("perm_key"),
+        when(col("doc_id").between(0L, 2147483647L),
+             h32 * 2147483648L + col("doc_id"))
+          .otherwise(raise_error(concat(
+            lit("q95 epoch shuffle requires 0 <= doc_id < 2^31, got "),
+            col("doc_id").cast(StringType)))
+            .cast(LongType))
+          .as("perm_key"),
         lit(1L).as("one"))
       graft.operators.Sharding
         .runningTotal(keyed, "perm_key", "one", "epoch_rank")

@@ -90,12 +90,12 @@ object VectorQueries {
     "q98_semantic_dedup" -> { (s, dir) =>
       import graft.functions.Vectors
       val e = Tables(s, dir).embeddings
-      val assigned = graft.operators.Clustering
-        .kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
-        .select(col("vec_id"), col("cluster_id"))
-      val w = assigned
-        .join(e.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-              "vec_id")
+      // keepVectors: the assignment already projected the double-cast
+      // vector — retaining it avoids a corpus-wide join just to fetch
+      // the embedding back
+      val w = graft.operators.Clustering
+        .kmeans(e, "vec_id", "embedding", k = 8, iters = 2, keepVectors = true)
+        .select(col("vec_id"), col("cluster_id"), col("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
       val a = w.select(col("vec_id").as("id_a"), col("cluster_id").as("cid_a"),
                        col("v").as("va"), col("nrm").as("na"))

@@ -192,10 +192,12 @@ class PlanQualitySpec extends SparkSpec {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("Window"), s"$q plans a window:\n$plan")
       // struct-typed min/max (q99's medoid pick) is not hash-aggregable and
-      // plans as SortAggregate — still partial+final with map-side combine
-      assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate") ||
-             plan.contains("SortAggregate"),
-        s"$q has no partial+final aggregate:\n$plan")
+      // plans as SortAggregate — still partial+final with map-side combine.
+      // The allowance is scoped to q99 so the other queries keep their
+      // hash-aggregate regression guard.
+      val hashAgg = plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate")
+      assert(hashAgg || (q == "q99_cluster_medoids" && plan.contains("SortAggregate")),
+        s"$q has no (hash) partial+final aggregate:\n$plan")
     }
   }
 

@@ -210,6 +210,18 @@ class RetrievalGraphSpec extends SparkSpec {
       s"clusters not separated: $out")
   }
 
+  test("kmeans handles k = 1 and fewer rows than k") {
+    val one = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0))).toDF("vec_id", "embedding")
+    val k1 = graft.operators.Clustering.kmeans(one, "vec_id", "embedding", k = 1, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k1 == Map(1L -> 0L, 2L -> 0L))
+    // fewer input rows than k: seeds shrink to the row count, no crash
+    val tiny = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val got = graft.operators.Clustering.kmeans(tiny, "vec_id", "embedding", k = 5, iters = 1)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(1) == 0L)
+  }
+
   test("pageRank matches an exact integer reference fold on a crafted graph") {
     // path graph 1–2–3 (symmetric): hand-foldable, asymmetric degrees
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
