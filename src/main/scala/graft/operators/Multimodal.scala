@@ -39,6 +39,9 @@ object Multimodal {
       mean_r: Option[Double],     // per-channel pixel means, 0-255 scale
       mean_g: Option[Double],
       mean_b: Option[Double],
+      audio_sample_rate: Option[Long],  // audio branch: real RIFF/PCM parse
+      audio_n_samples: Option[Long],
+      audio_mean_amp: Option[Double],   // mean |sample| over 16-bit PCM
       feature: Array[Float])      // stub embedding (all modalities)
 
   val mediaSchema: StructType = StructType(Seq(
@@ -133,6 +136,75 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** REAL audio decode — 16-bit PCM mono WAV via manual RIFF chunk
+    * parsing (pure JDK byte work, no codec library): returns
+    * (sampleRate, nSamples, mean |amplitude|). The amplitude sum is
+    * integer-exact, so the mean is a deterministic double — which is what
+    * lets the audio path hash-gate (q101) the way lossless PNG lets the
+    * image path (q71). None for anything that isn't such a WAV.
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Long, Double)] =
+    try {
+      if (payload == null || payload.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(at: Int): String = new String(payload, at, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var pos = 12
+      var rate = -1
+      var bits = -1
+      var channels = -1
+      var data: Option[(Int, Int)] = None // (offset, length)
+      while (pos + 8 <= payload.length && (rate < 0 || data.isEmpty)) {
+        val id   = tag(pos)
+        val len  = bb.getInt(pos + 4)
+        val body = pos + 8
+        if (id == "fmt ") {
+          if (bb.getShort(body) != 1) return None // PCM only
+          channels = bb.getShort(body + 2).toInt
+          rate = bb.getInt(body + 4)
+          bits = bb.getShort(body + 14).toInt
+        } else if (id == "data") data = Some((body, len))
+        pos = body + len + (len & 1) // chunks are word-aligned
+      }
+      data match {
+        case Some((off, len))
+            if rate > 0 && bits == 16 && channels == 1 &&
+              off + len <= payload.length =>
+          val n = len / 2
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += math.abs(bb.getShort(off + i * 2).toLong); i += 1 }
+          if (n == 0) None else Some((rate, n.toLong, sum.toDouble / n))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic WAV fixture: mono 16-bit PCM, rate 8000 + (id%4)·4000,
+    * (id%50)+10 samples of ((id·31 + i·17) mod 2001) − 1000 — all integer
+    * arithmetic a SQL oracle reproduces from the id (q101), and every
+    * value round-trips exactly through 16-bit PCM.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = 8000 + ((id % 4).toInt * 4000)
+    val n    = (id % 50).toInt + 10
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                 // PCM, mono
+      .putInt(rate).putInt(rate * 2)           // byte rate = rate·block
+      .putShort(2).putShort(16)                // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 31 + i * 17) % 2001) - 1000).toShort)
+      i += 1
+    }
+    bb.array()
   }
 
   /** REAL image resize: decode, scale to `width`×`height` with
@@ -279,13 +351,17 @@ object Multimodal {
         val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
         val hash  = md.digest(bytes).map("%02x".format(_)).mkString
         val img   = if (r.modality == "image") decodeImage(r.payload) else None
+        val aud   = if (r.modality == "audio") decodeWav(r.payload) else None
         MediaFeatures(r.media_id, r.modality, bytes.length.toLong, hash,
-          is_decoded = img.isDefined,
+          is_decoded = img.isDefined || aud.isDefined,
           image_width = img.map(_._1.toLong),
           image_height = img.map(_._2.toLong),
           mean_r = img.map(_._3),
           mean_g = img.map(_._4),
           mean_b = img.map(_._5),
+          audio_sample_rate = aud.map(_._1.toLong),
+          audio_n_samples = aud.map(_._2),
+          audio_mean_amp = aud.map(_._3),
           decodeStub(r.payload, dims))
       }
     }

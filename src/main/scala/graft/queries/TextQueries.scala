@@ -286,6 +286,23 @@ object TextQueries {
                 col("mean_r"), col("mean_g"), col("mean_b"))
     },
 
+    // REAL audio decode, oracle-gated end to end: deterministic 16-bit
+    // PCM WAVs (Multimodal.syntheticWav) parsed by the manual RIFF
+    // decoder inside the batched extractor; PCM is lossless integer
+    // storage, so rate/sample-count/mean-|amplitude| equal the
+    // id-derived arithmetic the oracle recomputes. Closes the last
+    // stubbed-codec modality (image q71, video frames q73, audio here).
+    "q101_audio_decode" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val media = ids.map(id => graft.operators.Multimodal.MediaRecord(
+        id, "audio", graft.operators.Multimodal.syntheticWav(id), s"synthetic://$id"))
+      graft.operators.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("is_decoded"),
+                col("audio_sample_rate"), col("audio_n_samples"),
+                col("audio_mean_amp"))
+    },
+
     // REAL image resize, oracle-gated: synthetic PNGs rewritten to 4×3
     // via Graphics2D in the batched resizeAll op, then decoded back —
     // dims become the resize target and the constant color survives any
@@ -678,6 +695,21 @@ object TextQueries {
         |  CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
         |FROM documents""".stripMargin,
+    "q101_audio_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(generate_series(0, (doc_id % 50) + 9)) AS i
+        |  FROM documents),
+        |amp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(abs((doc_id * 31 + i * 17) % 2001 - 1000)) AS BIGINT)
+        |           AS amp_sum,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id AS media_id, true AS is_decoded,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS audio_sample_rate,
+        |  n AS audio_n_samples,
+        |  CAST(amp_sum AS DOUBLE) / CAST(n AS DOUBLE) AS audio_mean_amp
+        |FROM amp""".stripMargin,
     "q39_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

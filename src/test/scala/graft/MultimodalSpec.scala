@@ -91,6 +91,25 @@ class MultimodalSpec extends SparkSpec {
       f0.mean_b == (527 * 7) % 256)
   }
 
+  test("RIFF parser decodes synthetic WAVs exactly; rejects non-WAV payloads") {
+    import graft.operators.Multimodal
+    for (id <- Seq(0L, 3L, 49L, 123L)) {
+      val Some((rate, n, mean)) = Multimodal.decodeWav(Multimodal.syntheticWav(id))
+      assert(rate == 8000 + (id % 4).toInt * 4000)
+      assert(n == (id % 50) + 10)
+      val expected = (0 until n.toInt)
+        .map(i => math.abs((id * 31 + i * 17) % 2001 - 1000)).sum.toDouble / n
+      assert(mean == expected, s"id=$id mean $mean != $expected")
+    }
+    assert(Multimodal.decodeWav(null).isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxWAVEgarbage".getBytes).isEmpty)
+    // a stereo/8-bit WAV is valid RIFF but outside the PCM-16-mono contract
+    val w = Multimodal.syntheticWav(7L)
+    w(22) = 2 // channels := 2
+    assert(Multimodal.decodeWav(w).isEmpty)
+  }
+
   test("decodeStub is deterministic and null-safe") {
     val f1 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
     val f2 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
