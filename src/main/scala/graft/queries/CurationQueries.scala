@@ -194,6 +194,64 @@ object CurationQueries {
     // mirrored by DuckDB list_reduce over list(... ORDER BY pos) —
     // bit-identical IEEE op sequences, no merge-order float sums.
     // ---------------------------------------------------------------
+    // q102: bigram LM scoring with add-one smoothing — the conditional
+    // upgrade of q78's unigram filter (the CCNet-style "does this text
+    // read like language" score): p(wᵢ|wᵢ₋₁) = (c₂(wᵢ₋₁wᵢ)+1) /
+    // (c₁(wᵢ₋₁)+V). Bigrams are extracted SCAN-LOCAL (zip of shifted
+    // array slices — no self-join on position); the bigram/unigram
+    // count tables are vocab-bounded (broadcast here; corpus-scale
+    // vocabularies make them plain equi-join tables) and the per-doc
+    // sum is the same pos-ordered sequential fold as q78 — no
+    // merge-order float accumulation. Sub-2-token docs keep a row with
+    // n_bigrams=0 and identity scores (the q76 lesson).
+    // ---------------------------------------------------------------
+    "q102_bigram_lm" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val toks = Text.tokens(col("text"))
+      val m    = greatest(size(toks) - 1, lit(0))
+      val pairs = docs.select(
+        col("doc_id"),
+        posexplode(zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as(Seq("pos", "bg")))
+        .select(col("doc_id"), col("pos"),
+                col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val tok = docs.select(explode(toks).as("tok"))
+      val c1  = tok.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      val v   = c1.agg(count(lit(1)).as("vocab"))
+      val c2  = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      val scored = pairs
+        .join(broadcast(c2), Seq("prev", "cur"))
+        .join(broadcast(c1.withColumnRenamed("tok", "prev")), "prev")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("pos"),
+                // ln() is not correctly rounded and differs by 1 ulp
+                // between JVM Math.log and DuckDB's libm on ~3% of these
+                // arguments (q78's argument set happens to agree) —
+                // quantize each term to 1e-9 BEFORE the fold so both
+                // engines sum identical doubles in identical order
+                (floor(log((col("c2").cast(DoubleType) + lit(1.0)) /
+                    (col("c1").cast(DoubleType) + col("vocab").cast(DoubleType)))
+                  * 1e9 + 0.5) / 1e9).as("logp"))
+      val sumLogp = aggregate(
+        transform(array_sort(collect_list(struct(col("pos"), col("logp")))),
+                  x => x.getField("logp")),
+        lit(0.0), (acc, x) => acc + x)
+      val perDoc = scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sumLogp.as("sum_logprob"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+                coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+                coalesce(col("sum_logprob"), lit(0.0)).as("sum_logprob"),
+                coalesce(col("sum_logprob") / col("n_bigrams").cast(DoubleType),
+                         lit(0.0)).as("avg_logprob"),
+                coalesce(
+                  floor(exp(-(col("sum_logprob") / col("n_bigrams").cast(DoubleType)))
+                    * 1e9 + 0.5) / 1e9,
+                  lit(1.0)).as("perplexity"))
+    },
+
+    // ---------------------------------------------------------------
     "q78_unigram_lm" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
       val tok = docs.select(
@@ -205,7 +263,13 @@ object CurationQueries {
         .join(broadcast(vocab), "tok")
         .crossJoin(broadcast(total))
         .select(col("doc_id"), col("pos"),
-                log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType))
+                // quantize each ln() term before the fold: JVM Math.log
+                // and DuckDB's libm disagree by 1 ulp on some arguments
+                // (bit q102 on ~3% of its bigrams; this argument set
+                // happens to agree today, but that's data luck, not a
+                // guarantee)
+                (floor(log(col("cnt").cast(DoubleType) /
+                    col("total").cast(DoubleType)) * 1e9 + 0.5) / 1e9)
                   .as("logp"))
       val sumLogp = aggregate(
         transform(array_sort(collect_list(struct(col("pos"), col("logp")))),
@@ -562,6 +626,34 @@ object CurationQueries {
     // list_reduce folds left-to-right starting from the first element;
     // Spark's aggregate starts from 0.0 — identical in IEEE because
     // 0.0 + x == x for every finite x (log-probs are never -0.0).
+    "q102_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, i - 1 AS pos, toks[i] AS prev, toks[i + 1] AS cur
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        |tok AS (SELECT unnest(toks) AS tok FROM t),
+        |c1 AS (SELECT tok AS prev, count(*) AS c1 FROM tok GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab FROM c1),
+        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_id, pos,
+        |    floor(ln((CAST(c2 AS DOUBLE) + 1.0)
+        |              / (CAST(c1 AS DOUBLE) + CAST(vocab AS DOUBLE)))
+        |          * 1e9 + 0.5) / 1e9 AS logp
+        |  FROM pairs JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+        |  FROM scored GROUP BY doc_id)
+        |SELECT t.doc_id, t.lang,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(s, 0.0) AS sum_logprob,
+        |  coalesce(s / CAST(n_bigrams AS DOUBLE), 0.0) AS avg_logprob,
+        |  coalesce(floor(exp(-(s / CAST(n_bigrams AS DOUBLE))) * 1e9 + 0.5) / 1e9,
+        |           1.0) AS perplexity
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     "q78_unigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |tok AS (
@@ -572,7 +664,8 @@ object CurationQueries {
         |tot AS (SELECT sum(cnt) AS total FROM vocab),
         |scored AS (
         |  SELECT doc_id, pos,
-        |         ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+        |         floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |               * 1e9 + 0.5) / 1e9 AS logp
         |  FROM tok JOIN vocab USING (tok) CROSS JOIN tot),
         |agg AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,

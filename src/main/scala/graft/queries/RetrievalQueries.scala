@@ -140,6 +140,30 @@ object RetrievalQueries {
     },
 
     // ---------------------------------------------------------------
+    // q103: hashing-trick featurizer (Weinberger et al.) — documents →
+    // sparse 64-dim integer vectors with dim = md5 bucket and ±1 sign
+    // from an independent hash slice: the vocabulary-free featurizer
+    // that feeds clustering/ANN when training an embedding model is off
+    // the table. All-integer output (signed counts), so it hash-gates
+    // exactly. 100 TB shape: one scan-local hash projection + one
+    // partial+final (doc, dim) aggregation — dims are bounded (≤64 per
+    // doc), no vocabulary table, no join, nothing broadcast.
+    // ---------------------------------------------------------------
+    "q103_feature_hashing" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val hexed = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), md5(concat(lit("fh|"), col("tok"))).as("hex"))
+      val dim  = graft.functions.HexKeys.value16(col("hex"), 0) % 64
+      val sgn  = (graft.functions.HexKeys.value16(col("hex"), 4) % 2) * 2 - 1
+      hexed
+        .select(col("doc_id"), dim.cast(LongType).as("dim"),
+                sgn.cast(LongType).as("sgn"))
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("sgn")).as("feature"), count(lit(1)).as("n_hits"))
+    },
+
+    // ---------------------------------------------------------------
     // q92: per-document keyword extraction — top-3 tokens by tf·idf
     // (idf = ln(N/df)). The per-doc counterpart to q88's corpus-level
     // retrieval: the "what is this document about" tagging step.
@@ -288,6 +312,21 @@ object RetrievalQueries {
          |       cms_estimate - true_cnt AS overcount
          |FROM est""".stripMargin
     },
+
+    "q103_feature_hashing" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5('fh|' || tok) AS hex
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |e AS (
+         |  SELECT doc_id,
+         |         CAST(${graft.functions.HexKeys.value16Sql(0)} % 64 AS BIGINT) AS dim,
+         |         CAST((${graft.functions.HexKeys.value16Sql(4)} % 2) * 2 - 1 AS BIGINT)
+         |           AS sgn
+         |  FROM tok)
+         |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS feature,
+         |       CAST(count(*) AS BIGINT) AS n_hits
+         |FROM e GROUP BY doc_id, dim""".stripMargin,
 
     "q92_tfidf_keywords" ->
       """WITH tok AS (

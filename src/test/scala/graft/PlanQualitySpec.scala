@@ -178,6 +178,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin"), s"total not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for scoring:\n$plan")
+    // same guarantees for the bigram upgrade (q102)
+    val bi = planOf(SparkEntry.queries("q102_bigram_lm")(spark, dir))
+    assert(bi.contains("BroadcastHashJoin"), s"q102 counts not broadcast:\n$bi")
+    assert(!bi.contains("SortMergeJoin"), s"q102 corpus shuffled to score:\n$bi")
   }
 
   test("funnel/retention/curation plans use partial aggregation, never per-entity windows") {
@@ -188,7 +192,7 @@ class PlanQualitySpec extends SparkSpec {
     for (q <- Seq("q80_funnel", "q81_retention", "q75_segment_dedup",
                   "q82_ngram_novelty", "q76_repetition_quality",
                   "q91_snapshot_dedup", "q99_cluster_medoids",
-                  "q100_dataset_card")) {
+                  "q100_dataset_card", "q103_feature_hashing")) {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("Window"), s"$q plans a window:\n$plan")
       // struct-typed min/max (q99's medoid pick) is not hash-aggregable and
