@@ -161,7 +161,11 @@ object Multimodal {
         val id   = tag(pos)
         val len  = bb.getInt(pos + 4)
         val body = pos + 8
+        // a negative declared length would keep pos from advancing (infinite
+        // loop on an executor task); a length past the payload is malformed
+        if (len < 0 || body + len > payload.length) return None
         if (id == "fmt ") {
+          if (len < 16) return None // truncated fmt would misread rate/bits
           if (bb.getShort(body) != 1) return None // PCM only
           channels = bb.getShort(body + 2).toInt
           rate = bb.getInt(body + 4)

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.operators.Graph
+import graft.sources.Warehouse
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -17,14 +18,24 @@ object GraphQueries {
 
   private val Iters = 3
 
+  /** Catalog name of the bucketed PageRank edge table (PlanQualitySpec
+    * probes the per-iteration join shape against it).
+    */
+  val EdgeTable = "graft_q90_edges"
+
   val defs: Map[String, Q] = Map(
     // ---------------------------------------------------------------
     // q90: PageRank over the part co-purchase graph, 3 iterations,
     // damping 0.85, integer-scaled (1e-12 rank units) so every sum is
     // associative-exact and the result hash-gates — see Graph.pageRank
-    // for the determinism + 100 TB contract. Edges are cached because
-    // the unrolled 3-iteration DAG references them 4× (3 contribs +
-    // degree); at scale you'd materialize the edge list once anyway.
+    // for the determinism + 100 TB contract. The unrolled 3-iteration
+    // DAG references the edge list 4× (3 contribs + degree), so it is
+    // materialized ONCE to a src-bucketed warehouse table: every
+    // iteration then scans a layout already hash-partitioned on the
+    // join key, and the per-iteration join plans with NO Exchange on
+    // the edge side (PlanQualitySpec asserts it) — the 100 TB iteration
+    // shape. Bucketing also retires the session-lifetime .cache() this
+    // query used to leak (each call now just overwrites the table).
     // ---------------------------------------------------------------
     "q90_pagerank" -> { (s, dir) =>
       val t  = Tables(s, dir)
@@ -34,8 +45,8 @@ object GraphQueries {
               col("a.okey") === col("b.okey") && col("a.part") =!= col("b.part"))
         .select(col("a.part").as("src"), col("b.part").as("dst"))
         .distinct()
-        .cache()
-      Graph.pageRank(edges, Iters)
+      Warehouse.writeBucketed(edges, EdgeTable, "src", numBuckets = 32)
+      Graph.pageRank(s.table(EdgeTable), Iters)
         .select(col("node").as("part"), col("rank_e12"))
     }
   )

@@ -223,8 +223,12 @@ object RetrievalQueries {
                         count(col("value")).as("n"))
       val binned = e.select(col("value")).filter(col("value").isNotNull)
         .crossJoin(broadcast(stats))
-        .select(least(floor((col("value") - col("vmin")) /
-                  (col("vmax") - col("vmin")) * 1024), lit(1023.0))
+        // vmax == vmin (degenerate corpus) would give 0/0 = NaN and least()
+        // would silently park every row in bin 1023 — map it to bin 0 instead
+        .select(when(col("vmax") > col("vmin"),
+                  least(floor((col("value") - col("vmin")) /
+                    (col("vmax") - col("vmin")) * 1024), lit(1023.0)))
+                  .otherwise(lit(0.0))
                   .cast(LongType).as("bin"))
       val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
       val w = org.apache.spark.sql.expressions.Window
@@ -355,8 +359,10 @@ object RetrievalQueries {
         |  SELECT min(value) AS vmin, max(value) AS vmax, count(value) AS n
         |  FROM events),
         |binned AS (
-        |  SELECT CAST(least(floor((value - vmin) / (vmax - vmin) * 1024),
-        |                    1023.0) AS BIGINT) AS bin
+        |  SELECT CAST(CASE WHEN vmax > vmin
+        |              THEN least(floor((value - vmin) / (vmax - vmin) * 1024),
+        |                         1023.0)
+        |              ELSE 0.0 END AS BIGINT) AS bin
         |  FROM events CROSS JOIN stats WHERE value IS NOT NULL),
         |hist AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
         |cdf AS (

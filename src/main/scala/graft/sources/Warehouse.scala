@@ -26,12 +26,23 @@ object Warehouse {
     * catalog).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int = 8): Unit =
+                    numBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    // a managed-table location can outlive its catalog entry (a previous
+    // session wrote it, this session's in-memory catalog never heard of
+    // it) — saveAsTable then fails with LOCATION_ALREADY_EXISTS, so drop
+    // both the entry and any orphaned location before writing
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Salt a skewed build-side key: explode each right-side row into
     * `saltBuckets` copies and scatter left-side rows uniformly, so one hot

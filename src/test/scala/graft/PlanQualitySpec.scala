@@ -259,13 +259,33 @@ class PlanQualitySpec extends SparkSpec {
       s"no partial+final sketch aggregate:\n$plan")
   }
 
-  test("q90 PageRank iterations are join+partial-agg, no windows, edges cached") {
+  test("q90 PageRank iterations are join+partial-agg over the bucketed edge table") {
+    // building the query materializes the src-bucketed edge table
     val df   = SparkEntry.queries("q90_pagerank")(spark, dir)
     val plan = planOf(df)
     assert(!plan.contains("Window"), s"pagerank plans a window:\n$plan")
-    assert(plan.contains("InMemoryTableScan"),
-      s"edges not cached across iterations:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"edges not read as a bucketed table:\n$plan")
     assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    // the 100 TB iteration shape: one iteration's edges⋈ranks join must
+    // plan with NO Exchange on the edge side — the bucketed layout IS the
+    // partitioning, only the node-sized rank frame moves. Broadcast is
+    // disabled so the tiny sf0.001 ranks can't hide the shuffle behavior.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges  = spark.table(graft.queries.GraphQueries.EdgeTable)
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val ranks  = edges.select(col("src").as("node")).distinct()
+        .withColumn("rank", lit(1L))
+      val iter = edges.join(outdeg, "src")
+        .join(ranks, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("rank")).as("in_rank"))
+      val iterPlan = planOf(iter)
+      assert(!iterPlan.contains("Exchange hashpartitioning(src"),
+        s"edge side of the iteration join still shuffles:\n$iterPlan")
+      assert(iterPlan.contains("SortMergeJoin") || iterPlan.contains("ShuffledHashJoin"),
+        s"iteration join not an equi-join:\n$iterPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
   test("q92 keyword top-3 is a bounded-heap aggregate, no per-doc window") {
