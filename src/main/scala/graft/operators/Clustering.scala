@@ -50,6 +50,31 @@ object Clustering {
       iters: Int,
       seedPrefix: String = "km|",
       keepVectors: Boolean = false): DataFrame = {
+    val centroids = fitCentroids(vecs, idCol, vecCol, k, iters, seedPrefix)
+    val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val best = nearestCentroid(centroids, col("v"))
+    val out = v.select(col(idCol), col("v"), best.getField("cid").as("cluster_id"),
+                       best.getField("d2").as("dist2"))
+    val cols = col(idCol) +: col("cluster_id") +:
+      (floor(col("dist2") * 1e9 + 0.5) / 1e9).as("dist2") +:
+      (if (keepVectors) Seq(col("v")) else Nil)
+    out.select(cols: _*)
+  }
+
+  /** Lloyd fit returning the final centroids (k·dims doubles — driver-
+    * sized by construction). Same determinism contract as [[kmeans]];
+    * exposed for operators that block on the clustering but need their own
+    * downstream projection (q38's exact near-dup ball cover keeps the
+    * ORIGINAL vector next to the normalized one, which the kmeans output
+    * schema can't carry).
+    */
+  def fitCentroids(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seedPrefix: String = "km|"): Array[Seq[Double]] = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
 
@@ -64,40 +89,13 @@ object Clustering {
       .map(_.getSeq[Double](1))
     require(seeds.nonEmpty, "kmeans: input frame has no rows to seed from")
 
-    // sequential ascending fold — same order as DotProduct's codegen loop
-    // and DuckDB's list_dot_product, so c·c is the identical double
-    def selfDot(c: Seq[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < c.length) { acc += c(i) * c(i); i += 1 }
-      acc
-    }
-
-    def litArray(c: Seq[Double]): Column = array(c.map(lit): _*)
-
-    /** Shuffle-free assignment projection against literal centroids:
-      * cluster = argmin over k of (x·x − 2·x·cⱼ + cⱼ·cⱼ), ties to the
-      * smaller cluster id via the struct's field-lexicographic order.
-      */
-    def assign(centroids: Array[Seq[Double]]): DataFrame = {
-      val xx = DotProduct.dotNative(col("v"), col("v"))
-      val structs = centroids.zipWithIndex.map { case (c, j) =>
-        struct(
-          (xx - lit(2.0) * DotProduct.dotNative(col("v"), litArray(c)) +
-            lit(selfDot(c))).as("d2"),
-          lit(j.toLong).as("cid"))
-      }
-      // least() requires ≥ 2 arguments; with a single centroid (k = 1, or
-      // fewer input rows than k) the argmin is that centroid's struct
-      val best = if (structs.length == 1) structs.head else least(structs: _*)
-      v.select(col(idCol), col("v"), best.getField("cid").as("cluster_id"),
-               best.getField("d2").as("dist2"))
-    }
-
     var centroids = seeds
     for (_ <- 1 to iters) {
       // one partial+final aggregation of (cluster, dim) cells; exact
       // decimal sums so the new components are merge-order independent
-      val cells = assign(centroids)
+      val cells = v
+        .select(nearestCentroid(centroids, col("v")).getField("cid").as("cluster_id"),
+                col("v"))
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster_id"), col("dim"))
         .agg((sum(graft.functions.Exact.dec(col("x"), 7)).cast(DoubleType) /
@@ -114,10 +112,33 @@ object Clustering {
         else prev // empty cluster keeps its centroid
       }
     }
-    val out = assign(centroids)
-    val cols = col(idCol) +: col("cluster_id") +:
-      (floor(col("dist2") * 1e9 + 0.5) / 1e9).as("dist2") +:
-      (if (keepVectors) Seq(col("v")) else Nil)
-    out.select(cols: _*)
+    centroids
+  }
+
+  /** Shuffle-free nearest-centroid assignment against literal centroids:
+    * a `struct(d2, cid)` column where cluster = argmin over k of
+    * (x·x − 2·x·cⱼ + cⱼ·cⱼ), ties to the smaller cluster id via the
+    * struct's field-lexicographic order. Every dot product is the
+    * sequential ascending fold (graftx.DotProduct), so d2 is
+    * bit-identical to the oracle's expression.
+    */
+  def nearestCentroid(centroids: Array[Seq[Double]], v: Column): Column = {
+    // sequential ascending fold — same order as DotProduct's codegen loop
+    // and DuckDB's list_dot_product, so c·c is the identical double
+    def selfDot(c: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    val xx = DotProduct.dotNative(v, v)
+    val structs = centroids.zipWithIndex.map { case (c, j) =>
+      struct(
+        (xx - lit(2.0) * DotProduct.dotNative(v, array(c.map(lit): _*)) +
+          lit(selfDot(c))).as("d2"),
+        lit(j.toLong).as("cid"))
+    }
+    // least() requires ≥ 2 arguments; with a single centroid (k = 1, or
+    // fewer input rows than k) the argmin is that centroid's struct
+    if (structs.length == 1) structs.head else least(structs: _*)
   }
 }

@@ -158,6 +158,79 @@ object Similarity {
               col("neighbor_id"), col("cosine"))
   }
 
+  /** EXACT near-duplicate pairs (all pairs with cosine ≥ `minCosine`)
+    * without a cartesian product — the ball-cover blocked form that
+    * retired q38's `crossJoin` baseline (round-6 verdict #1).
+    *
+    * Why it is exact: cosine is scale-invariant, so work on the unit
+    * sphere — for unit vectors, ‖u_a − u_b‖² = 2 − 2·cos(a,b), hence
+    * cos ≥ t  ⟺  ‖u_a − u_b‖ ≤ τ where τ = √(2 − 2t). Cluster the
+    * normalized vectors (Lloyd, deterministic seeds), record each
+    * cluster's radius r_i = max member distance to its centroid μ_i.
+    * By the triangle inequality a qualifying pair (a ∈ i, b ∈ j) forces
+    * ‖μ_i − μ_j‖ ≤ r_i + τ + r_j, so probing exactly the cluster pairs
+    * within that reach loses NOTHING (an ε absorbs float rounding — it
+    * can only ADD candidate cells). The final cosine test runs on the
+    * ORIGINAL vectors with the same fold order as the all-pairs form, so
+    * the output is bit-identical to it (SimilaritySpec asserts both).
+    *
+    * 100 TB shape: the pair generation is `corpus ⋈ probes ⋈ corpus` —
+    * a broadcast of the ≤ k² probe-pair table plus ONE shuffle equi-join
+    * on the cluster key (bucketable, skew-salted if a cluster runs hot);
+    * no CartesianProduct / BroadcastNestedLoopJoin anywhere
+    * (PlanQualitySpec asserts the plan). Candidate volume is
+    * Σ_{(i,j) reachable} |i|·|j| — data-adaptive: tight clusters prune
+    * (real embedding corpora cluster), and the worst case (all cells
+    * reachable: uniformly spread vectors, as in the synthetic fixture)
+    * degrades to blockwise all-pairs while keeping the equi-join plan.
+    * Driver state: k centroids + k radii + ≤ k² pairs, constant-sized.
+    */
+  def exactNearDupBlocked(corpus: DataFrame, idCol: String, vecCol: String,
+                          minCosine: Double, k: Int = 8,
+                          iters: Int = 2): DataFrame = {
+    require(minCosine > -1.0 && minCosine <= 1.0, s"minCosine out of range: $minCosine")
+    val v0 = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0) // zero-norm vectors never qualify (cosine null)
+      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+    val centroids =
+      Clustering.fitCentroids(v0, "id", "u", k, iters, seedPrefix = "nd|")
+    val best = Clustering.nearestCentroid(centroids, col("u"))
+    val w = v0.select(col("id"), col("v"), col("nrm"),
+                      best.getField("cid").as("cid"),
+                      sqrt(greatest(best.getField("d2"), lit(0.0))).as("cdist"))
+    // per-cluster radii: k rows, driver-sized by construction
+    val radii: Map[Int, Double] = w.groupBy(col("cid"))
+      .agg(max(col("cdist")).as("r"))
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1))
+      .toMap
+    val tau = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
+    val eps = 1e-6 // absorbs d² fold rounding; only ever ADDS cells
+    def cdist(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    val reachable = for {
+      i <- centroids.indices if radii.contains(i)
+      j <- centroids.indices if radii.contains(j)
+      if cdist(centroids(i), centroids(j)) <=
+        radii(i) + radii(j) + tau + eps
+    } yield (i.toLong, j.toLong)
+    val probes = broadcast(
+      corpus.sparkSession.createDataFrame(reachable).toDF("cid", "cid_b"))
+    val a = w.select(col("id").as("id_a"), col("cid"),
+                     col("v").as("va"), col("nrm").as("na"))
+    val b = w.select(col("cid").as("bcid"), col("id").as("id_b"),
+                     col("v").as("vb"), col("nrm").as("nb"))
+    a.join(probes, Seq("cid")) // ≤ k fan-out per row, broadcast
+      .join(b, col("cid_b") === col("bcid")) // ONE shuffle equi-join
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              cosinePrenormed(dot(col("va"), col("vb")),
+                              col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** LSH-bucketed ANN top-k: corpus and queries are bucketed by hyperplane
     * signs; candidates come only from the query's bucket, then exact
     * cosine + window top-k on that reduced set. Lower recall than brute

@@ -29,21 +29,19 @@ object VectorQueries {
         e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
     },
 
-    // Embedding near-dup pairs: all-pairs cosine over a broadcastable
-    // side, thresholded. (At 100 TB this shape is replaced by the LSH
-    // variant below — kept as the exact-recall baseline.)
+    // Embedding near-dup pairs with EXACT recall, no cartesian: the
+    // ball-cover blocked form — cluster the normalized vectors, then
+    // compare only cluster pairs whose centroid distance can possibly
+    // hold a qualifying pair (triangle inequality; see
+    // Similarity.exactNearDupBlocked for the proof and 100 TB shape).
+    // Replaced the broadcast-crossJoin baseline of rounds 3–6: same
+    // bit-identical output, but the plan is broadcast(≤k² probe pairs) +
+    // ONE cluster-key equi-join (PlanQualitySpec asserts no
+    // CartesianProduct / BroadcastNestedLoopJoin).
     "q38_embedding_neardup" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      import graft.functions.Vectors._
-      val v = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", norm(col("v")))
-      val a = v.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-      broadcast(a).crossJoin(b)
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-                cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
-        .filter(col("cosine") >= 0.4)
+      Similarity.exactNearDupBlocked(e, "vec_id", "embedding", minCosine = 0.4)
+        .select(col("id_a"), col("id_b"), col("cosine"))
     },
 
     // Per-label centroids in long format (label × dimension), elementwise

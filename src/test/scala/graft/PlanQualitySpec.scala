@@ -350,6 +350,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!planOf(df).contains("Window"), s"assignment windows:\n${planOf(df)}")
   }
 
+  test("q38 exact near-dup plans as blocked equi-join — no cartesian anywhere") {
+    // round-6 verdict #1: the exact-recall baseline must not carry a
+    // CartesianProduct/BroadcastNestedLoopJoin scale-killer. The ball-
+    // cover form joins on the cluster key; the only broadcast is the
+    // ≤ k² probe-pair table.
+    val plan = planOf(SparkEntry.queries("q38_embedding_neardup")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"corpus cross-joined:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus nested-loop joined:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join on the cluster key:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
   test("q98 semantic dedup compares only within clusters via an equi-join") {
     // the SemDeDup point: the pairwise compare joins on the CLUSTER key
     // (bucketable equi-join, pairs bounded per cluster) — never a full

@@ -97,4 +97,38 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").collect().map(_.getLong(0)).toSeq
     assert(out == Seq(1L)) // the identical vector shares every plane sign
   }
+
+  test("exactNearDupBlocked ≡ all-pairs crossJoin baseline, bit-for-bit") {
+    // fixture engineered so the ball cover genuinely PRUNES (two tight
+    // antipodal clusters: cross-cluster cell pairs are out of reach) and
+    // still includes the edge cases: a zero-norm vector (never qualifies),
+    // scaled copies (cosine 1 despite different norms), and pairs right
+    // at the threshold neighborhood
+    val vecs = ((0 until 12).map { i =>
+      val s = 1.0 + (i % 3)                         // scale varies, cosine doesn't
+      (i.toLong, Array.tabulate(8)(j => (s * (1.0 + 0.05 * math.sin(i + j))).toFloat))
+    } ++ (12 until 24).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (-1.0 - 0.05 * math.cos(i * 8 + j)).toFloat))
+    } :+ (24L, Array.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val blocked = Similarity.exactNearDupBlocked(
+      vecs, "vec_id", "embedding", minCosine = 0.4, k = 4, iters = 2)
+    val naive = {
+      val v = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val a = v.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+                Vectors.cosinePrenormed(
+                  Vectors.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+    }
+    assert(blocked.exceptAll(naive).isEmpty && naive.exceptAll(blocked).isEmpty,
+      "blocked form lost or invented pairs vs the exact baseline")
+    // both within-cluster pair sets are found (12·11/2 each = 132), and
+    // nothing cross-cluster (antipodal ⇒ cosine ≈ −1) or zero-norm
+    assert(blocked.count() == 132L)
+  }
 }
