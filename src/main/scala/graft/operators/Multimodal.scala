@@ -8,12 +8,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * video payloads ride as opaque `binary` columns with typed metadata;
   * decode / feature-extraction runs batched per partition.
   *
-  * The IMAGE branch decodes for real via `javax.imageio` (JDK built-in:
-  * PNG/JPEG — no external dependency), emitting width/height/per-channel
-  * means; audio/video stay stubbed (`decodeStub` — no codecs in this
-  * environment). The Spark-side contract that matters at 100 TB is real
-  * and tested either way — schema, binary transport, partition batching,
-  * deterministic feature signature.
+  * Every modality decodes for REAL with JDK-only code: images via
+  * `javax.imageio` (PNG/JPEG), audio via a manual RIFF/PCM-16 parser,
+  * video via the GVID frame container + per-frame imageio. The `feature`
+  * column is likewise real — computed from the DECODED content (RGB
+  * histogram counts, fixed-band amplitude sums), never from raw payload
+  * bytes, and integer-exact so it hash-gates (q104).
   *
   * Scale notes: media rows are orders of magnitude wider than text rows —
   * partition by byte budget (`maxRecordsPerFile` / salted keys), never by
@@ -42,7 +42,13 @@ object Multimodal {
       audio_sample_rate: Option[Long],  // audio branch: real RIFF/PCM parse
       audio_n_samples: Option[Long],
       audio_mean_amp: Option[Double],   // mean |sample| over 16-bit PCM
-      feature: Array[Float])      // stub embedding (all modalities)
+      // REAL content-derived feature vector, computed from the decoded
+      // media (never from raw payload bytes): image/video → 12-dim RGB
+      // histogram counts (HistBins per channel, video summed over
+      // frames); audio → 8-dim fixed-band |amplitude| sums (AudioBands).
+      // All values are exact integers (they hash-gate: q104). Empty for
+      // undecodable payloads.
+      feature: Array[Float])
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -70,48 +76,62 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decoder: a real deployment plugs an image/audio codec in here
-    * (`??? → JNI/codec call`); this deterministic fake derives a
-    * fixed-width pseudo-embedding from payload bytes so the downstream
-    * plumbing (batching, schema, similarity join) is fully exercisable.
+  /** Bins per channel of the image/video histogram feature (bin =
+    * channel value div 64): the feature vector is
+    * [R₀..R₃, G₀..G₃, B₀..B₃] pixel counts — 12 dims.
     */
-  def decodeStub(payload: Array[Byte], dims: Int = 8): Array[Float] = {
-    if (payload == null) return Array.fill(dims)(0.0f)
-    val out = new Array[Float](dims)
-    var i = 0
-    while (i < payload.length) {
-      out(i % dims) += (payload(i) & 0xff) / 255.0f
-      i += 1
-    }
-    out
-  }
+  val HistBins = 4
 
-  /** REAL image decode: `javax.imageio` (PNG/JPEG), returning
-    * (width, height, mean_r, mean_g, mean_b) with means on the 0-255
-    * scale, or None when the payload isn't a decodable image — an
-    * undecodable byte string is a data condition, not a task failure.
+  /** Number of fixed time bands of the audio feature (sample i of n maps
+    * to band i·Bands div n): the feature vector is the per-band sum of
+    * |amplitude| — integer-exact, so it hash-gates (q104).
     */
-  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+  val AudioBands = 8
+
+  /** Full image stats from one decode pass: dims, per-channel means
+    * (0-255 scale), and the [[HistBins]]-per-channel histogram counts.
+    */
+  final case class ImageStats(width: Int, height: Int,
+                              meanR: Double, meanG: Double, meanB: Double,
+                              hist: Array[Long])
+
+  /** REAL image decode + stats: `javax.imageio` (PNG/JPEG — JDK built-in),
+    * or None when the payload isn't a decodable image — an undecodable
+    * byte string is a data condition, not a task failure.
+    */
+  def imageStats(payload: Array[Byte]): Option[ImageStats] =
     if (payload == null || payload.isEmpty) None
     else try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
         val w = img.getWidth
         val h = img.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L
+        val hist = new Array[Long](3 * HistBins)
+        val binShift = 8 - Integer.numberOfTrailingZeros(HistBins) // value >> 6 for 4 bins
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
             val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sr += r; sg += g; sb += b
+            hist(r >> binShift) += 1
+            hist(HistBins + (g >> binShift)) += 1
+            hist(2 * HistBins + (b >> binShift)) += 1
             x += 1
           }
           y += 1
         }
         val n = w.toLong * h
-        (w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        ImageStats(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, hist)
       }
     } catch { case _: Exception => None }
+
+  /** Compatibility view of [[imageStats]]: (width, height, mean_r, mean_g,
+    * mean_b) with means on the 0-255 scale.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] =
+    imageStats(payload).map(s => (s.width, s.height, s.meanR, s.meanG, s.meanB))
 
   /** Deterministic PNG fixture: (id%7+1)×(id%5+1) pixels of the constant
     * color ((id·3)%256, (id·5)%256, (id·7)%256). PNG is lossless, so the
@@ -146,6 +166,14 @@ object Multimodal {
     * image path (q71). None for anything that isn't such a WAV.
     */
   def decodeWav(payload: Array[Byte]): Option[(Int, Long, Double)] =
+    wavStats(payload, 1).map { case (rate, n, mean, _) => (rate, n, mean) }
+
+  /** [[decodeWav]] plus fixed-band amplitude sums: sample i of n belongs
+    * to band i·bands div n; each band's value is the INTEGER sum of
+    * |amplitude| over its samples — exact, SQL-reproducible arithmetic
+    * (q104's audio feature).
+    */
+  def wavStats(payload: Array[Byte], bands: Int): Option[(Int, Long, Double, Array[Long])] =
     try {
       if (payload == null || payload.length < 44) return None
       val bb = java.nio.ByteBuffer.wrap(payload)
@@ -179,9 +207,15 @@ object Multimodal {
               off + len <= payload.length =>
           val n = len / 2
           var sum = 0L
+          val bandSums = new Array[Long](bands)
           var i = 0
-          while (i < n) { sum += math.abs(bb.getShort(off + i * 2).toLong); i += 1 }
-          if (n == 0) None else Some((rate, n.toLong, sum.toDouble / n))
+          while (i < n) {
+            val amp = math.abs(bb.getShort(off + i * 2).toLong)
+            sum += amp
+            bandSums(((i.toLong * bands) / n).toInt) += amp
+            i += 1
+          }
+          if (n == 0) None else Some((rate, n.toLong, sum.toDouble / n, bandSums))
         case _ => None
       }
     } catch { case _: Exception => None }
@@ -336,10 +370,13 @@ object Multimodal {
 
   /** Batched per-partition feature extraction — mapPartitions so a real
     * codec can amortize model/codec init once per partition (the Scala
-    * rendering of a `mapInPandas` batch UDF). Image payloads decode via
-    * [[decodeImage]]; audio/video fall through to the stub.
+    * rendering of a `mapInPandas` batch UDF). Every modality decodes for
+    * REAL (imageio / RIFF parser / GVID+imageio) and the `feature`
+    * column is computed from the decoded content — RGB histogram counts
+    * for image/video, fixed-band amplitude sums for audio; empty when
+    * the payload doesn't decode (a data condition, not a task failure).
     */
-  def extractFeatures(media: Dataset[MediaRecord], dims: Int = 8): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
@@ -354,19 +391,36 @@ object Multimodal {
         md.reset()
         val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
         val hash  = md.digest(bytes).map("%02x".format(_)).mkString
-        val img   = if (r.modality == "image") decodeImage(r.payload) else None
-        val aud   = if (r.modality == "audio") decodeWav(r.payload) else None
+        val img   = if (r.modality == "image") imageStats(r.payload) else None
+        val aud   =
+          if (r.modality == "audio") wavStats(r.payload, AudioBands) else None
+        // video feature: histogram summed over ALL frames (each frame a
+        // real imageio decode); a container with zero decodable frames
+        // counts as undecodable
+        val vid: Option[Array[Long]] =
+          if (r.modality != "video") None
+          else {
+            val hists = videoFrames(r.payload).flatMap(imageStats).map(_.hist)
+            if (hists.isEmpty) None
+            else Some(hists.reduce { (a, b) =>
+              Array.tabulate(a.length)(i => a(i) + b(i))
+            })
+          }
+        val feature: Array[Float] =
+          img.map(_.hist).orElse(vid).map(_.map(_.toFloat))
+            .orElse(aud.map(_._4.map(_.toFloat)))
+            .getOrElse(Array.emptyFloatArray)
         MediaFeatures(r.media_id, r.modality, bytes.length.toLong, hash,
-          is_decoded = img.isDefined || aud.isDefined,
-          image_width = img.map(_._1.toLong),
-          image_height = img.map(_._2.toLong),
-          mean_r = img.map(_._3),
-          mean_g = img.map(_._4),
-          mean_b = img.map(_._5),
+          is_decoded = img.isDefined || aud.isDefined || vid.isDefined,
+          image_width = img.map(_.width.toLong),
+          image_height = img.map(_.height.toLong),
+          mean_r = img.map(_.meanR),
+          mean_g = img.map(_.meanG),
+          mean_b = img.map(_.meanB),
           audio_sample_rate = aud.map(_._1.toLong),
           audio_n_samples = aud.map(_._2),
           audio_mean_amp = aud.map(_._3),
-          decodeStub(r.payload, dims))
+          feature)
       }
     }
   }

@@ -243,11 +243,12 @@ object TextQueries {
 
     // Multimodal plumbing, oracle-gated end to end: documents.text rides
     // as an opaque binary payload through the MediaRecord schema and the
-    // batched per-partition extractor (Multimodal.extractFeatures — the
-    // stubbed-codec path); the gate checks the bytes survived transport
-    // bit-exactly (content_hash = md5 of utf8 payload), byte length,
-    // per-row modality routing, stub feature width, and content-hash
-    // dedup. Only the codec internals stay stubbed.
+    // batched per-partition extractor (Multimodal.extractFeatures); the
+    // gate checks the bytes survived transport bit-exactly (content_hash
+    // = md5 of utf8 payload), byte length, per-row modality routing, the
+    // NEGATIVE decode path (text payloads decode in no modality: empty
+    // feature, -1 dims), and content-hash dedup. q71/q101/q73/q104 gate
+    // the positive decode paths.
     "q63_multimodal" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       val media = graft.operators.Multimodal.asMediaTable(
@@ -331,6 +332,38 @@ object TextQueries {
         graft.operators.Multimodal.syntheticVideo(id, (id % 4).toInt + 2),
         s"synthetic://$id"))
       graft.operators.Multimodal.sampleFrames(media, every = 2).toDF()
+    },
+
+    // REAL media features, oracle-gated across all three modalities: the
+    // q104 corpus routes each doc_id to a synthetic image / WAV / GVID
+    // payload; the feature vector is computed from the DECODED content
+    // (RGB histogram counts for image and per-frame-summed video, fixed
+    // time-band |amplitude| sums for audio — all exact integers), then
+    // exploded to (media_id, modality, dim, val) rows the oracle
+    // recomputes arithmetically from the id. Closes the round-6 verdict's
+    // last stub: feature is no longer derived from raw payload bytes.
+    "q104_media_features" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      // fully-qualified references only: an object-val alias would drag
+      // the (non-serializable) module instance into the map closure
+      val media = ids.map { id =>
+        (id % 3) match {
+          case 0 => graft.operators.Multimodal.MediaRecord(
+            id, "image", graft.operators.Multimodal.syntheticPng(id), s"synthetic://$id")
+          case 1 => graft.operators.Multimodal.MediaRecord(
+            id, "audio", graft.operators.Multimodal.syntheticWav(id), s"synthetic://$id")
+          case _ => graft.operators.Multimodal.MediaRecord(
+            id, "video",
+            graft.operators.Multimodal.syntheticVideo(id, (id % 4).toInt + 2),
+            s"synthetic://$id")
+        }
+      }
+      graft.operators.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("modality"), posexplode(col("feature")))
+        .select(col("media_id"), col("modality"),
+                col("pos").cast(LongType).as("dim"),
+                col("col").cast(LongType).as("val"))
     },
 
     // Semi-structured extraction: JSON props → typed column, aggregated.
@@ -662,7 +695,7 @@ object TextQueries {
         |  false AS is_decoded,
         |  CAST(-1 AS BIGINT) AS image_width,
         |  CAST(-1 AS BIGINT) AS image_height,
-        |  CAST(8 AS BIGINT) AS feature_dims,
+        |  CAST(0 AS BIGINT) AS feature_dims,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
         |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
@@ -710,6 +743,51 @@ object TextQueries {
         |  n AS audio_n_samples,
         |  CAST(amp_sum AS DOUBLE) / CAST(n AS DOUBLE) AS audio_mean_amp
         |FROM amp""".stripMargin,
+    // image: all pixels share one color → each channel's whole pixel count
+    // lands in bin color div 64; video: same per frame (frame f of video
+    // id is syntheticPng(id·31+f)), summed over frames; audio: sample i of
+    // n is ((id·31+i·17) mod 2001)−1000, band = i·8 div n. Pure integer
+    // arithmetic on both engines.
+    "q104_media_features" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST((doc_id % 7 + 1) * (doc_id % 5 + 1) AS BIGINT) AS npix,
+        |    ((doc_id * 3) % 256) // 64 AS rb,
+        |    ((doc_id * 5) % 256) // 64 AS gb,
+        |    ((doc_id * 7) % 256) // 64 AS bb
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |img_feat AS (
+        |  SELECT media_id, 'image' AS modality, CAST(d AS BIGINT) AS dim,
+        |    CAST(npix * ((CASE WHEN d = rb THEN 1 ELSE 0 END) +
+        |                 (CASE WHEN d = 4 + gb THEN 1 ELSE 0 END) +
+        |                 (CASE WHEN d = 8 + bb THEN 1 ELSE 0 END)) AS BIGINT) AS val
+        |  FROM (SELECT *, unnest(range(12)) AS d FROM imgs)),
+        |aud_s AS (
+        |  SELECT doc_id AS media_id, (doc_id % 50) + 10 AS n,
+        |         unnest(generate_series(0, (doc_id % 50) + 9)) AS i
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |aud_feat AS (
+        |  SELECT media_id, 'audio' AS modality, CAST((i * 8) // n AS BIGINT) AS dim,
+        |    CAST(sum(abs((media_id * 31 + i * 17) % 2001 - 1000)) AS BIGINT) AS val
+        |  FROM aud_s GROUP BY 1, 2, 3),
+        |vid_px AS (
+        |  SELECT media_id,
+        |    CAST((fid % 7 + 1) * (fid % 5 + 1) AS BIGINT) AS npix,
+        |    ((fid * 3) % 256) // 64 AS rb,
+        |    ((fid * 5) % 256) // 64 AS gb,
+        |    ((fid * 7) % 256) // 64 AS bb
+        |  FROM (SELECT doc_id AS media_id,
+        |               doc_id * 31 + unnest(range(CAST(doc_id % 4 + 2 AS INTEGER))) AS fid
+        |        FROM documents WHERE doc_id % 3 = 2)),
+        |vid_feat AS (
+        |  SELECT media_id, 'video' AS modality, CAST(d AS BIGINT) AS dim,
+        |    CAST(sum(npix * ((CASE WHEN d = rb THEN 1 ELSE 0 END) +
+        |                     (CASE WHEN d = 4 + gb THEN 1 ELSE 0 END) +
+        |                     (CASE WHEN d = 8 + bb THEN 1 ELSE 0 END))) AS BIGINT) AS val
+        |  FROM (SELECT *, unnest(range(12)) AS d FROM vid_px) GROUP BY 1, 2, 3)
+        |SELECT * FROM img_feat
+        |UNION ALL SELECT * FROM aud_feat
+        |UNION ALL SELECT * FROM vid_feat""".stripMargin,
     "q39_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

@@ -5,7 +5,7 @@ import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: binary transport, per-partition batch extraction,
-  * deterministic stub features, content-hash dedup join.
+  * real content-derived features, content-hash dedup join.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -14,14 +14,14 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "image")
     assert(media.schema("payload").dataType.typeName == "binary")
 
-    val feats = Multimodal.extractFeatures(media, dims = 8)
+    val feats = Multimodal.extractFeatures(media)
     assert(feats.count() == docs.count())
     val row = feats.filter(col("media_id") === 0).head()
-    assert(row.feature.length == 8)
+    assert(row.feature.isEmpty) // text bytes don't decode as an image
     assert(row.n_bytes > 0)
 
     // deterministic: re-extraction yields identical features + hashes
-    val again = Multimodal.extractFeatures(media, dims = 8)
+    val again = Multimodal.extractFeatures(media)
     val a = feats.select("media_id", "content_hash").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val b = again.select("media_id", "content_hash").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(a == b)
@@ -110,10 +110,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(w).isEmpty)
   }
 
-  test("decodeStub is deterministic and null-safe") {
-    val f1 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
-    val f2 = Multimodal.decodeStub("hello".getBytes("UTF-8"))
-    assert(f1.toSeq == f2.toSeq)
-    assert(Multimodal.decodeStub(null).forall(_ == 0.0f))
+  test("feature vectors are real content-derived: hist bins, band sums, frame agg") {
+    import spark.implicits._
+    // image id=17: 4×3 constant color (51, 85, 119) → whole pixel count in
+    // bins 51>>6=0, 85>>6=1, 119>>6=1 of the R/G/B blocks
+    val Some(st) = Multimodal.imageStats(Multimodal.syntheticPng(17L))
+    assert(st.hist.toSeq == Seq(12L, 0, 0, 0, 0, 12L, 0, 0, 0, 12L, 0, 0))
+    // audio id=3: band sums computed from first principles, total = sum
+    val Some((_, n3, mean3, bands3)) = Multimodal.wavStats(Multimodal.syntheticWav(3L), 8)
+    val samples = (0 until n3.toInt).map(i => math.abs((3L * 31 + i * 17) % 2001 - 1000))
+    assert(bands3.toSeq ==
+      (0 until 8).map(b => samples.indices.filter(i => i * 8 / n3.toInt == b)
+        .map(i => samples(i).toLong).sum))
+    assert(bands3.sum == math.round(mean3 * n3)) // integer total consistency
+    // video: feature = per-frame hist sums; end to end through the extractor
+    val media = Seq(
+      Multimodal.MediaRecord(17L, "image", Multimodal.syntheticPng(17L), "s://i"),
+      Multimodal.MediaRecord(3L, "audio", Multimodal.syntheticWav(3L), "s://a"),
+      Multimodal.MediaRecord(5L, "video", Multimodal.syntheticVideo(5L, 3), "s://v"),
+      Multimodal.MediaRecord(9L, "image", "junk".getBytes("UTF-8"), "s://j")).toDS()
+    val out = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(out(17L).feature.toSeq == st.hist.map(_.toFloat).toSeq)
+    assert(out(3L).feature.toSeq == bands3.map(_.toFloat).toSeq)
+    val expVid = Multimodal.videoFrames(Multimodal.syntheticVideo(5L, 3))
+      .flatMap(Multimodal.imageStats).map(_.hist)
+      .reduce((a, b) => Array.tabulate(a.length)(i => a(i) + b(i)))
+    assert(out(5L).feature.toSeq == expVid.map(_.toFloat).toSeq)
+    assert(out(5L).is_decoded) // video now counts as decoded
+    assert(out(9L).feature.isEmpty && !out(9L).is_decoded)
   }
 }
