@@ -158,6 +158,21 @@ object PipelineQueries {
         .drop("annual_gdp_million_eur")
         .withColumn("reference_year", col("reference_year").cast("long")))
     },
+    // Saved-query API gate — the reference's `mf query` consumption path
+    // (README.md:295-297) through Metrics.query: metric names resolved
+    // from the registry, MetricFlow time grain mapped, the where filter
+    // applied before aggregation, window metric over the grouped frame.
+    // Mirrors the README's documented example (unemployment_rate +
+    // gdp_growth by country × year, filtered to named countries).
+    "q105_metric_query" -> { (s, dir) =>
+      out(graft.semantic.Metrics.query(
+          fct(Tables(s, dir)),
+          metrics = Seq("unemployment_rate", "gdp_growth"),
+          groupBy = Seq("country_code", "metric_time__year"),
+          where = Some("country_code IN ('NATION_0', 'NATION_7', 'NATION_19')"))
+        .withColumn("reference_year", col("reference_year").cast("long")))
+    },
+
     // The monthly-grain registry metric: trailing 12-month unemployment
     // trend (exact decimal window mean) per country over fct.
     "q70_metric_trend" -> { (s, dir) =>
@@ -706,6 +721,24 @@ object PipelineQueries {
         |       THEN (annual_gdp - prev_gdp) / prev_gdp * 100 END AS gdp_growth,
         |  CASE WHEN base_gdp IS NOT NULL AND base_gdp != 0
         |       THEN (annual_gdp - base_gdp) / base_gdp * 100 END AS cumulative_gdp_growth
+        |FROM w1""".stripMargin),
+    "q105_metric_query" -> (withCtes(stgCtes, intAnnualCte, intMonthlyCte, dimCte, fctCte) +
+      """, yearly AS (
+        |  SELECT country_code, reference_year,
+        |    CAST(SUM(CAST(unemployment_rate_pct AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(COUNT(unemployment_rate_pct) AS DOUBLE) AS unemployment_rate,
+        |    max(annual_gdp_million_eur) AS annual_gdp
+        |  FROM fct
+        |  WHERE country_code IN ('NATION_0', 'NATION_7', 'NATION_19')
+        |  GROUP BY 1, 2),
+        |w1 AS (
+        |  SELECT *,
+        |    lag(annual_gdp) OVER (PARTITION BY country_code ORDER BY reference_year) AS prev_gdp
+        |  FROM yearly)
+        |SELECT country_code, CAST(reference_year AS BIGINT) AS reference_year,
+        |  unemployment_rate,
+        |  CASE WHEN prev_gdp IS NOT NULL AND prev_gdp != 0
+        |       THEN (annual_gdp - prev_gdp) / prev_gdp * 100 END AS gdp_growth
         |FROM w1""".stripMargin),
     "q70_metric_trend" -> (withCtes(stgCtes, intAnnualCte, intMonthlyCte, dimCte, fctCte) +
       """SELECT indicator_key, country_code,

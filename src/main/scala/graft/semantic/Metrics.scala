@@ -73,4 +73,99 @@ object Metrics {
     fct.groupBy(col("country_code"), col("reference_year"))
       .agg(simple("unemployment_rate"), simple("monthly_inflation"),
            simple("annual_inflation"))
+
+  /** MetricFlow-style time-grain dimensions → mart time columns. */
+  private val TimeGrainDims = Map(
+    "metric_time__year"  -> "reference_year",
+    "metric_time__month" -> "reference_date",
+    "metric_time"        -> "reference_date")
+
+  private val TimeCols = Set("reference_year", "reference_date")
+
+  private val WindowMetricNames = Set("gdp_growth", "cumulative_gdp_growth")
+
+  /** Every metric name [[query]] accepts. */
+  val registryNames: Set[String] =
+    simple.keySet ++ WindowMetricNames + "gdp_per_capita_derived"
+
+  /** Saved-query entry point — the Spark rendering of the reference's
+    * documented BI consumption path (`README.md:295-297`):
+    * {{{
+    * mf query --metrics unemployment_rate,gdp_growth \
+    *          --group-by country_code,metric_time__year \
+    *          --where "country_code = 'DE'"
+    * }}}
+    * Resolves metric names against the registry, applies the filter
+    * BEFORE aggregation (it reaches the scan; no post-agg re-filter),
+    * aggregates once per dimension tuple, and returns ONE frame with the
+    * dimensions followed by the metrics in request order.
+    *
+    * Dimensions: mart column names pass through; MetricFlow time grains
+    * map via [[TimeGrainDims]]. Derived/window metrics resolve their
+    * inputs automatically (hidden dependency columns are aggregated and
+    * dropped): `gdp_per_capita_derived` pulls total_gdp + population;
+    * `gdp_growth` / `cumulative_gdp_growth` need exactly ONE time
+    * dimension in `groupBy` — they partition over the remaining
+    * dimensions and order by it. Unknown names fail fast, listing the
+    * registry (MetricsSpec gates the negative path; q105 the positive).
+    */
+  def query(
+      fct: DataFrame,
+      metrics: Seq[String],
+      groupBy: Seq[String],
+      where: Option[String] = None): DataFrame = {
+    require(metrics.nonEmpty, "query needs at least one metric")
+    require(metrics.distinct == metrics, s"duplicate metric in: $metrics")
+    require(groupBy.nonEmpty, "query needs at least one group-by dimension")
+    val unknown = metrics.filterNot(registryNames.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown metric(s): ${unknown.mkString(", ")} — registry: " +
+          registryNames.toSeq.sorted.mkString(", "))
+
+    val dimCols  = groupBy.map(d => TimeGrainDims.getOrElse(d, d))
+    val filtered = where.map(fct.filter).getOrElse(fct)
+
+    val simpleWanted  = metrics.filter(simple.contains)
+    val wantDerived   = metrics.contains("gdp_per_capita_derived")
+    val windowWanted  = metrics.filter(WindowMetricNames.contains)
+    // hidden dependencies, aggregated alongside and dropped by the final
+    // projection (the names match what the window/derived helpers read)
+    val hidden = Seq(
+      if (wantDerived && !simpleWanted.contains("total_gdp"))
+        Some(simple("total_gdp")) else None,
+      if (wantDerived && !simpleWanted.contains("population"))
+        Some(simple("population")) else None,
+      if (windowWanted.nonEmpty)
+        Some(max(col("annual_gdp_million_eur")).as("annual_gdp_million_eur"))
+      else None).flatten
+    val aggCols = simpleWanted.map(simple) ++ hidden
+    val grouped = filtered.groupBy(dimCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+
+    val withWindows =
+      if (windowWanted.isEmpty) grouped
+      else {
+        val timeDims = dimCols.filter(TimeCols.contains)
+        require(timeDims.size == 1,
+          s"window metrics ${windowWanted.mkString(", ")} need exactly one " +
+            s"time dimension in groupBy (got: ${timeDims.mkString(", ")})")
+        // all non-time dimensions partition as one struct key; constant
+        // when the query is time-only (post-agg frame is grain-sized)
+        val partCols = dimCols.filterNot(timeDims.contains).map(col)
+        val part = if (partCols.isEmpty) lit(1) else struct(partCols: _*)
+        val ord  = col(timeDims.head)
+        windowWanted.foldLeft(grouped) {
+          case (df, "gdp_growth") =>
+            df.withColumn("gdp_growth", gdpGrowth(part, ord))
+          case (df, _) =>
+            df.withColumn("cumulative_gdp_growth", cumulativeGdpGrowth(part, ord))
+        }
+      }
+    val withDerived =
+      if (!wantDerived) withWindows
+      else withWindows.withColumn("gdp_per_capita_derived",
+        gdpPerCapitaDerived(col("total_gdp"), col("population")))
+    withDerived.select((dimCols ++ metrics).map(col): _*)
+  }
 }
