@@ -375,6 +375,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
 
+  test("q106 salted skew join: exchange partitions on (key, salt), no broadcast") {
+    val df   = SparkEntry.queries("q106_salted_skew_join")(spark, dir)
+    val plan = planOf(df)
+    // the join must be a real shuffle join partitioned on the SALTED key —
+    // broadcast would bypass the skew machinery this query gates
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"salted join not a shuffle join:\n$plan")
+    assert(plan.contains("__salt"), s"no salted partitioning in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"dim broadcast defeats salting:\n$plan")
+    // and the hot key genuinely occupies >= SaltBuckets/2 distinct buckets
+    // (same deterministic construction the query runs)
+    val e = graft.core.Tables(spark, dir).events
+    val left = e.select(col("event_id"),
+      when(col("event_id") % 2 === 0, lit("hot"))
+        .otherwise(concat(lit("k"), (col("event_id") % 97).cast("string"))).as("k"),
+      col("value"))
+    val (sl, _, _) = Warehouse.saltedJoinSides(
+      left, left.limit(1), "k", graft.queries.OlapQueries.SaltBuckets)
+    val hotBuckets = sl.filter(col("k") === "hot")
+      .select("__salt").distinct().count()
+    assert(hotBuckets >= graft.queries.OlapQueries.SaltBuckets / 2,
+      s"hot key only in $hotBuckets salt buckets")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
