@@ -113,6 +113,57 @@ final class Runner(
     spark.read.option("mergeSchema", merge.toString).parquet(currentPath(name))
   }
 
+  /** All materialized versions of a table, oldest → newest (version ids
+    * are `v_<nanotime>`, so lexicographic order IS creation order). Every
+    * `writeVersioned` rewrite (table runs, snapshot merges) leaves the
+    * previous version dir intact — that history is what [[readTableAt]]
+    * serves and [[expireVersions]] bounds.
+    */
+  def listVersions(name: String): Seq[String] =
+    Option(new java.io.File(path(name)).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .map(_.getName).sorted.toSeq
+
+  /** The version id the `_VERSION` pointer currently resolves to. */
+  def currentVersion(name: String): Option[String] = {
+    val pointer = Paths.get(path(name), "_VERSION")
+    if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+  }
+
+  /** Time-travel read: the table exactly as the given version (an id from
+    * [[listVersions]]) materialized it — the snapshot-consumer story the
+    * SCD2 sink implies, for parquet dirs instead of a table format.
+    * CAVEAT: incremental models micro-batch APPEND into their current
+    * version dir between rewrites, so for them a version is the state at
+    * its last read, not at pointer creation; tables and snapshots rewrite
+    * per run and are stable.
+    */
+  def readTableAt(name: String, version: String): DataFrame = {
+    val dir = Paths.get(path(name), version)
+    require(Files.exists(dir),
+      s"table $name has no version '$version' " +
+        s"(have: ${listVersions(name).mkString(", ")})")
+    val merge = Files.exists(Paths.get(path(name), "_WIDENING"))
+    spark.read.option("mergeSchema", merge.toString).parquet(dir.toString)
+  }
+
+  /** Retention: delete all but the newest `keep` versions. The current
+    * pointer target always survives regardless of its age (a stale
+    * pointer must never dangle). Returns the expired version ids.
+    */
+  def expireVersions(name: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val cur = currentVersion(name)
+    val expired = listVersions(name).dropRight(keep).filterNot(cur.contains)
+    expired.foreach { v =>
+      val walk = Files.walk(Paths.get(path(name), v))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+    expired
+  }
+
   private def writeVersioned(name: String, df: DataFrame): Unit = {
     val version = s"v_${System.nanoTime()}"
     df.write.mode("overwrite").parquet(s"${path(name)}/$version")

@@ -52,6 +52,37 @@ class RunnerSpec extends SparkSpec {
     assert(rows.find(_.getString(0) == "b").get.getDouble(2) == 2.0) // original kept
   }
 
+  test("time travel: every table rewrite stays readable at its version; retention expires the tail") {
+    val wh = tmpDir()
+    def runWith(data: Seq[(String, Double)], runId: String) = {
+      val r = new Runner(spark, wh, t0, runId)
+      r.run(Seq(Model("t", Seq("src"),
+        Materialization.Table)(deps => deps("src"))),
+        Map("src" -> data.toDF("k", "v")))
+      r
+    }
+    runWith(Seq(("a", 1.0)), "v1run")
+    val r = runWith(Seq(("a", 2.0), ("b", 3.0)), "v2run")
+    val versions = r.listVersions("t")
+    assert(versions.size == 2, s"expected 2 versions, got $versions")
+    assert(r.currentVersion("t").contains(versions.last))
+    // both points in time readable, each exactly as materialized
+    assert(r.readTableAt("t", versions.head).collect()
+      .map(x => (x.getString(0), x.getDouble(1))).toSeq == Seq(("a", 1.0)))
+    assert(r.readTableAt("t", versions.last).count() == 2)
+    assert(r.readTable("t").count() == 2) // pointer still serves the latest
+    // retention keeps the newest `keep`, never the pointer target
+    val expired = r.expireVersions("t", keep = 1)
+    assert(expired == Seq(versions.head))
+    assert(r.listVersions("t") == Seq(versions.last))
+    assert(r.readTable("t").count() == 2) // current unaffected
+    intercept[IllegalArgumentException](r.readTableAt("t", versions.head))
+    intercept[IllegalArgumentException](r.expireVersions("t", keep = 0))
+    // unknown version fails loudly, naming what exists
+    val e = intercept[IllegalArgumentException](r.readTableAt("t", "v_nope"))
+    assert(e.getMessage.contains(versions.last))
+  }
+
   test("incremental batch carrying duplicate keys writes one row per key, latest watermark wins") {
     val wh = tmpDir()
     val r  = new Runner(spark, wh, t0, "dup")
