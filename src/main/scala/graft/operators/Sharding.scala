@@ -118,7 +118,15 @@ object Sharding {
         "__offset",
         coalesce(
           sum(col("__psum")).over(
-            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+            // constant partition key: execution is identical to the
+            // unpartitioned form (all ≤ `parts` rows in one task — fine,
+            // the input is constant-sized BY CONSTRUCTION), but the
+            // window spec stays non-empty so Spark's "No Partition
+            // Defined" warning can't bury a real scale-killer in the
+            // logs. pmod(__pid, 1) not lit(0): a foldable key is
+            // optimized away and the warning returns.
+            Window.partitionBy(pmod(col("__pid"), lit(1)))
+              .orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__pid"), col("__offset"))
 
