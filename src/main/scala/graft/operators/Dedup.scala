@@ -150,6 +150,70 @@ object Dedup {
     }
   }
 
+  /** Exact containment (asymmetric Jaccard) near-superset pairs:
+    * |A ∩ B| / |A| ≥ t with A the SMALLER set (ties to the lower id) —
+    * the inclusion detector symmetric Jaccard structurally misses: a
+    * document quoted verbatim inside one 10× larger has J ≈ |A|/|B|
+    * (far below any threshold) but containment ≈ 1. This is the
+    * boilerplate/quotation leg of the dedup family.
+    *
+    * Candidates: the contained side probes with its AllPairs prefix
+    * |A| − ⌈t·|A|⌉ + 1 under the global (df asc, shingle asc) order —
+    * if no prefix shingle hits B, the overlap is confined to the last
+    * ⌈t·|A|⌉ − 1 elements and can't reach t·|A|, so recall is exact.
+    * No symmetric pruning exists (the overlap bound constrains only A),
+    * so the container side indexes its FULL shingle set: the index is
+    * corpus-linear — one exploded-postings shuffle, same volume as the
+    * dfreq aggregation every variant already pays — and collision count
+    * is bounded by the document frequency of PREFIX (rare) shingles.
+    * Verification is exact (`IntersectSize` on full sets).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, n: Int = 3,
+                       materialize: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold out of (0,1]: $threshold")
+    val sh = shingled(df, idCol, textCol, n)
+    withCachesIf(materialize, sh) {
+      val ex    = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df_count"))
+      val wDoc  = Window.partitionBy(col("doc_id")).orderBy(col("df_count"), col("shingle"))
+      val wDocAll = Window.partitionBy(col("doc_id"))
+      val ranked = ex.join(dfreq, Seq("shingle"))
+        .withColumn("rn", row_number().over(wDoc))
+        .withColumn("n_shingles", count(lit(1)).over(wDocAll))
+        .select(col("doc_id"), col("n_shingles"), col("rn"),
+                xxhash64(col("shingle")).as("shingle_h"))
+      val probeLen = (col("n_shingles") -
+        ceil(lit(threshold) * col("n_shingles") - 1e-9) + 1).cast(LongType)
+      val probe = ranked.filter(col("rn") <= probeLen)
+        .select(col("doc_id").as("doc_a"), col("n_shingles").as("size_a"),
+                col("shingle_h"))
+      val index = ranked
+        .select(col("doc_id").as("doc_b"), col("n_shingles").as("size_b"),
+                col("shingle_h"))
+      val cand = withCachesIf(materialize, ranked) {
+        probe.join(index, Seq("shingle_h"))
+          .filter(col("size_a") < col("size_b") ||
+                  (col("size_a") === col("size_b") && col("doc_a") < col("doc_b")))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+      }
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+                        col("n_shingles").as("size_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+                        col("n_shingles").as("size_b"))
+      cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .withColumn("shared",
+          org.apache.spark.sql.graftx.IntersectSize
+            .intersectSize(col("sh_a"), col("sh_b")).cast(LongType))
+        .withColumn("containment",
+          col("shared").cast(DoubleType) / col("size_a").cast(DoubleType))
+        .filter(col("containment") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"),
+                col("shared"), col("containment"))
+    }
+  }
+
   /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the full shingle sets: shared = |A ∩ B| via `array_intersect`.
     */

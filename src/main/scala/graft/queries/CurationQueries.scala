@@ -511,6 +511,36 @@ object CurationQueries {
     // and boundaries are closed-form integer arithmetic, so the operator
     // is a scan-local flatMap at any scale.
     // ---------------------------------------------------------------
+    // ---------------------------------------------------------------
+    // q107: PII redaction — the structured-PII scrub every public-corpus
+    // curation pipeline runs before training. Synthetic-but-exact PII
+    // (an email / a NANP-style phone number) is injected
+    // deterministically from doc_id — both engines build the IDENTICAL
+    // string — then redacted with tags and counted. One scan-local
+    // projection (regexp_count + chained regexp_replace): no shuffle,
+    // no explode, at any corpus scale. The gate pins the counts AND the
+    // md5 of the redacted text, so the replacement is byte-exact; the
+    // patterns avoid lookarounds so Java regex and DuckDB RE2 agree.
+    // ---------------------------------------------------------------
+    "q107_pii_redaction" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val injected =
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+                 col("doc_id").cast(StringType), lit("@example.com now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call +1-555-"),
+                 (lit(1000) + col("doc_id") % 9000).cast(StringType),
+                 lit(" today")))
+        .otherwise(col("text"))
+      d.select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(PiiEmail)).cast(LongType).as("n_emails"),
+          regexp_count(col("t"), lit(PiiPhone)).cast(LongType).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t"), PiiEmail, "<EMAIL>"),
+                             PiiPhone, "<PHONE>")).as("redacted_hash"))
+    },
+
     "q84_chunk_windows" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
       val n = size(Text.tokens(col("text")))
@@ -537,7 +567,30 @@ object CurationQueries {
 
   private def digitSql(i: Int): String = graft.functions.HexKeys.digitSql(i)
 
+  /** q107's PII patterns — no lookarounds/backrefs, so Java regex (Spark)
+    * and RE2 (DuckDB) match identically.
+    */
+  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhone = "\\+1-555-[0-9]{4}"
+
   val oracles: Map[String, String] = Map(
+    "q107_pii_redaction" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |              || '@example.com now'
+         |         WHEN doc_id % 3 = 1
+         |         THEN text || ' call +1-555-'
+         |              || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today'
+         |         ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$PiiEmail')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$PiiPhone')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(t, '$PiiEmail', '<EMAIL>', 'g'),
+         |                     '$PiiPhone', '<PHONE>', 'g')) AS redacted_hash
+         |FROM inj""".stripMargin,
     // DuckDB 1.0.0 rejects lateral generate_series(column) — index via
     // unnest(generate_series(...)) in a subquery instead (verified form).
     "q75_segment_dedup" ->

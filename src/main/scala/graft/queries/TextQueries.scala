@@ -159,6 +159,16 @@ object TextQueries {
     // candidates, Hamming-verified.
     "q41_simhash" -> { (s, dir) => simhashQuery(s, dir) },
 
+    // Containment (asymmetric Jaccard) near-superset pairs: the
+    // boilerplate/quotation detector — |A∩B|/|A| ≥ 0.8 with A the
+    // smaller shingle set. Prefix-filtered probe side, full-postings
+    // index side, exact verification; see Dedup.containmentPairs for
+    // the recall proof and the 100 TB cost shape.
+    "q108_containment_pairs" -> { (s, dir) =>
+      graft.operators.Dedup.containmentPairs(
+        Tables(s, dir).documents, "doc_id", "text", threshold = 0.8)
+    },
+
     // Deterministic train/val/test split: md5-derived bucket in [0,100) —
     // reproducible across engines/runs/partitionings (never rand(), which
     // breaks task-retry idempotence). 90/5/5.
@@ -533,6 +543,24 @@ object TextQueries {
         |  CAST(shared AS DOUBLE) / CAST(size_a + size_b - shared AS DOUBLE) AS jaccard
         |FROM pairs
         |WHERE CAST(shared AS DOUBLE) / CAST(size_a + size_b - shared AS DOUBLE) >= 0.5""".stripMargin,
+    "q108_containment_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
+        |  FROM documents),
+        |ex AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_shingles, unnest(tg) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n_shingles AS size_a, b.n_shingles AS size_b, COUNT(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+        |  WHERE a.n_shingles < b.n_shingles
+        |     OR (a.n_shingles = b.n_shingles AND a.doc_id < b.doc_id)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, size_a, size_b, shared,
+        |  CAST(shared AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
+        |FROM pairs
+        |WHERE CAST(shared AS DOUBLE) / CAST(size_a AS DOUBLE) >= 0.8""".stripMargin,
     "q36_minhash_lsh" -> {
       // h1/h2 = first/second 8 hex digits of md5(shingle) as integers —
       // the oracle restatement of MinHashSigs' big-endian digest words.

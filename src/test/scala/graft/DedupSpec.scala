@@ -59,6 +59,38 @@ class DedupSpec extends SparkSpec {
     assert(smart == naive)
   }
 
+  test("containment pairs detect near-supersets Jaccard misses; ≡ naive all-pairs") {
+    // doc 11 is verbatim-contained in the 4× larger doc 12: containment
+    // = 1.0 but Jaccard ≈ 1/4 — the case symmetric dedup can't see
+    val quoted = "q1 q2 q3 q4 q5 q6"
+    val filler = (0 until 18).map(j => s"f$j").mkString(" ")
+    val corpus = ((0 until 30).map { i =>
+      val toks = (0 until 6 + i % 5).map(j => s"w${(i * 7 + j * 3) % 13}")
+      (i.toLong, toks.mkString(" "))
+    } ++ Seq((11L + 100, quoted), (12L + 100, s"$filler $quoted")))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    assert(got.contains((111L, 112L, 1.0)),
+      s"verbatim inclusion not detected in $got")
+    // Jaccard at the same threshold does NOT find it
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((111L, 112L)))
+    // exhaustive equivalence with the naive all-pairs containment
+    val sh = Dedup.shingled(corpus, "doc_id", "text")
+    val naive = sh.alias("a").crossJoin(sh.alias("b"))
+      .filter(col("a.n_shingles") < col("b.n_shingles") ||
+              (col("a.n_shingles") === col("b.n_shingles") &&
+               col("a.doc_id") < col("b.doc_id")))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+          col("a.n_shingles").cast("double")).as("c"))
+      .filter(col("c") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == naive)
+  }
+
   test("simhash aggregate matches a reference bit-count implementation") {
     // Independent recomputation: per distinct trigram, bit b = bit (7-b%8)
     // of byte b/8 of md5; document bit set iff 2*ones >= n. Exercises the
