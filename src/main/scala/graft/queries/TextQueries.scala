@@ -68,8 +68,7 @@ object TextQueries {
       val stopR = Text.wordListHits(toks, Text.langProfiles.head._2).cast(DoubleType) / n
       val punct = regexp_count(col("text"), lit("[^\\w\\s]")).cast(DoubleType) /
         length(col("text")).cast(DoubleType)
-      val score = least(n / 50, lit(1.0)) * 25 + dr * 25 +
-        least(stopR * 5, lit(1.0)) * 25 + (lit(1.0) - least(punct * 10, lit(1.0))) * 25
+      val score = qualityScore
       d.select(
         col("doc_id"),
         size(toks).cast(LongType).as("n_tokens"),
@@ -85,6 +84,68 @@ object TextQueries {
     // Exact dedup by content hash (hash-groupBy; one shuffle on text_hash).
     "q34_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables(s, dir).documents, "doc_id", "text")
+    },
+
+    // End-to-end corpus build — the composed "user story" of the
+    // curation family, each stage an already-gated operator: language
+    // allowlist + quality threshold (q33's score, scan-local) → exact
+    // dedup keeping canonicals (q34's operator, one text-hash shuffle)
+    // → token-budget shard assignment (q62's two-pass prefix sum —
+    // never a global window over the corpus) → per-shard card. Proves
+    // the operators COMPOSE into a pipeline whose result still
+    // hash-gates end to end.
+    "q110_corpus_build" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val kept = d.filter(col("lang").isin("en", "de", "fr"))
+        .filter(qualityScore >= 60)
+      val ded = Dedup.exact(kept, "doc_id", "text")
+        .filter(!col("is_duplicate"))
+        .select(col("doc_id"))
+        .join(kept, Seq("doc_id"))
+        .select(col("doc_id"),
+                size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      graft.operators.Sharding.byBudget(ded, "doc_id", "n_tokens", budget = 5000)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("shard_tokens"),
+             min(col("doc_id")).as("first_doc"),
+             max(col("doc_id")).as("last_doc"))
+    },
+
+    // Quality-threshold retention sweep — the calibration table behind
+    // "where do we set the quality cutoff": for every 5-point score
+    // bucket, the docs/tokens RETAINED if the threshold were set there
+    // (cumulative from the top). One corpus aggregation to ≤21 bucket
+    // rows; the cumulative window and the totals join run over that
+    // constant-sized frame only (same bounded-window discipline as
+    // q93's CDF — pmod partition, no log noise). Score is q33's exact
+    // expression, already hash-gated bit-identical, so floor(score/5)
+    // buckets agree across engines.
+    "q109_quality_retention" -> { (s, dir) =>
+      val d    = Tables(s, dir).documents
+      val toks = Text.tokens(col("text"))
+      val bucketed = d
+        .select(floor(qualityScore / 5).cast(LongType).as("bucket"),
+                size(toks).cast(LongType).as("n_tokens"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bucket_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("bucket"), lit(1)))
+        .orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val totals = d.agg(
+        count(lit(1)).as("total_docs"),
+        sum(size(Text.tokens(col("text"))).cast(LongType)).as("total_tokens"))
+      bucketed
+        .withColumn("docs_kept", sum(col("n_docs")).over(w))
+        .withColumn("tokens_kept", sum(col("bucket_tokens")).over(w))
+        .crossJoin(broadcast(totals))
+        .select(col("bucket"), (col("bucket") * 5).as("threshold"),
+                col("n_docs"), col("docs_kept"), col("tokens_kept"),
+                (col("docs_kept").cast(DoubleType) /
+                  col("total_docs").cast(DoubleType)).as("frac_docs_kept"),
+                (col("tokens_kept").cast(DoubleType) /
+                  col("total_tokens").cast(DoubleType)).as("frac_tokens_kept"))
     },
 
     // n-gram Jaccard near-dup pairs via shared-shingle inverted index
@@ -431,6 +492,21 @@ object TextQueries {
 
   private val enList = Text.langProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
 
+  /** q33's composite quality score over `text` — shared by q33 (per-doc
+    * report), q109 (threshold retention sweep), and q110 (corpus build
+    * filter) so all three gates pin the SAME bit-identical expression.
+    */
+  private def qualityScore: Column = {
+    val toks  = Text.tokens(col("text"))
+    val n     = size(toks).cast(DoubleType)
+    val dr    = size(array_distinct(toks)).cast(DoubleType) / n
+    val stopR = Text.wordListHits(toks, Text.langProfiles.head._2).cast(DoubleType) / n
+    val punct = regexp_count(col("text"), lit("[^\\w\\s]")).cast(DoubleType) /
+      length(col("text")).cast(DoubleType)
+    least(n / 50, lit(1.0)) * 25 + dr * 25 +
+      least(stopR * 5, lit(1.0)) * 25 + (lit(1.0) - least(punct * 10, lit(1.0))) * 25
+  }
+
   private def langListSql(lang: String): String =
     Text.langProfiles.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
 
@@ -521,6 +597,70 @@ object TextQueries {
          |        least(CAST(n_tokens AS DOUBLE) / 50, 1.0) * 25 + distinct_ratio * 25 +
          |        least(stopword_ratio * 5, 1.0) * 25 + (1.0 - least(punct_ratio * 10, 1.0)) * 25 AS quality_score
          |      FROM m)""".stripMargin,
+    "q109_quality_retention" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+         |    CAST(len(list_filter(toks, x -> list_contains([$enList], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+         |  FROM t),
+         |s AS (
+         |  SELECT n_tokens,
+         |    least(CAST(n_tokens AS DOUBLE) / 50, 1.0) * 25 + distinct_ratio * 25 +
+         |    least(stopword_ratio * 5, 1.0) * 25 + (1.0 - least(punct_ratio * 10, 1.0)) * 25 AS q
+         |  FROM m),
+         |b AS (
+         |  SELECT CAST(floor(q / 5) AS BIGINT) AS bucket, count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+         |  FROM s GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS total_docs,
+         |         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT bucket, n_docs, bucket_tokens,
+         |    CAST(sum(n_docs) OVER w AS BIGINT) AS docs_kept,
+         |    CAST(sum(bucket_tokens) OVER w AS BIGINT) AS tokens_kept
+         |  FROM b WINDOW w AS (ORDER BY bucket DESC
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT bucket, bucket * 5 AS threshold, n_docs, docs_kept, tokens_kept,
+         |  CAST(docs_kept AS DOUBLE) / CAST(total_docs AS DOUBLE) AS frac_docs_kept,
+         |  CAST(tokens_kept AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS frac_tokens_kept
+         |FROM c CROSS JOIN tot""".stripMargin,
+    "q110_corpus_build" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, text, lang,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+         |    CAST(len(list_filter(toks, x -> list_contains([$enList], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+         |  FROM t),
+         |kept AS (
+         |  SELECT doc_id, text, n_tokens FROM (
+         |    SELECT *,
+         |      least(CAST(n_tokens AS DOUBLE) / 50, 1.0) * 25 + distinct_ratio * 25 +
+         |      least(stopword_ratio * 5, 1.0) * 25 + (1.0 - least(punct_ratio * 10, 1.0)) * 25 AS q
+         |    FROM m WHERE lang IN ('en', 'de', 'fr'))
+         |  WHERE q >= 60),
+         |ded AS (
+         |  SELECT doc_id, n_tokens FROM (
+         |    SELECT doc_id, n_tokens,
+         |           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+         |    FROM kept)
+         |  WHERE doc_id = canonical_id),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM ded)
+         |SELECT CAST(floor((cum_tokens - n_tokens) / 5000.0) AS BIGINT) AS shard_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM cum GROUP BY 1""".stripMargin,
     "q34_dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
