@@ -399,6 +399,42 @@ class PlanQualitySpec extends SparkSpec {
       s"hot key only in $hotBuckets salt buckets")
   }
 
+  test("round-7 curation additions keep scale shapes (q107-q110)") {
+    // q107 PII scrub: pure scan-local projection — zero exchanges
+    val pii = physical(SparkEntry.queries("q107_pii_redaction")(spark, dir))
+    assert(pii.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, s"PII redaction shuffles:\n$pii")
+    // q108 containment: equi-join candidates, never a cartesian
+    val c = planOf(SparkEntry.queries("q108_containment_pairs")(spark, dir))
+    assert(!c.contains("CartesianProduct") && !c.contains("BroadcastNestedLoopJoin"),
+      s"containment corpus cross-joined:\n$c")
+    // q109 retention: the cumulative window sees only the bucket aggregate
+    val r = SparkEntry.queries("q109_quality_retention")(spark, dir)
+    physical(r).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty, s"retention window over non-aggregated data:\n${planOf(r)}")
+    }
+    // q110 corpus build: shard assignment uses the q62 bucketed prefix sum;
+    // any single-partition exchange sits strictly above an aggregate
+    val b = SparkEntry.queries("q110_corpus_build")(spark, dir)
+    val bPlan = planOf(b)
+    assert(bPlan.contains("hashpartitioning(__pid"),
+      s"corpus build lost the parallel prefix sum:\n$bPlan")
+    val offenders = physical(b).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 &&
+            e.child.collect {
+              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            }.isEmpty => e
+    }
+    assert(offenders.isEmpty,
+      s"single-partition exchange over non-aggregated data:\n$bPlan")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
