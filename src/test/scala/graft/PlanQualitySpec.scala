@@ -435,6 +435,45 @@ class PlanQualitySpec extends SparkSpec {
       s"single-partition exchange over non-aggregated data:\n$bPlan")
   }
 
+  test("shuffle budget: headline queries stay within their pinned exchange counts") {
+    // Regression guard on the scale property the bench can't see at test
+    // SF: the NUMBER of shuffle exchanges in the plan. A future edit that
+    // silently adds a corpus shuffle (a lost broadcast, a divergent
+    // subtree that stops reusing an exchange, a window where an
+    // aggregate was) fails here, not at 100 TB. Counts are ceilings
+    // measured on the shipped plans (sf0.001, AQE initial plan); tiny
+    // constant-size exchanges (stat rows, bucket aggregates) are counted
+    // too — the pin is about UNEXPECTED growth, not minimization.
+    // q35/q36/q38-style miners checkpoint at construction, so their
+    // returned frames legitimately read as 0.
+    val budget = Map(
+      "q01_pricing_summary"    -> 1, // partial→final agg
+      "q04_annual_metrics"     -> 2,
+      "q09_distinct_spine"     -> 1,
+      "q34_dedup_exact"        -> 1, // one text-hash shuffle
+      "q62_token_shards"       -> 4, // bucket repartition + offsets (reused exchange)
+      "q68_stratified_sample"  -> 1, // single stratum shuffle AFTER partial top-k
+      "q74_part_margin"        -> 2, // star joins broadcast; agg only
+      "q84_chunk_windows"      -> 0, // zero-exchange projection+explode
+      "q88_bm25_topk"          -> 1, // stats row; top-k is TakeOrdered
+      "q89_cms_heavy_hitters"  -> 3,
+      "q93_histogram_quantiles"-> 6, // all constant-size after the bin agg
+      "q97_kmeans"             -> 0, // literal-centroid projection
+      "q98_semantic_dedup"     -> 2, // cluster-key equi-join
+      "q104_media_features"    -> 0, // scan-local decode
+      "q106_salted_skew_join"  -> 3, // salted join (by design) + agg
+      "q107_pii_redaction"     -> 0,
+      "q109_quality_retention" -> 4,
+      "q110_corpus_build"      -> 7) // filter+dedup+prefix-sum+card composition
+    for ((q, max) <- budget) {
+      val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      assert(n <= max, s"$q plans $n shuffle exchanges, budget $max — " +
+        "a new shuffle crept in; justify and re-pin, or fix the plan")
+    }
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
