@@ -49,9 +49,16 @@ object Dedup {
     * shuffle on the text hash; at scale this is a hash-partitioned
     * window, no driver state.
     */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def exact(df: DataFrame, idCol: String, textCol: String,
+            keepInput: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("text_hash"))
-    df.select(col(idCol), md5(col(textCol)).as("text_hash"))
+    // keepInput: retain the input columns so a composing pipeline (q110)
+    // filters duplicates WITHOUT joining the corpus back by id — one
+    // corpus scan instead of two
+    val base =
+      if (keepInput) df.withColumn("text_hash", md5(col(textCol)))
+      else df.select(col(idCol), md5(col(textCol)).as("text_hash"))
+    base
       .withColumn("canonical_id", min(col(idCol)).over(w))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))

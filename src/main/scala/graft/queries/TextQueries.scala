@@ -98,10 +98,11 @@ object TextQueries {
       val d = Tables(s, dir).documents
       val kept = d.filter(col("lang").isin("en", "de", "fr"))
         .filter(qualityScore >= 60)
-      val ded = Dedup.exact(kept, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+      // keepInput carries text through the dedup window, so canonicals
+      // are filtered without joining the corpus back by id — one scan
+      val ded = Dedup.exact(kept, "doc_id", "text", keepInput = true)
         .filter(!col("is_duplicate"))
-        .select(col("doc_id"))
-        .join(kept, Seq("doc_id"))
         .select(col("doc_id"),
                 size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
       graft.operators.Sharding.byBudget(ded, "doc_id", "n_tokens", budget = 5000)
