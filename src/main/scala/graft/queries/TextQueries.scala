@@ -86,6 +86,25 @@ object TextQueries {
       Dedup.exact(Tables(s, dir).documents, "doc_id", "text")
     },
 
+    // BPE merge induction, counting step (Bpe.pairCounts): the top-20
+    // adjacent word pairs with deterministic tie-break — the argmax the
+    // fit loop consumes each round. Scan-local pair projection (zip_with
+    // of shifted slices, no corpus explode beyond the token stream) +
+    // one partial+final count; top-k is a TakeOrdered, not a full sort.
+    // The iterative fit itself (merge-apply is imperative per-row state)
+    // is spec-gated: BpeSpec pins the merge sequence and the greedy
+    // non-overlap semantics against hand-computed references.
+    "q111_bpe_pair_counts" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      graft.operators.Bpe.pairCounts(d, Text.tokens(col("text")))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(20)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("cnt"), lit(1))) // constant, non-foldable
+            .orderBy(col("cnt").desc, col("a"), col("b"))).cast(LongType))
+    },
+
     // End-to-end corpus build — the composed "user story" of the
     // curation family, each stage an already-gated operator: language
     // allowlist + quality threshold (q33's score, scan-local) → exact
@@ -630,6 +649,17 @@ object TextQueries {
          |  CAST(docs_kept AS DOUBLE) / CAST(total_docs AS DOUBLE) AS frac_docs_kept,
          |  CAST(tokens_kept AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS frac_tokens_kept
          |FROM c CROSS JOIN tot""".stripMargin,
+    "q111_bpe_pair_counts" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT toks[i] AS a, toks[i + 1] AS b
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2),
+        |top AS (SELECT * FROM c ORDER BY cnt DESC, a, b LIMIT 20)
+        |SELECT a, b, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rank
+        |FROM top""".stripMargin,
     "q110_corpus_build" ->
       s"""WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents),
          |m AS (

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Bpe
+
+/** BPE merge induction semantics: greedy non-overlap, deterministic
+  * tie-break, the fit loop's merge sequence, and application to new text.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMerge is greedy left-to-right non-overlapping") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("a+a", "a"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("a+a", "a+a"))
+    assert(Bpe.applyMerge(Seq("x", "a", "b", "y", "a", "b"), "a", "b") ==
+      Seq("x", "a+b", "y", "a+b"))
+    assert(Bpe.applyMerge(Seq.empty, "a", "b") == Seq.empty)
+    assert(Bpe.applyMerge(Seq("a"), "a", "b") == Seq("a"))
+  }
+
+  test("fit recovers the dominant phrase, then builds on its own merges") {
+    // "new york" dominates round 1 (8 occurrences vs ≤5 for any other
+    // pair); round 2's top pair then CONTAINS the round-1 merged token,
+    // proving the loop re-tokenizes with its own merges
+    val docs = Seq.fill(5)("we saw new york") ++
+      Seq.fill(3)("in new york today") ++
+      Seq.fill(2)("the cat sat here quietly")
+    val merges = Bpe.fit(docs.toDF("text"), "text", numMerges = 2)
+    assert(merges.head == (("new", "york")))
+    // round 2: (saw, new+york) ×5 ties (we, saw) ×5; "saw" < "we"
+    assert(merges(1) == (("saw", "new+york")))
+    // application path: fitted merges tokenize unseen text consistently
+    assert(Bpe.tokenize("we saw new york again".split(' ').toSeq, merges) ==
+      Seq("we", "saw+new+york", "again"))
+  }
+
+  test("ties break on (count desc, a asc, b asc) — deterministic merge order") {
+    // both pairs occur exactly twice; ("a","b") < ("c","d") lexicographically
+    val docs = Seq("a b", "a b", "c d", "c d")
+    assert(Bpe.fit(docs.toDF("text"), "text", numMerges = 1) == Seq(("a", "b")))
+  }
+
+  test("fit stops early when no adjacent pairs remain") {
+    val docs = Seq("one", "two", "three") // single-token docs: no pairs
+    assert(Bpe.fit(docs.toDF("text"), "text", numMerges = 3).isEmpty)
+  }
+
+  test("pairCounts matches a hand count (scan-local pair projection)") {
+    val df = Seq("a b a b", "b a").toDF("text")
+    val got = Bpe.pairCounts(df, org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " "))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 2L, ("b", "a") -> 2L))
+  }
+}
