@@ -206,6 +206,59 @@ object RetrievalQueries {
     },
 
     // ---------------------------------------------------------------
+    // q112: distribution-drift monitor (Population Stability Index)
+    // between two halves of events.value — the data-quality gate a
+    // continuously-refreshed training corpus needs ("did this batch's
+    // feature distribution shift?"). Bins are fixed from the REFERENCE
+    // side only (standard PSI practice: 10 uniform bins over its
+    // min/max, current-side outliers clamped into the edge bins);
+    // Laplace smoothing (+0.5 per bin) keeps empty bins finite. Scale
+    // shape: two scans collapse to one stats row + two ≤10-row count
+    // frames; everything after the partial+final counts is constant-
+    // size. Determinism: p/q derive from integer counts via one fixed
+    // op sequence, psi terms quantize to 1e-9, and the TOTAL is an
+    // exact DECIMAL sum of the quantized terms (order-independent) —
+    // the q06/q52 discipline, so the rows hash-gate.
+    // ---------------------------------------------------------------
+    "q112_drift_psi" -> { (s, dir) =>
+      val B = 10
+      val e = Tables(s, dir).events.filter(col("value").isNotNull)
+      val ref = e.filter(col("event_id") % 2 === 0)
+      val cur = e.filter(col("event_id") % 2 === 1)
+      val stats = ref.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      def counts(side: DataFrame, name: String) = side
+        .crossJoin(broadcast(stats))
+        .select(greatest(lit(0.0),
+            when(col("vmax") > col("vmin"),
+              least(floor((col("value") - col("vmin")) /
+                (col("vmax") - col("vmin")) * B), lit((B - 1).toDouble)))
+            .otherwise(lit(0.0)))
+          .cast(LongType).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(name))
+      val bins = s.range(B).select(col("id").as("bin"))
+      val joined = bins
+        .join(counts(ref, "ref_cnt"), Seq("bin"), "left")
+        .join(counts(cur, "cur_cnt"), Seq("bin"), "left")
+        .select(col("bin"),
+                coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+                coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+      val totals = joined.agg(sum(col("ref_cnt")).as("n_ref"),
+                              sum(col("cur_cnt")).as("n_cur"))
+      val p = (col("ref_cnt").cast(DoubleType) + 0.5) /
+        (col("n_ref").cast(DoubleType) + 0.5 * B)
+      val q = (col("cur_cnt").cast(DoubleType) + 0.5) /
+        (col("n_cur").cast(DoubleType) + 0.5 * B)
+      val term = floor((p - q) * log(p / q) * 1e9 + 0.5) / 1e9
+      val perBin = joined.crossJoin(broadcast(totals))
+        .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+                term.as("psi_term"))
+      val total = perBin
+        .agg(sum(col("psi_term").cast(DecimalType(18, 9))).cast(DoubleType)
+          .as("psi_total"))
+      perBin.crossJoin(broadcast(total))
+    },
+
+    // ---------------------------------------------------------------
     // q93: fixed-bin histogram quantile sketch over events.value — the
     // mergeable approximate-quantile op for 100 TB numeric columns
     // (the constant-size complement to q18's exact percentile_cont):
@@ -360,6 +413,42 @@ object RetrievalQueries {
         |  CAST(scaled AS DOUBLE) / 1e9 AS tfidf_score
         |FROM ranked WHERE kw_rank <= 3""".stripMargin,
 
+    "q112_drift_psi" ->
+      """WITH e AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+        |stats AS (
+        |  SELECT min(value) AS vmin, max(value) AS vmax
+        |  FROM e WHERE event_id % 2 = 0),
+        |rc AS (
+        |  SELECT CAST(greatest(0.0, CASE WHEN vmax > vmin
+        |           THEN least(floor((value - vmin) / (vmax - vmin) * 10), 9.0)
+        |           ELSE 0.0 END) AS BIGINT) AS bin, count(*) AS cnt
+        |  FROM e CROSS JOIN stats WHERE event_id % 2 = 0 GROUP BY 1),
+        |cc AS (
+        |  SELECT CAST(greatest(0.0, CASE WHEN vmax > vmin
+        |           THEN least(floor((value - vmin) / (vmax - vmin) * 10), 9.0)
+        |           ELSE 0.0 END) AS BIGINT) AS bin, count(*) AS cnt
+        |  FROM e CROSS JOIN stats WHERE event_id % 2 = 1 GROUP BY 1),
+        |bins AS (SELECT unnest(range(10)) AS bin),
+        |j AS (
+        |  SELECT bins.bin,
+        |    CAST(coalesce(rc.cnt, 0) AS BIGINT) AS ref_cnt,
+        |    CAST(coalesce(cc.cnt, 0) AS BIGINT) AS cur_cnt
+        |  FROM bins LEFT JOIN rc ON bins.bin = rc.bin
+        |            LEFT JOIN cc ON bins.bin = cc.bin),
+        |tot AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
+        |               CAST(sum(cur_cnt) AS BIGINT) AS n_cur FROM j),
+        |terms AS (
+        |  SELECT bin, ref_cnt, cur_cnt,
+        |    floor(((CAST(ref_cnt AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0)
+        |          - (CAST(cur_cnt AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0))
+        |        * ln(((CAST(ref_cnt AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0))
+        |           / ((CAST(cur_cnt AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0)))
+        |        * 1e9 + 0.5) / 1e9 AS psi_term
+        |  FROM j CROSS JOIN tot)
+        |SELECT bin, ref_cnt, cur_cnt, psi_term,
+        |  (SELECT CAST(sum(CAST(psi_term AS DECIMAL(18,9))) AS DOUBLE)
+        |   FROM terms) AS psi_total
+        |FROM terms""".stripMargin,
     "q93_histogram_quantiles" ->
       """WITH stats AS (
         |  SELECT min(value) AS vmin, max(value) AS vmax, count(value) AS n
