@@ -20,6 +20,19 @@ object Macros {
   def surrogateKey(cols: Column*): Column =
     md5(concat_ws("||", cols.map(c => coalesce(c.cast(StringType), lit(""))): _*))
 
+  /** Constant-but-NON-FOLDABLE window partition key: `pmod(c, 1)` is 0
+    * for every row, so execution is identical to an unpartitioned window
+    * (all rows through one task — callers use this ONLY over frames that
+    * are constant-sized by construction: bucket aggregates, per-partition
+    * offset rows), but the partition spec stays non-empty so Spark's
+    * "WindowExec: No Partition Defined" warning can't bury a REAL
+    * unpartitioned-window scale-killer in the logs. A foldable `lit(0)`
+    * key does NOT work — the optimizer folds it away and the warning
+    * returns. One definition so a Spark upgrade that changes the folding
+    * behavior is fixed in one place.
+    */
+  def constPartition(c: Column): Column = pmod(c, lit(1))
+
   /** Year-over-year change: (current - previous) / previous * 100, null
     * when the previous value is null or zero
     * (`macros/calculations.sql:16-48`).

@@ -38,8 +38,17 @@ object Ingest {
       conn match {
         case http: java.net.HttpURLConnection =>
           val status = http.getResponseCode
-          if (status >= 400)
+          if (status >= 400) {
+            // drain + close the error body and disconnect before
+            // throwing: an abandoned socket can't return to the JVM
+            // keep-alive pool, and the retry loop would leak one
+            // half-open connection per attempt
+            Option(http.getErrorStream).foreach { es =>
+              try { es.readAllBytes(); () } finally es.close()
+            }
+            http.disconnect()
             throw new FetchException(s"GET $url failed: HTTP $status", status)
+          }
         case _ => // file:// etc. — no status channel, failures are IO
       }
       val in = conn.getInputStream

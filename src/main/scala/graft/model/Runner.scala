@@ -113,8 +113,12 @@ final class Runner(
     spark.read.option("mergeSchema", merge.toString).parquet(currentPath(name))
   }
 
-  /** All materialized versions of a table, oldest → newest (version ids
-    * are `v_<nanotime>`, so lexicographic order IS creation order). Every
+  /** All materialized versions of a table, oldest → newest. Version ids
+    * are `v_<nanotime>`; the sort is NUMERIC on the suffix, never
+    * lexicographic — System.nanoTime() has no fixed digit width and an
+    * arbitrary per-boot origin, so string order can invert creation
+    * order across reboots or power-of-ten boundaries (new writes are
+    * zero-padded, but pre-pad dirs must still order correctly). Every
     * `writeVersioned` rewrite (table runs, snapshot merges) leaves the
     * previous version dir intact — that history is what [[readTableAt]]
     * serves and [[expireVersions]] bounds.
@@ -122,7 +126,9 @@ final class Runner(
   def listVersions(name: String): Seq[String] =
     Option(new java.io.File(path(name)).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .map(_.getName).sorted.toSeq
+      .map(_.getName)
+      .sortBy(v => v.stripPrefix("v_").toLongOption.getOrElse(Long.MaxValue))
+      .toSeq
 
   /** The version id the `_VERSION` pointer currently resolves to. */
   def currentVersion(name: String): Option[String] = {
@@ -165,7 +171,9 @@ final class Runner(
   }
 
   private def writeVersioned(name: String, df: DataFrame): Unit = {
-    val version = s"v_${System.nanoTime()}"
+    // zero-padded to 19 digits (Long.MaxValue width) so the ids also
+    // read correctly in a plain directory listing
+    val version = f"v_${System.nanoTime()}%019d"
     df.write.mode("overwrite").parquet(s"${path(name)}/$version")
     val tmp = Paths.get(path(name), "_VERSION.tmp")
     Files.createDirectories(Paths.get(path(name)))

@@ -75,7 +75,10 @@ object Bpe {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL text rows contribute no pairs in pairCounts (split(null) → no
+    // row); the typed map must skip them too, not NPE on t.split
     val base = df.select(col(textCol).cast("string")).as[String]
+      .filter((t: String) => t != null)
     var merges = Vector.empty[(String, String)]
     var round = 0
     while (round < numMerges) {

@@ -118,14 +118,9 @@ object Sharding {
         "__offset",
         coalesce(
           sum(col("__psum")).over(
-            // constant partition key: execution is identical to the
-            // unpartitioned form (all ≤ `parts` rows in one task — fine,
-            // the input is constant-sized BY CONSTRUCTION), but the
-            // window spec stays non-empty so Spark's "No Partition
-            // Defined" warning can't bury a real scale-killer in the
-            // logs. pmod(__pid, 1) not lit(0): a foldable key is
-            // optimized away and the warning returns.
-            Window.partitionBy(pmod(col("__pid"), lit(1)))
+            // the offsets frame is ≤ `parts` rows by construction — see
+            // Macros.constPartition for why the key is pmod, not lit(0)
+            Window.partitionBy(graft.functions.Macros.constPartition(col("__pid")))
               .orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__pid"), col("__offset"))

@@ -194,12 +194,27 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0) // zero-norm vectors never qualify (cosine null)
       .withColumn("u", transform(col("v"), x => x / col("nrm")))
+    // empty / all-zero-norm corpus: nothing can pair — return the empty
+    // frame the crossJoin baseline returned, instead of letting the
+    // centroid fit's seeds.nonEmpty require abort plan construction
+    // (the fit is eager anyway, so this probe adds no extra pass class)
+    if (v0.limit(1).isEmpty)
+      return v0.select(col("id").as("id_a"), col("id").as("id_b"),
+                       lit(0.0).as("cosine")).limit(0)
     val centroids =
       Clustering.fitCentroids(v0, "id", "u", k, iters, seedPrefix = "nd|")
     val best = Clustering.nearestCentroid(centroids, col("u"))
+    // materialize the assignment ONCE (eager localCheckpoint — the same
+    // lineage-cut discipline as Dedup's mined-pair memos): three
+    // consumers follow (radii collect, both candidate-join sides) and
+    // without the cut each re-runs the corpus scan + k-centroid
+    // distance projection. Cluster caveat as elsewhere: checkpoint
+    // blocks are not recomputable after executor loss; a long-lived
+    // deployment materializes this as a table.
     val w = v0.select(col("id"), col("v"), col("nrm"),
                       best.getField("cid").as("cid"),
                       sqrt(greatest(best.getField("d2"), lit(0.0))).as("cdist"))
+      .localCheckpoint(true)
     // per-cluster radii: k rows, driver-sized by construction
     val radii: Map[Int, Double] = w.groupBy(col("cid"))
       .agg(max(col("cdist")).as("r"))

@@ -284,13 +284,10 @@ object RetrievalQueries {
                   .otherwise(lit(0.0))
                   .cast(LongType).as("bin"))
       val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-      // constant partition key: same single-task execution over the ≤1024
-      // aggregated bins, but the window spec stays non-empty so Spark's
-      // "No Partition Defined" warning can't bury a real scale-killer.
-      // pmod(bin, 1) not lit(0): a foldable key is optimized away and the
-      // warning returns; a column-referencing constant survives.
+      // CDF over the ≤1024 aggregated bins — see Macros.constPartition
+      // for the non-foldable constant-key idiom
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(pmod(col("bin"), lit(1)))
+        .partitionBy(graft.functions.Macros.constPartition(col("bin")))
         .orderBy(col("bin"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val cdf = hist.withColumn("cum_cnt", sum(col("cnt")).over(w))

@@ -101,7 +101,7 @@ object TextQueries {
         .limit(20)
         .withColumn("rank",
           row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(pmod(col("cnt"), lit(1))) // constant, non-foldable
+            .partitionBy(graft.functions.Macros.constPartition(col("cnt")))
             .orderBy(col("cnt").desc, col("a"), col("b"))).cast(LongType))
     },
 
@@ -149,17 +149,21 @@ object TextQueries {
                 size(toks).cast(LongType).as("n_tokens"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bucket_tokens"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(pmod(col("bucket"), lit(1)))
-        .orderBy(col("bucket").desc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val totals = d.agg(
-        count(lit(1)).as("total_docs"),
-        sum(size(Text.tokens(col("text"))).cast(LongType)).as("total_tokens"))
+      val W = org.apache.spark.sql.expressions.Window
+      val part = graft.functions.Macros.constPartition(col("bucket"))
+      val w = W.partitionBy(part).orderBy(col("bucket").desc)
+        .rowsBetween(W.unboundedPreceding, 0)
+      // totals via an UNBOUNDED frame over the same ≤21-row window
+      // partition (every doc lands in exactly one bucket, so the bucket
+      // sums ARE the corpus totals) — not a second corpus-scanning
+      // aggregate consumer, which would re-tokenize everything
+      val wAll = W.partitionBy(part)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
       bucketed
         .withColumn("docs_kept", sum(col("n_docs")).over(w))
         .withColumn("tokens_kept", sum(col("bucket_tokens")).over(w))
-        .crossJoin(broadcast(totals))
+        .withColumn("total_docs", sum(col("n_docs")).over(wAll))
+        .withColumn("total_tokens", sum(col("bucket_tokens")).over(wAll))
         .select(col("bucket"), (col("bucket") * 5).as("threshold"),
                 col("n_docs"), col("docs_kept"), col("tokens_kept"),
                 (col("docs_kept").cast(DoubleType) /

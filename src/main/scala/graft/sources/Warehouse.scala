@@ -31,10 +31,14 @@ object Warehouse {
     // a managed-table location can outlive its catalog entry (a previous
     // session wrote it, this session's in-memory catalog never heard of
     // it) — saveAsTable then fails with LOCATION_ALREADY_EXISTS, so drop
-    // both the entry and any orphaned location before writing
+    // both the entry and any orphaned location before writing. The
+    // location comes from the CATALOG (graftx.Bridge), not a
+    // hand-assembled <warehouse.dir>/<name>: the catalog path honors the
+    // current database (<db>.db/ subdir) and case normalization, so this
+    // can never delete an unrelated sibling directory.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
+      org.apache.spark.sql.graftx.Bridge.defaultTablePath(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)

@@ -33,6 +33,18 @@ object Bridge {
   def isOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
     org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
 
+  /** The MANAGED-table location the catalog would assign `table` in the
+    * CURRENT database — honors `USE <db>` (`<warehouse>/<db>.db/<t>`)
+    * and the catalog's case normalization, unlike hand-building
+    * `<warehouse.dir>/<table>`. `sessionState.catalog` is
+    * `private[sql]`, hence bridged here (used by Warehouse.writeBucketed
+    * to clear orphaned locations safely).
+    */
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession, table: String): java.net.URI =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
+
   /** Register a function builder on an EXISTING session's (session-scoped)
     * function registry — the post-hoc path for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions`. `sessionState` is
