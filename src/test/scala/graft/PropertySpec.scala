@@ -51,6 +51,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment pairs ≡ naive all-pairs containment for random corpora") {
+    forSeeds(corpusGen) { case (docs, threshold) =>
+      val df = docs.toDF("doc_id", "text")
+      val smart = Dedup.containmentPairs(df, "doc_id", "text", threshold)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = Dedup.shingled(df, "doc_id", "text")
+      val naive = sh.alias("a").crossJoin(sh.alias("b"))
+        .filter((col("a.n_shingles") < col("b.n_shingles") ||
+                 (col("a.n_shingles") === col("b.n_shingles") &&
+                  col("a.doc_id") < col("b.doc_id"))) && col("a.n_shingles") > 0)
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          (size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double") /
+            col("a.n_shingles").cast("double")).as("c"))
+        .filter(col("c") >= threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(smart == naive, s"threshold=$threshold docs=${docs.size}")
+    }
+  }
+
+  private val vecCorpusGen: Gen[(Seq[(Long, Array[Float])], Double, Int)] = for {
+    n         <- Gen.choose(6, 20)
+    k         <- Gen.choose(2, 4)
+    minCosine <- Gen.oneOf(0.3, 0.6, 0.9)
+    vecs <- Gen.sequence[Seq[(Long, Array[Float])], (Long, Array[Float])]((0 until n).map { i =>
+      Gen.listOfN(8, Gen.choose(-3, 3).map(_.toFloat))
+        .map(l => (i.toLong, l.toArray))
+    })
+  } yield (vecs, minCosine, k)
+
+  test("ball-cover blocked near-dup ≡ all-pairs crossJoin, bit-for-bit, random vectors") {
+    // random small-grid vectors include zero vectors (filtered), colinear
+    // scaled pairs (cosine 1), and antipodal pairs — the sharp edges of
+    // the triangle-inequality reach bound and the nrm>0 contract
+    forSeeds(vecCorpusGen) { case (vecs, minCosine, k) =>
+      import graft.functions.Vectors
+      import graft.operators.Similarity
+      val df = vecs.toDF("vec_id", "embedding")
+      val blocked = Similarity
+        .exactNearDupBlocked(df, "vec_id", "embedding", minCosine, k, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val v = df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val a = v.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      val naive = a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Vectors.cosinePrenormed(
+            Vectors.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+        .filter(col("cosine") >= minCosine)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(blocked == naive, s"minCosine=$minCosine k=$k n=${vecs.size}")
+    }
+  }
+
   test("exact decimal sums equal plain double sums within 1e-9 on 2-decimal data") {
     forSeeds(Gen.listOfN(200, Gen.choose(0, 5000000).map(_ / 100.0))) { xs =>
       {
