@@ -77,6 +77,31 @@ object EventsStream {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming histogram bin counts over `value` against FIXED reference
+    * bins — the streaming leg of the drift monitor (q112). PSI practice
+    * makes the reference side static (bins fitted offline from the
+    * reference corpus), so vmin/vmax arrive as literals and streaming
+    * state is ≤ `bins` counter rows regardless of stream volume — the
+    * same constant-state argument as [[cmsSketchStream]]. The bin
+    * arithmetic is q112's exactly (edge clamping, degenerate range →
+    * bin 0), so a drained stream's counts are bit-identical to batch
+    * binning (StreamingSpec asserts it) and a PSI computed from them
+    * matches the batch monitor.
+    */
+  def binCountsStream(events: DataFrame, vmin: Double, vmax: Double,
+                      bins: Int = 10): DataFrame = {
+    val bin =
+      if (vmax > vmin)
+        greatest(lit(0.0),
+          least(floor((col("value") - vmin) / (vmax - vmin) * bins),
+                lit((bins - 1).toDouble)))
+      else lit(0.0)
+    events.filter(col("value").isNotNull)
+      .select(bin.cast(org.apache.spark.sql.types.LongType).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming exact deduplication on a key, with the watermark bounding
     * how long per-key state is retained — the streaming analog of the
     * batch exact-dedup operator (a re-delivered event inside the

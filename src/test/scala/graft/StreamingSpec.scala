@@ -68,6 +68,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming drift bins ≡ batch binning; state bounded by bin count") {
+    // reference stats fitted "offline" (batch, even event_ids — q112's
+    // reference side), then the CURRENT side streams against the fixed
+    // bins with ≤10 rows of state
+    val ref = graft.core.Tables(spark, dir).events
+      .filter(col("event_id") % 2 === 0)
+      .agg(min("value"), max("value")).head
+    val (vmin, vmax) = (ref.getDouble(0), ref.getDouble(1))
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.binCountsStream(
+        EventsStream.read(spark, eventsDir), vmin, vmax),
+      "stream_drift")
+    val batch = EventsStream.binCountsStream(
+      graft.core.Tables(spark, dir).events
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      vmin, vmax)
+    assert(streamed.count() > 0 && streamed.count() <= 10)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "drained stream bin counts differ from batch binning")
+  }
+
   test("flatMapGroupsWithState sessionization matches batch sessions (closed ones)") {
     import org.apache.spark.sql.expressions.Window
     val streamed = EventsStream.runToMemorySink(
