@@ -86,6 +86,39 @@ object TextQueries {
       Dedup.exact(Tables(s, dir).documents, "doc_id", "text")
     },
 
+    // PMI collocation mining — statistical phrase detection (the
+    // pointwise-mutual-information complement to q111's frequency-greedy
+    // BPE): PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over adjacent pairs,
+    // min-count 5, top-20. Scale shape: two corpus aggregations (pair
+    // counts via the Bpe zip_with projection, unigram counts), after
+    // which everything is vocab-bounded — marginals broadcast onto the
+    // pair table, single-row totals broadcast, top-k is a TakeOrdered.
+    // Determinism: counts are exact integers, the PMI expression is one
+    // fixed op sequence on them, quantized to 1e-9 (the q112 ln
+    // discipline), ties break on (a, b).
+    "q113_pmi_collocations" -> { (s, dir) =>
+      val d     = Tables(s, dir).documents
+      val toks  = Text.tokens(col("text"))
+      val pairs = graft.operators.Bpe.pairCounts(d, toks)
+      val uni   = d.select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("ucnt"))
+      val totals = pairs.agg(sum(col("cnt")).as("np"))
+        .crossJoin(uni.agg(sum(col("ucnt")).as("n")))
+      val pmi = {
+        val pAb   = col("cnt").cast(DoubleType) / col("np").cast(DoubleType)
+        val denom = (col("ua").cast(DoubleType) / col("n").cast(DoubleType)) *
+          (col("ub").cast(DoubleType) / col("n").cast(DoubleType))
+        floor(log(pAb / denom) * 1e9 + 0.5) / 1e9
+      }
+      pairs.filter(col("cnt") >= 5)
+        .join(broadcast(uni.select(col("tok").as("a"), col("ucnt").as("ua"))), Seq("a"))
+        .join(broadcast(uni.select(col("tok").as("b"), col("ucnt").as("ub"))), Seq("b"))
+        .crossJoin(broadcast(totals))
+        .select(col("a"), col("b"), col("cnt"), pmi.as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
+    },
+
     // BPE merge induction, counting step (Bpe.pairCounts): the top-20
     // adjacent word pairs with deterministic tie-break — the argmax the
     // fit loop consumes each round. Scan-local pair projection (zip_with
@@ -653,6 +686,32 @@ object TextQueries {
          |  CAST(docs_kept AS DOUBLE) / CAST(total_docs AS DOUBLE) AS frac_docs_kept,
          |  CAST(tokens_kept AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS frac_tokens_kept
          |FROM c CROSS JOIN tot""".stripMargin,
+    "q113_pmi_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |pc AS (
+        |  SELECT toks[i] AS a, toks[i + 1] AS b, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2)
+        |  GROUP BY 1, 2),
+        |uc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS ucnt
+        |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM pc) AS np,
+        |         (SELECT CAST(sum(ucnt) AS BIGINT) FROM uc) AS n),
+        |scored AS (
+        |  SELECT pc.a, pc.b, pc.cnt,
+        |    floor(ln((CAST(cnt AS DOUBLE) / CAST(np AS DOUBLE))
+        |            / ((CAST(ua.ucnt AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * (CAST(ub.ucnt AS DOUBLE) / CAST(n AS DOUBLE))))
+        |        * 1e9 + 0.5) / 1e9 AS pmi
+        |  FROM pc
+        |  JOIN uc ua ON pc.a = ua.tok
+        |  JOIN uc ub ON pc.b = ub.tok
+        |  CROSS JOIN tot
+        |  WHERE cnt >= 5)
+        |SELECT a, b, cnt, pmi FROM scored
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
     "q111_bpe_pair_counts" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |p AS (
