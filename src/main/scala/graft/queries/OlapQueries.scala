@@ -116,6 +116,16 @@ object OlapQueries {
           avgFor("5-LOW").as("avg_low"))
     },
 
+    // One-pass table profiler (quality.Profiler): per-column null
+    // counts, exact distincts, and ranges for events — numeric ranges as
+    // DOUBLE, string ranges as VARCHAR (separate columns: numeric→string
+    // cast formatting is engine-specific and would break parity).
+    "q114_table_profile" -> { (s, dir) =>
+      graft.quality.Profiler.profile(
+        Tables(s, dir).events,
+        Seq("event_id", "user_id", "event_type", "value", "props"))
+    },
+
     // Skew-salted join, oracle-gated (round-6 verdict #4 promoted
     // Warehouse.saltedJoinSides from spec-only to a gated query): a
     // pathologically skewed key — 'hot' on 50% of events — joins a
@@ -213,6 +223,24 @@ object OlapQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q114_table_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM events""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM events""".stripMargin
+      Seq(num("event_id"), num("user_id"), str("event_type"),
+          num("value"), str("props")).mkString("\nUNION ALL\n")
+    },
     // the UNSALTED join: salting must be result-invariant
     "q106_salted_skew_join" ->
       """WITH left_side AS (
