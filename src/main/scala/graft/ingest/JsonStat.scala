@@ -37,6 +37,18 @@ object JsonStat {
     * The position→code lookup inverts the category index map with
     * `map_from_entries` over swapped entries.
     */
+  /** Corrupt-payload audit — the PERMISSIVE half of the ingest contract:
+    * [[decode]] silently DROPS payloads `from_json` can't parse (null
+    * struct) or that parse without the fields the stride decode needs;
+    * this surfaces them for alerting/quarantine instead. A malformed API
+    * response is a data condition to report, not a pipeline failure.
+    */
+  def corruptPayloads(df: DataFrame): DataFrame =
+    df.withColumn("js", from_json(col("payload"), payloadSchema))
+      .filter(col("js").isNull || col("js.id").isNull ||
+              col("js.size").isNull || col("js.value").isNull)
+      .select(col("dataset_code"), col("payload"))
+
   def decode(df: DataFrame, dims: Seq[String]): DataFrame = {
     val parsed = df
       .withColumn("js", from_json(col("payload"), payloadSchema))

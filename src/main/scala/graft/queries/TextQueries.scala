@@ -86,6 +86,27 @@ object TextQueries {
       Dedup.exact(Tables(s, dir).documents, "doc_id", "text")
     },
 
+    // Text normalization — the canonicalization pass that runs BEFORE
+    // any dedup/fingerprint stage (otherwise trivially-variant bytes
+    // defeat exact dedup): lowercase, strip punctuation, collapse
+    // whitespace runs, trim. Byte-exact gated (md5 of the normalized
+    // text + before/after token counts); a scan-local projection — no
+    // shuffle at any corpus scale. Patterns are Java-regex/RE2-portable
+    // (no lookarounds), the q107 discipline.
+    "q115_normalize_text" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+        "\\s+", " "))
+      d.select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_raw"),
+        size(Text.tokens(col("text"))).cast(LongType).as("n_tokens_raw"),
+        length(norm).cast(LongType).as("n_chars_norm"),
+        when(norm === "", lit(0L))
+          .otherwise(size(split(norm, " ")).cast(LongType)).as("n_tokens_norm"),
+        md5(norm).as("norm_hash"))
+    },
+
     // PMI collocation mining — statistical phrase detection (the
     // pointwise-mutual-information complement to q111's frequency-greedy
     // BPE): PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over adjacent pairs,
@@ -686,6 +707,21 @@ object TextQueries {
          |  CAST(docs_kept AS DOUBLE) / CAST(total_docs AS DOUBLE) AS frac_docs_kept,
          |  CAST(tokens_kept AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS frac_tokens_kept
          |FROM c CROSS JOIN tot""".stripMargin,
+    "q115_normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_raw,
+        |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+        |  CAST(CASE WHEN norm = '' THEN 0
+        |       ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens_norm,
+        |  md5(norm) AS norm_hash
+        |FROM n""".stripMargin,
     "q113_pmi_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |pc AS (

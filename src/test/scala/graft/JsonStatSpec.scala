@@ -42,4 +42,18 @@ class JsonStatSpec extends SparkSpec {
     val df = Seq(("test_ds", payload)).toDF("dataset_code", "payload")
     assert(JsonStat.decode(df, Seq("geo", "time")).count() == 3)
   }
+
+  test("corrupt payloads are dropped by decode and surfaced by the audit") {
+    val mixed = Seq(
+      ("ok", payload),
+      ("not_json", "{{{"),
+      ("wrong_shape", """{"hello": "world"}"""),
+      ("null_payload", null: String)).toDF("dataset_code", "payload")
+    // decode: only the valid payload's cells come out, nothing throws
+    assert(JsonStat.decode(mixed, Seq("geo", "time")).count() == 3)
+    // audit: every non-decodable payload is reported with its code
+    val bad = JsonStat.corruptPayloads(mixed)
+      .select("dataset_code").collect().map(_.getString(0)).toSet
+    assert(bad == Set("not_json", "wrong_shape", "null_payload"))
+  }
 }
