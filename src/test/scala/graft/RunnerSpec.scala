@@ -83,6 +83,30 @@ class RunnerSpec extends SparkSpec {
     assert(e.getMessage.contains(versions.last))
   }
 
+  test("a failed rewrite leaves the _VERSION pointer and served data intact") {
+    val wh = tmpDir()
+    val r1 = new Runner(spark, wh, t0, "ok")
+    r1.run(Seq(Model("t", Seq("src"), Materialization.Table)(d => d("src"))),
+      Map("src" -> Seq(("a", 1.0)).toDF("k", "v")))
+    val v1 = r1.currentVersion("t").get
+    // second run fails MID-WRITE (an executor-side throw during the new
+    // version's parquet job) — the pointer must still serve v1, because
+    // the swap happens only after a successful write
+    val boom = org.apache.spark.sql.functions.udf { (x: Double) =>
+      if (x > 0) throw new RuntimeException("boom"); x
+    }
+    val r2 = new Runner(spark, wh, t0, "fail")
+    intercept[Exception] {
+      r2.run(Seq(Model("t", Seq("src"), Materialization.Table)(d =>
+        d("src").withColumn("v", boom(col("v"))))),
+        Map("src" -> Seq(("b", 2.0)).toDF("k", "v")))
+    }
+    val r3 = new Runner(spark, wh, t0, "check")
+    assert(r3.currentVersion("t").contains(v1), "pointer moved despite failed write")
+    val rows = r3.readTable("t").collect().map(x => (x.getString(0), x.getDouble(1)))
+    assert(rows.toSeq == Seq(("a", 1.0)), "served data changed despite failed write")
+  }
+
   test("incremental batch carrying duplicate keys writes one row per key, latest watermark wins") {
     val wh = tmpDir()
     val r  = new Runner(spark, wh, t0, "dup")
