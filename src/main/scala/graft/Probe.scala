@@ -51,6 +51,37 @@ object Probe {
       case "plan" =>
         val df = SparkEntry.queries(args(2))(spark, args(1))
         println(df.queryExecution.executedPlan.toString.take(8000))
+      case "shuffles" =>
+        // post-execution shuffle metrics — the quantitative side of the
+        // PlanQualitySpec exchange-count pins: how many BYTES/ROWS each
+        // exchange actually moved (run at any sfDir)
+        val df = SparkEntry.queries(args(2))(spark, args(1))
+        df.collect()
+        // QueryStageExec nodes are LEAVES in the adaptive final plan —
+        // their materialized subtree hangs off `.plan`, so a plain
+        // collect sees nothing; walk through the wrappers explicitly
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+          p +: (p match {
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+            case other => other.children.flatMap(walk)
+          })
+        val root = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case other => other
+        }
+        val exchanges = walk(root).collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        println(s"PROBE ${args(2)} shuffle_exchanges=${exchanges.size}")
+        exchanges.zipWithIndex.foreach { case (e, i) =>
+          val interesting = e.metrics.toSeq
+            .filter { case (k, _) => k.contains("dataSize") ||
+              k.contains("shuffleBytesWritten") || k.contains("shuffleRecordsWritten") ||
+              k.contains("numPartitions") }
+            .map { case (k, m) => s"$k=${m.value}" }.sorted.mkString(" ")
+          println(s"PROBE   exchange#$i $interesting")
+        }
       case "q67" =>
         val d = Tables(spark, args(1)).documents
         val edges = time("q67.dupEdges(build)") {
