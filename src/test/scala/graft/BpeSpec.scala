@@ -44,6 +44,12 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.fit(docs.toDF("text"), "text", numMerges = 3).isEmpty)
   }
 
+  test("fit skips NULL text rows and rejects nonpositive merge counts") {
+    val docs = Seq(Some("a b"), None, Some("a b")).toDF("text")
+    assert(Bpe.fit(docs, "text", numMerges = 1) == Seq(("a", "b")))
+    intercept[IllegalArgumentException](Bpe.fit(docs, "text", numMerges = 0))
+  }
+
   test("pairCounts matches a hand count (scan-local pair projection)") {
     val df = Seq("a b a b", "b a").toDF("text")
     val got = Bpe.pairCounts(df, org.apache.spark.sql.functions.split(

@@ -58,4 +58,11 @@ class MetricsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("time dimension"))
   }
+
+  test("duplicate metric requests fail fast (would alias-collide in the agg)") {
+    intercept[IllegalArgumentException] {
+      Metrics.query(fixture, Seq("unemployment_rate", "unemployment_rate"),
+        Seq("country_code"))
+    }
+  }
 }
