@@ -65,6 +65,32 @@ object Warehouse {
     (saltedLeft, saltedRight, Seq(key, "__salt"))
   }
 
+  /** Write with AQE output rebalancing — the small-files / skewed-files
+    * guard for massive writes: the REBALANCE hint inserts an
+    * AQE-optimized shuffle that SPLITS oversized partitions and
+    * COALESCES tiny ones toward `spark.sql.adaptive.advisoryPartitionSizeInBytes`,
+    * so output files land near the target size regardless of upstream
+    * partitioning (a 1000-task upstream writing 1000 tiny files is the
+    * classic 100 TB warehouse pathology). `maxRecordsPerFile` bounds the
+    * worst case file independently.
+    */
+  def writeRebalanced(df: DataFrame, path: String,
+                      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.hint("rebalance")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
+  /** Collect catalog statistics for a saved table (row counts + per-column
+    * NDV/min/max) — what lets the cost-based optimizer pick broadcast
+    * sides and join orders from METADATA instead of the static
+    * `autoBroadcastJoinThreshold` file-size guess. On a real warehouse
+    * this runs after every large write (the `dbt docs`-adjacent hygiene
+    * the reference gets for free from DuckDB's implicit stats).
+    */
+  def analyzeTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS FOR ALL COLUMNS")
+
   /** Relative shuffle-partition sizing: partitions ≈ input bytes / target
     * partition size, clamped — the knob that keeps partitions
     * memory-resident as SF scales (SURVEY: spill-aware sizing).

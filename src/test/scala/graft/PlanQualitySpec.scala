@@ -81,6 +81,29 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("rebalanced writes plan an AQE rebalance shuffle; catalog stats feed the CBO") {
+    val t = graft.core.Tables(spark, dir)
+    // REBALANCE in the plan: the write-side small-files guard
+    val plan = t.events.hint("rebalance").queryExecution.executedPlan.toString
+    assert(plan.contains("REBALANCE"), s"no rebalance exchange in:\n$plan")
+    val out = java.nio.file.Files.createTempDirectory("graft-rebal").toString + "/ev"
+    Warehouse.writeRebalanced(t.events, out)
+    assert(spark.read.parquet(out).count() == t.events.count())
+    // ANALYZE TABLE: row count + column NDV land in the catalog
+    Warehouse.writeBucketed(t.nation, "stats_nation", "n_nationkey", 4)
+    try {
+      Warehouse.analyzeTable(spark, "stats_nation")
+      val described = spark.sql("DESCRIBE EXTENDED stats_nation n_nationkey")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(described.get("distinct_count").exists(_.toLong > 0),
+        s"no NDV in catalog stats: $described")
+      val stats = spark.sql("DESCRIBE EXTENDED stats_nation")
+        .filter(col("col_name") === "Statistics").collect()
+      assert(stats.nonEmpty && stats.head.getString(1).contains("rows"),
+        "no table-level row stats recorded")
+    } finally spark.sql("DROP TABLE IF EXISTS stats_nation")
+  }
+
   test("partitioned writes prune partitions under a partition predicate") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     val t = graft.core.Tables(spark, dir)
