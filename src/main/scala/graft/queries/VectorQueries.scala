@@ -140,6 +140,33 @@ object VectorQueries {
         k = 3, nlist = 16, nprobe = 4)
     },
 
+    // ANN recall report — "measure, don't guess" applied to the engine's
+    // own approximations: per query, how many of the EXACT top-3
+    // neighbors (q37's brute-force path) the IVF index (q64's path)
+    // actually returned. A pipeline tunes nlist/nprobe against this
+    // number before trusting the index at scale. Both sides are
+    // query-set-bounded; the comparison join is per-query constant work.
+    "q116_ann_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      // query sets mirror the reused gates exactly: q37's exact top-3
+      // runs vec_id < 20, q64's IVF runs vec_id < 50 — the join keys on
+      // the exact side, so recall is reported for its 20 queries
+      val exact = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.annTopKIvf(
+          e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+             sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+                (col("n_hit").cast("double") / col("n_exact").cast("double"))
+                  .as("recall_at_3"))
+    },
+
     // Scalar int8 quantization — the embedding-compression step of a
     // vector-search pipeline (4× smaller than float32, 8× smaller than
     // the double form): per-DIMENSION global min/max → 256 uniform codes.
@@ -261,7 +288,7 @@ object VectorQueries {
        |  FROM n CROSS JOIN c2 s)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q37_cosine_topk" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -404,4 +431,19 @@ object VectorQueries {
          |             THEN floor((v - mn) / (mx - mn) * 255 + 0.5)
          |             ELSE 0.0 END) / 255.0 * (mx - mn) AS dequant
          |FROM longf JOIN stats USING (dim_pos)""".stripMargin)
+
+  /** q116's oracle wraps the q37 and q64 oracles as derived tables (both
+    * are self-contained SELECTs; DuckDB allows a nested WITH inside a
+    * parenthesized subquery) and compares their neighbor sets.
+    */
+  val oracles: Map[String, String] = baseOracles +
+    ("q116_ann_recall" ->
+      s"""SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall_at_3
+         |FROM (${baseOracles("q37_cosine_topk")}) e
+         |LEFT JOIN (${baseOracles("q64_ann_ivf")}) a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id""".stripMargin)
 }
