@@ -61,10 +61,13 @@ object Probe {
         // their materialized subtree hangs off `.plan`, so a plain
         // collect sees nothing; walk through the wrappers explicitly
         def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-          p +: (p match {
+          (p +: (p match {
             case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
             case other => other.children.flatMap(walk)
-          })
+          })) ++
+            // scalar / dynamic-pruning subqueries hang off EXPRESSIONS,
+            // not children — without this their exchanges go uncounted
+            p.subqueries.flatMap(walk)
         val root = df.queryExecution.executedPlan match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
             a.executedPlan

@@ -39,13 +39,12 @@ object Ingest {
         case http: java.net.HttpURLConnection =>
           val status = http.getResponseCode
           if (status >= 400) {
-            // drain + close the error body and disconnect before
-            // throwing: an abandoned socket can't return to the JVM
-            // keep-alive pool, and the retry loop would leak one
-            // half-open connection per attempt
-            Option(http.getErrorStream).foreach { es =>
-              try { es.readAllBytes(); () } finally es.close()
-            }
+            // disconnect before throwing so the retry loop can't
+            // accumulate half-open sockets (one per attempt). disconnect
+            // closes the underlying connection outright, so draining the
+            // error body for keep-alive reuse would be wasted I/O —
+            // retries pay a fresh connect, which is the right trade for
+            // an ERROR path (error bodies can be arbitrarily large)
             http.disconnect()
             throw new FetchException(s"GET $url failed: HTTP $status", status)
           }

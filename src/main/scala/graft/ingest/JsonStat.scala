@@ -46,7 +46,11 @@ object JsonStat {
   def corruptPayloads(df: DataFrame): DataFrame =
     df.withColumn("js", from_json(col("payload"), payloadSchema))
       .filter(col("js").isNull || col("js.id").isNull ||
-              col("js.size").isNull || col("js.value").isNull)
+              col("js.size").isNull || col("js.value").isNull ||
+              // a missing dimension map doesn't stop the explode — it
+              // yields rows with null codes/labels, which is exactly the
+              // garbage this audit exists to surface
+              col("js.dimension").isNull)
       .select(col("dataset_code"), col("payload"))
 
   def decode(df: DataFrame, dims: Seq[String]): DataFrame = {

@@ -31,8 +31,19 @@ object Profiler {
       case _: NumericType => true
       case _              => false
     }
+    // the typed-range contract only covers numeric and string columns —
+    // anything else (timestamp, boolean, array, ...) would fall into the
+    // string path via a cast whose FORMATTING is engine-specific (the
+    // exact parity hazard the header forbids); fail loudly instead
+    cols.foreach { c =>
+      require(numeric(c) || types(c) == StringType,
+        s"profile covers numeric and string columns; '$c' is ${types(c).simpleString} " +
+          "— cast it explicitly (e.g. timestamp → epoch micros) before profiling")
+    }
+    // count-difference, not sum(when(...)): over an EMPTY table sum is
+    // NULL while the null count must be 0 (the oracle's count(*)−count(c))
     def pre(c: String) = Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+      (count(lit(1)) - count(col(c))).as(s"__nn_$c"),
       countDistinct(col(c)).as(s"__nd_$c")) ++
       (if (numeric(c))
         Seq(min(col(c)).cast(DoubleType).as(s"__mn_$c"),

@@ -201,6 +201,11 @@ object TextQueries {
       val bucketed = d
         .select(floor(qualityScore / 5).cast(LongType).as("bucket"),
                 size(toks).cast(LongType).as("n_tokens"))
+        // unscoreable docs (null text → null score) are excluded from the
+        // sweep on BOTH sides: a null bucket would land in its own window
+        // partition (pmod(null,1) = null) and engines disagree on
+        // null-ordering under DESC, so parity demands the explicit cut
+        .filter(col("bucket").isNotNull)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bucket_tokens"))
       val W = org.apache.spark.sql.expressions.Window
@@ -692,11 +697,11 @@ object TextQueries {
          |b AS (
          |  SELECT CAST(floor(q / 5) AS BIGINT) AS bucket, count(*) AS n_docs,
          |         CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
-         |  FROM s GROUP BY 1),
+         |  FROM s WHERE q IS NOT NULL GROUP BY 1),
          |tot AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS total_docs,
-         |         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
-         |  FROM documents),
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+         |         CAST(sum(bucket_tokens) AS BIGINT) AS total_tokens
+         |  FROM b),
          |c AS (
          |  SELECT bucket, n_docs, bucket_tokens,
          |    CAST(sum(n_docs) OVER w AS BIGINT) AS docs_kept,

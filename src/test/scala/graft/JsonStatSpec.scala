@@ -48,12 +48,15 @@ class JsonStatSpec extends SparkSpec {
       ("ok", payload),
       ("not_json", "{{{"),
       ("wrong_shape", """{"hello": "world"}"""),
+      // parses, but no dimension map: decode would emit null-code rows
+      ("no_dims", """{"id":["geo"],"size":[1],"value":{"0":1.0}}"""),
       ("null_payload", null: String)).toDF("dataset_code", "payload")
     // decode: only the valid payload's cells come out, nothing throws
-    assert(JsonStat.decode(mixed, Seq("geo", "time")).count() == 3)
+    assert(JsonStat.decode(mixed, Seq("geo", "time"))
+      .filter(col("geo_code").isNotNull).count() == 3)
     // audit: every non-decodable payload is reported with its code
     val bad = JsonStat.corruptPayloads(mixed)
       .select("dataset_code").collect().map(_.getString(0)).toSet
-    assert(bad == Set("not_json", "wrong_shape", "null_payload"))
+    assert(bad == Set("not_json", "wrong_shape", "no_dims", "null_payload"))
   }
 }

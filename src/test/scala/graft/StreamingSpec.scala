@@ -80,13 +80,20 @@ class StreamingSpec extends SparkSpec {
       EventsStream.binCountsStream(
         EventsStream.read(spark, eventsDir), vmin, vmax),
       "stream_drift")
-    val batch = EventsStream.binCountsStream(
-      graft.core.Tables(spark, dir).events
-        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
-      vmin, vmax)
+    // the batch side is an INDEPENDENT restatement of q112's bin formula
+    // (not binCountsStream again — a self-comparison would pass even if
+    // the shared function drifted from the batch monitor's arithmetic)
+    val batch = graft.core.Tables(spark, dir).events
+      .filter(col("value").isNotNull)
+      .select(greatest(lit(0.0),
+          when(lit(vmax) > lit(vmin),
+            least(floor((col("value") - vmin) / (vmax - vmin) * 10), lit(9.0)))
+          .otherwise(lit(0.0)))
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
     assert(streamed.count() > 0 && streamed.count() <= 10)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
-      "drained stream bin counts differ from batch binning")
+      "drained stream bin counts differ from the q112-style batch binning")
   }
 
   test("flatMapGroupsWithState sessionization matches batch sessions (closed ones)") {
