@@ -110,6 +110,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(w).isEmpty)
   }
 
+  test("decoders terminate without throwing on adversarial bytes (fuzz)") {
+    import org.scalatest.concurrent.TimeLimits._
+    import org.scalatest.time.{Seconds, Span}
+    // the round-6 advisor found a chunk header that made decodeWav loop
+    // forever; this pins the fix class-wide: random byte strings AND
+    // every single-byte corruption of valid headers must return promptly
+    failAfter(Span(60, Seconds)) {
+      val rnd = new scala.util.Random(42) // test-only randomness
+      for (_ <- 0 until 300) {
+        val bytes = Array.fill(rnd.nextInt(300))(rnd.nextInt().toByte)
+        Multimodal.decodeWav(bytes)
+        Multimodal.imageStats(bytes)
+        Multimodal.videoFrames(bytes)
+      }
+      val wav = Multimodal.syntheticWav(17L)
+      for (pos <- 0 until math.min(wav.length, 60)) {
+        val m = wav.clone(); m(pos) = (m(pos) ^ 0xFF).toByte
+        Multimodal.decodeWav(m) // any Option result is fine; hanging is not
+      }
+      val png = Multimodal.syntheticPng(17L)
+      for (pos <- 0 until math.min(png.length, 60)) {
+        val m = png.clone(); m(pos) = (m(pos) ^ 0xFF).toByte
+        Multimodal.imageStats(m)
+      }
+      val vid = Multimodal.syntheticVideo(5L, 2)
+      for (pos <- 0 until math.min(vid.length, 60)) {
+        val m = vid.clone(); m(pos) = (m(pos) ^ 0xFF).toByte
+        Multimodal.videoFrames(m)
+      }
+    }
+  }
+
   test("feature vectors are real content-derived: hist bins, band sums, frame agg") {
     import spark.implicits._
     // image id=17: 4×3 constant color (51, 85, 119) → whole pixel count in

@@ -296,7 +296,7 @@ class PlanQualitySpec extends SparkSpec {
     // disabled so the tiny sf0.001 ranks can't hide the shuffle behavior.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val edges  = spark.table(graft.queries.GraphQueries.EdgeTable)
+      val edges  = spark.table(graft.queries.GraphQueries.edgeTable(dir))
       val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       val ranks  = edges.select(col("src").as("node")).distinct()
         .withColumn("rank", lit(1L))
