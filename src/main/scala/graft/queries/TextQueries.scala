@@ -58,6 +58,34 @@ object TextQueries {
               Text.langId(col("text")).as("predicted_lang")): _*)
     },
 
+    // Classifier evaluation over the engine's own language-ID heuristic
+    // (the q116 "measure, don't guess" pattern applied to curation
+    // filters): confusion matrix of labeled × predicted language plus
+    // per-cell recall/precision components — diagonal cells read as the
+    // class recall/precision a pipeline tunes the heuristic against
+    // before trusting it to route a 100 TB corpus. Scale shape: the scan
+    // collapses to ≤ L² cells via one partial+final agg; the cell frame
+    // is checkpointed (driver-small) so the row/column marginals don't
+    // re-scan the corpus, and they join back by broadcast.
+    "q120_langid_eval" -> { (s, dir) =>
+      val cells = defs("q32_langid")(s, dir)
+        .groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint()
+      val rt = cells.groupBy(col("labeled_lang"))
+        .agg(sum(col("n_docs")).as("n_labeled"))
+      val ct = cells.groupBy(col("predicted_lang"))
+        .agg(sum(col("n_docs")).as("n_predicted"))
+      cells.join(broadcast(rt), Seq("labeled_lang"))
+        .join(broadcast(ct), Seq("predicted_lang"))
+        .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+                col("n_labeled"), col("n_predicted"),
+                (col("n_docs").cast(DoubleType) / col("n_labeled").cast(DoubleType))
+                  .as("recall_component"),
+                (col("n_docs").cast(DoubleType) / col("n_predicted").cast(DoubleType))
+                  .as("precision_component"))
+    },
+
     // Quality scoring: length/diversity/stopword/punctuation components →
     // 0-100 composite + bucket (py_data_quality_scores-style ladder).
     "q33_text_quality" -> { (s, dir) =>
@@ -593,6 +621,29 @@ object TextQueries {
   private def langListSql(lang: String): String =
     Text.langProfiles.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
 
+  /** Shared by the q32 gate and q120's composed evaluation oracle. */
+  private lazy val q32Oracle: String = {
+    val scoreExprs = Text.langProfiles.map { case (l, _) =>
+      s"CAST(len(list_filter(toks, x -> list_contains([${langListSql(l)}], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_$l"
+    }.mkString(",\n        |    ")
+    s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    $scoreExprs,
+       |    CASE WHEN length(text) > 0
+       |         THEN CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+       |         ELSE 0.0 END AS cjk_ratio
+       |  FROM t)
+       |SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr, cjk_ratio,
+       |  CASE WHEN cjk_ratio > 0.05 THEN 'zh'
+       |       WHEN score_en <= 0.0 AND score_de <= 0.0 AND score_es <= 0.0 AND score_fr <= 0.0 THEN 'und'
+       |       WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+       |       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+       |       WHEN score_es >= score_fr THEN 'es'
+       |       ELSE 'fr' END AS predicted_lang
+       |FROM s""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Relational winnowing: the same min(struct(hash, -pos)) per sliding
     // window, built from an explicit window-start × gram range join (the
@@ -641,27 +692,25 @@ object TextQueries {
         |  count(*) OVER (PARTITION BY fingerprint) AS group_size,
         |  doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS is_reordered_dup
         |FROM fp""".stripMargin,
-    "q32_langid" -> {
-      val scoreExprs = Text.langProfiles.map { case (l, _) =>
-        s"CAST(len(list_filter(toks, x -> list_contains([${langListSql(l)}], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_$l"
-      }.mkString(",\n        |    ")
-      s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
-         |s AS (
-         |  SELECT doc_id, lang AS labeled_lang,
-         |    $scoreExprs,
-         |    CASE WHEN length(text) > 0
-         |         THEN CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-         |         ELSE 0.0 END AS cjk_ratio
-         |  FROM t)
-         |SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr, cjk_ratio,
-         |  CASE WHEN cjk_ratio > 0.05 THEN 'zh'
-         |       WHEN score_en <= 0.0 AND score_de <= 0.0 AND score_es <= 0.0 AND score_fr <= 0.0 THEN 'und'
-         |       WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
-         |       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
-         |       WHEN score_es >= score_fr THEN 'es'
-         |       ELSE 'fr' END AS predicted_lang
-         |FROM s""".stripMargin
-    },
+    "q32_langid" -> q32Oracle,
+
+    // Classifier evaluation over the q32 heuristic: confusion matrix +
+    // per-cell recall/precision components against the labeled lang.
+    "q120_langid_eval" ->
+      s"""WITH base AS (
+         |$q32Oracle),
+         |cells AS (
+         |  SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM base GROUP BY 1, 2),
+         |rt AS (SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_labeled
+         |       FROM cells GROUP BY 1),
+         |ct AS (SELECT predicted_lang, CAST(sum(n_docs) AS BIGINT) AS n_predicted
+         |       FROM cells GROUP BY 1)
+         |SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+         |  rt.n_labeled, ct.n_predicted,
+         |  CAST(c.n_docs AS DOUBLE) / CAST(rt.n_labeled AS DOUBLE) AS recall_component,
+         |  CAST(c.n_docs AS DOUBLE) / CAST(ct.n_predicted AS DOUBLE) AS precision_component
+         |FROM cells c JOIN rt USING (labeled_lang) JOIN ct USING (predicted_lang)""".stripMargin,
     "q33_text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
          |m AS (

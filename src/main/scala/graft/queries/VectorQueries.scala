@@ -19,6 +19,7 @@ object VectorQueries {
 
   private val NumPlanes = 8
   private val Dims      = 64
+  private val ProjDims  = 16
 
   val defs: Map[String, Q] = Map(
     // Brute-force cosine top-k: broadcast query set × corpus scan, window
@@ -165,6 +166,134 @@ object VectorQueries {
         .select(col("query_id"), col("n_exact"), col("n_hit"),
                 (col("n_hit").cast("double") / col("n_exact").cast("double"))
                   .as("recall_at_3"))
+    },
+
+    // Johnson–Lindenstrauss random projection: 64 → 16 dims via a
+    // ±1 sign matrix (md5-derived, the q40 hyperplane family — public
+    // Achlioptas-style database-friendly projection). Vectors are
+    // integer-quantized (floor(x·1000)) first so every projected
+    // component is an EXACT integer sum — immune to float fold order,
+    // so it hash-gates. The whole operator is a scan-local projection:
+    // ZERO exchanges at any corpus scale (PlanQualitySpec-asserted) —
+    // the cheap dimensionality-reduction front end for ANN indexing
+    // and dedup blocking at 100 TB.
+    "q117_random_projection" -> { (s, dir) =>
+      val e  = Tables(s, dir).embeddings
+      val planes = Similarity.hyperplanes(ProjDims, Dims)
+      val qv = transform(col("embedding").cast("array<double>"),
+                         x => floor(x * 1000).cast("long"))
+      val sums = planes.map { p =>
+        val pl = array(p.map(v => lit(v.toLong)): _*)
+        aggregate(zip_with(col("q"), pl, (x, y) => x * y),
+                  lit(0L), (acc, x) => acc + x)
+      }
+      e.select(col("vec_id"), qv.as("q"))
+        .select(col("vec_id"), posexplode(array(sums: _*)))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("out_dim"),
+                col("col").as("proj_q"),
+                (col("col").cast("double") / 1000.0).as("proj"))
+    },
+
+    // Blocked kNN-graph construction: per vector, its top-3 cosine
+    // neighbors among SAME-LABEL vectors — the neighborhood-graph
+    // primitive behind graph-based dedup, NN-descent seeding, and
+    // label-conditioned diversity sampling. The label block turns the
+    // quadratic compare into a bucketable equi-join (q98's shape; in
+    // production the block key is a k-means cluster or LSH bucket), and
+    // the per-vector top-3 runs through the bounded-heap TopKPairs
+    // aggregate — map-side ≤3 pairs per vector, NO per-vector window
+    // over the pair stream. Cosines are 1e-9-quantized INSIDE the sort
+    // key (q92's inverted-key trick), so ranking and reported score
+    // hash-gate.
+    "q118_knn_graph" -> { (s, dir) =>
+      import graft.functions.Vectors
+      val e = Tables(s, dir).embeddings
+      val n = e.select(col("vec_id"), col("label"),
+                       col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+        .filter(col("nrm") > 0)
+      val a = n.select(col("vec_id").as("vid"), col("label"),
+                       col("v").as("va"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("nid"), col("label"),
+                       col("v").as("vb"), col("nrm").as("nb"))
+      val Big = 1000000000000000000L // 10^18; scaled cosine < 2^31
+      val scaled = floor((Vectors.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) + 1) * 1e9 + 0.5).cast("long")
+      val key = concat(lpad((lit(Big) - scaled).cast("string"), 19, "0"),
+                       lit("|"), lpad(col("nid").cast("string"), 19, "0"))
+      a.join(b, Seq("label")).filter(col("vid") =!= col("nid"))
+        .select(col("vid"), key.as("key"), col("nid"))
+        .groupBy(col("vid"))
+        .agg(org.apache.spark.sql.graftx.TopKPairs
+          .topK(col("key"), col("nid"), 3).as("top"))
+        .select(col("vid").as("vec_id"), posexplode(col("top")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+                col("col.id").as("neighbor_id"),
+                ((lit(Big) - substring(col("col.key"), 1, 19).cast("long"))
+                  .cast("double") / 1e9 - 1).as("cosine"))
+    },
+
+    // Covariance + correlation matrix over the embedding dimensions —
+    // the distributed front half of PCA/whitening (the d×d matrix is
+    // what the driver eigendecomposes; d² ≪ n, so computing it IS the
+    // scale problem). ONE scan emits, per row, the native MomentTerms
+    // array — upper-triangle products (i, j, x_i·x_j) plus first-moment
+    // terms (i, 0, x_i); ONE partial+final aggregation collapses every
+    // map task to ≤ d(d+1)/2 + d rows before the only shuffle; the
+    // moment frame is checkpointed and cov = (Σxy − ΣxΣy/n)/(n−1) is
+    // assembled from it with broadcast joins of the d-sized first
+    // moments and diagonal. Sums are DECIMAL(28,14)-exact, cov/corr
+    // are fixed-order IEEE quantized to 1e-9 — hash-gates.
+    "q119_covariance" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      // native MomentTerms: second- AND first-moment terms (the latter
+      // tagged j = 0) from one primitive loop — the composable nested-
+      // transform form ran d(d+1)/2 interpreted lambdas per row and was
+      // the slowest query in the bench (15 s → ~1 s at sf0.1)
+      val vecs = e.select(col("embedding").cast("array<double>").as("v"))
+      // the explode below multiplies work by d(d+1)/2 — if the scan
+      // supplies fewer splits than cores (one small local file), spread
+      // the VECTOR rows first so the term build + partial agg
+      // parallelize; at warehouse scale the input has more splits than
+      // cores and this branch is a no-op (no corpus shuffle added)
+      val para = s.sparkContext.defaultParallelism
+      val spread = if (vecs.rdd.getNumPartitions < para)
+        vecs.repartition(para) else vecs
+      val agg = spread
+        .select(explode(
+          org.apache.spark.sql.graftx.MomentTerms.momentTerms(col("v"))).as("e"))
+        .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+        .agg(sum(col("e.t").cast("decimal(28,14)")).as("s"),
+             count(lit(1)).as("n"))
+        // materialize the (d(d+1)/2 + d)-row moment frame (2144 at
+        // d=64) BEFORE any branch filters: otherwise the j=0 / j>0 /
+        // i=j group filters push below the aggregate and each branch
+        // re-scans + re-explodes the corpus (the q35/q36 miner pattern)
+        .localCheckpoint()
+      val firsts = agg.filter(col("j") === 0)
+        .select(col("i").as("fi"), col("s").cast("double").as("m"))
+      val nd     = col("n").cast("double")
+      val covRaw = (col("s").cast("double") - col("mi") * col("mj") / nd) /
+        (nd - 1)
+      val cv = agg.filter(col("j") > 0)
+        .join(broadcast(firsts.select(col("fi"), col("m").as("mi"))),
+              col("i") === col("fi")).drop("fi")
+        .join(broadcast(firsts.select(col("fi"), col("m").as("mj"))),
+              col("j") === col("fi")).drop("fi")
+        .select(col("i"), col("j"), col("n"), covRaw.as("cov_raw"))
+      val diag = cv.filter(col("i") === col("j"))
+        .select(col("i").as("di"), col("cov_raw").as("var_raw"))
+      cv.join(broadcast(diag.select(col("di"), col("var_raw").as("vi"))),
+              col("i") === col("di")).drop("di")
+        .join(broadcast(diag.select(col("di"), col("var_raw").as("vj"))),
+              col("j") === col("di")).drop("di")
+        .select(col("i").cast("long").as("dim_i"),
+                col("j").cast("long").as("dim_j"),
+                col("n").as("n_rows"),
+                (floor(col("cov_raw") * 1e9 + 0.5) / 1e9).as("cov"),
+                when(col("vi") > 0 && col("vj") > 0,
+                     floor(col("cov_raw") / sqrt(col("vi") * col("vj")) *
+                       1e9 + 0.5) / 1e9).as("corr"))
     },
 
     // Scalar int8 quantization — the embedding-compression step of a
@@ -412,6 +541,68 @@ object VectorQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
          |      FROM s)
          |WHERE rank <= 3""".stripMargin,
+
+    // Mirrors the Spark side exactly: BIGINT quantized vector, one
+    // integer dot per plane, descale once at the end.
+    "q117_random_projection" -> {
+      val planes = Similarity.hyperplanes(ProjDims, Dims)
+      val sums = planes
+        .map(p => s"CAST(list_dot_product(qv, ${planeSql(p)}) AS BIGINT)")
+        .mkString("[", ",\n    ", "]")
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |                   x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, $sums AS sums FROM q)
+         |SELECT vec_id, CAST(i AS BIGINT) AS out_dim, sums[i] AS proj_q,
+         |  CAST(sums[i] AS DOUBLE) / 1000.0 AS proj
+         |FROM s CROSS JOIN (SELECT unnest(range(1, ${ProjDims + 1})) AS i)""".stripMargin
+    },
+
+    "q118_knn_graph" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vid, b.vec_id AS nid,
+        |    floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm) + 1) * 1e9 + 0.5) AS scaled
+        |  FROM n a JOIN n b ON a.label = b.label AND b.vec_id != a.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0)
+        |SELECT vec_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cosine FROM (
+        |  SELECT vid AS vec_id, nid AS neighbor_id, scaled / 1e9 - 1 AS cosine,
+        |    row_number() OVER (PARTITION BY vid ORDER BY scaled DESC, nid ASC) AS rn
+        |  FROM p)
+        |WHERE rn <= 3""".stripMargin,
+
+    // range(1, 65) mirrors q45's convention (embeddings are 64-wide by
+    // generator contract; the Spark side derives width from size(v)).
+    "q119_covariance" ->
+      """WITH n0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS x),
+        |pairs AS (
+        |  SELECT i.x AS i, j.x AS j,
+        |    SUM(CAST(v[i.x] * v[j.x] AS DECIMAL(28,14))) AS s,
+        |    COUNT(*) AS n
+        |  FROM n0 CROSS JOIN idx i CROSS JOIN idx j
+        |  WHERE j.x >= i.x GROUP BY 1, 2),
+        |firsts AS (
+        |  SELECT i.x AS i, CAST(SUM(CAST(v[i.x] AS DECIMAL(28,14))) AS DOUBLE) AS m
+        |  FROM n0 CROSS JOIN idx i GROUP BY 1),
+        |cv AS (
+        |  SELECT p.i, p.j, p.n,
+        |    (CAST(p.s AS DOUBLE) - fi.m * fj.m / CAST(p.n AS DOUBLE))
+        |      / (CAST(p.n AS DOUBLE) - 1) AS cov_raw
+        |  FROM pairs p JOIN firsts fi ON p.i = fi.i JOIN firsts fj ON p.j = fj.i),
+        |diag AS (SELECT i, cov_raw AS var_raw FROM cv WHERE i = j)
+        |SELECT CAST(c.i AS BIGINT) AS dim_i, CAST(c.j AS BIGINT) AS dim_j,
+        |  CAST(c.n AS BIGINT) AS n_rows,
+        |  floor(c.cov_raw * 1e9 + 0.5) / 1e9 AS cov,
+        |  CASE WHEN di.var_raw > 0 AND dj.var_raw > 0
+        |       THEN floor(c.cov_raw / sqrt(di.var_raw * dj.var_raw) * 1e9 + 0.5) / 1e9
+        |  END AS corr
+        |FROM cv c JOIN diag di ON c.i = di.i JOIN diag dj ON c.j = dj.i""".stripMargin,
 
     // dims derive from the ACTUAL array per row (posexplode parity for any
     // length / NULL arrays), never a hardcoded width.

@@ -458,6 +458,28 @@ class PlanQualitySpec extends SparkSpec {
       s"single-partition exchange over non-aggregated data:\n$bPlan")
   }
 
+  test("round-7 vector additions keep scale shapes (q117-q119)") {
+    // q117 JL projection: scan-local sign-matrix dots — ZERO exchanges
+    val proj = physical(SparkEntry.queries("q117_random_projection")(spark, dir))
+    assert(proj.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, s"random projection shuffles:\n$proj")
+    // q118 kNN graph: label-blocked equi-join + bounded-heap top-k —
+    // never a cartesian, never a per-vector window over the pair stream
+    val knn = planOf(SparkEntry.queries("q118_knn_graph")(spark, dir))
+    assert(!knn.contains("CartesianProduct") && !knn.contains("BroadcastNestedLoopJoin"),
+      s"kNN corpus cross-joined:\n$knn")
+    assert(!knn.contains("Window"), s"per-vector window over pairs:\n$knn")
+    assert(knn.contains("ObjectHashAggregate"), s"no TopKPairs aggregate:\n$knn")
+    // q119 covariance: the d²-bounded moment aggregate is the only data
+    // movement; the d-sized stat frames come back by broadcast
+    val cov = planOf(SparkEntry.queries("q119_covariance")(spark, dir))
+    assert(cov.contains("BroadcastHashJoin"), s"moment stats not broadcast:\n$cov")
+    assert(!cov.contains("SortMergeJoin"), s"moments sort-merged:\n$cov")
+    assert(!cov.contains("Window"), s"unexpected window:\n$cov")
+    assert(!cov.contains("CartesianProduct"), s"cartesian in covariance:\n$cov")
+  }
+
   test("shuffle budget: headline queries stay within their pinned exchange counts") {
     // Regression guard on the scale property the bench can't see at test
     // SF: the NUMBER of shuffle exchanges in the plan. A future edit that
@@ -491,7 +513,10 @@ class PlanQualitySpec extends SparkSpec {
       // unbounded window over the ≤21-row bucket frame — one more
       // constant-size exchange, one fewer full corpus scan+tokenize
       "q109_quality_retention" -> 5,
-      "q110_corpus_build"      -> 7) // filter+dedup+prefix-sum+card composition
+      "q110_corpus_build"      -> 7, // filter+dedup+prefix-sum+card composition
+      "q117_random_projection" -> 0, // scan-local sign-matrix projection
+      "q118_knn_graph"         -> 1, // one TopKPairs agg after the label join
+      "q119_covariance"        -> 0) // moment frame checkpointed at construction
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

@@ -19,6 +19,34 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
   }
 
+  test("MomentTerms matches the composable nested-transform form bit-for-bit") {
+    // same element order AND same IEEE products as
+    // concat(upper-triangle pair structs, first-moment structs)
+    val df = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(7)(j => math.sin(i * 7 + j) * 0.6))
+    }.toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    val pairTerms = flatten(transform(sequence(lit(1), size(col("v"))), i =>
+      transform(sequence(i, size(col("v"))), j =>
+        struct(i.cast("int").as("i"), j.cast("int").as("j"),
+               (element_at(col("v"), i) * element_at(col("v"), j)).as("t")))))
+    val rawTerms = transform(sequence(lit(1), size(col("v"))), i =>
+      struct(i.cast("int").as("i"), lit(0).as("j"),
+             element_at(col("v"), i).as("t")))
+    val rows = df.select(
+      org.apache.spark.sql.graftx.MomentTerms.momentTerms(col("v")).as("native"),
+      concat(pairTerms, rawTerms).as("composable")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) == r.getSeq[org.apache.spark.sql.Row](1))
+    }
+    // empty vector → empty terms, null vector → null
+    val edge = Seq((1L, Some(Array.empty[Double])), (2L, None))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    val e = edge.select(
+        org.apache.spark.sql.graftx.MomentTerms.momentTerms(col("v")).as("m"))
+      .orderBy(col("m").isNull).collect()
+    assert(e(0).getSeq[Any](0).isEmpty && e(1).isNullAt(0))
+  }
+
   test("NearestCentroid matches the composable array_max form bit-for-bit") {
     import org.apache.spark.sql.graftx.NearestCentroid
     // centroids: a degenerate zero-norm one, two colinear ones (tie on
