@@ -17,9 +17,10 @@ object VectorQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val NumPlanes = 8
-  private val Dims      = 64
-  private val ProjDims  = 16
+  private val NumPlanes  = 8
+  private val Dims       = 64
+  private val ProjDims   = 16
+  private val PowerIters = 12
 
   val defs: Map[String, Q] = Map(
     // Brute-force cosine top-k: broadcast query set × corpus scan, window
@@ -294,6 +295,55 @@ object VectorQueries {
                 when(col("vi") > 0 && col("vj") > 0,
                      floor(col("cov_raw") / sqrt(col("vi") * col("vj")) *
                        1e9 + 0.5) / 1e9).as("corr"))
+    },
+
+    // Distributed PCA, completed: q119's covariance matrix (d² values —
+    // driver-sized BY CONSTRUCTION, like the k-means centroids) is
+    // collected, the top eigenvector extracted by 12 fixed power-
+    // iteration steps on the driver, and every embedding projected onto
+    // it in a scan-local literal-vector dot — the standard shape for
+    // PCA at corpus scale (the only distributed work is the moment agg
+    // and the projection scan; the d×d eigenproblem is driver math).
+    // Determinism: the iteration runs on the 1e-9-QUANTIZED covariance
+    // (hash-gated by q119), u₀ = 1/√64 = 0.125 exactly, every matvec /
+    // norm / division is the same sequential IEEE fold the oracle's
+    // list_dot_product chain performs, and outputs quantize to 1e-9 —
+    // so a fixed iteration count hash-gates without any convergence
+    // assumption.
+    "q121_pca_projection" -> { (s, dir) =>
+      import graft.functions.Vectors
+      val covRows = defs("q119_covariance")(s, dir)
+        .select(col("dim_i"), col("dim_j"), col("cov")).collect()
+      val d = covRows.map(_.getLong(0).toInt).max
+      val C = Array.ofDim[Double](d, d)
+      covRows.foreach { r =>
+        val (i, j, c) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getDouble(2))
+        C(i)(j) = c; C(j)(i) = c
+      }
+      var u = Array.fill(d)(0.125)
+      for (_ <- 1 to PowerIters) {
+        val w = Array.tabulate(d) { i =>
+          var acc = 0.0; var j = 0
+          while (j < d) { acc += C(i)(j) * u(j); j += 1 }; acc
+        }
+        var n2 = 0.0; var j = 0
+        while (j < d) { n2 += w(j) * w(j); j += 1 }
+        val nrm = math.sqrt(n2)
+        u = w.map(_ / nrm)
+      }
+      val t = Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += C(i)(j) * u(j); j += 1 }; acc
+      }
+      var lam = 0.0; var j = 0
+      while (j < d) { lam += u(j) * t(j); j += 1 }
+      val uLit   = array(u.map(lit(_)): _*)
+      val lamQ   = math.floor(lam * 1e9 + 0.5) / 1e9
+      val e      = Tables(s, dir).embeddings
+      e.select(col("vec_id"),
+               (floor(Vectors.dot(col("embedding").cast("array<double>"), uLit) *
+                  1e9 + 0.5) / 1e9).as("pc1_score"),
+               lit(lamQ).as("eigenvalue"))
     },
 
     // Scalar int8 quantization — the embedding-compression step of a
@@ -578,7 +628,33 @@ object VectorQueries {
 
     // range(1, 65) mirrors q45's convention (embeddings are 64-wide by
     // generator contract; the Spark side derives width from size(v)).
-    "q119_covariance" ->
+    "q119_covariance" -> q119Oracle,
+
+    // The q119 covariance feeds the same 12 power-iteration steps the
+    // Spark driver runs — every matvec/norm/divide is a sequential
+    // list_dot_product fold, so the chain is bit-identical.
+    "q121_pca_projection" -> pcaOracle,
+
+    // dims derive from the ACTUAL array per row (posexplode parity for any
+    // length / NULL arrays), never a hardcoded width.
+    "q85_embedding_quantize" ->
+      s"""WITH longf AS (
+         |  SELECT vec_id, CAST(i AS BIGINT) AS dim_pos,
+         |         CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM (SELECT vec_id, embedding,
+         |               unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)),
+         |stats AS (SELECT dim_pos, min(v) AS mn, max(v) AS mx FROM longf GROUP BY 1)
+         |SELECT vec_id, dim_pos,
+         |  CAST(CASE WHEN mx > mn
+         |            THEN floor((v - mn) / (mx - mn) * 255 + 0.5)
+         |            ELSE 0.0 END AS BIGINT) AS code,
+         |  mn + (CASE WHEN mx > mn
+         |             THEN floor((v - mn) / (mx - mn) * 255 + 0.5)
+         |             ELSE 0.0 END) / 255.0 * (mx - mn) AS dequant
+         |FROM longf JOIN stats USING (dim_pos)""".stripMargin)
+
+  private lazy val q119Oracle: String =
       """WITH n0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |idx AS (SELECT unnest(range(1, 65)) AS x),
         |pairs AS (
@@ -602,26 +678,46 @@ object VectorQueries {
         |  CASE WHEN di.var_raw > 0 AND dj.var_raw > 0
         |       THEN floor(c.cov_raw / sqrt(di.var_raw * dj.var_raw) * 1e9 + 0.5) / 1e9
         |  END AS corr
-        |FROM cv c JOIN diag di ON c.i = di.i JOIN diag dj ON c.j = dj.i""".stripMargin,
+        |FROM cv c JOIN diag di ON c.i = di.i JOIN diag dj ON c.j = dj.i""".stripMargin
 
-    // dims derive from the ACTUAL array per row (posexplode parity for any
-    // length / NULL arrays), never a hardcoded width.
-    "q85_embedding_quantize" ->
-      s"""WITH longf AS (
-         |  SELECT vec_id, CAST(i AS BIGINT) AS dim_pos,
-         |         CAST(embedding[i] AS DOUBLE) AS v
-         |  FROM (SELECT vec_id, embedding,
-         |               unnest(generate_series(1, len(embedding))) AS i
-         |        FROM embeddings)),
-         |stats AS (SELECT dim_pos, min(v) AS mn, max(v) AS mx FROM longf GROUP BY 1)
-         |SELECT vec_id, dim_pos,
-         |  CAST(CASE WHEN mx > mn
-         |            THEN floor((v - mn) / (mx - mn) * 255 + 0.5)
-         |            ELSE 0.0 END AS BIGINT) AS code,
-         |  mn + (CASE WHEN mx > mn
-         |             THEN floor((v - mn) / (mx - mn) * 255 + 0.5)
-         |             ELSE 0.0 END) / 255.0 * (mx - mn) AS dequant
-         |FROM longf JOIN stats USING (dim_pos)""".stripMargin)
+  /** The q121 oracle: the q119 covariance as a derived table, symmetric
+    * completion, then [[PowerIters]] unrolled power-iteration steps —
+    * matvec = `list_dot_product(row_i, u)` with rows assembled
+    * `ORDER BY j` (the exact sequential fold the Spark driver loop
+    * runs), normalization via `x / sqrt(list_dot_product(w, w))`, and
+    * the Rayleigh eigenvalue `u·(C·u)` at the end. A fixed iteration
+    * count needs no convergence assumption for parity: both engines
+    * execute the identical IEEE op sequence.
+    */
+  private lazy val pcaOracle: String = {
+    def iter(k: Int): String = {
+      val prev = if (k == 1) "u0" else s"u${k - 1}"
+      s"""w$k AS (SELECT m.i, list_dot_product(m.row, (SELECT u FROM $prev)) AS wv FROM m),
+         |l$k AS (SELECT list(wv ORDER BY i) AS w FROM w$k),
+         |u$k AS MATERIALIZED (SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w))) AS u FROM l$k)""".stripMargin
+    }
+    val un = s"u$PowerIters"
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    // reference, and m is referenced by all 12 iterations — without it
+    // the 1M-row covariance aggregate re-evaluates ~40× (measured:
+    // >10 CPU-min; materialized: ~1 s)
+    s"""WITH c119 AS MATERIALIZED (
+       |$q119Oracle),
+       |fullm AS (
+       |  SELECT dim_i AS i, dim_j AS j, cov FROM c119
+       |  UNION ALL
+       |  SELECT dim_j AS i, dim_i AS j, cov FROM c119 WHERE dim_i != dim_j),
+       |m AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS row FROM fullm GROUP BY i),
+       |u0 AS MATERIALIZED (SELECT list(0.125) AS u FROM range($Dims)),
+       |${(1 to PowerIters).map(iter).mkString(",\n")},
+       |tv AS (SELECT m.i, list_dot_product(m.row, (SELECT u FROM $un)) AS tvv FROM m),
+       |tl AS (SELECT list(tvv ORDER BY i) AS t FROM tv),
+       |lam AS (SELECT list_dot_product((SELECT u FROM $un), t) AS l FROM tl)
+       |SELECT e.vec_id,
+       |  floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), (SELECT u FROM $un)) * 1e9 + 0.5) / 1e9 AS pc1_score,
+       |  floor((SELECT l FROM lam) * 1e9 + 0.5) / 1e9 AS eigenvalue
+       |FROM embeddings e""".stripMargin
+  }
 
   /** q116's oracle wraps the q37 and q64 oracles as derived tables (both
     * are self-contained SELECTs; DuckDB allows a nested WITH inside a

@@ -478,6 +478,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!cov.contains("SortMergeJoin"), s"moments sort-merged:\n$cov")
     assert(!cov.contains("Window"), s"unexpected window:\n$cov")
     assert(!cov.contains("CartesianProduct"), s"cartesian in covariance:\n$cov")
+    // q121 PCA projection: after the driver eigen, the returned frame is
+    // a literal-vector dot over the scan — zero exchanges, zero joins
+    val pca = SparkEntry.queries("q121_pca_projection")(spark, dir)
+    assert(physical(pca).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, s"PCA projection shuffles:\n${planOf(pca)}")
+    assert(!planOf(pca).contains("Join"), s"PCA projection joins:\n${planOf(pca)}")
   }
 
   test("shuffle budget: headline queries stay within their pinned exchange counts") {
@@ -516,7 +523,8 @@ class PlanQualitySpec extends SparkSpec {
       "q110_corpus_build"      -> 7, // filter+dedup+prefix-sum+card composition
       "q117_random_projection" -> 0, // scan-local sign-matrix projection
       "q118_knn_graph"         -> 1, // one TopKPairs agg after the label join
-      "q119_covariance"        -> 0) // moment frame checkpointed at construction
+      "q119_covariance"        -> 0, // moment frame checkpointed at construction
+      "q121_pca_projection"    -> 0) // literal-eigenvector projection
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
