@@ -304,6 +304,53 @@ object RetrievalQueries {
             (col("vmax") - col("vmin")) / 1024).as("bin_lo"),
           (col("vmin") + (col("bin_idx") + 1).cast(DoubleType) *
             (col("vmax") - col("vmin")) / 1024).as("bin_hi"))
+    },
+
+    // -----------------------------------------------------------------
+    // q122: Zipf power-law fit over the token frequency distribution —
+    // the corpus-health diagnostic of a dataset card (natural text has
+    // slope ≈ −1 in ln(freq) vs ln(rank); synthetic/templated corpora
+    // flatten it). Scale shape: the corpus explode collapses to the
+    // VOCAB-bounded tf aggregate (partial+final); the rank window runs
+    // only over that aggregate (q93's allowance, constPartition
+    // non-foldable key); the OLS is ONE single-row aggregation over
+    // ≤ 100 points. Determinism: ln() values 1e-9-quantized BEFORE
+    // any sum (the q102 lesson — JVM/DuckDB ln differs 1 ulp on ~3%
+    // of args), sums DECIMAL-exact, slope/intercept/r² fixed-order
+    // IEEE quantized to 1e-9.
+    "q122_zipf_fit" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val tf = docs.select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.Macros.constPartition(col("freq")))
+        .orderBy(col("freq").desc, col("tok"))
+      val pts = tf.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 100)
+        .select(
+          (floor(log(col("rank").cast(DoubleType)) * 1e9 + 0.5) / 1e9).as("x"),
+          (floor(log(col("freq").cast(DoubleType)) * 1e9 + 0.5) / 1e9).as("y"))
+      def d9(c: Column)   = c.cast(DecimalType(18, 9))
+      val agg = pts.agg(
+        count(lit(1)).as("n"),
+        sum(d9(col("x"))).as("sx"), sum(d9(col("y"))).as("sy"),
+        sum(d9(col("x")) * d9(col("x"))).as("sxx"),
+        sum(d9(col("x")) * d9(col("y"))).as("sxy"),
+        sum(d9(col("y")) * d9(col("y"))).as("syy"))
+      val nd  = col("n").cast(DoubleType)
+      val sxd = col("sx").cast(DoubleType); val syd = col("sy").cast(DoubleType)
+      val sxxd = col("sxx").cast(DoubleType); val sxyd = col("sxy").cast(DoubleType)
+      val syyd = col("syy").cast(DoubleType)
+      val den   = nd * sxxd - sxd * sxd
+      val slope = (nd * sxyd - sxd * syd) / den
+      val icept = (syd - slope * sxd) / nd
+      val r2 = ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) /
+        (den * (nd * syyd - syd * syd))
+      agg.select(
+        col("n").as("n_points"),
+        (floor(slope * 1e9 + 0.5) / 1e9).as("zipf_slope"),
+        (floor(icept * 1e9 + 0.5) / 1e9).as("zipf_intercept"),
+        (floor(r2 * 1e9 + 0.5) / 1e9).as("r_squared"))
     }
   )
 
@@ -311,6 +358,48 @@ object RetrievalQueries {
     graft.functions.HexKeys.value16Sql(from)
 
   val oracles: Map[String, String] = Map(
+    // Mirrors the Spark side op-for-op: quantized ln points, exact
+    // DECIMAL(18,9) power sums, identical expression order in the
+    // slope/intercept/r² arithmetic.
+    "q122_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+        |  FROM tf),
+        |pts AS (
+        |  SELECT floor(ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS x,
+        |         floor(ln(CAST(freq AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS y
+        |  FROM ranked WHERE rank <= 100),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(18,9))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(18,9))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS sxx,
+        |    SUM(CAST(x AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9))) AS sxy,
+        |    SUM(CAST(y AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9))) AS syy
+        |  FROM pts),
+        |f AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM a),
+        |g AS (
+        |  SELECT n, nd, sxd, syd, sxyd, syyd,
+        |    nd * sxxd - sxd * sxd AS den,
+        |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope
+        |  FROM f)
+        |SELECT n AS n_points,
+        |  floor(slope * 1e9 + 0.5) / 1e9 AS zipf_slope,
+        |  floor((syd - slope * sxd) / nd * 1e9 + 0.5) / 1e9 AS zipf_intercept,
+        |  floor(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+        |        / (den * (nd * syyd - syd * syd)) * 1e9 + 0.5) / 1e9 AS r_squared
+        |FROM g""".stripMargin,
+
     "q88_bm25_topk" -> {
       val terms = BmTerms
       val tfSel = terms.zipWithIndex

@@ -485,6 +485,16 @@ class PlanQualitySpec extends SparkSpec {
       case e: org.apache.spark.sql.execution.exchange.Exchange => e
     }.isEmpty, s"PCA projection shuffles:\n${planOf(pca)}")
     assert(!planOf(pca).contains("Join"), s"PCA projection joins:\n${planOf(pca)}")
+    // q122 Zipf fit: the rank window must see only the vocab-bounded tf
+    // aggregate, never the raw token stream
+    val zipf = SparkEntry.queries("q122_zipf_fit")(spark, dir)
+    physical(zipf).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty, s"zipf rank window over non-aggregated data:\n${planOf(zipf)}")
+    }
   }
 
   test("shuffle budget: headline queries stay within their pinned exchange counts") {
@@ -524,7 +534,8 @@ class PlanQualitySpec extends SparkSpec {
       "q117_random_projection" -> 0, // scan-local sign-matrix projection
       "q118_knn_graph"         -> 1, // one TopKPairs agg after the label join
       "q119_covariance"        -> 0, // moment frame checkpointed at construction
-      "q121_pca_projection"    -> 0) // literal-eigenvector projection
+      "q121_pca_projection"    -> 0, // literal-eigenvector projection
+      "q122_zipf_fit"          -> 3) // vocab agg + rank window + 1-row OLS, all post-agg
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
