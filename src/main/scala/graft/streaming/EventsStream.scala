@@ -102,6 +102,24 @@ object EventsStream {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming covariance moment sums — the q119 moment aggregate as a
+    * stream. DECIMAL sums and counts are associative and commutative, so
+    * the streaming state IS the moment table: ≤ d(d+1)/2 + d rows no
+    * matter how many vectors the stream carries, and the drained result
+    * is bit-identical to the batch aggregate (StreamingSpec asserts it
+    * against the independently-written batch form). This is how the PCA
+    * front half (q121) runs on a continuously-arriving corpus: the
+    * moment table updates incrementally; the d×d eigenproblem re-runs
+    * driver-side per trigger.
+    */
+  def momentSumsStream(vectors: DataFrame): DataFrame =
+    vectors
+      .select(explode(
+        org.apache.spark.sql.graftx.MomentTerms.momentTerms(col("v"))).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.t").cast("decimal(28,14)")).as("s"),
+           count(lit(1)).as("n"))
+
   /** Streaming exact deduplication on a key, with the watermark bounding
     * how long per-key state is retained — the streaming analog of the
     * batch exact-dedup operator (a re-delivered event inside the

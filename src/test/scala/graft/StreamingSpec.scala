@@ -96,6 +96,41 @@ class StreamingSpec extends SparkSpec {
       "drained stream bin counts differ from the q112-style batch binning")
   }
 
+  test("streaming moment sums ≡ batch covariance moments, bit-identical; state ≤ d(d+1)/2 + d") {
+    import org.apache.spark.sql.types._
+    val embDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-emb")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+        d.resolve("embeddings.parquet"))
+      d.toString
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.momentSumsStream(
+        spark.readStream.schema(schema).parquet(embDir)
+          .select(col("embedding").cast("array<double>").as("v"))),
+      "stream_moments")
+    // batch side restated independently (composable HOF term build, not
+    // MomentTerms — a shared-function drift would not self-confirm)
+    val pairTerms = flatten(transform(sequence(lit(1), size(col("v"))), i =>
+      transform(sequence(i, size(col("v"))), j =>
+        struct(i.cast("int").as("i"), j.cast("int").as("j"),
+               (element_at(col("v"), i) * element_at(col("v"), j)).as("t")))))
+    val rawTerms = transform(sequence(lit(1), size(col("v"))), i =>
+      struct(i.cast("int").as("i"), lit(0).as("j"), element_at(col("v"), i).as("t")))
+    val batch = graft.core.Tables(spark, dir).embeddings
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(explode(concat(pairTerms, rawTerms)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.t").cast("decimal(28,14)")).as("s"), count(lit(1)).as("n"))
+    assert(streamed.count() == 64L * 65 / 2 + 64)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "drained streaming moment table differs from the batch aggregate")
+  }
+
   test("flatMapGroupsWithState sessionization matches batch sessions (closed ones)") {
     import org.apache.spark.sql.expressions.Window
     val streamed = EventsStream.runToMemorySink(
