@@ -55,7 +55,14 @@ object Text {
   /** Number of tokens contained in a fixed word list (total hits, not
     * distinct) — the building block for stopword-based language scoring.
     */
-  def wordListHits(toks: Column, words: Seq[String]): Column = {
+  def wordListHits(toks: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graftx.WordSetHits.hitsNative(toks, words)
+
+  /** The composable-built-ins form — the reference semantics the native
+    * expression must match bit-for-bit (TextSpec), and the fallback if a
+    * build lacks the custom expression.
+    */
+  def wordListHitsComposable(toks: Column, words: Seq[String]): Column = {
     val w = array(words.map(lit): _*)
     size(filter(toks, t => array_contains(w, t))).cast(LongType)
   }

@@ -10,6 +10,32 @@ import org.apache.spark.sql.functions._
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
+  test("native WordSetHits matches the composable filter/array_contains form bit-for-bit") {
+    val texts = Seq(
+      "the cat sat on the mat", "der hund und die katze", "", "xyz qqq",
+      "the the the a a of is to in that it for und the") ++
+      (0 until 50).map(i => s"w$i the a of w${i % 7} und der el los")
+    val df = texts.toDF("text").select(Text.tokens(col("text")).as("toks"))
+    Text.langProfiles.foreach { case (_, words) =>
+      val rows = df.select(
+        Text.wordListHits(col("toks"), words).as("native"),
+        Text.wordListHitsComposable(col("toks"), words).as("composable")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    }
+    // null-element and null-array behavior match too
+    val edge = spark.sql(
+      "SELECT array('the', CAST(NULL AS STRING), 'of') AS toks " +
+      "UNION ALL SELECT CAST(NULL AS ARRAY<STRING>)")
+    val er = edge.select(
+      Text.wordListHits(col("toks"), Seq("the", "of")).as("native"),
+      Text.wordListHitsComposable(col("toks"), Seq("the", "of")).as("composable"))
+      .collect()
+    er.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
   test("langId discriminates real language samples") {
     val samples = Seq(
       ("en", "the cat sat on the mat and it is a good day for all of us"),
