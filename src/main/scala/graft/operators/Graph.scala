@@ -28,6 +28,51 @@ object Graph {
   /** Rank scale: 1 unit = 1e-12 of total rank mass. */
   val Scale = 1000000000000L
 
+  /** Exact per-node triangle participation counts over a SYMMETRIC edge
+    * list, via degree orientation: each undirected edge points
+    * (deg, id)-low → high, so every triangle is enumerated exactly once
+    * (as the wedge at its orientation-smallest vertex) and the wedge
+    * fan-out per node is bounded by the oriented out-degree — O(√m) on
+    * skewed graphs, which is what keeps a hub from materializing its
+    * quadratic neighbor-pair set. All joins are node-key equi-joins
+    * (bucketable); the final count is one partial+final aggregation.
+    * All-integer output. Nodes in no triangle are absent.
+    *
+    * @param edges symmetric DataFrame with `src`, `dst` (both directions
+    *              present, no self-loops — the co-purchase contract)
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val o = edges
+      .join(deg.select(col("node"), col("deg").as("du")), col("src") === col("node"))
+      .drop("node")
+      .join(deg.select(col("node"), col("deg").as("dv")), col("dst") === col("node"))
+      .drop("node")
+      .filter(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"))
+    // edge-iterator form: triangle (u≺v≺w) is found ONLY at its base
+    // edge (u, v) as w ∈ N⁺(u) ∩ N⁺(v). Intersecting the two oriented
+    // adjacency arrays per edge does O(m · d⁺) work — vs the wedge-join
+    // form whose intermediate is EVERY open wedge (Σ C(d⁺, 2) rows,
+    // 17.6 s at sf0.1 on the co-purchase graph vs ~3 s for this form;
+    // triangles ≪ wedges on dense-ish graphs). Adjacency arrays are
+    // bounded by the oriented out-degree — the orientation's O(√m)
+    // guarantee — so no hub ever materializes a quadratic set.
+    val adj = o.groupBy(col("u").as("node"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tris = o
+      .join(adj.select(col("node"), col("nbrs").as("nu")), col("u") === col("node"))
+      .drop("node")
+      .join(adj.select(col("node"), col("nbrs").as("nv")), col("v") === col("node"))
+      .drop("node")
+      .select(col("u"), col("v"),
+              explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Damped PageRank over a directed edge list, `iters` synchronous
     * iterations from a uniform start. Nodes = distinct src ∪ dst, so sink
     * nodes (no out-edges) are ranked too. Dangling-node mass is DROPPED,

@@ -48,23 +48,70 @@ object GraphQueries {
     // query used to leak (each call now just overwrites the table).
     // ---------------------------------------------------------------
     "q90_pagerank" -> { (s, dir) =>
-      val bucketed = edgeCache.getOrElseUpdate(s, dir) {
-        val t  = Tables(s, dir)
-        val li = t.lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        val edges = li.as("a")
-          .join(li.as("b"),
-                col("a.okey") === col("b.okey") && col("a.part") =!= col("b.part"))
-          .select(col("a.part").as("src"), col("b.part").as("dst"))
-          .distinct()
-        Warehouse.writeBucketed(edges, edgeTable(dir), "src", numBuckets = 32)
-        s.table(edgeTable(dir))
-      }
-      Graph.pageRank(bucketed, Iters)
+      Graph.pageRank(bucketedEdges(s, dir), Iters)
         .select(col("node").as("part"), col("rank_e12"))
+    },
+
+    // ---------------------------------------------------------------
+    // q123: exact triangle counting with DEGREE ORIENTATION — the third
+    // graph primitive next to PageRank (q90) and connected components
+    // (q67); triangle participation is the local-clustering signal used
+    // to spot templated/boilerplate link structure. The orientation is
+    // the standard scale trick: each undirected edge points
+    // (deg, id)-low → high, so every triangle is found EXACTLY once and
+    // wedge fan-out per node is bounded by the oriented out-degree
+    // (O(√m) on skewed graphs — a hub's quadratic wedge set never
+    // materializes). All joins are node-key equi-joins over the
+    // src-bucketed edge table; counts are partial+final; all-integer
+    // output hash-gates.
+    // ---------------------------------------------------------------
+    "q123_triangle_count" -> { (s, dir) =>
+      Graph.triangleCounts(bucketedEdges(s, dir))
+        .select(col("node").as("part"), col("n_triangles"))
     }
   )
 
+  /** Build-or-read the memoized src-bucketed co-purchase edge table
+    * shared by q90 and q123 (see [[edgeCache]]).
+    */
+  private def bucketedEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate(s, dir) {
+      val t  = Tables(s, dir)
+      val li = t.lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      val edges = li.as("a")
+        .join(li.as("b"),
+              col("a.okey") === col("b.okey") && col("a.part") =!= col("b.part"))
+        .select(col("a.part").as("src"), col("b.part").as("dst"))
+        .distinct()
+      Warehouse.writeBucketed(edges, edgeTable(dir), "src", numBuckets = 32)
+      s.table(edgeTable(dir))
+    }
+
   val oracles: Map[String, String] = Map(
+    // Mirrors the Spark side: same (deg, id) orientation, same wedge
+    // ordering, same closing-edge join — each triangle found once.
+    "q123_triangle_count" ->
+      """WITH li AS (SELECT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.part AS src, b.part AS dst
+        |  FROM li a JOIN li b ON a.okey = b.okey AND a.part <> b.part),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        |o AS (
+        |  SELECT e.src AS u, e.dst AS v, dd.deg AS dv
+        |  FROM edges e JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+        |  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+        |wg AS (
+        |  SELECT a.u, a.v AS w1, b.v AS w2
+        |  FROM o a JOIN o b ON a.u = b.u
+        |  WHERE a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v)),
+        |t AS (SELECT wg.u, wg.w1, wg.w2
+        |      FROM wg JOIN o c ON c.u = wg.w1 AND c.v = wg.w2)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT u AS part FROM t
+        |  UNION ALL SELECT w1 FROM t
+        |  UNION ALL SELECT w2 FROM t)
+        |GROUP BY 1""".stripMargin,
+
     "q90_pagerank" -> {
       val S = Graph.Scale
       def iter(prev: String, i: Int) =

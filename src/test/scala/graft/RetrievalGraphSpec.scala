@@ -14,6 +14,36 @@ class RetrievalGraphSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("triangleCounts: crafted graphs exact; ≡ naive all-triples enumeration") {
+    def sym(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = sym(for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j))
+    val got = graft.operators.Graph.triangleCounts(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // path graph: no triangles → empty result
+    val path = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    assert(graft.operators.Graph.triangleCounts(path).count() == 0)
+    // random-ish graph: counts match a naive all-ordered-triples check
+    val rnd = scala.util.Random
+    rnd.setSeed(7)
+    val es = (for (_ <- 1 to 60) yield {
+      val a = rnd.nextInt(12).toLong; val b = rnd.nextInt(12).toLong
+      if (a == b) None else Some((math.min(a, b), math.max(a, b)))
+    }).flatten.distinct
+    val adj = es.toSet
+    def connected(a: Long, b: Long) = adj.contains((math.min(a, b), math.max(a, b)))
+    val naive = (for {
+      a <- 0L to 11L; b <- (a + 1) to 11L; c <- (b + 1) to 11L
+      if connected(a, b) && connected(b, c) && connected(a, c)
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val got2 = graft.operators.Graph.triangleCounts(sym(es))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == naive, s"oriented $got2 vs naive $naive")
+  }
+
   test("q88 scan-local tf equals the explode+groupBy BM25 formulation") {
     val df = SparkEntry.queries("q88_bm25_topk")(spark, dir)
     // alternative shape: explode tokens, filter to the terms, count
