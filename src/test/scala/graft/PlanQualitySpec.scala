@@ -497,6 +497,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q123 triangle counting is equi-join only, over the bucketed edge table") {
+    // Degree orientation bounds the per-edge adjacency intersection; the
+    // scale contract is that NO stage is a cartesian pair stream and no
+    // per-node window walks the wedge set — everything is node-key
+    // equi-joins (bucket-friendly) plus partial+final aggregation.
+    val tri = planOf(SparkEntry.queries("q123_triangle_count")(spark, dir))
+    assert(!tri.contains("CartesianProduct") && !tri.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting cross-joined:\n$tri")
+    assert(!tri.contains("Window"), s"per-node window over wedges:\n$tri")
+  }
+
   test("shuffle budget: headline queries stay within their pinned exchange counts") {
     // Regression guard on the scale property the bench can't see at test
     // SF: the NUMBER of shuffle exchanges in the plan. A future edit that
@@ -535,7 +546,8 @@ class PlanQualitySpec extends SparkSpec {
       "q118_knn_graph"         -> 1, // one TopKPairs agg after the label join
       "q119_covariance"        -> 0, // moment frame checkpointed at construction
       "q121_pca_projection"    -> 0, // literal-eigenvector projection
-      "q122_zipf_fit"          -> 3) // vocab agg + rank window + 1-row OLS, all post-agg
+      "q122_zipf_fit"          -> 3, // vocab agg + rank window + 1-row OLS, all post-agg
+      "q123_triangle_count"    -> 1) // src-bucket carries through; final node agg only
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
