@@ -37,6 +37,31 @@ object HexKeys {
     array((0 until depth).map(j => (h1 + lit(j) * h2) % width): _*)
   }
 
+  /** HyperLogLog register rank: 1-based position of the first 1-bit in
+    * the `n`-hex-digit slice `[from, from+n)` of a lowercase-hex column,
+    * read MSB-first; `4n+1` if the whole slice is zero. Pure hex-digit
+    * arithmetic (no float log2, no bit_length builtin) so the DuckDB
+    * twin [[leadRhoSql]] is character-for-character the same derivation.
+    */
+  def leadRho(hex: Column, from: Int, n: Int): Column = {
+    def lz(d: Column) =
+      when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)
+    (n - 1 to 0 by -1).foldLeft(lit(4 * n + 1): Column) { (acc, i) =>
+      val d = digit(hex, from + i)
+      when(d > 0, lit(4 * i + 1) + lz(d)).otherwise(acc)
+    }
+  }
+
+  /** SQL form of [[leadRho]]. */
+  def leadRhoSql(from: Int, n: Int, hexCol: String = "hex"): String = {
+    val arms = (0 until n).map { i =>
+      val d = digitSql(from + i, hexCol)
+      s"WHEN $d > 0 THEN ${4 * i + 1} + (CASE WHEN $d >= 8 THEN 0 " +
+        s"WHEN $d >= 4 THEN 1 WHEN $d >= 2 THEN 2 ELSE 3 END)"
+    }
+    s"(CASE ${arms.mkString(" ")} ELSE ${4 * n + 1} END)"
+  }
+
   /** SQL form of [[digit]] over a column reference `hexCol`. */
   def digitSql(i: Int, hexCol: String = "hex"): String =
     s"(CASE WHEN ascii(substring($hexCol, ${i + 1}, 1)) <= 57" +

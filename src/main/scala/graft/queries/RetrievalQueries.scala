@@ -351,6 +351,56 @@ object RetrievalQueries {
         (floor(slope * 1e9 + 0.5) / 1e9).as("zipf_slope"),
         (floor(icept * 1e9 + 0.5) / 1e9).as("zipf_intercept"),
         (floor(r2 * 1e9 + 0.5) / 1e9).as("r_squared"))
+    },
+
+    // -----------------------------------------------------------------
+    // q124: HyperLogLog distinct-count sketch (Flajolet et al. 2007;
+    // p=8 → m=256 registers) over per-source document fingerprints,
+    // evaluated against the exact distinct — the approximate dedup-rate
+    // estimator. 100 TB shape: exact countDistinct must shuffle every
+    // fingerprint once; the sketch's max-merge register aggregation
+    // collapses map-side to ≤ m rows per task and the merged register
+    // table is 256 rows per group, PERIOD — the same
+    // constant-size-sketch argument as q89's CMS. Determinism: the
+    // register derivation (2 md5 hex digits → bucket, HexKeys.leadRho
+    // over the next 12 → rank) is pure integer hex arithmetic shared
+    // with the oracle; max is order-invariant; the estimator is exact
+    // integer math — Σ 2^(49−Mj) as a BIGINT power sum (never a float
+    // 2^−M), α·m² as a scaled integer literal over a DECIMAL `div`
+    // (truncating, ≡ DuckDB `//` — no round-then-floor hazard), and
+    // the linear-counting branch (V>0 ∧ E ≤ 5m/2) quantizes its one
+    // ln() to 1e-9 before use (the q102 idiom). The exact leg exists
+    // for the error column; the sketch leg alone is the scale path.
+    // -----------------------------------------------------------------
+    "q124_hll_distinct" -> { (s, dir) =>
+      import graft.functions.HexKeys
+      val docs = Tables(s, dir).documents
+      val hex = md5(col("text"))
+      val regs = docs
+        .select(col("source"),
+          (HexKeys.digit(hex, 0) * 16 + HexKeys.digit(hex, 1)).as("bucket"),
+          HexKeys.leadRho(hex, 2, 12).as("rho"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(max(col("rho")).as("mj"))
+      val est = regs.groupBy(col("source")).agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - mj)")).as("s_present"),
+          count(lit(1)).cast(LongType).as("nb"))
+        .select(col("source"), (lit(256L) - col("nb")).as("v"),
+          (col("s_present") + (lit(256L) - col("nb")) * lit(1L << 49)).as("s_sum"))
+        // α₂₅₆·m²·2⁴⁹·10⁶ = 718273·65536·2⁴⁹ (α scaled by 1e6)
+        .withColumn("e_raw", expr(
+          "CAST(26499596412111161535758336 AS DECIMAL(38,0)) div " +
+            "(CAST(s_sum AS DECIMAL(38,0)) * 1000000)"))
+      val lnq = floor(log(lit(256.0) / col("v").cast(DoubleType)) * 1e9 + 0.5)
+      val fin = est.select(col("source"),
+        when(col("v") > 0 && col("e_raw") <= 640,
+          floor(lit(256.0) * lnq / 1e9).cast(LongType))
+          .otherwise(col("e_raw")).as("n_hll"))
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("n_exact"))
+      exact.join(fin, Seq("source"))
+        .select(col("source"), col("n_exact"), col("n_hll"),
+          expr("(abs(n_hll - n_exact) * 10000) div n_exact").as("err_bp"))
     }
   )
 
@@ -358,6 +408,41 @@ object RetrievalQueries {
     graft.functions.HexKeys.value16Sql(from)
 
   val oracles: Map[String, String] = Map(
+    // Same register derivation character-for-character via the HexKeys
+    // SQL twins; HUGEINT `//` ≡ Spark's DECIMAL `div` (both truncate);
+    // the one ln() is 1e-9-quantized before use on both sides.
+    "q124_hll_distinct" -> {
+      val d0  = graft.functions.HexKeys.digitSql(0)
+      val d1  = graft.functions.HexKeys.digitSql(1)
+      val rho = graft.functions.HexKeys.leadRhoSql(2, 12)
+      s"""WITH hx AS (SELECT source, md5(text) AS hex FROM documents),
+         |regs AS (
+         |  SELECT source, ($d0 * 16 + $d1) AS bucket, max($rho) AS mj
+         |  FROM hx GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source,
+         |    CAST(SUM((1::BIGINT << (49 - mj))) AS BIGINT) AS s_present,
+         |    CAST(count(*) AS BIGINT) AS nb
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT source, 256 - nb AS v,
+         |    CAST(26499596412111161535758336 //
+         |      ((s_present + (256 - nb) * (1::BIGINT << 49))::HUGEINT * 1000000)
+         |      AS BIGINT) AS e_raw
+         |  FROM agg),
+         |fin AS (
+         |  SELECT source,
+         |    CASE WHEN v > 0 AND e_raw <= 640
+         |      THEN CAST(floor(256 * CAST(floor(ln(256.0 / v) * 1e9 + 0.5) AS BIGINT) / 1e9) AS BIGINT)
+         |      ELSE e_raw END AS n_hll
+         |  FROM est),
+         |ex AS (SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact
+         |       FROM documents GROUP BY 1)
+         |SELECT ex.source, n_exact, n_hll,
+         |  (abs(n_hll - n_exact) * 10000) // n_exact AS err_bp
+         |FROM ex JOIN fin USING (source)""".stripMargin
+    },
+
     // Mirrors the Spark side op-for-op: quantized ln points, exact
     // DECIMAL(18,9) power sums, identical expression order in the
     // slope/intercept/r² arithmetic.

@@ -44,6 +44,42 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(got2 == naive, s"oriented $got2 vs naive $naive")
   }
 
+  test("leadRho equals 1 + leading-zeros of the 48-bit md5 slice") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val xs = (1 to 500).map(_ => rnd.nextLong().toString)
+    val got = xs.toDF("s")
+      .select(col("s"),
+        graft.functions.HexKeys.leadRho(md5(col("s")), 2, 12).as("rho"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    xs.foreach { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val slice = java.lang.Long.parseLong(hex.substring(2, 14), 16) // 48 bits
+      val expect =
+        if (slice == 0L) 49 else java.lang.Long.numberOfLeadingZeros(slice) - 16 + 1
+      assert(got(s) == expect, s"$s hex=$hex")
+    }
+  }
+
+  test("HLL raw branch: 50k distinct estimated within 20% (m=256)") {
+    import graft.functions.HexKeys
+    import spark.implicits._
+    val hex = md5(col("s"))
+    val est = (1 to 50000).map(i => s"doc-$i").toDF("s")
+      .select((HexKeys.digit(hex, 0) * 16 + HexKeys.digit(hex, 1)).as("bucket"),
+              HexKeys.leadRho(hex, 2, 12).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - mj)")).as("s_present"),
+           count(lit(1)).as("nb"))
+      .select(expr(
+        "CAST(26499596412111161535758336 AS DECIMAL(38,0)) div " +
+          "(CAST(s_present + (256 - nb) * 562949953421312 AS DECIMAL(38,0)) * 1000000)"))
+      .head().getLong(0)
+    assert(est > 640, s"raw branch not exercised: $est") // past linear-counting cutover
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.20, s"estimate $est")
+  }
+
   test("q88 scan-local tf equals the explode+groupBy BM25 formulation") {
     val df = SparkEntry.queries("q88_bm25_topk")(spark, dir)
     // alternative shape: explode tokens, filter to the terms, count
