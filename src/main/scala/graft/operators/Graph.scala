@@ -73,6 +73,35 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Adamic–Adar link prediction over a SYMMETRIC edge list: for every
+    * non-adjacent pair with ≥1 common neighbor of degree in [2, degCap],
+    * score = Σ_w 1/ln(deg w), each term 1e-9-quantized BEFORE the exact
+    * BIGINT sum so the result is fold-order independent and hash-gates.
+    * Wedge fan-out per common node is C(deg, 2), so the cap bounds total
+    * work at n·C(degCap, 2) regardless of skew (AA discounts high-degree
+    * commons toward 0, so capping them is the standard approximation).
+    * Returns the topN by (score desc, vec ids) — fully tiebroken.
+    */
+  def adamicAdar(edges: DataFrame, degCap: Int, topN: Int): DataFrame = {
+    val deg = edges.groupBy(col("src").as("w"))
+      .agg(count(lit(1)).as("deg"))
+    val low = edges.select(col("src").as("w"), col("dst"))
+      .join(deg.filter(col("deg").between(2, degCap)), Seq("w"))
+      .withColumn("t",
+        floor(lit(1e9) / log(col("deg").cast("double")) + 0.5).cast("long"))
+    val pairs = low.as("a")
+      .join(low.as("b"), col("a.w") === col("b.w") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("pa"), col("b.dst").as("pb"), col("a.t").as("t"))
+    pairs.groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_common"), sum(col("t")).as("aa_e9"))
+      .join(edges.select(col("src").as("pa"), col("dst").as("pb")),
+            Seq("pa", "pb"), "left_anti")
+      .orderBy(col("aa_e9").desc, col("pa"), col("pb"))
+      .limit(topN)
+      .select(col("pa").as("vec_a"), col("pb").as("vec_b"),
+              col("n_common"), col("aa_e9"))
+  }
+
   /** Damped PageRank over a directed edge list, `iters` synchronous
     * iterations from a uniform start. Nodes = distinct src ∪ dst, so sink
     * nodes (no out-edges) are ranked too. Dangling-node mass is DROPPED,

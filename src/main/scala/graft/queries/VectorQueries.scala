@@ -206,32 +206,29 @@ object VectorQueries {
     // over the pair stream. Cosines are 1e-9-quantized INSIDE the sort
     // key (q92's inverted-key trick), so ranking and reported score
     // hash-gate.
-    "q118_knn_graph" -> { (s, dir) =>
-      import graft.functions.Vectors
-      val e = Tables(s, dir).embeddings
-      val n = e.select(col("vec_id"), col("label"),
-                       col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", Vectors.norm(col("v")))
-        .filter(col("nrm") > 0)
-      val a = n.select(col("vec_id").as("vid"), col("label"),
-                       col("v").as("va"), col("nrm").as("na"))
-      val b = n.select(col("vec_id").as("nid"), col("label"),
-                       col("v").as("vb"), col("nrm").as("nb"))
-      val Big = 1000000000000000000L // 10^18; scaled cosine < 2^31
-      val scaled = floor((Vectors.dot(col("va"), col("vb")) /
-        (col("na") * col("nb")) + 1) * 1e9 + 0.5).cast("long")
-      val key = concat(lpad((lit(Big) - scaled).cast("string"), 19, "0"),
-                       lit("|"), lpad(col("nid").cast("string"), 19, "0"))
-      a.join(b, Seq("label")).filter(col("vid") =!= col("nid"))
-        .select(col("vid"), key.as("key"), col("nid"))
-        .groupBy(col("vid"))
-        .agg(org.apache.spark.sql.graftx.TopKPairs
-          .topK(col("key"), col("nid"), 3).as("top"))
-        .select(col("vid").as("vec_id"), posexplode(col("top")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-                col("col.id").as("neighbor_id"),
-                ((lit(Big) - substring(col("col.key"), 1, 19).cast("long"))
-                  .cast("double") / 1e9 - 1).as("cosine"))
+    "q118_knn_graph" -> { (s, dir) => knnGraph(s, dir) },
+
+    // -----------------------------------------------------------------
+    // q125: Adamic–Adar link prediction over the SYMMETRIZED q118 kNN
+    // graph — "which semantically-close pairs are not yet linked" (the
+    // classic common-neighbor score, discounting high-degree commons by
+    // 1/ln deg). Composition is the point: the kNN construction bounds
+    // every degree structurally (~k + in-degree), so EXACT AA is
+    // scale-safe here — wedge fan-out per common node is C(deg,2) with
+    // deg small by construction, unlike the dense co-purchase graph
+    // where wedges are quadratic. A deg ≤ 64 hub cap guards the
+    // adversarial-skew tail (AA discounts those commons to ≈0 anyway);
+    // the cap is mirrored in the oracle. Determinism: each 1/ln(deg)
+    // term is 1e-9-quantized BEFORE the BIGINT sum (q102 idiom), and
+    // the top-50 orders by (score, pa, pb) — fully tiebroken.
+    // -----------------------------------------------------------------
+    "q125_adamic_adar" -> { (s, dir) =>
+      val knn = knnGraph(s, dir).select(col("vec_id"), col("neighbor_id"))
+      val di  = knn.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      // one memoized pass for the three consumers (deg, wedges, anti-join)
+      val edges = di.union(di.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      graft.operators.Graph.adamicAdar(edges, degCap = 64, topN = 50)
     },
 
     // Covariance + correlation matrix over the embedding dimensions —
@@ -377,6 +374,38 @@ object VectorQueries {
     * bit is a comparison on an exact integer sum — immune to float fold
     * order. Exact cosine then runs on the candidate set only.
     */
+  /** The q118 kNN-graph builder (label-blocked top-3 by quantized cosine,
+    * bounded-heap TopKPairs — never a per-vector window over the pair
+    * stream); shared with q125's Adamic–Adar scoring.
+    */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val e = Tables(s, dir).embeddings
+    val n = e.select(col("vec_id"), col("label"),
+                     col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .filter(col("nrm") > 0)
+    val a = n.select(col("vec_id").as("vid"), col("label"),
+                     col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("nid"), col("label"),
+                     col("v").as("vb"), col("nrm").as("nb"))
+    val Big = 1000000000000000000L // 10^18; scaled cosine < 2^31
+    val scaled = floor((Vectors.dot(col("va"), col("vb")) /
+      (col("na") * col("nb")) + 1) * 1e9 + 0.5).cast("long")
+    val key = concat(lpad((lit(Big) - scaled).cast("string"), 19, "0"),
+                     lit("|"), lpad(col("nid").cast("string"), 19, "0"))
+    a.join(b, Seq("label")).filter(col("vid") =!= col("nid"))
+      .select(col("vid"), key.as("key"), col("nid"))
+      .groupBy(col("vid"))
+      .agg(org.apache.spark.sql.graftx.TopKPairs
+        .topK(col("key"), col("nid"), 3).as("top"))
+      .select(col("vid").as("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("col.id").as("neighbor_id"),
+              ((lit(Big) - substring(col("col.key"), 1, 19).cast("long"))
+                .cast("double") / 1e9 - 1).as("cosine"))
+  }
+
   private def annTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import graft.functions.Vectors._
     val planes = Similarity.hyperplanes(NumPlanes, Dims)
@@ -732,5 +761,34 @@ object VectorQueries {
          |FROM (${baseOracles("q37_cosine_topk")}) e
          |LEFT JOIN (${baseOracles("q64_ann_ivf")}) a
          |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-         |GROUP BY e.query_id""".stripMargin)
+         |GROUP BY e.query_id""".stripMargin) +
+    // Wraps the q118 oracle as the edge source (q116's derived-table
+    // pattern); same symmetrize/deg-cap/quantized-term/tiebreak chain.
+    ("q125_adamic_adar" ->
+      s"""WITH knn AS (
+         |  SELECT vec_id, neighbor_id FROM (${baseOracles("q118_knn_graph")})),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT vec_id AS src, neighbor_id AS dst FROM knn
+         |    UNION ALL SELECT neighbor_id, vec_id FROM knn)),
+         |deg AS (SELECT src AS w, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY 1),
+         |low AS (
+         |  SELECT e.src AS w, e.dst,
+         |    CAST(floor(1e9 / ln(CAST(d.deg AS DOUBLE)) + 0.5) AS BIGINT) AS t
+         |  FROM edges e JOIN deg d ON d.w = e.src
+         |  WHERE d.deg BETWEEN 2 AND 64),
+         |pairs AS (
+         |  SELECT a.dst AS pa, b.dst AS pb, a.t
+         |  FROM low a JOIN low b ON a.w = b.w AND a.dst < b.dst),
+         |sc AS (
+         |  SELECT pa, pb, CAST(count(*) AS BIGINT) AS n_common,
+         |    CAST(sum(t) AS BIGINT) AS aa_e9
+         |  FROM pairs GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT sc.* FROM sc
+         |  LEFT JOIN edges ex ON ex.src = sc.pa AND ex.dst = sc.pb
+         |  WHERE ex.src IS NULL)
+         |SELECT pa AS vec_a, pb AS vec_b, n_common, aa_e9
+         |FROM cand ORDER BY aa_e9 DESC, pa, pb LIMIT 50""".stripMargin)
 }

@@ -44,6 +44,26 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(got2 == naive, s"oriented $got2 vs naive $naive")
   }
 
+  test("adamicAdar: crafted graphs score exactly; hub cap excludes commons") {
+    import spark.implicits._
+    def sym(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // C4 cycle 0-1-2-3-0: non-edges (0,2),(1,3), each via two deg-2 commons
+    val t2 = math.floor(1e9 / math.log(2.0) + 0.5).toLong
+    val c4 = graft.operators.Graph
+      .adamicAdar(sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))), 64, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(c4.toSet == Set((0L, 2L, 2L, 2 * t2), (1L, 3L, 2L, 2 * t2)))
+    // star 0-{1,2,3}: three non-edges via the one deg-3 hub
+    val t3 = math.floor(1e9 / math.log(3.0) + 0.5).toLong
+    val star = sym(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    val got = graft.operators.Graph.adamicAdar(star, 64, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == Set((1L, 2L, 1L, t3), (1L, 3L, 1L, t3), (2L, 3L, 1L, t3)))
+    // degCap below the hub degree removes every wedge
+    assert(graft.operators.Graph.adamicAdar(star, 2, 50).count() == 0)
+  }
+
   test("leadRho equals 1 + leading-zeros of the 48-bit md5 slice") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
