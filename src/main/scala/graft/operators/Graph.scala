@@ -102,6 +102,35 @@ object Graph {
               col("n_common"), col("aa_e9"))
   }
 
+  /** Synchronous label-propagation community detection over a SYMMETRIC
+    * edge list (Raghavan et al. 2007), `iters` fixed iterations from
+    * label = node id. Each step every node adopts its neighborhood's
+    * majority label, ties broken by SMALLEST label — expressed as ONE
+    * (node, label) count aggregation plus ONE max(struct(cnt, −label))
+    * argmax aggregation per iteration: both partial+final combinable,
+    * no per-node window over the neighbor stream, and the per-iteration
+    * state is exactly one label row per node. Fixed iteration count +
+    * deterministic tie rule ⇒ hash-gateable output.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      // symmetry lets the gather run keyed on SRC (src's label reaches dst
+      // ≡ dst's neighborhood sees src's label): with the edge table
+      // bucketed on src, the per-iteration join AND the initial distinct
+      // plan with no edge-side Exchange — only the node-sized label frame
+      // and the post-join aggregates ever shuffle.
+      labels = edges
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+    }
+    labels
+  }
+
   /** Damped PageRank over a directed edge list, `iters` synchronous
     * iterations from a uniform start. Nodes = distinct src ∪ dst, so sink
     * nodes (no out-edges) are ranked too. Dangling-node mass is DROPPED,

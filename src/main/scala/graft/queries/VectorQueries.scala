@@ -223,12 +223,24 @@ object VectorQueries {
     // the top-50 orders by (score, pa, pb) — fully tiebroken.
     // -----------------------------------------------------------------
     "q125_adamic_adar" -> { (s, dir) =>
-      val knn = knnGraph(s, dir).select(col("vec_id"), col("neighbor_id"))
-      val di  = knn.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      // one memoized pass for the three consumers (deg, wedges, anti-join)
-      val edges = di.union(di.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint()
-      graft.operators.Graph.adamicAdar(edges, degCap = 64, topN = 50)
+      graft.operators.Graph.adamicAdar(symKnnEdges(s, dir), degCap = 64, topN = 50)
+    },
+
+    // -----------------------------------------------------------------
+    // q126: label-propagation communities over the symmetrized kNN graph
+    // (3 synchronous iterations, majority label, min-label ties) — the
+    // semantic-cluster view that needs NO centroids or k: communities
+    // emerge from link structure alone, complementing k-means (q97) and
+    // connected components (q67). Scale shape per iteration: one
+    // node-key equi-join of the (1-row-per-node) label frame onto the
+    // edge table + two partial+final aggregations; state never exceeds
+    // one row per node, and there is no per-node window anywhere. The
+    // oracle unrolls the same 3 iterations with the edge CTE
+    // MATERIALIZED (DuckDB re-inlines plain CTEs per reference).
+    // -----------------------------------------------------------------
+    "q126_label_propagation" -> { (s, dir) =>
+      graft.operators.Graph.labelPropagation(symKnnEdges(s, dir), iters = 3)
+        .select(col("node").as("vec_id"), col("label").as("community"))
     },
 
     // Covariance + correlation matrix over the embedding dimensions —
@@ -405,6 +417,35 @@ object VectorQueries {
               ((lit(Big) - substring(col("col.key"), 1, 19).cast("long"))
                 .cast("double") / 1e9 - 1).as("cosine"))
   }
+
+  /** Catalog name of the bucketed symmetrized-kNN edge table for one sf
+    * dir (dir-derived so datasets can't cross-corrupt, q90's discipline).
+    */
+  def knnEdgeTable(dir: String): String =
+    "graft_knn_edges_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private val knnEdgeCache = new graft.core.SessionCache[String]
+
+  /** The symmetrized q118 kNN graph (both directions, distinct),
+    * materialized ONCE per (session, dir) to a src-bucketed warehouse
+    * table and shared by its iterative consumers (q125 Adamic–Adar,
+    * q126 label propagation) — each would otherwise re-run the kNN block
+    * join AND re-shuffle the edge list per use/iteration. Bucketing on
+    * src is enough for BOTH because every edge join they plan keys on
+    * src: AA's degree + wedge self-joins, LPA's symmetric label gather.
+    * The q90/q123 pattern: at 100 TB this is exactly a node-bucketed
+    * edge table in the warehouse, scanned in place every iteration.
+    */
+  private def symKnnEdges(s: SparkSession, dir: String): DataFrame =
+    knnEdgeCache.getOrElseUpdate(s, dir) {
+      val knn = knnGraph(s, dir).select(col("vec_id"), col("neighbor_id"))
+      val di  = knn.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      val edges = di.union(di.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      graft.sources.Warehouse.writeBucketed(
+        edges, knnEdgeTable(dir), "src", numBuckets = 32)
+      s.table(knnEdgeTable(dir))
+    }
 
   private def annTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import graft.functions.Vectors._
@@ -790,5 +831,31 @@ object VectorQueries {
          |  LEFT JOIN edges ex ON ex.src = sc.pa AND ex.dst = sc.pb
          |  WHERE ex.src IS NULL)
          |SELECT pa AS vec_a, pb AS vec_b, n_common, aa_e9
-         |FROM cand ORDER BY aa_e9 DESC, pa, pb LIMIT 50""".stripMargin)
+         |FROM cand ORDER BY aa_e9 DESC, pa, pb LIMIT 50""".stripMargin) +
+    // Same 3 unrolled LPA iterations; majority label with min-label ties
+    // via row_number (≡ Spark's max(struct(cnt, −label)) argmax). The
+    // edge CTE is MATERIALIZED — referenced once per iteration, DuckDB
+    // would otherwise re-evaluate the kNN block join each time.
+    ("q126_label_propagation" -> {
+      def step(prev: String, i: Int) =
+        s"""n$i AS (
+           |  SELECT e.src, l.label, count(*) AS cnt
+           |  FROM edges e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label,
+           |      row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label ASC) AS rn
+           |    FROM n$i) WHERE rn = 1)""".stripMargin
+      s"""WITH knn AS MATERIALIZED (
+         |  SELECT vec_id, neighbor_id FROM (${baseOracles("q118_knn_graph")})),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT vec_id AS src, neighbor_id AS dst FROM knn
+         |    UNION ALL SELECT neighbor_id, vec_id FROM knn)),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         |${step("l0", 1)},
+         |${step("l1", 2)},
+         |${step("l2", 3)}
+         |SELECT node AS vec_id, label AS community FROM l3""".stripMargin
+    })
 }

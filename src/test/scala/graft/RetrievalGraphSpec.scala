@@ -64,6 +64,35 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(graft.operators.Graph.adamicAdar(star, 2, 50).count() == 0)
   }
 
+  test("labelPropagation: two cliques + bridge ≡ naive synchronous reference") {
+    import spark.implicits._
+    def sym(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val cl = (for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)) ++
+      (for { i <- 10L to 13L; j <- (i + 1) to 13L } yield (i, j)) :+ (3L, 10L)
+    def naive(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var lab = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        lab = adj.map { case (n, nbrs) =>
+          val counts = nbrs.groupBy(lab).map { case (l, xs) => l -> xs.size }
+          n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      }
+      lab
+    }
+    for (iters <- 1 to 3) {
+      val got = graft.operators.Graph.labelPropagation(sym(cl), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive(cl, iters), s"iters=$iters")
+    }
+    // 3 iterations settle the two cliques onto their min ids
+    val fin = graft.operators.Graph.labelPropagation(sym(cl), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(n => fin(n) == 0L))
+    assert((11L to 13L).forall(n => fin(n) == 10L))
+  }
+
   test("leadRho equals 1 + leading-zeros of the 48-bit md5 slice") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
