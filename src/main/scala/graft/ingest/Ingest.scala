@@ -100,7 +100,10 @@ object Ingest {
           if (attempt >= maxAttempts)
             throw new java.io.IOException(
               s"GET $url failed after $maxAttempts attempts: ${e.getMessage}", e)
-          sleep(backoffMillis << (attempt - 1)) // 1x, 2x, 4x, ...
+          // 1x, 2x, 4x, … with the shift clamped: a large maxAttempts
+          // would overflow `<<` to a negative sleep and crash a
+          // retriable failure (round-7 advice).
+          sleep(backoffMillis * (1L << math.min(attempt - 1, 20)))
           attempt += 1
       }
     }

@@ -127,7 +127,13 @@ final class Runner(
     Option(new java.io.File(path(name)).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v_"))
       .map(_.getName)
-      .sortBy(v => v.stripPrefix("v_").toLongOption.getOrElse(Long.MaxValue))
+      // non-numeric v_* dirs are NOT versions: defaulting them into the
+      // sort (round-7 advice: they landed at Long.MaxValue) made them
+      // permanently "newest" — holding a retention slot forever and being
+      // served as latest. Skip them outright.
+      .flatMap(v => v.stripPrefix("v_").toLongOption.map(n => (n, v)))
+      .sortBy(_._1)
+      .map(_._2)
       .toSeq
 
   /** The version id the `_VERSION` pointer currently resolves to. */

@@ -18,13 +18,16 @@ object GraphQueries {
 
   private val Iters = 3
 
-  /** Catalog name of the bucketed PageRank edge table for one sf dir —
-    * dir-derived, so a session touching several datasets can't have one
-    * dataset's rewrite corrupt another's memoized frame (PlanQualitySpec
-    * probes the per-iteration join shape against it).
+  /** Catalog name of the bucketed PageRank edge table for one (session,
+    * sf dir) — dir-derived, so a session touching several datasets can't
+    * have one dataset's rewrite corrupt another's memoized frame
+    * (PlanQualitySpec probes the per-iteration join shape against it),
+    * and session-scoped so concurrent sessions on one warehouse dir
+    * can't drop/rewrite each other's table mid-read.
     */
-  def edgeTable(dir: String): String =
-    "graft_q90_edges_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+  def edgeTable(s: SparkSession, dir: String): String =
+    Warehouse.sessionScopedName(s,
+      "graft_q90_edges_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
 
   /** The edge materialization is memoized per (session, dir) — the same
     * discipline as the Jaccard pair-mining memo: a deterministic derived
@@ -83,8 +86,8 @@ object GraphQueries {
               col("a.okey") === col("b.okey") && col("a.part") =!= col("b.part"))
         .select(col("a.part").as("src"), col("b.part").as("dst"))
         .distinct()
-      Warehouse.writeBucketed(edges, edgeTable(dir), "src", numBuckets = 32)
-      s.table(edgeTable(dir))
+      Warehouse.writeBucketed(edges, edgeTable(s, dir), "src", numBuckets = 32)
+      s.table(edgeTable(s, dir))
     }
 
   val oracles: Map[String, String] = Map(

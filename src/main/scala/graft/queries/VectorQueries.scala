@@ -418,11 +418,14 @@ object VectorQueries {
                 .cast("double") / 1e9 - 1).as("cosine"))
   }
 
-  /** Catalog name of the bucketed symmetrized-kNN edge table for one sf
-    * dir (dir-derived so datasets can't cross-corrupt, q90's discipline).
+  /** Catalog name of the bucketed symmetrized-kNN edge table for one
+    * (session, sf dir) — dir-derived so datasets can't cross-corrupt
+    * (q90's discipline), session-scoped so concurrent sessions on one
+    * warehouse can't clobber each other (round-7 advice).
     */
-  def knnEdgeTable(dir: String): String =
-    "graft_knn_edges_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+  def knnEdgeTable(s: SparkSession, dir: String): String =
+    graft.sources.Warehouse.sessionScopedName(s,
+      "graft_knn_edges_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
 
   private val knnEdgeCache = new graft.core.SessionCache[String]
 
@@ -443,8 +446,8 @@ object VectorQueries {
       val edges = di.union(di.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
       graft.sources.Warehouse.writeBucketed(
-        edges, knnEdgeTable(dir), "src", numBuckets = 32)
-      s.table(knnEdgeTable(dir))
+        edges, knnEdgeTable(s, dir), "src", numBuckets = 32)
+      s.table(knnEdgeTable(s, dir))
     }
 
   private def annTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

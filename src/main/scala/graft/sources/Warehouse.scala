@@ -19,6 +19,19 @@ object Warehouse {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Session-scoped table name: `base` plus a suffix derived from this
+    * session's UUID. Memoized bucketed tables (kNN edges, graph edges)
+    * are keyed by dataset dir, so WITHOUT scoping, two sessions over the
+    * same warehouse dir would share one catalog location — and
+    * [[writeBucketed]]'s drop-then-rewrite could clobber a table the
+    * other session is mid-read on (round-7 advice). With the UUID in the
+    * name, a session can only ever drop its own table, and the orphan-dir
+    * delete below can never hit pre-existing unrelated data.
+    */
+  def sessionScopedName(spark: SparkSession, base: String): String =
+    base + "_s" + org.apache.spark.sql.graftx.Bridge.sessionUUID(spark)
+      .replaceAll("[^a-zA-Z0-9]", "").take(12)
+
   /** Register a bucketed table: both sides of a recurring equi-join
     * bucketed by the join key on the same bucket count join WITHOUT a
     * shuffle (no Exchange in the plan) — the Spark rendering of

@@ -45,6 +45,14 @@ object Bridge {
       .sessionState.catalog
       .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
 
+  /** This session's unique id — only surfaced on the classic session
+    * class, hence bridged. Used to session-scope shared warehouse table
+    * names so two concurrent sessions over the same warehouse dir can
+    * never drop/rewrite each other's tables mid-read.
+    */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Register a function builder on an EXISTING session's (session-scoped)
     * function registry — the post-hoc path for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions`. `sessionState` is

@@ -40,7 +40,19 @@ case class MomentTerms(child: Expression)
     containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val arr = input.asInstanceOf[ArrayData]
+    // enforce the documented non-null-element contract loudly:
+    // toDoubleArray() would silently read null slots as 0.0 (or throw,
+    // impl-dependent), diverging from the composable nested-transform
+    // form which propagates nulls (round-7 advice).
+    var z = 0
+    while (z < arr.numElements()) {
+      if (arr.isNullAt(z))
+        throw new IllegalArgumentException(
+          s"MomentTerms: null element at index $z — input vectors must be non-null")
+      z += 1
+    }
+    val v = arr.toDoubleArray()
     val d = v.length
     val out = new Array[Any](d * (d + 1) / 2 + d)
     var k = 0

@@ -296,7 +296,7 @@ class PlanQualitySpec extends SparkSpec {
     // disabled so the tiny sf0.001 ranks can't hide the shuffle behavior.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val edges  = spark.table(graft.queries.GraphQueries.edgeTable(dir))
+      val edges  = spark.table(graft.queries.GraphQueries.edgeTable(spark, dir))
       val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       val ranks  = edges.select(col("src").as("node")).distinct()
         .withColumn("rank", lit(1L))
@@ -319,6 +319,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"df not broadcast:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin"), s"N not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"tf shuffled to score:\n$plan")
+  }
+
+  test("q37 brute-force top-k is a bounded-heap aggregate, no per-query window") {
+    // The round-7 verdict's last weak item: a row_number window per
+    // query_id funnels every scored corpus row of one query through ONE
+    // task. The fix keeps the exact cosine (SortableDouble lossless key)
+    // but selects via TopKPairs — map-side partial top-k, ≤k survivors
+    // per task per query.
+    val df   = SparkEntry.queries("q37_cosine_topk")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"per-query window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no TopKPairs aggregate:\n$plan")
   }
 
   test("q93 histogram sketch: the only window runs over the aggregated bins") {
@@ -524,6 +536,7 @@ class PlanQualitySpec extends SparkSpec {
       "q04_annual_metrics"     -> 2,
       "q09_distinct_spine"     -> 1,
       "q34_dedup_exact"        -> 1, // one text-hash shuffle
+      "q37_cosine_topk"        -> 1, // one TopKPairs agg after broadcast score
       "q62_token_shards"       -> 4, // bucket repartition + offsets (reused exchange)
       "q68_stratified_sample"  -> 1, // single stratum shuffle AFTER partial top-k
       "q74_part_margin"        -> 2, // star joins broadcast; agg only
