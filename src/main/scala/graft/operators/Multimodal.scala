@@ -158,6 +158,84 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic PATTERNED PNG fixture for perceptual hashing (q127):
+    * 36×32 grayscale gradient whose shape is set by the id's FAMILY
+    * (`id % 16` — 16 distinct slope/offset patterns) and perturbed by its
+    * VARIANT (`id / 16` — +60 brightness on a sparse variant-keyed pixel
+    * lattice). Members of one family are perceptual near-duplicates of
+    * each other (dHash Hamming 0–7) while cross-family distances
+    * concentrate around 24 bits — the structure a perceptual-dedup
+    * operator exists to find, and (PNG being lossless) one a DuckDB
+    * oracle can reproduce arithmetically from the id alone.
+    */
+  def syntheticPatternPng(id: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val f = (id % 16).toInt
+    val v = (id / 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      36, 32, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 36) {
+        var g = (x * (3 + f % 5) + y * (5 + f % 7) + f * 37) % 180 + 10
+        if ((x * 7 + y * 11 + v * 53) % 23 == v % 23) g += 60
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual difference hash (dHash) over REAL decoded pixels: the
+    * image is block-reduced to a 9×8 luminance grid (floor-mapped cells —
+    * exact 4×4 blocks for the 36×32 fixtures) and each of the 64 bits
+    * records whether cell (r,c) is darker than its right neighbor —
+    * brightness GRADIENTS, which survive re-encoding, mild blur and
+    * uniform brightness shifts, where q63's exact content_hash does not.
+    * Luminance is the integer sum r+g+b (no division — bit = an exact
+    * integer comparison, so the hash is oracle-reproducible). Bit k =
+    * r*8+c, packed LSB-first into one long. None for undecodable
+    * payloads.
+    */
+  def dHash64(payload: Array[Byte]): Option[Long] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val cell = new Array[Long](9 * 8)
+        var y = 0
+        while (y < h) {
+          val r = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val c = x * 9 / w
+            val rgb = img.getRGB(x, y)
+            cell(r * 9 + c) +=
+              ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var rr = 0
+        while (rr < 8) {
+          var cc = 0
+          while (cc < 8) {
+            if (cell(rr * 9 + cc) < cell(rr * 9 + cc + 1))
+              bits |= 1L << (rr * 8 + cc)
+            cc += 1
+          }
+          rr += 1
+        }
+        bits
+      }
+    } catch { case _: Exception => None }
+
   /** REAL audio decode — 16-bit PCM mono WAV via manual RIFF chunk
     * parsing (pure JDK byte work, no codec library): returns
     * (sampleRate, nSamples, mean |amplitude|). The amplitude sum is

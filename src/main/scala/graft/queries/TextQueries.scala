@@ -548,6 +548,50 @@ object TextQueries {
                 col("col").cast(LongType).as("val"))
     },
 
+    // Perceptual image near-dup (the round-7 verdict's top missing
+    // operator): multimodal dedup on dHash of DECODED pixels — q63's
+    // content_hash only catches byte-identical payloads; re-encoded or
+    // slightly-retouched images need a perceptual hash. Patterned PNG
+    // fixtures (16 near-dup families, see Multimodal.syntheticPatternPng)
+    // decode via real imageio; Multimodal.dHash64 block-reduces to a 9×8
+    // luminance grid and hashes the horizontal gradients; candidate
+    // generation is the q41 SimHash discipline — 8 bands × 8 bits, a pair
+    // must agree on ≥1 full band, which by pigeonhole is EXACT recall for
+    // Hamming ≤ 7 — so the plan is banded equi-join + distinct, never
+    // all-pairs, and the corpus is scanned once (the 100 TB shape).
+    // Output all-integer → hash-gates; the oracle recomputes every dHash
+    // arithmetically from the id (PNG is lossless) and does the naive
+    // quadratic join, so banding recall itself is what's being gated.
+    "q127_image_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val hashes = ids.map { id =>
+        val h = graft.operators.Multimodal.dHash64(
+          graft.operators.Multimodal.syntheticPatternPng(id))
+          .getOrElse(sys.error(s"undecodable synthetic PNG for id $id"))
+        (id, h)
+      }.toDF("media_id", "dhash")
+      val bandStructs = (0 until 8).map { b =>
+        struct(lit(b).as("band"),
+               shiftrightunsigned(col("dhash"), b * 8).bitwiseAND(lit(255L)).as("bval"))
+      }
+      val bands = hashes
+        .select(col("media_id"), col("dhash"), explode(array(bandStructs: _*)).as("bd"))
+        .select(col("media_id"), col("dhash"),
+                col("bd.band").as("band"), col("bd.bval").as("bval"))
+      val lhs = bands.select(col("media_id").as("id_a"), col("dhash").as("ha"),
+                             col("band"), col("bval"))
+      val rhs = bands.select(col("media_id").as("id_b"), col("dhash").as("hb"),
+                             col("band"), col("bval"))
+      lhs.join(rhs, Seq("band", "bval"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+        .distinct()
+        .select(col("id_a"), col("id_b"),
+                expr("bit_count(ha ^ hb)").cast(LongType).as("hamming"))
+        .filter(col("hamming") <= 7)
+    },
+
     // Semi-structured extraction: JSON props → typed column, aggregated.
     "q39_json_extract" -> { (s, dir) =>
       val e = Tables(s, dir).events
@@ -1140,6 +1184,45 @@ object TextQueries {
         |SELECT * FROM img_feat
         |UNION ALL SELECT * FROM aud_feat
         |UNION ALL SELECT * FROM vid_feat""".stripMargin,
+    // Mirrors the Spark side arithmetically: the 36×32 pattern image of
+    // each id (family/variant formula identical to syntheticPatternPng),
+    // 4×4 block sums, dHash bits from horizontal cell gradients. The
+    // hash is held as two 32-bit halves (bit 63 would overflow a BIGINT
+    // power), Hamming = bit_count(xor) summed over halves; the pair join
+    // here is the naive quadratic one, so the Spark side's banded-join
+    // recall is exactly what the hash gate checks. Luminance differs by
+    // the constant ×3 (r+g+b of a gray pixel) — comparisons, and
+    // therefore bits, are identical.
+    "q127_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS f, doc_id // 16 AS v
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, f, v, unnest(generate_series(0, 1151)) AS p FROM ids),
+        |xy AS (SELECT doc_id, f, v, p % 36 AS x, p // 36 AS y FROM px),
+        |g AS (
+        |  SELECT doc_id, y // 4 AS r, x // 4 AS c,
+        |    (x*(3 + f%5) + y*(5 + f%7) + f*37) % 180 + 10
+        |      + CASE WHEN (x*7 + y*11 + v*53) % 23 = v % 23 THEN 60 ELSE 0 END AS gv
+        |  FROM xy),
+        |cells AS (
+        |  SELECT doc_id, r, c, CAST(SUM(gv) AS BIGINT) AS s FROM g GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.r * 8 + a.c AS k,
+        |         CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS h2
+        |  FROM bits GROUP BY 1)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 7""".stripMargin,
     "q39_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

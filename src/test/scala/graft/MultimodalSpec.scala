@@ -58,6 +58,32 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(1).is_decoded && out(1).image_width.isEmpty && out(1).mean_r.isEmpty)
   }
 
+  test("dHash64 is a perceptual gradient hash: stable in-family, far cross-family") {
+    def h(id: Long): Long =
+      Multimodal.dHash64(Multimodal.syntheticPatternPng(id)).get
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // same family (id % 16), different variants: near-duplicates
+    assert(ham(h(3L), h(19L)) <= 7)
+    assert(ham(h(3L), h(3L + 16 * 20)) <= 7)
+    // different families: far apart
+    assert(ham(h(3L), h(4L)) > 7)
+    // uniform brightness shift leaves GRADIENTS (and so the hash) intact:
+    // re-render family 3 with every pixel +5
+    val img = new java.awt.image.BufferedImage(
+      36, 32, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 32; x <- 0 until 36) {
+      var g = (x * (3 + 3 % 5) + y * (5 + 3 % 7) + 3 * 37) % 180 + 10 + 5
+      if ((x * 7 + y * 11) % 23 == 0) g += 60
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.dHash64(bos.toByteArray).get === h(3L))
+    // undecodable payloads: data condition, not a failure
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dHash64(null).isEmpty)
+  }
+
   test("resizeImage rescales for real; resizeAll passes non-images through") {
     import spark.implicits._
     // constant-color 4x3 source (id=17) → 5x4: dims change, color survives
