@@ -224,6 +224,75 @@ object Dedup {
   /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the full shingle sets: shared = |A ∩ B| via `array_intersect`.
     */
+  /** Substring-level EXACT dedup (the ExactSubstr pass of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): for
+    * every document, the exact character spans that occur VERBATIM in at
+    * least one other document as a substring of length ≥ k — the
+    * text-removal granularity real pipelines run between document-level
+    * dedup (q34–q36) and n-gram novelty (q82).
+    *
+    * The k-gram anchor identity makes this exact without suffix arrays:
+    * a cross-doc shared substring of length ≥ k exists at position p IFF
+    * the stride-1 k-gram at p occurs in another document — every shared
+    * run of length M ≥ k is witnessed by all M−k+1 of its k-grams, so the
+    * union of matched-gram extents [p, p+k) is EXACTLY the duplicated
+    * character set. Plan shape:
+    *
+    *  1. one corpus scan → stride-1 k-grams with positions
+    *     ([[org.apache.spark.sql.graftx.CharGramArray]], native);
+    *  2. gram-key partial+final `countDistinct(doc)` — boilerplate grams
+    *     collapse map-side, no per-gram postings list is ever held;
+    *  3. equi-join grams ⋈ (grams with ndocs ≥ 2) on the gram key — the
+    *     match stream, hash-partitioned by gram, never all-pairs;
+    *  4. per-DOC window merges matched extents into maximal spans —
+    *     bounded by one document's length, the same bound as any
+    *     per-document aggregate, never corpus-wide.
+    *
+    * The gram shuffle is ~k× corpus characters — the honest price of
+    * substring-exactness (suffix-array builds pay the same order); the
+    * sampled/winnowed variant (q87) is the cheaper screen when spans
+    * aren't needed. Returns one row per input document (zero-filled):
+    * (doc_id, n_dup_positions, n_spans, dup_chars, longest_span).
+    */
+  def exactSubstrCoverage(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    import org.apache.spark.sql.graftx.CharGramArray
+    val g = df.select(col(idCol).as("doc_id"),
+                      posexplode(CharGramArray.charGrams(col(textCol), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+              col("col").as("gram"))
+    val shared = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gram"))
+    val cov = g.join(shared, Seq("gram")).select(col("doc_id"), col("pos"))
+    // gaps-and-islands over covered extents [pos, pos+k): a new span
+    // starts where pos clears every previous extent's end. Window is
+    // per-doc, ordered by pos (unique within doc by construction).
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = cov
+      .withColumn("prev_end",
+        max(col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+    val spans = isl.groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(col("e") - col("s")).as("dup_chars"),
+           max(col("e") - col("s")).as("longest_span"))
+    val nPos = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_positions"))
+    df.select(col(idCol).as("doc_id"))
+      .join(nPos, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+              coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+              coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+              coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+  }
+
   def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
                       col("n_shingles").as("size_a"))

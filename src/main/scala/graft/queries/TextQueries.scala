@@ -341,6 +341,20 @@ object TextQueries {
         Tables(s, dir).documents, "doc_id", "text", threshold = 0.8)
     },
 
+    // Substring-level EXACT dedup (ExactSubstr, Lee et al. 2022 — the
+    // round-7 verdict's #2 missing operator): the exact character spans
+    // of each document that appear verbatim (≥25 chars) in another
+    // document, via the stride-1 k-gram anchor identity — no suffix
+    // array, no approximation; q87's winnowing is the sampled screen,
+    // this is the removal-grade pass. See Dedup.exactSubstrCoverage for
+    // the exactness argument and the 100 TB cost shape. All-integer
+    // per-doc coverage stats hash-gate against an oracle that rebuilds
+    // the same spans from raw substr grams.
+    "q128_exact_substr" -> { (s, dir) =>
+      graft.operators.Dedup.exactSubstrCoverage(
+        Tables(s, dir).documents, "doc_id", "text", k = 25)
+    },
+
     // Deterministic train/val/test split: md5-derived bucket in [0,100) —
     // reproducible across engines/runs/partitionings (never rand(), which
     // breaks task-retry idempotence). 90/5/5.
@@ -929,6 +943,48 @@ object TextQueries {
         |  CAST(shared AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
         |FROM pairs
         |WHERE CAST(shared AS DOUBLE) / CAST(size_a AS DOUBLE) >= 0.8""".stripMargin,
+    // Mirrors the Spark side: every stride-1 25-char gram with its
+    // position, grams present in ≥2 documents mark their [pos, pos+25)
+    // extents, a per-doc gaps-and-islands pass merges extents into
+    // maximal spans. Zero-filled per input doc.
+    "q128_exact_substr" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len - 24)) AS pos
+        |  FROM d WHERE len >= 25),
+        |g AS (
+        |  SELECT p.doc_id, p.pos, substr(d.text, CAST(p.pos AS INTEGER), 25) AS gram
+        |  FROM pos p JOIN d USING (doc_id)),
+        |shared AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(MAX(pos + 25) OVER (
+        |           PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM cov),
+        |isl2 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 25 AS e
+        |  FROM isl2 GROUP BY 1, 2),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |         CAST(SUM(e - s) AS BIGINT) AS dup_chars,
+        |         CAST(MAX(e - s) AS BIGINT) AS longest_span
+        |  FROM spans GROUP BY 1),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_positions
+        |       FROM cov GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(np.n_dup_positions, 0) AS n_dup_positions,
+        |  coalesce(per_doc.n_spans, 0) AS n_spans,
+        |  coalesce(per_doc.dup_chars, 0) AS dup_chars,
+        |  coalesce(per_doc.longest_span, 0) AS longest_span
+        |FROM d LEFT JOIN np USING (doc_id) LEFT JOIN per_doc USING (doc_id)""".stripMargin,
     "q36_minhash_lsh" -> {
       // h1/h2 = first/second 8 hex digits of md5(shingle) as integers —
       // the oracle restatement of MinHashSigs' big-endian digest words.

@@ -91,6 +91,37 @@ class DedupSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("exactSubstrCoverage marks exactly the cross-doc verbatim spans") {
+    // k=5. Doc 10 and 11 share "ABCDEFG" (len 7 ≥ 5) and nothing else
+    // cross-doc; doc 12 repeats a 5-gram only WITHIN itself (no other
+    // doc has it) → zero coverage; doc 13 is unrelated.
+    val corpus = Seq(
+      (10L, "xxABCDEFGyy"),        // span [3, 10) → 7 chars, grams at pos 3,4,5
+      (11L, "ABCDEFGzzzz"),        // span [1, 8)  → 7 chars, grams at pos 1,2,3
+      (12L, "QQQQQwwQQQQQ"),       // within-doc repeat only → no coverage
+      (13L, "0123456789")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrCoverage(corpus, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      (10L, 3L, 1L, 7L, 7L),
+      (11L, 3L, 1L, 7L, 7L),
+      (12L, 0L, 0L, 0L, 0L),
+      (13L, 0L, 0L, 0L, 0L)))
+    // two disjoint shared runs make two spans; dup_chars sums both
+    val corpus2 = Seq(
+      (20L, "AAAAA.....BBBBB"),    // shares AAAAA and BBBBB with 21/22
+      (21L, "AAAAAzzzzzzzzzz"),
+      (22L, "zzzzzzzzzzBBBBB")
+    ).toDF("doc_id", "text")
+    val out2 = Dedup.exactSubstrCoverage(corpus2, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out2(0) === ((20L, 2L, 10L)))  // two spans of 5 chars each
+  }
+
   test("simhash aggregate matches a reference bit-count implementation") {
     // Independent recomputation: per distinct trigram, bit b = bit (7-b%8)
     // of byte b/8 of md5; document bit set iff 2*ones >= n. Exercises the
