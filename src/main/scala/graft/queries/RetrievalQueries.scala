@@ -149,6 +149,30 @@ object RetrievalQueries {
     // partial+final (doc, dim) aggregation — dims are bounded (≤64 per
     // doc), no vocabulary table, no join, nothing broadcast.
     // ---------------------------------------------------------------
+    // q129: TRAINED quality classifier at corpus scale (the round-7
+    // verdict's "model-based quality classifier inference" gap) —
+    // fastText-shape: a multinomial-NB log-odds linear model fit on the
+    // q61 train split with the q33 heuristic as its distillation target,
+    // applied scan-locally over q103's hashed BoW features. Fit = one
+    // integer aggregate → ≤64-row quantized-ln weight table; apply =
+    // weights BROADCAST onto the feature stream + per-doc integer dot
+    // product (order-free, hash-gates exactly). See operators.Classifier
+    // for the model form and the 100 TB shape; q120's confusion-matrix
+    // evaluator grades exactly this (label, predicted) surface.
+    // ---------------------------------------------------------------
+    "q129_quality_classifier" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val feats = defs("q103_feature_hashing")(s, dir)
+        .select(col("doc_id"), col("dim"), col("n_hits"))
+      val labels = TextQueries.defs("q33_text_quality")(s, dir)
+        .select(col("doc_id"), col("is_high_quality").as("label"))
+      val trainIds = TextQueries.defs("q61_train_split")(s, dir)
+        .filter(col("split") === "train").select(col("doc_id"))
+      graft.operators.Classifier.nbLogOddsScore(
+        d.select(col("doc_id")), feats, labels, trainIds, dims = 64)
+    },
+
+    // ---------------------------------------------------------------
     "q103_feature_hashing" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
       val hexed = docs
@@ -407,6 +431,22 @@ object RetrievalQueries {
   private def hex4Sql(from: Int): String =
     graft.functions.HexKeys.value16Sql(from)
 
+  /** The q103 featurizer oracle — shared verbatim by q129's composed fit. */
+  private val q103Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5('fh|' || tok) AS hex
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |e AS (
+       |  SELECT doc_id,
+       |         CAST(${graft.functions.HexKeys.value16Sql(0)} % 64 AS BIGINT) AS dim,
+       |         CAST((${graft.functions.HexKeys.value16Sql(4)} % 2) * 2 - 1 AS BIGINT)
+       |           AS sgn
+       |  FROM tok)
+       |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS feature,
+       |       CAST(count(*) AS BIGINT) AS n_hits
+       |FROM e GROUP BY doc_id, dim""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Same register derivation character-for-character via the HexKeys
     // SQL twins; HUGEINT `//` ≡ Spark's DECIMAL `div` (both truncate);
@@ -547,20 +587,61 @@ object RetrievalQueries {
          |FROM est""".stripMargin
     },
 
-    "q103_feature_hashing" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, md5('fh|' || tok) AS hex
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |        FROM documents)),
-         |e AS (
-         |  SELECT doc_id,
-         |         CAST(${graft.functions.HexKeys.value16Sql(0)} % 64 AS BIGINT) AS dim,
-         |         CAST((${graft.functions.HexKeys.value16Sql(4)} % 2) * 2 - 1 AS BIGINT)
-         |           AS sgn
-         |  FROM tok)
-         |SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS feature,
-         |       CAST(count(*) AS BIGINT) AS n_hits
-         |FROM e GROUP BY doc_id, dim""".stripMargin,
+    "q103_feature_hashing" -> q103Oracle,
+
+    // Composes the q103 / q33 / q61 oracles as derived tables (the
+    // q116/q120/q121 composition pattern), then mirrors the Spark fit:
+    // corpus-wide dim spine, train-slice class counts, quantized-ln
+    // log-odds weights, integer dot product + bias. ln() is evaluated
+    // once per dim from exact integers on both engines, so the scores
+    // hash-gate bit-exactly.
+    "q129_quality_classifier" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id, dim, n_hits FROM ($q103Oracle) f),
+         |lab AS (
+         |  SELECT doc_id, is_high_quality AS label
+         |  FROM (${TextQueries.oracles("q33_text_quality")}) q),
+         |tr AS (
+         |  SELECT doc_id FROM (${TextQueries.oracles("q61_train_split")}) s
+         |  WHERE split = 'train'),
+         |dh AS (
+         |  SELECT doc_id, CAST(SUM(n_hits) AS BIGINT) AS doc_hits
+         |  FROM feats GROUP BY 1),
+         |tot AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN label THEN coalesce(doc_hits, 0) ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN NOT label THEN coalesce(doc_hits, 0) ELSE 0 END) AS BIGINT) AS tn,
+         |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+         |    CAST(SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS nneg
+         |  FROM tr JOIN lab USING (doc_id) LEFT JOIN dh USING (doc_id)),
+         |dc0 AS (
+         |  SELECT dim,
+         |    CAST(SUM(CASE WHEN label THEN n_hits ELSE 0 END) AS BIGINT) AS cp0,
+         |    CAST(SUM(CASE WHEN NOT label THEN n_hits ELSE 0 END) AS BIGINT) AS cn0
+         |  FROM feats JOIN tr USING (doc_id) JOIN lab USING (doc_id) GROUP BY 1),
+         |dc AS (
+         |  SELECT sp.dim, coalesce(cp0, 0) AS cp, coalesce(cn0, 0) AS cn
+         |  FROM (SELECT DISTINCT dim FROM feats) sp LEFT JOIN dc0 USING (dim)),
+         |w AS (
+         |  SELECT dim,
+         |    CAST(floor(ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + 64 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+         |    - CAST(floor(ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + 64 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS wq
+         |  FROM dc CROSS JOIN tot),
+         |b AS (
+         |  SELECT CAST(floor(ln(CAST(npos AS DOUBLE) / CAST(nneg AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS bias_q
+         |  FROM tot),
+         |dot AS (
+         |  SELECT doc_id, CAST(SUM(n_hits * wq) AS BIGINT) AS dot_q
+         |  FROM feats JOIN w USING (dim) GROUP BY 1)
+         |SELECT d.doc_id, lab.label,
+         |  coalesce(t.in_train, false) AS in_train,
+         |  coalesce(dot.dot_q, 0) + b.bias_q AS score_e9,
+         |  (coalesce(dot.dot_q, 0) + b.bias_q) > 0 AS predicted
+         |FROM documents d
+         |LEFT JOIN lab USING (doc_id)
+         |LEFT JOIN (SELECT doc_id, true AS in_train FROM tr) t USING (doc_id)
+         |LEFT JOIN dot USING (doc_id)
+         |CROSS JOIN b""".stripMargin,
 
     "q92_tfidf_keywords" ->
       """WITH tok AS (
