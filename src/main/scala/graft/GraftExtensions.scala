@@ -93,6 +93,21 @@ object GraftExtensions {
          "graft_topk_pairs(key, id, k)") {
       case Seq(key, id, k) =>
         TopKPairs(key, id, intLit(k, "graft_topk_pairs", "k"))
+    },
+    desc("graft_char_grams", classOf[CharGramArray],
+         "graft_char_grams(text, k)") {
+      case Seq(t, k) => CharGramArray(t, intLit(k, "graft_char_grams", "k"))
+    },
+    // descending=true fixed: SQL callers get the top-k-by-value-DESC key
+    // (the TopKPairs companion); MomentTerms-style asc variants can be
+    // added if a consumer appears
+    desc("graft_double_sort_key", classOf[DoubleSortKey],
+         "graft_double_sort_key(double) — 16-hex key, ASC order = value DESC") {
+      case Seq(v) => DoubleSortKey(v, descending = true)
+    },
+    desc("graft_double_sort_key_decode", classOf[DoubleSortKeyDecode],
+         "graft_double_sort_key_decode(key) — exact inverse") {
+      case Seq(k) => DoubleSortKeyDecode(k, descending = true)
     })
 
   /** Post-hoc registration on an existing session (same builders the

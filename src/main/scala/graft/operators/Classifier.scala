@@ -55,8 +55,14 @@ object Classifier {
     * @return (doc_id, label, in_train, score_e9, predicted) — score in
     *         integer 1e-9 ln-units; all-exact, hash-gateable
     */
-  def nbLogOddsScore(docs: DataFrame, feats: DataFrame, labels: DataFrame,
+  def nbLogOddsScore(docs: DataFrame, featsRaw: DataFrame, labels: DataFrame,
                      trainIds: DataFrame, dims: Int): DataFrame = {
+    // the feature frame feeds FOUR consumers (doc totals, dim spine,
+    // train counts, apply-time dot product) — materialize it once or
+    // every branch re-runs the featurizer's corpus scan + aggregation
+    // (the q119/q35 miner discipline; the frame is ≤ dims rows per doc,
+    // far smaller than the corpus)
+    val feats = featsRaw.localCheckpoint()
     val train = feats
       .join(trainIds.select(col("doc_id")), Seq("doc_id"))
       .join(labels, Seq("doc_id"))

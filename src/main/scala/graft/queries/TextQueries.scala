@@ -207,7 +207,13 @@ object TextQueries {
         defs("q111_bpe_pair_counts")(s, dir)
           .orderBy(col("rank"))
           .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-      d.select(col("doc_id"), col("text").cast(StringType)).as[(Long, String)]
+      val baseDf = d.select(col("doc_id"), col("text").cast(StringType))
+      // per-row work is multiplied by the merge count (20 greedy passes
+      // per doc) — spread a single-split local scan across cores first
+      // (q119's guard: no-op when the scan already has ≥ cores splits)
+      val para = s.sparkContext.defaultParallelism
+      (if (baseDf.rdd.getNumPartitions < para)
+         baseDf.repartition(para) else baseDf).as[(Long, String)]
         .map { case (id, text) =>
           val toks = if (text == null) Seq.empty[String] else text.split(' ').toSeq
           val out  = graft.operators.Bpe.tokenize(toks, merges)
@@ -612,7 +618,15 @@ object TextQueries {
     // quadratic join, so banding recall itself is what's being gated.
     "q127_image_neardup" -> { (s, dir) =>
       import s.implicits._
-      val ids = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val idsDf = Tables(s, dir).documents.select(col("doc_id"))
+      // the map below multiplies work per row (PNG encode + imageio
+      // decode, ~ms/row) — if the scan supplies fewer splits than cores
+      // (one small local file), spread the id rows first so the hash
+      // build parallelizes; at warehouse scale the input has more splits
+      // than cores and this is a no-op (q119's guard discipline)
+      val para = s.sparkContext.defaultParallelism
+      val ids = (if (idsDf.rdd.getNumPartitions < para)
+                   idsDf.repartition(para) else idsDf).as[Long]
       val hashes = ids.map { id =>
         val h = graft.operators.Multimodal.dHash64(
           graft.operators.Multimodal.syntheticPatternPng(id))

@@ -560,7 +560,12 @@ class PlanQualitySpec extends SparkSpec {
       "q119_covariance"        -> 0, // moment frame checkpointed at construction
       "q121_pca_projection"    -> 0, // literal-eigenvector projection
       "q122_zipf_fit"          -> 3, // vocab agg + rank window + 1-row OLS, all post-agg
-      "q123_triangle_count"    -> 1) // src-bucket carries through; final node agg only
+      "q123_triangle_count"    -> 1, // src-bucket carries through; final node agg only
+      "q127_image_neardup"     -> 3, // spread + banded self-join (reused exchange) + distinct
+      "q128_exact_substr"      -> 6, // gram agg + match join + per-doc islands + zero-fill
+                                     // (initial plan; 4 at runtime after exchange reuse)
+      "q129_quality_classifier"-> 7, // all post-checkpoint small frames; corpus scanned once
+      "q130_bpe_tokenize"      -> 1) // spread only; tokenize is scan-local
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
