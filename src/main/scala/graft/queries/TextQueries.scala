@@ -462,6 +462,25 @@ object TextQueries {
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
     },
 
+    // Perceptual duplicate CLUSTERS: q127's banded dHash pairs closed
+    // into transitive components (the q67 step applied to the image
+    // modality — a re-encoded copy of a re-encoded copy still collapses
+    // to one canonical), every media id labeled with its cluster's min
+    // id, cluster size, and canonical flag. Reuses
+    // Dedup.connectedComponents: only edge ENDPOINTS iterate; the
+    // per-cluster window is bounded by cluster size.
+    "q132_image_dup_clusters" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val comp = graft.operators.Dedup.connectedComponents(
+        d.select(col("doc_id").as("id")),
+        defs("q127_image_neardup")(s, dir),
+        "id_a", "id_b")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      comp.select(col("id").as("media_id"), col("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("media_id") === col("cluster_id"))
+    },
+
     // KMV distinct-count sketch: per-language distinct-token cardinality
     // estimated with the k-minimum-values sketch (graftx.KmvDistinct,
     // k=64) next to the exact count — mergeable O(k) state per group, and
@@ -749,6 +768,38 @@ object TextQueries {
        |       ELSE 'fr' END AS predicted_lang
        |FROM s""".stripMargin
   }
+
+  /** The q127 dHash pair oracle — shared by q132's cluster oracle. */
+  private lazy val q127Oracle: String =
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS f, doc_id // 16 AS v
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, f, v, unnest(generate_series(0, 1151)) AS p FROM ids),
+        |xy AS (SELECT doc_id, f, v, p % 36 AS x, p // 36 AS y FROM px),
+        |g AS (
+        |  SELECT doc_id, y // 4 AS r, x // 4 AS c,
+        |    (x*(3 + f%5) + y*(5 + f%7) + f*37) % 180 + 10
+        |      + CASE WHEN (x*7 + y*11 + v*53) % 23 = v % 23 THEN 60 ELSE 0 END AS gv
+        |  FROM xy),
+        |cells AS (
+        |  SELECT doc_id, r, c, CAST(SUM(gv) AS BIGINT) AS s FROM g GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.r * 8 + a.c AS k,
+        |         CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS h2
+        |  FROM bits GROUP BY 1)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 7""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Relational winnowing: the same min(struct(hash, -pos)) per sliding
@@ -1341,36 +1392,26 @@ object TextQueries {
     // recall is exactly what the hash gate checks. Luminance differs by
     // the constant ×3 (r+g+b of a gray pixel) — comparisons, and
     // therefore bits, are identical.
-    "q127_image_neardup" ->
-      """WITH ids AS (
-        |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS f, doc_id // 16 AS v
-        |  FROM documents),
-        |px AS (
-        |  SELECT doc_id, f, v, unnest(generate_series(0, 1151)) AS p FROM ids),
-        |xy AS (SELECT doc_id, f, v, p % 36 AS x, p // 36 AS y FROM px),
-        |g AS (
-        |  SELECT doc_id, y // 4 AS r, x // 4 AS c,
-        |    (x*(3 + f%5) + y*(5 + f%7) + f*37) % 180 + 10
-        |      + CASE WHEN (x*7 + y*11 + v*53) % 23 = v % 23 THEN 60 ELSE 0 END AS gv
-        |  FROM xy),
-        |cells AS (
-        |  SELECT doc_id, r, c, CAST(SUM(gv) AS BIGINT) AS s FROM g GROUP BY 1, 2, 3),
-        |bits AS (
-        |  SELECT a.doc_id, a.r * 8 + a.c AS k,
-        |         CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
-        |  FROM cells a JOIN cells b
-        |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
-        |  WHERE a.c < 8),
-        |h AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS h1,
-        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS h2
-        |  FROM bits GROUP BY 1)
-        |SELECT id_a, id_b, hamming FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
-        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
-        |WHERE hamming <= 7""".stripMargin,
+    "q127_image_neardup" -> q127Oracle,
+
+    // q67's reachability pattern over the q127 pair oracle: symmetrized
+    // edges, recursive min-label reach, per-cluster window stats.
+    "q132_image_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id_a, id_b FROM ($q127Oracle) p),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT rc.id, e.d FROM reach rc JOIN edges e ON rc.r = e.s),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS media_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  id = cluster_id AS is_canonical
+         |FROM comp""".stripMargin,
+
     "q39_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

@@ -565,7 +565,9 @@ class PlanQualitySpec extends SparkSpec {
       "q128_exact_substr"      -> 6, // gram agg + match join + per-doc islands + zero-fill
                                      // (initial plan; 4 at runtime after exchange reuse)
       "q129_quality_classifier"-> 7, // all post-checkpoint small frames; corpus scanned once
-      "q130_bpe_tokenize"      -> 1) // spread only; tokenize is scan-local
+      "q130_bpe_tokenize"      -> 1, // spread only; tokenize is scan-local
+      "q131_classifier_eval"   -> 3, // all post-checkpoint ≤4-cell frames
+      "q132_image_dup_clusters"-> 2) // endpoint-only CC + per-cluster window
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
