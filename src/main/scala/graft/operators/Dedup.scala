@@ -266,9 +266,40 @@ object Dedup {
       .filter(col("ndocs") >= 2)
       .select(col("gram"))
     val cov = g.join(shared, Seq("gram")).select(col("doc_id"), col("pos"))
-    // gaps-and-islands over covered extents [pos, pos+k): a new span
-    // starts where pos clears every previous extent's end. Window is
-    // per-doc, ordered by pos (unique within doc by construction).
+    substrSpanStats(df.select(col(idCol).as("doc_id")), cov, k)
+  }
+
+  /** Incremental ExactSubstr — the delta-ingest form of
+    * [[exactSubstrCoverage]] (the q91 snapshot-dedup discipline): for
+    * each NEW document, the exact character spans occurring verbatim
+    * (length ≥ k) anywhere in the EXISTING corpus. At 100 TB you do not
+    * re-run corpus×corpus dedup per crawl increment: the base side
+    * collapses to its DISTINCT gram set once (in production: a
+    * maintained gram index, bucketable by gram key), and each delta doc
+    * probes it with one equi-join — cost ∝ delta size, not corpus size,
+    * plus the one-off index build.
+    */
+  def exactSubstrAgainst(delta: DataFrame, base: DataFrame, idCol: String,
+                         textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftx.CharGramArray
+    val g = delta.select(col(idCol).as("doc_id"),
+                         posexplode(CharGramArray.charGrams(col(textCol), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+              col("col").as("gram"))
+    val baseGrams = base
+      .select(explode(CharGramArray.charGrams(col(textCol), k)).as("gram"))
+      .distinct()
+    val cov = g.join(baseGrams, Seq("gram")).select(col("doc_id"), col("pos"))
+    substrSpanStats(delta.select(col(idCol).as("doc_id")), cov, k)
+  }
+
+  /** Shared span-merge tail of the ExactSubstr family: covered gram
+    * extents [pos, pos+k) → maximal spans (per-DOC gaps-and-islands — a
+    * new span starts where pos clears every previous extent's end; the
+    * window is bounded by one document's length) → zero-filled per-doc
+    * stats.
+    */
+  private def substrSpanStats(docIds: DataFrame, cov: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val isl = cov
       .withColumn("prev_end",
@@ -283,7 +314,7 @@ object Dedup {
            sum(col("e") - col("s")).as("dup_chars"),
            max(col("e") - col("s")).as("longest_span"))
     val nPos = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_positions"))
-    df.select(col(idCol).as("doc_id"))
+    docIds
       .join(nPos, Seq("doc_id"), "left")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -79,6 +79,23 @@ object IncrementalQueries {
     },
 
     // ---------------------------------------------------------------
+    // q133: incremental ExactSubstr — q128's substring-level exact
+    // dedup in the delta-ingest shape (q91's discipline): each NEW
+    // document's verbatim ≥25-char spans against the EXISTING corpus
+    // only. Cost ∝ delta, not corpus²: the base side collapses to its
+    // distinct gram set (in production a maintained, gram-bucketed
+    // index) and delta grams probe it with one equi-join. See
+    // Dedup.exactSubstrAgainst.
+    // ---------------------------------------------------------------
+    "q133_incremental_substr" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      graft.operators.Dedup.exactSubstrAgainst(
+        docs.filter(col("doc_id") >= Split),
+        docs.filter(col("doc_id") < Split),
+        "doc_id", "text", k = 25)
+    },
+
+    // ---------------------------------------------------------------
     // q95: deterministic epoch shuffle — the global permutation +
     // shard/offset assignment of a training-data build ("shuffle the
     // corpus each epoch, then serve it in fixed-size shards"). The
@@ -158,6 +175,52 @@ object IncrementalQueries {
          |  (NOT is_exact_dup) AND (n_ngrams = 0 OR n_overlap * 2 < n_ngrams)
          |    AS keep
          |FROM j""".stripMargin,
+
+    // q128's oracle shape with the gram join restricted to delta-probes-
+    // base: delta grams with positions, base DISTINCT grams, islands
+    // over the matched extents.
+    "q133_incremental_substr" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         |dpos AS (
+         |  SELECT doc_id, unnest(generate_series(1, len - 24)) AS pos
+         |  FROM d WHERE len >= 25 AND doc_id >= $Split),
+         |dg AS (
+         |  SELECT p.doc_id, p.pos, substr(d.text, CAST(p.pos AS INTEGER), 25) AS gram
+         |  FROM dpos p JOIN d USING (doc_id)),
+         |bg AS (
+         |  SELECT DISTINCT substr(d.text, CAST(p.pos AS INTEGER), 25) AS gram
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len - 24)) AS pos
+         |        FROM d WHERE len >= 25 AND doc_id < $Split) p
+         |  JOIN d USING (doc_id)),
+         |cov AS (SELECT dg.doc_id, dg.pos FROM dg JOIN bg USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > coalesce(MAX(pos + 25) OVER (
+         |           PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |         THEN 1 ELSE 0 END AS new_span
+         |  FROM cov),
+         |isl2 AS (
+         |  SELECT doc_id, pos,
+         |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |  FROM isl),
+         |spans AS (
+         |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 25 AS e
+         |  FROM isl2 GROUP BY 1, 2),
+         |per_doc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |         CAST(SUM(e - s) AS BIGINT) AS dup_chars,
+         |         CAST(MAX(e - s) AS BIGINT) AS longest_span
+         |  FROM spans GROUP BY 1),
+         |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_positions
+         |       FROM cov GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(np.n_dup_positions, 0) AS n_dup_positions,
+         |  coalesce(per_doc.n_spans, 0) AS n_spans,
+         |  coalesce(per_doc.dup_chars, 0) AS dup_chars,
+         |  coalesce(per_doc.longest_span, 0) AS longest_span
+         |FROM d LEFT JOIN np USING (doc_id) LEFT JOIN per_doc USING (doc_id)
+         |WHERE d.doc_id >= $Split""".stripMargin,
 
     "q95_epoch_shuffle" -> {
       val h32 = s"(CAST(${graft.functions.HexKeys.value16Sql(0)} AS BIGINT) * 65536 + " +

@@ -285,6 +285,68 @@ object EventsStream {
       }
       .start()
 
+  /** Schema of the `documents` parquet (the corpus-side streaming legs). */
+  val documentSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  /** File-source stream of documents — the continuously-arriving-corpus
+    * entry point for the curation legs below.
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentSchema).parquet(dir)
+
+  /** Streaming BPE tokenize apply — q130 on a continuously-arriving
+    * corpus: the fitted merge table is a broadcast-sized closure constant
+    * and the greedy fold is STATELESS per document, so the leg is a pure
+    * streaming map (append mode, no state store at all) whose output is
+    * bit-identical to the batch operator on the same files. This is the
+    * production shape: fit once (batch, q111), tokenize forever
+    * (stream).
+    */
+  def tokenizeStream(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("string")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = if (text == null) Seq.empty[String] else text.split(' ').toSeq
+        val out  = graft.operators.Bpe.tokenize(toks, merges)
+        (id, toks.length.toLong, out.length.toLong,
+         out.count(_.contains(graft.operators.Bpe.Sep)).toLong)
+      }
+      .toDF("doc_id", "n_tokens_before", "n_tokens_after", "n_merged_tokens")
+  }
+
+  /** Streaming perceptual dedup at the exact-dHash granularity: each
+    * document's pattern image decodes and hashes scan-locally (stateless
+    * map — q127's dHash64), then a streaming aggregate keeps ONE row per
+    * distinct hash (first-seen canonical = min id, group size). State is
+    * bounded by the number of DISTINCT perceptual hashes, not the
+    * stream length — re-encoded copies (Hamming 0) collapse as they
+    * arrive. Near-dup banding (Hamming ≤ 7) stays the batch path
+    * (q127/q132): band state would need per-band postings, which is the
+    * batch index this engine maintains in the warehouse.
+    */
+  def perceptualDedupStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val h = graft.operators.Multimodal.dHash64(
+          graft.operators.Multimodal.syntheticPatternPng(id))
+          .getOrElse(sys.error(s"undecodable synthetic PNG for id $id"))
+        (id, h)
+      }
+      .toDF("media_id", "dhash")
+      .groupBy(col("dhash"))
+      .agg(min(col("media_id")).as("canonical_id"),
+           count(lit(1)).as("group_size"))
+  }
+
   /** Drive a streaming DataFrame to completion against currently-available
     * files (Trigger.AvailableNow-style smoke path for local verification).
     */

@@ -122,6 +122,19 @@ class DedupSpec extends SparkSpec {
     assert(out2(0) === ((20L, 2L, 10L)))  // two spans of 5 chars each
   }
 
+  test("exactSubstrAgainst marks only delta-vs-BASE spans, never delta-vs-delta") {
+    val base = Seq((1L, "xxABCDEFGyy")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "ABCDEFGzz"),     // shares ABCDEFG (7 >= 5) with base doc 1
+      (11L, "WWWWWqqqqq"),    // shares WWWWW only with delta doc 12 → no hit
+      (12L, "WWWWWrrrrr")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrAgainst(delta, base, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out === Array((10L, 1L, 7L), (11L, 0L, 0L), (12L, 0L, 0L)))
+  }
+
   test("simhash aggregate matches a reference bit-count implementation") {
     // Independent recomputation: per distinct trigram, bit b = bit (7-b%8)
     // of byte b/8 of md5; document bit set iff 2*ones >= n. Exercises the

@@ -567,7 +567,8 @@ class PlanQualitySpec extends SparkSpec {
       "q129_quality_classifier"-> 7, // all post-checkpoint small frames; corpus scanned once
       "q130_bpe_tokenize"      -> 1, // spread only; tokenize is scan-local
       "q131_classifier_eval"   -> 3, // all post-checkpoint ≤4-cell frames
-      "q132_image_dup_clusters"-> 2) // endpoint-only CC + per-cluster window
+      "q132_image_dup_clusters"-> 2, // endpoint-only CC + per-cluster window
+      "q133_incremental_substr"-> 6) // base gram distinct + probe join + islands
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

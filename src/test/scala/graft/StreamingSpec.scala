@@ -23,6 +23,40 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
+  /** Staged documents dir for the corpus-side streaming legs. */
+  private lazy val docsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("documents.parquet"))
+    d.toString
+  }
+
+  test("streaming BPE tokenize ≡ batch apply; stateless (append mode)") {
+    val docs  = graft.core.Tables(spark, dir).documents
+    val merges = graft.operators.Bpe.fit(docs, "text", numMerges = 5)
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.tokenizeStream(
+        EventsStream.readDocuments(spark, docsDir), merges),
+      "stream_tok", OutputMode.Append())
+    val batch = EventsStream.tokenizeStream(docs, merges)
+    assert(streamed.collect().toSet === batch.collect().toSet)
+    assert(streamed.count() === docs.count())
+  }
+
+  test("streaming perceptual dedup collapses re-encoded copies; state ∝ distinct hashes") {
+    val docs = graft.core.Tables(spark, dir).documents
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.perceptualDedupStream(
+        EventsStream.readDocuments(spark, docsDir)),
+      "stream_phash")
+    val batch = EventsStream.perceptualDedupStream(docs)
+    assert(streamed.collect().toSet === batch.collect().toSet)
+    // state bound: one row per distinct hash, and dups DID collapse
+    assert(streamed.count() < docs.count())
+    assert(streamed.agg(sum("group_size")).head.getLong(0) === docs.count())
+  }
+
   test("windowed streaming aggregation matches the batch equivalent") {
     val streamed = EventsStream.runToMemorySink(
       EventsStream.windowedRates(EventsStream.read(spark, eventsDir)),
