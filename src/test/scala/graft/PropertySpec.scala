@@ -106,6 +106,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("DoubleSortKey: lossless roundtrip and exact DESC order, random doubles") {
+    import org.apache.spark.sql.graftx.SortableDouble
+    val doubleGen: Gen[Seq[Double]] = Gen.listOfN(40, Gen.oneOf(
+      Gen.choose(-1.0, 1.0),
+      Gen.choose(-1e300, 1e300),
+      Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+                Double.MaxValue, Double.MinValue, 1.0, -1.0)))
+    forSeeds(doubleGen) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+        .select(col("id"), col("v"), SortableDouble.sortKeyDesc(col("v")).as("k"))
+        .select(col("id"), col("v"), col("k"),
+                SortableDouble.decodeDesc(col("k")).as("rt"))
+      val rows = df.collect().map(r =>
+        (r.getDouble(1), r.getString(2), r.getDouble(3)))
+      // bitwise roundtrip (covers -0.0 vs 0.0 and denormals)
+      rows.foreach { case (v, _, rt) =>
+        assert(java.lang.Double.doubleToRawLongBits(v) ===
+          java.lang.Double.doubleToRawLongBits(rt))
+      }
+      // key ASC (binary string order) == value DESC (IEEE total order);
+      // the reference order is computed directly from the bit pattern
+      def ascBits(v: Double): Long = {
+        val bits = java.lang.Double.doubleToLongBits(v)
+        if (bits >= 0L) bits ^ java.lang.Long.MIN_VALUE else ~bits
+      }
+      val byKey = rows.sortBy(_._2).map(_._1)
+      val byVal = rows.map(_._1)
+        .sortWith((a, b) => java.lang.Long.compareUnsigned(ascBits(a), ascBits(b)) > 0)
+      assert(byKey.map(java.lang.Double.doubleToLongBits).toSeq ===
+             byVal.map(java.lang.Double.doubleToLongBits).toSeq)
+    }
+  }
+
+  test("CharGramArray ≡ naive sliding substrings, random strings") {
+    import org.apache.spark.sql.graftx.CharGramArray
+    val sGen: Gen[Seq[String]] = Gen.listOfN(20, for {
+      n  <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', ' ', 'Ω'))
+    } yield cs.mkString)
+    forSeeds(sGen) { strs =>
+      for (k <- Seq(1, 3, 5)) {
+        val got = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("id", "s")
+          .select(col("id"), CharGramArray.charGrams(col("s"), k).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        strs.zipWithIndex.foreach { case (s, i) =>
+          val want = if (s.length < k) Seq.empty
+                     else (0 to s.length - k).map(p => s.substring(p, p + k))
+          assert(got(i.toLong) === want, s"k=$k s='$s'")
+        }
+      }
+    }
+  }
+
   test("exact decimal sums equal plain double sums within 1e-9 on 2-decimal data") {
     forSeeds(Gen.listOfN(200, Gen.choose(0, 5000000).map(_ / 100.0))) { xs =>
       {
