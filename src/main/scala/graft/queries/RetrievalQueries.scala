@@ -165,28 +165,7 @@ object RetrievalQueries {
     // q120's confusion-matrix evaluator grades exactly this
     // (label, predicted) surface.
     // ---------------------------------------------------------------
-    "q129_quality_classifier" -> { (s, dir) =>
-      val d = Tables(s, dir).documents
-      val toks = Text.tokens(col("text"))
-      val aug = concat(toks, array(concat(lit("len:"),
-        least(floor(size(toks) / lit(10.0)).cast(LongType), lit(12L))
-          .cast(StringType))))
-      val hexed = d
-        .select(col("doc_id"), explode(aug).as("tok"))
-        .select(col("doc_id"), md5(concat(lit("fh|"), col("tok"))).as("hex"))
-      val feats = hexed
-        .select(col("doc_id"),
-                (graft.functions.HexKeys.value16(col("hex"), 0) % 64)
-                  .cast(LongType).as("dim"))
-        .groupBy(col("doc_id"), col("dim"))
-        .agg(count(lit(1)).as("n_hits"))
-      val labels = TextQueries.defs("q33_text_quality")(s, dir)
-        .select(col("doc_id"), col("is_high_quality").as("label"))
-      val trainIds = TextQueries.defs("q61_train_split")(s, dir)
-        .filter(col("split") === "train").select(col("doc_id"))
-      graft.operators.Classifier.nbLogOddsScore(
-        d.select(col("doc_id")), feats, labels, trainIds, dims = 64)
-    },
+    "q129_quality_classifier" -> { (s, dir) => classifierScores(s, dir) },
 
     // ---------------------------------------------------------------
     // q131: evaluation of the TRAINED q129 classifier on its holdout —
@@ -472,6 +451,38 @@ object RetrievalQueries {
 
   private def hex4Sql(from: Int): String =
     graft.functions.HexKeys.value16Sql(from)
+
+  /** The q129 fit+apply, scored once per (session, dir) — the jaccard05
+    * memo discipline: q129 itself and q131's evaluator both consume the
+    * scored frame, and the fit (featurizer scan + weight aggregate)
+    * should never run twice because two queries need its output.
+    * Eagerly checkpointed (same CLUSTER CAVEAT as the pair miners).
+    */
+  private val scoreCache = new graft.core.SessionCache[String]
+  private def classifierScores(s: SparkSession, dir: String): DataFrame =
+    scoreCache.getOrElseUpdate(s, dir) {
+      val d = Tables(s, dir).documents
+      val toks = Text.tokens(col("text"))
+      val aug = concat(toks, array(concat(lit("len:"),
+        least(floor(size(toks) / lit(10.0)).cast(LongType), lit(12L))
+          .cast(StringType))))
+      val hexed = d
+        .select(col("doc_id"), explode(aug).as("tok"))
+        .select(col("doc_id"), md5(concat(lit("fh|"), col("tok"))).as("hex"))
+      val feats = hexed
+        .select(col("doc_id"),
+                (graft.functions.HexKeys.value16(col("hex"), 0) % 64)
+                  .cast(LongType).as("dim"))
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(count(lit(1)).as("n_hits"))
+      val labels = TextQueries.defs("q33_text_quality")(s, dir)
+        .select(col("doc_id"), col("is_high_quality").as("label"))
+      val trainIds = TextQueries.defs("q61_train_split")(s, dir)
+        .filter(col("split") === "train").select(col("doc_id"))
+      graft.operators.Classifier.nbLogOddsScore(
+        d.select(col("doc_id")), feats, labels, trainIds, dims = 64)
+        .localCheckpoint()
+    }
 
   /** The q103 featurizer oracle — shared verbatim by q129's composed fit. */
   private val q103Oracle: String =

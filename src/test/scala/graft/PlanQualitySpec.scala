@@ -333,6 +333,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"no TopKPairs aggregate:\n$plan")
   }
 
+  test("q127 dHash mining plans as banded equi-join — no cartesian, no window") {
+    // The shipped q127 is a memoized checkpoint (q35 discipline); assert
+    // the banded shape on the LAZY mining plan instead.
+    val plan = planOf(graft.queries.TextQueries.dhashPairsPlan(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"all-pairs crept in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ crept in:\n$plan")
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+  }
+
   test("q93 histogram sketch: the only window runs over the aggregated bins") {
     // The data path is projection + partial/final count; a Window is fine
     // ONLY downstream of the ≤1024-row histogram aggregate — never over
@@ -561,13 +570,14 @@ class PlanQualitySpec extends SparkSpec {
       "q121_pca_projection"    -> 0, // literal-eigenvector projection
       "q122_zipf_fit"          -> 3, // vocab agg + rank window + 1-row OLS, all post-agg
       "q123_triangle_count"    -> 1, // src-bucket carries through; final node agg only
-      "q127_image_neardup"     -> 3, // spread + banded self-join (reused exchange) + distinct
+      "q127_image_neardup"     -> 0, // memoized miner checkpoints at construction (q35 pattern)
       "q128_exact_substr"      -> 6, // gram agg + match join + per-doc islands + zero-fill
                                      // (initial plan; 4 at runtime after exchange reuse)
-      "q129_quality_classifier"-> 7, // all post-checkpoint small frames; corpus scanned once
+      "q129_quality_classifier"-> 0, // memoized scorer checkpoints at construction (q35 pattern)
       "q130_bpe_tokenize"      -> 1, // spread only; tokenize is scan-local
       "q131_classifier_eval"   -> 3, // all post-checkpoint ≤4-cell frames
-      "q132_image_dup_clusters"-> 2, // endpoint-only CC + per-cluster window
+      "q132_image_dup_clusters"-> 4, // quotient-graph rep joins + per-cluster window;
+                                     // CC runs on ~distinct-hash-sized rep edges
       "q133_incremental_substr"-> 6) // base gram distinct + probe join + islands
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
