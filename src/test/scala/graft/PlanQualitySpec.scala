@@ -578,7 +578,8 @@ class PlanQualitySpec extends SparkSpec {
       "q131_classifier_eval"   -> 3, // all post-checkpoint ≤4-cell frames
       "q132_image_dup_clusters"-> 4, // quotient-graph rep joins + per-cluster window;
                                      // CC runs on ~distinct-hash-sized rep edges
-      "q133_incremental_substr"-> 6) // base gram distinct + probe join + islands
+      "q133_incremental_substr"-> 6, // base gram distinct + probe join + islands
+      "q134_bpe_fit_apply"     -> 1) // spread only; fit collapses driver-side, apply scan-local
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
