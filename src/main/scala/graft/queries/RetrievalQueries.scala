@@ -140,15 +140,6 @@ object RetrievalQueries {
     },
 
     // ---------------------------------------------------------------
-    // q103: hashing-trick featurizer (Weinberger et al.) — documents →
-    // sparse 64-dim integer vectors with dim = md5 bucket and ±1 sign
-    // from an independent hash slice: the vocabulary-free featurizer
-    // that feeds clustering/ANN when training an embedding model is off
-    // the table. All-integer output (signed counts), so it hash-gates
-    // exactly. 100 TB shape: one scan-local hash projection + one
-    // partial+final (doc, dim) aggregation — dims are bounded (≤64 per
-    // doc), no vocabulary table, no join, nothing broadcast.
-    // ---------------------------------------------------------------
     // q129: TRAINED quality classifier at corpus scale (the round-7
     // verdict's "model-based quality classifier inference" gap) —
     // fastText-shape: a multinomial-NB log-odds linear model fit on the
@@ -193,6 +184,15 @@ object RetrievalQueries {
                   .as("precision_component"))
     },
 
+    // ---------------------------------------------------------------
+    // q103: hashing-trick featurizer (Weinberger et al.) — documents →
+    // sparse 64-dim integer vectors with dim = md5 bucket and ±1 sign
+    // from an independent hash slice: the vocabulary-free featurizer
+    // that feeds clustering/ANN when training an embedding model is off
+    // the table. All-integer output (signed counts), so it hash-gates
+    // exactly. 100 TB shape: one scan-local hash projection + one
+    // partial+final (doc, dim) aggregation — dims are bounded (≤64 per
+    // doc), no vocabulary table, no join, nothing broadcast.
     // ---------------------------------------------------------------
     "q103_feature_hashing" -> { (s, dir) =>
       val docs = Tables(s, dir).documents

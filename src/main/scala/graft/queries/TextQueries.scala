@@ -255,7 +255,11 @@ object TextQueries {
       (if (baseDf.rdd.getNumPartitions < para)
          baseDf.repartition(para) else baseDf).as[(Long, String)]
         .map { case (id, text) =>
-          val toks = if (text == null) Seq.empty[String] else text.split(' ').toSeq
+          // filter(_.nonEmpty) matches Bpe.fit's tokenization exactly —
+          // on irregular whitespace an unfiltered split would see empty
+          // tokens the fit never saw, so fitted merges could never fire
+          val toks = if (text == null) Seq.empty[String]
+                     else text.split(' ').toSeq.filter(_.nonEmpty)
           val out  = graft.operators.Bpe.tokenize(toks, merges)
           (id, out.length.toLong,
            out.count(_.contains(graft.operators.Bpe.Sep)).toLong,
@@ -1096,7 +1100,8 @@ object TextQueries {
         |  FROM walk w JOIN m ON m.rank = w.mi),
         |fin AS (
         |  SELECT w.doc_id, trim(w.s) AS joined
-        |  FROM walk w CROSS JOIN mx WHERE w.mi = mx.mr + 1)
+        |  FROM walk w CROSS JOIN mx
+        |  WHERE w.mi = coalesce(mx.mr, 0) + 1)
         |SELECT d.doc_id,
         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_before,
         |  CAST(len(string_split(f.joined, ' ')) AS BIGINT) AS n_tokens_after,
@@ -1138,10 +1143,13 @@ object TextQueries {
            |  WHERE NOT contains(s, ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' '))""".stripMargin
       }
       s"""WITH RECURSIVE t0 AS MATERIALIZED (
-         |  SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
+         |  SELECT doc_id,
+         |    ' ' || trim(regexp_replace(text, ' +', ' ', 'g')) || ' ' AS s
+         |  FROM documents),
          |${stages.mkString(",\n")}
          |SELECT doc_id,
-         |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tokens_after,
+         |  CAST(CASE WHEN trim(s) = '' THEN 0
+         |            ELSE len(string_split(trim(s), ' ')) END AS BIGINT) AS n_tokens_after,
          |  CAST(len(list_filter(string_split(trim(s), ' '), x -> contains(x, '+'))) AS BIGINT)
          |    AS n_merged_tokens,
          |  md5(trim(s)) AS tokens_hash

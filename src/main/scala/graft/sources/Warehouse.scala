@@ -59,6 +59,29 @@ object Warehouse {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+    // session-scoped tables die with the session's in-memory catalog, so
+    // without cleanup every run would orphan its table dirs in the
+    // shared warehouse forever (the flip side of the per-session names
+    // that prevent cross-session clobbering). Delete our OWN dirs at JVM
+    // exit — no cross-session risk by construction; only a crashed JVM
+    // leaks, and its leftovers can never collide with a future session.
+    registerExitCleanup(loc.toUri, spark.sparkContext.hadoopConfiguration)
+  }
+
+  private val exitPaths =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[java.net.URI]())
+  private lazy val exitHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitPaths.forEach { uri =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(uri)
+          p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+        } catch { case _: Exception => () }
+      }))
+  private def registerExitCleanup(
+      uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    exitHookInstalled
+    exitPaths.add(uri)
   }
 
   /** Salt a skewed build-side key: explode each right-side row into

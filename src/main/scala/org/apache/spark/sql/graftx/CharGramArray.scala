@@ -19,7 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * i, k))`) evaluates interpreted per element with a per-gram
   * ArrayData allocation, and `sequence(1, n)` needs a CASE guard for
   * short strings (it REVERSES when n < 1); one native pass avoids both.
-  * Character (not byte) indexing matches DuckDB `substr` on any input.
+  *
+  * Indexing is by Unicode CODE POINT, not UTF-16 code unit — DuckDB's
+  * `substr`/`length` count code points, so windowing on Java char
+  * indices would shift every gram and position (and could split a
+  * surrogate pair) the moment a document contains a non-BMP character.
   *
   * Eval-only (CodegenFallback): feeds `posexplode` immediately —
   * ShingleArray's rationale.
@@ -34,12 +38,23 @@ case class CharGramArray(child: Expression, k: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val n    = text.length - k + 1
+    // code-point boundaries: offsets(p) = UTF-16 index of code point p
+    val cp = text.codePointCount(0, text.length)
+    val n  = cp - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val offsets = new Array[Int](cp + 1)
+    var idx = 0
+    var p = 0
+    while (p < cp) {
+      offsets(p) = idx
+      idx = text.offsetByCodePoints(idx, 1)
+      p += 1
+    }
+    offsets(cp) = text.length
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = UTF8String.fromString(text.substring(i, i + k))
+      out(i) = UTF8String.fromString(text.substring(offsets(i), offsets(i + k)))
       i += 1
     }
     new GenericArrayData(out)

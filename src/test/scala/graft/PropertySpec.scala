@@ -141,9 +141,12 @@ class PropertySpec extends SparkSpec {
 
   test("CharGramArray ≡ naive sliding substrings, random strings") {
     import org.apache.spark.sql.graftx.CharGramArray
+    // includes a non-BMP char (surrogate pair in UTF-16): grams must
+    // window on CODE POINTS, like DuckDB substr — the reference below
+    // does too
     val sGen: Gen[Seq[String]] = Gen.listOfN(20, for {
       n  <- Gen.choose(0, 12)
-      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', ' ', 'Ω'))
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", " ", "Ω", "😀"))
     } yield cs.mkString)
     forSeeds(sGen) { strs =>
       for (k <- Seq(1, 3, 5)) {
@@ -152,8 +155,10 @@ class PropertySpec extends SparkSpec {
           .select(col("id"), CharGramArray.charGrams(col("s"), k).as("g"))
           .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
         strs.zipWithIndex.foreach { case (s, i) =>
-          val want = if (s.length < k) Seq.empty
-                     else (0 to s.length - k).map(p => s.substring(p, p + k))
+          val cps = s.codePoints().toArray
+          val want = if (cps.length < k) Seq.empty
+                     else (0 to cps.length - k).map(p =>
+                       new String(cps, p, k))
           assert(got(i.toLong) === want, s"k=$k s='$s'")
         }
       }
