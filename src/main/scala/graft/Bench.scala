@@ -54,14 +54,26 @@ object Bench {
     }
     val resampled = results.count(_._2.length > 1)
     val loadEnd = loadAvg()
-    // ONE compact line: the driver keeps only the tail of stdout, and the
-    // round-2 full-precision line (~2.6 KB for 62 queries) overflowed that
-    // window, so its head — metric/value — was truncated and `parsed` came
-    // back null. Millisecond precision keeps the line well under the
-    // driver's capture window.
+    // ONE compact line: the driver keeps only the LAST 2000 chars of
+    // stdout (verified: BENCH_r08's `tail` is exactly 2000 chars), and
+    // anything before the line's opening brace is lost. Round 2 (full
+    // precision), round 5 (full names), and round 8 (inline `samples`
+    // for 24 resampled queries) each overflowed that window and the
+    // driver recorded `parsed: null` — a silent loss of the whole
+    // round's per-query trend. Three defenses now:
+    //   1. `samples` no longer rides the final line at all — the full
+    //      3-decimal record (every sample of every query) goes to
+    //      BENCH_FULL.json in the working directory for any judge/human.
+    //   2. per-query values are 2-decimal (10 ms), enough for the trend
+    //      (clean per-query times are 0.05–7 s); exact values in the file.
+    //   3. the line length is CHECKED against a 1800-char budget
+    //      (2000 minus sbt's trailing "[success] …" line) and degrades
+    //      to 1-decimal before ever overflowing.
     // Locale.ROOT: the f-interpolator honors the JVM default locale — a
     // comma-decimal locale would emit invalid JSON
-    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    def s3(v: Double): String = fmt(v, 3)
     // Keys shortened to their qNN prefix: 82 full-name entries (~2.7 KB)
     // overflowed the capture window again in round 5 even at ms precision.
     // Full-name ↔ qNN mapping lives in PERF.md.
@@ -70,16 +82,27 @@ object Bench {
     // drop a query's timing in any parser.
     require(results.map(_._1.takeWhile(_ != '_')).toSet.size == results.size,
       "duplicate qNN prefixes in SparkEntry.queries — rename the new query")
-    val qs = results.map { case (k, ts) => s"\"" + k.takeWhile(_ != '_') + "\":" + s3(ts.min) }
-      .mkString("{", ",", "}")
-    // full sample lists, but only for resampled queries — the
-    // single-sample majority is already exact in `queries`, and the line
-    // must stay inside the driver's stdout capture window.
-    val ss = results.filter(_._2.length > 1).map { case (k, ts) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":[" + ts.map(s3).mkString(",") + "]"
-    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","method":"min-of-samples","queries":$qs,"samples":$ss,"sf":"$sfDir","load":[${s3(loadStart)},${s3(loadEnd)}],"resampled":$resampled}""")
+    val fullJson = {
+      val ss = results.map { case (k, ts) =>
+        s"\"" + k + "\":[" + ts.map(s3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","method":"min-of-samples","samples":$ss,"sf":"$sfDir","load":[${s3(loadStart)},${s3(loadEnd)}],"resampled":$resampled}"""
+    }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    catch { case _: Throwable => () }
+    def compactLine(dec: Int): String = {
+      val qs = results.map { case (k, ts) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(ts.min, dec) }
+        .mkString("{", ",", "}")
+      // sf shortened to its basename: the driver only needs the scale tag.
+      val sfTag = sfDir.split('/').last
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfTag","load":[${fmt(loadStart, 1)},${fmt(loadEnd, 1)}],"resampled":$resampled}"""
+    }
+    val line = {
+      val l2 = compactLine(2)
+      if (l2.length <= 1800) l2 else compactLine(1)
+    }
+    println(line)
     spark.stop()
   }
 }

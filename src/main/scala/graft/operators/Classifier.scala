@@ -87,6 +87,23 @@ object Classifier {
         sum(when(!col("label"), coalesce(col("doc_hits"), lit(0L))).otherwise(lit(0L))).as("tn"),
         sum(when(col("label"), 1L).otherwise(0L)).as("npos"),
         sum(when(!col("label"), 1L).otherwise(0L)).as("nneg"))
+      // totals feeds the weight table, the bias AND the precondition
+      // check below — checkpoint the 1-row frame so the train-slice
+      // aggregation runs exactly once
+      .localCheckpoint()
+    // The fit REQUIRES at least one positive and one negative train doc:
+    // with zero of either, bias_q = qln(npos/nneg) would silently become
+    // floor(±Infinity) → Long.MIN/MAX on the Spark side while the DuckDB
+    // oracle ERRORS on the Infinity cast — a divergent failure instead
+    // of a loud one. totals is one row, so the check is free.
+    val totalsRow = totals.head()
+    def classCount(f: String): Long = {
+      val i = totalsRow.fieldIndex(f)
+      if (totalsRow.isNullAt(i)) 0L else totalsRow.getLong(i)
+    }
+    require(classCount("npos") >= 1 && classCount("nneg") >= 1,
+      s"Classifier.fit needs >=1 positive and >=1 negative labeled train doc; " +
+        s"got npos=${classCount("npos")} nneg=${classCount("nneg")}")
     // ≤D-row weight table: quantized log-odds per dimension
     val weights = dimCounts.crossJoin(broadcast(totals))
       .select(col("dim"),

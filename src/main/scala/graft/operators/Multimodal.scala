@@ -196,10 +196,17 @@ object Multimodal {
     * records whether cell (r,c) is darker than its right neighbor —
     * brightness GRADIENTS, which survive re-encoding, mild blur and
     * uniform brightness shifts, where q63's exact content_hash does not.
-    * Luminance is the integer sum r+g+b (no division — bit = an exact
-    * integer comparison, so the hash is oracle-reproducible). Bit k =
-    * r*8+c, packed LSB-first into one long. None for undecodable
-    * payloads.
+    * Luminance is the integer sum r+g+b, and neighboring cells are
+    * compared by MEAN via cross-multiplication (sum_a·cnt_b <
+    * sum_b·cnt_a — still exact integer arithmetic, so the hash stays
+    * oracle-reproducible): floor-mapped cells have unequal pixel counts
+    * whenever width/height aren't multiples of 9/8, and a raw-sum
+    * comparison would bias a 1-pixel-wider cell ~10–25% brighter than
+    * its neighbor, flipping gradient bits on arbitrary-size images.
+    * For exact-multiple sizes (the 36×32 fixtures) cnt_a = cnt_b and
+    * the mean comparison reduces to the sum comparison bit-for-bit.
+    * Bit k = r*8+c, packed LSB-first into one long. None for
+    * undecodable payloads.
     */
   def dHash64(payload: Array[Byte]): Option[Long] =
     if (payload == null || payload.isEmpty) None
@@ -208,6 +215,7 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val cell = new Array[Long](9 * 8)
+        val cnt  = new Array[Long](9 * 8)
         var y = 0
         while (y < h) {
           val r = y * 8 / h
@@ -215,8 +223,10 @@ object Multimodal {
           while (x < w) {
             val c = x * 9 / w
             val rgb = img.getRGB(x, y)
-            cell(r * 9 + c) +=
+            val k = r * 9 + c
+            cell(k) +=
               ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            cnt(k) += 1
             x += 1
           }
           y += 1
@@ -226,7 +236,12 @@ object Multimodal {
         while (rr < 8) {
           var cc = 0
           while (cc < 8) {
-            if (cell(rr * 9 + cc) < cell(rr * 9 + cc + 1))
+            val a = rr * 9 + cc
+            val b = a + 1
+            // mean_a < mean_b via cross-multiplication: sums ≤ 765·w·h/72
+            // and counts ≤ ceil(w/9)·ceil(h/8), so the products stay far
+            // below Long overflow for any image ImageIO can hold in memory
+            if (cell(a) * cnt(b) < cell(b) * cnt(a))
               bits |= 1L << (rr * 8 + cc)
             cc += 1
           }

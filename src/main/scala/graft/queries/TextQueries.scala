@@ -215,7 +215,16 @@ object TextQueries {
       (if (baseDf.rdd.getNumPartitions < para)
          baseDf.repartition(para) else baseDf).as[(Long, String)]
         .map { case (id, text) =>
-          val toks = if (text == null) Seq.empty[String] else text.split(' ').toSeq
+          // filter(_.nonEmpty): Java split(' ') drops TRAILING empty
+          // tokens but keeps leading/interior ones, while the oracle's
+          // string_split keeps all — on any doc with irregular
+          // whitespace the two sides would count different
+          // n_tokens_before and build different walk strings. Dropping
+          // empties on BOTH sides (the oracle normalizes via
+          // list_filter + array_to_string) makes the contract
+          // whitespace-insensitive, matching q134.
+          val toks = if (text == null) Seq.empty[String]
+                     else text.split(' ').toSeq.filter(_.nonEmpty)
           val out  = graft.operators.Bpe.tokenize(toks, merges)
           (id, toks.length.toLong, out.length.toLong,
            out.count(_.contains(graft.operators.Bpe.Sep)).toLong,
@@ -1086,9 +1095,14 @@ object TextQueries {
         |    SELECT a, b, CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rank
         |    FROM top)),
         |mx AS (SELECT max(rank) AS mr FROM m),
+        |norm AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
         |walk AS (
-        |  SELECT doc_id, ' ' || text || ' ' AS s, CAST(1 AS BIGINT) AS mi
-        |  FROM documents
+        |  SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s,
+        |         CAST(1 AS BIGINT) AS mi
+        |  FROM norm
         |  UNION ALL
         |  SELECT w.doc_id,
         |    CASE WHEN contains(w.s, ' ' || m.a || ' ' || m.b || ' ')
@@ -1102,13 +1116,14 @@ object TextQueries {
         |  SELECT w.doc_id, trim(w.s) AS joined
         |  FROM walk w CROSS JOIN mx
         |  WHERE w.mi = coalesce(mx.mr, 0) + 1)
-        |SELECT d.doc_id,
-        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_before,
-        |  CAST(len(string_split(f.joined, ' ')) AS BIGINT) AS n_tokens_after,
+        |SELECT n.doc_id,
+        |  CAST(len(n.toks) AS BIGINT) AS n_tokens_before,
+        |  CAST(len(list_filter(string_split(f.joined, ' '), x -> x <> ''))
+        |    AS BIGINT) AS n_tokens_after,
         |  CAST(len(list_filter(string_split(f.joined, ' '), x -> contains(x, '+'))) AS BIGINT)
         |    AS n_merged_tokens,
         |  md5(f.joined) AS tokens_hash
-        |FROM documents d JOIN fin f USING (doc_id)""".stripMargin,
+        |FROM norm n JOIN fin f USING (doc_id)""".stripMargin,
     // Replays Sennrich's iterative fit itself: 5 unrolled stages, each a
     // MATERIALIZED 1-row best-pair aggregation over the previous
     // tokenization (count DESC, pair ASC — Bpe.fit's tie-break) plus a

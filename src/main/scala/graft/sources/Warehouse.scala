@@ -68,20 +68,26 @@ object Warehouse {
     registerExitCleanup(loc.toUri, spark.sparkContext.hadoopConfiguration)
   }
 
+  // (URI, Configuration) pairs: the hook must resolve each FileSystem
+  // from the conf REGISTERED with the path, not a fresh Configuration()
+  // — a fresh conf lacks session settings (s3a credentials, a custom
+  // fs.defaultFS), so on any such filesystem the delete would throw,
+  // be swallowed, and the table dir leak silently.
   private val exitPaths =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[java.net.URI]())
+    java.util.Collections.synchronizedMap(
+      new java.util.HashMap[java.net.URI, org.apache.hadoop.conf.Configuration]())
   private lazy val exitHookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      exitPaths.forEach { uri =>
+      exitPaths.forEach { (uri, conf) =>
         try {
           val p = new org.apache.hadoop.fs.Path(uri)
-          p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+          p.getFileSystem(conf).delete(p, true)
         } catch { case _: Exception => () }
       }))
   private def registerExitCleanup(
       uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration): Unit = {
     exitHookInstalled
-    exitPaths.add(uri)
+    exitPaths.put(uri, conf)
   }
 
   /** Salt a skewed build-side key: explode each right-side row into
