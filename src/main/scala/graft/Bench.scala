@@ -7,7 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,10 +30,19 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg()
-    def sample(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that DIES must never read as a timing (round-9 verdict: two
+    // analysis-failed queries recorded 0.07 s and looked like the fastest
+    // in the suite). A failed sample records -1, the exception class is
+    // kept per query, and any error flips the process exit code.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def sample(name: String,
+               fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(name, e.getClass.getSimpleName)
+        -1.0
+      }
     }
     // Round-7 advice: min-of-a-CONDITIONAL-resample biases totals downward
     // and hides the sample distribution. So (a) EVERY sample taken is
@@ -45,11 +54,11 @@ object Bench {
     // both back-to-back samples of q113 landed inside one spike).
     val firstPass: Seq[(String, List[Double])] = SparkEntry.queries.toSeq.map {
       case (name, fn) =>
-        val t1 = sample(fn)
-        name -> (if (t1 > 2.0) List(t1, sample(fn)) else List(t1))
+        val t1 = sample(name, fn)
+        name -> (if (t1 > 2.0) List(t1, sample(name, fn)) else List(t1))
     }
     val results: Seq[(String, List[Double])] = firstPass.map { case (name, ts) =>
-      if (ts.min > 2.0) name -> (ts :+ sample(SparkEntry.queries(name)))
+      if (ts.min > 2.0) name -> (ts :+ sample(name, SparkEntry.queries(name)))
       else name -> ts
     }
     val resampled = results.count(_._2.length > 1)
@@ -82,12 +91,18 @@ object Bench {
     // drop a query's timing in any parser.
     require(results.map(_._1.takeWhile(_ != '_')).toSet.size == results.size,
       "duplicate qNN prefixes in SparkEntry.queries — rename the new query")
-    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    // total counts only queries that RAN; failed ones carry -1 per query
+    // and are enumerated in `errors` (an empty-on-success key in both
+    // outputs, so its absence can never be read as "all green")
+    val total = results.map(_._2.min).filter(_ >= 0.0).sum
+    def errJson(full: Boolean): String = errors.map { case (k, cls) =>
+      s"\"" + (if (full) k else k.takeWhile(_ != '_')) + "\":\"" + cls + "\""
+    }.mkString("{", ",", "}")
     val fullJson = {
       val ss = results.map { case (k, ts) =>
         s"\"" + k + "\":[" + ts.map(s3).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","method":"min-of-samples","samples":$ss,"sf":"$sfDir","load":[${s3(loadStart)},${s3(loadEnd)}],"resampled":$resampled}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","method":"min-of-samples","samples":$ss,"errors":${errJson(full = true)},"sf":"$sfDir","load":[${s3(loadStart)},${s3(loadEnd)}],"resampled":$resampled}"""
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     catch { case _: Throwable => () }
@@ -96,7 +111,7 @@ object Bench {
         .mkString("{", ",", "}")
       // sf shortened to its basename: the driver only needs the scale tag.
       val sfTag = sfDir.split('/').last
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfTag","load":[${fmt(loadStart, 1)},${fmt(loadEnd, 1)}],"resampled":$resampled}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"errors":${errJson(full = false)},"sf":"$sfTag","load":[${fmt(loadStart, 1)},${fmt(loadEnd, 1)}],"resampled":$resampled}"""
     }
     val line = {
       val l2 = compactLine(2)
@@ -104,5 +119,10 @@ object Bench {
     }
     println(line)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.map { case (k, cls) => s"$k ($cls)" }.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

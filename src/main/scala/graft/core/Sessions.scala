@@ -9,33 +9,19 @@ import org.apache.spark.sql.SparkSession
   * parallelism knob becomes task parallelism (`spark.sql.shuffle.partitions`),
   * sized for local[32] test runs; on a real cluster this is raised to
   * O(cores) and AQE coalesces the rest.
+  *
+  * Event-time contract: `events.ts` (TIMESTAMP(NANOS) parquet) reads as
+  * TIMESTAMP_NTZ on this toolchain (Spark 4.1) and is canonicalized at
+  * first read by [[Tables.canonicalEventsTs]] — a schema probe that fails
+  * loudly on any other reading, NOT a conf (the 3.x
+  * `spark.sql.legacy.parquet.nanosAsLong` conf is dead on 4.1 and is
+  * deliberately not set anywhere). The UTC session timezone below is part
+  * of that contract: the ntz→timestamp cast preserves the instant only
+  * under UTC, and DuckDB-oracle parity requires UTC regardless.
   */
 object Sessions {
 
-  /** events.ts is TIMESTAMP(NANOS) parquet: readers need
-    * `spark.sql.legacy.parquet.nanosAsLong=true`. Set at session build
-    * ideally; for plain external sessions this self-configures — but only
-    * when the key is UNSET, and always to the same constant, so
-    * concurrent readers cannot race to different values. An explicitly
-    * conflicting setting is an error, not silently flipped.
-    */
-  def ensureNanosAsLong(spark: SparkSession): Unit = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    // conf.getOption returns the REGISTERED DEFAULT ("false") for sessions
-    // that never set the key, so it cannot distinguish "unset" from "user
-    // said false" — the self-configure fallback must consult the user-set
-    // map directly (graftx.Bridge; round-2 advisor finding).
-    if (!org.apache.spark.sql.graftx.Bridge.isExplicitlySet(spark, key))
-      spark.conf.set(key, "true")
-    else if (spark.conf.get(key) != "true")
-      throw new IllegalStateException(
-        s"$key=${spark.conf.get(key)} conflicts with the events readers; " +
-          "set it true at session build")
-  }
-
-  /** Local session tuned for the test harness (local[n], small data).
-    * UTC session timezone is required for DuckDB-oracle parity.
-    */
+  /** Local session tuned for the test harness (local[n], small data). */
   def local(cpus: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -43,9 +29,6 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // events.ts is TIMESTAMP(NANOS) parquet; static so every reader
-      // agrees and no accessor mutates session config (Tables.events).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

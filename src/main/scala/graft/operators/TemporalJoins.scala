@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Temporal join operators Spark lacks as built-ins: as-of join and
@@ -10,6 +10,16 @@ import org.apache.spark.sql.{Column, DataFrame}
   * of the custom-operator ladder) so Catalyst keeps planning them.
   */
 object TemporalJoins {
+
+  /** Epoch-micros of a time column. `unix_micros` requires TIMESTAMP, so
+    * a TIMESTAMP_NTZ input (Spark ≥4.1's reading of TIMESTAMP(NANOS)
+    * parquet — see [[graft.core.Tables.canonicalEventsTs]]) goes through
+    * a cast first; for an already-canonical TIMESTAMP the cast is a
+    * Catalyst no-op. The cast interprets ntz wall-clock in the session
+    * zone — the engine runs UTC sessions (oracle-parity contract), under
+    * which the instant is preserved.
+    */
+  private def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
 
   /** Backward as-of join: for each left row, attach the latest right row
     * with `rightTime <= leftTime` on the same key (ties: the right row at
@@ -59,13 +69,13 @@ object TemporalJoins {
                        leftTime: String, rightTime: String,
                        windowMicros: Long): DataFrame = {
     val lBinned = left
-      .withColumn("__lt", unix_micros(col(leftTime)))
+      .withColumn("__lt", epochMicros(col(leftTime)))
       .withColumn("__bin",
         explode(array(
           (col("__lt") / windowMicros).cast(LongType),
           (col("__lt") / windowMicros).cast(LongType) + 1)))
     val rBinned = right
-      .withColumn("__rt", unix_micros(col(rightTime)))
+      .withColumn("__rt", epochMicros(col(rightTime)))
       .withColumn("__bin", (col("__rt") / windowMicros).cast(LongType))
       .select((keys.map(col) :+ col("__bin") :+ col("__rt")) ++
         right.columns.filterNot(keys.contains).map(c => col(c).as(s"r_$c")): _*)
@@ -86,7 +96,7 @@ object TemporalJoins {
       .withColumn("__prev", lag(col(timeCol), 1).over(w))
       .withColumn("__new_session",
         when(col("__prev").isNull, 1L)
-          .when(unix_micros(col(timeCol)) - unix_micros(col("__prev")) > gapMicros, 1L)
+          .when(epochMicros(col(timeCol)) - epochMicros(col("__prev")) > gapMicros, 1L)
           .otherwise(0L))
       .withColumn("session_seq",
         sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

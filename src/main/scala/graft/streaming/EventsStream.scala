@@ -12,30 +12,29 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * `readStream → withWatermark → window agg → sink`, plus a
   * `mapGroupsWithState` running per-user aggregate for custom state.
   *
-  * The parquet ts column is TIMESTAMP(NANOS) (unsupported by the reader),
-  * so the stream reads it as long and truncates to µs, matching
-  * [[graft.core.Tables.events]].
+  * The parquet ts column is TIMESTAMP(NANOS), which this toolchain
+  * (Spark 4.1) reads as TIMESTAMP_NTZ truncated to micros; the stream
+  * declares that reading and canonicalizes through the SAME helper as the
+  * batch reader ([[graft.core.Tables.canonicalEventsTs]]), so stream ≡
+  * batch on timestamps by construction.
   */
 object EventsStream {
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long (legacy reader mode)
+    StructField("ts", TimestampNTZType), // Spark ≥4.1 reading of TIMESTAMP(NANOS)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of events from a directory of parquet files.
-    * Conf contract: [[graft.core.Sessions.ensureNanosAsLong]].
+  /** File-source stream of events from a directory of parquet files, with
+    * `ts` canonicalized to session-zoned TIMESTAMP exactly as the batch
+    * reader does (shared contract: [[graft.core.Tables.canonicalEventsTs]]).
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Sessions.ensureNanosAsLong(spark)
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def read(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.canonicalEventsTs(
+      spark.readStream.schema(eventSchema).parquet(dir))
 
   /** Tumbling-window rates per event type with a late-data watermark —
     * the canonical streaming aggregation (guide §Structured Streaming).

@@ -15,17 +15,6 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Whether `key` was EXPLICITLY set on this session (builder config or
-    * `spark.conf.set`), as opposed to merely having a registered default.
-    * `RuntimeConfig.getOption` returns the default for unset keys, so it
-    * cannot make this distinction; `SQLConf.settings` (the user-set map,
-    * `protected[spark]`) can — which is why this accessor lives in the
-    * bridge package.
-    */
-  def isExplicitlySet(spark: org.apache.spark.sql.SparkSession, key: String): Boolean =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.conf.settings.containsKey(key)
-
   /** Whether a data type supports ORDER BY (maps don't; arrays/structs of
     * orderable children do) — Catalyst's own rule, re-exported for callers
     * that build orderings over arbitrary schemas.

@@ -195,11 +195,14 @@ class StreamingSpec extends SparkSpec {
   test("sessionization carries state across micro-batches; late events clamp or drop") {
     import spark.implicits._
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-mb").toString
-    def minNs(m: Long): Long = m * 60L * 1000000000L // minutes → epoch nanos
+    // minutes → TIMESTAMP_NTZ at that instant (UTC wall clock) — the same
+    // physical reading the real events parquet produces on this toolchain
+    def minNtz(m: Long): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond(m * 60L, 0, java.time.ZoneOffset.UTC)
     def writeBatch(rows: Seq[(Long, Long, Long)], file: String): Unit = {
       // the file source doesn't recurse: stage the part file at the root
       val scratch = java.nio.file.Files.createTempDirectory("graft-mb-scratch")
-      rows.map { case (id, tsMin, uid) => (id, minNs(tsMin), uid, "view", 1.0, "{}") }
+      rows.map { case (id, tsMin, uid) => (id, minNtz(tsMin), uid, "view", 1.0, "{}") }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
       val part = new java.io.File(scratch.toString).listFiles()
@@ -280,10 +283,11 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup drops re-delivered events across micro-batches; state is watermark-bounded") {
     import spark.implicits._
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
-    def minNs(m: Long): Long = m * 60L * 1000000000L
+    def minNtz(m: Long): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond(m * 60L, 0, java.time.ZoneOffset.UTC)
     def writeBatch(rows: Seq[(Long, Long)], file: String): Unit = {
       val scratch = java.nio.file.Files.createTempDirectory("graft-dedup-scratch")
-      rows.map { case (id, tsMin) => (id, minNs(tsMin), id, "view", 1.0, "{}") }
+      rows.map { case (id, tsMin) => (id, minNtz(tsMin), id, "view", 1.0, "{}") }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
       val part = new java.io.File(scratch.toString).listFiles()

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Toolchain tripwire: the engine's event-time contract depends on HOW
+  * this Spark build reads TIMESTAMP(NANOS) parquet, and that behavior has
+  * already shifted once under it (the 4.1.2 image bump silently killed the
+  * 3.x `nanosAsLong` bigint reading and broke every temporal/streaming leg
+  * at once). This spec pins the two environmental facts the engine
+  * assumes, so the NEXT image bump fails one obvious test with a named
+  * cause instead of three obscure ones.
+  */
+class ToolchainSpec extends SparkSpec {
+
+  private val events = "/root/testdata/sf0.001/events.parquet"
+
+  test("Spark major version is the one the event-time contract was verified on") {
+    assert(spark.version.startsWith("4."),
+      s"Spark ${spark.version}: re-verify how this build reads TIMESTAMP(NANOS) " +
+        "parquet and update Tables.canonicalEventsTs + this spec")
+  }
+
+  test("TIMESTAMP(NANOS) parquet reads as TIMESTAMP_NTZ (micros); the 3.x legacy conf is dead") {
+    val plain = spark.read.parquet(events)
+    assert(plain.schema("ts").dataType == TimestampNTZType,
+      s"events.ts now reads as ${plain.schema("ts").dataType} — the parquet " +
+        "nanos reading shifted again; update Tables.canonicalEventsTs")
+    // the 3.x escape hatch must NOT change the reading on this toolchain —
+    // if it ever does again, the canonicalization logic needs re-deriving,
+    // not just this assertion flipped
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assert(s2.read.parquet(events).schema("ts").dataType == TimestampNTZType,
+      "spark.sql.legacy.parquet.nanosAsLong affects the events reading again " +
+        "on this Spark build — Tables.canonicalEventsTs assumes it is dead")
+  }
+}
