@@ -313,6 +313,75 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Time bands of the perceptual audio fingerprint: 65 bands → 64
+    * adjacent-band comparisons → one 64-bit hash ([[audioFingerprint64]]).
+    */
+  val FingerprintBands = 65
+
+  /** Perceptual audio fingerprint over REAL decoded PCM — the audio
+    * analog of [[dHash64]] (a chromaprint-style band-ENERGY-sequence
+    * hash, JDK-only so time bands stand in for spectral bands): the
+    * signal is reduced to [[FingerprintBands]] fixed time bands of
+    * |amplitude| sums (the [[wavStats]] band reduction) and bit k of the
+    * hash records whether band k is quieter than band k+1 — the energy
+    * ENVELOPE's up/down shape, which survives re-encoding, small edits
+    * and uniform gain where q63's exact content_hash does not. Bands are
+    * compared by MEAN via cross-multiplication (sum_a·cnt_b <
+    * sum_b·cnt_a, with counts derived arithmetically from n — exact
+    * integer work, so the hash is oracle-reproducible; products stay
+    * below Long overflow for any clip under ~1e8 samples). For
+    * band-aligned lengths (the 260-sample fixtures) counts are equal and
+    * the mean comparison reduces to the sum comparison bit-for-bit.
+    * None for anything that isn't a mono PCM-16 WAV.
+    */
+  def audioFingerprint64(payload: Array[Byte]): Option[Long] =
+    wavStats(payload, FingerprintBands).map { case (_, n, _, bands) =>
+      // samples i of band b: floor(i·B/n) = b ⟺ i ∈ [ceil(bn/B), ceil((b+1)n/B))
+      def cnt(b: Int): Long =
+        ((b + 1) * n + FingerprintBands - 1) / FingerprintBands -
+          (b * n + FingerprintBands - 1) / FingerprintBands
+      var bits = 0L
+      var k = 0
+      while (k < 64) {
+        if (bands(k) * cnt(k + 1) < bands(k + 1) * cnt(k)) bits |= 1L << k
+        k += 1
+      }
+      bits
+    }
+
+  /** Deterministic FAMILY WAV fixture for perceptual audio dedup (q135):
+    * 260 samples (mono PCM-16, rate 8000) of a sawtooth whose STEP and
+    * OFFSET are set by the id's family (`id % 16` — 16 distinct energy
+    * envelopes) and perturbed by its variant (`id / 16` — +500 amplitude
+    * on a sparse variant-keyed sample lattice, ~2 of 260 samples).
+    * Members of one family are perceptual near-duplicates
+    * ([[audioFingerprint64]] Hamming 0–6, measured) while cross-family
+    * distances concentrate around 28 bits (min 22) — and the arithmetic
+    * is pure integer work a DuckDB oracle reproduces from the id alone.
+    */
+  def syntheticToneWav(id: Long): Array[Byte] = {
+    val f = (id % 16).toInt
+    val v = id / 16
+    val n = 260
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      var s = ((i.toLong * (17 + 26 * f) + 97L * f) % 2001) - 1000
+      if ((i * 7 + v * 53) % 131 == v % 131) s += 500
+      bb.putShort(s.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Deterministic WAV fixture: mono 16-bit PCM, rate 8000 + (id%4)·4000,
     * (id%50)+10 samples of ((id·31 + i·17) mod 2001) − 1000 — all integer
     * arithmetic a SQL oracle reproduces from the id (q101), and every

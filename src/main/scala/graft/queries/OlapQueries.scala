@@ -126,6 +126,22 @@ object OlapQueries {
         Seq("event_id", "user_id", "event_type", "value", "props"))
     },
 
+    // q114's 100 TB sibling (round-7 advice #7): the SAME one-pass
+    // profile with approxDistinct=true — per-column KMV sketches
+    // (graftx.KmvDistinct, k=64) instead of the exact multi-column
+    // countDistinct, so the plan carries NO Expand (PlanQualitySpec
+    // asserts it) and per-column state is O(k) at any scale. `value` is
+    // cast to DECIMAL(18,2) first: the sketch hashes each value's string
+    // form, and decimal formatting is engine-portable where raw-double
+    // formatting is not (the events value contract is ≤2 decimals).
+    "q136_profile_kmv" -> { (s, dir) =>
+      graft.quality.Profiler.profile(
+        Tables(s, dir).events
+          .withColumn("value", col("value").cast(DecimalType(18, 2))),
+        Seq("event_id", "user_id", "event_type", "value", "props"),
+        approxDistinct = true)
+    },
+
     // Skew-salted join, oracle-gated (round-6 verdict #4 promoted
     // Warehouse.saltedJoinSides from spec-only to a gated query): a
     // pathologically skewed key — 'hot' on 50% of events — joins a
@@ -240,6 +256,52 @@ object OlapQueries {
            |FROM events""".stripMargin
       Seq(num("event_id"), num("user_id"), str("event_type"),
           num("value"), str("props")).mkString("\nUNION ALL\n")
+    },
+    // q66's KMV arithmetic per profiled column: first 32 bits of md5 of
+    // the value's canonical string, distinct hashes ranked, estimate
+    // (k−1)·2³² / h_k (or the exact held count when fewer than k) —
+    // identical on both engines because every step is integer/md5
+    // arithmetic. `value` hashes via its DECIMAL(18,2) string form on
+    // both sides.
+    "q136_profile_kmv" -> {
+      // 32-bit big-endian value of the first 8 hex digits of md5(sv);
+      // BIGINT cast BEFORE the scale multiply — digit * 16^7 overflows
+      // INT32 (q66-oracle discipline)
+      val hv = (0 until 8).map { j =>
+        s"CAST(${graft.functions.HexKeys.digitSql(j)} AS BIGINT) * ${1L << (4 * (7 - j))}"
+      }.mkString("(", " + ", ")")
+      def block(c: String, sv: String, numeric: Boolean) = {
+        val (minNum, maxNum, minStr, maxStr) =
+          if (numeric)
+            (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+             "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          else
+            ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+             s"min($c)", s"max($c)")
+        s"""SELECT '$c' AS "column",
+           |  (SELECT count(*) FROM events) AS n_rows,
+           |  (SELECT CAST(count(*) - count($c) AS BIGINT) FROM events) AS n_nulls,
+           |  (WITH h AS (
+           |     SELECT DISTINCT $hv AS hvv FROM
+           |       (SELECT md5($sv) AS hex FROM events WHERE $c IS NOT NULL)),
+           |   ranked AS (
+           |     SELECT hvv, row_number() OVER (ORDER BY hvv) AS rn,
+           |            count(*) OVER () AS nh FROM h)
+           |   SELECT CASE WHEN max(nh) < 64 THEN CAST(max(nh) AS DOUBLE)
+           |               ELSE 63 * 4294967296.0
+           |                    / CAST(max(CASE WHEN rn = 64 THEN hvv END) AS DOUBLE) END
+           |   FROM ranked) AS n_distinct_est,
+           |  (SELECT $minNum FROM events) AS min_num,
+           |  (SELECT $maxNum FROM events) AS max_num,
+           |  (SELECT $minStr FROM events) AS min_str,
+           |  (SELECT $maxStr FROM events) AS max_str""".stripMargin
+      }
+      Seq(
+        block("event_id", "CAST(event_id AS VARCHAR)", numeric = true),
+        block("user_id", "CAST(user_id AS VARCHAR)", numeric = true),
+        block("event_type", "event_type", numeric = false),
+        block("value", "CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)", numeric = true),
+        block("props", "props", numeric = false)).mkString("\nUNION ALL\n")
     },
     // the UNSALTED join: salting must be result-invariant
     "q106_salted_skew_join" ->

@@ -706,6 +706,43 @@ object TextQueries {
     // quadratic join, so banding recall itself is what's being gated.
     "q127_image_neardup" -> { (s, dir) => dhashPairs(s, dir) },
 
+    // Perceptual AUDIO near-dup (round-7 advice #8, the last modality
+    // without a perceptual hash): family WAV fixtures (16 near-dup
+    // families, see Multimodal.syntheticToneWav) decode through the real
+    // RIFF/PCM parser; Multimodal.audioFingerprint64 reduces each clip to
+    // 65 band-energy sums and hashes the envelope's up/down sequence;
+    // candidate generation is q127's banded equi-join (8 bands × 8 bits —
+    // pigeonhole-exact recall for Hamming ≤ 7). Output all-integer →
+    // hash-gates; the oracle recomputes every fingerprint arithmetically
+    // from the id (PCM is lossless integer storage) and does the naive
+    // quadratic join, so banding recall itself is what's being gated.
+    "q135_audio_neardup" -> { (s, dir) => audioPairs(s, dir) },
+
+    // Perceptual AUDIO duplicate clusters — q132's quotient-graph
+    // closure for the audio modality: q135's banded pairs close into
+    // transitive components via min-label propagation over one
+    // REPRESENTATIVE per exact fingerprint (500 ids → 177 distinct afps
+    // at fixture density, so CC iterates over the quotient graph, not
+    // the id graph — provably the same clusters).
+    "q137_audio_dup_clusters" -> { (s, dir) =>
+      val h = audioFps(s, dir)
+      val reps = h.groupBy(col("afp")).agg(min(col("media_id")).as("rep"))
+      val idRep = h.join(reps, Seq("afp")).select(col("media_id"), col("rep"))
+      val pairs = audioPairs(s, dir)
+      val repEdges = pairs
+        .join(idRep.select(col("media_id").as("id_a"), col("rep").as("rep_a")), Seq("id_a"))
+        .join(idRep.select(col("media_id").as("id_b"), col("rep").as("rep_b")), Seq("id_b"))
+        .filter(col("rep_a") =!= col("rep_b"))
+        .select(col("rep_a"), col("rep_b")).distinct()
+      val comp = graft.operators.Dedup.connectedComponents(
+        idRep.select(col("rep").as("id")).distinct(), repEdges, "rep_a", "rep_b")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      idRep.join(comp.select(col("id").as("rep"), col("cluster_id")), Seq("rep"))
+        .select(col("media_id"), col("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("media_id") === col("cluster_id"))
+    },
+
     // Semi-structured extraction: JSON props → typed column, aggregated.
     "q39_json_extract" -> { (s, dir) =>
       val e = Tables(s, dir).events
@@ -765,19 +802,28 @@ object TextQueries {
     * shipped memoized form hides behind its checkpoint scan (the
     * jaccardQuery materialize=false discipline).
     */
-  def dhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
-      val hashes = dhashes(s, dir)
+  def dhashPairsPlan(s: SparkSession, dir: String): DataFrame =
+    banded64Pairs(dhashes(s, dir), "dhash")
+
+  /** Banded-Hamming pair miner over any 64-bit perceptual hash frame
+    * (media_id, `hashCol`): 8 bands × 8 bits — a pair within Hamming ≤ 7
+    * must agree on ≥1 full band (pigeonhole: EXACT recall at the
+    * threshold), so candidates come from a banded equi-join + distinct,
+    * never all-pairs, and the corpus is scanned once (the 100 TB shape
+    * shared by q127 image dHash and q135 audio fingerprints).
+    */
+  private def banded64Pairs(hashes: DataFrame, hashCol: String): DataFrame = {
       val bandStructs = (0 until 8).map { b =>
         struct(lit(b).as("band"),
-               shiftrightunsigned(col("dhash"), b * 8).bitwiseAND(lit(255L)).as("bval"))
+               shiftrightunsigned(col(hashCol), b * 8).bitwiseAND(lit(255L)).as("bval"))
       }
       val bands = hashes
-        .select(col("media_id"), col("dhash"), explode(array(bandStructs: _*)).as("bd"))
-        .select(col("media_id"), col("dhash"),
+        .select(col("media_id"), col(hashCol), explode(array(bandStructs: _*)).as("bd"))
+        .select(col("media_id"), col(hashCol),
                 col("bd.band").as("band"), col("bd.bval").as("bval"))
-      val lhs = bands.select(col("media_id").as("id_a"), col("dhash").as("ha"),
+      val lhs = bands.select(col("media_id").as("id_a"), col(hashCol).as("ha"),
                              col("band"), col("bval"))
-      val rhs = bands.select(col("media_id").as("id_b"), col("dhash").as("hb"),
+      val rhs = bands.select(col("media_id").as("id_b"), col(hashCol).as("hb"),
                              col("band"), col("bval"))
       lhs.join(rhs, Seq("band", "bval"))
         .filter(col("id_a") < col("id_b"))
@@ -787,6 +833,43 @@ object TextQueries {
                 expr("bit_count(ha ^ hb)").cast(LongType).as("hamming"))
         .filter(col("hamming") <= 7)
   }
+
+  /** The decoded (media_id, afp) audio-fingerprint frame, hashed once per
+    * (session, dir) — the audio twin of [[dhashes]] (same spread guard,
+    * same memo discipline).
+    */
+  private val afpCache = new graft.core.SessionCache[String]
+  private def audioFps(s: SparkSession, dir: String): DataFrame =
+    afpCache.getOrElseUpdate(s, dir) {
+      import s.implicits._
+      val idsDf = Tables(s, dir).documents.select(col("doc_id"))
+      val para = s.sparkContext.defaultParallelism
+      val ids = (if (idsDf.rdd.getNumPartitions < para)
+                   idsDf.repartition(para) else idsDf).as[Long]
+      ids.map { id =>
+        val h = graft.operators.Multimodal.audioFingerprint64(
+          graft.operators.Multimodal.syntheticToneWav(id))
+          .getOrElse(sys.error(s"undecodable synthetic WAV for id $id"))
+        (id, h)
+      }.toDF("media_id", "afp")
+        .localCheckpoint()
+    }
+
+  /** The q135 audio-fingerprint pair miner, mined once per (session, dir)
+    * — the [[dhashPairs]] memo discipline (same CLUSTER CAVEAT as
+    * [[jaccard05]]).
+    */
+  private val afpPairCache = new graft.core.SessionCache[String]
+  private def audioPairs(s: SparkSession, dir: String): DataFrame =
+    afpPairCache.getOrElseUpdate(s, dir) {
+      audioPairsPlan(s, dir).localCheckpoint()
+    }
+
+  /** The LAZY q135 mining plan — exposed for PlanQualitySpec, like
+    * [[dhashPairsPlan]].
+    */
+  def audioPairsPlan(s: SparkSession, dir: String): DataFrame =
+    banded64Pairs(audioFps(s, dir), "afp")
 
   /** Verified Jaccard pairs at threshold 0.5, mined once per
     * (session, dir) — Dedup.jaccardPairs returns an eagerly-checkpointed
@@ -873,6 +956,40 @@ object TextQueries {
   }
 
   /** The q127 dHash pair oracle — shared by q132's cluster oracle. */
+  /** The q135 fingerprint+pair oracle (see the oracles-map comment for
+    * the arithmetic) — a val so q137's cluster oracle can compose it the
+    * way q132 composes [[q127Oracle]].
+    */
+  private lazy val q135Oracle: String =
+    """WITH ids AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS f, doc_id // 16 AS v
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, f, v, unnest(range(260)) AS i FROM ids),
+      |amp AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    abs(((i * (17 + 26 * f) + 97 * f) % 2001) - 1000
+      |        + CASE WHEN (i * 7 + v * 53) % 131 = v % 131 THEN 500 ELSE 0 END) AS a
+      |  FROM s),
+      |bands AS (
+      |  SELECT doc_id, band, CAST(SUM(a) AS BIGINT) AS e FROM amp GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT a.doc_id, a.band AS k,
+      |         CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+      |  FROM bands a JOIN bands b
+      |    ON a.doc_id = b.doc_id AND b.band = a.band + 1
+      |  WHERE a.band < 64),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS h1,
+      |    CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS h2
+      |  FROM bits GROUP BY 1)
+      |SELECT id_a, id_b, hamming FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
+      |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+      |WHERE hamming <= 7""".stripMargin
+
   private lazy val q127Oracle: String =
       """WITH ids AS (
         |  SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS f, doc_id // 16 AS v
@@ -1550,6 +1667,32 @@ object TextQueries {
     // the constant ×3 (r+g+b of a gray pixel) — comparisons, and
     // therefore bits, are identical.
     "q127_image_neardup" -> q127Oracle,
+
+    // Mirrors the Spark side arithmetically: 260 samples per id from the
+    // family/variant formula (identical to syntheticToneWav), 65 bands of
+    // 4 samples (i // 4), fingerprint bits from adjacent band-energy
+    // comparisons (equal band counts → the operator's mean
+    // cross-multiplication reduces to this sum comparison bit-for-bit).
+    // Two 32-bit halves + naive quadratic join, as in q127's oracle — the
+    // Spark side's banded-join recall is exactly what the gate checks.
+    "q135_audio_neardup" -> q135Oracle,
+
+    // q132's recursive-reach pattern over the q135 pair oracle.
+    "q137_audio_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id_a, id_b FROM ($q135Oracle) p),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT rc.id, e.d FROM reach rc JOIN edges e ON rc.r = e.s),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS media_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  id = cluster_id AS is_canonical
+         |FROM comp""".stripMargin,
 
     // q67's reachability pattern over the q127 pair oracle: symmetrized
     // edges, recursive min-label reach, per-cluster window stats.

@@ -346,6 +346,31 @@ object EventsStream {
            count(lit(1)).as("group_size"))
   }
 
+  /** Streaming perceptual AUDIO dedup — the audio twin of
+    * [[perceptualDedupStream]]: each document's tone clip decodes and
+    * fingerprints scan-locally (stateless map — q135's
+    * `audioFingerprint64`), then a streaming aggregate keeps ONE row per
+    * distinct fingerprint (first-seen canonical = min id, group size).
+    * State is bounded by the number of DISTINCT fingerprints (177 per
+    * 500 fixture ids), not the stream length; near-dup banding stays the
+    * batch path (q135/q137) for the same reason as the image leg.
+    */
+  def audioDedupStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val h = graft.operators.Multimodal.audioFingerprint64(
+          graft.operators.Multimodal.syntheticToneWav(id))
+          .getOrElse(sys.error(s"undecodable synthetic WAV for id $id"))
+        (id, h)
+      }
+      .toDF("media_id", "afp")
+      .groupBy(col("afp"))
+      .agg(min(col("media_id")).as("canonical_id"),
+           count(lit(1)).as("group_size"))
+  }
+
   /** Drive a streaming DataFrame to completion against currently-available
     * files (Trigger.AvailableNow-style smoke path for local verification).
     */

@@ -136,6 +136,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(w).isEmpty)
   }
 
+  test("audioFingerprint64 is a perceptual envelope hash: stable in-family, far cross-family") {
+    def h(id: Long): Long =
+      Multimodal.audioFingerprint64(Multimodal.syntheticToneWav(id)).get
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // same family (id % 16), different variants: near-duplicates
+    assert(ham(h(3L), h(19L)) <= 7)
+    assert(ham(h(3L), h(3L + 16 * 20)) <= 7)
+    // different families: far apart
+    assert(ham(h(3L), h(4L)) > 7)
+    // independent arithmetic restatement (the oracle's formula) for id=5:
+    // 65 bands of 4 samples, bit k = band k quieter than band k+1
+    val id = 5L
+    val f  = (id % 16).toInt
+    val v  = id / 16
+    val samples = (0 until 260).map { i =>
+      val base = ((i.toLong * (17 + 26 * f) + 97L * f) % 2001) - 1000
+      if ((i * 7 + v * 53) % 131 == v % 131) base + 500 else base
+    }
+    val bands = samples.grouped(4).map(_.map(math.abs).sum).toArray
+    var expect = 0L
+    for (k <- 0 until 64) if (bands(k) < bands(k + 1)) expect |= 1L << k
+    assert(h(id) === expect)
+    // uniform gain ×2 scales every band energy equally: the envelope's
+    // up/down sequence (and so the hash) is invariant — the property an
+    // exact content hash lacks
+    val wav = Multimodal.syntheticToneWav(3L)
+    val bb  = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until 260)
+      bb.putShort(44 + i * 2, (bb.getShort(44 + i * 2) * 2).toShort)
+    assert(Multimodal.audioFingerprint64(wav).get === h(3L))
+    // band-unaligned lengths go through the mean cross-multiplication
+    // (syntheticWav clips are 10–59 samples: most bands empty) — still a
+    // deterministic hash, not an error
+    assert(Multimodal.audioFingerprint64(Multimodal.syntheticWav(7L)).isDefined)
+    // undecodable payloads: data condition, not a failure
+    assert(Multimodal.audioFingerprint64("not a wav".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.audioFingerprint64(null).isEmpty)
+  }
+
   test("decoders terminate without throwing on adversarial bytes (fuzz)") {
     import org.scalatest.concurrent.TimeLimits._
     import org.scalatest.time.{Seconds, Span}

@@ -344,6 +344,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window crept in:\n$plan")
   }
 
+  test("q135 audio fingerprint mining plans as banded equi-join — no cartesian, no window") {
+    // same contract as q127: the shipped q135 is a memoized checkpoint,
+    // so assert the banded shape on the LAZY mining plan
+    val plan = planOf(graft.queries.TextQueries.audioPairsPlan(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"all-pairs crept in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ crept in:\n$plan")
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+  }
+
+  test("q136 KMV profile reads the scan once with NO Expand; q114's exact mode keeps its") {
+    // the whole point of the approx mode: per-column KMV sketches ride
+    // ONE agg over the scan at its natural width — no rows × columns
+    // Expand, O(k) state per column at any scale
+    val approx = SparkEntry.queries("q136_profile_kmv")(spark, dir)
+    val approxPlan = planOf(approx)
+    assert(!approxPlan.contains("Expand"), s"KMV profile still expands:\n$approxPlan")
+    val aggs = physical(approx).collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"no partial+final sketch aggregate:\n$approxPlan")
+    // the exact mode's documented price stays visible (a future Spark
+    // that drops the Expand would make the KMV mode's motivation stale)
+    val exact = planOf(SparkEntry.queries("q114_table_profile")(spark, dir))
+    assert(exact.contains("Expand"), s"exact profile no longer expands:\n$exact")
+  }
+
   test("q93 histogram sketch: the only window runs over the aggregated bins") {
     // The data path is projection + partial/final count; a Window is fine
     // ONLY downstream of the ≤1024-row histogram aggregate — never over
@@ -581,7 +607,10 @@ class PlanQualitySpec extends SparkSpec {
       "q132_image_dup_clusters"-> 4, // quotient-graph rep joins + per-cluster window;
                                      // CC runs on ~distinct-hash-sized rep edges
       "q133_incremental_substr"-> 6, // base gram distinct + probe join + islands
-      "q134_bpe_fit_apply"     -> 1) // spread only; fit collapses driver-side, apply scan-local
+      "q134_bpe_fit_apply"     -> 1, // spread only; fit collapses driver-side, apply scan-local
+      "q135_audio_neardup"     -> 0, // memoized miner checkpoints at construction (q127 pattern)
+      "q136_profile_kmv"       -> 1, // single partial+final sketch aggregate, no Expand
+      "q137_audio_dup_clusters"-> 4) // quotient-graph rep joins + per-cluster window (q132 shape)
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

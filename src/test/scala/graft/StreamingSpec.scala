@@ -57,6 +57,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.agg(sum("group_size")).head.getLong(0) === docs.count())
   }
 
+  test("streaming audio dedup collapses identical fingerprints; state ∝ distinct fingerprints") {
+    val docs = graft.core.Tables(spark, dir).documents
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.audioDedupStream(
+        EventsStream.readDocuments(spark, docsDir)),
+      "stream_afp")
+    val batch = EventsStream.audioDedupStream(docs)
+    assert(streamed.collect().toSet === batch.collect().toSet)
+    // state bound: one row per distinct fingerprint, and dups DID collapse
+    assert(streamed.count() < docs.count())
+    assert(streamed.agg(sum("group_size")).head.getLong(0) === docs.count())
+  }
+
   test("windowed streaming aggregation matches the batch equivalent") {
     val streamed = EventsStream.runToMemorySink(
       EventsStream.windowedRates(EventsStream.read(spark, eventsDir)),
