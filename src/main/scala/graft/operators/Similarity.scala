@@ -118,10 +118,21 @@ object Similarity {
     * when vectors cluster on one side of every hyperplane) at the price of
     * a centroid-selection pass.
     */
+  /** `negLabelCol`: when set, only candidates whose `negLabelCol` value
+    * DIFFERS from the query's are scored — the hard-negative-mining mode
+    * (contrastive training wants, per anchor, the most-similar vectors of
+    * a DIFFERENT class). The filter rides the probed-list candidate
+    * stage, so the scale shape is unchanged: the corpus is never
+    * shuffled, candidates stay ≈ corpus · nprobe / nlist, and same-label
+    * candidates drop before the top-k heap.
+    */
   def annTopKIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
-                 vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val n = corpus.select(
-      col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+                 vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                 negLabelCol: Option[String] = None): DataFrame = {
+    val corpusCols = Seq(
+      col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v")) ++
+      negLabelCol.map(c => col(c).as("__clab"))
+    val n = corpus.select(corpusCols: _*)
       .withColumn("nrm", norm(col("v")))
     // 1. deterministic seed sample, collected to the driver
     val seeds: Array[(Long, Array[Double])] = n
@@ -148,8 +159,10 @@ object Similarity {
         col("v"), col("nrm"), cents.toSeq))
     // 3. query-side probes: queries are the small side, so a window over
     // (queries × nlist) rows is constant work per query
-    val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val qCols = Seq(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv")) ++
+      negLabelCol.map(c => col(c).as("__qlab"))
+    val q = queries.select(qCols: _*)
       .withColumn("qn", norm(col("qv")))
     val seedDf = broadcast(
       corpus.sparkSession.createDataFrame(
@@ -159,14 +172,18 @@ object Similarity {
       dot(col("qv"), col("cv")) / (col("qn") * col("cnrm")))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(probeSim.desc_nulls_last, col("centroid_id"))
+    val probeCols = Seq(col("query_id"), col("qv"), col("qn"), col("centroid_id")) ++
+      negLabelCol.map(_ => col("__qlab"))
     val probes = broadcast(q.crossJoin(seedDf)
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id")))
+      .select(probeCols: _*))
     // 4. exact cosine on probed lists only; corpus side stays unshuffled
     // (broadcast-hash join on centroid_id)
-    val scored = probes.join(assigned, Seq("centroid_id"))
+    val candidates = probes.join(assigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
+    val scored = negLabelCol.fold(candidates)(_ =>
+        candidates.filter(col("__qlab") =!= col("__clab")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               cosinePrenormed(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))

@@ -142,6 +142,30 @@ object VectorQueries {
         k = 3, nlist = 16, nprobe = 4)
     },
 
+    // Hard-negative mining — the contrastive-training data op: per
+    // anchor vector, the top-5 most-similar corpus vectors of a
+    // DIFFERENT label (the negatives that actually move an embedding
+    // model, vs easy random ones). Rides the q64 IVF machinery with the
+    // cross-label filter inside the probed-candidate stage
+    // (Similarity.annTopKIvf negLabelCol), so the corpus is scanned
+    // once, never shuffled, and same-label candidates drop before the
+    // top-k; the tiny result then broadcast-joins the label column back
+    // for both endpoints.
+    "q138_hard_negatives" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val topk = Similarity.annTopKIvf(
+        e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4, negLabelCol = Some("label"))
+      val qlab = e.select(col("vec_id").as("query_id"),
+                          col("label").cast("long").as("query_label"))
+      val nlab = e.select(col("vec_id").as("neighbor_id"),
+                          col("label").cast("long").as("neighbor_label"))
+      val withQ = qlab.join(broadcast(topk), Seq("query_id"))
+      nlab.join(broadcast(withQ), Seq("neighbor_id"))
+        .select(col("query_id"), col("query_label"), col("rank"),
+                col("neighbor_id"), col("neighbor_label"), col("cosine"))
+    },
+
     // ANN recall report — "measure, don't guess" applied to the engine's
     // own approximations: per query, how many of the EXACT top-3
     // neighbors (q37's brute-force path) the IVF index (q64's path)
@@ -648,6 +672,49 @@ object VectorQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
         |      FROM sc)
         |WHERE rank <= 3""".stripMargin,
+    // q64's oracle with the cross-label candidate filter and label
+    // outputs — same IVF arithmetic, k=5.
+    "q138_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        |  FROM n ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT n.vec_id, n.label, n.v, n.nrm, s.centroid_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      (CASE WHEN n.nrm > 0 AND s.cnrm > 0
+        |            THEN list_dot_product(n.v, s.cv) / (n.nrm * s.cnrm) END) DESC NULLS LAST,
+        |      s.centroid_id) AS rn
+        |  FROM n CROSS JOIN seeds s),
+        |lists AS (SELECT vec_id, label, v, nrm, centroid_id FROM assign WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlab, q.v AS qv, q.nrm AS qn, s.centroid_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      (CASE WHEN q.nrm > 0 AND s.cnrm > 0
+        |            THEN list_dot_product(q.v, s.cv) / (q.nrm * s.cnrm) END) DESC NULLS LAST,
+        |      s.centroid_id) AS prn
+        |  FROM n q CROSS JOIN seeds s WHERE q.vec_id < 50),
+        |cand AS (
+        |  SELECT p.query_id, p.qlab, p.qv, p.qn,
+        |         l.vec_id AS neighbor_id, l.label AS nlab, l.v AS cv2, l.nrm AS cn
+        |  FROM (SELECT * FROM qprobe WHERE prn <= 4) p
+        |  JOIN lists l ON p.centroid_id = l.centroid_id
+        |  WHERE l.vec_id != p.query_id AND l.label != p.qlab),
+        |sc AS (
+        |  SELECT query_id, qlab, neighbor_id, nlab,
+        |    CASE WHEN qn > 0 AND cn > 0
+        |         THEN list_dot_product(qv, cv2) / (qn * cn) END AS cosine
+        |  FROM cand)
+        |SELECT query_id, qlab AS query_label, CAST(rank AS BIGINT) AS rank,
+        |       neighbor_id, nlab AS neighbor_label, cosine
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+        |      FROM sc)
+        |WHERE rank <= 5""".stripMargin,
+
     "q40_ann_lsh" ->
       s"""WITH n AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

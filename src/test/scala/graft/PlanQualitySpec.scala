@@ -370,6 +370,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(exact.contains("Expand"), s"exact profile no longer expands:\n$exact")
   }
 
+  test("q138 hard negatives: corpus joins candidates by equi-key, never cross/sort-merge") {
+    // the IVF scale contract under the cross-label filter: the corpus
+    // side reaches the scorer through the broadcast-hash centroid_id
+    // join (one scan, no shuffle); the only cross product is the
+    // constant-size query × nlist probe ranking
+    val plan = planOf(SparkEntry.queries("q138_hard_negatives")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"corpus cross-joined:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled to score:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"candidates not broadcast-joined:\n$plan")
+  }
+
   test("q93 histogram sketch: the only window runs over the aggregated bins") {
     // The data path is projection + partial/final count; a Window is fine
     // ONLY downstream of the ≤1024-row histogram aggregate — never over
