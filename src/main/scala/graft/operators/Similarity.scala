@@ -132,31 +132,8 @@ object Similarity {
     val corpusCols = Seq(
       col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v")) ++
       negLabelCol.map(c => col(c).as("__clab"))
-    val n = corpus.select(corpusCols: _*)
-      .withColumn("nrm", norm(col("v")))
-    // 1. deterministic seed sample, collected to the driver
-    val seeds: Array[(Long, Array[Double])] = n
-      .orderBy(md5(concat(lit("ivf|"), col("vec_id").cast("string"))), col("vec_id"))
-      .limit(nlist)
-      .select(col("vec_id"), col("v"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    // centroid norms via the same left fold the engines run
-    val cents = seeds.map { case (id, cv) =>
-      var s = 0.0; var i = 0
-      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
-      (id, cv, math.sqrt(s))
-    }
-    // 2. nearest-centroid assignment: one codegen'd NearestCentroid call
-    // carrying the centroid matrix as a reference object. The composable
-    // array_max-over-structs form embeds nlist × dims literal nodes in
-    // the plan (>1k at 16×64) whose codegen/JIT compile dominated the
-    // query (~2.5 s fixed at sf0.1); semantics are bit-identical
-    // ("ORDER BY sim DESC NULLS LAST, centroid_id ASC" — SimilaritySpec
-    // asserts equality to the composable form).
-    val assigned = n.withColumn("centroid_id",
-      org.apache.spark.sql.graftx.NearestCentroid.nearest(
-        col("v"), col("nrm"), cents.toSeq))
+    // steps 1–2: deterministic centroids + shuffle-free assignment
+    val (cents, assigned) = ivfIndexFrames(corpus.select(corpusCols: _*), nlist)
     // 3. query-side probes: queries are the small side, so a window over
     // (queries × nlist) rows is constant work per query
     val qCols = Seq(
@@ -164,20 +141,8 @@ object Similarity {
       negLabelCol.map(c => col(c).as("__qlab"))
     val q = queries.select(qCols: _*)
       .withColumn("qn", norm(col("qv")))
-    val seedDf = broadcast(
-      corpus.sparkSession.createDataFrame(
-        cents.map { case (id, cv, cnrm) => (id, cv.toSeq, cnrm) }.toSeq)
-        .toDF("centroid_id", "cv", "cnrm"))
-    val probeSim = when(col("qn") > 0 && col("cnrm") > 0,
-      dot(col("qv"), col("cv")) / (col("qn") * col("cnrm")))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(probeSim.desc_nulls_last, col("centroid_id"))
-    val probeCols = Seq(col("query_id"), col("qv"), col("qn"), col("centroid_id")) ++
-      negLabelCol.map(_ => col("__qlab"))
-    val probes = broadcast(q.crossJoin(seedDf)
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select(probeCols: _*))
+    val probes = ivfProbes(q, cents, nprobe,
+      extraCols = negLabelCol.map(_ => "__qlab").toSeq)
     // 4. exact cosine on probed lists only; corpus side stays unshuffled
     // (broadcast-hash join on centroid_id)
     val candidates = probes.join(assigned, Seq("centroid_id"))
@@ -186,6 +151,72 @@ object Similarity {
         candidates.filter(col("__qlab") =!= col("__clab")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               cosinePrenormed(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+    ivfRank(scored, k)
+  }
+
+  /** Deterministic IVF centroids (the seed step of [[annTopKIvf]]): the
+    * vectors of `n` — (vec_id, v) — with the smallest `md5("ivf|" || id)`
+    * (a reproducible pseudo-random sample; `TakeOrdered` = per-partition
+    * top-k, no full sort), collected with norms computed by the same
+    * left fold the engines run. nlist·dims doubles — driver-sized by
+    * construction.
+    */
+  def ivfCentroids(n: DataFrame, nlist: Int): Seq[(Long, Array[Double], Double)] =
+    n.orderBy(md5(concat(lit("ivf|"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1).toArray
+        var s = 0.0; var i = 0
+        while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+        (r.getLong(0), cv, math.sqrt(s))
+      }.toSeq
+
+  /** IVF index build, factored out of [[annTopKIvf]] so the persisted-
+    * index serving path (q139) provably shares the same centroid pick
+    * and assignment arithmetic: returns the centroids and `n` (which
+    * must carry vec_id and v; rider columns pass through) + nrm +
+    * centroid_id. Assignment is one codegen'd NearestCentroid call
+    * carrying the centroid matrix as a reference object — the composable
+    * array_max-over-structs form embeds nlist × dims literal nodes in
+    * the plan (>1k at 16×64) whose codegen/JIT compile dominated the
+    * query (~2.5 s fixed at sf0.1); semantics are bit-identical
+    * ("ORDER BY sim DESC NULLS LAST, centroid_id ASC" — SimilaritySpec
+    * asserts equality to the composable form).
+    */
+  def ivfIndexFrames(n0: DataFrame, nlist: Int): (Seq[(Long, Array[Double], Double)], DataFrame) = {
+    val n = n0.withColumn("nrm", norm(col("v")))
+    val cents = ivfCentroids(n, nlist)
+    val assigned = n.withColumn("centroid_id",
+      org.apache.spark.sql.graftx.NearestCentroid.nearest(
+        col("v"), col("nrm"), cents))
+    (cents, assigned)
+  }
+
+  /** Probe ranking (the query side of [[annTopKIvf]]): each query row of
+    * `q` — (query_id, qv, qn [, extraCols]) — keeps its `nprobe` closest
+    * centroid lists. The result is broadcast (query-batch × nprobe rows).
+    */
+  def ivfProbes(q: DataFrame, cents: Seq[(Long, Array[Double], Double)],
+                nprobe: Int, extraCols: Seq[String] = Nil): DataFrame = {
+    val seedDf = broadcast(
+      q.sparkSession.createDataFrame(
+        cents.map { case (id, cv, cnrm) => (id, cv.toSeq, cnrm) })
+        .toDF("centroid_id", "cv", "cnrm"))
+    val probeSim = when(col("qn") > 0 && col("cnrm") > 0,
+      dot(col("qv"), col("cv")) / (col("qn") * col("cnrm")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(probeSim.desc_nulls_last, col("centroid_id"))
+    val probeCols = Seq(col("query_id"), col("qv"), col("qn"), col("centroid_id")) ++
+      extraCols.map(col)
+    broadcast(q.crossJoin(seedDf)
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(probeCols: _*))
+  }
+
+  private def ivfRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
     scored
@@ -193,6 +224,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
               col("neighbor_id"), col("cosine"))
+  }
+
+  /** Serve ANN top-k from a PERSISTED IVF index (the production split of
+    * [[annTopKIvf]]: build once, serve many): `index` is the assigned
+    * corpus frame — (vec_id, v, nrm, centroid_id) as written by
+    * [[ivfIndexFrames]] — read back from a centroid_id-bucketed warehouse
+    * table. The probed centroid set (≤ nlist by construction — a legal
+    * driver collect) becomes an IN filter on the bucket column, so the
+    * scan reads ONLY the probed buckets (`SelectedBucketsCount` in the
+    * plan — source-side pruning, the index's whole point at 100 TB), and
+    * scoring semantics are identical to the in-session operator
+    * (PlanQualitySpec asserts both).
+    */
+  def annTopKIvfServe(queries: DataFrame, index: DataFrame,
+                      cents: Seq[(Long, Array[Double], Double)],
+                      idCol: String, vecCol: String,
+                      k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val probes = ivfProbes(q, cents, nprobe)
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = index.filter(col("centroid_id").isin(probedIds: _*))
+    val scored = probes.join(pruned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              cosinePrenormed(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cosine"))
+    ivfRank(scored, k)
   }
 
   /** EXACT near-duplicate pairs (all pairs with cosine ≥ `minCosine`)

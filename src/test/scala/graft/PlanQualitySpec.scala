@@ -381,6 +381,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"candidates not broadcast-joined:\n$plan")
   }
 
+  test("q139 serves ANN from the bucketed IVF index with bucket-pruned probe reads") {
+    // single-query serving: nprobe=4 of nlist=16 → the index scan must
+    // read at most 4 of the 16 buckets (source-side pruning — the whole
+    // point of persisting the index bucketed by centroid_id)
+    val one  = graft.queries.VectorQueries.ivfServe(spark, dir, col("vec_id") === 7, 3)
+    val plan = planOf(one)
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning on the index scan:\n$plan")
+    assert(m.get.group(2).toInt == 16, s"index not 16-bucketed:\n$plan")
+    assert(m.get.group(1).toInt <= 4,
+      s"single query reads ${m.get.group(1)} buckets (> nprobe):\n$plan")
+    // and the served results equal the in-session operator's, row for row
+    val direct = graft.operators.Similarity.annTopKIvf(
+      graft.core.Tables(spark, dir).embeddings.filter(col("vec_id") === 7),
+      graft.core.Tables(spark, dir).embeddings, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 4)
+    assert(one.collect().toSet === direct.collect().toSet)
+  }
+
   test("q93 histogram sketch: the only window runs over the aggregated bins") {
     // The data path is projection + partial/final count; a Window is fine
     // ONLY downstream of the ≤1024-row histogram aggregate — never over
