@@ -144,4 +144,49 @@ object Sharding {
       .withColumn(
         "shard_id",
         floor((col("cum_tokens") - col(valCol)) / budget.toDouble).cast(LongType))
+
+  /** Greedy sequence packing — training-batch construction: pack whole
+    * documents into capacity-`capacity` bins WITHOUT splitting (vs
+    * [[byBudget]], which cuts shard boundaries mid-stream by start
+    * offset). The corpus splits into `numStreams` deterministic packing
+    * streams (`id % numStreams` — a pure function of the id, so retries
+    * and re-evaluations agree); within a stream, documents in id order
+    * fold greedily: a document that would overflow the open bin closes
+    * it and opens the next (an oversized document > capacity gets a bin
+    * of its own, and the following document always starts fresh).
+    *
+    * 100 TB shape: packing is inherently sequential PER STREAM — the
+    * parallelism knob is `numStreams` (one task's sorted fold per
+    * stream, the shape production packers run); no global window, no
+    * driver state, one hash shuffle on the stream id +
+    * `flatMapSortedGroups` (shuffle-sorted iterators, nothing held in
+    * memory per group beyond the open-bin counter).
+    */
+  def packGreedy(
+      df: DataFrame,
+      idCol: String,
+      valCol: String,
+      capacity: Long,
+      numStreams: Int = 32): DataFrame = {
+    require(capacity >= 1, "packGreedy needs capacity >= 1")
+    require(numStreams >= 1, "packGreedy needs numStreams >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast(LongType).as("doc_id"),
+        col(valCol).cast(LongType).as("n"),
+        pmod(col(idCol).cast(LongType), lit(numStreams.toLong)).as("stream_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapSortedGroups(col("doc_id")) { (stream: Long, it: Iterator[(Long, Long, Long)]) =>
+        var bin  = 0L
+        var fill = -1L // sentinel: no open bin yet
+        it.map { case (docId, n, _) =>
+          if (fill < 0 || fill + n > capacity) { bin += 1; fill = n }
+          else fill += n
+          (docId, stream, bin, n, fill)
+        }
+      }
+      .toDF("doc_id", "stream_id", "bin_seq", "n_tokens", "bin_fill_after")
+  }
 }

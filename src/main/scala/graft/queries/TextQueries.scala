@@ -476,6 +476,24 @@ object TextQueries {
         "doc_id", "n_tokens", budget = 5000L)
     },
 
+    // Greedy sequence packing — training-batch construction, the
+    // complement of q62: documents are NEVER split (q62 cuts shard
+    // boundaries by start offset mid-stream). 8 deterministic packing
+    // streams (doc_id % 8 — a pure function of the id), and within each
+    // stream a greedy capacity-512 fold in id order: a doc that would
+    // overflow the open bin closes it; an oversized doc gets a bin of
+    // its own. The per-stream sorted fold IS the production packer
+    // shape — parallelism = streams, no global window, no driver state
+    // (Sharding.packGreedy). The oracle replays every stream's fold as
+    // a recursive CTE, so the whole greedy walk hash-gates.
+    "q140_sequence_packing" -> { (s, dir) =>
+      val d  = Tables(s, dir).documents
+      val nt = size(Text.tokens(col("text"))).cast(LongType)
+      graft.operators.Sharding.packGreedy(
+        d.select(col("doc_id"), nt.as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 512L, numStreams = 8)
+    },
+
     // Deterministic stratified sampling: N docs per language stratum,
     // selected by smallest md5-derived key — reproducible across engines,
     // runs, partitionings, and task retries (the same discipline as the
@@ -1493,6 +1511,26 @@ object TextQueries {
         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
         |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 5000.0) AS BIGINT) AS shard_id
         |FROM t""".stripMargin,
+    // Replays each packing stream's greedy fold as a recursive CTE (the
+    // q67 recursion discipline): rn-ordered walk carrying (bin_seq,
+    // fill), new bin exactly when the open bin would overflow.
+    "q140_sequence_packing" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS stream_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |walk AS (
+        |  SELECT stream_id, rn, doc_id, n, CAST(1 AS BIGINT) AS bin_seq, n AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.stream_id, t.rn, t.doc_id, t.n,
+        |    CASE WHEN w.fill + t.n <= 512 THEN w.bin_seq ELSE w.bin_seq + 1 END,
+        |    CASE WHEN w.fill + t.n <= 512 THEN w.fill + t.n ELSE t.n END
+        |  FROM walk w JOIN t ON t.stream_id = w.stream_id AND t.rn = w.rn + 1)
+        |SELECT doc_id, stream_id, bin_seq, n AS n_tokens, fill AS bin_fill_after
+        |FROM walk""".stripMargin,
+
     "q68_stratified_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang, md5('sample|' || CAST(doc_id AS VARCHAR)) AS sample_key

@@ -640,7 +640,8 @@ class PlanQualitySpec extends SparkSpec {
       "q134_bpe_fit_apply"     -> 1, // spread only; fit collapses driver-side, apply scan-local
       "q135_audio_neardup"     -> 0, // memoized miner checkpoints at construction (q127 pattern)
       "q136_profile_kmv"       -> 1, // single partial+final sketch aggregate, no Expand
-      "q137_audio_dup_clusters"-> 4) // quotient-graph rep joins + per-cluster window (q132 shape)
+      "q137_audio_dup_clusters"-> 4, // quotient-graph rep joins + per-cluster window (q132 shape)
+      "q140_sequence_packing"  -> 1) // one stream-id shuffle; the fold is a sorted group iterator
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e

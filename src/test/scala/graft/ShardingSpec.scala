@@ -49,4 +49,45 @@ class ShardingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(out(1L) == 0L && out(10L) == 0L && out(11L) == 1L && out(25L) == 2L)
   }
+
+  test("packGreedy: whole-doc bins, capacity respected, layout-invariant, oversized isolated") {
+    val docs = Seq(
+      (0L, 100L), (2L, 400L), (4L, 50L), (6L, 600L), (8L, 10L),   // stream 0
+      (1L, 500L), (3L, 12L), (5L, 512L), (7L, 1L), (9L, 511L))    // stream 1
+      .toDF("doc_id", "n")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sharding.packGreedy(df, "doc_id", "n", capacity = 512L, numStreams = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val got = run(docs)
+    // independent sequential reference per stream
+    val expect = (0 until 2).flatMap { s =>
+      val stream = Seq(0L to 9L: _*).filter(_ % 2 == s)
+        .flatMap(id => docs.collect().find(_.getLong(0) == id))
+        .map(r => (r.getLong(0), r.getLong(1)))
+      var bin = 0L; var fill = -1L
+      stream.map { case (id, n) =>
+        if (fill < 0 || fill + n > 512L) { bin += 1; fill = n } else fill += n
+        (id, s.toLong, bin, n, fill)
+      }
+    }.toSet
+    assert(got.toSet == expect)
+    // greedy semantics spot-checks: stream 0 = 100,400(fill 500) | 50,10? no —
+    // 50 opens bin 2 (500+50>512... wait 550>512), then 600 oversized alone,
+    // then 10 starts fresh — encoded in `expect`; here pin two anchors:
+    assert(got.find(_._1 == 6L).get._3 != got.find(_._1 == 4L).get._3,
+      "oversized doc must not share the previous bin")
+    assert(got.find(_._1 == 8L).get._3 != got.find(_._1 == 6L).get._3,
+      "the doc after an oversized one must start a fresh bin")
+    // deterministic under any input layout
+    assert(run(docs.repartition(7)).toSet == got.toSet)
+    // every doc packed exactly once; no bin over capacity unless singleton
+    assert(got.map(_._1).toSet.size == 10)
+    val byBin = got.groupBy(t => (t._2, t._3))
+    byBin.values.foreach { members =>
+      val tot = members.map(_._4).sum
+      assert(tot <= 512L || members.size == 1,
+        s"multi-doc bin over capacity: $members")
+    }
+  }
 }
