@@ -346,6 +346,33 @@ object EventsStream {
            count(lit(1)).as("group_size"))
   }
 
+  /** Stream–stream bounded range join — the streaming leg of
+    * [[graft.operators.TemporalJoins.boundedRangeJoin]] (q43's batch
+    * semantics: right rows with `r.ts ∈ (l.ts, l.ts + window]` on the
+    * same user), rendered with Spark's NATIVE stream-stream inner join:
+    * watermarks on BOTH sides plus an event-time interval condition,
+    * which is exactly what lets the state store evict — each side
+    * buffers only rows inside the watermark + window horizon, so state
+    * is bounded by stream RATE, not stream length. `left`/`right` are
+    * event frames with canonical `ts` ([[read]]).
+    */
+  def rangeJoinStream(left: DataFrame, right: DataFrame,
+                      windowSeconds: Long,
+                      watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col("event_id").as("view_event_id"), col("user_id"),
+                        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val r = right.select(col("user_id").as("r_user_id"),
+                         col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("view_event_id"), col("user_id"), col("view_ts"),
+              col("purchase_ts"), col("value"))
+  }
+
   /** Streaming perceptual AUDIO dedup — the audio twin of
     * [[perceptualDedupStream]]: each document's tone clip decodes and
     * fingerprints scan-locally (stateless map — q135's

@@ -178,6 +178,30 @@ class StreamingSpec extends SparkSpec {
       "drained streaming moment table differs from the batch aggregate")
   }
 
+  test("stream-stream bounded range join ≡ the batch range join (q43 semantics)") {
+    val views = EventsStream.read(spark, eventsDir).filter(col("event_type") === "view")
+    val purchases = EventsStream.read(spark, eventsDir).filter(col("event_type") === "purchase")
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.rangeJoinStream(views, purchases, windowSeconds = 3600L),
+      "stream_range", OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+                 r.getDouble(4))).toSet
+    val e = graft.core.Tables(spark, dir).events
+    val batch = graft.operators.TemporalJoins.boundedRangeJoin(
+        e.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "ts", 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts"), col("r_ts"), col("r_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+                 r.getDouble(4))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch, "stream-stream interval join diverged from the batch range join")
+  }
+
   test("flatMapGroupsWithState sessionization matches batch sessions (closed ones)") {
     import org.apache.spark.sql.expressions.Window
     val streamed = EventsStream.runToMemorySink(
