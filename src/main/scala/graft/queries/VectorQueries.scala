@@ -602,13 +602,22 @@ object VectorQueries {
 
   /** The q139 serving path. `queryPred` selects the query batch —
     * exposed so PlanQualitySpec can serve a single query and assert the
-    * probe scan touches ≤ nprobe of nlist buckets.
+    * probe scan touches ≤ nprobe of nlist buckets. Centroids are a tiny
+    * driver-side Seq but cost a corpus TakeOrdered per pick — memoized
+    * per (session, dir) alongside the index (bpeFitCache discipline; a
+    * racing double-pick is idempotent, the pick is a pure function of
+    * the corpus).
     */
+  private val ivfCentCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(Long, Array[Double], Double)]]
   def ivfServe(s: SparkSession, dir: String,
                queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val n = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents = Similarity.ivfCentroids(n, IvfNlist)
+    val cents = ivfCentCache.getOrElseUpdate(
+      (org.apache.spark.sql.graftx.Bridge.sessionUUID(s), dir),
+      Similarity.ivfCentroids(
+        e.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        IvfNlist))
     Similarity.annTopKIvfServe(e.filter(queryPred), ivfIndex(s, dir), cents,
       "vec_id", "embedding", k, nprobe = IvfNprobe)
   }
