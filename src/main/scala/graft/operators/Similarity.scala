@@ -186,12 +186,22 @@ object Similarity {
     * asserts equality to the composable form).
     */
   def ivfIndexFrames(n0: DataFrame, nlist: Int): (Seq[(Long, Array[Double], Double)], DataFrame) = {
+    val cents = ivfCentroids(n0, nlist)
+    (cents, ivfAssignWith(n0, cents))
+  }
+
+  /** Assign `n0` — (vec_id, v [, riders]) — to FIXED centroids: the
+    * incremental-maintenance primitive (a delta batch is assigned with
+    * the index's frozen centroids and appended — assignment is a pure
+    * per-row function, so incremental build ≡ one-shot build given the
+    * same centroids).
+    */
+  def ivfAssignWith(n0: DataFrame,
+                    cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
     val n = n0.withColumn("nrm", norm(col("v")))
-    val cents = ivfCentroids(n, nlist)
-    val assigned = n.withColumn("centroid_id",
+    n.withColumn("centroid_id",
       org.apache.spark.sql.graftx.NearestCentroid.nearest(
         col("v"), col("nrm"), cents))
-    (cents, assigned)
   }
 
   /** Probe ranking (the query side of [[annTopKIvf]]): each query row of

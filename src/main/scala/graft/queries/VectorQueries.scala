@@ -157,6 +157,21 @@ object VectorQueries {
       ivfServe(s, dir, col("vec_id") < 50, k = 3)
     },
 
+    // Incremental ANN index maintenance — q91's delta-ingest discipline
+    // applied to the q139 vector index: the index is built from the BASE
+    // corpus (even vec_ids — its centroids freeze then), and a later
+    // DELTA batch (odd vec_ids) is assigned with those FROZEN centroids
+    // and APPENDED as extra per-bucket files (Warehouse.appendBucketed)
+    // — cost ∝ delta, the base is never re-read or re-written, and
+    // bucket-pruned serving keeps working across the union of files.
+    // Assignment is a pure per-row function, so incremental build ≡
+    // one-shot build given the same centroids — which is exactly what
+    // the oracle checks (q64's arithmetic with base-only seeds over the
+    // full corpus).
+    "q141_ann_index_append" -> { (s, dir) =>
+      ivfServeIncremental(s, dir, col("vec_id") < 50, k = 3)
+    },
+
     // Hard-negative mining — the contrastive-training data op: per
     // anchor vector, the top-5 most-similar corpus vectors of a
     // DIFFERENT label (the negatives that actually move an embedding
@@ -622,6 +637,50 @@ object VectorQueries {
       "vec_id", "embedding", k, nprobe = IvfNprobe)
   }
 
+  /** Session-scoped q141 incremental index table name. */
+  def ivfIncTable(s: SparkSession, dir: String): String =
+    graft.sources.Warehouse.sessionScopedName(s,
+      "graft_q141_ivfinc_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+
+  /** The q141 incremental build, memoized per (session, dir): base
+    * (even vec_ids) builds the bucketed index and freezes the centroids;
+    * the delta (odd vec_ids) is assigned with those centroids and
+    * APPENDED — the base files are never touched again.
+    */
+  private val ivfIncCache = new graft.core.SessionCache[String]
+  private val ivfIncCentCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(Long, Array[Double], Double)]]
+  private def ivfIncCents(s: SparkSession, dir: String): Seq[(Long, Array[Double], Double)] =
+    ivfIncCentCache.getOrElseUpdate(
+      (org.apache.spark.sql.graftx.Bridge.sessionUUID(s), dir),
+      Similarity.ivfCentroids(
+        Tables(s, dir).embeddings.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        IvfNlist))
+  private def ivfIncIndex(s: SparkSession, dir: String): DataFrame =
+    ivfIncCache.getOrElseUpdate(s, dir) {
+      val e = Tables(s, dir).embeddings
+      def proj(pred: org.apache.spark.sql.Column) = e.filter(pred)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = ivfIncCents(s, dir)
+      val table = ivfIncTable(s, dir)
+      graft.sources.Warehouse.writeBucketed(
+        Similarity.ivfAssignWith(proj(col("vec_id") % 2 === 0), cents),
+        table, "centroid_id", numBuckets = IvfNlist)
+      graft.sources.Warehouse.appendBucketed(
+        Similarity.ivfAssignWith(proj(col("vec_id") % 2 === 1), cents),
+        table, "centroid_id", numBuckets = IvfNlist)
+      s.table(table)
+    }
+
+  /** The q141 serving path over the incrementally-built index. */
+  def ivfServeIncremental(s: SparkSession, dir: String,
+                          queryPred: org.apache.spark.sql.Column, k: Int): DataFrame =
+    Similarity.annTopKIvfServe(
+      Tables(s, dir).embeddings.filter(queryPred),
+      ivfIncIndex(s, dir), ivfIncCents(s, dir),
+      "vec_id", "embedding", k, nprobe = IvfNprobe)
+
   private val baseOracles: Map[String, String] = Map(
     "q37_cosine_topk" ->
       """WITH n AS (
@@ -988,5 +1047,47 @@ object VectorQueries {
     }) +
     // the indexed serving path must return EXACTLY what the in-session
     // operator returns on the same parameters — one oracle, two plans
-    ("q139_ann_ivf_indexed" -> baseOracles("q64_ann_ivf"))
+    ("q139_ann_ivf_indexed" -> baseOracles("q64_ann_ivf")) +
+    // q64's arithmetic with BASE-only (even vec_id) seeds over the full
+    // corpus: assignment is a pure per-row function of (vector,
+    // centroids), so the incremental base+append build must equal this
+    // one-shot restatement exactly
+    ("q141_ann_index_append" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id % 2 = 0
+        |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT n.vec_id, n.v, n.nrm, s.centroid_id,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      (CASE WHEN n.nrm > 0 AND s.cnrm > 0
+        |            THEN list_dot_product(n.v, s.cv) / (n.nrm * s.cnrm) END) DESC NULLS LAST,
+        |      s.centroid_id) AS rn
+        |  FROM n CROSS JOIN seeds s),
+        |lists AS (SELECT vec_id, v, nrm, centroid_id FROM assign WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, s.centroid_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      (CASE WHEN q.nrm > 0 AND s.cnrm > 0
+        |            THEN list_dot_product(q.v, s.cv) / (q.nrm * s.cnrm) END) DESC NULLS LAST,
+        |      s.centroid_id) AS prn
+        |  FROM n q CROSS JOIN seeds s WHERE q.vec_id < 50),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, p.qn, l.vec_id AS neighbor_id, l.v AS cv2, l.nrm AS cn
+        |  FROM (SELECT * FROM qprobe WHERE prn <= 4) p
+        |  JOIN lists l ON p.centroid_id = l.centroid_id
+        |  WHERE l.vec_id != p.query_id),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |    CASE WHEN qn > 0 AND cn > 0
+        |         THEN list_dot_product(qv, cv2) / (qn * cn) END AS cosine
+        |  FROM cand)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+        |      FROM sc)
+        |WHERE rank <= 3""".stripMargin)
 }

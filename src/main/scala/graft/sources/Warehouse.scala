@@ -68,6 +68,20 @@ object Warehouse {
     registerExitCleanup(loc.toUri, spark.sparkContext.hadoopConfiguration)
   }
 
+  /** Append a delta batch to an EXISTING bucketed table (incremental
+    * index/table maintenance): the bucket spec must match the table's —
+    * Spark writes the delta as additional per-bucket files, and bucketed
+    * reads/joins keep their no-shuffle property across the union of
+    * files. The table must have been created by [[writeBucketed]].
+    */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String,
+                     numBuckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   // (URI, Configuration) pairs: the hook must resolve each FileSystem
   // from the conf REGISTERED with the path, not a fresh Configuration()
   // — a fresh conf lacks session settings (s3a credentials, a custom

@@ -400,6 +400,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(one.collect().toSet === direct.collect().toSet)
   }
 
+  test("q141 incremental index append preserves bucket pruning and one-shot equivalence") {
+    // bucket pruning must survive the append (delta rows live in extra
+    // per-bucket files of the SAME bucket spec)
+    val one  = graft.queries.VectorQueries.ivfServeIncremental(spark, dir, col("vec_id") === 7, 3)
+    val plan = planOf(one)
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning on the appended index scan:\n$plan")
+    assert(m.get.group(1).toInt <= 4 && m.get.group(2).toInt == 16,
+      s"pruning degraded after append:\n$plan")
+    // incremental build ≡ one-shot: assignment is a pure per-row
+    // function of (vector, frozen centroids)
+    val e = graft.core.Tables(spark, dir).embeddings
+    val base = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = graft.operators.Similarity.ivfCentroids(base, 16)
+    val oneShot = graft.operators.Similarity.annTopKIvfServe(
+      e.filter(col("vec_id") === 7),
+      graft.operators.Similarity.ivfAssignWith(
+        e.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), cents),
+      cents, "vec_id", "embedding", 3, nprobe = 4)
+    assert(one.collect().toSet === oneShot.collect().toSet)
+  }
+
   test("q93 histogram sketch: the only window runs over the aggregated bins") {
     // The data path is projection + partial/final count; a Window is fine
     // ONLY downstream of the ≤1024-row histogram aggregate — never over
