@@ -93,6 +93,59 @@ object RetrievalQueries {
     },
 
     // ---------------------------------------------------------------
+    // q142: hybrid retrieval with reciprocal-rank fusion — the modern
+    // RAG-serving shape: a LEXICAL ranking (q88's BM25 top-25, reused
+    // verbatim via this map) fused with a SEMANTIC ranking (cosine
+    // against a fixed query embedding — vec_id 0, the deterministic
+    // stand-in for an encoded query) by RRF:
+    // score = Σ 1/(60 + rank), missing legs contribute 0.
+    //
+    // Shape at 100 TB: each leg ends in a TakeOrdered top-25 (no global
+    // sort), the rank windows run over those 25-row frames only, and
+    // the fusion is a full-outer join of two ≤25-row lists — constant
+    // work after the scans. The semantic leg broadcasts the single
+    // query vector onto the embedding scan (no shuffle of the corpus).
+    // ---------------------------------------------------------------
+    "q142_hybrid_rrf" -> { (s, dir) =>
+      import graft.functions.Vectors
+      import org.apache.spark.sql.expressions.Window
+      val lex = defs("q88_bm25_topk")(s, dir)
+        .select(col("doc_id"), col("bm25_score"))
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("bm25_score").desc, col("doc_id")))
+            .cast(LongType))
+        .select(col("doc_id"), col("lex_rank"))
+      val e = Tables(s, dir).embeddings
+      val qv = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qvec"))
+        .withColumn("qn", Vectors.norm(col("qvec"))))
+      val sem = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+                col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+        .crossJoin(qv)
+        .select(col("doc_id"),
+          when(col("nrm") > 0 && col("qn") > 0,
+            Vectors.dot(col("v"), col("qvec")) / (col("nrm") * col("qn")))
+            .as("cosine"))
+        .orderBy(col("cosine").desc_nulls_last, col("doc_id"))
+        .limit(25)
+        .withColumn("sem_rank",
+          row_number().over(
+            Window.orderBy(col("cosine").desc_nulls_last, col("doc_id")))
+            .cast(LongType))
+        .select(col("doc_id"), col("sem_rank"))
+      val rrf =
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("sem_rank")), lit(0.0))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+                rrf.as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(25)
+    },
+
+    // ---------------------------------------------------------------
     // q89: count-min sketch heavy hitters (Cormode & Muthukrishnan).
     // The token-frequency sketch: d=4 rows × w=1024 counters, each
     // token occurrence incrementing one counter per row at a
@@ -561,6 +614,42 @@ object RetrievalQueries {
          |LEFT JOIN dot USING (doc_id)
          |CROSS JOIN b""".stripMargin
 
+  /** The q88 BM25 oracle — a val so q142's fusion oracle composes it
+    * (the q127Oracle discipline).
+    */
+  private lazy val q88Oracle: String = {
+      val terms = BmTerms
+      val tfSel = terms.zipWithIndex
+        .map { case (t, i) => s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }
+        .mkString(", ")
+      val dfSel = terms.indices
+        .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      def contrib(i: Int) =
+        s"""CASE WHEN tf$i > 0 THEN
+           |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+           |           / (CAST(df$i AS DOUBLE) + 0.5))
+           |  * (CAST(tf$i AS DOUBLE) * 2.2)
+           |  / (CAST(tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+           |       (CAST(dl AS DOUBLE)
+           |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+           |ELSE 0.0 END""".stripMargin
+      val matched = terms.indices
+        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, len(toks) AS dl, $tfSel
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfSel FROM base)
+         |SELECT doc_id, lang,
+         |  CAST($matched AS BIGINT) AS n_terms_matched,
+         |  floor((${terms.indices.map(i => s"(${contrib(i)})").mkString(" + ")})
+         |        * 1e9 + 0.5) / 1e9 AS bm25_score
+         |FROM base CROSS JOIN stats
+         |WHERE $matched > 0
+         |ORDER BY bm25_score DESC, doc_id ASC
+         |LIMIT 25""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Same register derivation character-for-character via the HexKeys
     // SQL twins; HUGEINT `//` ≡ Spark's DECIMAL `div` (both truncate);
@@ -639,38 +728,39 @@ object RetrievalQueries {
         |        / (den * (nd * syyd - syd * syd)) * 1e9 + 0.5) / 1e9 AS r_squared
         |FROM g""".stripMargin,
 
-    "q88_bm25_topk" -> {
-      val terms = BmTerms
-      val tfSel = terms.zipWithIndex
-        .map { case (t, i) => s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }
-        .mkString(", ")
-      val dfSel = terms.indices
-        .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
-        .mkString(", ")
-      def contrib(i: Int) =
-        s"""CASE WHEN tf$i > 0 THEN
-           |  ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
-           |           / (CAST(df$i AS DOUBLE) + 0.5))
-           |  * (CAST(tf$i AS DOUBLE) * 2.2)
-           |  / (CAST(tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
-           |       (CAST(dl AS DOUBLE)
-           |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-           |ELSE 0.0 END""".stripMargin
-      val matched = terms.indices
-        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH base AS (
-         |  SELECT doc_id, lang, len(toks) AS dl, $tfSel
-         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
-         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfSel FROM base)
-         |SELECT doc_id, lang,
-         |  CAST($matched AS BIGINT) AS n_terms_matched,
-         |  floor((${terms.indices.map(i => s"(${contrib(i)})").mkString(" + ")})
-         |        * 1e9 + 0.5) / 1e9 AS bm25_score
-         |FROM base CROSS JOIN stats
-         |WHERE $matched > 0
-         |ORDER BY bm25_score DESC, doc_id ASC
-         |LIMIT 25""".stripMargin
-    },
+    "q88_bm25_topk" -> q88Oracle,
+
+    // lexical rank over the q88 oracle's 25 rows + semantic rank against
+    // the vec_id-0 query embedding, fused with 1/(60+rank) — every step
+    // integer or fixed-order double arithmetic, so the fused ordering
+    // hash-gates.
+    "q142_hybrid_rrf" ->
+      s"""WITH lex AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+         |  FROM ($q88Oracle) b),
+         |emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |qv AS (SELECT v AS qvec, nrm AS qn FROM emb WHERE vec_id = 0),
+         |sem0 AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    CASE WHEN e.nrm > 0 AND q.qn > 0
+         |         THEN list_dot_product(e.v, q.qvec) / (e.nrm * q.qn) END AS cosine
+         |  FROM emb e CROSS JOIN qv q WHERE e.vec_id != 0),
+         |sem AS (
+         |  SELECT doc_id, sem_rank FROM (
+         |    SELECT doc_id,
+         |           CAST(row_number() OVER (ORDER BY cosine DESC NULLS LAST, doc_id ASC) AS BIGINT) AS sem_rank
+         |    FROM sem0)
+         |  WHERE sem_rank <= 25)
+         |SELECT doc_id, lex_rank, sem_rank,
+         |  coalesce(1.0 / (60.0 + lex_rank), 0.0)
+         |    + coalesce(1.0 / (60.0 + sem_rank), 0.0) AS rrf_score
+         |FROM lex FULL JOIN sem USING (doc_id)
+         |ORDER BY rrf_score DESC, doc_id ASC
+         |LIMIT 25""".stripMargin,
 
     "q89_cms_heavy_hitters" -> {
       // DuckDB 1.0 rejects lateral unnest over column-derived arrays

@@ -423,6 +423,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(one.collect().toSet === oneShot.collect().toSet)
   }
 
+  test("q142 hybrid RRF: both legs end in TakeOrdered; corpus never sort-merged") {
+    // each leg's top-25 is a TakeOrdered (per-partition heap, no global
+    // sort); the rank windows and the fusion join see only ≤25-row
+    // frames; the single query vector broadcasts onto the embedding scan
+    val df   = SparkEntry.queries("q142_hybrid_rrf")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"top-25 is a full sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    // the fusion join (full outer of two ≤25-row lists) may sort-merge —
+    // constant work; what must NOT happen is a sort-merge of CORPUS data:
+    // every SMJ input must be bounded by a TakeOrdered/limit below it
+    physical(df).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        val bounded = side.collect {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+          case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        }
+        assert(bounded.nonEmpty, s"sort-merge over unbounded corpus data:\n$plan")
+      }
+    }
+    // every window input is bounded by a limit/TakeOrdered below it
+    physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      val bounded = w.child.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        case l: org.apache.spark.sql.execution.LocalLimitExec => l
+      }
+      assert(bounded.nonEmpty, s"rank window over unbounded data:\n$plan")
+    }
+  }
+
   test("q93 histogram sketch: the only window runs over the aggregated bins") {
     // The data path is projection + partial/final count; a Window is fine
     // ONLY downstream of the ≤1024-row histogram aggregate — never over
