@@ -119,6 +119,22 @@ object EventsStream {
       .agg(sum(col("e.t").cast("decimal(28,14)")).as("s"),
            count(lit(1)).as("n"))
 
+  /** Streaming KMV distinct-count — q66's sketch as a stream: the
+    * TypedImperativeAggregate's O(k) buffer IS the streaming state (≤ k
+    * hashes per group, merge = union-keep-k-smallest), so per-group
+    * state is constant no matter how many distinct values arrive, and a
+    * drained stream's estimate is BIT-IDENTICAL to the batch sketch
+    * (md5-deterministic — StreamingSpec asserts it against q66's batch
+    * form). The streaming analog of exact `countDistinct`'s unbounded
+    * per-group state — the precise failure mode the sketch avoids.
+    */
+  def kmvDistinctStream(docs: DataFrame, k: Int = 64): DataFrame =
+    docs
+      .select(col("lang"), explode(graft.functions.Text.tokens(col("text"))).as("token"))
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.graftx.KmvDistinct.kmvDistinct(col("token"), k)
+        .as("est_distinct_tokens"))
+
   /** Streaming exact deduplication on a key, with the watermark bounding
     * how long per-key state is retained — the streaming analog of the
     * batch exact-dedup operator (a re-delivered event inside the

@@ -70,6 +70,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.agg(sum("group_size")).head.getLong(0) === docs.count())
   }
 
+  test("streaming KMV distinct is bit-identical to the batch sketch; state ≤ k per group") {
+    val docs = graft.core.Tables(spark, dir).documents
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.kmvDistinctStream(
+        EventsStream.readDocuments(spark, docsDir)),
+      "stream_kmv")
+    val batch = EventsStream.kmvDistinctStream(docs)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "drained stream KMV estimates differ from the batch sketch")
+    // and against q66's gated batch query (same k, same hash derivation)
+    val q66 = SparkEntry.queries("q66_kmv_distinct")(spark, dir)
+      .select(col("lang"), col("est_distinct_tokens"))
+    assert(streamed.exceptAll(q66).isEmpty && q66.exceptAll(streamed).isEmpty,
+      "stream sketch diverged from q66's estimates")
+  }
+
   test("windowed streaming aggregation matches the batch equivalent") {
     val streamed = EventsStream.runToMemorySink(
       EventsStream.windowedRates(EventsStream.read(spark, eventsDir)),
