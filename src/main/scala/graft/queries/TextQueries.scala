@@ -532,6 +532,29 @@ object TextQueries {
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
     },
 
+    // Quality-aware cluster resolution — keep the BEST copy, not the
+    // first: near-dup clusters carry genuinely different texts (unlike
+    // exact-dup groups, where every member scores identically and
+    // min-id IS argmax), so the keeper should be each cluster's
+    // highest-q33-quality member, not its smallest id. One
+    // max(struct(score, −id)) window over the cluster key resolves
+    // argmax-with-tiebreak in a single pass — no per-cluster sort, no
+    // self-join; clusters are bounded, so the window partition is too.
+    "q143_best_copy_dedup" -> { (s, dir) =>
+      val clusters = defs("q67_dedup_clusters")(s, dir)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      val scored = Tables(s, dir).documents
+        .select(col("doc_id"), qualityScore.as("quality_score"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      clusters.join(scored, Seq("doc_id"))
+        .withColumn("__best",
+          max(struct(col("quality_score"), (-col("doc_id")).as("negid"))).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+                col("quality_score"),
+                (-col("__best.negid")).as("best_id"),
+                (col("doc_id") === -col("__best.negid")).as("is_kept"))
+    },
+
     // Perceptual duplicate CLUSTERS: q127's banded dHash pairs closed
     // into transitive components (the q67 step applied to the image
     // modality — a re-encoded copy of a re-encoded copy still collapses
@@ -974,6 +997,40 @@ object TextQueries {
   }
 
   /** The q127 dHash pair oracle — shared by q132's cluster oracle. */
+  /** The q67 cluster oracle — a val so q143's best-copy resolution can
+    * compose it (the q127Oracle discipline).
+    */
+  private lazy val q67Oracle: String =
+    """WITH RECURSIVE
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
+      |  FROM documents),
+      |ex AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_shingles, unnest(tg) AS shingle FROM sh),
+      |jpairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.n_shingles AS sa, b.n_shingles AS sb, COUNT(*) AS shared
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |jed AS (SELECT doc_a, doc_b FROM jpairs
+      |        WHERE CAST(shared AS DOUBLE) / CAST(sa + sb - shared AS DOUBLE) >= 0.5),
+      |eed AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |        FROM documents a JOIN documents b
+      |        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM jed UNION SELECT doc_b, doc_a FROM jed
+      |  UNION SELECT doc_a, doc_b FROM eed UNION SELECT doc_b, doc_a FROM eed),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT rc.id, e.d FROM reach rc JOIN edges e ON rc.r = e.s),
+      |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT id AS doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      |  id = cluster_id AS is_canonical
+      |FROM comp""".stripMargin
+
   /** The q135 fingerprint+pair oracle (see the oracles-map comment for
     * the arithmetic) — a val so q137's cluster oracle can compose it the
     * way q132 composes [[q127Oracle]].
@@ -1539,36 +1596,37 @@ object TextQueries {
         |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS BIGINT) AS sample_rank
         |      FROM keyed)
         |WHERE sample_rank <= 50""".stripMargin,
-    "q67_dedup_clusters" ->
-      """WITH RECURSIVE
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
-        |  FROM documents),
-        |ex AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_shingles, unnest(tg) AS shingle FROM sh),
-        |jpairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.n_shingles AS sa, b.n_shingles AS sb, COUNT(*) AS shared
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4),
-        |jed AS (SELECT doc_a, doc_b FROM jpairs
-        |        WHERE CAST(shared AS DOUBLE) / CAST(sa + sb - shared AS DOUBLE) >= 0.5),
-        |eed AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |        FROM documents a JOIN documents b
-        |        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
-        |edges AS (
-        |  SELECT doc_a AS s, doc_b AS d FROM jed UNION SELECT doc_b, doc_a FROM jed
-        |  UNION SELECT doc_a, doc_b FROM eed UNION SELECT doc_b, doc_a FROM eed),
-        |reach AS (
-        |  SELECT doc_id AS id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT rc.id, e.d FROM reach rc JOIN edges e ON rc.r = e.s),
-        |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-        |SELECT id AS doc_id, cluster_id,
-        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-        |  id = cluster_id AS is_canonical
-        |FROM comp""".stripMargin,
+    "q67_dedup_clusters" -> q67Oracle,
+
+    // q67's clusters re-resolved by QUALITY: the q33 score formula joins
+    // on, and each cluster's keeper is its argmax-score member (ties →
+    // min doc_id) — the row_number restatement of the Spark side's
+    // max(struct(score, −id)) pick.
+    "q143_best_copy_dedup" ->
+      s"""WITH cl AS (SELECT doc_id, cluster_id, cluster_size FROM ($q67Oracle) c),
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    least(CAST(len(toks) AS DOUBLE) / 50, 1.0) * 25
+         |    + (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 25
+         |    + least((CAST(len(list_filter(toks, x -> list_contains([$enList], x))) AS DOUBLE)
+         |             / CAST(len(toks) AS DOUBLE)) * 5, 1.0) * 25
+         |    + (1.0 - least((CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         |                    / CAST(length(text) AS DOUBLE)) * 10, 1.0)) * 25 AS quality_score
+         |  FROM t),
+         |j AS (
+         |  SELECT cl.doc_id, cl.cluster_id, cl.cluster_size, m.quality_score
+         |  FROM cl JOIN m USING (doc_id)),
+         |best AS (
+         |  SELECT cluster_id, doc_id AS best_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |           row_number() OVER (PARTITION BY cluster_id
+         |                              ORDER BY quality_score DESC, doc_id ASC) AS rn
+         |    FROM j)
+         |  WHERE rn = 1)
+         |SELECT j.doc_id, j.cluster_id, j.cluster_size, j.quality_score,
+         |       best.best_id, j.doc_id = best.best_id AS is_kept
+         |FROM j JOIN best USING (cluster_id)""".stripMargin,
     "q66_kmv_distinct" -> {
       def hv = (0 until 8).map { j =>
         val ch = s"substring(hex, ${j + 1}, 1)"

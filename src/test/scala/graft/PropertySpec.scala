@@ -32,6 +32,36 @@ class PropertySpec extends SparkSpec {
     })
   } yield (docs, threshold)
 
+  private val packGen: Gen[(Seq[(Long, Long)], Long, Int)] = for {
+    nDocs    <- Gen.choose(5, 40)
+    capacity <- Gen.oneOf(16L, 64L, 100L)
+    streams  <- Gen.choose(1, 5)
+    sizes <- Gen.listOfN(nDocs, Gen.choose(1L, 150L)) // some exceed capacity
+  } yield (sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }, capacity, streams)
+
+  test("packGreedy ≡ sequential per-stream greedy fold for random corpora") {
+    forSeeds(packGen) { case (docs, capacity, streams) =>
+      val got = graft.operators.Sharding
+        .packGreedy(docs.toDF("doc_id", "n").repartition(3), "doc_id", "n",
+          capacity, streams)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val expect = (0 until streams).flatMap { st =>
+        var bin = 0L; var fill = -1L
+        docs.filter(_._1 % streams == st).sortBy(_._1).map { case (id, n) =>
+          if (fill < 0 || fill + n > capacity) { bin += 1; fill = n } else fill += n
+          (id, st.toLong, bin, n, fill)
+        }
+      }.toSet
+      assert(got == expect, s"capacity=$capacity streams=$streams docs=${docs.size}")
+      // capacity invariant: a multi-doc bin never exceeds capacity
+      got.groupBy(t => (t._2, t._3)).values.foreach { bin =>
+        assert(bin.map(_._4).sum <= capacity || bin.size == 1)
+      }
+    }
+  }
+
   test("prefix-filtered jaccard ≡ naive all-pairs for random corpora and thresholds") {
     forSeeds(corpusGen) { case (docs, threshold) =>
       val df = docs.toDF("doc_id", "text")
