@@ -39,6 +39,32 @@ class PropertySpec extends SparkSpec {
     sizes <- Gen.listOfN(nDocs, Gen.choose(1L, 150L)) // some exceed capacity
   } yield (sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }, capacity, streams)
 
+  test("audioFingerprint64 ≡ the arithmetic restatement for random ids (incl. huge variants)") {
+    // the q135 oracle's formula, restated independently in plain Scala
+    def expected(id: Long): Long = {
+      val f = (id % 16).toInt
+      val v = id / 16
+      val bands = new Array[Long](65)
+      var i = 0
+      while (i < 260) {
+        var s = ((i.toLong * (17 + 26 * f) + 97L * f) % 2001) - 1000
+        if ((i * 7 + v * 53) % 131 == v % 131) s += 500
+        bands(i / 4) += math.abs(s)
+        i += 1
+      }
+      (0 until 64).foldLeft(0L) { (acc, k) =>
+        if (bands(k) < bands(k + 1)) acc | (1L << k) else acc
+      }
+    }
+    forSeeds(Gen.listOfN(40, Gen.choose(0L, 5000000L))) { ids =>
+      ids.foreach { id =>
+        val got = graft.operators.Multimodal.audioFingerprint64(
+          graft.operators.Multimodal.syntheticToneWav(id))
+        assert(got.contains(expected(id)), s"fingerprint mismatch for id=$id")
+      }
+    }
+  }
+
   test("packGreedy ≡ sequential per-stream greedy fold for random corpora") {
     forSeeds(packGen) { case (docs, capacity, streams) =>
       val got = graft.operators.Sharding
