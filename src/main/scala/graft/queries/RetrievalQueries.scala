@@ -108,33 +108,43 @@ object RetrievalQueries {
     // ---------------------------------------------------------------
     "q142_hybrid_rrf" -> { (s, dir) =>
       import graft.functions.Vectors
-      import org.apache.spark.sql.expressions.Window
-      val lex = defs("q88_bm25_topk")(s, dir)
-        .select(col("doc_id"), col("bm25_score"))
-        .withColumn("lex_rank",
-          row_number().over(Window.orderBy(col("bm25_score").desc, col("doc_id")))
-            .cast(LongType))
-        .select(col("doc_id"), col("lex_rank"))
+      // Ranking the 25-row legs: a Window.orderBy with no partition would
+      // be correct (inputs are TakeOrdered top-25) but spams the one
+      // WindowExec warning that must stay meaningful elsewhere. Instead
+      // each leg collapses to ONE row via collect_list (bounded at 25
+      // structs), sorts locally, and posexplodes — rank = position + 1,
+      // same deterministic (score desc, doc_id asc) order, no window.
+      // Sort key is (-score, doc_id): negation flips to ascending struct
+      // order; nulls (possible only on the cosine leg) map to +MaxValue
+      // so they rank last, matching desc_nulls_last.
+      def rankLeg(leg: org.apache.spark.sql.DataFrame, score: Column,
+                  rankName: String): org.apache.spark.sql.DataFrame =
+        leg.agg(sort_array(collect_list(struct(
+            coalesce(score * lit(-1.0), lit(Double.MaxValue)).as("ns"),
+            col("doc_id").as("doc_id")))).as("xs"))
+          .select(posexplode(col("xs")).as(Seq("pos", "x")))
+          .select(col("x.doc_id").as("doc_id"),
+                  (col("pos") + 1).cast(LongType).as(rankName))
+      val lex = rankLeg(
+        defs("q88_bm25_topk")(s, dir).select(col("doc_id"), col("bm25_score")),
+        col("bm25_score"), "lex_rank")
       val e = Tables(s, dir).embeddings
       val qv = broadcast(e.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>").as("qvec"))
         .withColumn("qn", Vectors.norm(col("qvec"))))
-      val sem = e.filter(col("vec_id") =!= 0)
-        .select(col("vec_id").as("doc_id"),
-                col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", Vectors.norm(col("v")))
-        .crossJoin(qv)
-        .select(col("doc_id"),
-          when(col("nrm") > 0 && col("qn") > 0,
-            Vectors.dot(col("v"), col("qvec")) / (col("nrm") * col("qn")))
-            .as("cosine"))
-        .orderBy(col("cosine").desc_nulls_last, col("doc_id"))
-        .limit(25)
-        .withColumn("sem_rank",
-          row_number().over(
-            Window.orderBy(col("cosine").desc_nulls_last, col("doc_id")))
-            .cast(LongType))
-        .select(col("doc_id"), col("sem_rank"))
+      val sem = rankLeg(
+        e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"),
+                  col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", Vectors.norm(col("v")))
+          .crossJoin(qv)
+          .select(col("doc_id"),
+            when(col("nrm") > 0 && col("qn") > 0,
+              Vectors.dot(col("v"), col("qvec")) / (col("nrm") * col("qn")))
+              .as("cosine"))
+          .orderBy(col("cosine").desc_nulls_last, col("doc_id"))
+          .limit(25),
+        col("cosine"), "sem_rank")
       val rrf =
         coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60.0) + col("sem_rank")), lit(0.0))
