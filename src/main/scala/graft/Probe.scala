@@ -96,6 +96,20 @@ object Probe {
             d.select(col("doc_id").as("id")), edges, "doc_a", "doc_b")
         }
         time("q67.comp.count")(comp.count())
+      case "bpe" =>
+        // fit-vs-fitDelta: equivalence at a naive-affordable merge count,
+        // then fitDelta alone at the q144 gate count.
+        val d = Tables(spark, args(1)).documents
+        val nEq = if (args.length > 2) args(2).toInt else 12
+        val nBig = if (args.length > 3) args(3).toInt else 256
+        val naive = time(s"bpe.fit($nEq)") {
+          graft.operators.Bpe.fit(d, "text", nEq) }
+        val delta = time(s"bpe.fitDelta($nEq)") {
+          graft.operators.Bpe.fitDelta(d, "text", nEq) }
+        println(s"PROBE bpe.equivalent($nEq) = ${naive == delta}")
+        val big = time(s"bpe.fitDelta($nBig)") {
+          graft.operators.Bpe.fitDelta(d, "text", nBig) }
+        println(s"PROBE bpe.fitDelta($nBig).merges = ${big.length}")
       case "pipeline" =>
         import graft.models._
         val t = Tables(spark, args(1))

@@ -29,21 +29,25 @@ object Bpe {
     */
   val Sep = "+"
 
-  /** Adjacent-pair frequencies of a token-array column: one scan-local
-    * projection (pairs via `zip_with` of shifted slices) + one
-    * partial+final aggregation. The pair table is vocab²-bounded, never
-    * corpus-sized.
+  /** The adjacent-pair array of a token array: zip of shifted slices —
+    * scan-local, nothing wider than the token stream.
     */
-  def pairCounts(df: DataFrame, toks: Column): DataFrame = {
+  def adjacentPairs(toks: Column): Column = {
     val n = size(toks)
-    val pairs = zip_with(
+    zip_with(
       slice(toks, lit(1), greatest(n - 1, lit(0))),
       slice(toks, lit(2), greatest(n - 1, lit(0))),
       (x, y) => struct(x.as("a"), y.as("b")))
-    df.select(explode(pairs).as("p"))
+  }
+
+  /** Adjacent-pair frequencies of a token-array column: one scan-local
+    * projection + one partial+final aggregation. The pair table is
+    * vocab²-bounded, never corpus-sized.
+    */
+  def pairCounts(df: DataFrame, toks: Column): DataFrame =
+    df.select(explode(adjacentPairs(toks)).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).cast(LongType).as("cnt"))
-  }
 
   /** Greedy left-to-right non-overlapping application of one merge:
     * `a a a` under merge (a,a) becomes `[a+a, a]`, never `[a+a, a+a]`.
@@ -95,5 +99,159 @@ object Bpe {
       round += 1
     }
     merges
+  }
+
+  /** [[fit]] with PAIR-COUNT DELTA MAINTENANCE — the scale path for real
+    * vocab sizes. [[fit]] re-tokenizes the whole corpus from scratch each
+    * round (round i re-applies all i merges: O(R²·corpus) total CPU and R
+    * full-corpus pair aggregations — fine at the 5–20 merges it is gated
+    * at, unusable at a 32k-vocab fit). Here the tokenized corpus and the
+    * pair-count table are MATERIALIZED STATE, and a merge (a,b) updates
+    * only what it can touch:
+    *
+    *   - corpus rows NOT containing adjacent (a,b) are untouched (the
+    *     rewrite maps only hit rows through [[applyMerge]] — a narrow
+    *     cached-scan projection, no shuffle);
+    *   - pair counts change ONLY for pairs adjacent to an (a,b)
+    *     occurrence, so the delta aggregation shuffles hit-row pairs
+    *     only: `counts += pairs(rewritten hits) − pairs(hits)` — exact by
+    *     construction, no overlap/boundary case analysis needed.
+    *
+    * Per round the corpus pays two cached scans (delta flatMap + rewrite)
+    * and ZERO full-corpus pair shuffles; total = O(R·corpus_scan +
+    * Σ hit sizes) vs the naive O(R²·corpus + R·full shuffles). Rows that
+    * shrink below 2 tokens are dropped — token counts only decrease, so
+    * they can never contribute a pair again.
+    *
+    * The per-round corpus work is TYPED Dataset closures over the exact
+    * [[applyMerge]]/[[tokenize]] kernels, not per-round Column literals:
+    * a literal merge pair changes the generated whole-stage source every
+    * round (fresh Janino compile, ~150 ms × R), while a closure rides the
+    * codegen reference array and the compiled stage is cache-hit across
+    * all rounds. AQE is likewise scoped OFF for the fit’s fixed tiny-shape
+    * jobs — adaptive re-planning is pure per-round latency here.
+    *
+    * State is `localCheckpoint`ed each round (lineage/plan depth would
+    * otherwise grow linearly in R and blow analysis + codegen); the
+    * superseded round’s blocks are unpersisted immediately, so peak
+    * storage is two corpus snapshots. On a multi-executor cluster the
+    * durable form of this cut is a warehouse-table materialization per K
+    * rounds (localCheckpoint blocks die with an executor); local[n] has
+    * no executor loss, so the cheap cut is correct here.
+    *
+    * Identical output to [[fit]] by the argmax-sequence argument: both
+    * maintain exactly the corpus pair-count multiset between rounds and
+    * take the same (cnt desc, a asc, b asc) argmax. Property-tested
+    * (BpeSpec) and oracle-gated at 256 merges (q144).
+    */
+  def fitDelta(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // AQE is pure latency here: every round runs the same three fixed
+    // tiny-shape jobs, and adaptive re-planning adds a per-stage barrier
+    // cost that dominates at hundreds of rounds. Scoped off, restored
+    // after (the session belongs to the caller).
+    val conf = spark.conf
+    val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    // Truncated-lineage blocks of the superseded round: a localCheckpoint
+    // is registered with the block manager, not the cache manager, so
+    // Dataset.unpersist would be a no-op — free the RDD directly.
+    def freeCheckpoint(d: org.apache.spark.sql.Dataset[_]): Unit =
+      d.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    def hasAdjacent(t: Seq[String], a: String, b: String): Boolean = {
+      val it = t.iterator.zip(t.iterator.drop(1))
+      it.exists { case (x, y) => x == a && y == b }
+    }
+    def localPairs(t: Seq[String]): Iterator[(String, String)] =
+      t.iterator.zip(t.iterator.drop(1))
+    var cur: org.apache.spark.sql.Dataset[Seq[String]] = null
+    var curCkpt: org.apache.spark.sql.Dataset[Seq[String]] = null
+    var counts: DataFrame = null
+    var merges = Vector.empty[(String, String)]
+    val dbg = sys.env.contains("SPARK_GRAFT_BPE_DEBUG")
+    def tt[A](tag: String)(f: => A): A =
+      if (!dbg) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[bpe] $tag ${(System.nanoTime() - t0) / 1e6}%.0f ms"); r
+      }
+    try {
+      // Same tokenization as fit: split on single spaces, drop empties
+      // (whitespace-insensitive), skip null text. Rows with < 2 tokens
+      // are inert for pair counting forever — dropped at entry and per
+      // round.
+      cur = df.select(col(textCol).cast("string")).as[String]
+        .filter((t: String) => t != null)
+        .map(t => t.split(' ').toSeq.filter(_.nonEmpty))
+        .filter((t: Seq[String]) => t.length >= 2)
+        .localCheckpoint()
+      // The counts state rides ONE partition: per-round jobs over it are
+      // single-task (the 32-task default made each of 256 rounds pay
+      // ~100ms of empty-task scheduling). At a 100 TB fit the pair table
+      // outgrows one partition — there the state belongs hash-bucketed by
+      // (a,b) with the delta merged per-bucket; the round structure is
+      // unchanged.
+      counts = cur.flatMap(localPairs).toDF("a", "b")
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).cast(LongType).as("cnt"))
+        .coalesce(1).localCheckpoint()
+      // The corpus is re-materialized only every CkptEvery rounds; in
+      // between it rides as a lazy chain of ≤CkptEvery typed maps over
+      // the last checkpoint (maps fuse — objects flow through without
+      // intermediate ser/deser), saving one full materialization job per
+      // round. `cur` tracks the chain head; `curCkpt` the owned blocks.
+      val CkptEvery = 16
+      curCkpt = cur
+      var sinceCkpt = 0
+      var round = 0
+      while (round < numMerges) {
+        val top = tt("argmax")(counts.orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect())
+        if (top.isEmpty) return merges // no adjacent pairs left anywhere
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges :+= ((a, b))
+        round += 1
+        if (round < numMerges) { // last merge needs no state update
+          val (ma, mb) = (a, b) // stable locals for the closures
+          // ONE weighted delta leg: hit rows emit their post-merge pairs
+          // at +1 and pre-merge pairs at −1; non-hit rows emit nothing.
+          // Folded with the old counts in a single shuffle per round.
+          val delta = cur.flatMap { toks =>
+            if (!hasAdjacent(toks, ma, mb)) Iterator.empty
+            else {
+              val out = applyMerge(toks, ma, mb)
+              localPairs(out).map { case (x, y) => (x, y, 1L) } ++
+                localPairs(toks).map { case (x, y) => (x, y, -1L) }
+            }
+          }.toDF("a", "b", "cnt")
+          val newCounts = tt("counts-ckpt")(counts.unionByName(delta)
+            .groupBy(col("a"), col("b"))
+            .agg(sum(col("cnt")).cast(LongType).as("cnt"))
+            .where(col("cnt") > 0)
+            .coalesce(1)
+            .localCheckpoint())
+          freeCheckpoint(counts)
+          counts = newCounts
+          cur = cur
+            .map(t => if (hasAdjacent(t, ma, mb)) applyMerge(t, ma, mb) else t)
+            .filter((t: Seq[String]) => t.length >= 2)
+          sinceCkpt += 1
+          if (sinceCkpt >= CkptEvery) {
+            val nc = tt("cur-ckpt")(cur.localCheckpoint())
+            freeCheckpoint(curCkpt)
+            curCkpt = nc; cur = nc; sinceCkpt = 0
+          }
+        }
+      }
+      merges
+    } finally {
+      if (counts != null) freeCheckpoint(counts)
+      if (curCkpt != null) freeCheckpoint(curCkpt)
+      conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    }
   }
 }

@@ -279,6 +279,44 @@ object TextQueries {
                 md5(col("joined")).as("tokens_hash"))
     },
 
+    // The SCALABLE BPE fit, gated end to end at 256 merges — q134 gates
+    // Sennrich's loop via the naive fit (5 merges, each a full corpus
+    // re-tokenization; round i re-applies i merges, so the loop is
+    // O(R²·corpus) and only viable at toy merge counts). This runs
+    // Bpe.fitDelta: tokenized corpus + pair counts as materialized
+    // state, each round updating ONLY what the merge touches (hit rows
+    // and pairs adjacent to an occurrence) — constant work per round,
+    // the shape that survives a 32k-vocab fit. The oracle replays all
+    // 256 rounds in SQL (generated stages, q134's template); md5 of
+    // every document's final tokenization pins the entire 256-merge
+    // SEQUENCE — one wrong argmax anywhere flips some document's hash.
+    // BpeSpec additionally property-tests fitDelta ≡ fit on random
+    // corpora (the naive loop is the executable spec).
+    "q144_bpe_fit_delta" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents
+      val merges = bpeDeltaFitCache.getOrElseUpdate(
+        (org.apache.spark.sql.graftx.Bridge.sessionUUID(s), dir),
+        graft.operators.Bpe.fitDelta(d, "text", numMerges = 256))
+      val baseDf = d.select(col("doc_id"), col("text").cast(StringType))
+      val para = s.sparkContext.defaultParallelism
+      (if (baseDf.rdd.getNumPartitions < para)
+         baseDf.repartition(para) else baseDf).as[(Long, String)]
+        .map { case (id, text) =>
+          // filter(_.nonEmpty) matches the fit's tokenization (q134's
+          // whitespace-insensitivity contract)
+          val toks = if (text == null) Seq.empty[String]
+                     else text.split(' ').toSeq.filter(_.nonEmpty)
+          val out  = graft.operators.Bpe.tokenize(toks, merges)
+          (id, out.length.toLong,
+           out.count(_.contains(graft.operators.Bpe.Sep)).toLong,
+           out.mkString(" "))
+        }
+        .toDF("doc_id", "n_tokens_after", "n_merged_tokens", "joined")
+        .select(col("doc_id"), col("n_tokens_after"), col("n_merged_tokens"),
+                md5(col("joined")).as("tokens_hash"))
+    },
+
     // End-to-end corpus build — the composed "user story" of the
     // curation family, each stage an already-gated operator: language
     // allowlist + quality threshold (q33's score, scan-local) → exact
@@ -796,8 +834,62 @@ object TextQueries {
                .as("k_avg"))
     })
 
+  /** The SQL replay of Sennrich's fit at `n` unrolled stages (q134 at 5,
+    * q144 at 256): each stage a MATERIALIZED 1-row best-pair aggregation
+    * over the previous tokenization (count DESC, pair ASC — the fit's
+    * tie-break) plus a recursive leftmost-rewrite walk applying that
+    * merge to fixpoint (docs exit the walk when the pattern no longer
+    * occurs; single-merge fixpoint ≡ the one-pass greedy fold, because a
+    * rewrite can never create a match to its left). Merge operands can
+    * be merged tokens from earlier stages, so the rewrite pattern
+    * regex-escapes '+'; MATERIALIZED stops DuckDB re-inlining each stage
+    * per reference (the q121 lesson).
+    */
+  private def bpeFitReplaySql(n: Int): String = {
+    val stages = (1 to n).map { k =>
+      val prev = s"t${k - 1}"
+      s"""m$k AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS cnt
+         |    FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |          FROM (SELECT string_split(trim(s), ' ') AS toks FROM $prev)
+         |          WHERE len(toks) >= 2)
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |walk$k AS (
+         |  SELECT doc_id, s FROM $prev
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    regexp_replace(s,
+         |      ' ' || replace((SELECT a FROM m$k), '+', '\\+') || ' ' ||
+         |             replace((SELECT b FROM m$k), '+', '\\+') || ' ',
+         |      ' ' || (SELECT a FROM m$k) || '+' || (SELECT b FROM m$k) || ' ')
+         |  FROM walk$k
+         |  WHERE contains(s, ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ')),
+         |t$k AS MATERIALIZED (
+         |  SELECT doc_id, s FROM walk$k
+         |  WHERE NOT contains(s, ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' '))""".stripMargin
+    }
+    s"""WITH RECURSIVE t0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ' ' || trim(regexp_replace(text, ' +', ' ', 'g')) || ' ' AS s
+       |  FROM documents),
+       |${stages.mkString(",\n")}
+       |SELECT doc_id,
+       |  CAST(CASE WHEN trim(s) = '' THEN 0
+       |            ELSE len(string_split(trim(s), ' ')) END AS BIGINT) AS n_tokens_after,
+       |  CAST(len(list_filter(string_split(trim(s), ' '), x -> contains(x, '+'))) AS BIGINT)
+       |    AS n_merged_tokens,
+       |  md5(trim(s)) AS tokens_hash
+       |FROM t$n""".stripMargin
+  }
+
   /** q134's fitted merge table, fitted once per (session, dir). */
   private val bpeFitCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, String)]]
+
+  /** q144's 256-merge delta-fit table, fitted once per (session, dir). */
+  private val bpeDeltaFitCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, String)]]
 
   /** The decoded (media_id, dhash) frame, hashed once per (session, dir)
@@ -1316,52 +1408,14 @@ object TextQueries {
         |    AS n_merged_tokens,
         |  md5(f.joined) AS tokens_hash
         |FROM norm n JOIN fin f USING (doc_id)""".stripMargin,
-    // Replays Sennrich's iterative fit itself: 5 unrolled stages, each a
-    // MATERIALIZED 1-row best-pair aggregation over the previous
-    // tokenization (count DESC, pair ASC — Bpe.fit's tie-break) plus a
-    // recursive leftmost-rewrite walk applying that merge to fixpoint
-    // (docs exit the walk when the pattern no longer occurs). Merge
-    // operands can be merged tokens from earlier stages, so the rewrite
-    // pattern regex-escapes '+'; MATERIALIZED stops DuckDB re-inlining
-    // each stage per reference (the q121 lesson).
-    "q134_bpe_fit_apply" -> {
-      val stages = (1 to 5).map { k =>
-        val prev = s"t${k - 1}"
-        s"""m$k AS MATERIALIZED (
-           |  SELECT a, b FROM (
-           |    SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS cnt
-           |    FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
-           |          FROM (SELECT string_split(trim(s), ' ') AS toks FROM $prev)
-           |          WHERE len(toks) >= 2)
-           |    GROUP BY 1, 2)
-           |  ORDER BY cnt DESC, a, b LIMIT 1),
-           |walk$k AS (
-           |  SELECT doc_id, s FROM $prev
-           |  UNION ALL
-           |  SELECT doc_id,
-           |    regexp_replace(s,
-           |      ' ' || replace((SELECT a FROM m$k), '+', '\\+') || ' ' ||
-           |             replace((SELECT b FROM m$k), '+', '\\+') || ' ',
-           |      ' ' || (SELECT a FROM m$k) || '+' || (SELECT b FROM m$k) || ' ')
-           |  FROM walk$k
-           |  WHERE contains(s, ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ')),
-           |t$k AS MATERIALIZED (
-           |  SELECT doc_id, s FROM walk$k
-           |  WHERE NOT contains(s, ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' '))""".stripMargin
-      }
-      s"""WITH RECURSIVE t0 AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    ' ' || trim(regexp_replace(text, ' +', ' ', 'g')) || ' ' AS s
-         |  FROM documents),
-         |${stages.mkString(",\n")}
-         |SELECT doc_id,
-         |  CAST(CASE WHEN trim(s) = '' THEN 0
-         |            ELSE len(string_split(trim(s), ' ')) END AS BIGINT) AS n_tokens_after,
-         |  CAST(len(list_filter(string_split(trim(s), ' '), x -> contains(x, '+'))) AS BIGINT)
-         |    AS n_merged_tokens,
-         |  md5(trim(s)) AS tokens_hash
-         |FROM t5""".stripMargin
-    },
+    // Replays Sennrich's iterative fit itself — see bpeFitReplaySql.
+    "q134_bpe_fit_apply" -> bpeFitReplaySql(5),
+
+    // q144: the SAME replay generated at 256 stages (the fit SEQUENCE is
+    // what's gated; the Spark side is the delta-maintained fit, which
+    // must land on the identical merge list to hash-match). DuckDB runs
+    // the ~220 KB statement in ~25 s at sf0.01 — measured before gating.
+    "q144_bpe_fit_delta" -> bpeFitReplaySql(256),
 
     "q110_corpus_build" ->
       s"""WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents),

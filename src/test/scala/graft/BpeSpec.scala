@@ -50,6 +50,43 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bpe.fit(docs, "text", numMerges = 0))
   }
 
+  test("fitDelta ≡ fit on random small-vocab corpora (the naive loop is the spec)") {
+    // Small vocab + short docs force dense pair collisions, exercising
+    // tie-breaks, merged-token operands, and count-delta bookkeeping.
+    // Deterministic seeds (no scalatest-scalacheck bridge offline).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val corpusGen: Gen[Seq[String]] = for {
+      vocab <- Gen.choose(3, 6)
+      nDocs <- Gen.choose(4, 12)
+      docs <- Gen.sequence[Seq[String], String]((0 until nDocs).map { _ =>
+        for {
+          len  <- Gen.choose(1, 10)
+          toks <- Gen.listOfN(len, Gen.choose(0, vocab - 1).map(v => s"w$v"))
+        } yield toks.mkString(" ")
+      })
+    } yield docs
+    Seq(11L, 22L, 33L, 44L).foreach { sd =>
+      val docs = corpusGen.pureApply(Gen.Parameters.default, Seed(sd))
+      val df = docs.toDF("text")
+      val n = 6
+      val naive = Bpe.fit(df, "text", n)
+      val delta = Bpe.fitDelta(df, "text", n)
+      assert(delta == naive, s"seed $sd: fitDelta diverged from fit")
+    }
+  }
+
+  test("fitDelta stops early when pairs run out, restores AQE, skips nulls") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    // 'a a a' exhausts: merge1 (a,a) → [a+a, a]; merge2 (a+a, a) → one
+    // token; no pairs remain → early return after 2 of 5 requested
+    val docs = Seq(Some("a a a"), None).toDF("text")
+    val merges = Bpe.fitDelta(docs, "text", numMerges = 5)
+    assert(merges == Seq(("a", "a"), ("a+a", "a")))
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore)
+    intercept[IllegalArgumentException](Bpe.fitDelta(docs, "text", 0))
+  }
+
   test("pairCounts matches a hand count (scan-local pair projection)") {
     val df = Seq("a b a b", "b a").toDF("text")
     val got = Bpe.pairCounts(df, org.apache.spark.sql.functions.split(
