@@ -399,6 +399,23 @@ object TextQueries {
     // annotated with true trigram Jaccard and a confirmation flag.
     "q36_minhash_lsh" -> { (s, dir) => minhashQuery(s, dir) },
 
+    // Persisted LSH dedup index — q139/q141's build-once/serve-many
+    // split applied to the single most-executed pipeline operator
+    // (near-dup dedup, which q36 recomputes signatures + bands for on
+    // every run). The BASE half's (band_idx, band_hash, doc_id) bands
+    // materialize once per (session, dir) as a band_hash-BUCKETED
+    // warehouse table; a DELTA batch then (a) self-joins its own tiny
+    // band frame, and (b) probes the index with its collected band keys
+    // — an IN filter on the bucket column, so the probe reads ONLY the
+    // buckets holding a probed hash (SelectedBucketsCount, asserted in
+    // PlanQualitySpec) and the base corpus is never rescanned or
+    // reshuffled. Base×base pairs come from the index self-join, which
+    // the bucketed layout runs WITHOUT an Exchange. Signatures are
+    // doc-local (no corpus-dependent state, unlike q141's centroids),
+    // so incremental candidates ≡ one-shot candidates exactly — gated
+    // by reusing q36's full-corpus oracle verbatim.
+    "q145_lsh_index_incremental" -> { (s, dir) => lshServeIncremental(s, dir) },
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     // MOSS algorithm): positional 4-token k-gram hashes, and from every
     // window of 5 consecutive hashes select the minimum (rightmost on
@@ -834,6 +851,48 @@ object TextQueries {
                .as("k_avg"))
     })
 
+  /** The q36/q145 oracle: full-corpus MinHash+LSH candidates with true
+    * trigram Jaccard.
+    */
+  private def minhashLshOracleSql: String = {
+      // h1/h2 = first/second 8 hex digits of md5(shingle) as integers —
+      // the oracle restatement of MinHashSigs' big-endian digest words.
+      def hexVal(start: Int): String = (0 until 8).map { j =>
+        val ch = s"substring(hex, ${start + j}, 1)"
+        val v  = s"(CASE WHEN ascii($ch) <= 57 THEN ascii($ch) - 48 ELSE ascii($ch) - 87 END)"
+        s"CAST($v AS BIGINT) * ${1L << (4 * (7 - j))}"
+      }.mkString(" + ")
+      val sigCols = (0 until 8)
+        .map(k => s"min((h1 + $k * h2) % 4294967296) AS sig_$k").mkString(",\n        |    ")
+      s"""WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
+        |  FROM documents),
+        |ex AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_shingles, unnest(tg) AS shingle FROM sh),
+        |hx AS (SELECT doc_id, md5(shingle) AS hex FROM ex),
+        |hv AS (SELECT doc_id, ${hexVal(1)} AS h1, ${hexVal(9)} AS h2 FROM hx),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    $sigCols
+        |  FROM hv GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, md5(CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR)) AS band_hash FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR)) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR)) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(CAST(sig_6 AS VARCHAR) || '|' || CAST(sig_7 AS VARCHAR)) FROM sigs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
+        |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) AS jaccard,
+        |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
+        |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) >= 0.5 AS is_near_dup
+        |FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin
+    }
+
   /** The SQL replay of Sennrich's fit at `n` unrolled stages (q134 at 5,
     * q144 at 256): each stage a MATERIALIZED 1-row best-pair aggregation
     * over the previous tokenization (count DESC, pair ASC — the fit's
@@ -1036,6 +1095,90 @@ object TextQueries {
     val d    = Tables(s, dir).documents
     val cand = Dedup.minhashCandidates(d, "doc_id", "text",
       numHashes = 8, rowsPerBand = 2, materialize = materialize)
+    Dedup.verifyPairs(cand, Dedup.shingled(d, "doc_id", "text"), threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+              (col("jaccard") >= 0.5).as("is_near_dup"))
+  }
+
+  /** Session-scoped q145 LSH band-index table name. */
+  def lshIndexTable(s: SparkSession, dir: String): String =
+    graft.sources.Warehouse.sessionScopedName(s,
+      "graft_q145_lsh_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+
+  /** The q145 persisted band index: bands of the BASE half (even
+    * doc_ids), materialized once per (session, dir) as a
+    * band_hash-bucketed warehouse table (q139's memo discipline).
+    */
+  private val lshIdxCache = new graft.core.SessionCache[String]
+  private def lshIndex(s: SparkSession, dir: String): DataFrame =
+    lshIdxCache.getOrElseUpdate(s, dir) {
+      val base = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
+      graft.sources.Warehouse.writeBucketed(
+        Dedup.lshBands(Dedup.minhashSignatures(base, "doc_id", "text")),
+        lshIndexTable(s, dir), "band_hash", numBuckets = 16)
+      s.table(lshIndexTable(s, dir))
+    }
+
+  /** The delta batch's band frame, collected ONCE to the driver
+    * (4 bands/doc — delta-batch-bounded, the q139 probe discipline) and
+    * re-localized, so the SAME collect feeds both the bucket-pruning IN
+    * filter and the probe join's broadcast side.
+    */
+  private def lshDeltaLocal(s: SparkSession, dir: String,
+                            deltaPred: Column): DataFrame = {
+    val delta = Tables(s, dir).documents.filter(deltaPred)
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(delta, "doc_id", "text"))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(bands.collect().toList.asJava, bands.schema)
+  }
+
+  /** Delta×base candidates: probe the persisted index with the delta's
+    * band keys. The IN filter on the bucket column prunes the scan to
+    * only the buckets holding a probed hash; the delta side broadcasts.
+    * Exposed for PlanQualitySpec (single-doc probe → ≤ 4 of 16 buckets).
+    */
+  def lshProbe(s: SparkSession, dir: String, deltaPred: Column): DataFrame =
+    lshProbeWith(s, dir, lshDeltaLocal(s, dir, deltaPred))
+
+  private def lshProbeWith(s: SparkSession, dir: String,
+                           local: DataFrame): DataFrame = {
+    val hashes = local.select(col("band_hash")).collect().map(_.getString(0)).distinct.toSeq
+    if (hashes.isEmpty)
+      return local.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")).limit(0)
+    lshIndex(s, dir).filter(col("band_hash").isin(hashes: _*))
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+      .join(broadcast(local.select(col("band_idx"), col("band_hash"),
+                                   col("doc_id").as("doc_a"))),
+            Seq("band_idx", "band_hash"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+              greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+  }
+
+  /** q145 end to end: base×base from the index self-join (bucketed on
+    * band_hash — HashPartitioning(band_hash) satisfies the
+    * (band_idx, band_hash) clustering, so neither side shuffles),
+    * delta×base from the bucket-pruned probe, delta×delta from the
+    * localized band frame, unioned and verified exactly like q36.
+    */
+  def lshServeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val idx = lshIndex(s, dir)
+    val baseBase = idx
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(idx.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+            Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val local = lshDeltaLocal(s, dir, col("doc_id") % 2 === 1)
+    val deltaBase = lshProbeWith(s, dir, local)
+    val deltaDelta = local
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(local.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+            Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val cand = baseBase.unionByName(deltaBase).unionByName(deltaDelta).distinct()
     Dedup.verifyPairs(cand, Dedup.shingled(d, "doc_id", "text"), threshold = 0.0)
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
               (col("jaccard") >= 0.5).as("is_near_dup"))
@@ -1531,44 +1674,12 @@ object TextQueries {
         |  coalesce(per_doc.dup_chars, 0) AS dup_chars,
         |  coalesce(per_doc.longest_span, 0) AS longest_span
         |FROM d LEFT JOIN np USING (doc_id) LEFT JOIN per_doc USING (doc_id)""".stripMargin,
-    "q36_minhash_lsh" -> {
-      // h1/h2 = first/second 8 hex digits of md5(shingle) as integers —
-      // the oracle restatement of MinHashSigs' big-endian digest words.
-      def hexVal(start: Int): String = (0 until 8).map { j =>
-        val ch = s"substring(hex, ${start + j}, 1)"
-        val v  = s"(CASE WHEN ascii($ch) <= 57 THEN ascii($ch) - 48 ELSE ascii($ch) - 87 END)"
-        s"CAST($v AS BIGINT) * ${1L << (4 * (7 - j))}"
-      }.mkString(" + ")
-      val sigCols = (0 until 8)
-        .map(k => s"min((h1 + $k * h2) % 4294967296) AS sig_$k").mkString(",\n        |    ")
-      s"""WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
-        |  FROM documents),
-        |ex AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_shingles, unnest(tg) AS shingle FROM sh),
-        |hx AS (SELECT doc_id, md5(shingle) AS hex FROM ex),
-        |hv AS (SELECT doc_id, ${hexVal(1)} AS h1, ${hexVal(9)} AS h2 FROM hx),
-        |sigs AS (
-        |  SELECT doc_id,
-        |    $sigCols
-        |  FROM hv GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, md5(CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR)) AS band_hash FROM sigs
-        |  UNION ALL SELECT doc_id, 1, md5(CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR)) FROM sigs
-        |  UNION ALL SELECT doc_id, 2, md5(CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR)) FROM sigs
-        |  UNION ALL SELECT doc_id, 3, md5(CAST(sig_6 AS VARCHAR) || '|' || CAST(sig_7 AS VARCHAR)) FROM sigs),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-        |SELECT c.doc_a, c.doc_b,
-        |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
-        |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) AS jaccard,
-        |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
-        |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) >= 0.5 AS is_near_dup
-        |FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin
-    },
+    "q36_minhash_lsh" -> minhashLshOracleSql,
+
+    // q145 reuses q36's FULL-CORPUS oracle verbatim: signatures are
+    // doc-local, so the persisted-index incremental candidate set must
+    // equal the one-shot set exactly (q139/q141's gate pattern).
+    "q145_lsh_index_incremental" -> minhashLshOracleSql,
     "q41_simhash" -> {
       val bitSums = (0 until 64).map { b =>
         val ch = s"substring(hex, ${b / 4 + 1}, 1)"

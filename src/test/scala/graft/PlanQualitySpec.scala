@@ -381,6 +381,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"candidates not broadcast-joined:\n$plan")
   }
 
+  test("q145 probes the persisted LSH index bucket-pruned; base self-join shuffle-free") {
+    // single-delta-doc probe: 4 bands → at most 4 distinct band hashes →
+    // the index scan reads at most 4 of its 16 buckets
+    val one  = graft.queries.TextQueries.lshProbe(spark, dir, col("doc_id") === 1)
+    val plan = planOf(one)
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning on the LSH index probe:\n$plan")
+    assert(m.get.group(2).toInt == 16, s"index not 16-bucketed:\n$plan")
+    assert(m.get.group(1).toInt <= 4,
+      s"single-doc probe reads ${m.get.group(1)} buckets (> 4 bands):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"delta bands not broadcast:\n$plan")
+    // the base×base candidate leg must ride the bucketed layout: its
+    // self-join on (band_idx, band_hash) is satisfied by the band_hash
+    // hash-partitioning, so the full q145 plan carries no shuffle of the
+    // index (the only Exchanges belong to the distinct/verify stages,
+    // which see candidate pairs, never the corpus bands)
+    val full = planOf(SparkEntry.queries("q145_lsh_index_incremental")(spark, dir))
+    val idxScans = "SelectedBucketsCount".r.findAllIn(full).size
+    assert(idxScans >= 1, s"q145 lost the pruned probe:\n$full")
+    assert(!full.contains("CartesianProduct") &&
+           !full.contains("BroadcastNestedLoopJoin"),
+      s"q145 degenerated to a cross product:\n$full")
+  }
+
   test("q139 serves ANN from the bucketed IVF index with bucket-pruned probe reads") {
     // single-query serving: nprobe=4 of nlist=16 → the index scan must
     // read at most 4 of the 16 buckets (source-side pruning — the whole
