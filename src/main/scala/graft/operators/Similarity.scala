@@ -254,9 +254,17 @@ object Similarity {
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val probes = ivfProbes(q, cents, nprobe)
-    val probedIds = probes.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // ONE probe computation: the probe frame is query-batch × nprobe
+    // rows (a legal driver collect), and the SAME collected rows feed
+    // both the bucket-pruning IN filter and the localized join side —
+    // re-deriving either from the lazy probe plan would re-run the
+    // query-side crossJoin/window per consumer.
+    val probePlan = ivfProbes(q, cents, nprobe)
+    val probeRows = probePlan.collect()
+    val probedIds = probeRows.map(_.getAs[Long]("centroid_id")).distinct.toSeq
+    import scala.jdk.CollectionConverters._
+    val probes = broadcast(queries.sparkSession.createDataFrame(
+      probeRows.toList.asJava, probePlan.schema))
     val pruned = index.filter(col("centroid_id").isin(probedIds: _*))
     val scored = probes.join(pruned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))

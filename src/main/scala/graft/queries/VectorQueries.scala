@@ -172,6 +172,20 @@ object VectorQueries {
       ivfServeIncremental(s, dir, col("vec_id") < 50, k = 3)
     },
 
+    // ANN index re-cluster + compaction — the missing maintenance half
+    // of q141: after enough frozen-centroid appends, list sizes skew and
+    // recall drifts (SimilaritySpec shows a case where the appended
+    // index MISSES true neighbors the rebuilt one finds). The rebuild
+    // re-picks centroids from the appended table's own rows and
+    // re-assigns in one index scan + one fresh bucketed write (also
+    // compacting append-file fragments). The centroid pick is a pure
+    // md5-ordered function of the (vec_id, v) set, so rebuild ≡ one-shot
+    // full-corpus build bit-for-bit — gated by reusing q64's oracle, the
+    // same way q139 is.
+    "q146_ann_index_rebuild" -> { (s, dir) =>
+      ivfServeRebuilt(s, dir, col("vec_id") < 50, k = 3)
+    },
+
     // Hard-negative mining — the contrastive-training data op: per
     // anchor vector, the top-5 most-similar corpus vectors of a
     // DIFFERENT label (the negatives that actually move an embedding
@@ -624,12 +638,11 @@ object VectorQueries {
     * the corpus).
     */
   private val ivfCentCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(Long, Array[Double], Double)]]
+    new graft.core.SessionMemo[String, Seq[(Long, Array[Double], Double)]]
   def ivfServe(s: SparkSession, dir: String,
                queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val cents = ivfCentCache.getOrElseUpdate(
-      (org.apache.spark.sql.graftx.Bridge.sessionUUID(s), dir),
+    val cents = ivfCentCache.getOrElseUpdate(s, dir)(
       Similarity.ivfCentroids(
         e.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         IvfNlist))
@@ -649,10 +662,9 @@ object VectorQueries {
     */
   private val ivfIncCache = new graft.core.SessionCache[String]
   private val ivfIncCentCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(Long, Array[Double], Double)]]
+    new graft.core.SessionMemo[String, Seq[(Long, Array[Double], Double)]]
   private def ivfIncCents(s: SparkSession, dir: String): Seq[(Long, Array[Double], Double)] =
-    ivfIncCentCache.getOrElseUpdate(
-      (org.apache.spark.sql.graftx.Bridge.sessionUUID(s), dir),
+    ivfIncCentCache.getOrElseUpdate(s, dir)(
       Similarity.ivfCentroids(
         Tables(s, dir).embeddings.filter(col("vec_id") % 2 === 0)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
@@ -679,6 +691,52 @@ object VectorQueries {
     Similarity.annTopKIvfServe(
       Tables(s, dir).embeddings.filter(queryPred),
       ivfIncIndex(s, dir), ivfIncCents(s, dir),
+      "vec_id", "embedding", k, nprobe = IvfNprobe)
+
+  /** Session-scoped q146 rebuilt/compacted index table name. */
+  def ivfRebTable(s: SparkSession, dir: String): String =
+    graft.sources.Warehouse.sessionScopedName(s,
+      "graft_q146_ivfreb_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+
+  /** q146 rebuild centroids: re-picked from the APPENDED index's own
+    * rows. The pick is a pure function of the (vec_id, v) set —
+    * md5-ordered seed selection — so rebuilding from the drifted table
+    * lands on exactly the centroids a one-shot full-corpus build picks.
+    */
+  private val ivfRebCentCache =
+    new graft.core.SessionMemo[String, Seq[(Long, Array[Double], Double)]]
+  private def ivfRebCents(s: SparkSession, dir: String): Seq[(Long, Array[Double], Double)] =
+    ivfRebCentCache.getOrElseUpdate(s, dir)(
+      Similarity.ivfCentroids(
+        ivfIncIndex(s, dir).select(col("vec_id"), col("v")), IvfNlist))
+
+  /** The q146 index REBUILD (re-cluster + compaction): q141's appended
+    * index assigns deltas under base-frozen centroids — correct, but
+    * after many appends the lists skew toward where the base centroids
+    * were and recall drifts (SimilaritySpec demonstrates the cliff).
+    * The rebuild reads the appended table ONCE, re-picks centroids from
+    * the full row set, re-assigns every row, and writes a FRESH bucketed
+    * table — which also compacts the per-append file fragments into one
+    * clean per-bucket layout. Cost: one index scan + one bucketed write;
+    * the raw corpus is never re-read.
+    */
+  private val ivfRebCache = new graft.core.SessionCache[String]
+  private def ivfRebIndex(s: SparkSession, dir: String): DataFrame =
+    ivfRebCache.getOrElseUpdate(s, dir) {
+      graft.sources.Warehouse.writeBucketed(
+        Similarity.ivfAssignWith(
+          ivfIncIndex(s, dir).select(col("vec_id"), col("v")),
+          ivfRebCents(s, dir)),
+        ivfRebTable(s, dir), "centroid_id", numBuckets = IvfNlist)
+      s.table(ivfRebTable(s, dir))
+    }
+
+  /** The q146 serving path over the rebuilt index. */
+  def ivfServeRebuilt(s: SparkSession, dir: String,
+                      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame =
+    Similarity.annTopKIvfServe(
+      Tables(s, dir).embeddings.filter(queryPred),
+      ivfRebIndex(s, dir), ivfRebCents(s, dir),
       "vec_id", "embedding", k, nprobe = IvfNprobe)
 
   private val baseOracles: Map[String, String] = Map(
@@ -1048,6 +1106,9 @@ object VectorQueries {
     // the indexed serving path must return EXACTLY what the in-session
     // operator returns on the same parameters — one oracle, two plans
     ("q139_ann_ivf_indexed" -> baseOracles("q64_ann_ivf")) +
+    // rebuild ≡ one-shot: the re-picked centroids are the full-corpus
+    // md5-ordered seeds, i.e. exactly q64's
+    ("q146_ann_index_rebuild" -> baseOracles("q64_ann_ivf")) +
     // q64's arithmetic with BASE-only (even vec_id) seeds over the full
     // corpus: assignment is a pure per-row function of (vector,
     // centroids), so the incremental base+append build must equal this

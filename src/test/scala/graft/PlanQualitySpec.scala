@@ -424,6 +424,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(one.collect().toSet === direct.collect().toSet)
   }
 
+  test("q146 rebuilt index stays bucket-pruned and equals the one-shot build") {
+    val one  = graft.queries.VectorQueries.ivfServeRebuilt(spark, dir, col("vec_id") === 7, 3)
+    val plan = planOf(one)
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning on the rebuilt index scan:\n$plan")
+    assert(m.get.group(1).toInt <= 4 && m.get.group(2).toInt == 16,
+      s"pruning degraded after rebuild:\n$plan")
+    // rebuild ≡ one-shot: re-picked centroids are the full-corpus seeds
+    val direct = graft.operators.Similarity.annTopKIvf(
+      graft.core.Tables(spark, dir).embeddings.filter(col("vec_id") === 7),
+      graft.core.Tables(spark, dir).embeddings, "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 4)
+    assert(one.collect().toSet === direct.collect().toSet)
+  }
+
   test("q141 incremental index append preserves bucket pruning and one-shot equivalence") {
     // bucket pruning must survive the append (delta rows live in extra
     // per-bucket files of the SAME bucket spec)
