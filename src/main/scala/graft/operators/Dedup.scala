@@ -21,17 +21,19 @@ import org.apache.spark.sql.{DataFrame, Encoders}
 object Dedup {
 
   /** Cache `tmp` frames for the duration of `build`, FORCE the result
-    * (eager localCheckpoint — pair/edge outputs are tiny next to the
-    * corpus), then free the caches. Without the force-then-free, every
-    * pair-mining call left its intermediate caches pinned in executor
-    * storage for the life of the session (round-2 advisor finding); with
-    * it, the caches serve exactly the multi-consumer evaluation they were
-    * cut for and nothing outlives the call. The trade: the returned frame
-    * is materialized at call time rather than first action.
+    * (eager cut — pair/edge outputs are tiny next to the corpus), then
+    * free the caches. Without the force-then-free, every pair-mining
+    * call left its intermediate caches pinned in executor storage for
+    * the life of the session (round-2 advisor finding); with it, the
+    * caches serve exactly the multi-consumer evaluation they were cut
+    * for and nothing outlives the call. The trade: the returned frame is
+    * materialized at call time rather than first action. The cut honors
+    * [[graft.core.Materialize]]'s durability conf — a cluster deployment
+    * flips mined-pair memos to warehouse tables with one setting.
     */
   private def withCaches(tmp: DataFrame*)(build: => DataFrame): DataFrame = {
     tmp.foreach(_.cache())
-    try build.localCheckpoint(true)
+    try graft.core.Materialize.cut(build, "dedup_pairs")
     finally tmp.foreach(_.unpersist(false))
   }
 

@@ -319,17 +319,18 @@ object Similarity {
     val centroids =
       Clustering.fitCentroids(v0, "id", "u", k, iters, seedPrefix = "nd|")
     val best = Clustering.nearestCentroid(centroids, col("u"))
-    // materialize the assignment ONCE (eager localCheckpoint — the same
-    // lineage-cut discipline as Dedup's mined-pair memos): three
-    // consumers follow (radii collect, both candidate-join sides) and
-    // without the cut each re-runs the corpus scan + k-centroid
-    // distance projection. Cluster caveat as elsewhere: checkpoint
-    // blocks are not recomputable after executor loss; a long-lived
-    // deployment materializes this as a table.
-    val w = v0.select(col("id"), col("v"), col("nrm"),
-                      best.getField("cid").as("cid"),
-                      sqrt(greatest(best.getField("d2"), lit(0.0))).as("cdist"))
-      .localCheckpoint(true)
+    // materialize the assignment ONCE (eager cut — the same lineage-cut
+    // discipline as Dedup's mined-pair memos): three consumers follow
+    // (radii collect, both candidate-join sides) and without the cut
+    // each re-runs the corpus scan + k-centroid distance projection.
+    // Durability: Materialize.cut honors the session's durable conf — a
+    // long-lived cluster flips this (and every other cut site) to a
+    // warehouse-table round-trip, recomputable after executor loss.
+    val w = graft.core.Materialize.cut(
+      v0.select(col("id"), col("v"), col("nrm"),
+                best.getField("cid").as("cid"),
+                sqrt(greatest(best.getField("d2"), lit(0.0))).as("cdist")),
+      "neardup_assign")
     // per-cluster radii: k rows, driver-sized by construction
     val radii: Map[Int, Double] = w.groupBy(col("cid"))
       .agg(max(col("cdist")).as("r"))

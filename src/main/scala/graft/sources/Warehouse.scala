@@ -68,6 +68,22 @@ object Warehouse {
     registerExitCleanup(loc.toUri, spark.sparkContext.hadoopConfiguration)
   }
 
+  /** Plain (unbucketed) parquet table write with the same
+    * drop/orphan/exit-cleanup discipline as [[writeBucketed]] — the
+    * durable-materialization primitive behind
+    * [[graft.core.Materialize]]'s table mode.
+    */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.graftx.Bridge.defaultTablePath(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+    registerExitCleanup(loc.toUri, spark.sparkContext.hadoopConfiguration)
+  }
+
   /** Append a delta batch to an EXISTING bucketed table (incremental
     * index/table maintenance): the bucket spec must match the table's —
     * Spark writes the delta as additional per-bucket files, and bucketed

@@ -160,6 +160,37 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked.count() == 132L)
   }
 
+  test("durable materialization: blocked near-dup identical with checkpointing off") {
+    // same fixture as the ≡-baseline test; here the claim is that the
+    // table-backed lineage cut (Materialize durable mode — the cluster
+    // deployment's form, recomputable after executor loss) changes
+    // NOTHING: no localCheckpoint runs, and the result set is identical
+    // row for row (parquet round-trips preserve long/double exactly)
+    val vecs = ((0 until 12).map { i =>
+      val s = 1.0 + (i % 3)
+      (i.toLong, Array.tabulate(8)(j => (s * (1.0 + 0.05 * math.sin(i + j))).toFloat))
+    } ++ (12 until 24).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (-1.0 - 0.05 * math.cos(i * 8 + j)).toFloat))
+    } :+ (24L, Array.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.exactNearDupBlocked(
+      vecs, "vec_id", "embedding", minCosine = 0.4, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val local = run()
+    spark.conf.set("spark.graft.materialize.durable", "true")
+    try {
+      assert(graft.core.Materialize.durable(spark))
+      assert(run() == local, "durable cut changed the near-dup result")
+      // the mined-pair memo path (Dedup.withCaches) cuts durably too
+      val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
+        .toDF("doc_id", "text")
+      val cand = graft.operators.Dedup
+        .minhashCandidates(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cand.contains((1L, 2L)), "identical docs must stay candidates")
+    } finally spark.conf.set("spark.graft.materialize.durable", "false")
+  }
+
   test("frozen-centroid appends drift recall; rebuild (q146's operator) restores it") {
     // Fixture: base spans directions e1 (ids 0–7) and e2 (ids 8–15);
     // the delta batch (ids 100–107) sits BETWEEN them — x/y leaning
