@@ -4,7 +4,7 @@ import graft.functions.Text
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 
 /** Document deduplication operators for training-data pipelines: exact,
   * n-gram Jaccard, and MinHash+LSH. All are shuffle-bounded joins/aggs on
@@ -536,6 +536,43 @@ object Dedup {
       .select(col("doc_id"), explode(array(bands: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
               col("band.band_hash").as("band_hash"))
+  }
+
+  /** Scan-local (per-ROW) LSH bands of a text column: the stateless form
+    * of [[minhashSignatures]]+[[lshBands]] for streaming legs, where the
+    * aggregate path's explode→groupBy would be a stateful shuffle per
+    * micro-batch. Same arithmetic as
+    * [[org.apache.spark.sql.graftx.MinHashSigs]] restated over the
+    * shingle ARRAY with built-ins: h1/h2 are the md5 digest's first and
+    * second 4 bytes big-endian (= first/second 8 hex digits via `conv`),
+    * permutation k is (h1 + k·h2) mod 2^32 (k ≤ 7 and h < 2^32, so the
+    * Long arithmetic can't overflow), signature = array_min. Returns an
+    * ARRAY of (band_idx, band_hash) structs — empty for docs with no
+    * shingles, which the aggregate path likewise drops (no exploded
+    * rows). DedupSpec asserts bit-parity with the aggregate path.
+    */
+  def rowBands(text: Column, numHashes: Int = 8, rowsPerBand: Int = 2,
+               n: Int = 3): Column = {
+    val sh = graft.functions.Text.shingles(text, n)
+    val hs = transform(sh, s => {
+      val hex = md5(s)
+      struct(
+        conv(substring(hex, 1, 8), 16, 10).cast(LongType).as("h1"),
+        conv(substring(hex, 9, 8), 16, 10).cast(LongType).as("h2"))
+    })
+    val sigs = (0 until numHashes).map { k =>
+      array_min(transform(hs, h =>
+        pmod(h.getField("h1") + lit(k.toLong) * h.getField("h2"),
+             lit(4294967296L))))
+    }
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => sigs(k).cast(StringType))
+      struct(lit(b).as("band_idx"), md5(concat_ws("|", cols: _*)).as("band_hash"))
+    }
+    when(size(sh) >= 1, array(bands: _*))
+      .otherwise(array().cast("array<struct<band_idx:int,band_hash:string>>"))
   }
 
   /** Candidate near-dup pairs from MinHash+LSH, deduplicated across bands. */

@@ -414,6 +414,44 @@ object EventsStream {
            count(lit(1)).as("group_size"))
   }
 
+  /** Streaming MinHash-LSH near-dup CANDIDATES — the banded variant of
+    * [[dedupStream]] (exact keys) and the streaming twin of the batch
+    * `Dedup.minhashCandidates`: each arriving document computes its LSH
+    * bands SCAN-LOCALLY (`Dedup.rowBands` — stateless, no per-batch
+    * shuffle), and candidate pairs are a STREAM-STREAM SELF-JOIN on
+    * (band_idx, band_hash) with watermarks on both sides plus an
+    * event-time bound, so the state store buffers only band postings
+    * inside the watermark+horizon window — state ∝ rate × horizon, never
+    * stream length. Matches the batch operator exactly for pairs within
+    * the horizon (StreamingSpec asserts both the parity and the horizon
+    * cutoff). Documents carry no timestamp, so event time derives
+    * deterministically from doc_id (epoch 2024-01-01 + doc_id seconds) —
+    * identical on the batch side, where withWatermark is a no-op.
+    */
+  def minhashCandidateStream(docs: DataFrame, horizonSeconds: Long,
+                             watermark: String = "1 hour"): DataFrame = {
+    val bands = docs
+      .select(col("doc_id"),
+              (lit(1704067200L) + col("doc_id")).cast("timestamp").as("ts"),
+              explode(graft.operators.Dedup.rowBands(col("text"))).as("band"))
+      .select(col("doc_id"), col("ts"),
+              col("band.band_idx").as("band_idx"),
+              col("band.band_hash").as("band_hash"))
+    val a = bands.select(col("band_idx"), col("band_hash"),
+                         col("doc_id").as("doc_a"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", watermark)
+    val b = bands.select(col("band_idx").as("bi_b"), col("band_hash").as("bh_b"),
+                         col("doc_id").as("doc_b"), col("ts").as("ts_b"))
+      .withWatermark("ts_b", watermark)
+    a.join(b,
+        col("band_idx") === col("bi_b") && col("band_hash") === col("bh_b") &&
+          col("doc_a") < col("doc_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $horizonSeconds SECONDS") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(col("doc_a"), col("doc_b"), col("ts_a"))
+      .dropDuplicates("doc_a", "doc_b", "ts_a")
+  }
+
   /** Drive a streaming DataFrame to completion against currently-available
     * files (Trigger.AvailableNow-style smoke path for local verification).
     */

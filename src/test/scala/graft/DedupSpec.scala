@@ -177,4 +177,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand.contains((1L, 2L))) // identical signature → same bands
   }
+
+  test("rowBands (scan-local, streaming form) ≡ aggregate-path bands bit-for-bit") {
+    // real corpus rows, plus a shingle-less doc (2 tokens) that both
+    // paths must DROP (the aggregate path by emitting no exploded rows,
+    // the row path by the empty-array guard)
+    val d = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9999L, "two tokens")).toDF("doc_id", "text"))
+    val agg = Dedup.lshBands(Dedup.minhashSignatures(d, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val row = d.select(col("doc_id"), explode(Dedup.rowBands(col("text"))).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(row === agg, "scan-local bands diverged from the aggregate path")
+    assert(!row.exists(_._1 == 9999L), "shingle-less doc must produce no bands")
+  }
 }

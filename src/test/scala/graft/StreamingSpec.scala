@@ -392,4 +392,33 @@ class StreamingSpec extends SparkSpec {
     assert(total == 1000)
     assert(out.filter(col("mean") < 0).count() == 0)
   }
+
+  test("streaming minhash near-dup ≡ batch LSH candidates; horizon bounds the pairs") {
+    val docs = graft.core.Tables(spark, dir).documents
+    val batchPairs = graft.operators.Dedup
+      .minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // wide horizon: every candidate pair is inside the event-time bound,
+    // so the stream must reproduce the batch operator's pair set exactly
+    val wide = EventsStream.runToMemorySink(
+      EventsStream.minhashCandidateStream(
+        EventsStream.readDocuments(spark, docsDir), horizonSeconds = 1000000L),
+      "stream_lsh_wide", OutputMode.Append())
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === batchPairs, "stream diverged from batch LSH candidates")
+    assert(batchPairs.nonEmpty, "fixture produced no candidates — vacuous parity")
+    // tight horizon: event time is doc_id seconds, so only pairs with
+    // |doc_a − doc_b| ≤ 50 survive — the watermark/event-time bound IS
+    // the state bound, and it visibly cuts the output
+    val tight = EventsStream.runToMemorySink(
+      EventsStream.minhashCandidateStream(
+        EventsStream.readDocuments(spark, docsDir), horizonSeconds = 50L),
+      "stream_lsh_tight", OutputMode.Append())
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedTight = batchPairs.filter { case (x, y) => math.abs(x - y) <= 50 }
+    assert(tight === expectedTight, "horizon cutoff diverged")
+    assert(tight.size < batchPairs.size, "fixture has no cross-horizon pair — vacuous cutoff")
+  }
 }
