@@ -69,7 +69,11 @@ object Tables {
   def isEventTimeType(dt: DataType): Boolean =
     dt == TimestampNTZType || dt == TimestampType
 
-  private def requireUtc(spark: SparkSession, colName: String): Unit = {
+  /** Public: any operator casting TIMESTAMP_NTZ→TIMESTAMP must enforce
+    * the same UTC contract (TemporalJoins guards its entry points with
+    * this), not just the events reader.
+    */
+  def requireUtc(spark: SparkSession, colName: String): Unit = {
     val tz = spark.conf.get("spark.sql.session.timeZone")
     if (tz != "UTC") throw new IllegalStateException(
       s"session timeZone=$tz: canonicalizing events.$colName from TIMESTAMP_NTZ " +

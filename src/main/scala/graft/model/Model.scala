@@ -81,5 +81,29 @@ final case class Contract(
     notNull: Seq[String] = Nil,
     uniqueKeys: Seq[Seq[String]] = Nil)
 
+object Contract {
+
+  /** The enforcement itself, static so marts written OUTSIDE the model
+    * runner (the persisted ANN/LSH index tables — q139/q141/q145/q146)
+    * get the same schema-equality + not-null/unique checks the Eurostat
+    * marts get, before any warehouse write.
+    */
+  def enforce(name: String, df: DataFrame, c: Contract): Unit = {
+    import org.apache.spark.sql.functions.col
+    val got  = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = c.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (got != want)
+      throw ContractViolation(name, s"schema mismatch:\n  got  $got\n  want $want")
+    c.notNull.foreach { col0 =>
+      val n = df.filter(col(col0).isNull).count()
+      if (n > 0) throw ContractViolation(name, s"$n null rows in not-null column $col0")
+    }
+    c.uniqueKeys.foreach { keys =>
+      val n = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
+      if (n > 0) throw ContractViolation(name, s"$n duplicate groups on key (${keys.mkString(",")})")
+    }
+  }
+}
+
 final case class ContractViolation(model: String, detail: String)
     extends RuntimeException(s"contract violation in $model: $detail")

@@ -331,18 +331,6 @@ final class Runner(
   /** Contract enforcement: schema (names + types, order-sensitive like a
     * dbt contract), then not-null / unique data assertions.
     */
-  private def enforce(name: String, df: DataFrame, c: Contract): Unit = {
-    val got  = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-    val want = c.schema.fields.map(f => (f.name, f.dataType)).toSeq
-    if (got != want)
-      throw ContractViolation(name, s"schema mismatch:\n  got  $got\n  want $want")
-    c.notNull.foreach { col0 =>
-      val n = df.filter(col(col0).isNull).count()
-      if (n > 0) throw ContractViolation(name, s"$n null rows in not-null column $col0")
-    }
-    c.uniqueKeys.foreach { keys =>
-      val n = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
-      if (n > 0) throw ContractViolation(name, s"$n duplicate groups on key (${keys.mkString(",")})")
-    }
-  }
+  private def enforce(name: String, df: DataFrame, c: Contract): Unit =
+    Contract.enforce(name, df, c)
 }

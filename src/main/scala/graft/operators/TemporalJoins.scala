@@ -21,6 +21,20 @@ object TemporalJoins {
     */
   private def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
 
+  /** Entry guard: [[epochMicros]] casts a TIMESTAMP_NTZ column to
+    * TIMESTAMP in the SESSION zone — the instant survives only under
+    * UTC, the same contract [[graft.core.Tables.canonicalEventsTs]]
+    * enforces at the events reader. A caller handing a raw NTZ frame to
+    * these operators in a non-UTC session fails loudly here instead of
+    * getting silently shifted instants.
+    */
+  private def requireCanonicalTime(df: DataFrame, colName: String): Unit =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        graft.core.Tables.requireUtc(df.sparkSession, colName)
+      case _ => ()
+    }
+
   /** Backward as-of join: for each left row, attach the latest right row
     * with `rightTime <= leftTime` on the same key (ties: the right row at
     * the exact timestamp applies).
@@ -37,6 +51,7 @@ object TemporalJoins {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: String, rightTime: String,
                    payloadCols: Seq[String]): DataFrame = {
+    requireCanonicalTime(left, leftTime); requireCanonicalTime(right, rightTime)
     val payload = struct(payloadCols.map(col): _*)
     val r = right.select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__tag"),
@@ -68,6 +83,7 @@ object TemporalJoins {
   def boundedRangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTime: String, rightTime: String,
                        windowMicros: Long): DataFrame = {
+    requireCanonicalTime(left, leftTime); requireCanonicalTime(right, rightTime)
     val lBinned = left
       .withColumn("__lt", epochMicros(col(leftTime)))
       .withColumn("__bin",
@@ -91,6 +107,7 @@ object TemporalJoins {
     */
   def sessionize(events: DataFrame, keys: Seq[String], timeCol: String,
                  gapMicros: Long): DataFrame = {
+    requireCanonicalTime(events, timeCol)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
     events
       .withColumn("__prev", lag(col(timeCol), 1).over(w))

@@ -46,6 +46,16 @@ object Profiler {
         s"profile covers numeric and string columns; '$c' is ${types(c).simpleString} " +
           "— cast it explicitly (e.g. timestamp → epoch micros) before profiling")
     }
+    // the header's engine-portability contract, ENFORCED not just
+    // documented: the KMV estimate hashes cast(c as string), and raw
+    // double/float formatting is engine-specific — a caller profiling
+    // such a column would get silently non-reproducible estimates
+    if (approxDistinct) cols.foreach { c =>
+      require(types(c) != DoubleType && types(c) != FloatType,
+        s"approxDistinct hashes canonical strings and '$c' is " +
+          s"${types(c).simpleString}, whose formatting is engine-specific " +
+          "— cast it to a decimal first (q136 does)")
+    }
     val distinctAgg: String => Column =
       if (approxDistinct)
         c => org.apache.spark.sql.graftx.KmvDistinct

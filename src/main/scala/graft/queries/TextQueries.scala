@@ -1109,13 +1109,30 @@ object TextQueries {
     * doc_ids), materialized once per (session, dir) as a
     * band_hash-bucketed warehouse table (q139's memo discipline).
     */
+  /** The persisted-LSH-index mart contract (q139's discipline applied to
+    * q145): band frame schema exactly, all columns non-null, and one row
+    * per (doc_id, band_idx) — a duplicated band row would double-emit
+    * candidate pairs on every probe.
+    */
+  val LshIndexContract: graft.model.Contract = graft.model.Contract(
+    schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band_idx",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("band_hash",
+        org.apache.spark.sql.types.StringType))),
+    notNull = Seq("doc_id", "band_idx", "band_hash"),
+    uniqueKeys = Seq(Seq("doc_id", "band_idx")))
+
   private val lshIdxCache = new graft.core.SessionCache[String]
   private def lshIndex(s: SparkSession, dir: String): DataFrame =
     lshIdxCache.getOrElseUpdate(s, dir) {
       val base = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
+      val bands = Dedup.lshBands(Dedup.minhashSignatures(base, "doc_id", "text"))
+      graft.model.Contract.enforce("q145_lsh_index", bands, LshIndexContract)
       graft.sources.Warehouse.writeBucketed(
-        Dedup.lshBands(Dedup.minhashSignatures(base, "doc_id", "text")),
-        lshIndexTable(s, dir), "band_hash", numBuckets = 16)
+        bands, lshIndexTable(s, dir), "band_hash", numBuckets = 16)
       s.table(lshIndexTable(s, dir))
     }
 

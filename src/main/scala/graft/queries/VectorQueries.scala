@@ -608,6 +608,25 @@ object VectorQueries {
        |  FROM n CROSS JOIN c2 s)""".stripMargin
   }
 
+  /** The persisted-IVF-index mart contract (the beyond-reference marts
+    * carry the same enforcement as the Eurostat marts): assignment frame
+    * schema exactly, every column non-null (a null centroid_id row would
+    * silently vanish from every bucket-pruned probe), vec_id unique.
+    * Enforced before each of the q139/q141/q146 index writes.
+    */
+  val IvfIndexContract: graft.model.Contract = graft.model.Contract(
+    schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("nrm",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.LongType))),
+    notNull = Seq("vec_id", "v", "nrm", "centroid_id"),
+    uniqueKeys = Seq(Seq("vec_id")))
+
   /** Session-scoped q139 IVF index table name. */
   def ivfIndexTable(s: SparkSession, dir: String): String =
     graft.sources.Warehouse.sessionScopedName(s,
@@ -624,6 +643,7 @@ object VectorQueries {
       val n = Tables(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val (_, assigned) = Similarity.ivfIndexFrames(n, IvfNlist)
+      graft.model.Contract.enforce("q139_ivf_index", assigned, IvfIndexContract)
       graft.sources.Warehouse.writeBucketed(
         assigned, ivfIndexTable(s, dir), "centroid_id", numBuckets = IvfNlist)
       s.table(ivfIndexTable(s, dir))
@@ -682,6 +702,11 @@ object VectorQueries {
       graft.sources.Warehouse.appendBucketed(
         Similarity.ivfAssignWith(proj(col("vec_id") % 2 === 1), cents),
         table, "centroid_id", numBuckets = IvfNlist)
+      // contract checked on the FINAL table (post-append): uniqueness
+      // must hold ACROSS batches — a re-delivered delta row would pass a
+      // per-batch check and still corrupt every downstream serve
+      graft.model.Contract.enforce("q141_ivf_index_appended",
+        s.table(table), IvfIndexContract)
       s.table(table)
     }
 
@@ -723,11 +748,12 @@ object VectorQueries {
   private val ivfRebCache = new graft.core.SessionCache[String]
   private def ivfRebIndex(s: SparkSession, dir: String): DataFrame =
     ivfRebCache.getOrElseUpdate(s, dir) {
+      val assigned = Similarity.ivfAssignWith(
+        ivfIncIndex(s, dir).select(col("vec_id"), col("v")),
+        ivfRebCents(s, dir))
+      graft.model.Contract.enforce("q146_ivf_index_rebuilt", assigned, IvfIndexContract)
       graft.sources.Warehouse.writeBucketed(
-        Similarity.ivfAssignWith(
-          ivfIncIndex(s, dir).select(col("vec_id"), col("v")),
-          ivfRebCents(s, dir)),
-        ivfRebTable(s, dir), "centroid_id", numBuckets = IvfNlist)
+        assigned, ivfRebTable(s, dir), "centroid_id", numBuckets = IvfNlist)
       s.table(ivfRebTable(s, dir))
     }
 

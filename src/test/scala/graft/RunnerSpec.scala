@@ -241,4 +241,29 @@ class RunnerSpec extends SparkSpec {
       Map("src" -> df))("m3")
     assert(ok.count() == 2)
   }
+
+  test("persisted index marts (q139/q141) satisfy the IVF index contract; violations throw") {
+    val dir = "/root/testdata/sf0.001"
+    // building the indexes runs the contract enforcement inline — a
+    // violation would have thrown out of the serve below; re-assert the
+    // read-back tables explicitly so the spec fails even if a future
+    // refactor drops the inline check
+    graft.queries.VectorQueries.ivfServe(spark, dir, col("vec_id") === 3, 2).count()
+    graft.queries.VectorQueries.ivfServeIncremental(spark, dir, col("vec_id") === 3, 2).count()
+    val c = graft.queries.VectorQueries.IvfIndexContract
+    Contract.enforce("q139_readback",
+      spark.table(graft.queries.VectorQueries.ivfIndexTable(spark, dir)), c)
+    Contract.enforce("q141_readback",
+      spark.table(graft.queries.VectorQueries.ivfIncTable(spark, dir)), c)
+    // violations: null centroid_id, then a duplicated vec_id
+    val base = spark.table(graft.queries.VectorQueries.ivfIndexTable(spark, dir))
+    intercept[ContractViolation] {
+      Contract.enforce("nulls", base.withColumn("centroid_id",
+        when(col("vec_id") === 0, lit(null)).otherwise(col("centroid_id"))
+          .cast("long")), c)
+    }
+    intercept[ContractViolation] {
+      Contract.enforce("dups", base.unionByName(base.limit(1)), c)
+    }
+  }
 }

@@ -72,9 +72,10 @@ class ShardingSpec extends SparkSpec {
       }
     }.toSet
     assert(got.toSet == expect)
-    // greedy semantics spot-checks: stream 0 = 100,400(fill 500) | 50,10? no —
-    // 50 opens bin 2 (500+50>512... wait 550>512), then 600 oversized alone,
-    // then 10 starts fresh — encoded in `expect`; here pin two anchors:
+    // greedy fold order for stream 0: 100,400 fill bin 1 to 500; 50 would
+    // overflow (550 > 512) so it opens bin 2; 600 is oversized and sits
+    // alone in bin 3; 10 starts bin 4 — all encoded in `expect`; here pin
+    // two anchors:
     assert(got.find(_._1 == 6L).get._3 != got.find(_._1 == 4L).get._3,
       "oversized doc must not share the previous bin")
     assert(got.find(_._1 == 8L).get._3 != got.find(_._1 == 6L).get._3,

@@ -34,4 +34,23 @@ class ToolchainSpec extends SparkSpec {
       "spark.sql.legacy.parquet.nanosAsLong affects the events reading again " +
         "on this Spark build — Tables.canonicalEventsTs assumes it is dead")
   }
+
+  test("temporal operators refuse a raw NTZ time column in a non-UTC session") {
+    // the same loud-failure contract as Tables.canonicalEventsTs, at the
+    // OPERATOR entry: an NTZ→TIMESTAMP cast in a non-UTC session shifts
+    // every instant silently
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val ntz = s2.read.parquet(events) // ts arrives as TIMESTAMP_NTZ
+    val ex = intercept[IllegalStateException] {
+      graft.operators.TemporalJoins.sessionize(
+        ntz, Seq("user_id"), "ts", gapMicros = 60L * 1000000)
+    }
+    assert(ex.getMessage.contains("UTC"))
+    // canonical frames (already TIMESTAMP) pass regardless of zone, and
+    // under the UTC session the NTZ frame canonicalizes fine
+    graft.operators.TemporalJoins.sessionize(
+      graft.core.Tables(spark, "/root/testdata/sf0.001").events,
+      Seq("user_id"), "ts", gapMicros = 60L * 1000000).count()
+  }
 }
