@@ -1162,7 +1162,16 @@ object TextQueries {
     val hashes = local.select(col("band_hash")).collect().map(_.getString(0)).distinct.toSeq
     if (hashes.isEmpty)
       return local.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")).limit(0)
-    lshIndex(s, dir).filter(col("band_hash").isin(hashes: _*))
+    // Literal bucket pruning pays only for SMALL probe batches (the
+    // operational serving case — a delta micro-batch): a 10k-literal IN
+    // list costs seconds of per-query planning for a filter the hash
+    // join applies anyway. Above the threshold the probe rides the
+    // plain bucketed equi-join (same rows, no literal blowup).
+    val probed =
+      if (hashes.size <= 1024)
+        lshIndex(s, dir).filter(col("band_hash").isin(hashes: _*))
+      else lshIndex(s, dir)
+    probed
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
       .join(broadcast(local.select(col("band_idx"), col("band_hash"),
                                    col("doc_id").as("doc_a"))),
