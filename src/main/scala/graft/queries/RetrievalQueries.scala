@@ -172,6 +172,50 @@ object RetrievalQueries {
     // computed to exhibit the overcount), in production an arbitrary
     // candidate list. The corpus is scanned, never shuffled at width.
     // ---------------------------------------------------------------
+    // ---------------------------------------------------------------
+    // q147: mergeable deterministic QUANTILE sketch — the missing member
+    // of the sketch family (distinct: KMV/HLL q66/q124; heavy hitters:
+    // CMS q89; quantiles were exact-only, q93). A KMV-style bottom-k
+    // hash sample: each group keeps the k=64 rows with the smallest
+    // md5("qsk|" || event_id) — a uniform, DETERMINISTIC sample whose
+    // union property (bottom-k of a union = bottom-k of the merged
+    // bottom-ks) makes the state mergeable, O(k) per group, map-side
+    // partial — and approximate quantiles are exact interpolated
+    // percentiles OF the sample. The value rides INSIDE the TopKPairs
+    // string key (md5 ‖ '|' ‖ lossless DoubleSortKey hex) so no second
+    // corpus scan fetches it back; hash order dominates the key order.
+    // Like q66/q89: the ESTIMATE itself hash-gates (every sampled row
+    // and the interpolation arithmetic are engine-reproducible).
+    // 100 TB shape: ObjectHashAggregate, every task reduces to ≤ k
+    // pairs per group before the shuffle; no window, no full sort.
+    // ---------------------------------------------------------------
+    "q147_quantile_sketch" -> { (s, dir) =>
+      import org.apache.spark.sql.graftx.{SortableDouble, TopKPairs}
+      val e = Tables(s, dir).events
+      val k = 64
+      val keyed = e.filter(col("value").isNotNull)
+        .select(col("event_type"),
+          concat(md5(concat(lit("qsk|"), col("event_id").cast(StringType))),
+                 lit("|"), SortableDouble.sortKeyDesc(col("value"))).as("skey"),
+          col("event_id"))
+      val agg = keyed.groupBy(col("event_type"))
+        .agg(TopKPairs.topK(col("skey"), col("event_id"), k).as("top"))
+        .withColumn("vals", sort_array(transform(col("top"),
+          x => SortableDouble.decodeDesc(substring(x.getField("key"), 34, 16)))))
+      val n = size(col("vals"))
+      def quant(p: Double): Column = {
+        val h  = (n - 1).cast(DoubleType) * lit(p)
+        val lo = floor(h).cast("int")
+        val hi = ceil(h).cast("int")
+        element_at(col("vals"), lo + 1) +
+          (element_at(col("vals"), hi + 1) - element_at(col("vals"), lo + 1)) *
+            (h - lo.cast(DoubleType))
+      }
+      agg.select(col("event_type"), n.cast(LongType).as("n_sample"),
+        quant(0.25).as("p25"), quant(0.5).as("p50"),
+        quant(0.75).as("p75"), quant(0.9).as("p90"))
+    },
+
     "q89_cms_heavy_hitters" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
       // CMS is LINEAR: summing each occurrence into its buckets equals
@@ -661,6 +705,31 @@ object RetrievalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Replays the bottom-k md5 sample (row_number over the same hash +
+    // tie-break) and the same interpolated-percentile arithmetic over
+    // the value-sorted sample — every sampled double and every IEEE op
+    // is identical, so the ESTIMATES hash-match.
+    "q147_quantile_sketch" -> {
+      def q(p: String): String =
+        s"vs[CAST(floor((n - 1) * $p) AS INT) + 1] + " +
+          s"(vs[CAST(ceil((n - 1) * $p) AS INT) + 1] - " +
+          s"vs[CAST(floor((n - 1) * $p) AS INT) + 1]) * " +
+          s"((n - 1) * $p - floor((n - 1) * $p))"
+      s"""WITH s AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY md5('qsk|' || CAST(event_id AS VARCHAR)), event_id) AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |l AS (
+         |  SELECT event_type, list(value ORDER BY value) AS vs,
+         |         CAST(count(*) AS DOUBLE) AS n
+         |  FROM s WHERE rn <= 64 GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_sample,
+         |  ${q("0.25")} AS p25, ${q("0.5")} AS p50,
+         |  ${q("0.75")} AS p75, ${q("0.9")} AS p90
+         |FROM l""".stripMargin
+    },
+
     // Same register derivation character-for-character via the HexKeys
     // SQL twins; HUGEINT `//` ≡ Spark's DECIMAL `div` (both truncate);
     // the one ln() is 1e-9-quantized before use on both sides.

@@ -34,4 +34,36 @@ class KmvSpec extends SparkSpec {
     }
     assert(byParts.distinct.size == 1, s"partitioning changed the estimate: $byParts")
   }
+
+  test("q147 quantile sketch: partition-invariant and close to exact quantiles") {
+    // the q147 operator body over a synthetic skewed-but-known frame:
+    // mergeability (bottom-k of a union ≡ bottom-k of merged bottom-ks)
+    // means ANY partitioning yields the identical sample, and a k=64
+    // uniform sample's median should land near the true median
+    import org.apache.spark.sql.graftx.{SortableDouble, TopKPairs}
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    val df = (0 until 4000).map { i =>
+      (i.toLong, "g" + (i % 2), (i % 1000).toDouble)
+    }.toDF("event_id", "event_type", "value")
+    def sketch(parts: Int) = {
+      val keyed = df.repartition(parts)
+        .select(col("event_type"),
+          concat(md5(concat(lit("qsk|"), col("event_id").cast(StringType))),
+                 lit("|"), SortableDouble.sortKeyDesc(col("value"))).as("skey"),
+          col("event_id"))
+      keyed.groupBy(col("event_type"))
+        .agg(TopKPairs.topK(col("skey"), col("event_id"), 64).as("top"))
+        .withColumn("vals", sort_array(transform(col("top"),
+          x => SortableDouble.decodeDesc(substring(x.getField("key"), 34, 16)))))
+        .select(col("event_type"),
+          element_at(col("vals"), 33).as("near_median")) // 64-sample midpoint
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val byParts = Seq(1, 3, 8).map(sketch)
+    assert(byParts.distinct.size == 1, "partitioning changed the sampled quantiles")
+    // true per-group median is ~499.5 (values uniform 0..999); a 64-point
+    // uniform sample's midpoint should land within ±150 of it
+    byParts.head.values.foreach(m => assert(math.abs(m - 499.5) < 150.0,
+      s"sampled median $m implausibly far from 499.5"))
+  }
 }
