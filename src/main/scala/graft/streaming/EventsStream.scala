@@ -300,6 +300,48 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming maintenance of the PERSISTED LSH dedup index (q145): each
+    * micro-batch's scan-local bands ([[graft.operators.Dedup.rowBands]])
+    * are appended to the band_hash-bucketed warehouse table —
+    * `Warehouse.appendBucketed`, q141's incremental discipline, so the
+    * bucket layout (pruned probes, shuffle-free self-joins) survives
+    * every append and per-batch cost ∝ batch size. Replay-idempotent
+    * like [[incrementalSink]]: a batch's doc_ids anti-join the existing
+    * index before appending, so micro-batch redelivery can't double a
+    * document's bands (the contract's (doc_id, band_idx) uniqueness).
+    */
+  def lshIndexMaintainStream(
+      docs: DataFrame,
+      table: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val bands = batch.toDF()
+          .select(col("doc_id"),
+                  explode(graft.operators.Dedup.rowBands(col("text"))).as("band"))
+          .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+                  col("band.band_hash").as("band_hash"))
+          .dropDuplicates("doc_id", "band_idx") // in-batch redelivery guard
+        val exists =
+          try { spark.table(table); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!exists)
+          graft.sources.Warehouse.writeBucketed(bands, table, "band_hash", numBuckets = 16)
+        else {
+          val fresh = bands.join(
+            spark.table(table).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          graft.sources.Warehouse.appendBucketed(fresh, table, "band_hash", numBuckets = 16)
+        }
+        ()
+      }
+      .start()
+
   /** Schema of the `documents` parquet (the corpus-side streaming legs). */
   val documentSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
@@ -412,6 +454,29 @@ object EventsStream {
       .groupBy(col("afp"))
       .agg(min(col("media_id")).as("canonical_id"),
            count(lit(1)).as("group_size"))
+  }
+
+  /** Streaming quantile sketch — q147's bottom-k md5 sample as a stream:
+    * the TopKPairs TypedImperativeAggregate's O(k) buffer IS the
+    * streaming state (≤ k (hash, id) pairs per group regardless of
+    * stream length), and the drained sample — hence every interpolated
+    * quantile read from it — is bit-identical to the batch sketch
+    * (bottom-k is order-insensitive). Emits the sampled VALUES so the
+    * spec can compare sample-for-sample.
+    */
+  def quantileSketchStream(events: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftx.{SortableDouble, TopKPairs}
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        concat(md5(concat(lit("qsk|"), col("event_id").cast("string"))),
+               lit("|"), SortableDouble.sortKeyDesc(col("value"))).as("skey"),
+        col("event_id"))
+      .groupBy(col("event_type"))
+      .agg(TopKPairs.topK(col("skey"), col("event_id"), k).as("top"))
+      .select(col("event_type"),
+        sort_array(transform(col("top"),
+          x => SortableDouble.decodeDesc(substring(x.getField("key"), 34, 16))))
+          .as("sampled_values"))
   }
 
   /** Streaming MinHash-LSH near-dup CANDIDATES — the banded variant of

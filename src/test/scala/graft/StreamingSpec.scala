@@ -393,6 +393,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("mean") < 0).count() == 0)
   }
 
+  test("streaming quantile sketch sample is bit-identical to the batch sketch") {
+    val events = graft.core.Tables(spark, dir).events
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.quantileSketchStream(
+        EventsStream.read(spark, eventsDir)),
+      "stream_qsketch")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val batch = EventsStream.quantileSketchStream(events)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(streamed === batch, "stream sample diverged from batch")
+    // state bound: every group's sample is ≤ k values
+    assert(streamed.values.forall(_.size <= 64))
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming LSH index maintenance: bands land bucketed, contract holds, replay is a no-op") {
+    val docs = graft.core.Tables(spark, dir).documents
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_lsh_stream_idx")
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-lsh-ck1").toString
+    val q1 = EventsStream.lshIndexMaintainStream(
+      EventsStream.readDocuments(spark, docsDir), table, ck1, "lsh_maint_1")
+    q1.processAllAvailable(); q1.stop()
+    val got = spark.table(table)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val want = graft.operators.Dedup
+      .lshBands(graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === want, "streamed index diverged from the one-shot band build")
+    // the index mart keeps its contract under streaming maintenance
+    graft.model.Contract.enforce("lsh_stream_idx", spark.table(table),
+      graft.queries.TextQueries.LshIndexContract)
+    // redelivery: a FRESH checkpoint re-reads the same files; the
+    // anti-join guard must keep the append a no-op
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-lsh-ck2").toString
+    val q2 = EventsStream.lshIndexMaintainStream(
+      EventsStream.readDocuments(spark, docsDir), table, ck2, "lsh_maint_2")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(table).count() === want.size.toLong, "replay duplicated bands")
+  }
+
   test("streaming minhash near-dup ≡ batch LSH candidates; horizon bounds the pairs") {
     val docs = graft.core.Tables(spark, dir).documents
     val batchPairs = graft.operators.Dedup
