@@ -254,10 +254,9 @@ object TextQueries {
       import s.implicits._
       val d = Tables(s, dir).documents
       // the fitted table is a tiny driver-side Seq but costs 5 corpus
-      // scans — fit once per (session, dir); a racing double-fit is
-      // idempotent (the fit is a pure function of the corpus)
-      val merges = bpeFitCache.getOrElseUpdate(
-        (org.apache.spark.sql.graftx.Bridge.sessionUUID(s), dir),
+      // scans — fit once per (session, dir); SessionMemo's lazy holder
+      // runs the fit exactly once even under racing callers
+      val merges = bpeFitCache.getOrElseUpdate(s, dir)(
         graft.operators.Bpe.fit(d, "text", numMerges = 5))
       val baseDf = d.select(col("doc_id"), col("text").cast(StringType))
       val para = s.sparkContext.defaultParallelism
@@ -295,8 +294,7 @@ object TextQueries {
     "q144_bpe_fit_delta" -> { (s, dir) =>
       import s.implicits._
       val d = Tables(s, dir).documents
-      val merges = bpeDeltaFitCache.getOrElseUpdate(
-        (org.apache.spark.sql.graftx.Bridge.sessionUUID(s), dir),
+      val merges = bpeDeltaFitCache.getOrElseUpdate(s, dir)(
         graft.operators.Bpe.fitDelta(d, "text", numMerges = 256))
       val baseDf = d.select(col("doc_id"), col("text").cast(StringType))
       val para = s.sparkContext.defaultParallelism
@@ -943,13 +941,16 @@ object TextQueries {
        |FROM t$n""".stripMargin
   }
 
-  /** q134's fitted merge table, fitted once per (session, dir). */
+  /** q134's fitted merge table, fitted once per (session, dir) —
+    * weak-keyed so the driver-side merge list follows session lifetime
+    * (the ivfCentCache eviction discipline).
+    */
   private val bpeFitCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, String)]]
+    new graft.core.SessionMemo[String, Seq[(String, String)]]
 
   /** q144's 256-merge delta-fit table, fitted once per (session, dir). */
   private val bpeDeltaFitCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(String, String)]]
+    new graft.core.SessionMemo[String, Seq[(String, String)]]
 
   /** The decoded (media_id, dhash) frame, hashed once per (session, dir)
     * — consumed by the q127 pair miner AND q132's quotient-graph cluster
