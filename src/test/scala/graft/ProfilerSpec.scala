@@ -35,6 +35,18 @@ class ProfilerSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profiler.profile(fixture, Seq.empty))
   }
 
+  test("approxDistinct rejects raw double/float columns (engine-unportable strings)") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5), (2L, 1.5)).toDF("k", "x")
+    // exact mode is fine; the KMV mode must refuse — its estimate hashes
+    // cast(x as string) whose formatting is engine-specific
+    graft.quality.Profiler.profile(df, Seq("x")).collect()
+    val ex = intercept[IllegalArgumentException] {
+      graft.quality.Profiler.profile(df, Seq("x"), approxDistinct = true)
+    }
+    assert(ex.getMessage.contains("decimal"))
+  }
+
   test("one scan: the profile plan reads the input once") {
     val df = Profiler.profile(fixture, Seq("id", "v", "s"))
     df.collect()
