@@ -500,6 +500,84 @@ object Dedup {
     }
   }
 
+  /** Alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log²)-round connected components for graphs whose components may
+    * be DEEP. [[connectedComponents]]'s min-label propagation costs
+    * O(diameter) rounds — the right trade for shallow dup clusters, a
+    * scale-killer for chain-shaped near-dup drift (each revision similar
+    * only to its neighbors), where diameter grows with the corpus. Star
+    * contraction instead roughly halves component height per alternation:
+    *
+    *   large-star(u): every neighbor v > u re-wires to min(Γ(u) ∪ {u})
+    *   small-star(u): every neighbor v ≤ u (and u itself) re-wires to it
+    *
+    * Each step is ONE groupBy-min plus one equi-join over the current
+    * edge set — edges only ever map to (endpoint, current-min) pairs, so
+    * there is no quadratic neighborhood blowup — and the edge set
+    * monotonically contracts toward stars rooted at each component's
+    * minimum id. Fixpoint detection is EXACT: same cardinality (both
+    * sides distinct) plus one-direction `except` emptiness — never a
+    * signature compare that could terminate early on a collision.
+    *
+    * Same contract as [[connectedComponents]]: `nodes` (one col `id`)
+    * keeps singletons; returns (id, cluster_id = component min id). The
+    * two implementations are interchangeable — DedupSpec pins equality
+    * on chain / star / random graphs, and q149 gates this one against
+    * the same DuckDB reachability oracle that gates q67.
+    */
+  def connectedComponentsStars(nodes: DataFrame, pairs: DataFrame,
+                               aCol: String, bCol: String,
+                               maxIters: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mm = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mm, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val ori = e.select(greatest(col("u"), col("v")).as("u"),
+                         least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      // neighbors of u here are all < u, so min(Γ⁻(u) ∪ {u}) = min(v)
+      val mm = ori.groupBy(col("u")).agg(min(col("v")).as("m"))
+      ori.join(mm, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mm.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    val initial = pairs
+      .select(col(aCol).cast(LongType).as("u"), col(bCol).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // endpoint set from the ORIGINAL edges — the contracted set only
+    // retains (child, root) pairs, but every original endpoint needs a label
+    val endpoints = initial.select(col("u").as("id"))
+      .union(initial.select(col("v").as("id"))).distinct().localCheckpoint(true)
+    var edges = initial
+    var converged = initial.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIters rounds")
+    // At fixpoint edges are (child, root) with root < child and one row
+    // per child; the groupBy-min is a no-op there and a hard guard if the
+    // invariant were ever violated (a dup child would silently mislabel).
+    val roots = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("root"))
+    val lab = endpoints.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
+    val singletons = nodes.select(col("id").cast(LongType).as("id")).distinct()
+      .join(endpoints, Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    lab.unionByName(singletons)
+  }
+
   /** MinHash signature columns sig_0..sig_{k-1} per document — one-pass
     * [[org.apache.spark.sql.graftx.MinHashSigs]] TypedImperativeAggregate
     * (one md5 per shingle, K–M-derived permutations), bit-identical to the

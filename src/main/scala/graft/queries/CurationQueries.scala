@@ -52,6 +52,13 @@ object CurationQueries {
   private val ChunkW = 50
   private val ChunkS = 40
 
+  /** q148 geometry: 64 hashed-feature buckets (q103's featurizer) and a
+    * top-100 selection — bucket count bounds the broadcast model, K bounds
+    * the TakeOrdered heap.
+    */
+  private val DsirB = 64
+  private val DsirK = 100
+
   val defs: Map[String, Q] = Map(
 
     // ---------------------------------------------------------------
@@ -563,6 +570,75 @@ object CurationQueries {
                 array_join(
                   slice(col("toks"), col("chunk_idx") * ChunkS + 1, lit(ChunkW)),
                   " ").as("chunk_text"))
+    },
+
+    // ---------------------------------------------------------------
+    // q148: data selection by importance resampling (the DSIR recipe,
+    // Xie et al. 2023): score every raw document by how much more
+    // likely its hashed bag-of-features is under a TARGET distribution
+    // (here: the lang='en' slice, standing in for "looks like the
+    // high-quality domain") than under the RAW corpus distribution,
+    // then keep the top-K by that log-likelihood ratio. Features are
+    // q103's vocabulary-free hashing trick (md5 bucket % 64), so the
+    // two "language models" are just two 64-long count vectors.
+    //
+    // 100 TB shape: ONE corpus scan builds both bucket-count vectors
+    // (partial+final agg to 64 rows); the 64-row smoothed log-ratio
+    // model BROADCASTS onto the per-doc feature agg (map-side combine,
+    // ≤64 rows per doc); selection is orderBy+limit = TakeOrdered (a
+    // per-partition top-K + driver merge — never a global sort). No
+    // join shuffles anything corpus-sized, and the scoring pass is
+    // restartable because every weight derives from md5, not rand().
+    //
+    // Determinism discipline (the q112 rule): the per-bucket log-ratio
+    // quantizes to 1e-9 as a BIGINT once, and every per-doc weight is
+    // an exact integer dot product Σ c_b·qratio_b — order-independent,
+    // engine-portable, so the rows hash-gate exactly.
+    // ---------------------------------------------------------------
+    "q148_importance_resample" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      // ONE tokenize+md5 pass over the corpus: the per-(doc, dim) feature
+      // agg keeps `lang` in its key (functionally dependent on doc_id —
+      // zero extra rows), so BOTH the bucket model and the scoring join
+      // derive from this ndocs×≤64 frame. Checkpointed because it is
+      // consumed twice and is corpus-INDEPENDENT in width — without the
+      // cut, each consumer would re-run the full token scan (the first
+      // bench showed exactly that: 2× the cost of q103's single pass).
+      val docDim = docs
+        .select(col("doc_id"), col("lang"),
+                explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"),
+                (hexValue16(md5(concat(lit("fh|"), col("tok"))), 0) % DsirB)
+                  .cast(LongType).as("dim"))
+        .groupBy(col("doc_id"), col("lang"), col("dim"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val byDim = docDim.groupBy(col("dim")).agg(
+        sum(col("c")).as("r_cnt"),
+        sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("t_cnt"))
+      val tot = byDim.agg(sum(col("r_cnt")).as("tr"), sum(col("t_cnt")).as("tt"))
+      // Laplace(0.5) smoothing with denominator tot + 0.5·B keeps unseen
+      // buckets finite on both sides; quantize the ratio ONCE.
+      val model = byDim.crossJoin(broadcast(tot))
+        .select(col("dim"),
+          floor((log((col("t_cnt") + lit(0.5)) / (col("tt") + lit(DsirB / 2.0))) -
+                 log((col("r_cnt") + lit(0.5)) / (col("tr") + lit(DsirB / 2.0))))
+                  * 1e9 + lit(0.5))
+            .cast(LongType).as("qratio"))
+      val w = docDim.join(broadcast(model), "dim")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("qratio")).as("logw_q"))
+        .orderBy(col("logw_q").desc, col("doc_id")).limit(DsirK)
+      // Rank the K selected rows without an unpartitioned window (the
+      // q142 rule): collapse to one bounded collect_list, sort locally,
+      // posexplode — rank = position + 1, key (-logw_q, doc_id) exact
+      // in integers.
+      w.agg(sort_array(collect_list(struct(
+          (col("logw_q") * lit(-1L)).as("ns"), col("doc_id").as("doc_id"),
+          col("logw_q").as("logw_q")))).as("xs"))
+        .select(posexplode(col("xs")).as(Seq("pos", "x")))
+        .select(col("x.doc_id").as("doc_id"), col("x.logw_q").as("logw_q"),
+                (col("pos") + 1).cast(LongType).as("sel_rank"))
     })
 
   private def digitSql(i: Int): String = graft.functions.HexKeys.digitSql(i)
@@ -574,6 +650,38 @@ object CurationQueries {
   private val PiiPhone = "\\+1-555-[0-9]{4}"
 
   val oracles: Map[String, String] = Map(
+    "q148_importance_resample" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, md5('fh|' || tok) AS hex
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |         CAST(${graft.functions.HexKeys.value16Sql(0)} % $DsirB AS BIGINT)
+         |           AS dim
+         |  FROM tok),
+         |byd AS (
+         |  SELECT dim, count(*) AS r_cnt,
+         |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT sum(r_cnt) AS tr, sum(t_cnt) AS tt FROM byd),
+         |model AS (
+         |  SELECT dim,
+         |         CAST(floor((ln((t_cnt + 0.5) / (tt + ${DsirB / 2.0})) -
+         |                     ln((r_cnt + 0.5) / (tr + ${DsirB / 2.0}))) * 1e9 + 0.5)
+         |              AS BIGINT) AS qratio
+         |  FROM byd CROSS JOIN tot),
+         |docdim AS (SELECT doc_id, dim, count(*) AS c FROM f GROUP BY 1, 2),
+         |w AS (
+         |  SELECT doc_id, CAST(sum(c * qratio) AS BIGINT) AS logw_q
+         |  FROM docdim JOIN model USING (dim) GROUP BY 1)
+         |SELECT doc_id, logw_q, sel_rank FROM (
+         |  SELECT doc_id, logw_q,
+         |         CAST(row_number() OVER (ORDER BY logw_q DESC, doc_id) AS BIGINT)
+         |           AS sel_rank
+         |  FROM w)
+         |WHERE sel_rank <= $DsirK""".stripMargin,
+
     "q107_pii_redaction" ->
       s"""WITH inj AS (
          |  SELECT doc_id,

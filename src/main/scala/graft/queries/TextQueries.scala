@@ -18,6 +18,11 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q150 segment width: 10-token windows (the q75 segmentation unit) —
+    * shared by the Spark def and the DuckDB oracle below.
+    */
+  private val MixSegTokens = 10
+
   val defs: Map[String, Q] = Map(
     // Token counting: whitespace + BPE-ish regex tokens, distinct counts,
     // mean token length.
@@ -84,6 +89,56 @@ object TextQueries {
                   .as("recall_component"),
                 (col("n_docs").cast(DoubleType) / col("n_predicted").cast(DoubleType))
                   .as("precision_component"))
+    },
+
+    // q150: WITHIN-document language mixing — q32 classifies whole
+    // documents, but a code-switched or template-spliced doc (half
+    // boilerplate English, half target language) poisons monolingual
+    // training sets while still carrying a confident whole-doc label.
+    // Run the q32 heuristic per 10-token SEGMENT instead, then profile
+    // each doc's segment-language distribution: dominant language +
+    // share, language count, and mixing entropy.
+    //
+    // 100 TB shape: segmentation is scan-local (sequence + slice array
+    // projections — no shuffle, no per-token explode), and the two aggs
+    // that follow are partial+final groupBys on doc_id whose per-doc
+    // row count is bounded by ≤6 languages. Determinism: entropy terms
+    // quantize to 1e-9 BIGINTs from integer count ratios (the q112
+    // rule) and sum exactly; the dominant pick is min(struct(-c, lang))
+    // — count desc, profile-name asc, no rand, no rank window.
+    "q150_lang_mixing" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val toks = Text.tokens(col("text"))
+      val nSegs = greatest(
+        ceil(size(toks).cast(DoubleType) / lit(MixSegTokens.toDouble)).cast(IntegerType),
+        lit(1))
+      val segs = d
+        .select(col("doc_id"), toks.as("toks"), nSegs.as("n_segs"))
+        .select(col("doc_id"), col("toks"),
+                explode(sequence(lit(0), col("n_segs") - 1)).as("seg_idx"))
+        .select(col("doc_id"),
+                array_join(slice(col("toks"), col("seg_idx") * MixSegTokens + 1,
+                                 lit(MixSegTokens)), " ").as("seg_text"))
+      val p = segs.select(col("doc_id"), Text.langId(col("seg_text")).as("seg_lang"))
+      val cnt = p.groupBy(col("doc_id"), col("seg_lang")).agg(count(lit(1)).as("c"))
+      val tot = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val share = col("c").cast(DoubleType) / col("n").cast(DoubleType)
+      val terms = cnt.join(tot, Seq("doc_id"))
+        .select(col("doc_id"), col("seg_lang"), col("c"), col("n"),
+                floor(-share * log(share) * 1e9 + lit(0.5))
+                  .cast(LongType).as("term_q"))
+      val domShare = (-col("dom.negc")).cast(DoubleType) /
+        col("n_segments").cast(DoubleType)
+      terms.groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_segments"),
+             count(lit(1)).as("n_langs"),
+             min(struct((-col("c")).as("negc"), col("seg_lang").as("lang"))).as("dom"),
+             sum(col("term_q")).as("mix_entropy_q"))
+        .select(col("doc_id"), col("n_segments"), col("n_langs"),
+                col("dom.lang").as("dominant_lang"),
+                domShare.as("dominant_share"),
+                col("mix_entropy_q"),
+                (domShare < 0.8).as("is_mixed"))
     },
 
     // Quality scoring: length/diversity/stopword/punctuation components →
@@ -576,6 +631,26 @@ object TextQueries {
     "q67_dedup_clusters" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       val comp = Dedup.connectedComponents(
+        d.select(col("doc_id").as("id")),
+        Dedup.dupEdgesFromPairs(d, "doc_id", "text", jaccard05(s, dir)),
+        "doc_a", "doc_b")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      comp.select(col("id").as("doc_id"), col("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    },
+
+    // q149: the SAME cluster assignment computed by large-star/small-star
+    // contraction (Kiveris et al.) instead of q67's min-label propagation
+    // — the O(log²)-round form that survives DEEP components (chain-
+    // shaped near-dup drift makes min-label's O(diameter) loop unbounded
+    // at corpus scale). Same edge set, same output contract, same DuckDB
+    // reachability oracle as q67 — so the gate proves the two CC
+    // algorithms are interchangeable on real mined pairs, not just on
+    // the DedupSpec toy graphs.
+    "q149_cc_star_contraction" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val comp = Dedup.connectedComponentsStars(
         d.select(col("doc_id").as("id")),
         Dedup.dupEdgesFromPairs(d, "doc_id", "text", jaccard05(s, dir)),
         "doc_a", "doc_b")
@@ -1258,6 +1333,59 @@ object TextQueries {
        |FROM s""".stripMargin
   }
 
+  /** q150's oracle: the q32 heuristic applied per 10-token segment, then
+    * the per-doc distribution profile. Segmentation via 1-based inclusive
+    * list slices — identical windows to Spark's `slice(toks, i·10+1, 10)`.
+    */
+  private lazy val q150Oracle: String = {
+    val scoreExprs = Text.langProfiles.map { case (l, _) =>
+      s"CAST(len(list_filter(toks, x -> list_contains([${langListSql(l)}], x))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS score_$l"
+    }.mkString(",\n        |    ")
+    val W = MixSegTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |seg AS (
+       |  SELECT doc_id,
+       |         array_to_string(toks[(i*$W+1):(i*$W+$W)], ' ') AS seg_text
+       |  FROM (SELECT doc_id, toks,
+       |               unnest(range(CAST(greatest(ceil(len(toks) / $W.0), 1) AS INT)))
+       |                 AS i
+       |        FROM t)),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $scoreExprs,
+       |    CASE WHEN length(seg_text) > 0
+       |         THEN CAST(len(regexp_extract_all(seg_text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) / CAST(length(seg_text) AS DOUBLE)
+       |         ELSE 0.0 END AS cjk_ratio
+       |  FROM (SELECT doc_id, seg_text, string_split(seg_text, ' ') AS toks FROM seg)),
+       |p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN cjk_ratio > 0.05 THEN 'zh'
+       |         WHEN score_en <= 0.0 AND score_de <= 0.0 AND score_es <= 0.0 AND score_fr <= 0.0 THEN 'und'
+       |         WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+       |         WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+       |         WHEN score_es >= score_fr THEN 'es'
+       |         ELSE 'fr' END AS seg_lang
+       |  FROM sc),
+       |cnt AS (SELECT doc_id, seg_lang, count(*) AS c FROM p GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, count(*) AS n FROM p GROUP BY 1),
+       |terms AS (
+       |  SELECT doc_id, seg_lang, c, n,
+       |    CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |               ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9 + 0.5)
+       |         AS BIGINT) AS term_q
+       |  FROM cnt JOIN tot USING (doc_id))
+       |SELECT doc_id,
+       |  CAST(max(n) AS BIGINT) AS n_segments,
+       |  CAST(count(*) AS BIGINT) AS n_langs,
+       |  min(struct_pack(negc := -c, lang := seg_lang)).lang AS dominant_lang,
+       |  CAST(-min(struct_pack(negc := -c, lang := seg_lang)).negc AS DOUBLE)
+       |    / CAST(max(n) AS DOUBLE) AS dominant_share,
+       |  CAST(sum(term_q) AS BIGINT) AS mix_entropy_q,
+       |  CAST(-min(struct_pack(negc := -c, lang := seg_lang)).negc AS DOUBLE)
+       |    / CAST(max(n) AS DOUBLE) < 0.8 AS is_mixed
+       |FROM terms GROUP BY doc_id""".stripMargin
+  }
+
   /** The q127 dHash pair oracle — shared by q132's cluster oracle. */
   /** The q67 cluster oracle — a val so q143's best-copy resolution can
     * compose it (the q127Oracle discipline).
@@ -1407,6 +1535,7 @@ object TextQueries {
         |  doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS is_reordered_dup
         |FROM fp""".stripMargin,
     "q32_langid" -> q32Oracle,
+    "q150_lang_mixing" -> q150Oracle,
 
     // Classifier evaluation over the q32 heuristic: confusion matrix +
     // per-cell recall/precision components against the labeled lang.
@@ -1789,6 +1918,9 @@ object TextQueries {
         |      FROM keyed)
         |WHERE sample_rank <= 50""".stripMargin,
     "q67_dedup_clusters" -> q67Oracle,
+    // q149 must reproduce q67's components EXACTLY — the oracle is shared
+    // on purpose: one reachability ground truth, two CC algorithms.
+    "q149_cc_star_contraction" -> q67Oracle,
 
     // q67's clusters re-resolved by QUALITY: the q33 score formula joins
     // on, and each cluster's keeper is its argmax-score member (ties →

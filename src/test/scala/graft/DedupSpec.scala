@@ -172,6 +172,46 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("star contraction ≡ min-label propagation on chain / star / random graphs") {
+    // The interchangeability contract behind q149: both CC algorithms
+    // produce the identical (id, cluster_id = component min) labeling.
+    // Adversarial shapes: a 64-deep CHAIN (min-label's worst case — star
+    // contraction must converge in far fewer than 64 rounds, enforced by
+    // its own maxIters=50 require), a star with a LATE root (edges arrive
+    // max-first), a random multi-component graph with dup/reversed edges,
+    // and singletons that never appear in any edge.
+    val chainN = 64
+    val cases: Seq[(Seq[Long], Seq[(Long, Long)])] = Seq(
+      ((0L until chainN.toLong) :+ 999L,
+        (0 until chainN - 1).map(i => (i.toLong + 1L, i.toLong))),
+      (Seq(10L, 11L, 12L, 13L, 1L), Seq((10L, 11L), (12L, 11L), (13L, 12L), (11L, 1L))),
+      (0L to 30L,
+        Seq((5L, 3L), (3L, 5L), (3L, 8L), (20L, 25L), (25L, 21L), (21L, 20L),
+            (30L, 29L), (29L, 28L), (28L, 27L), (27L, 26L), (2L, 8L)))
+    ).map { case (ns, es) => (ns.toSeq, es) }
+    for (((ns, es), ci) <- cases.zipWithIndex) {
+      val nodes = ns.toDF("id")
+      val pairs = es.toDF("a", "b")
+      // maxIters=80 for the BASELINE: min-label propagation genuinely
+      // needs diameter≈63 rounds on the chain (its default 20-round cap
+      // trips — which is precisely the scale gap star contraction closes
+      // while converging well inside its own default cap here).
+      val want = Dedup.connectedComponents(nodes, pairs, "a", "b", maxIters = 80)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Dedup.connectedComponentsStars(nodes, pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"case $ci: star contraction diverged")
+    }
+  }
+
+  test("star contraction handles an edgeless graph (all singletons)") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Dedup.connectedComponentsStars(nodes, pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("minhash LSH candidates include all exact duplicates") {
     val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

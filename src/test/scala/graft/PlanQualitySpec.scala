@@ -272,6 +272,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k is a full sort:\n$plan")
   }
 
+  test("q148 DSIR scoring broadcasts the 64-row model; selection is TakeOrdered") {
+    // The importance-resampling contract at 100 TB: the bucket model is
+    // bounded (64 rows + one totals row) and BROADCASTS onto the per-doc
+    // feature aggregate; nothing corpus-sized is sort-merged, the top-K
+    // pick is a TakeOrdered heap (never a global sort exchange), and the
+    // only Window-free rank comes from the bounded collect_list collapse.
+    val df   = SparkEntry.queries("q148_importance_resample")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"model join not broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"totals not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled to score:\n$plan")
+    assert(!plan.contains("Window"), s"q148 plans a window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-K is a full sort:\n$plan")
+  }
+
   test("q89 CMS collapses map-side and broadcasts onto the probe") {
     // The sketch aggregate must plan partial+final (each scan task reduces
     // to ≤ d·w counters BEFORE the shuffle) and the ≤4096-row sketch joins
