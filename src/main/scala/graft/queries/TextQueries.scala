@@ -23,6 +23,11 @@ object TextQueries {
     */
   private val MixSegTokens = 10
 
+  /** q151 vocabulary checkpoints (merge counts) — 0 = whitespace base,
+    * 256 = the full q144 fit. Shared by the def and the oracle.
+    */
+  private val BpeCoverageCheckpoints = Seq(0, 64, 128, 256)
+
   val defs: Map[String, Q] = Map(
     // Token counting: whitespace + BPE-ish regex tokens, distinct counts,
     // mean token length.
@@ -368,6 +373,56 @@ object TextQueries {
         .toDF("doc_id", "n_tokens_after", "n_merged_tokens", "joined")
         .select(col("doc_id"), col("n_tokens_after"), col("n_merged_tokens"),
                 md5(col("joined")).as("tokens_hash"))
+    },
+
+    // q151: vocabulary coverage / compression curve — the tokenizer-
+    // selection readout a pipeline computes BEFORE committing a vocab
+    // size: corpus tokens-after, merged-token count, realized vocabulary
+    // and compression ratio at several merge-count checkpoints of the
+    // q144 fit. One corpus pass computes ALL checkpoints (fold
+    // associativity: the corpus at 128 merges is the corpus at 64 with
+    // merges 64..128 applied on top — the per-doc loop carries the
+    // partial result forward instead of re-applying from scratch), then
+    // one partial+final agg per checkpoint row. The merge table rides
+    // the q144 session memo — the fit never re-runs for this readout.
+    "q151_vocab_coverage" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents
+      val merges = bpeDeltaFitCache.getOrElseUpdate(s, dir)(
+        graft.operators.Bpe.fitDelta(d, "text", numMerges = 256))
+      val cps = BpeCoverageCheckpoints
+      val baseDf = d.select(col("text").cast(StringType))
+      val para = s.sparkContext.defaultParallelism
+      val pieces = (if (baseDf.rdd.getNumPartitions < para)
+                      baseDf.repartition(para) else baseDf).as[String]
+        .flatMap { text =>
+          val toks = if (text == null) Seq.empty[String]
+                     else text.split(' ').toSeq.filter(_.nonEmpty)
+          val outs = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+          var cur = toks
+          var prev = 0
+          for (v <- cps) {
+            cur = graft.operators.Bpe.tokenize(cur, merges.slice(prev, v))
+            prev = v
+            outs += ((v.toLong, cur))
+          }
+          outs.iterator.flatMap { case (v, ps) => ps.iterator.map(p => (v, p)) }
+        }
+        .toDF("vocab_checkpoint", "piece")
+      val stats = pieces
+        .groupBy(col("vocab_checkpoint"))
+        .agg(count(lit(1)).as("n_tokens_after"),
+             sum(when(col("piece").contains(graft.operators.Bpe.Sep), lit(1L))
+                   .otherwise(lit(0L))).as("n_merged_tokens"),
+             countDistinct(col("piece")).as("vocab_size"))
+        .localCheckpoint() // ≤|checkpoints| rows, consumed twice below
+      val base = stats.filter(col("vocab_checkpoint") === 0)
+        .select(col("n_tokens_after").as("n_base_tokens"))
+      stats.crossJoin(broadcast(base))
+        .select(col("vocab_checkpoint"), col("n_base_tokens"),
+                col("n_tokens_after"), col("n_merged_tokens"), col("vocab_size"),
+                (col("n_tokens_after").cast(DoubleType) /
+                  col("n_base_tokens").cast(DoubleType)).as("compression_ratio"))
     },
 
     // End-to-end corpus build — the composed "user story" of the
@@ -1014,6 +1069,44 @@ object TextQueries {
        |    AS n_merged_tokens,
        |  md5(trim(s)) AS tokens_hash
        |FROM t$n""".stripMargin
+  }
+
+  /** q151's oracle: the SAME staged fit replay, read out as corpus-level
+    * stats at several vocabulary checkpoints (t0 / t64 / ... are the
+    * corpus after that many merges — exactly `Bpe.tokenize(_, merges
+    * .take(V))` by fold associativity).
+    */
+  private def bpeCoverageSql(n: Int, checkpoints: Seq[Int]): String = {
+    require(checkpoints.forall(v => v >= 0 && v <= n))
+    def sel(v: Int): String =
+      s"""SELECT CAST($v AS BIGINT) AS vocab_checkpoint,
+         |  base.n_base_tokens, st.n_tokens_after, st.n_merged_tokens, vs.vocab_size,
+         |  CAST(st.n_tokens_after AS DOUBLE) / CAST(base.n_base_tokens AS DOUBLE)
+         |    AS compression_ratio
+         |FROM
+         |  (SELECT
+         |     CAST(sum(CASE WHEN trim(s) = '' THEN 0
+         |              ELSE len(string_split(trim(s), ' ')) END) AS BIGINT)
+         |       AS n_tokens_after,
+         |     CAST(sum(len(list_filter(string_split(trim(s), ' '),
+         |                              x -> contains(x, '+')))) AS BIGINT)
+         |       AS n_merged_tokens
+         |   FROM t$v) st,
+         |  (SELECT CAST(count(DISTINCT x) AS BIGINT) AS vocab_size
+         |   FROM (SELECT unnest(string_split(trim(s), ' ')) AS x
+         |         FROM t$v WHERE trim(s) <> '')) vs,
+         |  (SELECT CAST(sum(CASE WHEN trim(s) = '' THEN 0
+         |                   ELSE len(string_split(trim(s), ' ')) END) AS BIGINT)
+         |       AS n_base_tokens
+         |   FROM t0) base""".stripMargin
+    // Reuse bpeFitReplaySql's CTE chain by splitting off its final SELECT
+    // (the only UNINDENTED "SELECT doc_id," — every CTE-internal select is
+    // indented by the template).
+    val full = bpeFitReplaySql(n)
+    val cut = full.lastIndexOf("\nSELECT doc_id,")
+    require(cut > 0, "bpeFitReplaySql shape changed; update bpeCoverageSql")
+    s"""${full.substring(0, cut)}
+       |${checkpoints.map(sel).mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** q134's fitted merge table, fitted once per (session, dir) —
@@ -1715,6 +1808,7 @@ object TextQueries {
     // must land on the identical merge list to hash-match). DuckDB runs
     // the ~220 KB statement in ~25 s at sf0.01 — measured before gating.
     "q144_bpe_fit_delta" -> bpeFitReplaySql(256),
+    "q151_vocab_coverage" -> bpeCoverageSql(256, BpeCoverageCheckpoints),
 
     "q110_corpus_build" ->
       s"""WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents),
