@@ -56,8 +56,67 @@ object CurationQueries {
     * top-100 selection — bucket count bounds the broadcast model, K bounds
     * the TakeOrdered heap.
     */
-  private val DsirB = 64
+  val DsirB = 64
   private val DsirK = 100
+
+  /** q148's building blocks: (docDim, tot, model).
+    *
+    * ONE tokenize+md5 pass over the corpus: the per-(doc, dim) feature agg
+    * keeps `lang` in its key (functionally dependent on doc_id — zero
+    * extra rows), so BOTH the bucket model and the scoring join derive
+    * from this ndocs×≤64 `docDim` frame. Checkpointed because it is
+    * consumed twice and is corpus-INDEPENDENT in width — without the cut,
+    * each consumer would re-run the full token scan (the first bench
+    * showed exactly that: 2× the cost of q103's single pass).
+    *
+    * Laplace(0.5) smoothing with denominator tot + 0.5·B keeps unseen
+    * buckets finite on both sides; the log-ratio quantizes to a 1e-9
+    * BIGINT ONCE (the q112 rule), so every downstream weight is exact
+    * integer arithmetic.
+    */
+  private def dsirParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables(s, dir).documents
+    val docDim = docs
+      .select(col("doc_id"), col("lang"),
+              explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+              (hexValue16(md5(concat(lit("fh|"), col("tok"))), 0) % DsirB)
+                .cast(LongType).as("dim"))
+      .groupBy(col("doc_id"), col("lang"), col("dim"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val byDim = docDim.groupBy(col("dim")).agg(
+      sum(col("c")).as("r_cnt"),
+      sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("t_cnt"))
+    val tot = byDim.agg(sum(col("r_cnt")).as("tr"), sum(col("t_cnt")).as("tt"))
+    val model = byDim.crossJoin(broadcast(tot))
+      .select(col("dim"),
+        floor((log((col("t_cnt") + lit(0.5)) / (col("tt") + lit(DsirB / 2.0))) -
+               log((col("r_cnt") + lit(0.5)) / (col("tr") + lit(DsirB / 2.0))))
+                * 1e9 + lit(0.5))
+          .cast(LongType).as("qratio"))
+    (docDim, tot, model)
+  }
+
+  /** The q148 model in driver form for the STREAMING scoring leg
+    * ([[graft.streaming.EventsStream.dsirScoreStream]]): (dim → qratio,
+    * default-for-unseen-bucket). The default is the model formula at
+    * count 0 — `Math.log` IS Spark's `log`, so a bucket the batch corpus
+    * never hit scores identically to what the batch model would have
+    * assigned it. Both maps are ≤ [[DsirB]] entries — closure-constant
+    * sized.
+    */
+  def dsirModel(s: SparkSession, dir: String): (Map[Long, Long], Long) = {
+    val (_, tot, model) = dsirParts(s, dir)
+    val m = model.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t = tot.collect()(0)
+    val (tr, tt) = (t.getLong(0), t.getLong(1))
+    val default = math.floor(
+      (math.log(0.5 / (tt + DsirB / 2.0)) - math.log(0.5 / (tr + DsirB / 2.0)))
+        * 1e9 + 0.5).toLong
+    (m, default)
+  }
 
   val defs: Map[String, Q] = Map(
 
@@ -596,35 +655,7 @@ object CurationQueries {
     // engine-portable, so the rows hash-gate exactly.
     // ---------------------------------------------------------------
     "q148_importance_resample" -> { (s, dir) =>
-      val docs = Tables(s, dir).documents
-      // ONE tokenize+md5 pass over the corpus: the per-(doc, dim) feature
-      // agg keeps `lang` in its key (functionally dependent on doc_id —
-      // zero extra rows), so BOTH the bucket model and the scoring join
-      // derive from this ndocs×≤64 frame. Checkpointed because it is
-      // consumed twice and is corpus-INDEPENDENT in width — without the
-      // cut, each consumer would re-run the full token scan (the first
-      // bench showed exactly that: 2× the cost of q103's single pass).
-      val docDim = docs
-        .select(col("doc_id"), col("lang"),
-                explode(Text.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), col("lang"),
-                (hexValue16(md5(concat(lit("fh|"), col("tok"))), 0) % DsirB)
-                  .cast(LongType).as("dim"))
-        .groupBy(col("doc_id"), col("lang"), col("dim"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val byDim = docDim.groupBy(col("dim")).agg(
-        sum(col("c")).as("r_cnt"),
-        sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("t_cnt"))
-      val tot = byDim.agg(sum(col("r_cnt")).as("tr"), sum(col("t_cnt")).as("tt"))
-      // Laplace(0.5) smoothing with denominator tot + 0.5·B keeps unseen
-      // buckets finite on both sides; quantize the ratio ONCE.
-      val model = byDim.crossJoin(broadcast(tot))
-        .select(col("dim"),
-          floor((log((col("t_cnt") + lit(0.5)) / (col("tt") + lit(DsirB / 2.0))) -
-                 log((col("r_cnt") + lit(0.5)) / (col("tr") + lit(DsirB / 2.0))))
-                  * 1e9 + lit(0.5))
-            .cast(LongType).as("qratio"))
+      val (docDim, _, model) = dsirParts(s, dir)
       val w = docDim.join(broadcast(model), "dim")
         .groupBy(col("doc_id"))
         .agg(sum(col("c") * col("qratio")).as("logw_q"))

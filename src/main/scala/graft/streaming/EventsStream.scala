@@ -378,6 +378,33 @@ object EventsStream {
       .toDF("doc_id", "n_tokens_before", "n_tokens_after", "n_merged_tokens")
   }
 
+  /** Streaming DSIR scoring — q148's importance model applied to a
+    * document stream. The production split mirrors tokenizeStream's:
+    * fit the ≤64-entry bucket model OFFLINE (batch,
+    * [[graft.queries.CurationQueries.dsirModel]]), then score forever as
+    * a STATELESS scan-local projection (append mode, no state store):
+    * per token, one md5 → bucket → map lookup; per doc, an integer fold.
+    * Σ qratio over token occurrences ≡ the batch Σ c·qratio — exact
+    * integer arithmetic, so drained stream scores are bit-identical to
+    * the batch weights (StreamingSpec joins them against q148's output).
+    * `defaultQ` covers buckets the fit corpus never hit (the model
+    * formula at count 0), so novel stream content scores exactly as the
+    * batch model would score it.
+    */
+  def dsirScoreStream(docs: DataFrame, model: Map[Long, Long],
+                      defaultQ: Long, buckets: Int): DataFrame = {
+    val m = map(model.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val dimOf = (t: org.apache.spark.sql.Column) =>
+      (graft.functions.HexKeys.value16(md5(concat(lit("fh|"), t)), 0) % buckets)
+        .cast(org.apache.spark.sql.types.LongType)
+    docs.select(col("doc_id"),
+      aggregate(
+        transform(split(col("text"), " "),
+                  t => coalesce(element_at(m, dimOf(t)), lit(defaultQ))),
+        lit(0L), (acc, x) => acc + x).as("logw_q"))
+  }
+
   /** Streaming perceptual dedup at the exact-dHash granularity: each
     * document's pattern image decodes and hashes scan-locally (stateless
     * map — q127's dHash64), then a streaming aggregate keeps ONE row per

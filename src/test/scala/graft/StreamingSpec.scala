@@ -44,6 +44,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === docs.count())
   }
 
+  test("streaming DSIR scoring ≡ batch importance weights (stateless append)") {
+    val (model, defaultQ) = graft.queries.CurationQueries.dsirModel(spark, dir)
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.dsirScoreStream(
+        EventsStream.readDocuments(spark, docsDir), model, defaultQ,
+        graft.queries.CurationQueries.DsirB),
+      "stream_dsir", OutputMode.Append())
+    // every doc scores exactly once, statelessly
+    assert(streamed.count() === graft.core.Tables(spark, dir).documents.count())
+    // cross-implementation check against the oracle-gated batch output:
+    // the batch path is explode → (doc,dim) agg → broadcast-model join →
+    // Σ c·qratio; the stream path is a per-row integer fold. Same doc ⇒
+    // bit-identical weight (integer arithmetic on both sides).
+    val batchTop = SparkEntry.queries("q148_importance_resample")(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("logw_q"))
+    val joined = batchTop.join(
+      streamed.withColumnRenamed("logw_q", "stream_logw"), "doc_id")
+    assert(joined.count() === batchTop.count())
+    assert(joined.filter(
+      org.apache.spark.sql.functions.col("logw_q") =!=
+        org.apache.spark.sql.functions.col("stream_logw")).count() === 0)
+  }
+
   test("streaming perceptual dedup collapses re-encoded copies; state ∝ distinct hashes") {
     val docs = graft.core.Tables(spark, dir).documents
     val streamed = EventsStream.runToMemorySink(
