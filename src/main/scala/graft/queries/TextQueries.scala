@@ -507,6 +507,39 @@ object TextQueries {
     // annotated with true trigram Jaccard and a confirmation flag.
     "q36_minhash_lsh" -> { (s, dir) => minhashQuery(s, dir) },
 
+    // q152: MinHash signature ACCURACY audit — the q116 "measure, don't
+    // guess" discipline applied to the dedup sketch itself: for every
+    // LSH candidate pair, the signature-estimated Jaccard (fraction of
+    // matching components, the unbiased MinHash estimator) against the
+    // exact shingle Jaccard, with the absolute error. A pipeline reads
+    // this before trusting an 8-component signature to route a 100 TB
+    // dedup pass — the error column IS the empirical ±1/√k band.
+    //
+    // Scale shape: candidates and exact Jaccard reuse q36's mined path
+    // (banded equi-join, never all-pairs); the signature frame joins the
+    // pair list by doc id — two equi-joins on a candidate set that is
+    // orders of magnitude smaller than the corpus.
+    "q152_minhash_accuracy" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "text")
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(k => col(s"sig_$k").as(s"a_$k")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(k => col(s"sig_$k").as(s"b_$k")): _*)
+      val nMatch = (0 until 8)
+        .map(k => when(col(s"a_$k") === col(s"b_$k"), lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      minhashQuery(s, dir)
+        .join(sa, Seq("doc_a"))
+        .join(sb, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+                nMatch.as("n_matching"),
+                (nMatch.cast(DoubleType) / lit(8.0)).as("est_jaccard"),
+                col("jaccard"),
+                abs(nMatch.cast(DoubleType) / lit(8.0) - col("jaccard"))
+                  .as("abs_err"))
+    },
+
     // Persisted LSH dedup index — q139/q141's build-once/serve-many
     // split applied to the single most-executed pipeline operator
     // (near-dup dedup, which q36 recomputes signatures + bands for on
@@ -979,10 +1012,10 @@ object TextQueries {
                .as("k_avg"))
     })
 
-  /** The q36/q145 oracle: full-corpus MinHash+LSH candidates with true
-    * trigram Jaccard.
+  /** The shared q36/q145/q152 CTE chain: shingles → md5 word pair →
+    * K–M signatures → bands → candidate pairs.
     */
-  private def minhashLshOracleSql: String = {
+  private def minhashCtesSql: String = {
       // h1/h2 = first/second 8 hex digits of md5(shingle) as integers —
       // the oracle restatement of MinHashSigs' big-endian digest words.
       def hexVal(start: Int): String = (0 until 8).map { j =>
@@ -1012,14 +1045,44 @@ object TextQueries {
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
-        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-        |SELECT c.doc_a, c.doc_b,
-        |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
-        |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) AS jaccard,
-        |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
-        |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) >= 0.5 AS is_near_dup
-        |FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin
+        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin
     }
+
+  /** The q36/q145 oracle: full-corpus MinHash+LSH candidates with true
+    * trigram Jaccard.
+    */
+  private def minhashLshOracleSql: String =
+    s"""${minhashCtesSql}
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
+      |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) AS jaccard,
+      |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
+      |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) >= 0.5 AS is_near_dup
+      |FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin
+
+  /** q152's oracle: the same candidate set, read out as signature-ESTIMATED
+    * Jaccard (matching-component fraction) against the exact value.
+    */
+  private def minhashAccuracyOracleSql: String = {
+    val nMatch = (0 until 8)
+      .map(k => s"(CASE WHEN a.sig_$k = b.sig_$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""${minhashCtesSql}
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST($nMatch AS BIGINT) AS n_matching,
+      |  CAST($nMatch AS DOUBLE) / 8.0 AS est_jaccard,
+      |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
+      |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) AS jaccard,
+      |  abs(CAST($nMatch AS DOUBLE) / 8.0 -
+      |      CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
+      |        / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE))
+      |    AS abs_err
+      |FROM cand c
+      |JOIN sigs a ON c.doc_a = a.doc_id
+      |JOIN sigs b ON c.doc_b = b.doc_id
+      |JOIN sh sa ON c.doc_a = sa.doc_id
+      |JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin
+  }
 
   /** The SQL replay of Sennrich's fit at `n` unrolled stages (q134 at 5,
     * q144 at 256): each stage a MATERIALIZED 1-row best-pair aggregation
@@ -1925,6 +1988,7 @@ object TextQueries {
         |  coalesce(per_doc.longest_span, 0) AS longest_span
         |FROM d LEFT JOIN np USING (doc_id) LEFT JOIN per_doc USING (doc_id)""".stripMargin,
     "q36_minhash_lsh" -> minhashLshOracleSql,
+    "q152_minhash_accuracy" -> minhashAccuracyOracleSql,
 
     // q145 reuses q36's FULL-CORPUS oracle verbatim: signatures are
     // doc-local, so the persisted-index incremental candidate set must

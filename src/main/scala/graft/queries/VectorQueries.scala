@@ -24,6 +24,11 @@ object VectorQueries {
   private val IvfNlist   = 16
   private val IvfNprobe  = 4
 
+  /** q153 truncation widths (first-d-components), evaluated against the
+    * full [[Dims]]-wide exact top-3.
+    */
+  private val TruncDims  = Seq(32, 16)
+
   val defs: Map[String, Q] = Map(
     // Brute-force cosine top-k: broadcast query set × corpus scan, window
     // top-k. The exact baseline every ANN variant is measured against.
@@ -235,6 +240,42 @@ object VectorQueries {
         .select(col("query_id"), col("n_exact"), col("n_hit"),
                 (col("n_hit").cast("double") / col("n_exact").cast("double"))
                   .as("recall_at_3"))
+    },
+
+    // q153: dimension-truncation recall curve — the "measure, don't
+    // guess" readout (q116's discipline) for the cheapest ANN speedup
+    // there is: drop trailing dimensions. For each truncation width d,
+    // brute-force top-3 over the FIRST d components is compared to the
+    // full-width exact top-3 (q37's operator, reused verbatim on sliced
+    // frames) and recall@3 is reported per query. A pipeline reads this
+    // before committing a Matryoshka-style truncated index: the curve
+    // quantifies exactly what d/2 or d/4 costs in recall on ITS corpus.
+    //
+    // 100 TB shape: each leg is the q37 plan (query side broadcast,
+    // bounded TopKPairs heap — no window over the corpus, no cartesian
+    // materialization); the recall join touches ≤ 3·|queries| rows.
+    // Slicing is scan-local; nothing new shuffles.
+    "q153_truncation_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val exact = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint() // ≤ 60 rows, re-joined once per truncation
+      TruncDims.map { d =>
+        val tr = e.select(col("vec_id"),
+                          slice(col("embedding"), 1, d).as("embedding"))
+        val approx = Similarity.bruteForceTopK(
+            tr.filter(col("vec_id") < 20), tr, "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+               sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("query_id"), lit(d.toLong).as("trunc_dims"),
+                  col("n_exact"), col("n_hit"),
+                  (col("n_hit").cast("double") / col("n_exact").cast("double"))
+                    .as("recall_at_3"))
+      }.reduce(_ unionByName _)
     },
 
     // Johnson–Lindenstrauss random projection: 64 → 16 dims via a
@@ -1064,7 +1105,38 @@ object VectorQueries {
     * are self-contained SELECTs; DuckDB allows a nested WITH inside a
     * parenthesized subquery) and compares their neighbor sets.
     */
+  /** q153's per-truncation exact top-3 — the q37 oracle with vectors
+    * sliced to their first `d` components (slice-then-cast ≡
+    * cast-then-slice, and prefix dot products fold identically).
+    */
+  private def truncTopkSql(d: Int): String =
+    s"""WITH n AS (
+       |  SELECT vec_id, list_slice(CAST(embedding AS DOUBLE[]), 1, $d) AS v,
+       |         sqrt(list_dot_product(list_slice(CAST(embedding AS DOUBLE[]), 1, $d),
+       |                               list_slice(CAST(embedding AS DOUBLE[]), 1, $d))) AS nrm
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN q.nrm > 0 AND c.nrm > 0
+       |         THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS cosine
+       |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id != q.vec_id)
+       |SELECT query_id, neighbor_id
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank FROM s)
+       |WHERE rank <= 3""".stripMargin
+
   val oracles: Map[String, String] = baseOracles +
+    ("q153_truncation_recall" -> TruncDims.map { d =>
+      s"""SELECT e.query_id, CAST($d AS BIGINT) AS trunc_dims,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall_at_3
+         |FROM (${baseOracles("q37_cosine_topk")}) e
+         |LEFT JOIN (${truncTopkSql(d)}) a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")) +
     ("q116_ann_recall" ->
       s"""SELECT e.query_id, count(*) AS n_exact,
          |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
