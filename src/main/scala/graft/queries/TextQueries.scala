@@ -748,6 +748,77 @@ object TextQueries {
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
     },
 
+    // q154: INCREMENTAL component maintenance — the q141/q145
+    // build-once/serve-many split applied to cluster resolution. The
+    // BASE half (even doc_ids) has its components computed once; when
+    // the delta (odd ids) arrives, only the delta-touching edges run CC
+    // — over the QUOTIENT graph (base components collapsed to their
+    // min-id representative, the q132 discipline), so incremental work
+    // is ∝ delta edges + affected components, never the full corpus.
+    // Provably ≡ one-shot: star labels are component minima, so
+    // min-over-reps = min-over-ids, and the gate is the SAME DuckDB
+    // reachability oracle as q67/q149 — incremental must reproduce the
+    // full-corpus clusters bit for bit.
+    "q154_incremental_components" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val edges = Dedup.dupEdgesFromPairs(d, "doc_id", "text", jaccard05(s, dir))
+        .localCheckpoint() // consumed by both parity filters below
+      val baseEdges = edges
+        .filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+      val deltaEdges = edges
+        .filter(col("doc_a") % 2 =!= 0 || col("doc_b") % 2 =!= 0)
+      val baseComp = Dedup.connectedComponentsStars(
+        d.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("id")),
+        baseEdges, "doc_a", "doc_b")
+      // id → representative: base members carry their base label, delta
+      // docs represent themselves
+      val rep = baseComp.unionByName(
+        d.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id").as("id"))
+          .withColumn("cluster_id", col("id")))
+        .localCheckpoint()
+      val mapped = deltaEdges
+        .join(rep.select(col("id").as("doc_a"), col("cluster_id").as("rep_a")),
+              Seq("doc_a"))
+        .join(rep.select(col("id").as("doc_b"), col("cluster_id").as("rep_b")),
+              Seq("doc_b"))
+        .filter(col("rep_a") =!= col("rep_b"))
+        .select(col("rep_a"), col("rep_b")).distinct()
+      val qcc = Dedup.connectedComponentsStars(
+        rep.select(col("cluster_id").as("id")).distinct(), mapped,
+        "rep_a", "rep_b")
+      val fin = rep.select(col("id").as("doc_id"), col("cluster_id").as("rep"))
+        .join(qcc.select(col("id").as("rep"), col("cluster_id")), Seq("rep"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      fin.select(col("doc_id"), col("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    },
+
+    // q155: cross-source duplication matrix — the dataset-card question
+    // "which sources copy from each other" answered from the already-
+    // mined duplicate edge set: every (exact ∪ Jaccard≥0.5) pair labeled
+    // with its endpoints' sources and rolled up to an ordered source-
+    // pair count. The overlap diagnostic read before choosing mixture
+    // weights (double-counted content inflates a source's effective
+    // weight). Scale: two broadcast-able id→source joins on a pair set
+    // orders of magnitude smaller than the corpus, then one partial+
+    // final agg to ≤|sources|² rows.
+    "q155_source_dup_matrix" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val src = d.select(col("doc_id"), col("source"))
+      Dedup.dupEdgesFromPairs(d, "doc_id", "text", jaccard05(s, dir))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+              Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+              Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+                greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+    },
+
     // Quality-aware cluster resolution — keep the BEST copy, not the
     // first: near-dup clusters carry genuinely different texts (unlike
     // exact-dup groups, where every member scores identically and
@@ -1546,9 +1617,12 @@ object TextQueries {
   /** The q67 cluster oracle — a val so q143's best-copy resolution can
     * compose it (the q127Oracle discipline).
     */
-  private lazy val q67Oracle: String =
-    """WITH RECURSIVE
-      |sh AS (
+  /** The duplicate-edge CTE chain (trigram Jaccard ≥ 0.5 pairs + exact
+    * md5 pairs, both a&lt;b-oriented) shared by the q67/q149/q154 cluster
+    * oracle and q155's cross-source matrix.
+    */
+  private lazy val dupEdgeCtesSql: String =
+    """sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
       |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
@@ -1563,7 +1637,11 @@ object TextQueries {
       |        WHERE CAST(shared AS DOUBLE) / CAST(sa + sb - shared AS DOUBLE) >= 0.5),
       |eed AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |        FROM documents a JOIN documents b
-      |        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+      |        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)""".stripMargin
+
+  private lazy val q67Oracle: String =
+    s"""WITH RECURSIVE
+      |$dupEdgeCtesSql,
       |edges AS (
       |  SELECT doc_a AS s, doc_b AS d FROM jed UNION SELECT doc_b, doc_a FROM jed
       |  UNION SELECT doc_a, doc_b FROM eed UNION SELECT doc_b, doc_a FROM eed),
@@ -1576,6 +1654,21 @@ object TextQueries {
       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
       |  id = cluster_id AS is_canonical
       |FROM comp""".stripMargin
+
+  /** q155's oracle: the same deduped edge set, labeled with each
+    * endpoint's source and rolled up to an (ordered) source-pair matrix.
+    */
+  private lazy val q155Oracle: String =
+    s"""WITH $dupEdgeCtesSql,
+      |pairs AS (SELECT doc_a, doc_b FROM jed UNION SELECT doc_a, doc_b FROM eed),
+      |lab AS (
+      |  SELECT p.doc_a, p.doc_b, da.source AS sa, db.source AS sb
+      |  FROM pairs p
+      |  JOIN documents da ON p.doc_a = da.doc_id
+      |  JOIN documents db ON p.doc_b = db.doc_id)
+      |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+      |  CAST(count(*) AS BIGINT) AS n_dup_pairs
+      |FROM lab GROUP BY 1, 2""".stripMargin
 
   /** The q135 fingerprint+pair oracle (see the oracles-map comment for
     * the arithmetic) — a val so q137's cluster oracle can compose it the
@@ -2079,6 +2172,10 @@ object TextQueries {
     // q149 must reproduce q67's components EXACTLY — the oracle is shared
     // on purpose: one reachability ground truth, two CC algorithms.
     "q149_cc_star_contraction" -> q67Oracle,
+    // q154's incremental maintenance must ALSO reproduce the one-shot
+    // clusters exactly (the q141/q145 incremental-≡-one-shot gate).
+    "q154_incremental_components" -> q67Oracle,
+    "q155_source_dup_matrix" -> q155Oracle,
 
     // q67's clusters re-resolved by QUALITY: the q33 score formula joins
     // on, and each cluster's keeper is its argmax-score member (ties →
