@@ -59,6 +59,9 @@ object CurationQueries {
   val DsirB = 64
   private val DsirK = 100
 
+  /** q156's n-gram widths (the Gopher top-/dup-fraction set). */
+  private val GopherNs = Seq(2, 3, 4, 5)
+
   /** q148's building blocks: (docDim, tot, model).
     *
     * ONE tokenize+md5 pass over the corpus: the per-(doc, dim) feature agg
@@ -210,6 +213,69 @@ object CurationQueries {
                 dupBigramFrac.as("dup_bigram_frac"),
                 (dupWordFrac <= 0.6 && topFrac <= 0.2 && dupBigramFrac <= 0.4)
                   .as("passes_repetition_filter"))
+    },
+
+    // ---------------------------------------------------------------
+    // q156: the Gopher repetition-metric suite (Rae et al. 2021) — the
+    // published filter set q76 approximates, computed exactly: for each
+    // n-gram width n ∈ {2,3,4,5}, the fraction of the document's
+    // CHARACTERS covered by (a) the single most frequent n-gram and
+    // (b) all duplicated n-grams (count ≥ 2), occurrences counted with
+    // multiplicity. Long format (one row per doc × n) so a filter reads
+    // its thresholds straight off the columns.
+    //
+    // Scale shape: n-gram extraction is a scan-local array projection
+    // per width (sequence + slice + array_join — no position self-join);
+    // then two partial+final aggs whose keys are (doc, n, gram) and
+    // (doc, n) — boilerplate grams repeated across billions of docs
+    // collapse map-side. Short docs (fewer than n tokens) keep a zero
+    // row per width via the doc×width spine. Deterministic top pick:
+    // min(struct(-cnt, gram)) — count desc, gram asc.
+    // ---------------------------------------------------------------
+    "q156_gopher_repetition" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val toks = Text.tokens(col("text"))
+      def gramsAll(n: Int): Column = {
+        val m = size(toks) - (n - 1)
+        when(size(toks) >= n,
+          transform(sequence(lit(1), m),
+                    i => array_join(slice(toks, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }
+      val tagged = GopherNs.map { n =>
+        docs.select(col("doc_id"),
+                    length(col("text")).cast(LongType).as("n_chars_doc"),
+                    lit(n.toLong).as("n"),
+                    explode(gramsAll(n)).as("gram"))
+      }.reduce(_ unionByName _)
+      val gc = tagged
+        .groupBy(col("doc_id"), col("n_chars_doc"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+      val agg = gc.groupBy(col("doc_id"), col("n_chars_doc"), col("n"))
+        .agg(sum(col("cnt")).as("n_grams"),
+             min(struct((-col("cnt")).as("negcnt"), col("gram").as("gram")))
+               .as("top"),
+             sum(when(col("cnt") >= 2,
+                      col("cnt") * length(col("gram")).cast(LongType))
+                   .otherwise(lit(0L))).as("dup_chars"))
+      val spine = GopherNs.map { n =>
+        docs.select(col("doc_id"),
+                    length(col("text")).cast(LongType).as("n_chars_doc"),
+                    lit(n.toLong).as("n"))
+      }.reduce(_ unionByName _)
+      spine.join(agg.drop("n_chars_doc"), Seq("doc_id", "n"), "left")
+        .select(col("doc_id"), col("n"),
+                coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+                coalesce(col("top.gram"), lit("")).as("top_gram"),
+                coalesce(-col("top.negcnt"), lit(0L)).as("top_gram_count"),
+                coalesce(((-col("top.negcnt")) *
+                           length(col("top.gram")).cast(LongType))
+                           .cast(DoubleType) /
+                         col("n_chars_doc").cast(DoubleType), lit(0.0))
+                  .as("top_gram_char_frac"),
+                coalesce(col("dup_chars").cast(DoubleType) /
+                         col("n_chars_doc").cast(DoubleType), lit(0.0))
+                  .as("dup_gram_char_frac"))
     },
 
     // ---------------------------------------------------------------
@@ -680,7 +746,55 @@ object CurationQueries {
   private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PiiPhone = "\\+1-555-[0-9]{4}"
 
+  /** q156's oracle: per-width n-gram extraction (generate_series over
+    * positions — only docs with ≥ n tokens emit), the same two-level
+    * aggregation, zero rows restored via the doc×width spine.
+    */
+  private lazy val q156Oracle: String = {
+    val gramCtes = GopherNs.map { n =>
+      s"""g$n AS (
+         |  SELECT doc_id, n_chars_doc, CAST($n AS BIGINT) AS n,
+         |         array_to_string(toks[i:i+${n - 1}], ' ') AS gram
+         |  FROM (SELECT doc_id, n_chars_doc, toks,
+         |               unnest(generate_series(1, len(toks) - ${n - 1})) AS i
+         |        FROM t WHERE len(toks) >= $n))""".stripMargin
+    }.mkString(",\n")
+    val unioned = GopherNs.map(n => s"SELECT * FROM g$n").mkString("\n  UNION ALL ")
+    val widths = GopherNs.map(n => s"CAST($n AS BIGINT)").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_doc,
+       |         string_split(text, ' ') AS toks
+       |  FROM documents),
+       |$gramCtes,
+       |tagged AS (
+       |  $unioned),
+       |gc AS (
+       |  SELECT doc_id, n_chars_doc, n, gram, count(*) AS cnt
+       |  FROM tagged GROUP BY 1, 2, 3, 4),
+       |agg AS (
+       |  SELECT doc_id, n_chars_doc, n,
+       |    CAST(sum(cnt) AS BIGINT) AS n_grams,
+       |    min(struct_pack(negcnt := -cnt, gram := gram)) AS top,
+       |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)
+       |         AS BIGINT) AS dup_chars
+       |  FROM gc GROUP BY 1, 2, 3),
+       |spine AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_doc,
+       |         unnest([$widths]) AS n
+       |  FROM documents)
+       |SELECT b.doc_id, b.n,
+       |  coalesce(a.n_grams, 0) AS n_grams,
+       |  coalesce(a.top.gram, '') AS top_gram,
+       |  CAST(coalesce(-a.top.negcnt, 0) AS BIGINT) AS top_gram_count,
+       |  coalesce(CAST(-a.top.negcnt * length(a.top.gram) AS DOUBLE)
+       |             / CAST(b.n_chars_doc AS DOUBLE), 0.0) AS top_gram_char_frac,
+       |  coalesce(CAST(a.dup_chars AS DOUBLE) / CAST(b.n_chars_doc AS DOUBLE), 0.0)
+       |    AS dup_gram_char_frac
+       |FROM spine b LEFT JOIN agg a ON b.doc_id = a.doc_id AND b.n = a.n""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q156_gopher_repetition" -> q156Oracle,
     "q148_importance_resample" ->
       s"""WITH tok AS (
          |  SELECT doc_id, lang, md5('fh|' || tok) AS hex
