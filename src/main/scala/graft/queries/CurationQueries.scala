@@ -62,6 +62,9 @@ object CurationQueries {
   /** q156's n-gram widths (the Gopher top-/dup-fraction set). */
   private val GopherNs = Seq(2, 3, 4, 5)
 
+  /** q157's total sample budget (Hamilton-apportioned across languages). */
+  private val QuotaB = 200
+
   /** q148's building blocks: (docDim, tot, model).
     *
     * ONE tokenize+md5 pass over the corpus: the per-(doc, dim) feature agg
@@ -573,6 +576,55 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q157: EXACT quota sampling — q86/q96 keep each doc independently
+    // (expected counts only); when a mixture spec demands exact counts
+    // ("exactly 200 docs, proportional to corpus shares"), the quotas
+    // come from largest-remainder apportionment (Hamilton's method, all
+    // INTEGER arithmetic: base = ⌊B·n_l/N⌋, residual seats to the
+    // largest remainders B·n_l − base·N, ties by language asc) and the
+    // per-stratum pick is the q68 bounded-heap TopKPairs on an
+    // md5-derived key — exact counts, no rand(), no per-stratum sort,
+    // no window over the corpus. The ≤|langs|-row quota table is ranked
+    // via the bounded collect_list collapse (the q142 rule) and joins
+    // back by broadcast.
+    // ---------------------------------------------------------------
+    "q157_quota_sample" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val tot = counts.agg(sum(col("n_l")).as("nn"))
+      val q = counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_l"),
+                expr(s"($QuotaB * n_l) DIV nn").as("base_l"),
+                (lit(QuotaB.toLong) * col("n_l") -
+                  expr(s"($QuotaB * n_l) DIV nn") * col("nn")).as("rem"))
+        .localCheckpoint() // ≤|langs| rows, consumed twice below
+      val sumBase = q.agg(sum(col("base_l")).as("sum_base"))
+      val ranked = q
+        .agg(sort_array(collect_list(struct((-col("rem")).as("negrem"),
+               col("lang").as("lang"), col("base_l").as("base_l")))).as("xs"))
+        .select(posexplode(col("xs")).as(Seq("pos", "x")))
+        .select(col("x.lang").as("lang"), col("x.base_l").as("base_l"),
+                (col("pos") + 1).cast(LongType).as("seat_rank"))
+      val tgt = ranked.crossJoin(broadcast(sumBase))
+        .select(col("lang"),
+                (col("base_l") +
+                  when(col("seat_rank") <= lit(QuotaB.toLong) - col("sum_base"),
+                       lit(1L)).otherwise(lit(0L))).as("target_n"))
+      val key = md5(concat(lit("quota|"), col("doc_id").cast(StringType)))
+      d.select(col("doc_id"), col("lang"), key.as("sample_key"))
+        .groupBy(col("lang"))
+        .agg(org.apache.spark.sql.graftx.TopKPairs
+          .topK(col("sample_key"), col("doc_id"), QuotaB).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.id").as("doc_id"),
+                (col("pos") + 1).cast(LongType).as("strat_rank"))
+        .join(broadcast(tgt), Seq("lang"))
+        .filter(col("strat_rank") <= col("target_n"))
+        .select(col("lang"), col("doc_id"), col("strat_rank"),
+                col("target_n").cast(LongType).as("target_n"))
+    },
+
+    // ---------------------------------------------------------------
     // q96: temperature-based mixture sampling (α = 0.5) — the softer
     // sibling of q86's uniform rebalance: each source keeps with
     // probability (n_min/n_source)^α, the multilingual-sampling
@@ -795,6 +847,34 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q156_gopher_repetition" -> q156Oracle,
+    "q157_quota_sample" ->
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS nn FROM counts),
+         |q AS (
+         |  SELECT lang, n_l, ($QuotaB * n_l) // nn AS base_l,
+         |         $QuotaB * n_l - (($QuotaB * n_l) // nn) * nn AS rem
+         |  FROM counts CROSS JOIN tot),
+         |sb AS (SELECT sum(base_l) AS sum_base FROM q),
+         |rk AS (SELECT lang, base_l,
+         |              row_number() OVER (ORDER BY rem DESC, lang) AS seat_rank
+         |       FROM q),
+         |tgt AS (
+         |  SELECT lang,
+         |    base_l + CASE WHEN seat_rank <= $QuotaB - (SELECT sum_base FROM sb)
+         |                  THEN 1 ELSE 0 END AS target_n
+         |  FROM rk),
+         |keyed AS (
+         |  SELECT doc_id, lang, md5('quota|' || CAST(doc_id AS VARCHAR)) AS k
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS sr
+         |  FROM keyed)
+         |SELECT r.lang, r.doc_id, CAST(r.sr AS BIGINT) AS strat_rank,
+         |       CAST(t.target_n AS BIGINT) AS target_n
+         |FROM ranked r JOIN tgt t USING (lang)
+         |WHERE r.sr <= t.target_n""".stripMargin,
     "q148_importance_resample" ->
       s"""WITH tok AS (
          |  SELECT doc_id, lang, md5('fh|' || tok) AS hex
