@@ -507,6 +507,36 @@ object TextQueries {
     // annotated with true trigram Jaccard and a confirmation flag.
     "q36_minhash_lsh" -> { (s, dir) => minhashQuery(s, dir) },
 
+    // q158: edit-distance VERIFICATION of LSH candidates — a second,
+    // independent verification modality next to shingle Jaccard (q36):
+    // Levenshtein distance normalized by the longer text. Jaccard is
+    // blind to token ORDER within the shingle width and to character-
+    // level edits inside tokens; edit distance catches both, so a
+    // pipeline cross-checks borderline candidates against it before
+    // deleting. Both engines implement the classic integer DP, so the
+    // distance (and the all-integer near-dup test 5·d ≤ max_len, i.e.
+    // normalized distance ≤ 0.2 with no float threshold) hash-gates.
+    // Scale shape: the O(len²) DP runs ONLY on the banded candidate
+    // pairs — orders of magnitude fewer than the corpus — after two
+    // id-equi-joins to fetch the texts.
+    "q158_edit_distance_dedup" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val lev = levenshtein(col("ta"), col("tb"))
+      val mx  = greatest(length(col("ta")), length(col("tb")))
+      Dedup.minhashCandidates(d, "doc_id", "text")
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+              Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+              Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+                lev.cast(LongType).as("edit_distance"),
+                mx.cast(LongType).as("max_len"),
+                (lit(1.0).cast(DoubleType) -
+                  lev.cast(DoubleType) / mx.cast(DoubleType))
+                  .as("edit_similarity"),
+                (lev * 5 <= mx).as("is_near_dup_edit"))
+    },
+
     // q152: MinHash signature ACCURACY audit — the q116 "measure, don't
     // guess" discipline applied to the dedup sketch itself: for every
     // LSH candidate pair, the signature-estimated Jaccard (fraction of
@@ -2082,6 +2112,19 @@ object TextQueries {
         |FROM d LEFT JOIN np USING (doc_id) LEFT JOIN per_doc USING (doc_id)""".stripMargin,
     "q36_minhash_lsh" -> minhashLshOracleSql,
     "q152_minhash_accuracy" -> minhashAccuracyOracleSql,
+    "q158_edit_distance_dedup" ->
+      s"""${minhashCtesSql}
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+        |  CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len,
+        |  CAST(1.0 AS DOUBLE) - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+        |    / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+        |    AS edit_similarity,
+        |  levenshtein(da.text, db.text) * 5 <= greatest(length(da.text), length(db.text))
+        |    AS is_near_dup_edit
+        |FROM cand c
+        |JOIN documents da ON c.doc_a = da.doc_id
+        |JOIN documents db ON c.doc_b = db.doc_id""".stripMargin,
 
     // q145 reuses q36's FULL-CORPUS oracle verbatim: signatures are
     // doc-local, so the persisted-index incremental candidate set must

@@ -242,6 +242,37 @@ object VectorQueries {
                   .as("recall_at_3"))
     },
 
+    // q159: kNN majority-vote classifier over the IVF ANN path — the
+    // label-propagation use of the index q64 builds: each query vector's
+    // 3 approximate neighbors vote with their labels (tie → smallest
+    // label, deterministic), compared against the query's own label.
+    // The per-query readout a pipeline inspects before trusting
+    // embedding neighborhoods to impute labels / route data at 100 TB.
+    // Scale shape: rides q64's plan (shuffle-free assignment, broadcast
+    // probes) + one labels equi-join + two bounded aggs; the vote table
+    // is ≤ k rows per query.
+    "q159_knn_classifier" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val labels = e.select(col("vec_id"), col("label").cast("long").as("label"))
+      val votes = defs("q64_ann_ivf")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+                            col("label").as("nbr_label")), Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("nbr_label"))
+        .agg(count(lit(1)).as("votes"))
+      val pred = votes.groupBy(col("query_id"))
+        .agg(min(struct((-col("votes")).as("negv"),
+                        col("nbr_label").as("label"))).as("p"),
+             sum(col("votes")).as("n_votes"))
+        .select(col("query_id"), col("p.label").as("predicted_label"),
+                (-col("p.negv")).as("n_agree"), col("n_votes"))
+      pred.join(labels.select(col("vec_id").as("query_id"),
+                              col("label").as("true_label")), Seq("query_id"))
+        .select(col("query_id"), col("true_label"), col("predicted_label"),
+                col("n_agree"), col("n_votes"),
+                (col("true_label") === col("predicted_label")).as("is_correct"))
+    },
+
     // q153: dimension-truncation recall curve — the "measure, don't
     // guess" readout (q116's discipline) for the cheapest ANN speedup
     // there is: drop trailing dimensions. For each truncation width d,
@@ -1126,6 +1157,25 @@ object VectorQueries {
        |WHERE rank <= 3""".stripMargin
 
   val oracles: Map[String, String] = baseOracles +
+    ("q159_knn_classifier" ->
+      s"""WITH knn AS (${baseOracles("q64_ann_ivf")}),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |votes AS (
+         |  SELECT k.query_id, l.label AS nbr_label, count(*) AS votes
+         |  FROM knn k JOIN lab l ON k.neighbor_id = l.vec_id
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT query_id,
+         |    min(struct_pack(negv := -votes, label := nbr_label)).label
+         |      AS predicted_label,
+         |    CAST(-min(struct_pack(negv := -votes, label := nbr_label)).negv
+         |         AS BIGINT) AS n_agree,
+         |    CAST(sum(votes) AS BIGINT) AS n_votes
+         |  FROM votes GROUP BY 1)
+         |SELECT p.query_id, t.label AS true_label, p.predicted_label,
+         |       p.n_agree, p.n_votes,
+         |       t.label = p.predicted_label AS is_correct
+         |FROM pred p JOIN lab t ON p.query_id = t.vec_id""".stripMargin) +
     ("q153_truncation_recall" -> TruncDims.map { d =>
       s"""SELECT e.query_id, CAST($d AS BIGINT) AS trunc_dims,
          |  CAST(count(*) AS BIGINT) AS n_exact,
