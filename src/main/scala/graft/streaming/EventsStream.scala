@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** Structured Streaming over the `events` table — the stretch goal from
   * SURVEY §2.10: nothing in the reference streams, but its incremental
@@ -403,6 +403,50 @@ object EventsStream {
         transform(split(col("text"), " "),
                   t => coalesce(element_at(m, dimOf(t)), lit(defaultQ))),
         lit(0L), (acc, x) => acc + x).as("logw_q"))
+  }
+
+  /** Streaming language-mixing profile — q150 as a STATELESS scan-local
+    * projection (append mode, no state store): a document's segments all
+    * live inside its own row, so the whole distribution profile
+    * (dominant language, share, language count, quantized mixing
+    * entropy) computes with higher-order array functions per row — a
+    * SECOND implementation of the q150 semantics (the batch path is
+    * explode + two doc-key aggs), which StreamingSpec pins set-equal.
+    * Tie-break parity: the fold iterates languages in lexicographic
+    * order with strictly-greater wins — exactly min(struct(-c, lang)).
+    */
+  def langMixStream(docs: DataFrame): DataFrame = {
+    import graft.functions.Text
+    val W = 10
+    val toks = split(col("text"), " ")
+    val nSegs = greatest(
+      ceil(size(toks).cast("double") / lit(W.toDouble)).cast("int"), lit(1))
+    val segTexts = transform(sequence(lit(0), nSegs - 1),
+      i => array_join(slice(toks, i * W + 1, lit(W)), " "))
+    val langs = transform(segTexts, t => Text.langId(t))
+    val langNames = Seq("de", "en", "es", "fr", "und", "zh") // lex order
+    val cnts = langNames.map(l =>
+      size(filter(langs, x => x === lit(l))).cast("long"))
+    val (domLang, domCnt) = langNames.zip(cnts)
+      .foldLeft((lit("").cast("string"), lit(-1L))) {
+        case ((bl, bc), (l, c)) =>
+          (when(c > bc, lit(l)).otherwise(bl), when(c > bc, c).otherwise(bc))
+      }
+    val n = size(langs).cast("double")
+    def term(c: Column): Column = {
+      val p = c.cast("double") / n
+      when(c > 0, floor(-p * log(p) * 1e9 + lit(0.5)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    val nLangs = cnts.map(c => when(c > 0, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val domShare = domCnt.cast("double") / n
+    docs.select(col("doc_id"),
+      size(langs).cast("long").as("n_segments"),
+      nLangs.as("n_langs"),
+      domLang.as("dominant_lang"),
+      domShare.as("dominant_share"),
+      cnts.map(term).reduce(_ + _).as("mix_entropy_q"),
+      (domShare < 0.8).as("is_mixed"))
   }
 
   /** Streaming perceptual dedup at the exact-dHash granularity: each

@@ -272,6 +272,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k is a full sort:\n$plan")
   }
 
+  test("q150/q156/q157 stay window-free with partial aggregation") {
+    // The new curation readouts must hold the q68 discipline: per-doc /
+    // per-stratum state comes from partial+final aggregation (or a
+    // bounded TopKPairs heap), never a row_number window over a
+    // content-keyed partition.
+    for (q <- Seq("q150_lang_mixing", "q156_gopher_repetition",
+                  "q157_quota_sample")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("Window"), s"$q plans a window:\n$plan")
+      assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+        s"$q has no hash partial+final aggregate:\n$plan")
+    }
+  }
+
   test("q148 DSIR scoring broadcasts the 64-row model; selection is TakeOrdered") {
     // The importance-resampling contract at 100 TB: the bucket model is
     // bounded (64 rows + one totals row) and BROADCASTS onto the per-doc

@@ -39,6 +39,36 @@ class PropertySpec extends SparkSpec {
     sizes <- Gen.listOfN(nDocs, Gen.choose(1L, 150L)) // some exceed capacity
   } yield (sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }, capacity, streams)
 
+  private val graphGen: Gen[(Seq[Long], Seq[(Long, Long)])] = for {
+    nNodes <- Gen.choose(5, 40)
+    nEdges <- Gen.choose(0, 60)
+    edges <- Gen.listOfN(nEdges, for {
+      a <- Gen.choose(0, nNodes - 1)
+      b <- Gen.choose(0, nNodes - 1)
+    } yield (a.toLong, b.toLong))
+  } yield ((0 until nNodes).map(_.toLong), edges)
+
+  test("star contraction ≡ reference union-find on random graphs (self-loops, dups, reversals)") {
+    // Ground truth is a 20-line driver-side union-find — deliberately a
+    // THIRD implementation so the two distributed CC algorithms aren't
+    // just checked against each other.
+    forSeeds(graphGen) { case (ns, es) =>
+      val parent = scala.collection.mutable.Map(ns.map(n => n -> n): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      // path-compress to the component MIN (roots are minima by the
+      // lo/hi union rule above)
+      val want = ns.map(n => n -> find(n)).toMap
+      val got = Dedup.connectedComponentsStars(
+          ns.toDF("id"), es.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"nodes=$ns edges=$es")
+    }
+  }
+
   test("audioFingerprint64 ≡ the arithmetic restatement for random ids (incl. huge variants)") {
     // the q135 oracle's formula, restated independently in plain Scala
     def expected(id: Long): Long = {

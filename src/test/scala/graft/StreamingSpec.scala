@@ -44,6 +44,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === docs.count())
   }
 
+  test("streaming language-mixing profile ≡ batch q150 (stateless append)") {
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.langMixStream(EventsStream.readDocuments(spark, docsDir)),
+      "stream_langmix", OutputMode.Append())
+    val batch = SparkEntry.queries("q150_lang_mixing")(spark, dir)
+    // two independent implementations (in-row higher-order fold vs
+    // explode + two aggs) must agree row-for-row
+    assert(streamed.collect().toSet === batch.collect().toSet)
+    assert(streamed.count() === graft.core.Tables(spark, dir).documents.count())
+  }
+
   test("streaming DSIR scoring ≡ batch importance weights (stateless append)") {
     val (model, defaultQ) = graft.queries.CurationQueries.dsirModel(spark, dir)
     val streamed = EventsStream.runToMemorySink(
