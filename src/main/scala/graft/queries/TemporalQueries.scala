@@ -85,6 +85,46 @@ object TemporalQueries {
     // no per-user event sorting: a user's whole history never passes
     // through one task.
     // ---------------------------------------------------------------
+    // q160: per-user EWMA (α=0.25) of event values with max absolute
+    // deviation — the sequential-recurrence monitor (the q58 ES fold
+    // discipline applied to behavioral streams): the smoothed state a
+    // drift/fraud monitor keeps per entity, plus the largest shock seen.
+    // The fold runs over the (ts, event_id)-ordered value list inside
+    // ONE aggregate row per user (q102's pos-ordered collect_list
+    // collapse) with the exact IEEE op order the DuckDB list_reduce
+    // replays — bit-identical, so the doubles hash-gate. State packing
+    // rule (the q58 Holt lesson): the accumulator's `d` field is
+    // written BEFORE `m`, so under DuckDB's in-place field mutation `d`
+    // still reads the pre-update mean.
+    //
+    // 100 TB shape: per-user event lists are bounded (panel data); one
+    // partial+final collect per user, no window over the event stream.
+    "q160_ewma_deviation" -> { (s, dir) =>
+      val e = Tables(s, dir).events.filter(col("value").isNotNull)
+      val g = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             array_sort(collect_list(struct(
+               col("ts").as("ts"), col("event_id").as("eid"),
+               col("value").as("v")))).as("xs"))
+      val firstV = element_at(col("xs"), 1).getField("v")
+      val tail = slice(col("xs"), lit(2),
+                       greatest(size(col("xs")) - 1, lit(0)))
+      val st = aggregate(
+        tail,
+        struct(lit(0.0).as("d"), firstV.as("m")),
+        (acc, x) => struct(
+          greatest(acc.getField("d"),
+                   abs(x.getField("v") - acc.getField("m"))).as("d"),
+          (lit(0.25) * x.getField("v") + lit(0.75) * acc.getField("m"))
+            .as("m")))
+      g.select(col("user_id"), col("n_events"),
+               element_at(col("xs"), size(col("xs"))).getField("v")
+                 .as("last_value"),
+               st.getField("m").as("ewma"),
+               st.getField("d").as("max_abs_dev"),
+               (st.getField("d") > abs(st.getField("m"))).as("is_volatile"))
+    },
+
     "q80_funnel" -> { (s, dir) =>
       val e = Tables(s, dir).events
       val views = e.filter(col("event_type") === "view")
@@ -139,6 +179,27 @@ object TemporalQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q160_ewma_deviation" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    list(v ORDER BY ts, event_id) AS xs
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT *,
+        |    list_reduce(
+        |      [{'d': CAST(0 AS DOUBLE), 'm': xs[1]}] ||
+        |      list_transform(xs[2:], x -> {'d': CAST(0 AS DOUBLE), 'm': x}),
+        |      (acc, e) -> {'d': greatest(acc.d, abs(e.m - acc.m)),
+        |                   'm': 0.25*e.m + 0.75*acc.m}) AS st
+        |  FROM g)
+        |SELECT user_id, n_events, xs[len(xs)] AS last_value,
+        |  st.m AS ewma, st.d AS max_abs_dev,
+        |  st.d > abs(st.m) AS is_volatile
+        |FROM f""".stripMargin,
     "q42_asof_join" ->
       """WITH pd AS (
         |  SELECT user_id, ts, value, event_id,
