@@ -180,6 +180,51 @@ object EventsStream {
       }
   }
 
+  final case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp,
+                             event_id: Long, value: Double)
+  final case class UserEwma(user_id: Long, n_events: Long, last_value: Double,
+                            ewma: Double, max_abs_dev: Double,
+                            is_volatile: Boolean)
+
+  /** Streaming per-user EWMA — q160's recurrence carried in `GroupState`:
+    * O(1) state per user (mean, max deviation, count, last value), each
+    * micro-batch's events folded in (ts, event_id) order FROM the saved
+    * state with the identical IEEE op order (0.25·x + 0.75·m), so after
+    * draining an in-order stream the emitted rows are bit-identical to
+    * the batch operator (StreamingSpec asserts it). Ordering policy:
+    * within a batch events sort by event time; ACROSS batches the fold
+    * consumes arrival order — a production deployment bounds disorder
+    * with a source watermark (the sessionizeStream late-data rule).
+    */
+  def ewmaStream(events: DataFrame, alpha: Double = 0.25): Dataset[UserEwma] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserEwma, UserEwma](GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[UserEwma]) =>
+          val sorted = batch.toSeq.sortBy(e => (epochUs(e.ts), e.event_id))
+          val prev = state.getOption
+          val init = prev.getOrElse {
+            val h = sorted.head
+            UserEwma(uid, 1L, h.value, h.value, 0.0, is_volatile = false)
+          }
+          val rest = if (prev.isDefined) sorted else sorted.tail
+          val folded = rest.foldLeft(init) { (acc, e) =>
+            val d = math.max(acc.max_abs_dev, math.abs(e.value - acc.ewma))
+            acc.copy(n_events = acc.n_events + 1, last_value = e.value,
+                     ewma = alpha * e.value + (1 - alpha) * acc.ewma,
+                     max_abs_dev = d)
+          }
+          val next = folded.copy(
+            is_volatile = folded.max_abs_dev > math.abs(folded.ewma))
+          state.update(next)
+          next
+      }
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class OpenSession(start_us: Long, last_us: Long, n: Long, total_cents: Long)
   final case class ClosedSession(

@@ -254,6 +254,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "stream-stream interval join diverged from the batch range join")
   }
 
+  test("streaming EWMA state ≡ batch q160 after drain") {
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.ewmaStream(EventsStream.read(spark, eventsDir)).toDF(),
+      "stream_ewma", OutputMode.Update())
+    val batch = SparkEntry.queries("q160_ewma_deviation")(spark, dir)
+    // identical IEEE fold order ⇒ bit-identical doubles, so plain set
+    // equality (no tolerance) is the assertion
+    assert(streamed.collect().toSet === batch.collect().toSet)
+    assert(streamed.count() === batch.count())
+  }
+
   test("flatMapGroupsWithState sessionization matches batch sessions (closed ones)") {
     import org.apache.spark.sql.expressions.Window
     val streamed = EventsStream.runToMemorySink(
