@@ -625,6 +625,71 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q161: the round's new operators COMPOSED into one curation pass
+    // (the q110 "user story" discipline): DSIR-score every document
+    // (q148's model), drop non-canonical duplicates (q67/q149's
+    // transitive clusters — keep each cluster's min id), take the
+    // top-100 selection by importance weight, then apportion a 50-doc
+    // training sample across languages by exact largest-remainder
+    // quotas (q157) picked by md5 rank. Every stage is an
+    // already-gated operator; the gate proves the COMPOSITION still
+    // hash-matches end to end.
+    // ---------------------------------------------------------------
+    "q161_curation_v2" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val (docDim, _, model) = dsirParts(s, dir)
+      val w = docDim.join(broadcast(model), "dim")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("qratio")).as("logw_q"))
+      val canon = graft.operators.Dedup.connectedComponentsStars(
+          d.select(col("doc_id").as("id")),
+          graft.operators.Dedup.dupEdgesFromPairs(
+            d, "doc_id", "text", TextQueries.jaccardQuery(s, dir)),
+          "doc_a", "doc_b")
+        .filter(col("id") === col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      val selected = w.join(canon, Seq("doc_id"))
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .orderBy(col("logw_q").desc, col("doc_id")).limit(100)
+        .localCheckpoint() // 100 rows, consumed by counts + pick below
+      val B = 50
+      val counts = selected.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val tot = counts.agg(sum(col("n_l")).as("nn"))
+      val q = counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_l"),
+                expr(s"($B * n_l) DIV nn").as("base_l"),
+                (lit(B.toLong) * col("n_l") -
+                  expr(s"($B * n_l) DIV nn") * col("nn")).as("rem"))
+        .localCheckpoint()
+      val sumBase = q.agg(sum(col("base_l")).as("sum_base"))
+      val ranked = q
+        .agg(sort_array(collect_list(struct((-col("rem")).as("negrem"),
+               col("lang").as("lang"), col("base_l").as("base_l")))).as("xs"))
+        .select(posexplode(col("xs")).as(Seq("pos", "x")))
+        .select(col("x.lang").as("lang"), col("x.base_l").as("base_l"),
+                (col("pos") + 1).cast(LongType).as("seat_rank"))
+      val tgt = ranked.crossJoin(broadcast(sumBase))
+        .select(col("lang"),
+                (col("base_l") +
+                  when(col("seat_rank") <= lit(B.toLong) - col("sum_base"),
+                       lit(1L)).otherwise(lit(0L))).as("target_n"))
+      val key = md5(concat(lit("quota|"), col("doc_id").cast(StringType)))
+      selected.select(col("doc_id"), col("lang"), col("logw_q"),
+                      key.as("sample_key"))
+        .groupBy(col("lang"))
+        .agg(org.apache.spark.sql.graftx.TopKPairs
+          .topK(col("sample_key"), col("doc_id"), B).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.id").as("doc_id"),
+                (col("pos") + 1).cast(LongType).as("strat_rank"))
+        .join(broadcast(tgt), Seq("lang"))
+        .filter(col("strat_rank") <= col("target_n"))
+        .join(selected.select(col("doc_id"), col("logw_q")), Seq("doc_id"))
+        .select(col("lang"), col("doc_id"), col("logw_q"), col("strat_rank"),
+                col("target_n").cast(LongType).as("target_n"))
+    },
+
+    // ---------------------------------------------------------------
     // q96: temperature-based mixture sampling (α = 0.5) — the softer
     // sibling of q86's uniform rebalance: each source keeps with
     // probability (n_min/n_source)^α, the multilingual-sampling
@@ -845,6 +910,35 @@ object CurationQueries {
        |FROM spine b LEFT JOIN agg a ON b.doc_id = a.doc_id AND b.n = a.n""".stripMargin
   }
 
+  /** q148's oracle CTE chain (hashed features → bucket model → per-doc
+    * integer weights) — shared with the q161 composition oracle.
+    */
+  private lazy val dsirCtesSql: String =
+    s"""tok AS (
+       |  SELECT doc_id, lang, md5('fh|' || tok) AS hex
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |         CAST(${graft.functions.HexKeys.value16Sql(0)} % $DsirB AS BIGINT)
+       |           AS dim
+       |  FROM tok),
+       |byd AS (
+       |  SELECT dim, count(*) AS r_cnt,
+       |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+       |  FROM f GROUP BY 1),
+       |tot AS (SELECT sum(r_cnt) AS tr, sum(t_cnt) AS tt FROM byd),
+       |model AS (
+       |  SELECT dim,
+       |         CAST(floor((ln((t_cnt + 0.5) / (tt + ${DsirB / 2.0})) -
+       |                     ln((r_cnt + 0.5) / (tr + ${DsirB / 2.0}))) * 1e9 + 0.5)
+       |              AS BIGINT) AS qratio
+       |  FROM byd CROSS JOIN tot),
+       |docdim AS (SELECT doc_id, dim, count(*) AS c FROM f GROUP BY 1, 2),
+       |w AS (
+       |  SELECT doc_id, CAST(sum(c * qratio) AS BIGINT) AS logw_q
+       |  FROM docdim JOIN model USING (dim) GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q156_gopher_repetition" -> q156Oracle,
     "q157_quota_sample" ->
@@ -876,36 +970,62 @@ object CurationQueries {
          |FROM ranked r JOIN tgt t USING (lang)
          |WHERE r.sr <= t.target_n""".stripMargin,
     "q148_importance_resample" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, lang, md5('fh|' || tok) AS hex
-         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-         |        FROM documents)),
-         |f AS (
-         |  SELECT doc_id, lang,
-         |         CAST(${graft.functions.HexKeys.value16Sql(0)} % $DsirB AS BIGINT)
-         |           AS dim
-         |  FROM tok),
-         |byd AS (
-         |  SELECT dim, count(*) AS r_cnt,
-         |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
-         |  FROM f GROUP BY 1),
-         |tot AS (SELECT sum(r_cnt) AS tr, sum(t_cnt) AS tt FROM byd),
-         |model AS (
-         |  SELECT dim,
-         |         CAST(floor((ln((t_cnt + 0.5) / (tt + ${DsirB / 2.0})) -
-         |                     ln((r_cnt + 0.5) / (tr + ${DsirB / 2.0}))) * 1e9 + 0.5)
-         |              AS BIGINT) AS qratio
-         |  FROM byd CROSS JOIN tot),
-         |docdim AS (SELECT doc_id, dim, count(*) AS c FROM f GROUP BY 1, 2),
-         |w AS (
-         |  SELECT doc_id, CAST(sum(c * qratio) AS BIGINT) AS logw_q
-         |  FROM docdim JOIN model USING (dim) GROUP BY 1)
+      s"""WITH $dsirCtesSql
          |SELECT doc_id, logw_q, sel_rank FROM (
          |  SELECT doc_id, logw_q,
          |         CAST(row_number() OVER (ORDER BY logw_q DESC, doc_id) AS BIGINT)
          |           AS sel_rank
          |  FROM w)
          |WHERE sel_rank <= $DsirK""".stripMargin,
+
+    // The composition gate: q67's reachability CTEs + q148's DSIR CTEs
+    // + q157's apportionment, chained exactly as the Spark def chains
+    // the operators.
+    "q161_curation_v2" ->
+      s"""WITH RECURSIVE
+         |${TextQueries.dupEdgeCtesSql},
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM jed UNION SELECT doc_b, doc_a FROM jed
+         |  UNION SELECT doc_a, doc_b FROM eed UNION SELECT doc_b, doc_a FROM eed),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT rc.id, e.d FROM reach rc JOIN edges e ON rc.r = e.s),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |$dsirCtesSql,
+         |sel AS (
+         |  SELECT w.doc_id, w.logw_q, dd.lang
+         |  FROM w
+         |  JOIN comp c ON w.doc_id = c.id AND c.id = c.cluster_id
+         |  JOIN documents dd ON w.doc_id = dd.doc_id
+         |  ORDER BY w.logw_q DESC, w.doc_id LIMIT 100),
+         |counts2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM sel GROUP BY 1),
+         |tot2 AS (SELECT CAST(sum(n_l) AS BIGINT) AS nn FROM counts2),
+         |q2 AS (
+         |  SELECT lang, n_l, (50 * n_l) // nn AS base_l,
+         |         50 * n_l - ((50 * n_l) // nn) * nn AS rem
+         |  FROM counts2 CROSS JOIN tot2),
+         |sb2 AS (SELECT sum(base_l) AS sum_base FROM q2),
+         |rk2 AS (SELECT lang, base_l,
+         |               row_number() OVER (ORDER BY rem DESC, lang) AS seat_rank
+         |        FROM q2),
+         |tgt2 AS (
+         |  SELECT lang,
+         |    base_l + CASE WHEN seat_rank <= 50 - (SELECT sum_base FROM sb2)
+         |                  THEN 1 ELSE 0 END AS target_n
+         |  FROM rk2),
+         |keyed2 AS (
+         |  SELECT doc_id, lang, logw_q,
+         |         md5('quota|' || CAST(doc_id AS VARCHAR)) AS k
+         |  FROM sel),
+         |ranked2 AS (
+         |  SELECT doc_id, lang, logw_q,
+         |         row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS sr
+         |  FROM keyed2)
+         |SELECT r.lang, r.doc_id, r.logw_q, CAST(r.sr AS BIGINT) AS strat_rank,
+         |       CAST(t.target_n AS BIGINT) AS target_n
+         |FROM ranked2 r JOIN tgt2 t USING (lang)
+         |WHERE r.sr <= t.target_n""".stripMargin,
 
     "q107_pii_redaction" ->
       s"""WITH inj AS (

@@ -1651,7 +1651,7 @@ object TextQueries {
     * md5 pairs, both a&lt;b-oriented) shared by the q67/q149/q154 cluster
     * oracle and q155's cross-source matrix.
     */
-  private lazy val dupEdgeCtesSql: String =
+  private[queries] lazy val dupEdgeCtesSql: String =
     """sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
