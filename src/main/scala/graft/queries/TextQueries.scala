@@ -28,6 +28,11 @@ object TextQueries {
     */
   private val BpeCoverageCheckpoints = Seq(0, 64, 128, 256)
 
+  /** q162 growth checkpoints: B equal-width doc_id ranges — shared by the
+    * Spark def and the DuckDB oracle below.
+    */
+  private val HeapsBuckets = 8
+
   val defs: Map[String, Q] = Map(
     // Token counting: whitespace + BPE-ish regex tokens, distinct counts,
     // mean token length.
@@ -847,6 +852,70 @@ object TextQueries {
                 greatest(col("sa"), col("sb")).as("source_b"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("n_dup_pairs"))
+    },
+
+    // Heaps'-law vocabulary-growth curve — the dataset-card companion to
+    // q122's Zipf fit: how fast does DISTINCT vocab V grow with corpus
+    // size N (V ≈ K·N^β, natural text β ≈ 0.4–0.6; a flattening curve
+    // says "more data stops adding words" — templated/duplicated
+    // corpora saturate early). Naive cumulative-distinct needs one
+    // distinct aggregation PER checkpoint (8 corpus scans); the
+    // first-occurrence trick needs ONE: bucket each doc into B=8
+    // equal-width id ranges, aggregate (token, bucket) counts — a
+    // single corpus explode collapsing to a vocab-bounded frame whose
+    // shuffle both readouts REUSE (ReusedExchange, asserted in
+    // PlanQualitySpec) — then V_k = Σ_{b≤k} |{tok : min-bucket = b}|
+    // and N_k = Σ_{b≤k} tokens_b, cumulated by an 8-row window. The
+    // Heaps fit is q122's OLS verbatim (quantized ln, decimal-exact
+    // sums, fixed-order IEEE readout) over the 8 (ln N_k, ln V_k)
+    // points. Bucketing is pure BIGINT math (doc_id·B div (max+1)) so
+    // truncation == floor in both engines.
+    "q162_heaps_law" -> { (s, dir) =>
+      val d  = Tables(s, dir).documents
+      val mx = d.agg(max(col("doc_id")).as("mx"))
+      val tokB = d.crossJoin(broadcast(mx))
+        .select(expr(s"CAST((doc_id * $HeapsBuckets) DIV (mx + 1) AS BIGINT) + 1").as("b"),
+                explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"), col("b")).agg(count(lit(1)).as("c"))
+      // min(when(c >= 1, b)) — not plain min(b) — keeps the first-occurrence
+      // readout anchored to the aggregated count column: with min(b) alone
+      // Catalyst eliminates the (tok, b) aggregate from that branch and
+      // re-explodes the corpus a second time; referencing c makes both
+      // readouts consume the SAME (tok, b) exchange (ReusedExchange,
+      // asserted in PlanQualitySpec).
+      val perB = tokB.groupBy(col("b")).agg(sum(col("c")).as("nt"))
+        .join(
+          tokB.groupBy(col("tok"))
+            .agg(min(when(col("c") >= 1, col("b"))).as("fb"))
+            .groupBy(col("fb")).agg(count(lit(1)).as("nv"))
+            .withColumnRenamed("fb", "b"),
+          Seq("b"), "left")
+        .select(col("b"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.Macros.constPartition(col("b")))
+        .orderBy(col("b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val curve = perB
+        .withColumn("cum_tokens", sum(col("nt")).over(w).cast(LongType))
+        .withColumn("cum_vocab", sum(col("nv")).over(w).cast(LongType))
+        .select(col("b").as("checkpoint"), col("cum_tokens"), col("cum_vocab"))
+      val pts = curve.select(
+        (floor(log(col("cum_tokens").cast(DoubleType)) * 1e9 + 0.5) / 1e9).as("x"),
+        (floor(log(col("cum_vocab").cast(DoubleType)) * 1e9 + 0.5) / 1e9).as("y"))
+      def d9(c: Column) = c.cast(DecimalType(18, 9))
+      val agg = pts.agg(
+        count(lit(1)).as("n"),
+        sum(d9(col("x"))).as("sx"), sum(d9(col("y"))).as("sy"),
+        sum(d9(col("x")) * d9(col("x"))).as("sxx"),
+        sum(d9(col("x")) * d9(col("y"))).as("sxy"))
+      val nd   = col("n").cast(DoubleType)
+      val sxd  = col("sx").cast(DoubleType); val syd = col("sy").cast(DoubleType)
+      val sxxd = col("sxx").cast(DoubleType); val sxyd = col("sxy").cast(DoubleType)
+      val beta = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+      val fit = agg.select(
+        (floor(beta * 1e9 + 0.5) / 1e9).as("heaps_beta"),
+        (floor(((syd - beta * sxd) / nd) * 1e9 + 0.5) / 1e9).as("heaps_log_k"))
+      curve.crossJoin(broadcast(fit))
     },
 
     // Quality-aware cluster resolution — keep the BEST copy, not the
@@ -2219,6 +2288,50 @@ object TextQueries {
     // clusters exactly (the q141/q145 incremental-≡-one-shot gate).
     "q154_incremental_components" -> q67Oracle,
     "q155_source_dup_matrix" -> q155Oracle,
+
+    // Heaps'-law curve + fit: the same first-occurrence cumulative
+    // distinct (bucket = doc_id·B floor-div (max+1), pure BIGINT so
+    // floor == truncation in both engines), the same quantized-ln /
+    // decimal-sum / fixed-order OLS as q122.
+    "q162_heaps_law" ->
+      s"""WITH m AS (SELECT max(doc_id) + 1 AS md FROM documents),
+         |tok AS (
+         |  SELECT CAST((d.doc_id * $HeapsBuckets) // m.md AS BIGINT) + 1 AS b,
+         |         unnest(string_split(d.text, ' ')) AS tok
+         |  FROM documents d CROSS JOIN m),
+         |tb AS (SELECT tok, b, count(*) AS c FROM tok GROUP BY 1, 2),
+         |nt AS (SELECT b, CAST(sum(c) AS BIGINT) AS nt FROM tb GROUP BY 1),
+         |nv AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS nv
+         |       FROM (SELECT tok, min(b) AS fb FROM tb GROUP BY 1) GROUP BY 1),
+         |curve AS (
+         |  SELECT nt.b AS checkpoint,
+         |    CAST(sum(nt.nt) OVER (ORDER BY nt.b) AS BIGINT) AS cum_tokens,
+         |    CAST(sum(COALESCE(nv.nv, 0)) OVER (ORDER BY nt.b) AS BIGINT) AS cum_vocab
+         |  FROM nt LEFT JOIN nv ON nt.b = nv.b),
+         |pts AS (
+         |  SELECT floor(ln(CAST(cum_tokens AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS x,
+         |         floor(ln(CAST(cum_vocab AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS y
+         |  FROM curve),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    SUM(CAST(x AS DECIMAL(18,9))) AS sx,
+         |    SUM(CAST(y AS DECIMAL(18,9))) AS sy,
+         |    SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS sxx,
+         |    SUM(CAST(x AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9))) AS sxy
+         |  FROM pts),
+         |f AS (
+         |  SELECT CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         |    CAST(sxy AS DOUBLE) AS sxyd
+         |  FROM a),
+         |g AS (
+         |  SELECT (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS beta,
+         |         nd, sxd, syd
+         |  FROM f)
+         |SELECT curve.checkpoint, curve.cum_tokens, curve.cum_vocab,
+         |  floor(g.beta * 1e9 + 0.5) / 1e9 AS heaps_beta,
+         |  floor(((g.syd - g.beta * g.sxd) / g.nd) * 1e9 + 0.5) / 1e9 AS heaps_log_k
+         |FROM curve CROSS JOIN g""".stripMargin,
 
     // q67's clusters re-resolved by QUALITY: the q33 score formula joins
     // on, and each cluster's keeper is its argmax-score member (ties →

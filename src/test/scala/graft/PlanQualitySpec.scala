@@ -173,6 +173,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
   }
 
+  test("q162 explodes the corpus once: both growth readouts reuse the (tok, bucket) exchange") {
+    // The Heaps'-curve cost story is ONE corpus explode shared by the
+    // per-bucket token totals and the first-occurrence vocab counts. The
+    // min(when(c >= 1, b)) anchor in TextQueries exists precisely so
+    // Catalyst cannot eliminate the shared (tok, bucket) aggregate from
+    // the vocab branch and re-explode the corpus — pin the reuse here.
+    val df = SparkEntry.queries("q162_heaps_law")(spark, dir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    val textScans = "ReadSchema: struct<doc_id:bigint,text:string>".r
+      .findAllIn(plan).size
+    assert(textScans == 1, s"expected 1 exploded text scan, saw $textScans:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
+  }
+
   test("q68 stratified sample is a two-level top-N: no per-stratum window, partial agg") {
     // The round-2 scale-killer: row_number over Window.partitionBy(lang)
     // pushes each language's ENTIRE corpus through one task to keep 50

@@ -96,4 +96,32 @@ class TextSpec extends SparkSpec {
     // hello , world ! it ' s fine → 8
     assert(n == 8)
   }
+
+  test("q162 first-occurrence curve ≡ naive per-checkpoint distinct aggregation") {
+    // The single-scan trick (V_k = Σ_{b≤k} |{tok : min-bucket = b}|) must
+    // equal the 8-aggregation naive form (distinct tokens over each doc_id
+    // prefix) — checkpoint by checkpoint, tokens and vocab both.
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q162_heaps_law")(spark, dir)
+      .orderBy("checkpoint").collect()
+    val d  = graft.core.Tables(spark, dir).documents
+    val mx = d.agg(max(col("doc_id"))).collect().head.getLong(0)
+    rows.foreach { r =>
+      val k  = r.getAs[Long]("checkpoint")
+      // bucket(doc) ≤ k  ⇔  doc_id·8 div (mx+1) + 1 ≤ k
+      val prefix = d.filter(expr(s"CAST((doc_id * 8) DIV ($mx + 1) AS BIGINT) + 1") <= k)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      val Array(nTok, nVoc) =
+        prefix.agg(count(lit(1)), countDistinct(col("tok"))).collect().head
+          .toSeq.toArray.map(_.asInstanceOf[Long])
+      assert(r.getAs[Long]("cum_tokens") == nTok, s"tokens at checkpoint $k")
+      assert(r.getAs[Long]("cum_vocab") == nVoc, s"vocab at checkpoint $k")
+    }
+    // fit sanity: vocab grows sublinearly (β < 1); the synthetic corpus
+    // shares one small vocabulary, so it saturates in the first bucket
+    // and β legitimately sits near 0 — exactly the "more data stops
+    // adding words" signal the curve exists to expose.
+    val beta = rows.head.getAs[Double]("heaps_beta")
+    assert(beta >= 0.0 && beta < 1.0, s"heaps_beta=$beta")
+  }
 }
