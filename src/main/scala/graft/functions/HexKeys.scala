@@ -25,6 +25,21 @@ object HexKeys {
     digit(hex, from) * 4096 + digit(hex, from + 1) * 256 +
       digit(hex, from + 2) * 16 + digit(hex, from + 3)
 
+  /** Hex digits [from, from+8) as a BIGINT in [0, 2^32) — the 32-bit
+    * big-endian md5 prefix `graftx.KmvDistinct` hashes with, decodable
+    * from a kept hex-string key (so KMV minima that rode a string-keyed
+    * bounded heap recover the numeric estimator input).
+    */
+  def value32(hex: Column, from: Int = 0): Column =
+    (0 until 8).map(j => digit(hex, from + j).cast("long") * (1L << (4 * (7 - j))))
+      .reduce(_ + _)
+
+  /** SQL form of [[value32]]. */
+  def value32Sql(from: Int = 0, hexCol: String = "hex"): String =
+    (0 until 8).map { j =>
+      s"CAST(${digitSql(from + j, hexCol)} AS BIGINT) * ${1L << (4 * (7 - j))}"
+    }.mkString("(", " + ", ")")
+
   /** Kirsch–Mitzenmacher bucket array for a depth-`d` width-`w` sketch:
     * position j = (h1 + j·h2) mod w with h1/h2 two independent 16-bit
     * slices of one md5 — ONE hash per key, d derived positions (the same

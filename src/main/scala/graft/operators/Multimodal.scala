@@ -469,13 +469,40 @@ object Multimodal {
     * [[syntheticPng]] of `id·31 + f` — id-derived dims/colors, so frame
     * sampling is oracle-checkable arithmetically.
     */
-  def syntheticVideo(id: Long, nFrames: Int): Array[Byte] = {
-    val frames = (0 until nFrames).map(f => syntheticPng(id * 31 + f))
+  def syntheticVideo(id: Long, nFrames: Int): Array[Byte] =
+    buildGvid((0 until nFrames).map(f => syntheticPng(id * 31 + f)))
+
+  private def buildGvid(frames: Seq[Array[Byte]]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
-    bb.put("GVID".getBytes("US-ASCII")).putInt(nFrames)
+    bb.put("GVID".getBytes("US-ASCII")).putInt(frames.size)
     frames.foreach { p => bb.putInt(p.length); bb.put(p) }
     bb.array()
   }
+
+  /** Number of frames in the q164 pattern video for dense sequence id
+    * `seq` — 3 to 5, so family members differ in length.
+    */
+  def patternVideoFrameCount(seq: Long): Int = ((seq % 3) + 3).toInt
+
+  /** Frame key of frame `f` in pattern video `seq`: consecutive ids in
+    * blocks of 8 share a 16-key family block (seq div 8), frame keys are
+    * consecutive within it, and odd ids shift by one — so same-parity
+    * family members share their full frame prefix (exact frame-hash
+    * containment 1.0) while cross-parity members overlap partially.
+    * Offset + frame index stays < 16, so key blocks never collide across
+    * families; families are id-dense and BOUNDED (≤ 8 members), keeping
+    * the q164 frame-hash join linear in corpus size.
+    */
+  def patternFrameKey(seq: Long, f: Int): Long = (seq / 8) * 16 + f + (seq % 2)
+
+  /** q164 synthetic pattern video: a GVID of [[syntheticPatternPng]]
+    * frames at [[patternFrameKey]] keys — container parse and per-frame
+    * imageio decode are real; frame dims/pixels replay arithmetically in
+    * the oracle exactly like q127's stills.
+    */
+  def syntheticPatternVideo(seq: Long): Array[Byte] =
+    buildGvid((0 until patternVideoFrameCount(seq))
+      .map(f => syntheticPatternPng(patternFrameKey(seq, f))))
 
   /** Parse a GVID container, copying out only the frames `keep` selects
     * (skipped frames advance the buffer position WITHOUT copying their

@@ -33,6 +33,11 @@ object TextQueries {
     */
   private val HeapsBuckets = 8
 
+  /** q163 KMV sketch size (k minima kept per source) — shared by the
+    * Spark def and the DuckDB oracle below.
+    */
+  private val KmvOverlapK = 128
+
   val defs: Map[String, Q] = Map(
     // Token counting: whitespace + BPE-ish regex tokens, distinct counts,
     // mean token length.
@@ -918,6 +923,75 @@ object TextQueries {
       curve.crossJoin(broadcast(fit))
     },
 
+    // KMV set-overlap estimation — the sketch answer to "how much
+    // vocabulary do two sources share?" without ever joining their full
+    // token sets: each source keeps only its k smallest distinct 32-bit
+    // md5 prefixes (k-minimum-values, the q66 sketch), pairwise union
+    // sketches come from merging two ≤k-element arrays (any hash in the
+    // union's k minima is among some source's k minima, so the merge is
+    // EXACT), and |A∩B| falls out of inclusion–exclusion
+    // est(A) + est(B) − est(A∪B). The exact distinct-token overlap rides
+    // along so the estimate is audited in the same result (q152's
+    // "measure, don't guess" discipline). 100 TB shape: the corpus
+    // explode collapses to a distinct (source, token) aggregate; the
+    // k-min pick is the bounded TopKPairs heap (map-side ≤ k survivors
+    // per source, never a per-source sort); pair arithmetic runs on
+    // |sources|² rows of ≤ k-element arrays. Determinism: minima ride as
+    // 8-hex-char strings (ASCII order == numeric order), the estimator
+    // ((k−1)·2^32 / h_k) is one fixed-order double division from a
+    // BIGINT decode both engines share.
+    "q163_kmv_overlap" -> { (s, dir) =>
+      import graft.functions.HexKeys
+      val K  = KmvOverlapK
+      val d  = Tables(s, dir).documents
+      val st = d.select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      // distinct 32-bit prefixes per source (token-collision dedup BEFORE
+      // the heap — KmvDistinct's TreeSet holds distinct hashes, not
+      // distinct inputs), then the bounded k-min heap
+      val kept = st.select(col("source"), substring(md5(col("tok")), 1, 8).as("h8"))
+        .groupBy(col("source"), col("h8")).agg(count(lit(1)).as("ch"))
+        .groupBy(col("source"))
+        .agg(org.apache.spark.sql.graftx.TopKPairs.topK(col("h8"), col("ch"), K)
+               .as("mins"))
+        .select(col("source"),
+                transform(col("mins"), m => m.getField("key")).as("keys"))
+      val est128 = lit((K - 1).toDouble) * lit(4294967296.0)
+      val per = kept
+        .withColumn("cnt", size(col("keys")).cast(LongType))
+        .withColumn("est",
+          when(col("cnt") < K, col("cnt").cast(DoubleType))
+            .otherwise(est128 /
+              HexKeys.value32(element_at(col("keys"), K)).cast(DoubleType)))
+      val u = per.select(col("source").as("source_a"), col("keys").as("ka"),
+                         col("cnt").as("ca"), col("est").as("est_a"))
+        .crossJoin(per.select(col("source").as("source_b"), col("keys").as("kb"),
+                              col("cnt").as("cb"), col("est").as("est_b")))
+        .filter(col("source_a") < col("source_b"))
+        .withColumn("uall", array_distinct(concat(col("ka"), col("kb"))))
+        .withColumn("est_union",
+          when(col("ca") < K && col("cb") < K,
+               size(col("uall")).cast(DoubleType))
+            .otherwise(est128 /
+              HexKeys.value32(element_at(array_sort(col("uall")), K))
+                .cast(DoubleType)))
+        .withColumn("est_intersect",
+          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
+      val exact = st.select(col("source").as("source_a"), col("tok"))
+        .join(st.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      def q9(c: Column) = floor(c * 1e9 + 0.5) / 1e9
+      u.join(exact, Seq("source_a", "source_b"))
+        .select(col("source_a"), col("source_b"), col("exact_overlap"),
+          q9(col("est_a")).as("est_a"), q9(col("est_b")).as("est_b"),
+          q9(col("est_union")).as("est_union"),
+          q9(col("est_intersect")).as("est_intersect"),
+          q9((col("est_intersect") - col("exact_overlap").cast(DoubleType)) /
+             col("exact_overlap").cast(DoubleType)).as("rel_err"))
+    },
+
     // Quality-aware cluster resolution — keep the BEST copy, not the
     // first: near-dup clusters carry genuinely different texts (unlike
     // exact-dup groups, where every member scores identically and
@@ -1168,6 +1242,52 @@ object TextQueries {
         .select(col("media_id"), col("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))
         .withColumn("is_canonical", col("media_id") === col("cluster_id"))
+    },
+
+    // Perceptual VIDEO near-dup — the sequence modality q127 (stills)
+    // and q135 (audio) don't cover: two videos are near-dups when most
+    // of their FRAMES match perceptually, robust to re-encoding and to
+    // trims (a strict subsequence still matches). Frames decode for
+    // real (GVID parse + imageio, the q73 path) to per-frame dHashes;
+    // matching is an EXACT equi-join on the 64-bit frame hash — never
+    // all-pairs, never Hamming-on-pairs: candidate pairs only exist
+    // where two videos share a frame hash, and the pair readout is a
+    // count aggregate over those matches. Containment =
+    // |shared hashes| / min(|A|, |B|) ≥ 0.8, thresholded in INTEGER
+    // arithmetic (n·10 ≥ 8·min). 100 TB shape: frame explode is
+    // scan-local; the join key is a 64-bit hash (near-unique unless
+    // content repeats — a black-frame-style hot key is the one skew
+    // risk, handled the usual way: AQE skew split, or pre-drop
+    // ubiquitous hashes the way stopwords are dropped). The synthetic
+    // corpus (every 4th doc; patternFrameKey families) keeps families
+    // ≤ 8 members so result size stays linear in the corpus.
+    "q164_video_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val idsDf = Tables(s, dir).documents
+        .filter(col("doc_id") % 4 === 0)
+        .select(expr("doc_id DIV 4").as("seq"))
+      val para = s.sparkContext.defaultParallelism
+      val base = (if (idsDf.rdd.getNumPartitions < para)
+                    idsDf.repartition(para) else idsDf).as[Long]
+      val fr = base.flatMap { seq =>
+        graft.operators.Multimodal.videoFrames(
+          graft.operators.Multimodal.syntheticPatternVideo(seq)).map { png =>
+          (seq, graft.operators.Multimodal.dHash64(png)
+            .getOrElse(sys.error(s"undecodable frame in video $seq")))
+        }
+      }.toDF("vid", "fh").distinct()
+      val nd = fr.groupBy(col("vid")).agg(count(lit(1)).as("ndh"))
+      val m = fr.select(col("vid").as("vid_a"), col("fh"))
+        .join(fr.select(col("vid").as("vid_b"), col("fh")), Seq("fh"))
+        .filter(col("vid_a") < col("vid_b"))
+        .groupBy(col("vid_a"), col("vid_b")).agg(count(lit(1)).as("n_match"))
+      m.join(nd.select(col("vid").as("vid_a"), col("ndh").as("nd_a")), Seq("vid_a"))
+        .join(nd.select(col("vid").as("vid_b"), col("ndh").as("nd_b")), Seq("vid_b"))
+        .filter(col("n_match") * 10 >= least(col("nd_a"), col("nd_b")) * 8)
+        .select(col("vid_a"), col("vid_b"), col("n_match"),
+          col("nd_a"), col("nd_b"),
+          (col("n_match").cast(DoubleType) /
+           least(col("nd_a"), col("nd_b")).cast(DoubleType)).as("containment"))
     },
 
     // Semi-structured extraction: JSON props → typed column, aggregated.
@@ -2332,6 +2452,125 @@ object TextQueries {
          |  floor(g.beta * 1e9 + 0.5) / 1e9 AS heaps_beta,
          |  floor(((g.syd - g.beta * g.sxd) / g.nd) * 1e9 + 0.5) / 1e9 AS heaps_log_k
          |FROM curve CROSS JOIN g""".stripMargin,
+
+    // Video near-dup: frame keys replayed arithmetically (seq = doc_id/4,
+    // family block seq//8, parity offset), each distinct key's dHash
+    // rebuilt with the q127 pixel arithmetic (f = key%16, v = key//16 —
+    // syntheticPatternPng's two parameters), then the same exact
+    // hash-join + integer containment threshold.
+    "q164_video_neardup" ->
+      """WITH vids AS (
+        |  SELECT doc_id // 4 AS vid, (doc_id // 4) % 3 + 3 AS nf
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |fx AS (SELECT vid, unnest(range(nf)) AS fidx FROM vids),
+        |keys AS (SELECT vid, (vid // 8) * 16 + fidx + (vid % 2) AS k0 FROM fx),
+        |ids AS (
+        |  SELECT k0, CAST(k0 % 16 AS BIGINT) AS f, k0 // 16 AS v
+        |  FROM (SELECT DISTINCT k0 FROM keys)),
+        |px AS (SELECT k0, f, v, unnest(generate_series(0, 1151)) AS p FROM ids),
+        |xy AS (SELECT k0, f, v, p % 36 AS x, p // 36 AS y FROM px),
+        |g AS (
+        |  SELECT k0, y // 4 AS r, x // 4 AS c,
+        |    (x*(3 + f%5) + y*(5 + f%7) + f*37) % 180 + 10
+        |      + CASE WHEN (x*7 + y*11 + v*53) % 23 = v % 23 THEN 60 ELSE 0 END AS gv
+        |  FROM xy),
+        |cells AS (
+        |  SELECT k0, r, c, CAST(SUM(gv) AS BIGINT) AS s FROM g GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.k0, a.r * 8 + a.c AS kb,
+        |         CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.k0 = b.k0 AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (
+        |  SELECT k0,
+        |    CAST(SUM(CASE WHEN kb < 32 THEN bit * (CAST(1 AS BIGINT) << kb) ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(SUM(CASE WHEN kb >= 32 THEN bit * (CAST(1 AS BIGINT) << (kb - 32)) ELSE 0 END) AS BIGINT) AS h2
+        |  FROM bits GROUP BY 1),
+        |vh AS (SELECT DISTINCT vid, h1, h2 FROM keys JOIN h USING (k0)),
+        |nd AS (SELECT vid, CAST(count(*) AS BIGINT) AS ndh FROM vh GROUP BY 1),
+        |m AS (
+        |  SELECT a.vid AS vid_a, b.vid AS vid_b, CAST(count(*) AS BIGINT) AS n_match
+        |  FROM vh a JOIN vh b
+        |    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.vid < b.vid
+        |  GROUP BY 1, 2)
+        |SELECT m.vid_a, m.vid_b, m.n_match, na.ndh AS nd_a, nb.ndh AS nd_b,
+        |  CAST(m.n_match AS DOUBLE) / CAST(least(na.ndh, nb.ndh) AS DOUBLE) AS containment
+        |FROM m JOIN nd na ON na.vid = m.vid_a JOIN nd nb ON nb.vid = m.vid_b
+        |WHERE m.n_match * 10 >= least(na.ndh, nb.ndh) * 8""".stripMargin,
+
+    // KMV overlap: same distinct (source, token) base, k smallest
+    // distinct md5 prefixes via a rank window (the heap's order-
+    // insensitive restatement), union minima from merged kept lists,
+    // identical estimator arithmetic and quantization.
+    "q163_kmv_overlap" -> {
+      val K   = KmvOverlapK
+      val h32 = graft.functions.HexKeys.value32Sql(0, "hk")
+      val h32u = graft.functions.HexKeys.value32Sql(0, "hku")
+      s"""WITH st AS (
+         |  SELECT DISTINCT source, tok FROM
+         |    (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |hh AS (SELECT DISTINCT source, substring(md5(tok), 1, 8) AS h8 FROM st),
+         |rk AS (
+         |  SELECT source, h8,
+         |         row_number() OVER (PARTITION BY source ORDER BY h8) AS rn
+         |  FROM hh),
+         |kept AS (SELECT source, h8, rn FROM rk WHERE rn <= $K),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+         |         max(CASE WHEN rn = $K THEN h8 END) AS hk
+         |  FROM kept GROUP BY 1),
+         |perd AS (
+         |  SELECT source, cnt,
+         |    CASE WHEN cnt < $K THEN CAST(cnt AS DOUBLE)
+         |         ELSE (CAST(${K - 1} AS DOUBLE) * 4294967296.0) / CAST($h32 AS DOUBLE)
+         |    END AS est
+         |  FROM per),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b
+         |  FROM (SELECT DISTINCT source FROM documents) a
+         |  JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+         |uni AS (
+         |  SELECT p.source_a, p.source_b, k.h8
+         |  FROM pairs p JOIN kept k ON k.source = p.source_a
+         |  UNION
+         |  SELECT p.source_a, p.source_b, k.h8
+         |  FROM pairs p JOIN kept k ON k.source = p.source_b),
+         |urk AS (
+         |  SELECT source_a, source_b, h8,
+         |         row_number() OVER (PARTITION BY source_a, source_b ORDER BY h8) AS rn
+         |  FROM uni),
+         |uagg AS (
+         |  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS ucnt,
+         |         max(CASE WHEN rn = $K THEN h8 END) AS hku
+         |  FROM urk GROUP BY 1, 2),
+         |ue AS (
+         |  SELECT u.source_a, u.source_b,
+         |    pa.est AS est_a, pb.est AS est_b,
+         |    CASE WHEN pa.cnt < $K AND pb.cnt < $K THEN CAST(u.ucnt AS DOUBLE)
+         |         ELSE (CAST(${K - 1} AS DOUBLE) * 4294967296.0) / CAST($h32u AS DOUBLE)
+         |    END AS est_union
+         |  FROM uagg u
+         |  JOIN perd pa ON pa.source = u.source_a
+         |  JOIN perd pb ON pb.source = u.source_b),
+         |ui AS (
+         |  SELECT source_a, source_b, est_a, est_b, est_union,
+         |         greatest(est_a + est_b - est_union, 0.0) AS est_intersect
+         |  FROM ue),
+         |ex AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(count(*) AS BIGINT) AS exact_overlap
+         |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT ui.source_a, ui.source_b, ex.exact_overlap,
+         |  floor(est_a * 1e9 + 0.5) / 1e9 AS est_a,
+         |  floor(est_b * 1e9 + 0.5) / 1e9 AS est_b,
+         |  floor(est_union * 1e9 + 0.5) / 1e9 AS est_union,
+         |  floor(est_intersect * 1e9 + 0.5) / 1e9 AS est_intersect,
+         |  floor((est_intersect - CAST(ex.exact_overlap AS DOUBLE))
+         |        / CAST(ex.exact_overlap AS DOUBLE) * 1e9 + 0.5) / 1e9 AS rel_err
+         |FROM ui JOIN ex USING (source_a, source_b)""".stripMargin
+    },
 
     // q67's clusters re-resolved by QUALITY: the q33 score formula joins
     // on, and each cluster's keeper is its argmax-score member (ties →

@@ -66,4 +66,29 @@ class KmvSpec extends SparkSpec {
     byParts.head.values.foreach(m => assert(math.abs(m - 499.5) < 150.0,
       s"sampled median $m implausibly far from 499.5"))
   }
+
+  test("q163 per-source estimates ≡ the graftx KmvDistinct aggregate") {
+    // q163 rebuilds each source's KMV estimate from string-keyed minima
+    // (bounded TopKPairs heap + hex decode) so union sketches can be
+    // merged as arrays; the aggregate computes the same estimate from
+    // its TreeSet of 32-bit hashes. If either derivation drifts (hash
+    // input, prefix width, estimator arithmetic), they disagree.
+    val dir  = "/root/testdata/sf0.001"
+    val d    = graft.core.Tables(spark, dir).documents
+    val tok  = d.select(col("source"),
+      explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+    val viaAgg = tok.groupBy(col("source"))
+      .agg(KmvDistinct.kmvDistinct(col("tok"), 128).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaQuery = SparkEntry.queries("q163_kmv_overlap")(spark, dir)
+      .select(col("source_a").as("source"), col("est_a").as("est"))
+      .union(SparkEntry.queries("q163_kmv_overlap")(spark, dir)
+        .select(col("source_b"), col("est_b")))
+      .distinct().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaQuery.keySet == viaAgg.keySet)
+    viaQuery.foreach { case (src, est) =>
+      val agg = math.floor(viaAgg(src) * 1e9 + 0.5) / 1e9 // q163 quantizes
+      assert(est == agg, s"$src: query=$est aggregate=$agg")
+    }
+  }
 }

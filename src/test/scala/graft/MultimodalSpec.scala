@@ -236,4 +236,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L).is_decoded) // video now counts as decoded
     assert(out(9L).feature.isEmpty && !out(9L).is_decoded)
   }
+
+  test("q164 pattern videos: container round-trip and family frame sharing") {
+    // construction invariants behind the q164 oracle: frame f of video
+    // `seq` IS syntheticPatternPng(patternFrameKey(seq, f))
+    for (seq <- Seq(0L, 1L, 7L, 8L, 23L)) {
+      val frames = Multimodal.videoFrames(Multimodal.syntheticPatternVideo(seq))
+      assert(frames.size == Multimodal.patternVideoFrameCount(seq))
+      frames.zipWithIndex.foreach { case (png, f) =>
+        assert(png.sameElements(
+          Multimodal.syntheticPatternPng(Multimodal.patternFrameKey(seq, f))))
+      }
+    }
+    // same family (block of 8), same parity → the shorter video's frame
+    // keys are a prefix of the longer's → full frame-hash containment
+    def keys(seq: Long) = (0 until Multimodal.patternVideoFrameCount(seq))
+      .map(Multimodal.patternFrameKey(seq, _)).toSet
+    assert(keys(0L).subsetOf(keys(2L)) || keys(2L).subsetOf(keys(0L)))
+    // cross parity overlaps but (for equal lengths) never fully contains
+    assert(keys(0L).intersect(keys(3L)).nonEmpty)
+    // different families never share a key
+    assert(keys(1L).intersect(keys(9L)).isEmpty)
+  }
 }
