@@ -111,6 +111,48 @@ object IncrementalQueries {
     // 1-based permutation rank; shard/offset are then scan-local
     // integer arithmetic.
     // ---------------------------------------------------------------
+    // ---------------------------------------------------------------
+    // q165: curriculum schedule — the ordered-training-data variant of
+    // q95's epoch shuffle: short documents first (the classic
+    // length-based curriculum), random WITHIN each difficulty stage so
+    // batches stay i.i.d. inside a stage. One packed BIGINT key carries
+    // the whole ordering — stage (2 bits) ≫ md5 permutation (24 bits)
+    // ≫ doc_id tiebreak (31 bits), total < 2^59 — so the global rank is
+    // q95's two-pass prefix sum over ONE key: no per-stage windows, no
+    // Window.orderBy, stage boundaries land for free. Deterministic by
+    // construction (md5, never rand()); the oracle replays the same key
+    // arithmetic with a row_number.
+    // ---------------------------------------------------------------
+    "q165_curriculum_schedule" -> { (s, dir) =>
+      import graft.functions.HexKeys
+      val d   = Tables(s, dir).documents
+      val hex = md5(concat(lit("curr0|"), col("doc_id").cast(StringType)))
+      val h24 = HexKeys.value16(hex, 0).cast(LongType) * 256L +
+        HexKeys.digit(hex, 4).cast(LongType) * 16L +
+        HexKeys.digit(hex, 5).cast(LongType)
+      val keyed = d
+        .withColumn("n_tok", size(Text.tokens(col("text"))).cast(LongType))
+        .withColumn("stage", least(lit(3L), expr("n_tok DIV 64")))
+        .select(
+          when(col("doc_id").between(0L, 2147483647L),
+               col("stage") * 72057594037927936L + // 2^56
+                 h24 * 2147483648L + col("doc_id"))
+            .otherwise(raise_error(concat(
+              lit("q165 curriculum requires 0 <= doc_id < 2^31, got "),
+              col("doc_id").cast(StringType)))
+              .cast(LongType))
+            .as("curr_key"),
+          lit(1L).as("one"))
+      graft.operators.Sharding
+        .runningTotal(keyed, "curr_key", "one", "curriculum_rank")
+        .select(
+          (col("curr_key") % 2147483648L).as("doc_id"),
+          expr("curr_key DIV 72057594037927936").as("stage"),
+          col("curriculum_rank"),
+          expr("(curriculum_rank - 1) div 64").as("shard_id"),
+          ((col("curriculum_rank") - 1) % 64).as("shard_offset"))
+    },
+
     "q95_epoch_shuffle" -> { (s, dir) =>
       val d   = Tables(s, dir).documents
       val hex = md5(concat(lit("epoch0|"), col("doc_id").cast(StringType)))
@@ -221,6 +263,31 @@ object IncrementalQueries {
          |  coalesce(per_doc.longest_span, 0) AS longest_span
          |FROM d LEFT JOIN np USING (doc_id) LEFT JOIN per_doc USING (doc_id)
          |WHERE d.doc_id >= $Split""".stripMargin,
+
+    // Same packed-key arithmetic, rank via row_number.
+    "q165_curriculum_schedule" -> {
+      val h24 = s"(CAST(${graft.functions.HexKeys.value16Sql(0)} AS BIGINT) * 256 + " +
+        s"CAST(${graft.functions.HexKeys.digitSql(4)} AS BIGINT) * 16 + " +
+        s"CAST(${graft.functions.HexKeys.digitSql(5)} AS BIGINT))"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         least(3, len(string_split(text, ' ')) // 64) AS stage,
+         |         md5('curr0|' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, stage,
+         |         stage * 72057594037927936 + $h24 * 2147483648 + doc_id AS ck
+         |  FROM t),
+         |ranked AS (
+         |  SELECT doc_id, stage,
+         |         row_number() OVER (ORDER BY ck) AS curriculum_rank
+         |  FROM keyed)
+         |SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+         |  CAST(curriculum_rank AS BIGINT) AS curriculum_rank,
+         |  (curriculum_rank - 1) // 64 AS shard_id,
+         |  (curriculum_rank - 1) % 64 AS shard_offset
+         |FROM ranked""".stripMargin
+    },
 
     "q95_epoch_shuffle" -> {
       val h32 = s"(CAST(${graft.functions.HexKeys.value16Sql(0)} AS BIGINT) * 65536 + " +

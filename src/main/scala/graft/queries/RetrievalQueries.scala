@@ -28,6 +28,12 @@ object RetrievalQueries {
   private val CmsDepth = 4
   private val CmsWidth = 1024
 
+  /** q166 sketch width — wider than [[CmsWidth]] because inner-product
+    * (join-size) estimation errors scale with ||a||₁·||b||₁/width, far
+    * steeper than the point-query overcount q89 demonstrates.
+    */
+  private val JoinEstWidth = 8192
+
   /** K–M bucket row per hash row — shared derivation in
     * [[graft.functions.HexKeys.kmBuckets]] (also used by the streaming
     * sketch in `streaming.EventsStream`).
@@ -244,6 +250,48 @@ object RetrievalQueries {
         .agg(min(col("cnt")).as("cms_estimate"))
         .select(col("tok"), col("true_cnt"), col("cms_estimate"),
                 (col("cms_estimate") - col("true_cnt")).as("overcount"))
+    },
+
+    // ---------------------------------------------------------------
+    // q166: join-size estimation via CMS inner product (AMS-style) —
+    // the planner primitive behind "broadcast, shuffle, or pre-filter?"
+    // decisions: |A ⋈ B| on a key = Σ_k cntA(k)·cntB(k), estimated
+    // WITHOUT co-shuffling the sides by taking the minimum over depth
+    // rows of the inner product of each side's count-min sketch (the
+    // q89 sketch; inner products of CMS rows overestimate by hash
+    // collisions, never underestimate). 100 TB shape: each side
+    // collapses map-side to its ≤ d·w-counter sketch independently —
+    // the estimate costs two scans and a 4096-row join, vs the real
+    // join's full co-shuffle; the exact value rides along (computed on
+    // the key-bounded count tables, not the raw rows) as the audit
+    // column, q152/q163 discipline. All-integer arithmetic hash-gates.
+    // ---------------------------------------------------------------
+    "q166_join_size_estimate" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      // wider than q89's token sketch: inner-product error scales with
+      // ||a||1 * ||b||1 / width, and the key domain here is dense
+      val w = JoinEstWidth
+      def counted(df: DataFrame, key: String) =
+        df.select(col(key).cast(LongType).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+          .withColumn("hex", md5(concat(lit("cms|"), col("k").cast(StringType))))
+      val a = counted(t.events, "user_id")
+      val b = counted(t.orders, "o_custkey")
+      def sketch(side: DataFrame) = side
+        .select(col("cnt"), posexplode(
+          graft.functions.HexKeys.kmBuckets(col("hex"), CmsDepth, w)).as(Seq("r", "bucket")))
+        .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("c"))
+      val est = sketch(a).withColumnRenamed("c", "ca")
+        .join(sketch(b).withColumnRenamed("c", "cb"), Seq("r", "bucket"))
+        .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min(col("ip")).as("cms_estimate"))
+      val exact = a.select(col("k"), col("cnt").as("ca"))
+        .join(b.select(col("k"), col("cnt").as("cb")), Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("exact_size"),
+             count(lit(1)).as("n_shared_keys"))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_size"), col("n_shared_keys"), col("cms_estimate"),
+                (col("cms_estimate") - col("exact_size")).as("overcount"))
     },
 
     // ---------------------------------------------------------------
@@ -556,8 +604,8 @@ object RetrievalQueries {
     }
   )
 
-  private def hex4Sql(from: Int): String =
-    graft.functions.HexKeys.value16Sql(from)
+  private def hex4Sql(from: Int, hexCol: String = "hex"): String =
+    graft.functions.HexKeys.value16Sql(from, hexCol)
 
   /** The q129 fit+apply, scored once per (session, dir) — the jaccard05
     * memo discipline: q129 itself and q131's evaluator both consume the
@@ -868,6 +916,40 @@ object RetrievalQueries {
          |SELECT tok, true_cnt, cms_estimate,
          |       cms_estimate - true_cnt AS overcount
          |FROM est""".stripMargin
+    },
+
+    // Same sketch arithmetic per side (q89's UNION-ALL unpivot), inner
+    // product per depth row, min across rows, exact size on the
+    // key-bounded count join.
+    "q166_join_size_estimate" -> {
+      def unpivot(src: String) = (0 until CmsDepth).map { j =>
+        s"SELECT cnt, CAST($j AS INTEGER) AS r, (h1 + $j * h2) % $JoinEstWidth AS bucket FROM $src"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH a AS (
+         |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1),
+         |b AS (
+         |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM orders GROUP BY 1),
+         |ah AS (SELECT cnt, ${hex4Sql(0, "hx")} AS h1, ${hex4Sql(4, "hx")} AS h2
+         |       FROM (SELECT cnt, md5('cms|' || CAST(k AS VARCHAR)) AS hx FROM a)),
+         |bh AS (SELECT cnt, ${hex4Sql(0, "hx")} AS h1, ${hex4Sql(4, "hx")} AS h2
+         |       FROM (SELECT cnt, md5('cms|' || CAST(k AS VARCHAR)) AS hx FROM b)),
+         |ae AS (${unpivot("ah")}),
+         |be AS (${unpivot("bh")}),
+         |acms AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS ca FROM ae GROUP BY 1, 2),
+         |bcms AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS cb FROM be GROUP BY 1, 2),
+         |ip AS (
+         |  SELECT r, CAST(sum(ca * cb) AS BIGINT) AS ip
+         |  FROM acms JOIN bcms USING (r, bucket) GROUP BY 1),
+         |est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_estimate FROM ip),
+         |ex AS (
+         |  SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) AS exact_size,
+         |         CAST(count(*) AS BIGINT) AS n_shared_keys
+         |  FROM a JOIN b USING (k))
+         |SELECT ex.exact_size, ex.n_shared_keys, est.cms_estimate,
+         |       est.cms_estimate - ex.exact_size AS overcount
+         |FROM ex CROSS JOIN est""".stripMargin
     },
 
     "q103_feature_hashing" -> q103Oracle,

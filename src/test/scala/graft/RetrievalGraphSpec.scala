@@ -394,4 +394,30 @@ class RetrievalGraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r1 == r2, "pageRank not partition-invariant")
   }
+
+  test("q166 CMS inner product never underestimates the exact join size") {
+    // the defining sketch guarantee: every depth row's inner product is
+    // the exact size PLUS non-negative collision cross terms, so the min
+    // over rows still bounds from above
+    val row = SparkEntry.queries("q166_join_size_estimate")(
+      spark, "/root/testdata/sf0.001").collect().head
+    val exact = row.getAs[Long]("exact_size")
+    val est   = row.getAs[Long]("cms_estimate")
+    assert(exact > 0L)
+    assert(est >= exact, s"estimate $est under exact $exact")
+    assert(row.getAs[Long]("overcount") == est - exact)
+  }
+
+  test("q165 curriculum: rank is a dense permutation with monotone stages") {
+    val rows = SparkEntry.queries("q165_curriculum_schedule")(
+      spark, "/root/testdata/sf0.001")
+      .orderBy("curriculum_rank").collect()
+    assert(rows.map(_.getAs[Long]("curriculum_rank")).toSeq ==
+      (1L to rows.length.toLong))
+    // stage never decreases as the schedule advances — the curriculum
+    // property the packed key exists to deliver
+    val stages = rows.map(_.getAs[Long]("stage")).toSeq
+    assert(stages == stages.sorted)
+    assert(stages.distinct.size > 1, "degenerate single-stage corpus")
+  }
 }
