@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import graft.functions.Macros
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** DAG runner: topologically orders registered models over their `deps`
   * edges and applies each model's materializer (the Spark equivalent of
@@ -157,6 +157,51 @@ final class Runner(
         s"(have: ${listVersions(name).mkString(", ")})")
     val merge = Files.exists(Paths.get(path(name), "_WIDENING"))
     spark.read.option("mergeSchema", merge.toString).parquet(dir.toString)
+  }
+
+  /** Row-level diff between two materialized versions of a table — the
+    * "what changed between yesterday's build and today's" audit that a
+    * versioned warehouse exists to answer. One full-outer co-shuffle on
+    * the key (at 100 TB you'd partition-prune both sides to the touched
+    * slices first; the join itself is the irreducible cost of a
+    * row-level answer). Non-key columns compare via an md5 fingerprint
+    * over the UNION of both versions' columns in sorted NAME order,
+    * with null and column-absent sharing one marker — a widening that
+    * backfills null does not flag untouched rows. Keys must be unique
+    * per version (the warehouse unique-key contract); duplicate keys
+    * would cross-join.
+    */
+  def diffVersions(
+      name: String, vOld: String, vNew: String, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diffVersions needs at least one key column")
+    val o = readTableAt(name, vOld)
+    val n = readTableAt(name, vNew)
+    (keys.diff(o.columns) ++ keys.diff(n.columns)).headOption.foreach(k =>
+      throw new IllegalArgumentException(
+        s"key column '$k' missing from a version of $name"))
+    val payload = (o.columns ++ n.columns).distinct.sorted.diff(keys)
+    // concat_ws SKIPS nulls (conflating ("a", null) with ("a")), so
+    // every cell coalesces onto an explicit marker, and cells are
+    // separated by a sentinel so ("ab","c") never collides with
+    // ("a","bc"). A column ABSENT from one version uses the same marker
+    // as null: a widening that backfills null must not flag every
+    // existing row as changed (the flip side: "column dropped" and
+    // "column nulled" are indistinguishable — the standard trade).
+    def fp(df: DataFrame): Column = md5(concat_ws("\u0001",
+      payload.map { c =>
+        if (df.columns.contains(c))
+          coalesce(col(c).cast("string"), lit("\u0000"))
+        else lit("\u0000")
+      }: _*))
+    val os = o.select(keys.map(col) :+ fp(o).as("__fp_old"): _*)
+    val ns = n.select(keys.map(col) :+ fp(n).as("__fp_new"): _*)
+    os.join(ns, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") =!= col("__fp_new"), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
   }
 
   /** Retention: delete all but the newest `keep` versions. The current

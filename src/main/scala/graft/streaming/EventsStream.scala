@@ -636,6 +636,68 @@ object EventsStream {
   /** Drive a streaming DataFrame to completion against currently-available
     * files (Trigger.AvailableNow-style smoke path for local verification).
     */
+  final case class PackDoc(doc_id: Long, n: Long, stream_id: Long)
+  final case class PackState(bin: Long, fill: Long)
+  final case class PackAssign(doc_id: Long, stream_id: Long, bin_seq: Long,
+                              n_tokens: Long, bin_fill_after: Long)
+
+  /** Streaming greedy sequence packing — q140's per-stream first-fit fold
+    * with CARRY-OVER state: the open bin (id + fill) survives micro-batch
+    * boundaries, so a doc arriving in batch 7 packs into the bin batch 6
+    * left open — the shape a continuously-fed training-batch builder
+    * needs (close a bin only when the next doc overflows it, never at an
+    * arbitrary trigger boundary). State per stream key is TWO longs,
+    * bounded forever. Parity contract (asserted in StreamingSpec, both
+    * single-batch and a two-batch MemoryStream split): drained
+    * assignments are bit-identical to `Sharding.packGreedy` whenever
+    * docs arrive in doc_id order per stream — the same in-order
+    * precondition the batch fold gets from flatMapSortedGroups; within a
+    * micro-batch arrival order is free (we sort the group's slice).
+    */
+  def packStream(docs: DataFrame, capacity: Long,
+                 numStreams: Int = 32): Dataset[PackAssign] = {
+    require(capacity >= 1, "packStream needs capacity >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+                size(split(col("text"), " ")).cast("long").as("n"),
+                pmod(col("doc_id").cast("long"), lit(numStreams.toLong)).as("stream_id"))
+      .as[PackDoc]
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState[PackState, PackAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (stream, batch, state: GroupState[PackState]) =>
+          val sorted = batch.toSeq.sortBy(_.doc_id)
+          var (bin, fill) = state.getOption
+            .map(s => (s.bin, s.fill)).getOrElse((0L, -1L))
+          val out = sorted.map { d =>
+            if (fill < 0 || fill + d.n > capacity) { bin += 1; fill = d.n }
+            else fill += d.n
+            PackAssign(d.doc_id, stream, bin, d.n, fill)
+          }
+          state.update(PackState(bin, fill))
+          out.iterator
+      }
+  }
+
+  /** [[runToMemorySink]] with explicit micro-batch boundaries: drains
+    * the initially-available data, then runs each `step` (e.g. a
+    * MemoryStream addData) and drains again — the deterministic
+    * multi-batch harness carry-over-state parity tests need.
+    */
+  def runToMemorySinkSteps(df: DataFrame, queryName: String,
+                           steps: (() => Unit)*): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    steps.foreach { s => s(); q.processAllAvailable() }
+    q.stop()
+    df.sparkSession.table(queryName)
+  }
+
   def runToMemorySink(df: DataFrame, queryName: String,
                       outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream

@@ -83,6 +83,36 @@ class RunnerSpec extends SparkSpec {
     assert(e.getMessage.contains(versions.last))
   }
 
+  test("diffVersions: added/removed/changed rows, null-safe, schema-widening-safe") {
+    val wh = tmpDir()
+    def runWith(df: org.apache.spark.sql.DataFrame, runId: String) = {
+      val r = new Runner(spark, wh, t0, runId)
+      r.run(Seq(Model("t", Seq("src"),
+        Materialization.Table)(deps => deps("src"))), Map("src" -> df))
+      r
+    }
+    import org.apache.spark.sql.functions.{col, lit}
+    val v1 = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)), ("d", Some(4.0)))
+      .toDF("k", "v")
+    // v2: a changed, b null→value (must read as changed, not equal),
+    // c dropped, e added; plus a WIDENED column w (null for everyone —
+    // absent-vs-null must not flag unchanged d)
+    val v2 = Seq(("a", Some(9.0)), ("b", Some(0.0)), ("d", Some(4.0)), ("e", Some(5.0)))
+      .toDF("k", "v")
+      .withColumn("w", lit(null).cast("string"))
+    runWith(v1, "r1")
+    val r = runWith(v2, "r2")
+    val Seq(vOld, vNew) = r.listVersions("t")
+    val got = r.diffVersions("t", vOld, vNew, Seq("k")).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    // d is value-identical and its widened column w is null ⇒ absent≡null
+    // keeps it OUT of the diff; b's null→0.0 is a real change
+    assert(got == Map("a" -> "changed", "b" -> "changed",
+                      "c" -> "removed", "e" -> "added"), s"got $got")
+    intercept[IllegalArgumentException](
+      r.diffVersions("t", vOld, vNew, Seq("nope")))
+  }
+
   test("a failed rewrite leaves the _VERSION pointer and served data intact") {
     val wh = tmpDir()
     val r1 = new Runner(spark, wh, t0, "ok")

@@ -507,4 +507,35 @@ class StreamingSpec extends SparkSpec {
     assert(tight === expectedTight, "horizon cutoff diverged")
     assert(tight.size < batchPairs.size, "fixture has no cross-horizon pair — vacuous cutoff")
   }
+
+  test("streaming greedy packing ≡ batch q140; open bins carry across micro-batches") {
+    // single-batch drain over the staged corpus ≡ the batch fold
+    val streamed = EventsStream.runToMemorySink(
+      EventsStream.packStream(
+        EventsStream.readDocuments(spark, docsDir), capacity = 512L,
+        numStreams = 8).toDF(),
+      "stream_pack", OutputMode.Append())
+    val batch = SparkEntry.queries("q140_sequence_packing")(spark, dir)
+    assert(streamed.collect().toSet === batch.collect().toSet)
+
+    // two-batch split: every doc_id < 250 arrives first, the rest later —
+    // bins left open by batch 1 must keep filling in batch 2, so the
+    // drained result STILL equals the one-shot fold (this is the case a
+    // trigger-boundary bin close would break)
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = graft.core.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(rows.filter(_._1 < 250).toSeq)
+    val split = EventsStream.runToMemorySinkSteps(
+      EventsStream.packStream(
+        ms.toDF().toDF("doc_id", "text"), capacity = 512L, numStreams = 8).toDF(),
+      "stream_pack_split",
+      () => ms.addData(rows.filter(_._1 >= 250).toSeq))
+    assert(split.collect().toSet === batch.collect().toSet,
+      "carry-over state diverged from the one-shot fold")
+  }
 }
