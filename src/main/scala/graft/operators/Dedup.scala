@@ -257,7 +257,17 @@ object Dedup {
     * (doc_id, n_dup_positions, n_spans, dup_chars, longest_span).
     */
   def exactSubstrCoverage(df: DataFrame, idCol: String, textCol: String,
-                          k: Int): DataFrame = {
+                          k: Int): DataFrame =
+    substrSpanStats(df.select(col(idCol).as("doc_id")),
+                    substrCov(df, idCol, textCol, k), k)
+
+  /** Shared head of the ExactSubstr family: the (doc_id, pos) set of
+    * 1-based gram positions whose stride-1 k-gram occurs in ≥ 2 distinct
+    * documents — the exact duplicated-character witness set (see
+    * [[exactSubstrCoverage]] for the identity argument).
+    */
+  private def substrCov(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
     import org.apache.spark.sql.graftx.CharGramArray
     val g = df.select(col(idCol).as("doc_id"),
                       posexplode(CharGramArray.charGrams(col(textCol), k)))
@@ -267,8 +277,7 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select(col("gram"))
-    val cov = g.join(shared, Seq("gram")).select(col("doc_id"), col("pos"))
-    substrSpanStats(df.select(col(idCol).as("doc_id")), cov, k)
+    g.join(shared, Seq("gram")).select(col("doc_id"), col("pos"))
   }
 
   /** Incremental ExactSubstr — the delta-ingest form of
@@ -301,7 +310,11 @@ object Dedup {
     * window is bounded by one document's length) → zero-filled per-doc
     * stats.
     */
-  private def substrSpanStats(docIds: DataFrame, cov: DataFrame, k: Int): DataFrame = {
+  /** Covered gram extents [pos, pos+k) → maximal merged spans
+    * (doc_id, s, e), 1-based character extents [s, e), disjoint per doc.
+    * The gaps-and-islands window is bounded by one document's length.
+    */
+  private def mergedSpans(cov: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val isl = cov
       .withColumn("prev_end",
@@ -309,8 +322,12 @@ object Dedup {
       .withColumn("new_span",
         when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L).otherwise(0L))
       .withColumn("span_id", sum(col("new_span")).over(w))
-    val spans = isl.groupBy(col("doc_id"), col("span_id"))
+    isl.groupBy(col("doc_id"), col("span_id"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+  }
+
+  private def substrSpanStats(docIds: DataFrame, cov: DataFrame, k: Int): DataFrame = {
+    val spans = mergedSpans(cov, k)
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
            sum(col("e") - col("s")).as("dup_chars"),
@@ -324,6 +341,125 @@ object Dedup {
               coalesce(col("n_spans"), lit(0L)).as("n_spans"),
               coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
               coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+  }
+
+  /** The REMOVAL step of the ExactSubstr family — the remediation Lee et
+    * al. 2022 run after mining spans ([[exactSubstrCoverage]] / q128
+    * reports the coverage stats; this produces the CLEANED corpus): every
+    * character position covered by a cross-document duplicated span of
+    * length ≥ k is cut from the text, and the residual document survives
+    * only if ≥ `minChars` characters remain (the post-removal min-length
+    * filter real pipelines apply, since heavily-deduplicated husks are
+    * noise).
+    *
+    * Residual construction folds each document's ≤ len/k disjoint merged
+    * spans with `aggregate` — interpreted per SPAN, not per character, so
+    * the lambda cost is a rounding error next to the gram shuffle that
+    * mined the spans. Everything else is the q128 plan: one gram shuffle,
+    * per-doc bounded windows, one corpus-keyed left join; no new scale
+    * hazard.
+    *
+    * Returns one row per input document:
+    * (doc_id, clean_chars, dup_chars, kept_frac, keep, residual_text).
+    */
+  def exactSubstrRemediate(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, minChars: Int): DataFrame = {
+    val spans = mergedSpans(substrCov(df, idCol, textCol, k), k)
+    // collect_list order is partition-dependent; array_sort restores the
+    // canonical span order (spans are disjoint, so sorting the (s, e)
+    // structs sorts by s).
+    val spanArr = spans.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("sp"))
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+                         length(col(textCol)).cast(LongType).as("len"))
+    val resid = base.join(spanArr, Seq("doc_id"), "left")
+      .withColumn("sp",
+        coalesce(col("sp"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("residual_text",
+        aggregate(col("sp"),
+          struct(lit("").as("acc"), lit(1L).as("prev")),
+          (st, span) => struct(
+            concat(st.getField("acc"),
+              col("text").substr(st.getField("prev").cast("int"),
+                (span.getField("s") - st.getField("prev")).cast("int"))).as("acc"),
+            span.getField("e").as("prev")),
+          st => concat(st.getField("acc"),
+            col("text").substr(st.getField("prev").cast("int"),
+              (col("len") - st.getField("prev") + 1L).cast("int")))))
+    resid.select(col("doc_id"),
+      length(col("residual_text")).cast(LongType).as("clean_chars"),
+      (col("len") - length(col("residual_text"))).cast(LongType).as("dup_chars"),
+      when(col("len") === 0L, lit(1.0))
+        .otherwise(length(col("residual_text")).cast(DoubleType) /
+                   col("len").cast(DoubleType))
+        .as("kept_frac"),
+      (length(col("residual_text")) >= minChars).as("keep"),
+      col("residual_text"))
+  }
+
+  /** Chunk-level (line-level) dedup with document reconstruction — the
+    * RefinedWeb/CCNet-style granularity between document-level dedup
+    * ([[exact]]) and substring-level dedup ([[exactSubstrCoverage]]):
+    * documents are cut into fixed `chunkTokens`-token chunks, each
+    * DISTINCT chunk text keeps only its first corpus-wide occurrence
+    * (minimum (doc_id, chunk_idx)), and every document is reassembled
+    * from its kept chunks in order.
+    *
+    * First-occurrence choice is taken over the single BIGINT
+    * `doc_id · 2^20 + chunk_idx` rather than a struct min, so the exact
+    * tie-break arithmetic is engine-portable (valid while chunk_idx <
+    * 2^20 — i.e. docs under ~20M tokens at the default chunk size — and
+    * doc_id < 2^43; both hold by orders of magnitude for any real
+    * per-document bound, and a violation would overflow loudly, not
+    * silently reorder).
+    *
+    * Scale shape: chunking is scan-local (one `transform` over the token
+    * array — per CHUNK, not per token); the only shuffle is the
+    * chunk-text-keyed window (hash-partitioned, md5-uniform unless
+    * content repeats — exactly the duplication being removed) plus the
+    * per-doc reassembly aggregate. No all-pairs joins, no driver state.
+    *
+    * Returns one row per input document:
+    * (doc_id, n_chunks, kept_chunks, kept_tokens, residual_text).
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    val c = chunkTokens.toLong
+    val d0 = df.select(col(idCol).as("doc_id"),
+                       Text.tokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast(LongType))
+      .withColumn("n_chunks",
+        ceil(col("n_toks").cast(DoubleType) / chunkTokens).cast(LongType))
+      .filter(col("n_chunks") >= 1)
+    val chunks = d0
+      .select(col("doc_id"), col("n_chunks"),
+        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1L), i =>
+          struct(
+            array_join(slice(col("toks"), (i * c + 1L).cast("int"), lit(chunkTokens)), " ")
+              .as("chunk_text"),
+            least(col("n_toks") - i * c, lit(c)).as("chunk_toks")))))
+      .select(col("doc_id"), col("n_chunks"),
+              col("pos").cast(LongType).as("chunk_idx"),
+              col("col.chunk_text").as("chunk_text"),
+              col("col.chunk_toks").as("chunk_toks"))
+    val w = Window.partitionBy(col("chunk_text"))
+    val keyed = chunks
+      .withColumn("k", col("doc_id") * 1048576L + col("chunk_idx"))
+      .withColumn("keep_chunk", col("k") === min(col("k")).over(w))
+    keyed.groupBy(col("doc_id"))
+      .agg(max(col("n_chunks")).as("n_chunks"),
+           sum(when(col("keep_chunk"), 1L).otherwise(0L)).as("kept_chunks"),
+           sum(when(col("keep_chunk"), col("chunk_toks")).otherwise(0L))
+             .as("kept_tokens"),
+           // collect_list order is partition-dependent; sorting the
+           // (chunk_idx, chunk_text) structs restores document order.
+           // when() without otherwise yields NULL for cut chunks, which
+           // collect_list drops.
+           concat_ws(" ", transform(
+             array_sort(collect_list(
+               when(col("keep_chunk"),
+                    struct(col("chunk_idx"), col("chunk_text"))))),
+             x => x.getField("chunk_text"))).as("residual_text"))
   }
 
   def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {

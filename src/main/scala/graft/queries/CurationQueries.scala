@@ -722,6 +722,112 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q168: temperature-weighted token-budget REPEAT allocation — the
+    // upsampling dual of q96's keep/drop thinning: given a training
+    // budget of B = total_tokens DIV 2 tokens, languages get token
+    // targets ∝ T_l^α (α = 0.5, the mT5 temperature), and each document
+    // inherits its language's epoch count — floor(target/T_l) full
+    // epochs plus one extra with probability rem/T_l decided by the doc's
+    // md5 bucket (deterministic, retry-idempotent, never rand()). This is
+    // the operator that emits "repeat this doc N times" for the shard
+    // writer, where q96 only decides membership.
+    //
+    // Cross-engine arithmetic: sqrt is the ONLY float step (IEEE
+    // correctly-rounded in both engines); the normalizing sum runs over
+    // 1e6-quantized BIGINTs so double summation ORDER can never perturb
+    // a weight, and targets/epochs/extra-epoch thresholds are all-integer
+    // (h·T_l < rem·2¹⁶).
+    // ---------------------------------------------------------------
+    "q168_temperature_mixture" -> { (s, dir) =>
+      val t = Tables(s, dir).documents.select(
+        col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val perLang = t.groupBy(col("lang")).agg(sum(col("n_tokens")).as("lang_tokens"))
+        .withColumn("qs",
+          floor(sqrt(col("lang_tokens").cast(DoubleType)) * 1e6).cast(LongType))
+      val tot = perLang.agg(sum(col("qs")).as("qs_tot"),
+                            sum(col("lang_tokens")).as("all_tokens"))
+      val targets = perLang.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          expr("qs * (all_tokens DIV 2) DIV qs_tot"))
+        .select(col("lang"), col("lang_tokens"), col("target_tokens"))
+      val h = graft.functions.HexKeys.value16(
+        md5(concat(lit("mix|"), col("doc_id").cast(StringType)))).cast(LongType)
+      t.join(broadcast(targets), Seq("lang"))
+        .withColumn("h", h)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+                col("lang_tokens"), col("target_tokens"),
+                (expr("target_tokens DIV lang_tokens") +
+                 when(col("h") * col("lang_tokens") <
+                      (col("target_tokens") % col("lang_tokens")) * 65536L, 1L)
+                   .otherwise(0L)).as("n_repeats"))
+    },
+
+    // ---------------------------------------------------------------
+    // q171: UniMax budget allocation (Chung et al. 2023) — the
+    // epoch-CAPPED alternative to q168's temperature weights: given a
+    // budget B = 3·total_tokens and a hard cap of 4 epochs per language,
+    // walk languages ASCENDING by capacity C_l = 4·T_l, giving each an
+    // equal share of the remaining budget clamped to its capacity —
+    // small languages saturate their cap, large ones split what's left
+    // uniformly (maximal fairness under the repetition cap).
+    //
+    // The walk is inherently sequential but runs over ≤|langs| rows, so
+    // it rides the q157 discipline: collapse the per-lang table to ONE
+    // sorted array (sort_array ∘ collect_list — deterministic), fold it
+    // with `aggregate` (interpreted per LANGUAGE, not per row), and
+    // posexplode the allocation back out; the corpus-side work stays a
+    // single groupBy + broadcast join. Integer shares use
+    // (r − r mod k)/k — exact while shares < 2⁵³ (≈9 petatokens), far
+    // past any budget this operator would see — and the oracle replays
+    // the identical walk as a recursive CTE with BIGINT `//`.
+    // ---------------------------------------------------------------
+    "q171_unimax_alloc" -> { (s, dir) =>
+      val t = Tables(s, dir).documents.select(
+        col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val pl = t.groupBy(col("lang")).agg(sum(col("n_tokens")).as("lt"))
+      val caps = pl.select(col("lang"), col("lt"), (col("lt") * 4L).as("cap"))
+      val tot = caps.agg(sum(col("lt")).as("tt"),
+                         count(lit(1)).cast(LongType).as("l"))
+      val stT = "struct<remaining:bigint,k:bigint," +
+        "out:array<struct<lang:string,lt:bigint,cap:bigint,alloc:bigint>>>"
+      val allocs = caps
+        .agg(sort_array(collect_list(
+          struct(col("cap"), col("lang"), col("lt")))).as("xs"))
+        .crossJoin(broadcast(tot))
+        .select(posexplode(aggregate(col("xs"),
+          struct((col("tt") * 3L).as("remaining"), col("l").as("k"),
+            array().cast("array<struct<lang:string,lt:bigint,cap:bigint,alloc:bigint>>")
+              .as("out")).cast(stT),
+          (st, x) => {
+            val r = st.getField("remaining")
+            val k = st.getField("k")
+            val share = floor((r - pmod(r, k)) / k).cast(LongType)
+            val alloc = least(x.getField("cap"), share)
+            struct((r - alloc).as("remaining"), (k - 1L).as("k"),
+              concat(st.getField("out"), array(struct(
+                x.getField("lang").as("lang"), x.getField("lt").as("lt"),
+                x.getField("cap").as("cap"), alloc.as("alloc")))).as("out"))
+              .cast(stT)
+          },
+          st => st.getField("out"))))
+        .select(col("col.lang").as("lang"), col("col.lt").as("lang_tokens"),
+                col("col.cap").as("capacity"), col("col.alloc").as("alloc_tokens"))
+      val h = graft.functions.HexKeys.value16(
+        md5(concat(lit("unimax|"), col("doc_id").cast(StringType)))).cast(LongType)
+      t.join(broadcast(allocs), Seq("lang"))
+        .withColumn("h", h)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+                col("lang_tokens"), col("capacity"), col("alloc_tokens"),
+                (col("alloc_tokens") === col("capacity")).as("capped"),
+                (expr("alloc_tokens DIV lang_tokens") +
+                 when(col("h") * col("lang_tokens") <
+                      (col("alloc_tokens") % col("lang_tokens")) * 65536L, 1L)
+                   .otherwise(0L)).as("n_repeats"))
+    },
+
+    // ---------------------------------------------------------------
     // q100: dataset-card rollup — the per-source/per-language corpus
     // profile a training-data release ships (docs, tokens, chars, exact
     // dedup rate from the q31 fingerprint) over GROUPING SETS
@@ -1298,6 +1404,73 @@ object CurationQueries {
          |  CAST(thr AS DOUBLE) / CAST(n_source AS DOUBLE) AS sample_rate
          |FROM t
          |WHERE keep_bucket * n_source < 65536 * thr""".stripMargin
+    },
+
+    "q168_temperature_mixture" -> {
+      val bucket = s"(${graft.functions.HexKeys.value16Sql()})"
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |pl AS (
+         |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens,
+         |         CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000)
+         |              AS BIGINT) AS qs
+         |  FROM t GROUP BY lang),
+         |tot AS (
+         |  SELECT CAST(SUM(qs) AS BIGINT) AS qs_tot,
+         |         CAST(SUM(lang_tokens) AS BIGINT) AS all_tokens
+         |  FROM pl),
+         |tgt AS (
+         |  SELECT pl.lang, pl.lang_tokens,
+         |         (pl.qs * (tot.all_tokens // 2)) // tot.qs_tot AS target_tokens
+         |  FROM pl CROSS JOIN tot),
+         |h AS (
+         |  SELECT doc_id, md5('mix|' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM documents)
+         |SELECT t.doc_id, t.lang, t.n_tokens, tgt.lang_tokens, tgt.target_tokens,
+         |  CAST(tgt.target_tokens // tgt.lang_tokens +
+         |       CASE WHEN CAST($bucket AS BIGINT) * tgt.lang_tokens <
+         |                 (tgt.target_tokens % tgt.lang_tokens) * 65536
+         |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         |FROM t JOIN tgt USING (lang) JOIN h USING (doc_id)""".stripMargin
+    },
+
+    "q171_unimax_alloc" -> {
+      val bucket = s"(${graft.functions.HexKeys.value16Sql()})"
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |pl AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lt
+         |       FROM t GROUP BY lang),
+         |caps AS (
+         |  SELECT lang, lt, lt * 4 AS cap,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY lt * 4, lang) AS BIGINT) AS rn
+         |  FROM pl),
+         |tot AS (SELECT CAST(SUM(lt) AS BIGINT) * 3 AS b,
+         |               CAST(COUNT(*) AS BIGINT) AS l FROM pl),
+         |walk AS (
+         |  SELECT CAST(0 AS BIGINT) AS rn, b AS remaining, l AS k,
+         |         CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS lt,
+         |         CAST(0 AS BIGINT) AS cap, CAST(0 AS BIGINT) AS alloc
+         |  FROM tot
+         |  UNION ALL
+         |  SELECT c.rn, w.remaining - least(c.cap, w.remaining // w.k),
+         |         w.k - 1, c.lang, c.lt, c.cap,
+         |         least(c.cap, w.remaining // w.k)
+         |  FROM walk w JOIN caps c ON c.rn = w.rn + 1),
+         |alloc AS (SELECT lang, lt, cap, alloc FROM walk WHERE rn >= 1),
+         |h AS (SELECT doc_id, md5('unimax|' || CAST(doc_id AS VARCHAR)) AS hex
+         |      FROM documents)
+         |SELECT t.doc_id, t.lang, t.n_tokens, a.lt AS lang_tokens,
+         |  a.cap AS capacity, a.alloc AS alloc_tokens,
+         |  (a.alloc = a.cap) AS capped,
+         |  CAST(a.alloc // a.lt +
+         |       CASE WHEN CAST($bucket AS BIGINT) * a.lt <
+         |                 (a.alloc % a.lt) * 65536
+         |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         |FROM t JOIN alloc a USING (lang) JOIN h USING (doc_id)""".stripMargin
     },
 
     "q100_dataset_card" ->

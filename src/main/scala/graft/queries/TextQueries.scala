@@ -683,6 +683,59 @@ object TextQueries {
         Tables(s, dir).documents, "doc_id", "text", k = 25)
     },
 
+    // The REMOVAL step of ExactSubstr (q128 mines the coverage stats;
+    // this CUTS the spans): every ≥25-char cross-document duplicated
+    // span is excised, and the residual doc survives only with ≥100
+    // chars left — the actual remediation Lee et al. 2022 apply. The
+    // residual TEXT itself rides in the gate, so the oracle verifies the
+    // reconstruction byte-for-byte, not just counts. Plan = q128's gram
+    // shuffle + per-doc bounded windows; the per-doc span fold is
+    // interpreted per SPAN (≤ len/25 of them), not per char.
+    "q167_substr_remediate" -> { (s, dir) =>
+      graft.operators.Dedup.exactSubstrRemediate(
+        Tables(s, dir).documents, "doc_id", "text", k = 25, minChars = 100)
+    },
+
+    // Chunk-level (line-level) dedup with document reconstruction — the
+    // RefinedWeb/CCNet granularity between document dedup (q34) and
+    // substring dedup (q128): fixed 20-token chunks, each distinct chunk
+    // keeps only its FIRST corpus-wide occurrence (min (doc_id,
+    // chunk_idx), packed into ONE BIGINT so both engines take the same
+    // min — no struct-ordering semantics in the gate), documents
+    // reassembled from their kept chunks in order. ONE chunk-key shuffle
+    // (the window) + a per-doc aggregate; no all-pairs anything. The
+    // reconstructed text rides in the gate.
+    "q169_chunk_dedup" -> { (s, dir) =>
+      graft.operators.Dedup.chunkDedup(
+        Tables(s, dir).documents, "doc_id", "text", chunkTokens = 20)
+    },
+
+    // Near-dup DECONTAMINATION: the q77/q83 exact-match decon family
+    // extended to MinHash near-dups — train-split docs (q61 buckets
+    // 0–94) whose trigram Jaccard vs any TEST-split doc (buckets 95–99)
+    // clears 0.5, mined via the q36 band machinery restricted to
+    // train × eval (never train × train: the eval band table is tiny and
+    // broadcast, so the corpus side never shuffles against itself).
+    // Exactly the q36 verification semantics on the surviving pairs.
+    "q170_neardup_decontam" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val bucket = graft.functions.HexKeys.value16(
+        md5(concat(lit("split|"), col("doc_id").cast(StringType)))) % 100
+      val dd = d.withColumn("bucket", bucket)
+      val train = dd.filter(col("bucket") < 95).select(col("doc_id"), col("text"))
+      val ev    = dd.filter(col("bucket") >= 95).select(col("doc_id"), col("text"))
+      val bt = Dedup.lshBands(Dedup.minhashSignatures(train, "doc_id", "text"))
+        .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+      val be = Dedup.lshBands(Dedup.minhashSignatures(ev, "doc_id", "text"))
+        .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+      val cand = bt.join(broadcast(be), Seq("band_idx", "band_hash"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      Dedup.verifyPairs(cand, Dedup.shingled(d, "doc_id", "text"), threshold = 0.0)
+        .select(col("doc_a").as("train_doc_id"), col("doc_b").as("eval_doc_id"),
+                col("shared"), col("jaccard"),
+                (col("jaccard") >= 0.5).as("contaminated"))
+    },
+
     // Deterministic train/val/test split: md5-derived bucket in [0,100) —
     // reproducible across engines/runs/partitionings (never rand(), which
     // breaks task-retry idempotence). 90/5/5.
@@ -1349,6 +1402,34 @@ object TextQueries {
       |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
       |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) >= 0.5 AS is_near_dup
       |FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin
+
+  /** q170's oracle: the q36 band chain with candidates restricted to
+    * train × test per the q61 md5 split buckets, verified with exact
+    * trigram Jaccard.
+    */
+  private def neardupDecontamOracleSql: String = {
+    val bucket = s"(${graft.functions.HexKeys.value16Sql()} % 100)"
+    val jac = "CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) / " +
+      "CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)"
+    s"""${minhashCtesSql},
+      |spl AS (
+      |  SELECT doc_id, $bucket AS bucket
+      |  FROM (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS hex
+      |        FROM documents)),
+      |cd AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a
+      |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |  JOIN spl pa ON pa.doc_id = a.doc_id
+      |  JOIN spl pb ON pb.doc_id = b.doc_id
+      |  WHERE pa.bucket < 95 AND pb.bucket >= 95)
+      |SELECT cd.doc_a AS train_doc_id, cd.doc_b AS eval_doc_id,
+      |  CAST(len(list_intersect(sa.tg, sb.tg)) AS BIGINT) AS shared,
+      |  $jac AS jaccard,
+      |  $jac >= 0.5 AS contaminated
+      |FROM cd JOIN sh sa ON cd.doc_a = sa.doc_id
+      |        JOIN sh sb ON cd.doc_b = sb.doc_id""".stripMargin
+  }
 
   /** q152's oracle: the same candidate set, read out as signature-ESTIMATED
     * Jaccard (matching-component fraction) against the exact value.
@@ -2299,6 +2380,82 @@ object TextQueries {
         |  coalesce(per_doc.dup_chars, 0) AS dup_chars,
         |  coalesce(per_doc.longest_span, 0) AS longest_span
         |FROM d LEFT JOIN np USING (doc_id) LEFT JOIN per_doc USING (doc_id)""".stripMargin,
+    // q128's span chain extended with the gap/reassembly readout: gaps =
+    // LAG-derived segments between consecutive spans plus the tail, the
+    // residual = ordered string_agg of the gap substrings.
+    "q167_substr_remediate" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len - 24)) AS pos
+        |  FROM d WHERE len >= 25),
+        |g AS (
+        |  SELECT p.doc_id, p.pos, substr(d.text, CAST(p.pos AS INTEGER), 25) AS gram
+        |  FROM pos p JOIN d USING (doc_id)),
+        |shared AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(MAX(pos + 25) OVER (
+        |           PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM cov),
+        |isl2 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 25 AS e
+        |  FROM isl2 GROUP BY 1, 2),
+        |gaps AS (
+        |  SELECT doc_id,
+        |         coalesce(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS gs,
+        |         s AS ge
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT sp.doc_id, MAX(sp.e) AS gs, CAST(d.len + 1 AS BIGINT) AS ge
+        |  FROM spans sp JOIN d USING (doc_id) GROUP BY sp.doc_id, d.len),
+        |resid AS (
+        |  SELECT gp.doc_id,
+        |         string_agg(substr(d.text, CAST(gp.gs AS INTEGER),
+        |                           CAST(gp.ge - gp.gs AS INTEGER)),
+        |                    '' ORDER BY gp.gs) AS r
+        |  FROM gaps gp JOIN d USING (doc_id)
+        |  GROUP BY gp.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(length(coalesce(r.r, d.text)) AS BIGINT) AS clean_chars,
+        |  CAST(d.len - length(coalesce(r.r, d.text)) AS BIGINT) AS dup_chars,
+        |  CASE WHEN d.len = 0 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE CAST(length(coalesce(r.r, d.text)) AS DOUBLE)
+        |              / CAST(d.len AS DOUBLE) END AS kept_frac,
+        |  length(coalesce(r.r, d.text)) >= 100 AS keep,
+        |  coalesce(r.r, d.text) AS residual_text
+        |FROM d LEFT JOIN resid r USING (doc_id)""".stripMargin,
+    "q169_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+        |             CAST(ceil(len(toks) / 20.0) AS BIGINT) AS n_chunks FROM t),
+        |ch AS (
+        |  SELECT doc_id, n_chunks, i AS chunk_idx,
+        |         array_to_string(list_slice(toks, CAST(i * 20 + 1 AS INTEGER),
+        |                                    CAST(i * 20 + 20 AS INTEGER)), ' ') AS chunk_text,
+        |         least(n_toks - i * 20, 20) AS chunk_toks
+        |  FROM (SELECT doc_id, toks, n_toks, n_chunks,
+        |               unnest(generate_series(0, n_chunks - 1)) AS i FROM n)),
+        |k AS (
+        |  SELECT *, (doc_id * 1048576 + chunk_idx) =
+        |            MIN(doc_id * 1048576 + chunk_idx) OVER (PARTITION BY chunk_text)
+        |              AS keep_chunk
+        |  FROM ch)
+        |SELECT doc_id,
+        |  CAST(MAX(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN keep_chunk THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+        |  CAST(SUM(CASE WHEN keep_chunk THEN chunk_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  coalesce(string_agg(CASE WHEN keep_chunk THEN chunk_text END,
+        |                      ' ' ORDER BY chunk_idx), '') AS residual_text
+        |FROM k GROUP BY doc_id""".stripMargin,
+    "q170_neardup_decontam" -> neardupDecontamOracleSql,
     "q36_minhash_lsh" -> minhashLshOracleSql,
     "q152_minhash_accuracy" -> minhashAccuracyOracleSql,
     "q158_edit_distance_dedup" ->

@@ -203,4 +203,84 @@ class CurationSpec extends SparkSpec {
     assert(covered == (0L until 95L).toSet)
     assert(rows.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 1L, "solo")))
   }
+
+  test("q168 repeat allocation: epochs are base or base+1 and targets respect the budget") {
+    val out = CurationQueries.defs("q168_temperature_mixture")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // per-row: n_repeats ∈ {target DIV T, target DIV T + 1}
+    out.foreach { r =>
+      val base = r.getAs[Long]("target_tokens") / r.getAs[Long]("lang_tokens")
+      val n    = r.getAs[Long]("n_repeats")
+      assert(n == base || n == base + 1, s"row $r")
+    }
+    // per-lang achieved tokens land within one full epoch of the target
+    // (the only slack the hash-threshold rounding can introduce), and the
+    // language-level targets never exceed the declared budget in total
+    val perLang = out.groupBy(_.getAs[String]("lang"))
+    val langTokens = perLang.map { case (l, rs) =>
+      l -> rs.head.getAs[Long]("lang_tokens") }
+    val allTokens = langTokens.values.sum
+    val targets = perLang.map { case (l, rs) =>
+      l -> rs.head.getAs[Long]("target_tokens") }
+    assert(targets.values.sum <= allTokens / 2)
+    perLang.foreach { case (l, rs) =>
+      val achieved = rs.map(r => r.getAs[Long]("n_repeats") * r.getAs[Long]("n_tokens")).sum
+      val base     = targets(l) / langTokens(l) * langTokens(l)
+      assert(achieved >= base && achieved <= base + langTokens(l),
+        s"lang $l achieved $achieved outside [$base, ${base + langTokens(l)}]")
+    }
+  }
+
+  test("q171 UniMax walk: caps respected, budget never exceeded, uncapped langs share evenly") {
+    val out = CurationQueries.defs("q171_unimax_alloc")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val perLang = out.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      val h = rs.head
+      (l, h.getAs[Long]("lang_tokens"), h.getAs[Long]("capacity"),
+        h.getAs[Long]("alloc_tokens"), h.getAs[Boolean]("capped"))
+    }.toSeq.sortBy(t => (t._3, t._1))
+    val budget = perLang.map(_._2).sum * 3
+    // every allocation within its capacity; total within budget
+    perLang.foreach { case (l, _, cap, alloc, capped) =>
+      assert(alloc <= cap, s"$l over capacity")
+      assert(capped == (alloc == cap))
+    }
+    assert(perLang.map(_._4).sum <= budget)
+    // replay the walk: ascending by capacity, equal share of remaining
+    var remaining = budget
+    var k = perLang.size.toLong
+    perLang.foreach { case (l, _, cap, alloc, _) =>
+      val share = remaining / k
+      assert(alloc == math.min(cap, share), s"$l walk mismatch")
+      remaining -= alloc; k -= 1
+    }
+    // per-doc epochs are base or base+1 of the lang's rational epoch count
+    out.foreach { r =>
+      val base = r.getAs[Long]("alloc_tokens") / r.getAs[Long]("lang_tokens")
+      val n    = r.getAs[Long]("n_repeats")
+      assert(n == base || n == base + 1)
+    }
+  }
+
+  test("q170 near-dup decontamination pairs respect the split sides and the q36 semantics") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.TextQueries.defs("q170_neardup_decontam")(spark, dir).collect()
+    assert(out.nonEmpty, "decontamination found no candidate pairs at sf0.001")
+    val buckets = graft.core.Tables(spark, dir).documents
+      .select(col("doc_id"),
+        (graft.functions.HexKeys.value16(
+          md5(concat(lit("split|"), col("doc_id").cast("string")))) % 100)
+          .cast("long").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(buckets(r.getAs[Long]("train_doc_id")) < 95)
+      assert(buckets(r.getAs[Long]("eval_doc_id")) >= 95)
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Boolean]("contaminated") == (j >= 0.5))
+    }
+  }
 }

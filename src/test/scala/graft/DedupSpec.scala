@@ -233,4 +233,67 @@ class DedupSpec extends SparkSpec {
     assert(row === agg, "scan-local bands diverged from the aggregate path")
     assert(!row.exists(_._1 == 9999L), "shingle-less doc must produce no bands")
   }
+
+  test("exactSubstrRemediate cuts a middle shared span and stitches head+tail") {
+    val shared = "abcdefghijklmnopqrstuvwxy12345" // 30 chars
+    val d = Seq(
+      (1L, "A" * 20 + shared + "Z" * 20),
+      (2L, "B" * 20 + shared + "Y" * 20),
+      (3L, "totally unrelated text that stands alone here!!!")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrRemediate(d, "doc_id", "text", k = 25, minChars = 30)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the only cross-doc ≥25-char verbatim run is the 30-char block;
+    // removal leaves head+tail stitched
+    assert(out(1L).getAs[String]("residual_text") == "A" * 20 + "Z" * 20)
+    assert(out(2L).getAs[String]("residual_text") == "B" * 20 + "Y" * 20)
+    assert(out(1L).getAs[Long]("clean_chars") == 40L)
+    assert(out(1L).getAs[Long]("dup_chars") == 30L)
+    assert(out(1L).getAs[Boolean]("keep"))
+    // unique doc passes through byte-identical
+    assert(out(3L).getAs[String]("residual_text") ==
+      "totally unrelated text that stands alone here!!!")
+    assert(approx(out(3L).getAs[Double]("kept_frac"), 1.0))
+  }
+
+  test("exactSubstrRemediate empties full duplicates and drops them below minChars") {
+    val t = "0123456789" * 6 // 60 chars, duplicated verbatim
+    val d = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrRemediate(d, "doc_id", "text", k = 25, minChars = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getAs[String]("residual_text") == "")
+      assert(out(id).getAs[Long]("clean_chars") == 0L)
+      assert(out(id).getAs[Long]("dup_chars") == 60L)
+      assert(!out(id).getAs[Boolean]("keep"))
+    }
+  }
+
+  test("chunkDedup keeps first corpus-wide occurrence and reassembles in order") {
+    val w25 = (1 to 25).map("w" + _).mkString(" ")
+    val w20 = (1 to 20).map("w" + _).mkString(" ") // == doc 1's first chunk
+    val d = Seq((1L, w25), (2L, w20), (3L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(d, "doc_id", "text", chunkTokens = 20)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_chunks") == 2L)
+    assert(out(1L).getAs[Long]("kept_chunks") == 2L)
+    assert(out(1L).getAs[Long]("kept_tokens") == 25L)
+    assert(out(1L).getAs[String]("residual_text") == w25)
+    // doc 2's single chunk is doc 1's chunk 0 → cut entirely
+    assert(out(2L).getAs[Long]("kept_chunks") == 0L)
+    assert(out(2L).getAs[Long]("kept_tokens") == 0L)
+    assert(out(2L).getAs[String]("residual_text") == "")
+    assert(out(3L).getAs[Long]("kept_tokens") == 3L)
+    assert(out(3L).getAs[String]("residual_text") == "a b c")
+  }
+
+  test("chunkDedup cuts a repeated chunk WITHIN one document") {
+    val rep = ((1 to 20) ++ (1 to 20)).map("t" + _).mkString(" ") // chunk1 == chunk0
+    val d = Seq((7L, rep)).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(d, "doc_id", "text", chunkTokens = 20).collect().head
+    assert(out.getAs[Long]("n_chunks") == 2L)
+    assert(out.getAs[Long]("kept_chunks") == 1L)
+    assert(out.getAs[Long]("kept_tokens") == 20L)
+    assert(out.getAs[String]("residual_text") == (1 to 20).map("t" + _).mkString(" "))
+  }
 }
