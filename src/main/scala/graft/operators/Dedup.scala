@@ -397,6 +397,33 @@ object Dedup {
       col("residual_text"))
   }
 
+  /** Scan-local chunking shared by [[chunkDedup]], the incremental
+    * chunk-index path (q172), and the streaming maintenance leg: fixed
+    * `chunkTokens`-token chunks with per-doc positions. One `transform`
+    * over the token array — per CHUNK, not per token — then one explode;
+    * no shuffle. Returns
+    * (doc_id, n_chunks, chunk_idx, chunk_text, chunk_toks).
+    */
+  def chunkFrame(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    val c = chunkTokens.toLong
+    df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast(LongType))
+      .withColumn("n_chunks",
+        ceil(col("n_toks").cast(DoubleType) / chunkTokens).cast(LongType))
+      .filter(col("n_chunks") >= 1)
+      .select(col("doc_id"), col("n_chunks"),
+        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1L), i =>
+          struct(
+            array_join(slice(col("toks"), (i * c + 1L).cast("int"), lit(chunkTokens)), " ")
+              .as("chunk_text"),
+            least(col("n_toks") - i * c, lit(c)).as("chunk_toks")))))
+      .select(col("doc_id"), col("n_chunks"),
+              col("pos").cast(LongType).as("chunk_idx"),
+              col("col.chunk_text").as("chunk_text"),
+              col("col.chunk_toks").as("chunk_toks"))
+  }
+
   /** Chunk-level (line-level) dedup with document reconstruction — the
     * RefinedWeb/CCNet-style granularity between document-level dedup
     * ([[exact]]) and substring-level dedup ([[exactSubstrCoverage]]):
@@ -424,24 +451,7 @@ object Dedup {
     */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
-    val c = chunkTokens.toLong
-    val d0 = df.select(col(idCol).as("doc_id"),
-                       Text.tokens(col(textCol)).as("toks"))
-      .withColumn("n_toks", size(col("toks")).cast(LongType))
-      .withColumn("n_chunks",
-        ceil(col("n_toks").cast(DoubleType) / chunkTokens).cast(LongType))
-      .filter(col("n_chunks") >= 1)
-    val chunks = d0
-      .select(col("doc_id"), col("n_chunks"),
-        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1L), i =>
-          struct(
-            array_join(slice(col("toks"), (i * c + 1L).cast("int"), lit(chunkTokens)), " ")
-              .as("chunk_text"),
-            least(col("n_toks") - i * c, lit(c)).as("chunk_toks")))))
-      .select(col("doc_id"), col("n_chunks"),
-              col("pos").cast(LongType).as("chunk_idx"),
-              col("col.chunk_text").as("chunk_text"),
-              col("col.chunk_toks").as("chunk_toks"))
+    val chunks = chunkFrame(df, idCol, textCol, chunkTokens)
     val w = Window.partitionBy(col("chunk_text"))
     val keyed = chunks
       .withColumn("k", col("doc_id") * 1048576L + col("chunk_idx"))

@@ -38,6 +38,12 @@ object TextQueries {
     */
   private val KmvOverlapK = 128
 
+  /** q169/q172 chunk width (tokens) — shared by the batch dedup, the
+    * incremental index path, the streaming maintenance leg, and both
+    * DuckDB oracles.
+    */
+  val ChunkDedupTokens = 20
+
   val defs: Map[String, Q] = Map(
     // Token counting: whitespace + BPE-ish regex tokens, distinct counts,
     // mean token length.
@@ -707,8 +713,16 @@ object TextQueries {
     // reconstructed text rides in the gate.
     "q169_chunk_dedup" -> { (s, dir) =>
       graft.operators.Dedup.chunkDedup(
-        Tables(s, dir).documents, "doc_id", "text", chunkTokens = 20)
+        Tables(s, dir).documents, "doc_id", "text", ChunkDedupTokens)
     },
+
+    // q172: q169's chunk dedup in its 100 TB-OPERATIONAL form — the
+    // persisted chunk-hash index (base = even doc_ids, canonical first
+    // occurrences, bucketed by chunk_hash) probed by the delta batch
+    // (odd ids) with one bucket-side-shuffle-free hash join; keep
+    // semantics are arrival-order first occurrence, replayed in the
+    // oracle with a packed (parity, doc_id, chunk_idx) BIGINT key.
+    "q172_chunk_dedup_incremental" -> { (s, dir) => chunkServeIncremental(s, dir) },
 
     // Near-dup DECONTAMINATION: the q77/q83 exact-match decon family
     // extended to MinHash near-dups — train-split docs (q61 buckets
@@ -1817,6 +1831,82 @@ object TextQueries {
     Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text",
                        maxHamming = 3, materialize = materialize)
 
+  /** Session-scoped q172 chunk-hash dedup-index table name. */
+  def chunkIndexTable(s: SparkSession, dir: String): String =
+    graft.sources.Warehouse.sessionScopedName(s,
+      "graft_q172_chunkidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+
+  /** The persisted chunk-index mart contract: one row per DISTINCT chunk
+    * hash (the canonical first occurrence with its provenance) — a
+    * duplicated hash row would survive probes it should block.
+    */
+  val ChunkIndexContract: graft.model.Contract = graft.model.Contract(
+    schema = StructType(Seq(
+      StructField("chunk_hash", StringType),
+      StructField("doc_id", LongType),
+      StructField("chunk_idx", LongType))),
+    notNull = Seq("chunk_hash", "doc_id", "chunk_idx"),
+    uniqueKeys = Seq(Seq("chunk_hash")))
+
+  /** The q172 persisted chunk-hash index: canonical (first-occurrence)
+    * chunks of the BASE half (even doc_ids), memoized per (session, dir)
+    * as a chunk_hash-bucketed warehouse table (q145's discipline at chunk
+    * granularity). Every base chunk TEXT has a canonical row, so hash
+    * membership in the index ≡ membership in the full base chunk set.
+    */
+  private val chunkIdxCache = new graft.core.SessionCache[String]
+  private def chunkIndex(s: SparkSession, dir: String): DataFrame =
+    chunkIdxCache.getOrElseUpdate(s, dir) {
+      val base = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
+      val ch = Dedup.chunkFrame(base, "doc_id", "text", ChunkDedupTokens)
+        .withColumn("chunk_hash", md5(col("chunk_text")))
+        .withColumn("k", col("doc_id") * 1048576L + col("chunk_idx"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))
+      val canon = ch.withColumn("is_canon", col("k") === min(col("k")).over(w))
+        .filter(col("is_canon"))
+        .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"))
+      graft.model.Contract.enforce("q172_chunk_index", canon, ChunkIndexContract)
+      graft.sources.Warehouse.writeBucketed(
+        canon, chunkIndexTable(s, dir), "chunk_hash", numBuckets = 16)
+      s.table(chunkIndexTable(s, dir))
+    }
+
+  /** q172: INCREMENTAL chunk-level dedup against the persisted index —
+    * the q141/q145 build-once/probe-deltas discipline applied to q169's
+    * granularity. Delta docs (odd ids) are chunked scan-locally; a chunk
+    * survives iff its hash misses the bucketed base index (one
+    * hash-equi anti-join — the index side is pre-bucketed on the join
+    * key, so it joins without an Exchange) AND it is the first occurrence
+    * within the delta batch. Keep semantics are ARRIVAL-ORDER first
+    * occurrence (base before delta, then (doc_id, chunk_idx)) — exactly
+    * what the oracle replays with a packed (parity, doc_id, chunk_idx)
+    * BIGINT key over the one-shot chunk table.
+    */
+  def chunkServeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val idx = chunkIndex(s, dir)
+    val delta = Tables(s, dir).documents.filter(col("doc_id") % 2 === 1)
+    val ch = Dedup.chunkFrame(delta, "doc_id", "text", ChunkDedupTokens)
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+      .withColumn("k", col("doc_id") * 1048576L + col("chunk_idx"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))
+    val keyed = ch
+      .withColumn("first_in_delta", col("k") === min(col("k")).over(w))
+      .join(idx.select(col("chunk_hash"), lit(true).as("in_base")),
+            Seq("chunk_hash"), "left")
+      .withColumn("keep_chunk",
+        col("first_in_delta") && col("in_base").isNull)
+    keyed.groupBy(col("doc_id"))
+      .agg(max(col("n_chunks")).as("n_chunks"),
+           sum(when(col("keep_chunk"), 1L).otherwise(0L)).as("kept_chunks"),
+           sum(when(col("keep_chunk"), col("chunk_toks")).otherwise(0L))
+             .as("kept_tokens"),
+           concat_ws(" ", transform(
+             array_sort(collect_list(
+               when(col("keep_chunk"),
+                    struct(col("chunk_idx"), col("chunk_text"))))),
+             x => x.getField("chunk_text"))).as("residual_text"))
+  }
+
   private val enList = Text.langProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
 
   /** q33's composite quality score over `text` — shared by q33 (per-doc
@@ -2456,6 +2546,35 @@ object TextQueries {
         |                      ' ' ORDER BY chunk_idx), '') AS residual_text
         |FROM k GROUP BY doc_id""".stripMargin,
     "q170_neardup_decontam" -> neardupDecontamOracleSql,
+    // Arrival-order one-shot replay: the packed key puts every EVEN
+    // (base) occurrence before any ODD (delta) one, then (doc_id,
+    // chunk_idx) — a delta chunk survives iff the partition min is its
+    // own key. Valid while doc_id < 2^24 (the 2^44 parity bit clears the
+    // 2^20-shifted doc range).
+    "q172_chunk_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+        |             CAST(ceil(len(toks) / 20.0) AS BIGINT) AS n_chunks FROM t),
+        |ch AS (
+        |  SELECT doc_id, n_chunks, i AS chunk_idx,
+        |         array_to_string(list_slice(toks, CAST(i * 20 + 1 AS INTEGER),
+        |                                    CAST(i * 20 + 20 AS INTEGER)), ' ') AS chunk_text,
+        |         least(n_toks - i * 20, 20) AS chunk_toks
+        |  FROM (SELECT doc_id, toks, n_toks, n_chunks,
+        |               unnest(generate_series(0, n_chunks - 1)) AS i FROM n)),
+        |k AS (
+        |  SELECT *,
+        |    ((doc_id % 2) * 17592186044416 + doc_id * 1048576 + chunk_idx) =
+        |    MIN((doc_id % 2) * 17592186044416 + doc_id * 1048576 + chunk_idx)
+        |      OVER (PARTITION BY chunk_text) AS keep_chunk
+        |  FROM ch)
+        |SELECT doc_id,
+        |  CAST(MAX(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN keep_chunk THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+        |  CAST(SUM(CASE WHEN keep_chunk THEN chunk_toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  coalesce(string_agg(CASE WHEN keep_chunk THEN chunk_text END,
+        |                      ' ' ORDER BY chunk_idx), '') AS residual_text
+        |FROM k WHERE doc_id % 2 = 1 GROUP BY doc_id""".stripMargin,
     "q36_minhash_lsh" -> minhashLshOracleSql,
     "q152_minhash_accuracy" -> minhashAccuracyOracleSql,
     "q158_edit_distance_dedup" ->

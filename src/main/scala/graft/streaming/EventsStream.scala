@@ -387,6 +387,54 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming maintenance of the PERSISTED chunk-hash dedup index
+    * (q172): each micro-batch is chunked scan-locally
+    * ([[graft.operators.Dedup.chunkFrame]] — the same arithmetic as the
+    * batch operator), collapsed to its within-batch canonical
+    * occurrences (min (doc_id, chunk_idx) per hash), anti-joined against
+    * the existing index, and appended chunk_hash-bucketed — so the
+    * bucket layout (shuffle-free probes) survives every append and
+    * per-batch cost ∝ batch size. The anti-join doubles as the
+    * redelivery guard: a re-delivered batch's hashes are already
+    * indexed, so the append is a no-op (the contract's chunk_hash
+    * uniqueness). Index contents after draining batches in arrival
+    * order ≡ the batch-side base+delta build (StreamingSpec asserts).
+    */
+  def chunkIndexMaintainStream(
+      docs: DataFrame,
+      table: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val ch = graft.operators.Dedup
+          .chunkFrame(batch.toDF(), "doc_id", "text",
+                      graft.queries.TextQueries.ChunkDedupTokens)
+          .withColumn("chunk_hash", md5(col("chunk_text")))
+          .withColumn("k", col("doc_id") * 1048576L + col("chunk_idx"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))
+        val canon = ch.withColumn("is_canon", col("k") === min(col("k")).over(w))
+          .filter(col("is_canon"))
+          .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"))
+        val exists =
+          try { spark.table(table); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!exists)
+          graft.sources.Warehouse.writeBucketed(canon, table, "chunk_hash", numBuckets = 16)
+        else {
+          val fresh = canon.join(
+            spark.table(table).select(col("chunk_hash")),
+            Seq("chunk_hash"), "left_anti")
+          graft.sources.Warehouse.appendBucketed(fresh, table, "chunk_hash", numBuckets = 16)
+        }
+        ()
+      }
+      .start()
+
   /** Schema of the `documents` parquet (the corpus-side streaming legs). */
   val documentSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

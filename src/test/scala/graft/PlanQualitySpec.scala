@@ -793,6 +793,44 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q167/q169/q170 dedup additions: no cross products, eval bands broadcast") {
+    // q167's remediation is q128's gram-join shape plus per-doc windows
+    val p167 = planOf(SparkEntry.queries("q167_substr_remediate")(spark, dir))
+    assert(!p167.contains("CartesianProduct") &&
+           !p167.contains("BroadcastNestedLoopJoin"),
+      s"q167 degenerated to a cross product:\n$p167")
+    // q169: one chunk-key window + per-doc aggregate, no joins at all
+    val p169 = planOf(SparkEntry.queries("q169_chunk_dedup")(spark, dir))
+    assert(!p169.contains("CartesianProduct") &&
+           !p169.contains("BroadcastNestedLoopJoin") &&
+           !p169.contains("SortMergeJoin"),
+      s"q169 grew an unexpected join:\n$p169")
+    // q170: the tiny TEST-split band table must broadcast — the corpus
+    // side never self-joins or cross-joins
+    val p170 = planOf(SparkEntry.queries("q170_neardup_decontam")(spark, dir))
+    assert(p170.contains("BroadcastHashJoin"),
+      s"q170 eval bands not broadcast:\n$p170")
+    assert(!p170.contains("CartesianProduct") &&
+           !p170.contains("BroadcastNestedLoopJoin"),
+      s"q170 degenerated to a cross product:\n$p170")
+  }
+
+  test("q172 probes the bucketed chunk index without shuffling it") {
+    val p = planOf(SparkEntry.queries("q172_chunk_dedup_incremental")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"q172 degenerated to a cross product:\n$p")
+    // the persisted index is 16-bucketed on chunk_hash (the probe key).
+    // The DELTA side legitimately shuffles once on chunk_hash (its
+    // first-occurrence window, reused by the join); the INDEX side must
+    // ride its bucketed layout — so at most ONE chunk_hash hash-exchange
+    // may appear in the whole plan (a second would mean the index got
+    // re-shuffled on its own bucket key).
+    val hashEx = "Exchange hashpartitioning\\(chunk_hash".r.findAllIn(p).size
+    assert(hashEx <= 1,
+      s"q172 plans $hashEx chunk_hash exchanges — the bucketed index side got re-shuffled:\n$p")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))

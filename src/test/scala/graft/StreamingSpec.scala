@@ -538,4 +538,50 @@ class StreamingSpec extends SparkSpec {
     assert(split.collect().toSet === batch.collect().toSet,
       "carry-over state diverged from the one-shot fold")
   }
+
+  test("streaming chunk-index maintenance ≡ arrival-order batch build; replay is a no-op") {
+    val docs  = graft.core.Tables(spark, dir).documents
+    val watch = java.nio.file.Files.createTempDirectory("graft-chunk-watch")
+    def stageHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-chunk-half")
+      docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    // base (even ids) arrives as micro-batch 1, delta (odd) as batch 2 —
+    // the arrival order whose first-occurrence semantics q172 gates
+    stageHalf(col("doc_id") % 2 === 0, "b0.parquet")
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_chunk_stream_idx")
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-chunk-ck1").toString
+    val q1 = EventsStream.chunkIndexMaintainStream(
+      EventsStream.readDocuments(spark, watch.toString), table, ck1, "chunk_maint_1")
+    q1.processAllAvailable()
+    stageHalf(col("doc_id") % 2 === 1, "b1.parquet")
+    q1.processAllAvailable(); q1.stop()
+    // expected: arrival-order canonical chunk set over the full corpus
+    // (the q172 oracle's packed-key rule)
+    val ch = graft.operators.Dedup.chunkFrame(
+        docs, "doc_id", "text", graft.queries.TextQueries.ChunkDedupTokens)
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+      .withColumn("k", (col("doc_id") % 2) * 17592186044416L +
+                       col("doc_id") * 1048576L + col("chunk_idx"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))
+    val want = ch.withColumn("is_canon", col("k") === min(col("k")).over(w))
+      .filter(col("is_canon"))
+      .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = spark.table(table)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "streamed chunk index diverged from the arrival-order build")
+    graft.model.Contract.enforce("chunk_stream_idx", spark.table(table),
+      graft.queries.TextQueries.ChunkIndexContract)
+    // redelivery with a fresh checkpoint: the hash anti-join guard must
+    // keep the append a no-op
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-chunk-ck2").toString
+    val q2 = EventsStream.chunkIndexMaintainStream(
+      EventsStream.readDocuments(spark, watch.toString), table, ck2, "chunk_maint_2")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(table).count() === want.size.toLong, "replay duplicated chunks")
+  }
 }
