@@ -27,6 +27,36 @@ object CurationQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The q168 α=0.5 temperature repeat allocation over an arbitrary
+    * (doc_id, lang, n_tokens) frame — shared by q168 (raw corpus) and
+    * q173 (the post-dedup residual corpus) so both gates pin the same
+    * arithmetic: language targets ∝ sqrt(T_l) under a B = total DIV 2
+    * budget (sqrt is the only float step, the normalizer sums
+    * 1e6-quantized BIGINTs), per-doc epochs floor(target/T_l) plus an
+    * md5-thresholded extra.
+    */
+  private def temperatureRepeats(t: DataFrame): DataFrame = {
+    val perLang = t.groupBy(col("lang")).agg(sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("qs",
+        floor(sqrt(col("lang_tokens").cast(DoubleType)) * 1e6).cast(LongType))
+    val tot = perLang.agg(sum(col("qs")).as("qs_tot"),
+                          sum(col("lang_tokens")).as("all_tokens"))
+    val targets = perLang.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr("qs * (all_tokens DIV 2) DIV qs_tot"))
+      .select(col("lang"), col("lang_tokens"), col("target_tokens"))
+    val h = graft.functions.HexKeys.value16(
+      md5(concat(lit("mix|"), col("doc_id").cast(StringType)))).cast(LongType)
+    t.join(broadcast(targets), Seq("lang"))
+      .withColumn("h", h)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+              col("lang_tokens"), col("target_tokens"),
+              (expr("target_tokens DIV lang_tokens") +
+               when(col("h") * col("lang_tokens") <
+                    (col("target_tokens") % col("lang_tokens")) * 65536L, 1L)
+                 .otherwise(0L)).as("n_repeats"))
+  }
+
   /** Tokens-per-segment for the C4-style segment dedup. Documents here are
     * single-space token streams with no newline structure (TESTDATA.md), so
     * fixed 10-token windows stand in for the reference corpus's lines.
@@ -739,28 +769,32 @@ object CurationQueries {
     // (h·T_l < rem·2¹⁶).
     // ---------------------------------------------------------------
     "q168_temperature_mixture" -> { (s, dir) =>
-      val t = Tables(s, dir).documents.select(
+      temperatureRepeats(Tables(s, dir).documents.select(
         col("doc_id"), col("lang"),
-        size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
-      val perLang = t.groupBy(col("lang")).agg(sum(col("n_tokens")).as("lang_tokens"))
-        .withColumn("qs",
-          floor(sqrt(col("lang_tokens").cast(DoubleType)) * 1e6).cast(LongType))
-      val tot = perLang.agg(sum(col("qs")).as("qs_tot"),
-                            sum(col("lang_tokens")).as("all_tokens"))
-      val targets = perLang.crossJoin(broadcast(tot))
-        .withColumn("target_tokens",
-          expr("qs * (all_tokens DIV 2) DIV qs_tot"))
-        .select(col("lang"), col("lang_tokens"), col("target_tokens"))
-      val h = graft.functions.HexKeys.value16(
-        md5(concat(lit("mix|"), col("doc_id").cast(StringType)))).cast(LongType)
-      t.join(broadcast(targets), Seq("lang"))
-        .withColumn("h", h)
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-                col("lang_tokens"), col("target_tokens"),
-                (expr("target_tokens DIV lang_tokens") +
-                 when(col("h") * col("lang_tokens") <
-                      (col("target_tokens") % col("lang_tokens")) * 65536L, 1L)
-                   .otherwise(0L)).as("n_repeats"))
+        size(Text.tokens(col("text"))).cast(LongType).as("n_tokens")))
+    },
+
+    // ---------------------------------------------------------------
+    // q173: dedup THEN upsample — the composition every real pipeline
+    // runs in exactly this order (upsampling before dedup would clone
+    // the duplicates it is about to remove): q169's chunk-level dedup
+    // yields each document's residual token count, empty husks drop,
+    // and q168's α=0.5 temperature allocation re-derives language
+    // targets from the RESIDUAL token mass. Every stage is an
+    // already-gated operator; the gate proves the composition still
+    // hash-matches end to end (the q161 discipline).
+    // ---------------------------------------------------------------
+    "q173_dedup_then_mix" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val resid = graft.operators.Dedup.chunkDedup(
+          d, "doc_id", "text", TextQueries.ChunkDedupTokens)
+        .select(col("doc_id"), col("kept_tokens"))
+      temperatureRepeats(
+        d.select(col("doc_id"), col("lang"))
+          .join(resid, Seq("doc_id"))
+          .filter(col("kept_tokens") >= 1)
+          .select(col("doc_id"), col("lang"),
+                  col("kept_tokens").as("n_tokens")))
     },
 
     // ---------------------------------------------------------------
@@ -1471,6 +1505,41 @@ object CurationQueries {
          |                 (a.alloc % a.lt) * 65536
          |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
          |FROM t JOIN alloc a USING (lang) JOIN h USING (doc_id)""".stripMargin
+    },
+
+    // q169's oracle rides as a derived table (the q116 discipline), so
+    // the residual token counts feeding the allocation are the SAME SQL
+    // the q169 gate already proves.
+    "q173_dedup_then_mix" -> {
+      val bucket = s"(${graft.functions.HexKeys.value16Sql()})"
+      s"""WITH t2 AS (
+         |  SELECT d.doc_id, d.lang, r.kept_tokens AS n_tokens
+         |  FROM documents d
+         |  JOIN (${graft.queries.TextQueries.oracles("q169_chunk_dedup")}) r
+         |    ON d.doc_id = r.doc_id
+         |  WHERE r.kept_tokens >= 1),
+         |pl AS (
+         |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens,
+         |         CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000)
+         |              AS BIGINT) AS qs
+         |  FROM t2 GROUP BY lang),
+         |tot AS (
+         |  SELECT CAST(SUM(qs) AS BIGINT) AS qs_tot,
+         |         CAST(SUM(lang_tokens) AS BIGINT) AS all_tokens
+         |  FROM pl),
+         |tgt AS (
+         |  SELECT pl.lang, pl.lang_tokens,
+         |         (pl.qs * (tot.all_tokens // 2)) // tot.qs_tot AS target_tokens
+         |  FROM pl CROSS JOIN tot),
+         |h AS (
+         |  SELECT doc_id, md5('mix|' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM documents)
+         |SELECT t2.doc_id, t2.lang, t2.n_tokens, tgt.lang_tokens, tgt.target_tokens,
+         |  CAST(tgt.target_tokens // tgt.lang_tokens +
+         |       CASE WHEN CAST($bucket AS BIGINT) * tgt.lang_tokens <
+         |                 (tgt.target_tokens % tgt.lang_tokens) * 65536
+         |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         |FROM t2 JOIN tgt USING (lang) JOIN h USING (doc_id)""".stripMargin
     },
 
     "q100_dataset_card" ->

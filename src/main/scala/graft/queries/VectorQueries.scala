@@ -22,7 +22,7 @@ object VectorQueries {
   private val ProjDims   = 16
   private val PowerIters = 12
   private val IvfNlist   = 16
-  private val IvfNprobe  = 4
+  val IvfNprobe  = 4
 
   /** q153 truncation widths (first-d-components), evaluated against the
     * full [[Dims]]-wide exact top-3.
@@ -731,15 +731,25 @@ object VectorQueries {
     */
   private val ivfCentCache =
     new graft.core.SessionMemo[String, Seq[(Long, Array[Double], Double)]]
-  def ivfServe(s: SparkSession, dir: String,
-               queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+  /** The memoized q139 serving pair — bucketed index frame + frozen
+    * centroids — exposed for the streaming serving leg, which must score
+    * against EXACTLY the session's persisted index to gate parity.
+    */
+  def ivfServingParts(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, Array[Double], Double)]) = {
     val e = Tables(s, dir).embeddings
     val cents = ivfCentCache.getOrElseUpdate(s, dir)(
       Similarity.ivfCentroids(
         e.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         IvfNlist))
-    Similarity.annTopKIvfServe(e.filter(queryPred), ivfIndex(s, dir), cents,
-      "vec_id", "embedding", k, nprobe = IvfNprobe)
+    (ivfIndex(s, dir), cents)
+  }
+
+  def ivfServe(s: SparkSession, dir: String,
+               queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val (idx, cents) = ivfServingParts(s, dir)
+    Similarity.annTopKIvfServe(Tables(s, dir).embeddings.filter(queryPred),
+      idx, cents, "vec_id", "embedding", k, nprobe = IvfNprobe)
   }
 
   /** Session-scoped q141 incremental index table name. */

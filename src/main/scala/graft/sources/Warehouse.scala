@@ -84,6 +84,13 @@ object Warehouse {
     registerExitCleanup(loc.toUri, spark.sparkContext.hadoopConfiguration)
   }
 
+  /** Append to an EXISTING unbucketed table created by [[writeTable]] —
+    * the sink primitive for streaming legs that accumulate results
+    * across micro-batches.
+    */
+  def appendTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+
   /** Append a delta batch to an EXISTING bucketed table (incremental
     * index/table maintenance): the bucket spec must match the table's —
     * Spark writes the delta as additional per-bucket files, and bucketed

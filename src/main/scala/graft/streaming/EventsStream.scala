@@ -435,6 +435,60 @@ object EventsStream {
       }
       .start()
 
+  /** Schema of the `embeddings` parquet (query-side streaming ANN legs). */
+  val embeddingSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** File-source stream of query vectors. */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embeddingSchema).parquet(dir)
+
+  /** Streaming ANN serving — the SERVE-FOREVER half of q139's
+    * build-once/serve-many split: each micro-batch of query vectors
+    * probes the FROZEN centroids (a broadcast-sized closure constant)
+    * and the persisted centroid_id-bucketed index via
+    * [[graft.operators.Similarity.annTopKIvfServe]], so every batch
+    * keeps the bucket-pruned scan (`SelectedBucketsCount`) and the
+    * scoring semantics of the batch operator — per-query results are
+    * independent, so drained-stream output ≡ one batch serve over the
+    * same query set (StreamingSpec asserts). Results append to
+    * `outTable`; re-delivered query ids anti-join out, so micro-batch
+    * redelivery can't duplicate a query's top-k.
+    */
+  def annServeStream(
+      queries: DataFrame,
+      index: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)],
+      k: Int, nprobe: Int,
+      outTable: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val res = graft.operators.Similarity.annTopKIvfServe(
+          batch.toDF(), index, cents, "vec_id", "embedding", k, nprobe)
+        val exists =
+          try { spark.table(outTable); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!exists) graft.sources.Warehouse.writeTable(res, outTable)
+        else graft.sources.Warehouse.appendTable(
+          res.join(spark.table(outTable).select(col("query_id")).distinct(),
+                   Seq("query_id"), "left_anti"),
+          outTable)
+        ()
+      }
+      .start()
+
   /** Schema of the `documents` parquet (the corpus-side streaming legs). */
   val documentSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

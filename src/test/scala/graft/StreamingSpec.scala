@@ -584,4 +584,43 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(spark.table(table).count() === want.size.toLong, "replay duplicated chunks")
   }
+
+  test("streaming ANN serving from the persisted IVF index ≡ batch serving; replay is a no-op") {
+    val emb   = graft.core.Tables(spark, dir).embeddings
+    val watch = java.nio.file.Files.createTempDirectory("graft-ann-watch")
+    def stageHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ann-half")
+      emb.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    stageHalf(col("vec_id") < 25, "e0.parquet")
+    val (idx, cents) = graft.queries.VectorQueries.ivfServingParts(spark, dir)
+    val outTable = graft.sources.Warehouse.sessionScopedName(spark, "graft_ann_stream_out")
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-ann-ck1").toString
+    val q1 = EventsStream.annServeStream(
+      EventsStream.readEmbeddings(spark, watch.toString).filter(col("vec_id") < 50),
+      idx, cents, k = 3, nprobe = graft.queries.VectorQueries.IvfNprobe,
+      outTable, ck1, "ann_serve_1")
+    q1.processAllAvailable()
+    stageHalf(col("vec_id") >= 25 && col("vec_id") < 50, "e1.parquet")
+    q1.processAllAvailable(); q1.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+                           r.getAs[Double]("cosine"))).toSet
+    val got  = rows(spark.table(outTable))
+    val want = rows(graft.queries.VectorQueries.ivfServe(spark, dir, col("vec_id") < 50, k = 3))
+    assert(want.nonEmpty, "batch serve returned nothing — vacuous parity")
+    assert(got === want, "streamed ANN serving diverged from the batch serve")
+    // redelivery with a fresh checkpoint: the query_id anti-join guard
+    // must keep the append a no-op
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-ann-ck2").toString
+    val q2 = EventsStream.annServeStream(
+      EventsStream.readEmbeddings(spark, watch.toString).filter(col("vec_id") < 50),
+      idx, cents, k = 3, nprobe = graft.queries.VectorQueries.IvfNprobe,
+      outTable, ck2, "ann_serve_2")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(outTable).count() === want.size.toLong, "replay duplicated results")
+  }
 }
