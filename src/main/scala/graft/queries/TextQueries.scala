@@ -724,6 +724,57 @@ object TextQueries {
     // oracle with a packed (parity, doc_id, chunk_idx) BIGINT key.
     "q172_chunk_dedup_incremental" -> { (s, dir) => chunkServeIncremental(s, dir) },
 
+    // q174: LSH banding PLANNER — the S-curve arithmetic behind q36's
+    // (bands=4, rows=2) choice, as a first-class operator: for every
+    // (b, r) in the power-of-two grid, the collision probability
+    // P(s) = 1 − (1 − s^r)^b integrated (midpoint rule, N=200) below the
+    // 0.5 target threshold (false-positive mass) and of its complement
+    // above it (false-negative mass), cost = FP + 10·FN (a missed dup is
+    // worse than a wasted verification). Cross-engine exactness: powers
+    // expand as explicit square-chains (s→s²→s⁴→s⁸, u→…→u¹⁶ — never
+    // pow(), whose libm rounding can differ across engines) and every
+    // integrand sample is 1e12-quantized to BIGINT before summing, so
+    // summation order can't perturb the integral. `is_best` marks the
+    // cheapest plan within the 16-hash signature budget (tie: shorter
+    // signature, then more rows per band).
+    "q174_lsh_parameter_plan" -> { (s, dir) =>
+      val grid = for (b <- Seq(1, 2, 4, 8, 16); r <- Seq(1, 2, 4, 8)) yield (b, r)
+      import s.implicits._
+      val g = grid.toDF("b", "r")
+      val n = 200
+      val samples = s.range(n).select(col("id").cast(LongType).as("i"))
+      val sCol = (col("i").cast(DoubleType) + 0.5) / n
+      def pow2Chain(base: Column, sel: Column): Column = {
+        val p1 = base; val p2 = p1 * p1; val p4 = p2 * p2
+        val p8 = p4 * p4; val p16 = p8 * p8
+        when(sel === 1, p1).when(sel === 2, p2).when(sel === 4, p4)
+          .when(sel === 8, p8).otherwise(p16)
+      }
+      val sr   = pow2Chain(sCol, col("r"))
+      val coll = lit(1.0) - pow2Chain(lit(1.0) - sr, col("b"))
+      val q    = floor(coll * 1e12).cast(LongType)
+      val scored = g.crossJoin(samples)
+        .select(col("b"), col("r"), col("i"), q.as("qp"))
+        .groupBy(col("b"), col("r"))
+        .agg(sum(when(col("i") < n / 2, col("qp")).otherwise(0L)).as("fp_q"),
+             sum(when(col("i") >= n / 2, lit(1000000000000L) - col("qp"))
+               .otherwise(0L)).as("fn_q"))
+        .select(col("b").cast(LongType).as("b"), col("r").cast(LongType).as("r"),
+                (col("b") * col("r")).cast(LongType).as("sig_len"),
+                col("fp_q"), col("fn_q"),
+                (col("fp_q") + lit(10L) * col("fn_q")).as("cost_q"))
+      // argmin via a 1-row broadcast, not a no-partition window (which
+      // would spam the WindowExec warning the bench log must stay free of)
+      val best = scored.filter(col("sig_len") <= 16)
+        .agg(min(struct(col("cost_q"), col("sig_len"), (-col("r")).as("negr")))
+          .as("m"))
+      scored.crossJoin(broadcast(best))
+        .withColumn("is_best",
+          col("sig_len") <= 16 &&
+          struct(col("cost_q"), col("sig_len"), (-col("r")).as("negr")) === col("m"))
+        .drop("m")
+    },
+
     // Near-dup DECONTAMINATION: the q77/q83 exact-match decon family
     // extended to MinHash near-dups — train-split docs (q61 buckets
     // 0–94) whose trigram Jaccard vs any TEST-split doc (buckets 95–99)
@@ -2546,6 +2597,50 @@ object TextQueries {
         |                      ' ' ORDER BY chunk_idx), '') AS residual_text
         |FROM k GROUP BY doc_id""".stripMargin,
     "q170_neardup_decontam" -> neardupDecontamOracleSql,
+    // Square-chain associations mirror the Spark column construction
+    // EXACTLY ((s·s)·(s·s), never pow()) so every double is bit-identical.
+    "q174_lsh_parameter_plan" ->
+      """WITH grid AS (
+        |  SELECT b, r
+        |  FROM (SELECT unnest([1, 2, 4, 8, 16]) AS b),
+        |       (SELECT unnest([1, 2, 4, 8]) AS r)),
+        |samp AS (SELECT unnest(generate_series(0, 199)) AS i),
+        |e AS (
+        |  SELECT b, r, i, (CAST(i AS DOUBLE) + 0.5) / 200 AS s
+        |  FROM grid, samp),
+        |p AS (
+        |  SELECT b, r, i,
+        |    CASE r WHEN 1 THEN s WHEN 2 THEN s*s WHEN 4 THEN (s*s)*(s*s)
+        |           ELSE ((s*s)*(s*s))*((s*s)*(s*s)) END AS sr
+        |  FROM e),
+        |u AS (SELECT b, r, i, 1.0 - sr AS u FROM p),
+        |c AS (
+        |  SELECT b, r, i,
+        |    1.0 - CASE b WHEN 1 THEN u WHEN 2 THEN u*u
+        |                 WHEN 4 THEN (u*u)*(u*u)
+        |                 WHEN 8 THEN ((u*u)*(u*u))*((u*u)*(u*u))
+        |                 ELSE (((u*u)*(u*u))*((u*u)*(u*u)))*(((u*u)*(u*u))*((u*u)*(u*u)))
+        |            END AS coll
+        |  FROM u),
+        |q AS (SELECT b, r, i, CAST(floor(coll * 1e12) AS BIGINT) AS qp FROM c),
+        |sc0 AS (
+        |  SELECT b, r,
+        |    SUM(CASE WHEN i < 100 THEN qp ELSE 0 END) AS fp_q0,
+        |    SUM(CASE WHEN i >= 100 THEN 1000000000000 - qp ELSE 0 END) AS fn_q0
+        |  FROM q GROUP BY b, r),
+        |sc AS (
+        |  SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+        |    CAST(b * r AS BIGINT) AS sig_len,
+        |    CAST(fp_q0 AS BIGINT) AS fp_q, CAST(fn_q0 AS BIGINT) AS fn_q
+        |  FROM sc0),
+        |sc2 AS (SELECT *, fp_q + 10 * fn_q AS cost_q FROM sc),
+        |bb AS (
+        |  SELECT cost_q AS c, sig_len AS s, r AS r2 FROM sc2
+        |  WHERE sig_len <= 16 ORDER BY cost_q, sig_len, r DESC LIMIT 1)
+        |SELECT sc2.b, sc2.r, sc2.sig_len, sc2.fp_q, sc2.fn_q, sc2.cost_q,
+        |  (sc2.sig_len <= 16 AND sc2.cost_q = bb.c AND sc2.sig_len = bb.s
+        |   AND sc2.r = bb.r2) AS is_best
+        |FROM sc2 CROSS JOIN bb""".stripMargin,
     // Arrival-order one-shot replay: the packed key puts every EVEN
     // (base) occurrence before any ODD (delta) one, then (doc_id,
     // chunk_idx) — a delta chunk survives iff the partition min is its

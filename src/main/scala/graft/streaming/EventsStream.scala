@@ -435,6 +435,53 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming benchmark DECONTAMINATION — q77's exact 8-gram overlap
+    * check on a continuously-arriving corpus: the benchmark n-gram set is
+    * STATIC (fixed eval suites), so each micro-batch runs the identical
+    * batch pipeline against it — explode, stream-static equi-join
+    * (benchmark side broadcast at real scale, or the q83 bloom when even
+    * its distinct n-grams are too big), per-doc hit count — and appends
+    * per-doc verdicts. Documents are batch-local, so no streaming
+    * aggregation state exists at all; the doc_id anti-join makes
+    * redelivery idempotent. Drained output ≡ batch q77 on the same
+    * corpus (StreamingSpec asserts).
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      bench: DataFrame,
+      outTable: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val corpus = batch.toDF()
+        val hits = corpus
+          .select(col("doc_id"),
+                  explode(graft.functions.Text.shingles(col("text"), 8)).as("ngram"))
+          .join(bench, "ngram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+        val res = corpus.select(col("doc_id"), col("lang"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+                  coalesce(col("n_overlap"), lit(0L)).as("n_overlap_ngrams"),
+                  (coalesce(col("n_overlap"), lit(0L)) > 0).as("is_contaminated"))
+        val exists =
+          try { spark.table(outTable); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!exists) graft.sources.Warehouse.writeTable(res, outTable)
+        else graft.sources.Warehouse.appendTable(
+          res.join(spark.table(outTable).select(col("doc_id")).distinct(),
+                   Seq("doc_id"), "left_anti"),
+          outTable)
+        ()
+      }
+      .start()
+
   /** Schema of the `embeddings` parquet (query-side streaming ANN legs). */
   val embeddingSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

@@ -623,4 +623,42 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(spark.table(outTable).count() === want.size.toLong, "replay duplicated results")
   }
+
+  test("streaming decontamination ≡ batch q77 across micro-batches; replay is a no-op") {
+    val docs  = graft.core.Tables(spark, dir).documents
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(explode(graft.functions.Text.shingles(col("text"), 8)).as("ngram"))
+      .distinct()
+    val watch = java.nio.file.Files.createTempDirectory("graft-decon-watch")
+    def stageCorpus(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-decon-half")
+      docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    // the q77 corpus split (non-benchmark docs), arriving in two batches
+    stageCorpus(col("doc_id") % 10 =!= 0 && col("doc_id") < 250, "c0.parquet")
+    val outTable = graft.sources.Warehouse.sessionScopedName(spark, "graft_decon_stream_out")
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-decon-ck1").toString
+    val q1 = EventsStream.decontaminateStream(
+      EventsStream.readDocuments(spark, watch.toString), bench, outTable, ck1, "decon_1")
+    q1.processAllAvailable()
+    stageCorpus(col("doc_id") % 10 =!= 0 && col("doc_id") >= 250, "c1.parquet")
+    q1.processAllAvailable(); q1.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+                           r.getAs[Long]("n_overlap_ngrams"),
+                           r.getAs[Boolean]("is_contaminated"))).toSet
+    val got  = rows(spark.table(outTable))
+    val want = rows(SparkEntry.queries("q77_decontaminate")(spark, dir))
+    assert(want.exists(_._4), "fixture has no contaminated doc — vacuous parity")
+    assert(got === want, "streamed decontamination diverged from batch q77")
+    // replay with a fresh checkpoint: the doc_id anti-join keeps it a no-op
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-decon-ck2").toString
+    val q2 = EventsStream.decontaminateStream(
+      EventsStream.readDocuments(spark, watch.toString), bench, outTable, ck2, "decon_2")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(outTable).count() === want.size.toLong, "replay duplicated rows")
+  }
 }

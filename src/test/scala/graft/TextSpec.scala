@@ -124,4 +124,26 @@ class TextSpec extends SparkSpec {
     val beta = rows.head.getAs[Double]("heaps_beta")
     assert(beta >= 0.0 && beta < 1.0, s"heaps_beta=$beta")
   }
+
+  test("q174 S-curve planner: FP falls with rows-per-band, FN falls with bands, one best") {
+    val rows = graft.queries.TextQueries.defs("q174_lsh_parameter_plan")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20)
+    val byBR = rows.map(r => (r.getAs[Long]("b"), r.getAs[Long]("r")) -> r).toMap
+    // fixed b: raising r makes the curve steeper-later → less FP mass,
+    // more FN mass
+    for (b <- Seq(1L, 4L, 16L); Seq(r1, r2) <- Seq(1L, 2L, 4L, 8L).sliding(2)) {
+      assert(byBR((b, r2)).getAs[Long]("fp_q") <= byBR((b, r1)).getAs[Long]("fp_q"))
+      assert(byBR((b, r2)).getAs[Long]("fn_q") >= byBR((b, r1)).getAs[Long]("fn_q"))
+    }
+    // fixed r: more bands → more collisions → more FP, less FN
+    for (r <- Seq(1L, 2L, 8L); Seq(b1, b2) <- Seq(1L, 2L, 4L, 8L, 16L).sliding(2)) {
+      assert(byBR((b2, r)).getAs[Long]("fp_q") >= byBR((b1, r)).getAs[Long]("fp_q"))
+      assert(byBR((b2, r)).getAs[Long]("fn_q") <= byBR((b1, r)).getAs[Long]("fn_q"))
+    }
+    // exactly one best plan, inside the signature budget
+    val best = rows.filter(_.getAs[Boolean]("is_best"))
+    assert(best.length == 1)
+    assert(best.head.getAs[Long]("sig_len") <= 16)
+  }
 }
