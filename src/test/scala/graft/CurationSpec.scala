@@ -232,6 +232,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q175 Kneser–Ney: hand-computed probabilities on a 3-doc corpus (mass sums to 1)") {
+    // corpus "a b", "a b", "a c": c(ab)=2, c(ac)=1, c(a·)=3, N1+(a·)=2,
+    // N1+(·b)=N1+(·c)=1, |bigram types|=2
+    //   p(b|a) = (2−.75)/3 + (.75·2/3)·(1/2) = 2/3
+    //   p(c|a) = (1−.75)/3 + (.75·2/3)·(1/2) = 1/3   (sum = 1 exactly)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    Seq((1L, "a b", "en", "s", 3L), (2L, "a b", "en", "s", 3L),
+        (3L, "a c", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CurationQueries.defs("q175_kneser_ney_lm")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val pB = 1.25 / 3.0 + (0.75 * 2.0 / 3.0) * 0.5
+    val pC = 0.25 / 3.0 + (0.75 * 2.0 / 3.0) * 0.5
+    assert(approx(pB + pC, 1.0, 1e-12), "KN mass must sum to 1 per history")
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    assert(approx(out(1L).getAs[Double]("sum_logprob"), q9(math.log(pB)), 1e-9))
+    assert(approx(out(3L).getAs[Double]("sum_logprob"), q9(math.log(pC)), 1e-9))
+    assert(out(1L).getAs[Long]("n_bigrams") == 1L)
+    assert(approx(out(3L).getAs[Double]("perplexity"), q9(math.exp(-q9(math.log(pC)))), 1e-9))
+  }
+
   test("q171 UniMax walk: caps respected, budget never exceeded, uncapped langs share evenly") {
     val out = CurationQueries.defs("q171_unimax_alloc")(
       spark, "/root/testdata/sf0.001").collect()
