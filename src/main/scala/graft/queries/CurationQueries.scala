@@ -57,6 +57,57 @@ object CurationQueries {
                  .otherwise(0L)).as("n_repeats"))
   }
 
+  /** The q175 Kneser–Ney per-doc scoring frame — shared by q175 (the
+    * report) and q176 (the CCNet bucketing built on it). See the q175
+    * def comment for the model and determinism notes.
+    */
+  private def knScores(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val toks = Text.tokens(col("text"))
+    val m    = greatest(size(toks) - 1, lit(0))
+    val pairs = docs.select(
+      col("doc_id"),
+      posexplode(zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"),
+              col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val c2  = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val ch  = pairs.groupBy(col("prev")).agg(count(lit(1)).as("ch"))
+    val n1f = c2.groupBy(col("prev")).agg(count(lit(1)).as("n1f"))
+    val n1p = c2.groupBy(col("cur")).agg(count(lit(1)).as("n1p"))
+    val bt  = c2.agg(count(lit(1)).as("bt"))
+    val term1 = greatest(col("c2").cast(DoubleType) - 0.75, lit(0.0)) /
+      col("ch").cast(DoubleType)
+    val term2 = (lit(0.75) * col("n1f").cast(DoubleType) /
+        col("ch").cast(DoubleType)) *
+      (col("n1p").cast(DoubleType) / col("bt").cast(DoubleType))
+    val scored = pairs
+      .join(broadcast(c2), Seq("prev", "cur"))
+      .join(broadcast(ch), "prev")
+      .join(broadcast(n1f), "prev")
+      .join(broadcast(n1p), "cur")
+      .crossJoin(broadcast(bt))
+      .select(col("doc_id"), col("pos"),
+              (floor(log(term1 + term2) * 1e9 + 0.5) / 1e9).as("logp"))
+    val sumLogp = aggregate(
+      transform(array_sort(collect_list(struct(col("pos"), col("logp")))),
+                x => x.getField("logp")),
+      lit(0.0), (acc, x) => acc + x)
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sumLogp.as("sum_logprob"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+              coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+              coalesce(col("sum_logprob"), lit(0.0)).as("sum_logprob"),
+              coalesce(col("sum_logprob") / col("n_bigrams").cast(DoubleType),
+                       lit(0.0)).as("avg_logprob"),
+              coalesce(
+                floor(exp(-(col("sum_logprob") / col("n_bigrams").cast(DoubleType)))
+                  * 1e9 + 0.5) / 1e9,
+                lit(1.0)).as("perplexity"))
+  }
+
   /** Tokens-per-segment for the C4-style segment dedup. Documents here are
     * single-space token streams with no newline structure (TESTDATA.md), so
     * fixed 10-token windows stand in for the reference corpus's lines.
@@ -431,51 +482,32 @@ object CurationQueries {
     // terms ride the q78/q102 1e-9 quantization, and the per-doc sum is
     // the pos-sorted sequential fold.
     // ---------------------------------------------------------------
-    "q175_kneser_ney_lm" -> { (s, dir) =>
-      val docs = Tables(s, dir).documents
-      val toks = Text.tokens(col("text"))
-      val m    = greatest(size(toks) - 1, lit(0))
-      val pairs = docs.select(
-        col("doc_id"),
-        posexplode(zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
-          (a, b) => struct(a.as("prev"), b.as("cur")))).as(Seq("pos", "bg")))
-        .select(col("doc_id"), col("pos"),
-                col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      val c2  = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
-      val ch  = pairs.groupBy(col("prev")).agg(count(lit(1)).as("ch"))
-      val n1f = c2.groupBy(col("prev")).agg(count(lit(1)).as("n1f"))
-      val n1p = c2.groupBy(col("cur")).agg(count(lit(1)).as("n1p"))
-      val bt  = c2.agg(count(lit(1)).as("bt"))
-      val term1 = greatest(col("c2").cast(DoubleType) - 0.75, lit(0.0)) /
-        col("ch").cast(DoubleType)
-      val term2 = (lit(0.75) * col("n1f").cast(DoubleType) /
-          col("ch").cast(DoubleType)) *
-        (col("n1p").cast(DoubleType) / col("bt").cast(DoubleType))
-      val scored = pairs
-        .join(broadcast(c2), Seq("prev", "cur"))
-        .join(broadcast(ch), "prev")
-        .join(broadcast(n1f), "prev")
-        .join(broadcast(n1p), "cur")
-        .crossJoin(broadcast(bt))
-        .select(col("doc_id"), col("pos"),
-                (floor(log(term1 + term2) * 1e9 + 0.5) / 1e9).as("logp"))
-      val sumLogp = aggregate(
-        transform(array_sort(collect_list(struct(col("pos"), col("logp")))),
-                  x => x.getField("logp")),
-        lit(0.0), (acc, x) => acc + x)
-      val perDoc = scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sumLogp.as("sum_logprob"))
-      docs.select(col("doc_id"), col("lang"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"),
-                coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-                coalesce(col("sum_logprob"), lit(0.0)).as("sum_logprob"),
-                coalesce(col("sum_logprob") / col("n_bigrams").cast(DoubleType),
-                         lit(0.0)).as("avg_logprob"),
-                coalesce(
-                  floor(exp(-(col("sum_logprob") / col("n_bigrams").cast(DoubleType)))
-                    * 1e9 + 0.5) / 1e9,
-                  lit(1.0)).as("perplexity"))
+    "q175_kneser_ney_lm" -> { (s, dir) => knScores(s, dir) },
+
+    // ---------------------------------------------------------------
+    // q176: CCNet-style perplexity bucketing — the step CCNet runs right
+    // after LM scoring: per LANGUAGE, split the corpus into head /
+    // middle / tail terciles by perplexity (head = most fluent third,
+    // the slice usually kept; tail = candidates for dropping). At scale
+    // the split must NOT be a per-lang rank window (a language is a
+    // giant skewed partition): compute the two tercile THRESHOLDS per
+    // lang with the exact-interpolation percentile aggregate (q18's
+    // discipline — ≤|langs| rows out), broadcast them back, and label
+    // scan-locally. Fractions are the shortest-round-trip doubles of
+    // 1/3 and 2/3 so both engines interpolate identical positions.
+    // ---------------------------------------------------------------
+    "q176_perplexity_buckets" -> { (s, dir) =>
+      val scores = knScores(s, dir)
+        .select(col("doc_id"), col("lang"), col("perplexity"))
+      val thr = scores.groupBy(col("lang"))
+        .agg(expr("percentile(perplexity, 0.3333333333333333)").as("t1"),
+             expr("percentile(perplexity, 0.6666666666666666)").as("t2"))
+      scores.join(broadcast(thr), "lang")
+        .select(col("doc_id"), col("lang"), col("perplexity"),
+                col("t1"), col("t2"),
+                when(col("perplexity") <= col("t1"), "head")
+                  .when(col("perplexity") <= col("t2"), "middle")
+                  .otherwise("tail").as("bucket"))
     },
 
     // ---------------------------------------------------------------
@@ -1141,6 +1173,41 @@ object CurationQueries {
        |  SELECT doc_id, CAST(sum(c * qratio) AS BIGINT) AS logw_q
        |  FROM docdim JOIN model USING (dim) GROUP BY 1)""".stripMargin
 
+  /** The q175 oracle body — shared verbatim by q175 and (as a derived
+    * table) q176.
+    */
+  private val knOracleSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, i - 1 AS pos, toks[i] AS prev, toks[i + 1] AS cur
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
+        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |ch AS (SELECT prev, count(*) AS ch FROM pairs GROUP BY 1),
+        |n1f AS (SELECT prev, count(*) AS n1f FROM c2 GROUP BY 1),
+        |n1p AS (SELECT cur, count(*) AS n1p FROM c2 GROUP BY 1),
+        |bt AS (SELECT count(*) AS bt FROM c2),
+        |scored AS (
+        |  SELECT doc_id, pos,
+        |    floor(ln(
+        |      greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) / CAST(ch AS DOUBLE)
+        |      + (0.75 * CAST(n1f AS DOUBLE) / CAST(ch AS DOUBLE))
+        |        * (CAST(n1p AS DOUBLE) / CAST(bt AS DOUBLE)))
+        |      * 1e9 + 0.5) / 1e9 AS logp
+        |  FROM pairs JOIN c2 USING (prev, cur) JOIN ch USING (prev)
+        |       JOIN n1f USING (prev) JOIN n1p USING (cur) CROSS JOIN bt),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+        |  FROM scored GROUP BY doc_id)
+        |SELECT t.doc_id, t.lang,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(s, 0.0) AS sum_logprob,
+        |  coalesce(s / CAST(n_bigrams AS DOUBLE), 0.0) AS avg_logprob,
+        |  coalesce(floor(exp(-(s / CAST(n_bigrams AS DOUBLE))) * 1e9 + 0.5) / 1e9,
+        |           1.0) AS perplexity
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q156_gopher_repetition" -> q156Oracle,
     "q157_quota_sample" ->
@@ -1365,37 +1432,24 @@ object CurationQueries {
     // The per-term double expression mirrors the Spark operation tree
     // EXACTLY (left-associated products, same cast points) so every
     // probability is bit-identical before its quantized ln.
-    "q175_kneser_ney_lm" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
-        |pairs AS (
-        |  SELECT doc_id, i - 1 AS pos, toks[i] AS prev, toks[i + 1] AS cur
-        |  FROM (SELECT doc_id, toks,
-        |               unnest(generate_series(1, len(toks) - 1)) AS i FROM t)),
-        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY 1, 2),
-        |ch AS (SELECT prev, count(*) AS ch FROM pairs GROUP BY 1),
-        |n1f AS (SELECT prev, count(*) AS n1f FROM c2 GROUP BY 1),
-        |n1p AS (SELECT cur, count(*) AS n1p FROM c2 GROUP BY 1),
-        |bt AS (SELECT count(*) AS bt FROM c2),
-        |scored AS (
-        |  SELECT doc_id, pos,
-        |    floor(ln(
-        |      greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) / CAST(ch AS DOUBLE)
-        |      + (0.75 * CAST(n1f AS DOUBLE) / CAST(ch AS DOUBLE))
-        |        * (CAST(n1p AS DOUBLE) / CAST(bt AS DOUBLE)))
-        |      * 1e9 + 0.5) / 1e9 AS logp
-        |  FROM pairs JOIN c2 USING (prev, cur) JOIN ch USING (prev)
-        |       JOIN n1f USING (prev) JOIN n1p USING (cur) CROSS JOIN bt),
-        |agg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |         list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
-        |  FROM scored GROUP BY doc_id)
-        |SELECT t.doc_id, t.lang,
-        |  coalesce(n_bigrams, 0) AS n_bigrams,
-        |  coalesce(s, 0.0) AS sum_logprob,
-        |  coalesce(s / CAST(n_bigrams AS DOUBLE), 0.0) AS avg_logprob,
-        |  coalesce(floor(exp(-(s / CAST(n_bigrams AS DOUBLE))) * 1e9 + 0.5) / 1e9,
-        |           1.0) AS perplexity
-        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q175_kneser_ney_lm" -> knOracleSql,
+    // q175's oracle rides as a derived table; tercile fractions are the
+    // shortest-round-trip doubles of 1/3 and 2/3, so quantile_cont
+    // interpolates the same positions Spark's exact percentile does.
+    "q176_perplexity_buckets" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang, perplexity FROM (${knOracleSql}) zz),
+         |thr AS (
+         |  SELECT lang,
+         |    quantile_cont(perplexity, CAST(0.3333333333333333 AS DOUBLE)) AS t1,
+         |    quantile_cont(perplexity, CAST(0.6666666666666666 AS DOUBLE)) AS t2
+         |  FROM sc GROUP BY lang)
+         |SELECT sc.doc_id, sc.lang, sc.perplexity, thr.t1, thr.t2,
+         |  CASE WHEN sc.perplexity <= thr.t1 THEN 'head'
+         |       WHEN sc.perplexity <= thr.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc JOIN thr USING (lang)""".stripMargin,
+
 
     "q78_unigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
