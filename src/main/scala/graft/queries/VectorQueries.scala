@@ -85,6 +85,31 @@ object VectorQueries {
       graft.operators.Clustering.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
     },
 
+    // Product quantization (Jégou et al. 2011 — the FAISS IVF-PQ memory
+    // half): 4 independent 16-dim sub-space Lloyd fits (q97's exact
+    // arithmetic, per-subspace md5 seeds), every vector stored as 4
+    // codes — 64× compression. Encoding is ONE shuffle-free codegen
+    // projection (codebook literals inline); d² readouts are
+    // 1e-9-quantized, distortion their fixed-order sum.
+    "q177_product_quantize" -> { (s, dir) =>
+      graft.operators.Pq.encode(Tables(s, dir).embeddings, "vec_id",
+        "embedding", pqCodebooks(s, dir), PqSubDim)
+    },
+
+    // ADC top-k over the PQ codes (the serving half): a 20-query batch
+    // scores the corpus through a broadcast (query, subspace, code) → d²
+    // lookup table — the corpus side moves only its 4 codes, never the
+    // vectors. Approx distance = fixed-order sum of the 4 table hits,
+    // quantized before the per-query rank (bounded query batch).
+    "q178_pq_adc_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cb = pqCodebooks(s, dir)
+      val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", cb, PqSubDim)
+        .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")): _*)
+      graft.operators.Pq.adcTopK(e.filter(col("vec_id") < 20), codes,
+        "vec_id", "embedding", cb, PqSubDim, k = 3)
+    },
+
     // Semantic dedup (SemDeDup shape): cluster first, then pairwise cosine
     // ONLY within clusters — a vector is dropped when a lower-id
     // cluster-mate is ≥ 0.4-cosine similar. The cluster partition is what
@@ -642,6 +667,76 @@ object VectorQueries {
     * q45 DECIMAL(18,7) exact per-(cluster, dim) means, empty clusters
     * keeping their previous centroid via the LEFT JOIN coalesce.
     */
+  /** q177/q178 PQ parameters — shared by the defs and the oracle CTEs. */
+  val PqM = 4
+  val PqSubDim = 16
+  private val PqK = 16
+  private val PqIters = 2
+
+  /** Codebooks memoized per (session, dir) — 4 driver Lloyd fits, each
+    * k·subDim doubles (driver-sized by construction).
+    */
+  private val pqCbCache =
+    new graft.core.SessionMemo[String, Seq[Array[Seq[Double]]]]
+  private def pqCodebooks(s: SparkSession, dir: String): Seq[Array[Seq[Double]]] =
+    pqCbCache.getOrElseUpdate(s, dir)(
+      graft.operators.Pq.fitCodebooks(Tables(s, dir).embeddings,
+        "vec_id", "embedding", PqM, PqSubDim, PqK, PqIters))
+
+  /** The q177/q178 oracle head: per-subspace kmeans replays (the q97 CTE
+    * shape sliced to 16 dims, per-subspace seed prefixes) joined into a
+    * `codes` table (vec_id, code_0..3, d2_0..3).
+    */
+  private def pqOracleCtes: String = {
+    def dist(vec: String, cen: String) =
+      s"list_dot_product($vec, $vec) - 2 * list_dot_product($vec, $cen)" +
+        s" + list_dot_product($cen, $cen)"
+    def sub(j: Int): String = {
+      val off = j * PqSubDim
+      def iter(prev: String, i: Int) =
+        s"""a${i}_$j AS (
+           |  SELECT n.vec_id, n.v, s.cid,
+           |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |      ${dist("n.v", "s.v")} ASC, s.cid ASC) AS rn
+           |  FROM n_$j n CROSS JOIN $prev s),
+           |u${i}_$j AS (
+           |  SELECT cid, i AS dim,
+           |    CAST(SUM(CAST(v[i] AS DECIMAL(18,7))) AS DOUBLE)
+           |      / CAST(COUNT(*) AS DOUBLE) AS comp
+           |  FROM (SELECT v, cid FROM a${i}_$j WHERE rn = 1)
+           |       CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS i)
+           |  GROUP BY cid, i),
+           |c${i}_$j AS (
+           |  SELECT s.cid, coalesce(u.cv, s.v) AS v
+           |  FROM $prev s LEFT JOIN
+           |    (SELECT cid, list(comp ORDER BY dim) AS cv FROM u${i}_$j GROUP BY cid) u
+           |    USING (cid))""".stripMargin
+      s"""n_$j AS (SELECT vec_id, v[${off + 1}:${off + PqSubDim}] AS v FROM n),
+         |seeds_$j AS (
+         |  SELECT CAST(rn - 1 AS BIGINT) AS cid, v FROM (
+         |    SELECT v, row_number() OVER (
+         |      ORDER BY md5('pq$j|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM n_$j) WHERE rn <= $PqK),
+         |${iter(s"seeds_$j", 1)},
+         |${iter(s"c1_$j", 2)},
+         |af_$j AS (
+         |  SELECT n.vec_id, s.cid, ${dist("n.v", "s.v")} AS d2,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      ${dist("n.v", "s.v")} ASC, s.cid ASC) AS rn
+         |  FROM n_$j n CROSS JOIN c2_$j s),
+         |best_$j AS (
+         |  SELECT vec_id, cid AS code_$j, floor(d2 * 1e9 + 0.5) / 1e9 AS d2_$j
+         |  FROM af_$j WHERE rn = 1)""".stripMargin
+    }
+    s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${(0 until PqM).map(sub).mkString(",\n")},
+       |codes AS (
+       |  SELECT b0.vec_id, b0.code_0, b1.code_1, b2.code_2, b3.code_3,
+       |         b0.d2_0, b1.d2_1, b2.d2_2, b3.d2_3
+       |  FROM best_0 b0 JOIN best_1 b1 USING (vec_id)
+       |       JOIN best_2 b2 USING (vec_id) JOIN best_3 b3 USING (vec_id))""".stripMargin
+  }
+
   private def kmeansOracleCtes: String = {
     def dist(vec: String, cen: String) =
       s"list_dot_product($vec, $vec) - 2 * list_dot_product($vec, $cen)" +
@@ -879,6 +974,42 @@ object VectorQueries {
         |    / CAST(COUNT(embedding[i]) AS DOUBLE) AS centroid_component
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY 1, 2""".stripMargin,
+    "q177_product_quantize" ->
+      s"""WITH $pqOracleCtes
+         |SELECT vec_id, code_0, code_1, code_2, code_3,
+         |  d2_0, d2_1, d2_2, d2_3,
+         |  d2_0 + d2_1 + d2_2 + d2_3 AS distortion
+         |FROM codes""".stripMargin,
+
+    "q178_pq_adc_topk" -> {
+      def dist(vec: String, cen: String) =
+        s"list_dot_product($vec, $vec) - 2 * list_dot_product($vec, $cen)" +
+          s" + list_dot_product($cen, $cen)"
+      val luts = (0 until PqM).map { j =>
+        val off = j * PqSubDim
+        s"""lut_$j AS (
+           |  SELECT q.query_id, s.cid AS code_$j,
+           |    ${dist(s"q.v[${off + 1}:${off + PqSubDim}]", "s.v")} AS l_$j
+           |  FROM qs q CROSS JOIN c2_$j s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $pqOracleCtes,
+         |qs AS (SELECT vec_id AS query_id, v FROM n WHERE vec_id < 20),
+         |$luts,
+         |sc AS (
+         |  SELECT l0.query_id, c.vec_id AS neighbor_id,
+         |    floor((l_0 + l_1 + l_2 + l_3) * 1e9 + 0.5) / 1e9 AS approx_d2
+         |  FROM codes c
+         |  JOIN lut_0 l0 ON c.code_0 = l0.code_0
+         |  JOIN lut_1 l1 ON c.code_1 = l1.code_1 AND l1.query_id = l0.query_id
+         |  JOIN lut_2 l2 ON c.code_2 = l2.code_2 AND l2.query_id = l0.query_id
+         |  JOIN lut_3 l3 ON c.code_3 = l3.code_3 AND l3.query_id = l0.query_id
+         |  WHERE c.vec_id != l0.query_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, approx_d2
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM sc)
+         |WHERE rank <= 3""".stripMargin
+    },
+
     "q97_kmeans" ->
       s"""WITH $kmeansOracleCtes
          |SELECT vec_id, cid AS cluster_id,

@@ -259,4 +259,37 @@ class SimilaritySpec extends SparkSpec {
     // the point is the strict recovery, not perfection at nprobe=1
     assert(rRebuild >= 0.9, s"rebuild barely recovered: $rRebuild")
   }
+
+  test("PQ encode: codes in range, distortion is the exact sum of subspace residuals") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.core.Tables(spark, dir).embeddings
+    val cb = graft.operators.Pq.fitCodebooks(e, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 16, iters = 2)
+    assert(cb.length == 4 && cb.forall(_.length == 16) &&
+           cb.forall(_.forall(_.length == 16)))
+    val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", cb, 16).collect()
+    codes.foreach { r =>
+      val ds = (0 until 4).map(j => r.getAs[Double](s"d2_$j"))
+      (0 until 4).foreach { j =>
+        val c = r.getAs[Long](s"code_$j")
+        assert(c >= 0 && c < 16, s"code out of range: $c")
+        assert(ds(j) >= -1e-9, s"negative residual: ${ds(j)}")
+      }
+      assert(r.getAs[Double]("distortion") == ds.reduce(_ + _),
+        "distortion must be the fixed-order sum of subspace residuals")
+    }
+    // ADC returns exactly k ranked rows per query, ascending
+    val adc = graft.operators.Pq.adcTopK(
+      e.filter(col("vec_id") < 20), // 20-query batch
+      graft.operators.Pq.encode(e, "vec_id", "embedding", cb, 16)
+        .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"), col("code_3")),
+      "vec_id", "embedding", cb, 16, k = 3).collect()
+    val byQ = adc.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 20 && byQ.values.forall(_.length == 3))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Double]("approx_d2")).sliding(2)
+        .forall(p => p.head <= p.last), "ranks must ascend in approx distance")
+    }
+  }
 }
