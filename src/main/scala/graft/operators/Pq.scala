@@ -66,9 +66,13 @@ object Pq {
     * The lookup frames are broadcast-sized by construction
     * (|queries|·M·k rows); ranking is per-query (bounded query batch).
     */
-  def adcTopK(queries: DataFrame, codes: DataFrame, idCol: String,
-              vecCol: String, codebooks: Seq[Array[Seq[Double]]],
-              subDim: Int, k: Int): DataFrame = {
+  /** The driver-built per-subspace lookup tables: (query_id, code_j,
+    * l_j) with l_j the SAME d² expression the oracle's list_dot_product
+    * CTE evaluates (sequential ascending folds throughout).
+    */
+  private def queryLuts(queries: DataFrame, idCol: String, vecCol: String,
+                        codebooks: Seq[Array[Seq[Double]]],
+                        subDim: Int): Seq[DataFrame] = {
     val spark = queries.sparkSession
     import spark.implicits._
     def selfDot(c: Seq[Double]): Double = {
@@ -88,9 +92,7 @@ object Pq {
               col(vecCol).cast("array<double>"))
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    // one lut per subspace: (query_id, code, l_j) with l_j the SAME
-    // d² expression the oracle's list_dot_product CTE evaluates
-    val luts: Seq[DataFrame] = codebooks.zipWithIndex.map { case (cb, j) =>
+    codebooks.zipWithIndex.map { case (cb, j) =>
       val rows = for {
         (qid, qv) <- qRows
         qs = qv.slice(j * subDim, (j + 1) * subDim)
@@ -98,20 +100,50 @@ object Pq {
       } yield (qid, cid.toLong, selfDot(qs) - 2.0 * dot(qs, c) + selfDot(c))
       rows.toDF("query_id", s"code_$j", s"l_$j")
     }
-    val joined = luts.zipWithIndex.foldLeft(codes) { case (acc, (lut, j)) =>
-      val keys = if (j == 0) Seq(s"code_$j") else Seq("query_id", s"code_$j")
-      acc.join(broadcast(lut), keys)
-    }
-    val approx = codebooks.indices.map(j => col(s"l_$j")).reduce(_ + _)
+  }
+
+  /** Fixed-order quantized ADC sum + per-query rank over a frame that
+    * already carries (query_id, neighbor_id, l_0..l_{m-1}).
+    */
+  private def adcRankTail(joined: DataFrame, m: Int, k: Int): DataFrame = {
+    val approx = (0 until m).map(j => col(s"l_$j")).reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
     joined
-      .filter(col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
+      .select(col("query_id"), col("neighbor_id"),
               (floor(approx * 1e9 + 0.5) / 1e9).as("approx_d2"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_d2"))
+  }
+
+  def adcTopK(queries: DataFrame, codes: DataFrame, idCol: String,
+              vecCol: String, codebooks: Seq[Array[Seq[Double]]],
+              subDim: Int, k: Int): DataFrame = {
+    val luts = queryLuts(queries, idCol, vecCol, codebooks, subDim)
+    val joined = luts.zipWithIndex.foldLeft(codes) { case (acc, (lut, j)) =>
+      val keys = if (j == 0) Seq(s"code_$j") else Seq("query_id", s"code_$j")
+      acc.join(broadcast(lut), keys)
+    }
+    adcRankTail(
+      joined.filter(col("query_id") =!= col(idCol))
+        .withColumn("neighbor_id", col(idCol)),
+      codebooks.length, k)
+  }
+
+  /** ADC rank over a PRE-RESTRICTED candidate frame — the IVF-PQ serving
+    * tail (q179): `cand` carries (query_id, neighbor_id, code_0..m-1)
+    * with candidates already limited to the probed inverted lists, so
+    * every lut join is (query_id, code)-keyed.
+    */
+  def adcRank(cand: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, codebooks: Seq[Array[Seq[Double]]],
+              subDim: Int, k: Int): DataFrame = {
+    val luts = queryLuts(queries, idCol, vecCol, codebooks, subDim)
+    val joined = luts.zipWithIndex.foldLeft(cand) { case (acc, (lut, j)) =>
+      acc.join(broadcast(lut), Seq("query_id", s"code_$j"))
+    }
+    adcRankTail(joined, codebooks.length, k)
   }
 }

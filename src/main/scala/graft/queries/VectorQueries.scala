@@ -110,6 +110,40 @@ object VectorQueries {
         "vec_id", "embedding", cb, PqSubDim, k = 3)
     },
 
+    // The FULL FAISS shape — IVF partition × PQ compression (q139 ∘
+    // q177): one scan assigns every vector to its inverted list (q64's
+    // cosine argmin) AND encodes its 4 PQ codes; serving probes
+    // nprobe=4 lists per query (the proven cosine probe) and ADC-scores
+    // ONLY the candidates inside them — the two prunings at once:
+    // bucket-restricted candidate sets, code-only distance arithmetic.
+    // Probe selection is the index's cosine assignment; refinement is
+    // ADC L2 — the hybrid is deliberate (both deterministic) and
+    // documented here rather than hidden.
+    "q179_ivfpq_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val n = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (_, cents) = ivfServingParts(s, dir)
+      val cb = pqCodebooks(s, dir)
+      val codeCols = cb.zipWithIndex.map { case (c, j) =>
+        graft.operators.Clustering.nearestCentroid(
+          c, slice(col("v"), j * PqSubDim + 1, PqSubDim))
+          .getField("cid").as(s"code_$j")
+      }
+      val codes = Similarity.ivfAssignWith(n, cents)
+        .select(col("vec_id") +: col("centroid_id") +: codeCols: _*)
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .withColumn("qn", graft.functions.Vectors.norm(col("qv")))
+      val probes = Similarity.ivfProbes(q, cents, nprobe = IvfNprobe)
+        .select(col("query_id"), col("centroid_id"))
+      val cand = codes.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id") +: col("vec_id").as("neighbor_id") +:
+          (0 until PqM).map(j => col(s"code_$j")): _*)
+      graft.operators.Pq.adcRank(cand, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", cb, PqSubDim, k = 3)
+    },
+
     // Semantic dedup (SemDeDup shape): cluster first, then pairwise cosine
     // ONLY within clusters — a vector is dropped when a lower-id
     // cluster-mate is ≥ 0.4-cosine similar. The cluster partition is what
@@ -737,6 +771,23 @@ object VectorQueries {
        |       JOIN best_2 b2 USING (vec_id) JOIN best_3 b3 USING (vec_id))""".stripMargin
   }
 
+  /** Shared q178/q179 lut CTEs: one (query_id, code_j, l_j) table per
+    * subspace from the FINAL per-subspace codebooks; expects a `qs`
+    * CTE with (query_id, v) in scope.
+    */
+  private def pqLutCtes: String = {
+    def dist(vec: String, cen: String) =
+      s"list_dot_product($vec, $vec) - 2 * list_dot_product($vec, $cen)" +
+        s" + list_dot_product($cen, $cen)"
+    (0 until PqM).map { j =>
+      val off = j * PqSubDim
+      s"""lut_$j AS (
+         |  SELECT q.query_id, s.cid AS code_$j,
+         |    ${dist(s"q.v[${off + 1}:${off + PqSubDim}]", "s.v")} AS l_$j
+         |  FROM qs q CROSS JOIN c2_$j s)""".stripMargin
+    }.mkString(",\n")
+  }
+
   private def kmeansOracleCtes: String = {
     def dist(vec: String, cen: String) =
       s"list_dot_product($vec, $vec) - 2 * list_dot_product($vec, $cen)" +
@@ -981,20 +1032,10 @@ object VectorQueries {
          |  d2_0 + d2_1 + d2_2 + d2_3 AS distortion
          |FROM codes""".stripMargin,
 
-    "q178_pq_adc_topk" -> {
-      def dist(vec: String, cen: String) =
-        s"list_dot_product($vec, $vec) - 2 * list_dot_product($vec, $cen)" +
-          s" + list_dot_product($cen, $cen)"
-      val luts = (0 until PqM).map { j =>
-        val off = j * PqSubDim
-        s"""lut_$j AS (
-           |  SELECT q.query_id, s.cid AS code_$j,
-           |    ${dist(s"q.v[${off + 1}:${off + PqSubDim}]", "s.v")} AS l_$j
-           |  FROM qs q CROSS JOIN c2_$j s)""".stripMargin
-      }.mkString(",\n")
+    "q178_pq_adc_topk" ->
       s"""WITH $pqOracleCtes,
          |qs AS (SELECT vec_id AS query_id, v FROM n WHERE vec_id < 20),
-         |$luts,
+         |$pqLutCtes,
          |sc AS (
          |  SELECT l0.query_id, c.vec_id AS neighbor_id,
          |    floor((l_0 + l_1 + l_2 + l_3) * 1e9 + 0.5) / 1e9 AS approx_d2
@@ -1007,8 +1048,56 @@ object VectorQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, approx_d2
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM sc)
-         |WHERE rank <= 3""".stripMargin
-    },
+         |WHERE rank <= 3""".stripMargin,
+
+    // q179: pq codes + the q64 IVF probe CTEs; candidates restricted to
+    // probed lists before the lut joins.
+    "q179_ivfpq_topk" ->
+      s"""WITH $pqOracleCtes,
+         |nrm2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+         |iseeds AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nrm2 ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT 16),
+         |asg2 AS (
+         |  SELECT t.vec_id, s.centroid_id,
+         |    row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |      (CASE WHEN t.nrm > 0 AND s.cnrm > 0
+         |            THEN list_dot_product(t.v, s.cv) / (t.nrm * s.cnrm)
+         |       END) DESC NULLS LAST, s.centroid_id) AS rn
+         |  FROM nrm2 t CROSS JOIN iseeds s),
+         |lists2 AS (SELECT vec_id, centroid_id FROM asg2 WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, v,
+         |              sqrt(list_dot_product(v, v)) AS qn
+         |       FROM n WHERE vec_id < 20),
+         |qprobe2 AS (
+         |  SELECT q.query_id, s.centroid_id,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      (CASE WHEN q.qn > 0 AND s.cnrm > 0
+         |            THEN list_dot_product(q.v, s.cv) / (q.qn * s.cnrm)
+         |       END) DESC NULLS LAST, s.centroid_id) AS prn
+         |  FROM qs q CROSS JOIN iseeds s),
+         |probes AS (SELECT query_id, centroid_id FROM qprobe2 WHERE prn <= 4),
+         |$pqLutCtes,
+         |cand2 AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |         c.code_0, c.code_1, c.code_2, c.code_3
+         |  FROM codes c
+         |  JOIN lists2 l ON c.vec_id = l.vec_id
+         |  JOIN probes p ON l.centroid_id = p.centroid_id
+         |  WHERE c.vec_id != p.query_id),
+         |sc AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    floor((l_0 + l_1 + l_2 + l_3) * 1e9 + 0.5) / 1e9 AS approx_d2
+         |  FROM cand2 cd
+         |  JOIN lut_0 l0 ON cd.query_id = l0.query_id AND cd.code_0 = l0.code_0
+         |  JOIN lut_1 l1 ON cd.query_id = l1.query_id AND cd.code_1 = l1.code_1
+         |  JOIN lut_2 l2 ON cd.query_id = l2.query_id AND cd.code_2 = l2.code_2
+         |  JOIN lut_3 l3 ON cd.query_id = l3.query_id AND cd.code_3 = l3.code_3)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, approx_d2
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM sc)
+         |WHERE rank <= 3""".stripMargin,
 
     "q97_kmeans" ->
       s"""WITH $kmeansOracleCtes
