@@ -110,6 +110,39 @@ object VectorQueries {
         "vec_id", "embedding", cb, PqSubDim, k = 3)
     },
 
+    // q180: the PQ quality gate (q116's recall discipline applied to the
+    // compression): per query, recall@3 of flat-ADC (q178) and of
+    // IVF-PQ (q179) against the exact brute-force top-3 — the curve an
+    // operator owner reads before trading 64× memory for recall. Joins
+    // are ≤3-row-per-query lists; the heavy lifting is the (memoized)
+    // underlying operators.
+    "q180_pq_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val exact = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val cb = pqCodebooks(s, dir)
+      val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", cb, PqSubDim)
+        .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")): _*)
+      val adc = graft.operators.Pq.adcTopK(e.filter(col("vec_id") < 20), codes,
+          "vec_id", "embedding", cb, PqSubDim, k = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_adc"))
+      val ivfpq = defs("q179_ivfpq_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_ivfpq"))
+      exact
+        .join(adc, Seq("query_id", "neighbor_id"), "left")
+        .join(ivfpq, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+             sum(coalesce(col("hit_adc"), lit(0L))).as("n_hit_adc"),
+             sum(coalesce(col("hit_ivfpq"), lit(0L))).as("n_hit_ivfpq"))
+        .select(col("query_id"), col("n_exact"), col("n_hit_adc"), col("n_hit_ivfpq"),
+                (col("n_hit_adc").cast("double") / col("n_exact").cast("double"))
+                  .as("recall_adc"),
+                (col("n_hit_ivfpq").cast("double") / col("n_exact").cast("double"))
+                  .as("recall_ivfpq"))
+    },
+
     // The FULL FAISS shape — IVF partition × PQ compression (q139 ∘
     // q177): one scan assigns every vector to its inverted list (q64's
     // cosine argmin) AND encodes its 4 PQ codes; serving probes
@@ -1417,6 +1450,20 @@ object VectorQueries {
          |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
          |GROUP BY e.query_id""".stripMargin
     }.mkString("\nUNION ALL\n")) +
+    ("q180_pq_recall" ->
+      s"""SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_adc,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_ivfpq,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall_adc,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall_ivfpq
+         |FROM (${baseOracles("q37_cosine_topk")}) e
+         |LEFT JOIN (${baseOracles("q178_pq_adc_topk")}) a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |LEFT JOIN (${baseOracles("q179_ivfpq_topk")}) i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id""".stripMargin) +
     ("q116_ann_recall" ->
       s"""SELECT e.query_id, count(*) AS n_exact,
          |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
