@@ -956,6 +956,59 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q182: the curation WATERFALL — the attrition report every dataset
+    // card ships: documents flow through the pipeline's filters in
+    // order (eval-holdout exclusion → min length → q33 quality ≥ 40 →
+    // exact dedup among survivors → q77 decontamination), and each
+    // stage reports (n_in, n_dropped, n_out). Stage predicates are the
+    // already-gated operators' own arithmetic (q33's score, q77's
+    // flag); the dedup canonical is chosen AMONG STAGE-3 SURVIVORS
+    // (real pipelines dedup the filtered corpus, and the choice of set
+    // changes the answer — pinned here, replayed identically in SQL).
+    // One corpus pass + two broadcast-sized operator joins + one
+    // content-hash window; the readout is 5 rows.
+    // ---------------------------------------------------------------
+    "q182_curation_waterfall" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val q33 = TextQueries.defs("q33_text_quality")(s, dir)
+        .select(col("doc_id"), col("quality_score"))
+      val q77 = defs("q77_decontaminate")(s, dir)
+        .select(col("doc_id"), col("is_contaminated"))
+      val base = d.select(col("doc_id"), col("text"),
+          size(Text.tokens(col("text"))).cast(LongType).as("n_toks"))
+        .join(q33, Seq("doc_id"))
+        .join(q77, Seq("doc_id"), "left")
+        .withColumn("s1", col("doc_id") % 10 =!= 0)
+        .withColumn("s2", col("s1") && col("n_toks") >= 20L)
+        .withColumn("s3", col("s2") && col("quality_score") >= 40.0)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))
+      val flags = base.withColumn("text_hash", md5(col("text")))
+        .withColumn("min_id_s3", min(when(col("s3"), col("doc_id"))).over(w))
+        .withColumn("s4", col("s3") && col("doc_id") === col("min_id_s3"))
+        .withColumn("s5",
+          col("s4") && !coalesce(col("is_contaminated"), lit(false)))
+      val c = flags.agg(
+        count(lit(1)).as("c0"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("c3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("c4"),
+        sum(when(col("s5"), 1L).otherwise(0L)).as("c5"))
+      val stages = Seq((1L, "eval_holdout", "c0", "c1"),
+                       (2L, "min_length", "c1", "c2"),
+                       (3L, "quality", "c2", "c3"),
+                       (4L, "exact_dedup", "c3", "c4"),
+                       (5L, "decontamination", "c4", "c5"))
+      c.select(explode(array(stages.map { case (i, name, in, out) =>
+          struct(lit(i).as("stage_idx"), lit(name).as("stage"),
+                 col(in).as("n_in"), (col(in) - col(out)).as("n_dropped"),
+                 col(out).as("n_out"))
+        }: _*)).as("x"))
+        .select(col("x.stage_idx"), col("x.stage"), col("x.n_in"),
+                col("x.n_dropped"), col("x.n_out"))
+    },
+
+    // ---------------------------------------------------------------
     // q100: dataset-card rollup — the per-source/per-language corpus
     // profile a training-data release ships (docs, tokens, chars, exact
     // dedup rate from the q31 fingerprint) over GROUPING SETS
@@ -1173,6 +1226,30 @@ object CurationQueries {
        |  SELECT doc_id, CAST(sum(c * qratio) AS BIGINT) AS logw_q
        |  FROM docdim JOIN model USING (dim) GROUP BY 1)""".stripMargin
 
+  /** The q77 oracle body — shared verbatim by q77 and (as a derived
+    * table) the q182 waterfall.
+    */
+  private val deconOracleSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |bench AS (
+      |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS ngram
+      |  FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - 7)) AS i
+      |        FROM t WHERE doc_id % 10 = 0)),
+      |corpusng AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
+      |  FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - 7)) AS i
+      |        FROM t WHERE doc_id % 10 <> 0)),
+      |hits AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      |  FROM corpusng JOIN bench USING (ngram) GROUP BY doc_id)
+      |SELECT t.doc_id, t.lang,
+      |  coalesce(n_overlap, 0) AS n_overlap_ngrams,
+      |  coalesce(n_overlap, 0) > 0 AS is_contaminated
+      |FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+      |WHERE t.doc_id % 10 <> 0""".stripMargin
+
   /** The q175 oracle body — shared verbatim by q175 and (as a derived
     * table) q176.
     */
@@ -1377,26 +1454,44 @@ object CurationQueries {
         |             ELSE 0.0 END) <= 0.4) AS passes_repetition_filter
         |FROM words w JOIN grams USING (doc_id)""".stripMargin,
 
-    "q77_decontaminate" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
-        |bench AS (
-        |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS ngram
-        |  FROM (SELECT doc_id, toks,
-        |               unnest(generate_series(1, len(toks) - 7)) AS i
-        |        FROM t WHERE doc_id % 10 = 0)),
-        |corpusng AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
-        |  FROM (SELECT doc_id, toks,
-        |               unnest(generate_series(1, len(toks) - 7)) AS i
-        |        FROM t WHERE doc_id % 10 <> 0)),
-        |hits AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-        |  FROM corpusng JOIN bench USING (ngram) GROUP BY doc_id)
-        |SELECT t.doc_id, t.lang,
-        |  coalesce(n_overlap, 0) AS n_overlap_ngrams,
-        |  coalesce(n_overlap, 0) > 0 AS is_contaminated
-        |FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
-        |WHERE t.doc_id % 10 <> 0""".stripMargin,
+    "q77_decontaminate" -> deconOracleSql,
+
+    // Stage predicates replay the gated operators' own SQL (q33, q77 as
+    // derived tables); the dedup canonical is the min doc_id among
+    // STAGE-3 SURVIVORS of each content-hash group, exactly as the def
+    // pins it.
+    "q182_curation_waterfall" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |     FROM documents),
+         |q33 AS (SELECT doc_id, quality_score
+         |        FROM (${graft.queries.TextQueries.oracles("q33_text_quality")}) z),
+         |q77 AS (SELECT doc_id, is_contaminated FROM ($deconOracleSql) z2),
+         |f0 AS (
+         |  SELECT d.doc_id, d.text, d.n_toks, q33.quality_score,
+         |    coalesce(q77.is_contaminated, false) AS contam,
+         |    (d.doc_id % 10 <> 0) AS s1
+         |  FROM d JOIN q33 USING (doc_id) LEFT JOIN q77 USING (doc_id)),
+         |f1 AS (SELECT *, s1 AND n_toks >= 20 AS s2 FROM f0),
+         |f2 AS (SELECT *, s2 AND quality_score >= 40.0 AS s3 FROM f1),
+         |f3 AS (SELECT *, min(CASE WHEN s3 THEN doc_id END)
+         |                   OVER (PARTITION BY md5(text)) AS min_id FROM f2),
+         |f4 AS (SELECT *, s3 AND doc_id = min_id AS s4 FROM f3),
+         |f5 AS (SELECT *, s4 AND NOT contam AS s5 FROM f4),
+         |c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         |    CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+         |  FROM f5)
+         |SELECT CAST(1 AS BIGINT) AS stage_idx, 'eval_holdout' AS stage,
+         |       c0 AS n_in, c0 - c1 AS n_dropped, c1 AS n_out FROM c
+         |UNION ALL SELECT 2, 'min_length', c1, c1 - c2, c2 FROM c
+         |UNION ALL SELECT 3, 'quality', c2, c2 - c3, c3 FROM c
+         |UNION ALL SELECT 4, 'exact_dedup', c3, c3 - c4, c4 FROM c
+         |UNION ALL SELECT 5, 'decontamination', c4, c4 - c5, c5 FROM c""".stripMargin,
 
     // list_reduce folds left-to-right starting from the first element;
     // Spark's aggregate starts from 0.0 — identical in IEEE because

@@ -420,6 +420,64 @@ object RetrievalQueries {
     // exact DECIMAL sum of the quantized terms (order-independent) —
     // the q06/q52 discipline, so the rows hash-gate.
     // ---------------------------------------------------------------
+    // ---------------------------------------------------------------
+    // q181: q112's PSI unrolled over EVENT TIME — the monitoring form a
+    // continuously-ingesting pipeline actually runs: every event-time
+    // week scored against week 0 (the reference), bins fixed from the
+    // reference week's min/max (q112's practice), one PSI total per
+    // week. Week indexing is pure integer arithmetic on epoch days
+    // ((day − min_day) DIV 7 — never engine week-of-year semantics);
+    // the per-bin/term/total arithmetic is byte-for-byte q112's, so the
+    // whole drift curve hash-gates. Scale shape: two aggregations
+    // (stats row + (week, bin) counts) and constant-size frames after.
+    // ---------------------------------------------------------------
+    "q181_windowed_psi" -> { (s, dir) =>
+      val B = 10
+      val e0 = Tables(s, dir).events.filter(col("value").isNotNull)
+        .select(col("value"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val minDay = e0.agg(min(col("day")).as("min_day"))
+      val e = e0.crossJoin(broadcast(minDay))
+        .select(col("value"), expr("(day - min_day) DIV 7").as("week_idx"))
+      val stats = e.filter(col("week_idx") === 0)
+        .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      val binned = e.crossJoin(broadcast(stats))
+        .select(col("week_idx"),
+          greatest(lit(0.0),
+            when(col("vmax") > col("vmin"),
+              least(floor((col("value") - col("vmin")) /
+                (col("vmax") - col("vmin")) * B), lit((B - 1).toDouble)))
+            .otherwise(lit(0.0)))
+          .cast(LongType).as("bin"))
+      val counts = binned.groupBy(col("week_idx"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val refCounts = counts.filter(col("week_idx") === 0)
+        .select(col("bin"), col("cnt").as("ref_cnt"))
+      val weeks = counts.select(col("week_idx")).filter(col("week_idx") >= 1).distinct()
+      val grid = weeks.crossJoin(s.range(B).select(col("id").as("bin")))
+      val joined = grid
+        .join(broadcast(refCounts), Seq("bin"), "left")
+        .join(counts.filter(col("week_idx") >= 1)
+                .select(col("week_idx"), col("bin"), col("cnt").as("cur_cnt")),
+              Seq("week_idx", "bin"), "left")
+        .select(col("week_idx"), col("bin"),
+                coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+                coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+      val totals = joined.groupBy(col("week_idx"))
+        .agg(sum(col("ref_cnt")).as("n_ref"), sum(col("cur_cnt")).as("n_cur"))
+      val p = (col("ref_cnt").cast(DoubleType) + 0.5) /
+        (col("n_ref").cast(DoubleType) + 0.5 * B)
+      val q = (col("cur_cnt").cast(DoubleType) + 0.5) /
+        (col("n_cur").cast(DoubleType) + 0.5 * B)
+      val term = floor((p - q) * log(p / q) * 1e9 + 0.5) / 1e9
+      val perBin = joined.join(broadcast(totals), Seq("week_idx"))
+        .select(col("week_idx"), col("bin"), col("ref_cnt"), col("cur_cnt"),
+                term.as("psi_term"))
+      val weekTotal = perBin.groupBy(col("week_idx"))
+        .agg(sum(col("psi_term").cast(DecimalType(18, 9))).cast(DoubleType)
+          .as("psi_total"))
+      perBin.join(broadcast(weekTotal), Seq("week_idx"))
+    },
+
     "q112_drift_psi" -> { (s, dir) =>
       val B = 10
       val e = Tables(s, dir).events.filter(col("value").isNotNull)
@@ -1003,6 +1061,55 @@ object RetrievalQueries {
         |SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, tok, tf,
         |  CAST(scaled AS DOUBLE) / 1e9 AS tfidf_score
         |FROM ranked WHERE kw_rank <= 3""".stripMargin,
+
+    "q181_windowed_psi" ->
+      """WITH e0 AS (
+        |  SELECT value, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |md AS (SELECT min(day) AS min_day FROM e0),
+        |e AS (SELECT value, (day - min_day) // 7 AS week_idx
+        |      FROM e0 CROSS JOIN md),
+        |stats AS (
+        |  SELECT min(value) AS vmin, max(value) AS vmax
+        |  FROM e WHERE week_idx = 0),
+        |binned AS (
+        |  SELECT week_idx,
+        |    CAST(greatest(0.0, CASE WHEN vmax > vmin
+        |           THEN least(floor((value - vmin) / (vmax - vmin) * 10), 9.0)
+        |           ELSE 0.0 END) AS BIGINT) AS bin
+        |  FROM e CROSS JOIN stats),
+        |counts AS (
+        |  SELECT week_idx, bin, count(*) AS cnt FROM binned GROUP BY 1, 2),
+        |rc AS (SELECT bin, cnt AS ref_cnt FROM counts WHERE week_idx = 0),
+        |weeks AS (SELECT DISTINCT week_idx FROM counts WHERE week_idx >= 1),
+        |grid AS (SELECT w.week_idx, CAST(b.bin AS BIGINT) AS bin
+        |         FROM weeks w CROSS JOIN (SELECT unnest(range(10)) AS bin) b),
+        |j AS (
+        |  SELECT g.week_idx, g.bin,
+        |    CAST(coalesce(rc.ref_cnt, 0) AS BIGINT) AS ref_cnt,
+        |    CAST(coalesce(cc.cnt, 0) AS BIGINT) AS cur_cnt
+        |  FROM grid g
+        |  LEFT JOIN rc ON g.bin = rc.bin
+        |  LEFT JOIN (SELECT week_idx, bin, cnt FROM counts WHERE week_idx >= 1) cc
+        |    ON g.week_idx = cc.week_idx AND g.bin = cc.bin),
+        |tot AS (
+        |  SELECT week_idx, CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
+        |         CAST(sum(cur_cnt) AS BIGINT) AS n_cur
+        |  FROM j GROUP BY 1),
+        |terms AS (
+        |  SELECT j.week_idx, j.bin, j.ref_cnt, j.cur_cnt,
+        |    floor(((CAST(ref_cnt AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0)
+        |          - (CAST(cur_cnt AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0))
+        |        * ln(((CAST(ref_cnt AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0))
+        |           / ((CAST(cur_cnt AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0)))
+        |        * 1e9 + 0.5) / 1e9 AS psi_term
+        |  FROM j JOIN tot USING (week_idx)),
+        |wt AS (
+        |  SELECT week_idx,
+        |         CAST(sum(CAST(psi_term AS DECIMAL(18,9))) AS DOUBLE) AS psi_total
+        |  FROM terms GROUP BY 1)
+        |SELECT t.week_idx, t.bin, t.ref_cnt, t.cur_cnt, t.psi_term, wt.psi_total
+        |FROM terms t JOIN wt USING (week_idx)""".stripMargin,
 
     "q112_drift_psi" ->
       """WITH e AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
