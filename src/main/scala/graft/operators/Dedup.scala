@@ -363,8 +363,36 @@ object Dedup {
     * (doc_id, clean_chars, dup_chars, kept_frac, keep, residual_text).
     */
   def exactSubstrRemediate(df: DataFrame, idCol: String, textCol: String,
-                           k: Int, minChars: Int): DataFrame = {
-    val spans = mergedSpans(substrCov(df, idCol, textCol, k), k)
+                           k: Int, minChars: Int): DataFrame =
+    remediateTail(df, idCol, textCol,
+      mergedSpans(substrCov(df, idCol, textCol, k), k), minChars)
+
+  /** Incremental REMOVAL — [[exactSubstrRemediate]]'s delta-ingest form
+    * (the q133 discipline): each NEW document is cleaned of every span
+    * occurring verbatim in the EXISTING corpus, probing the base's
+    * DISTINCT gram set with one equi-join — cost ∝ delta size. The base
+    * itself is untouched (it was remediated when IT was the delta).
+    */
+  def exactSubstrRemediateAgainst(delta: DataFrame, base: DataFrame,
+                                  idCol: String, textCol: String,
+                                  k: Int, minChars: Int): DataFrame = {
+    import org.apache.spark.sql.graftx.CharGramArray
+    val g = delta.select(col(idCol).as("doc_id"),
+                         posexplode(CharGramArray.charGrams(col(textCol), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+              col("col").as("gram"))
+    val baseGrams = base
+      .select(explode(CharGramArray.charGrams(col(textCol), k)).as("gram"))
+      .distinct()
+    val cov = g.join(baseGrams, Seq("gram")).select(col("doc_id"), col("pos"))
+    remediateTail(delta, idCol, textCol, mergedSpans(cov, k), minChars)
+  }
+
+  /** Shared removal tail: fold a document's merged spans into the
+    * residual text (see [[exactSubstrRemediate]] for the cost argument).
+    */
+  private def remediateTail(df: DataFrame, idCol: String, textCol: String,
+                            spans: DataFrame, minChars: Int): DataFrame = {
     // collect_list order is partition-dependent; array_sort restores the
     // canonical span order (spans are disjoint, so sorting the (s, e)
     // structs sorts by s).

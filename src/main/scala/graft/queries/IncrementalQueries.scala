@@ -95,6 +95,20 @@ object IncrementalQueries {
         "doc_id", "text", k = 25)
     },
 
+    // q183: the incremental REMOVAL — q167's remediation in its
+    // delta-ingest form (q133 reports the incremental coverage stats;
+    // this CUTS the spans): every new document is cleaned of the spans
+    // it shares with the existing corpus, probing the base's distinct
+    // gram set with one equi-join — cost ∝ delta size. The residual
+    // text rides in the gate byte-for-byte.
+    "q183_incremental_remediate" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      graft.operators.Dedup.exactSubstrRemediateAgainst(
+        docs.filter(col("doc_id") >= Split),
+        docs.filter(col("doc_id") < Split),
+        "doc_id", "text", k = 25, minChars = 100)
+    },
+
     // ---------------------------------------------------------------
     // q95: deterministic epoch shuffle — the global permutation +
     // shard/offset assignment of a training-data build ("shuffle the
@@ -263,6 +277,61 @@ object IncrementalQueries {
          |  coalesce(per_doc.longest_span, 0) AS longest_span
          |FROM d LEFT JOIN np USING (doc_id) LEFT JOIN per_doc USING (doc_id)
          |WHERE d.doc_id >= $Split""".stripMargin,
+
+    // q133's restricted-gram CTEs + q167's gap/reassembly tail.
+    "q183_incremental_remediate" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         |dd AS (SELECT * FROM d WHERE doc_id >= $Split),
+         |dpos AS (
+         |  SELECT doc_id, unnest(generate_series(1, len - 24)) AS pos
+         |  FROM dd WHERE len >= 25),
+         |dg AS (
+         |  SELECT p.doc_id, p.pos, substr(d.text, CAST(p.pos AS INTEGER), 25) AS gram
+         |  FROM dpos p JOIN d USING (doc_id)),
+         |bg AS (
+         |  SELECT DISTINCT substr(d.text, CAST(p.pos AS INTEGER), 25) AS gram
+         |  FROM (SELECT doc_id, unnest(generate_series(1, len - 24)) AS pos
+         |        FROM d WHERE len >= 25 AND doc_id < $Split) p
+         |  JOIN d USING (doc_id)),
+         |cov AS (SELECT dg.doc_id, dg.pos FROM dg JOIN bg USING (gram)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > coalesce(MAX(pos + 25) OVER (
+         |           PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |         THEN 1 ELSE 0 END AS new_span
+         |  FROM cov),
+         |isl2 AS (
+         |  SELECT doc_id, pos,
+         |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |  FROM isl),
+         |spans AS (
+         |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 25 AS e
+         |  FROM isl2 GROUP BY 1, 2),
+         |gaps AS (
+         |  SELECT doc_id,
+         |         coalesce(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS gs,
+         |         s AS ge
+         |  FROM spans
+         |  UNION ALL
+         |  SELECT sp.doc_id, MAX(sp.e) AS gs, CAST(d.len + 1 AS BIGINT) AS ge
+         |  FROM spans sp JOIN d USING (doc_id) GROUP BY sp.doc_id, d.len),
+         |resid AS (
+         |  SELECT gp.doc_id,
+         |         string_agg(substr(d.text, CAST(gp.gs AS INTEGER),
+         |                           CAST(gp.ge - gp.gs AS INTEGER)),
+         |                    '' ORDER BY gp.gs) AS r
+         |  FROM gaps gp JOIN d USING (doc_id)
+         |  GROUP BY gp.doc_id)
+         |SELECT dd.doc_id,
+         |  CAST(length(coalesce(r.r, dd.text)) AS BIGINT) AS clean_chars,
+         |  CAST(dd.len - length(coalesce(r.r, dd.text)) AS BIGINT) AS dup_chars,
+         |  CASE WHEN dd.len = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(length(coalesce(r.r, dd.text)) AS DOUBLE)
+         |              / CAST(dd.len AS DOUBLE) END AS kept_frac,
+         |  length(coalesce(r.r, dd.text)) >= 100 AS keep,
+         |  coalesce(r.r, dd.text) AS residual_text
+         |FROM dd LEFT JOIN resid r USING (doc_id)""".stripMargin,
 
     // Same packed-key arithmetic, rank via row_number.
     "q165_curriculum_schedule" -> {

@@ -110,6 +110,53 @@ object VectorQueries {
         "vec_id", "embedding", cb, PqSubDim, k = 3)
     },
 
+    // q184: cluster-balanced CORESET sampling — the embedding-space
+    // dual of q157's language quotas (the "semantic diversity" sampler
+    // real pipelines run before expensive annotation/training): q97's
+    // kmeans partitions the corpus, exact largest-remainder
+    // apportionment turns cluster sizes into a 100-vector budget, and
+    // each cluster's picks are the md5-ranked TopKPairs heap — exact
+    // counts, no rand(), no per-cluster sort, no corpus window.
+    "q184_coreset_sample" -> { (s, dir) =>
+      val B = 100L
+      val asg = graft.operators.Clustering.kmeans(
+          Tables(s, dir).embeddings, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("vec_id"), col("cluster_id"))
+      val counts = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_c"))
+      val tot = counts.agg(sum(col("n_c")).as("nn"))
+      val q = counts.crossJoin(broadcast(tot))
+        .select(col("cluster_id"), col("n_c"),
+                expr(s"($B * n_c) DIV nn").as("base_c"),
+                (lit(B) * col("n_c") -
+                  expr(s"($B * n_c) DIV nn") * col("nn")).as("rem"))
+        .localCheckpoint() // ≤k rows, consumed twice below
+      val sumBase = q.agg(sum(col("base_c")).as("sum_base"))
+      val ranked = q
+        .agg(sort_array(collect_list(struct((-col("rem")).as("negrem"),
+               col("cluster_id").as("cluster_id"),
+               col("base_c").as("base_c")))).as("xs"))
+        .select(posexplode(col("xs")).as(Seq("pos", "x")))
+        .select(col("x.cluster_id").as("cluster_id"), col("x.base_c").as("base_c"),
+                (col("pos") + 1).cast("long").as("seat_rank"))
+      val tgt = ranked.crossJoin(broadcast(sumBase))
+        .select(col("cluster_id"),
+                (col("base_c") +
+                  when(col("seat_rank") <= lit(B) - col("sum_base"), 1L)
+                    .otherwise(0L)).as("target_n"))
+      val key = md5(concat(lit("coreset|"), col("vec_id").cast("string")))
+      asg.select(col("vec_id"), col("cluster_id"), key.as("sample_key"))
+        .groupBy(col("cluster_id"))
+        .agg(org.apache.spark.sql.graftx.TopKPairs
+          .topK(col("sample_key"), col("vec_id"), B.toInt).as("top"))
+        .select(col("cluster_id"), posexplode(col("top")))
+        .select(col("cluster_id"), col("col.id").as("vec_id"),
+                (col("pos") + 1).cast("long").as("strat_rank"))
+        .join(broadcast(tgt), Seq("cluster_id"))
+        .filter(col("strat_rank") <= col("target_n"))
+        .select(col("cluster_id"), col("vec_id"), col("strat_rank"),
+                col("target_n").cast("long").as("target_n"))
+    },
+
     // q180: the PQ quality gate (q116's recall discipline applied to the
     // compression): per query, recall@3 of flat-ADC (q178) and of
     // IVF-PQ (q179) against the exact brute-force top-3 — the curve an
@@ -1131,6 +1178,38 @@ object VectorQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM sc)
          |WHERE rank <= 3""".stripMargin,
+
+    // q97's assignment CTEs + q157's apportionment arithmetic over
+    // clusters + md5-rank picks.
+    "q184_coreset_sample" ->
+      s"""WITH $kmeansOracleCtes,
+         |asg AS (SELECT vec_id, cid FROM af WHERE rn = 1),
+         |counts AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_c FROM asg GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS nn FROM counts),
+         |q AS (
+         |  SELECT cid, n_c, (100 * n_c) // nn AS base_c,
+         |         100 * n_c - ((100 * n_c) // nn) * nn AS rem
+         |  FROM counts CROSS JOIN tot),
+         |sb AS (SELECT sum(base_c) AS sum_base FROM q),
+         |rk AS (SELECT cid, base_c,
+         |              row_number() OVER (ORDER BY rem DESC, cid) AS seat_rank
+         |       FROM q),
+         |tgt AS (
+         |  SELECT cid,
+         |    base_c + CASE WHEN seat_rank <= 100 - (SELECT sum_base FROM sb)
+         |                  THEN 1 ELSE 0 END AS target_n
+         |  FROM rk),
+         |keyed AS (
+         |  SELECT vec_id, cid, md5('coreset|' || CAST(vec_id AS VARCHAR)) AS k
+         |  FROM asg),
+         |ranked AS (
+         |  SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY cid ORDER BY k, vec_id) AS sr
+         |  FROM keyed)
+         |SELECT r.cid AS cluster_id, r.vec_id, CAST(r.sr AS BIGINT) AS strat_rank,
+         |       CAST(t.target_n AS BIGINT) AS target_n
+         |FROM ranked r JOIN tgt t ON r.cid = t.cid
+         |WHERE r.sr <= t.target_n""".stripMargin,
 
     "q97_kmeans" ->
       s"""WITH $kmeansOracleCtes
