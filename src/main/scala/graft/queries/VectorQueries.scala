@@ -106,6 +106,39 @@ object VectorQueries {
         "vec_id", "embedding", pqCodebooks(s, dir), PqSubDim, k = 3)
     },
 
+    // q185: two-stage retrieval — the production serving pattern that
+    // makes PQ's recall loss survivable: ADC over the codes SHORTLISTS
+    // cheaply (top-10, vectors never touched), then ONLY the shortlist
+    // fetches real vectors for an exact cosine rerank (top-3). The
+    // rerank join touches |queries|·10 rows — the whole point: exact
+    // arithmetic priced per shortlist, not per corpus.
+    "q185_pq_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val codes = pqCodes(s, dir)
+        .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")): _*)
+      val shortlist = graft.operators.Pq.adcTopK(e.filter(col("vec_id") < 20),
+          codes, "vec_id", "embedding", pqCodebooks(s, dir), PqSubDim, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val n = e.select(col("vec_id"),
+                       col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
+      val scored = shortlist
+        .join(n.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                       col("nrm").as("qn")), Seq("query_id"))
+        .join(n.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+                       col("nrm").as("cn")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          when(col("qn") > 0 && col("cn") > 0,
+            org.apache.spark.sql.graftx.DotProduct.dotNative(col("qv"), col("cv")) /
+              (col("qn") * col("cn"))).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    },
+
     // q184: cluster-balanced CORESET sampling — the embedding-space
     // dual of q157's language quotas (the "semantic diversity" sampler
     // real pipelines run before expensive annotation/training): q97's
@@ -1138,6 +1171,38 @@ object VectorQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, approx_d2
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank FROM sc)
+         |WHERE rank <= 3""".stripMargin,
+
+    // q178's ADC chain at k=10 as the shortlist, exact cosine rerank on
+    // the shortlist only.
+    "q185_pq_rerank" ->
+      s"""WITH $pqOracleCtes,
+         |qs AS (SELECT vec_id AS query_id, v FROM n WHERE vec_id < 20),
+         |$pqLutCtes,
+         |sc0 AS (
+         |  SELECT l0.query_id, c.vec_id AS neighbor_id,
+         |    floor((l_0 + l_1 + l_2 + l_3) * 1e9 + 0.5) / 1e9 AS approx_d2
+         |  FROM codes c
+         |  JOIN lut_0 l0 ON c.code_0 = l0.code_0
+         |  JOIN lut_1 l1 ON c.code_1 = l1.code_1 AND l1.query_id = l0.query_id
+         |  JOIN lut_2 l2 ON c.code_2 = l2.code_2 AND l2.query_id = l0.query_id
+         |  JOIN lut_3 l3 ON c.code_3 = l3.code_3 AND l3.query_id = l0.query_id
+         |  WHERE c.vec_id != l0.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_d2 ASC, neighbor_id ASC) AS rnk FROM sc0)
+         |  WHERE rnk <= 10),
+         |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+         |rs AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    CASE WHEN q.nrm > 0 AND c.nrm > 0
+         |         THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS cosine
+         |  FROM short s JOIN nv q ON s.query_id = q.vec_id
+         |               JOIN nv c ON s.neighbor_id = c.vec_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank FROM rs)
          |WHERE rank <= 3""".stripMargin,
 
     // q179: pq codes + the q64 IVF probe CTEs; candidates restricted to
