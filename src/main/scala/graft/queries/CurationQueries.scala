@@ -108,6 +108,31 @@ object CurationQueries {
                 lit(1.0)).as("perplexity"))
   }
 
+  /** The q182/q186 stage-flag frame: one row per document with the
+    * cumulative survival booleans s1..s5 (see the q182 def comment for
+    * the stage semantics and the survivor-scoped dedup canonical).
+    */
+  private def waterfallFlags(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val q33 = TextQueries.defs("q33_text_quality")(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val q77 = defs("q77_decontaminate")(s, dir)
+      .select(col("doc_id"), col("is_contaminated"))
+    val base = d.select(col("doc_id"), col("source"), col("text"),
+        size(Text.tokens(col("text"))).cast(LongType).as("n_toks"))
+      .join(q33, Seq("doc_id"))
+      .join(q77, Seq("doc_id"), "left")
+      .withColumn("s1", col("doc_id") % 10 =!= 0)
+      .withColumn("s2", col("s1") && col("n_toks") >= 20L)
+      .withColumn("s3", col("s2") && col("quality_score") >= 40.0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))
+    base.withColumn("text_hash", md5(col("text")))
+      .withColumn("min_id_s3", min(when(col("s3"), col("doc_id"))).over(w))
+      .withColumn("s4", col("s3") && col("doc_id") === col("min_id_s3"))
+      .withColumn("s5",
+        col("s4") && !coalesce(col("is_contaminated"), lit(false)))
+  }
+
   /** Tokens-per-segment for the C4-style segment dedup. Documents here are
     * single-space token streams with no newline structure (TESTDATA.md), so
     * fixed 10-token windows stand in for the reference corpus's lines.
@@ -969,25 +994,7 @@ object CurationQueries {
     // content-hash window; the readout is 5 rows.
     // ---------------------------------------------------------------
     "q182_curation_waterfall" -> { (s, dir) =>
-      val d = Tables(s, dir).documents
-      val q33 = TextQueries.defs("q33_text_quality")(s, dir)
-        .select(col("doc_id"), col("quality_score"))
-      val q77 = defs("q77_decontaminate")(s, dir)
-        .select(col("doc_id"), col("is_contaminated"))
-      val base = d.select(col("doc_id"), col("text"),
-          size(Text.tokens(col("text"))).cast(LongType).as("n_toks"))
-        .join(q33, Seq("doc_id"))
-        .join(q77, Seq("doc_id"), "left")
-        .withColumn("s1", col("doc_id") % 10 =!= 0)
-        .withColumn("s2", col("s1") && col("n_toks") >= 20L)
-        .withColumn("s3", col("s2") && col("quality_score") >= 40.0)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))
-      val flags = base.withColumn("text_hash", md5(col("text")))
-        .withColumn("min_id_s3", min(when(col("s3"), col("doc_id"))).over(w))
-        .withColumn("s4", col("s3") && col("doc_id") === col("min_id_s3"))
-        .withColumn("s5",
-          col("s4") && !coalesce(col("is_contaminated"), lit(false)))
-      val c = flags.agg(
+      val c = waterfallFlags(s, dir).agg(
         count(lit(1)).as("c0"),
         sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
         sum(when(col("s2"), 1L).otherwise(0L)).as("c2"),
@@ -1006,6 +1013,34 @@ object CurationQueries {
         }: _*)).as("x"))
         .select(col("x.stage_idx"), col("x.stage"), col("x.n_in"),
                 col("x.n_dropped"), col("x.n_out"))
+    },
+
+    // ---------------------------------------------------------------
+    // q186: q182's waterfall GROUPED BY SOURCE — the per-provenance
+    // attrition view ("which crawl loses most to dedup?") a dataset
+    // card breaks out next to the corpus-level totals. Same flag frame,
+    // one grouped aggregation, stages unpivoted per source.
+    // ---------------------------------------------------------------
+    "q186_waterfall_by_source" -> { (s, dir) =>
+      val c = waterfallFlags(s, dir).groupBy(col("source")).agg(
+        count(lit(1)).as("c0"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("c3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("c4"),
+        sum(when(col("s5"), 1L).otherwise(0L)).as("c5"))
+      val stages = Seq((1L, "eval_holdout", "c0", "c1"),
+                       (2L, "min_length", "c1", "c2"),
+                       (3L, "quality", "c2", "c3"),
+                       (4L, "exact_dedup", "c3", "c4"),
+                       (5L, "decontamination", "c4", "c5"))
+      c.select(col("source"), explode(array(stages.map { case (i, name, in, out) =>
+          struct(lit(i).as("stage_idx"), lit(name).as("stage"),
+                 col(in).as("n_in"), (col(in) - col(out)).as("n_dropped"),
+                 col(out).as("n_out"))
+        }: _*)).as("x"))
+        .select(col("source"), col("x.stage_idx"), col("x.stage"),
+                col("x.n_in"), col("x.n_dropped"), col("x.n_out"))
     },
 
     // ---------------------------------------------------------------
@@ -1225,6 +1260,28 @@ object CurationQueries {
        |w AS (
        |  SELECT doc_id, CAST(sum(c * qratio) AS BIGINT) AS logw_q
        |  FROM docdim JOIN model USING (dim) GROUP BY 1)""".stripMargin
+
+  /** The q182/q186 stage-flag CTE chain (through f5), shared by both
+    * waterfall oracles.
+    */
+  private def waterfallCtesSql: String =
+    s"""d AS (SELECT doc_id, source, text,
+       |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |     FROM documents),
+       |q33 AS (SELECT doc_id, quality_score
+       |        FROM (${graft.queries.TextQueries.oracles("q33_text_quality")}) z),
+       |q77 AS (SELECT doc_id, is_contaminated FROM ($deconOracleSql) z2),
+       |f0 AS (
+       |  SELECT d.doc_id, d.source, d.text, d.n_toks, q33.quality_score,
+       |    coalesce(q77.is_contaminated, false) AS contam,
+       |    (d.doc_id % 10 <> 0) AS s1
+       |  FROM d JOIN q33 USING (doc_id) LEFT JOIN q77 USING (doc_id)),
+       |f1 AS (SELECT *, s1 AND n_toks >= 20 AS s2 FROM f0),
+       |f2 AS (SELECT *, s2 AND quality_score >= 40.0 AS s3 FROM f1),
+       |f3 AS (SELECT *, min(CASE WHEN s3 THEN doc_id END)
+       |                   OVER (PARTITION BY md5(text)) AS min_id FROM f2),
+       |f4 AS (SELECT *, s3 AND doc_id = min_id AS s4 FROM f3),
+       |f5 AS (SELECT *, s4 AND NOT contam AS s5 FROM f4)""".stripMargin
 
   /** The q77 oracle body — shared verbatim by q77 and (as a derived
     * table) the q182 waterfall.
@@ -1461,23 +1518,7 @@ object CurationQueries {
     // STAGE-3 SURVIVORS of each content-hash group, exactly as the def
     // pins it.
     "q182_curation_waterfall" ->
-      s"""WITH d AS (SELECT doc_id, text,
-         |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-         |     FROM documents),
-         |q33 AS (SELECT doc_id, quality_score
-         |        FROM (${graft.queries.TextQueries.oracles("q33_text_quality")}) z),
-         |q77 AS (SELECT doc_id, is_contaminated FROM ($deconOracleSql) z2),
-         |f0 AS (
-         |  SELECT d.doc_id, d.text, d.n_toks, q33.quality_score,
-         |    coalesce(q77.is_contaminated, false) AS contam,
-         |    (d.doc_id % 10 <> 0) AS s1
-         |  FROM d JOIN q33 USING (doc_id) LEFT JOIN q77 USING (doc_id)),
-         |f1 AS (SELECT *, s1 AND n_toks >= 20 AS s2 FROM f0),
-         |f2 AS (SELECT *, s2 AND quality_score >= 40.0 AS s3 FROM f1),
-         |f3 AS (SELECT *, min(CASE WHEN s3 THEN doc_id END)
-         |                   OVER (PARTITION BY md5(text)) AS min_id FROM f2),
-         |f4 AS (SELECT *, s3 AND doc_id = min_id AS s4 FROM f3),
-         |f5 AS (SELECT *, s4 AND NOT contam AS s5 FROM f4),
+      s"""WITH $waterfallCtesSql,
          |c AS (
          |  SELECT CAST(count(*) AS BIGINT) AS c0,
          |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
@@ -1787,6 +1828,23 @@ object CurationQueries {
          |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
          |FROM t2 JOIN tgt USING (lang) JOIN h USING (doc_id)""".stripMargin
     },
+
+    "q186_waterfall_by_source" ->
+      s"""WITH $waterfallCtesSql,
+         |c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         |    CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+         |  FROM f5 GROUP BY source)
+         |SELECT source, CAST(1 AS BIGINT) AS stage_idx, 'eval_holdout' AS stage,
+         |       c0 AS n_in, c0 - c1 AS n_dropped, c1 AS n_out FROM c
+         |UNION ALL SELECT source, 2, 'min_length', c1, c1 - c2, c2 FROM c
+         |UNION ALL SELECT source, 3, 'quality', c2, c2 - c3, c3 FROM c
+         |UNION ALL SELECT source, 4, 'exact_dedup', c3, c3 - c4, c4 FROM c
+         |UNION ALL SELECT source, 5, 'decontamination', c4, c4 - c5, c5 FROM c""".stripMargin,
 
     "q100_dataset_card" ->
       """WITH base AS (
