@@ -41,7 +41,7 @@ object RetrievalQueries {
   private def cmsBuckets(hex: Column): Column =
     graft.functions.HexKeys.kmBuckets(hex, CmsDepth, CmsWidth)
 
-  val defs: Map[String, Q] = Map(
+  private val defs1: Map[String, Q] = Map(
     // ---------------------------------------------------------------
     // q88: BM25 top-k retrieval for a fixed 3-term query. Okapi BM25
     // (k1=1.2, b=0.75) — the standard keyword-relevance score
@@ -441,13 +441,30 @@ object RetrievalQueries {
       val stats = e.filter(col("week_idx") === 0)
         .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
       val binned = e.crossJoin(broadcast(stats))
-        .select(col("week_idx"),
-          greatest(lit(0.0),
-            when(col("vmax") > col("vmin"),
-              least(floor((col("value") - col("vmin")) /
-                (col("vmax") - col("vmin")) * B), lit((B - 1).toDouble)))
-            .otherwise(lit(0.0)))
-          .cast(LongType).as("bin"))
+        .select(col("week_idx"), psiBin(col("value")).as("bin"))
+      psiFromBinned(s, binned)
+    })
+
+  /** The 10-bin PSI bucket of `value` given in-scope vmin/vmax columns
+    * (q112's clamped uniform binning) — shared by q181 and the
+    * streaming drift leg so both pin the same arithmetic.
+    */
+  def psiBin(value: Column): Column = {
+    val B = 10
+    greatest(lit(0.0),
+      when(col("vmax") > col("vmin"),
+        least(floor((value - col("vmin")) /
+          (col("vmax") - col("vmin")) * B), lit((B - 1).toDouble)))
+      .otherwise(lit(0.0)))
+    .cast(LongType)
+  }
+
+  /** The q181 drift-curve tail over a (week_idx, bin)-row frame (one row
+    * per event) — the streaming leg derives the same readout from its
+    * state table.
+    */
+  def psiFromBinned(s: SparkSession, binned: DataFrame): DataFrame = {
+      val B = 10
       val counts = binned.groupBy(col("week_idx"), col("bin"))
         .agg(count(lit(1)).as("cnt"))
       val refCounts = counts.filter(col("week_idx") === 0)
@@ -476,8 +493,12 @@ object RetrievalQueries {
         .agg(sum(col("psi_term").cast(DecimalType(18, 9))).cast(DoubleType)
           .as("psi_total"))
       perBin.join(broadcast(weekTotal), Seq("week_idx"))
-    },
+  }
 
+  // lazy: defs2 is declared below; eager init would read it as null
+  lazy val defs: Map[String, Q] = defs1 ++ defs2
+
+  private val defs2: Map[String, Q] = Map(
     "q112_drift_psi" -> { (s, dir) =>
       val B = 10
       val e = Tables(s, dir).events.filter(col("value").isNotNull)

@@ -482,6 +482,47 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming drift monitor — q181 maintained incrementally: the
+    * binning parameters are FROZEN from the reference window (min epoch
+    * day + the reference week's value range — exactly how production
+    * drift monitors pin their baseline), and each micro-batch appends
+    * its events' (event_id, week_idx, bin) rows to the state table,
+    * with the event_id anti-join doubling as the redelivery guard. The
+    * drift curve then DERIVES from the table through the same
+    * [[graft.queries.RetrievalQueries.psiFromBinned]] tail the batch
+    * operator uses, so drained-stream readout ≡ batch q181
+    * (StreamingSpec asserts).
+    */
+  def psiDriftStream(
+      events: DataFrame,
+      minDay: Long, vmin: Double, vmax: Double,
+      table: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val rows = batch.toDF().filter(col("value").isNotNull)
+          .withColumn("vmin", lit(vmin)).withColumn("vmax", lit(vmax))
+          .select(col("event_id"),
+            expr(s"(unix_micros(ts) DIV 86400000000 - ${minDay}L) DIV 7")
+              .as("week_idx"),
+            graft.queries.RetrievalQueries.psiBin(col("value")).as("bin"))
+        val exists =
+          try { spark.table(table); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!exists) graft.sources.Warehouse.writeTable(rows, table)
+        else graft.sources.Warehouse.appendTable(
+          rows.join(spark.table(table).select(col("event_id")),
+                    Seq("event_id"), "left_anti"),
+          table)
+        ()
+      }
+      .start()
+
   /** Schema of the `embeddings` parquet (query-side streaming ANN legs). */
   val embeddingSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

@@ -624,6 +624,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(outTable).count() === want.size.toLong, "replay duplicated results")
   }
 
+  test("streaming PSI drift state ≡ batch q181 readout; replay is a no-op") {
+    import org.apache.spark.sql.functions.{expr, max, min}
+    val e0 = graft.core.Tables(spark, dir).events.filter(col("value").isNotNull)
+      .select(col("value"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val minDay = e0.agg(min(col("day"))).head.getLong(0)
+    val ref = e0.filter(expr(s"(day - ${minDay}L) DIV 7") === 0)
+      .agg(min(col("value")), max(col("value"))).head
+    val (vmin, vmax) = (ref.getDouble(0), ref.getDouble(1))
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_psi_stream")
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-psi-ck1").toString
+    val q1 = EventsStream.psiDriftStream(
+      EventsStream.read(spark, eventsDir), minDay, vmin, vmax, table, ck1, "psi_1")
+    q1.processAllAvailable(); q1.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("week_idx"), r.getAs[Long]("bin"),
+                           r.getAs[Long]("ref_cnt"), r.getAs[Long]("cur_cnt"),
+                           r.getAs[Double]("psi_term"), r.getAs[Double]("psi_total")))
+      .toSet
+    val got = rows(graft.queries.RetrievalQueries.psiFromBinned(
+      spark, spark.table(table).select(col("week_idx"), col("bin"))))
+    val want = rows(SparkEntry.queries("q181_windowed_psi")(spark, dir))
+    assert(want.nonEmpty, "batch drift curve is empty — vacuous parity")
+    assert(got === want, "streamed drift state diverged from the batch curve")
+    // replay with a fresh checkpoint: event_id anti-join keeps it a no-op
+    val n = spark.table(table).count()
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-psi-ck2").toString
+    val q2 = EventsStream.psiDriftStream(
+      EventsStream.read(spark, eventsDir), minDay, vmin, vmax, table, ck2, "psi_2")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(table).count() === n, "replay duplicated drift state")
+  }
+
   test("streaming decontamination ≡ batch q77 across micro-batches; replay is a no-op") {
     val docs  = graft.core.Tables(spark, dir).documents
     val bench = docs.filter(col("doc_id") % 10 === 0)
