@@ -724,6 +724,53 @@ object TextQueries {
     // oracle with a packed (parity, doc_id, chunk_idx) BIGINT key.
     "q172_chunk_dedup_incremental" -> { (s, dir) => chunkServeIncremental(s, dir) },
 
+    // q187: pairwise Jensen–Shannon divergence between SOURCE token
+    // distributions — the stylistic-distance matrix a mixture designer
+    // reads next to the duplication matrix (q155): symmetric, bounded
+    // [0, ln 2], zero iff identical unigram profiles. Scale shape: the
+    // only corpus pass is the (source, token) count aggregate
+    // (vocabulary-sized output); the pair lattice is (sources choose 2)
+    // × vocabulary — bounded by VOCABULARY, not corpus. Determinism:
+    // p/q derive from integer counts by one fixed op sequence, each
+    // token's term is 1e-9-quantized before the per-pair DECIMAL sum
+    // (order-independent — the q112 discipline), and zero-mass tokens
+    // contribute exact 0 terms via CASE guards.
+    "q187_source_jsd" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val tok = d.select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      val cnt = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+      val vocab = cnt.select(col("tok")).distinct()
+      val srcs = tot.select(col("source"))
+      val pairs = srcs.select(col("source").as("source_a"))
+        .crossJoin(srcs.select(col("source").as("source_b")))
+        .filter(col("source_a") < col("source_b"))
+      val lattice = pairs.crossJoin(vocab)
+        .join(broadcast(cnt.select(col("source").as("source_a"), col("tok"),
+                                   col("cnt").as("cnt_a"))),
+              Seq("source_a", "tok"), "left")
+        .join(broadcast(cnt.select(col("source").as("source_b"), col("tok"),
+                                   col("cnt").as("cnt_b"))),
+              Seq("source_b", "tok"), "left")
+        .join(broadcast(tot.select(col("source").as("source_a"),
+                                   col("tot").as("tot_a"))), Seq("source_a"))
+        .join(broadcast(tot.select(col("source").as("source_b"),
+                                   col("tot").as("tot_b"))), Seq("source_b"))
+      val p = coalesce(col("cnt_a"), lit(0L)).cast(DoubleType) /
+        col("tot_a").cast(DoubleType)
+      val q = coalesce(col("cnt_b"), lit(0L)).cast(DoubleType) /
+        col("tot_b").cast(DoubleType)
+      val m = (p + q) / 2
+      val term =
+        when(p > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+        when(q > 0, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))
+      lattice
+        .select(col("source_a"), col("source_b"),
+                (floor(term * 1e9 + 0.5) / 1e9).as("t"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(col("t").cast(DecimalType(18, 9))).cast(DoubleType).as("jsd"))
+    },
+
     // q174: LSH banding PLANNER — the S-curve arithmetic behind q36's
     // (bands=4, rows=2) choice, as a first-class operator: for every
     // (b, r) in the power-of-two grid, the collision probability
@@ -2597,6 +2644,39 @@ object TextQueries {
         |                      ' ' ORDER BY chunk_idx), '') AS residual_text
         |FROM k GROUP BY doc_id""".stripMargin,
     "q170_neardup_decontam" -> neardupDecontamOracleSql,
+    "q187_source_jsd" -> {
+      def frac(c: String, t: String) = s"CAST($c AS DOUBLE) / CAST($t AS DOUBLE)"
+      val p = frac("cnt_a", "tot_a")
+      val q = frac("cnt_b", "tot_b")
+      val m = s"(($p + $q) / 2)"
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+         |        FROM cnt GROUP BY 1),
+         |vocab AS (SELECT DISTINCT tok FROM cnt),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b
+         |          FROM tot a CROSS JOIN tot b WHERE a.source < b.source),
+         |lat AS (
+         |  SELECT p.source_a, p.source_b, v.tok,
+         |    coalesce(ca.cnt, 0) AS cnt_a, coalesce(cb.cnt, 0) AS cnt_b,
+         |    ta.tot AS tot_a, tb.tot AS tot_b
+         |  FROM pairs p CROSS JOIN vocab v
+         |  LEFT JOIN cnt ca ON ca.source = p.source_a AND ca.tok = v.tok
+         |  LEFT JOIN cnt cb ON cb.source = p.source_b AND cb.tok = v.tok
+         |  JOIN tot ta ON ta.source = p.source_a
+         |  JOIN tot tb ON tb.source = p.source_b),
+         |terms AS (
+         |  SELECT source_a, source_b,
+         |    floor((CASE WHEN $p > 0 THEN 0.5 * $p * ln($p / $m) ELSE 0.0 END
+         |         + CASE WHEN $q > 0 THEN 0.5 * $q * ln($q / $m) ELSE 0.0 END)
+         |        * 1e9 + 0.5) / 1e9 AS t
+         |  FROM lat)
+         |SELECT source_a, source_b,
+         |  CAST(sum(CAST(t AS DECIMAL(18,9))) AS DOUBLE) AS jsd
+         |FROM terms GROUP BY 1, 2""".stripMargin
+    },
     // Square-chain associations mirror the Spark column construction
     // EXACTLY ((s·s)·(s·s), never pow()) so every double is bit-identical.
     "q174_lsh_parameter_plan" ->
