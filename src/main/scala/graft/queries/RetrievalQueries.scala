@@ -321,6 +321,42 @@ object RetrievalQueries {
     // collapses to ≤4 cells via one partial+final agg; the cell frame
     // is checkpointed (driver-small) and marginals join by broadcast.
     // ---------------------------------------------------------------
+    // ---------------------------------------------------------------
+    // q188: calibration (reliability) curve of the q129 classifier on
+    // its holdout — the readout that decides whether the model's
+    // quality scores can gate a corpus ("does score 0.9 actually mean
+    // 90%?"): the INTEGER log-odds score (score_e9) bins into 10
+    // uniform buckets over the holdout range — all-integer bin edges,
+    // so no float binning can drift — and each bucket reports its
+    // empirical positive rate next to the sigmoid of its mean score.
+    // Integer divisions keep non-negative numerators throughout (the
+    // mean is mn + avg(score − mn)) because engines disagree on
+    // negative integral division (floor vs truncate).
+    // ---------------------------------------------------------------
+    "q188_calibration_curve" -> { (s, dir) =>
+      val ho = defs("q129_quality_classifier")(s, dir)
+        .filter(!col("in_train"))
+        .select(col("label"), col("score_e9"))
+      val mm = ho.agg(min(col("score_e9")).as("mn"), max(col("score_e9")).as("mx"))
+      val g = ho.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(expr("((score_e9 - mn) * 10) DIV (mx - mn + 1)"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+             sum(col("score_e9")).as("sum_e9"))
+        .crossJoin(broadcast(mm))
+        .withColumn("mean_score_e9",
+          expr("mn + (sum_e9 - mn * n_docs) DIV n_docs"))
+      g.select(col("bin"), col("n_docs"), col("n_pos"),
+          (col("n_pos").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("positive_rate"),
+          col("mean_score_e9"),
+          (floor(lit(1.0) /
+             (lit(1.0) + exp(-(col("mean_score_e9").cast(DoubleType) / 1e9)))
+             * 1e9 + 0.5) / 1e9).as("expected_rate"))
+    },
+
     "q131_classifier_eval" -> { (s, dir) =>
       val cells = defs("q129_quality_classifier")(s, dir)
         .filter(!col("in_train"))
@@ -1041,6 +1077,30 @@ object RetrievalQueries {
     // once per dim from exact integers on both engines, so the scores
     // hash-gate bit-exactly.
     "q129_quality_classifier" -> q129Oracle,
+
+    "q188_calibration_curve" ->
+      s"""WITH ho AS (
+         |  SELECT label, score_e9 FROM ($q129Oracle) q WHERE NOT in_train),
+         |mm AS (SELECT min(score_e9) AS mn, max(score_e9) AS mx FROM ho),
+         |b AS (
+         |  SELECT label, score_e9,
+         |    least(((score_e9 - mn) * 10) // (mx - mn + 1), 9) AS bin
+         |  FROM ho CROSS JOIN mm),
+         |g AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(score_e9) AS BIGINT) AS sum_e9
+         |  FROM b GROUP BY 1),
+         |m2 AS (
+         |  SELECT g.*, mm.mn + (g.sum_e9 - mm.mn * g.n_docs) // g.n_docs
+         |           AS mean_score_e9
+         |  FROM g CROSS JOIN mm)
+         |SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pos,
+         |  CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS positive_rate,
+         |  CAST(mean_score_e9 AS BIGINT) AS mean_score_e9,
+         |  floor(1.0 / (1.0 + exp(-(CAST(mean_score_e9 AS DOUBLE) / 1e9)))
+         |        * 1e9 + 0.5) / 1e9 AS expected_rate
+         |FROM m2""".stripMargin,
 
     // The q120 evaluator shape over the q129 holdout: confusion cells +
     // marginals + recall/precision components, all from the composed
