@@ -1044,6 +1044,44 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q189: temperature SWEEP — the curve a mixture designer reads
+    // before fixing q168's α: language weights w ∝ T^α for
+    // α ∈ {1, ½, ¼, ⅛}, each with its inverse-Simpson effective
+    // language count (1/Σw² — the flatness readout; → |langs| as the
+    // mixture flattens). α restricted to 1/2^k ON PURPOSE: T^(1/2^k)
+    // is a chain of IEEE-correctly-rounded sqrts, the only power family
+    // both engines evaluate bit-identically (pow()'s libm rounding is
+    // not portable — the q174 lesson). Weights quantize through the
+    // q168 1e6-BIGINT normalizer; Σw² quantizes per-term to 1e12 before
+    // the exact integer sum, so summation order can't move the curve.
+    // ---------------------------------------------------------------
+    "q189_temperature_sweep" -> { (s, dir) =>
+      val pl = Tables(s, dir).documents.select(
+          col("lang"), size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .groupBy(col("lang")).agg(sum(col("n_tokens")).as("lang_tokens"))
+        .localCheckpoint() // ≤|langs| rows, consumed by 4 sweep legs
+      val legs = Seq(0, 1, 2, 3).map { n =>
+        val root = (1 to n).foldLeft(col("lang_tokens").cast(DoubleType))(
+          (c, _) => sqrt(c))
+        pl.select(lit(1L << n).as("alpha_den"), col("lang"), col("lang_tokens"),
+                  floor(root * 1e6).cast(LongType).as("qs"))
+      }
+      val swept = legs.reduce(_ unionByName _)
+      val tots = swept.groupBy(col("alpha_den")).agg(sum(col("qs")).as("qs_tot"))
+      val w = swept.join(broadcast(tots), Seq("alpha_den"))
+        .withColumn("weight",
+          col("qs").cast(DoubleType) / col("qs_tot").cast(DoubleType))
+        .withColumn("wq2", floor(col("weight") * col("weight") * 1e12).cast(LongType))
+      val eff = w.groupBy(col("alpha_den"))
+        .agg(sum(col("wq2")).as("ssum"))
+        .select(col("alpha_den"),
+                (lit(1e12) / col("ssum").cast(DoubleType)).as("eff_langs"))
+      w.join(broadcast(eff), Seq("alpha_den"))
+        .select(col("alpha_den"), col("lang"), col("lang_tokens"),
+                col("weight"), col("eff_langs"))
+    },
+
+    // ---------------------------------------------------------------
     // q100: dataset-card rollup — the per-source/per-language corpus
     // profile a training-data release ships (docs, tokens, chars, exact
     // dedup rate from the q31 fingerprint) over GROUPING SETS
@@ -1845,6 +1883,36 @@ object CurationQueries {
          |UNION ALL SELECT source, 3, 'quality', c2, c2 - c3, c3 FROM c
          |UNION ALL SELECT source, 4, 'exact_dedup', c3, c3 - c4, c4 FROM c
          |UNION ALL SELECT source, 5, 'decontamination', c4, c4 - c5, c5 FROM c""".stripMargin,
+
+    "q189_temperature_sweep" -> {
+      def leg(n: Int): String = {
+        val root = (1 to n).foldLeft("CAST(lang_tokens AS DOUBLE)")(
+          (e, _) => s"sqrt($e)")
+        s"""SELECT CAST(${1L << n} AS BIGINT) AS alpha_den, lang, lang_tokens,
+           |       CAST(floor($root * 1e6) AS BIGINT) AS qs FROM pl""".stripMargin
+      }
+      s"""WITH pl AS (
+         |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |           AS lang_tokens
+         |  FROM documents GROUP BY lang),
+         |swept AS (
+         |${(0 to 3).map(leg).mkString("\nUNION ALL\n")}),
+         |tots AS (SELECT alpha_den, CAST(SUM(qs) AS BIGINT) AS qs_tot
+         |         FROM swept GROUP BY 1),
+         |w AS (
+         |  SELECT s.alpha_den, s.lang, s.lang_tokens,
+         |    CAST(s.qs AS DOUBLE) / CAST(t.qs_tot AS DOUBLE) AS weight,
+         |    CAST(floor((CAST(s.qs AS DOUBLE) / CAST(t.qs_tot AS DOUBLE))
+         |               * (CAST(s.qs AS DOUBLE) / CAST(t.qs_tot AS DOUBLE))
+         |               * 1e12) AS BIGINT) AS wq2
+         |  FROM swept s JOIN tots t USING (alpha_den)),
+         |eff AS (
+         |  SELECT alpha_den, 1e12 / CAST(CAST(SUM(wq2) AS BIGINT) AS DOUBLE)
+         |           AS eff_langs
+         |  FROM w GROUP BY 1)
+         |SELECT w.alpha_den, w.lang, w.lang_tokens, w.weight, eff.eff_langs
+         |FROM w JOIN eff USING (alpha_den)""".stripMargin
+    },
 
     "q100_dataset_card" ->
       """WITH base AS (
