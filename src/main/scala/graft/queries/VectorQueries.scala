@@ -838,13 +838,31 @@ object VectorQueries {
           "vec_id", "embedding", k = 8, iters = 2, keepVectors = true),
         "kmeans8"))
 
+  /** The PQ-codes mart contract (q139's discipline): one row per vector,
+    * every code present — a null/duplicate row would silently distort
+    * every ADC readout built on the mart.
+    */
+  val PqCodesContract: graft.model.Contract = graft.model.Contract(
+    schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType) +:
+      ((0 until PqM).map(j => org.apache.spark.sql.types.StructField(
+          s"code_$j", org.apache.spark.sql.types.LongType)) ++
+       (0 until PqM).map(j => org.apache.spark.sql.types.StructField(
+          s"d2_$j", org.apache.spark.sql.types.DoubleType)) :+
+       org.apache.spark.sql.types.StructField("distortion",
+         org.apache.spark.sql.types.DoubleType))),
+    notNull = Seq("vec_id") ++ (0 until PqM).map(j => s"code_$j"),
+    uniqueKeys = Seq(Seq("vec_id")))
+
   private val pqCodesCache = new graft.core.SessionCache[String]
   private def pqCodes(s: SparkSession, dir: String): DataFrame =
-    pqCodesCache.getOrElseUpdate(s, dir)(
-      graft.core.Materialize.cut(
-        graft.operators.Pq.encode(Tables(s, dir).embeddings,
-          "vec_id", "embedding", pqCodebooks(s, dir), PqSubDim),
-        "pq_codes"))
+    pqCodesCache.getOrElseUpdate(s, dir) {
+      val enc = graft.operators.Pq.encode(Tables(s, dir).embeddings,
+        "vec_id", "embedding", pqCodebooks(s, dir), PqSubDim)
+      graft.model.Contract.enforce("q177_pq_codes", enc, PqCodesContract)
+      graft.core.Materialize.cut(enc, "pq_codes")
+    }
 
   /** The q177/q178 oracle head: per-subspace kmeans replays (the q97 CTE
     * shape sliced to 16 dims, per-subspace seed prefixes) joined into a
