@@ -1082,6 +1082,48 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q190: the TRAINING-ORDER MANIFEST — the artifact the shard writer
+    // actually consumes, closing the mixture loop: every document
+    // appears n_repeats times (q168's allocation), each copy lands at
+    // an i.i.d. position via its own md5 permutation key (copies of one
+    // doc scatter — repeats must not cluster), and the GLOBAL rank
+    // comes from the q95/q165 packed-BIGINT + two-pass-prefix-sum
+    // discipline — no Window.orderBy over the corpus, ever. Ranks fold
+    // into 64-position shards like q165. Packing bounds fail loudly
+    // (doc_id < 2^31, n_repeats ≤ 31 — a violation would silently
+    // collide key spaces).
+    // ---------------------------------------------------------------
+    "q190_training_order" -> { (s, dir) =>
+      import graft.functions.HexKeys
+      val rep = defs("q168_temperature_mixture")(s, dir)
+        .select(col("doc_id"), col("n_repeats"))
+        .filter(col("n_repeats") >= 1L)
+      val copies = rep.select(col("doc_id"),
+        explode(sequence(lit(1L), col("n_repeats"))).as("epoch_copy"))
+      val hex = md5(concat(lit("ord|"), col("doc_id").cast(StringType),
+                           lit("|"), col("epoch_copy").cast(StringType)))
+      val h24 = HexKeys.value16(hex, 0).cast(LongType) * 256L +
+        HexKeys.digit(hex, 4).cast(LongType) * 16L +
+        HexKeys.digit(hex, 5).cast(LongType)
+      val keyed = copies.select(
+        when(col("doc_id").between(0L, 2147483647L) && col("epoch_copy") <= 31L,
+             h24 * 68719476736L + col("doc_id") * 32L + col("epoch_copy"))
+          .otherwise(raise_error(concat(
+            lit("q190 requires 0 <= doc_id < 2^31 and n_repeats <= 31, got "),
+            col("doc_id").cast(StringType)))
+            .cast(LongType))
+          .as("ord_key"),
+        lit(1L).as("one"))
+      graft.operators.Sharding
+        .runningTotal(keyed, "ord_key", "one", "train_rank")
+        .select(col("train_rank"),
+                expr("(ord_key DIV 32) % 2147483648").as("doc_id"),
+                (col("ord_key") % 32L).as("epoch_copy"),
+                expr("(train_rank - 1) DIV 64").as("shard_id"),
+                ((col("train_rank") - 1L) % 64L).as("shard_offset"))
+    },
+
+    // ---------------------------------------------------------------
     // q100: dataset-card rollup — the per-source/per-language corpus
     // profile a training-data release ships (docs, tokens, chars, exact
     // dedup rate from the q31 fingerprint) over GROUPING SETS
@@ -1320,6 +1362,39 @@ object CurationQueries {
        |                   OVER (PARTITION BY md5(text)) AS min_id FROM f2),
        |f4 AS (SELECT *, s3 AND doc_id = min_id AS s4 FROM f3),
        |f5 AS (SELECT *, s4 AND NOT contam AS s5 FROM f4)""".stripMargin
+
+  /** The q168 oracle body — shared by q168 and (as a derived table)
+    * the q190 training-order manifest.
+    */
+  private lazy val q168OracleSql: String = {
+      val bucket = s"(${graft.functions.HexKeys.value16Sql()})"
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |pl AS (
+         |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens,
+         |         CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000)
+         |              AS BIGINT) AS qs
+         |  FROM t GROUP BY lang),
+         |tot AS (
+         |  SELECT CAST(SUM(qs) AS BIGINT) AS qs_tot,
+         |         CAST(SUM(lang_tokens) AS BIGINT) AS all_tokens
+         |  FROM pl),
+         |tgt AS (
+         |  SELECT pl.lang, pl.lang_tokens,
+         |         (pl.qs * (tot.all_tokens // 2)) // tot.qs_tot AS target_tokens
+         |  FROM pl CROSS JOIN tot),
+         |h AS (
+         |  SELECT doc_id, md5('mix|' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM documents)
+         |SELECT t.doc_id, t.lang, t.n_tokens, tgt.lang_tokens, tgt.target_tokens,
+         |  CAST(tgt.target_tokens // tgt.lang_tokens +
+         |       CASE WHEN CAST($bucket AS BIGINT) * tgt.lang_tokens <
+         |                 (tgt.target_tokens % tgt.lang_tokens) * 65536
+         |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         |FROM t JOIN tgt USING (lang) JOIN h USING (doc_id)""".stripMargin
+    }
 
   /** The q77 oracle body — shared verbatim by q77 and (as a derived
     * table) the q182 waterfall.
@@ -1765,35 +1840,7 @@ object CurationQueries {
          |WHERE keep_bucket * n_source < 65536 * thr""".stripMargin
     },
 
-    "q168_temperature_mixture" -> {
-      val bucket = s"(${graft.functions.HexKeys.value16Sql()})"
-      s"""WITH t AS (
-         |  SELECT doc_id, lang,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |pl AS (
-         |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens,
-         |         CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000)
-         |              AS BIGINT) AS qs
-         |  FROM t GROUP BY lang),
-         |tot AS (
-         |  SELECT CAST(SUM(qs) AS BIGINT) AS qs_tot,
-         |         CAST(SUM(lang_tokens) AS BIGINT) AS all_tokens
-         |  FROM pl),
-         |tgt AS (
-         |  SELECT pl.lang, pl.lang_tokens,
-         |         (pl.qs * (tot.all_tokens // 2)) // tot.qs_tot AS target_tokens
-         |  FROM pl CROSS JOIN tot),
-         |h AS (
-         |  SELECT doc_id, md5('mix|' || CAST(doc_id AS VARCHAR)) AS hex
-         |  FROM documents)
-         |SELECT t.doc_id, t.lang, t.n_tokens, tgt.lang_tokens, tgt.target_tokens,
-         |  CAST(tgt.target_tokens // tgt.lang_tokens +
-         |       CASE WHEN CAST($bucket AS BIGINT) * tgt.lang_tokens <
-         |                 (tgt.target_tokens % tgt.lang_tokens) * 65536
-         |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
-         |FROM t JOIN tgt USING (lang) JOIN h USING (doc_id)""".stripMargin
-    },
+    "q168_temperature_mixture" -> q168OracleSql,
 
     "q171_unimax_alloc" -> {
       val bucket = s"(${graft.functions.HexKeys.value16Sql()})"
@@ -1912,6 +1959,35 @@ object CurationQueries {
          |  FROM w GROUP BY 1)
          |SELECT w.alpha_den, w.lang, w.lang_tokens, w.weight, eff.eff_langs
          |FROM w JOIN eff USING (alpha_den)""".stripMargin
+    },
+
+    "q190_training_order" -> {
+      val h24 = s"(CAST(${graft.functions.HexKeys.value16Sql(0)} AS BIGINT) * 256" +
+        s" + CAST(${graft.functions.HexKeys.digitSql(4)} AS BIGINT) * 16" +
+        s" + CAST(${graft.functions.HexKeys.digitSql(5)} AS BIGINT))"
+      s"""WITH rep AS (
+         |  SELECT doc_id, n_repeats FROM ($q168OracleSql) z WHERE n_repeats >= 1),
+         |cp AS (
+         |  SELECT doc_id, unnest(generate_series(1, n_repeats)) AS epoch_copy
+         |  FROM rep),
+         |k AS (
+         |  SELECT doc_id, epoch_copy,
+         |    md5('ord|' || CAST(doc_id AS VARCHAR) || '|'
+         |        || CAST(epoch_copy AS VARCHAR)) AS hex
+         |  FROM cp),
+         |keyed AS (
+         |  SELECT doc_id, epoch_copy,
+         |    $h24 * 68719476736 + doc_id * 32 + epoch_copy AS ord_key
+         |  FROM k),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY ord_key) AS BIGINT)
+         |         AS train_rank
+         |  FROM keyed)
+         |SELECT train_rank, CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(epoch_copy AS BIGINT) AS epoch_copy,
+         |  CAST((train_rank - 1) // 64 AS BIGINT) AS shard_id,
+         |  CAST((train_rank - 1) % 64 AS BIGINT) AS shard_offset
+         |FROM r""".stripMargin
     },
 
     "q100_dataset_card" ->
