@@ -1124,6 +1124,61 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q191: q190's manifest sharded by TOKEN budget — the real shard
+    // writer splits on tokens, not positions: the same scattered order
+    // carries each copy's token count through the two-pass prefix sum,
+    // and a copy's shard is (cum − own) DIV 4096 (q62's convention:
+    // a shard owns the copies whose budget STARTS inside it).
+    // ---------------------------------------------------------------
+    "q191_token_budget_shards" -> { (s, dir) =>
+      import graft.functions.HexKeys
+      val rep = defs("q168_temperature_mixture")(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("n_repeats"))
+        .filter(col("n_repeats") >= 1L)
+      val copies = rep.select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_repeats"))).as("epoch_copy"))
+      val hex = md5(concat(lit("ord|"), col("doc_id").cast(StringType),
+                           lit("|"), col("epoch_copy").cast(StringType)))
+      val h24 = HexKeys.value16(hex, 0).cast(LongType) * 256L +
+        HexKeys.digit(hex, 4).cast(LongType) * 16L +
+        HexKeys.digit(hex, 5).cast(LongType)
+      val keyed = copies.select(
+        when(col("doc_id").between(0L, 2147483647L) && col("epoch_copy") <= 31L,
+             h24 * 68719476736L + col("doc_id") * 32L + col("epoch_copy"))
+          .otherwise(raise_error(concat(
+            lit("q191 requires 0 <= doc_id < 2^31 and n_repeats <= 31, got "),
+            col("doc_id").cast(StringType)))
+            .cast(LongType))
+          .as("ord_key"),
+        col("n_tokens"))
+      graft.operators.Sharding
+        .runningTotal(keyed, "ord_key", "n_tokens", "cum_tokens")
+        .select(expr("(ord_key DIV 32) % 2147483648").as("doc_id"),
+                (col("ord_key") % 32L).as("epoch_copy"),
+                col("n_tokens"), col("cum_tokens"),
+                expr("(cum_tokens - n_tokens) DIV 4096").as("shard_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // q192: the mixture CLOSURE AUDIT — per language, the tokens the
+    // manifest actually emits (Σ n_repeats·n_tokens) against q168's
+    // target, with the signed deviation. The md5-thresholded extra
+    // epochs make achieved ≈ target in expectation; this readout is how
+    // an operator confirms the realized mixture before training starts.
+    // All-integer arithmetic.
+    // ---------------------------------------------------------------
+    "q192_mixture_audit" -> { (s, dir) =>
+      defs("q168_temperature_mixture")(s, dir)
+        .groupBy(col("lang"))
+        .agg(max(col("lang_tokens")).as("lang_tokens"),
+             max(col("target_tokens")).as("target_tokens"),
+             sum(col("n_repeats") * col("n_tokens")).as("achieved_tokens"))
+        .select(col("lang"), col("lang_tokens"), col("target_tokens"),
+                col("achieved_tokens"),
+                (col("achieved_tokens") - col("target_tokens")).as("deviation"))
+    },
+
+    // ---------------------------------------------------------------
     // q100: dataset-card rollup — the per-source/per-language corpus
     // profile a training-data release ships (docs, tokens, chars, exact
     // dedup rate from the q31 fingerprint) over GROUPING SETS
@@ -1989,6 +2044,47 @@ object CurationQueries {
          |  CAST((train_rank - 1) % 64 AS BIGINT) AS shard_offset
          |FROM r""".stripMargin
     },
+
+    "q191_token_budget_shards" -> {
+      val h24 = s"(CAST(${graft.functions.HexKeys.value16Sql(0)} AS BIGINT) * 256" +
+        s" + CAST(${graft.functions.HexKeys.digitSql(4)} AS BIGINT) * 16" +
+        s" + CAST(${graft.functions.HexKeys.digitSql(5)} AS BIGINT))"
+      s"""WITH rep AS (
+         |  SELECT doc_id, n_tokens, n_repeats FROM ($q168OracleSql) z
+         |  WHERE n_repeats >= 1),
+         |cp AS (
+         |  SELECT doc_id, n_tokens,
+         |         unnest(generate_series(1, n_repeats)) AS epoch_copy
+         |  FROM rep),
+         |k AS (
+         |  SELECT doc_id, n_tokens, epoch_copy,
+         |    md5('ord|' || CAST(doc_id AS VARCHAR) || '|'
+         |        || CAST(epoch_copy AS VARCHAR)) AS hex
+         |  FROM cp),
+         |keyed AS (
+         |  SELECT doc_id, n_tokens, epoch_copy,
+         |    $h24 * 68719476736 + doc_id * 32 + epoch_copy AS ord_key
+         |  FROM k),
+         |r AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY ord_key
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS BIGINT) AS cum_tokens
+         |  FROM keyed)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(epoch_copy AS BIGINT) AS epoch_copy,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
+         |  CAST((cum_tokens - n_tokens) // 4096 AS BIGINT) AS shard_id
+         |FROM r""".stripMargin
+    },
+
+    "q192_mixture_audit" ->
+      s"""WITH z AS (SELECT * FROM ($q168OracleSql) zz)
+         |SELECT lang, CAST(MAX(lang_tokens) AS BIGINT) AS lang_tokens,
+         |  CAST(MAX(target_tokens) AS BIGINT) AS target_tokens,
+         |  CAST(SUM(n_repeats * n_tokens) AS BIGINT) AS achieved_tokens,
+         |  CAST(SUM(n_repeats * n_tokens) - MAX(target_tokens) AS BIGINT)
+         |    AS deviation
+         |FROM z GROUP BY lang""".stripMargin,
 
     "q100_dataset_card" ->
       """WITH base AS (
