@@ -31,13 +31,13 @@ object Pq {
     * sub-vectors. Returns m arrays of k centroids of subDim doubles.
     */
   def fitCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
-                   m: Int, subDim: Int, k: Int,
-                   iters: Int): Seq[Array[Seq[Double]]] = {
+                   m: Int, subDim: Int, k: Int, iters: Int,
+                   seedBase: String = "pq"): Seq[Array[Seq[Double]]] = {
     val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     (0 until m).map { j =>
       Clustering.fitCentroids(
         v.select(col(idCol), slice(col("v"), j * subDim + 1, subDim).as("v")),
-        idCol, "v", k, iters, seedPrefix = s"pq$j|")
+        idCol, "v", k, iters, seedPrefix = s"$seedBase$j|")
     }
   }
 

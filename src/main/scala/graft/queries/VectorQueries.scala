@@ -138,6 +138,51 @@ object VectorQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
     },
 
+    // q193: RESIDUAL product quantization — the fidelity step real
+    // IVF-PQ systems take that q177 (raw-vector PQ) deliberately
+    // skipped: encode r = v − c(assigned list) instead of v, because
+    // residuals concentrate near zero and the same 4×16 codebook budget
+    // buys a finer quantization grid. The per-vector readout carries
+    // BOTH distortions (residual and raw) plus the `improved` verdict —
+    // the measured justification for the extra subtraction. (On THIS
+    // synthetic near-uniform corpus the verdict is mostly "not
+    // improved" — ~7% of vectors at sf0.01 — because diffuse IVF lists
+    // leave residuals as spread as the inputs; that is precisely the
+    // readout's point: real embedding corpora cluster, synthetic ones
+    // don't, and the operator reports which regime you are in instead
+    // of assuming.) IVF centroids need no Lloyd (md5-ordered seeds, the
+    // q64 contract), so the residual is one broadcast join + zip_with;
+    // the residual frame is cut before the 4 sub-space fits re-scan it.
+    "q193_residual_pq" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val n = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (_, cents) = ivfServingParts(s, dir)
+      import s.implicits._
+      val centDf = broadcast(
+        cents.map { case (id, cv, _) => (id, cv.toSeq) }
+          .toDF("centroid_id", "cv"))
+      val resid = graft.core.Materialize.cut(
+        Similarity.ivfAssignWith(n, cents)
+          .select(col("vec_id"), col("v"), col("centroid_id"))
+          .join(centDf, Seq("centroid_id"))
+          .select(col("vec_id"), col("centroid_id"),
+                  zip_with(col("v"), col("cv"), (a, b) => a - b).as("v")),
+        "pq_residuals")
+      val rcb = graft.operators.Pq.fitCodebooks(
+        resid, "vec_id", "v", PqM, PqSubDim, PqK, PqIters, seedBase = "rpq")
+      graft.operators.Pq.encode(resid, "vec_id", "v", rcb, PqSubDim)
+        .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")) :+
+                col("distortion").as("distortion_residual"): _*)
+        .join(resid.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+        .join(pqCodes(s, dir)
+                .select(col("vec_id"), col("distortion").as("distortion_raw")),
+              Seq("vec_id"))
+        .select(col("vec_id"), col("centroid_id"),
+                col("code_0"), col("code_1"), col("code_2"), col("code_3"),
+                col("distortion_residual"), col("distortion_raw"),
+                (col("distortion_residual") < col("distortion_raw")).as("improved"))
+    },
+
     // q184: cluster-balanced CORESET sampling — the embedding-space
     // dual of q157's language quotas (the "semantic diversity" sampler
     // real pipelines run before expensive annotation/training): q97's
@@ -868,55 +913,64 @@ object VectorQueries {
     * shape sliced to 16 dims, per-subspace seed prefixes) joined into a
     * `codes` table (vec_id, code_0..3, d2_0..3).
     */
-  private def pqOracleCtes: String = {
+  /** One PQ kmeans-replay chain over source CTE `src` (must expose
+    * (vec_id, v)): per-subspace seeds/iterations/assignment, CTE names
+    * suffixed `$sfx` so two chains (raw + residual) can coexist in one
+    * oracle; emits `${codesName}` = (vec_id, code_0..3, d2_0..3).
+    */
+  private def pqChainCtes(src: String, seedBase: String, sfx: String,
+                          codesName: String): String = {
     def dist(vec: String, cen: String) =
       s"list_dot_product($vec, $vec) - 2 * list_dot_product($vec, $cen)" +
         s" + list_dot_product($cen, $cen)"
     def sub(j: Int): String = {
       val off = j * PqSubDim
       def iter(prev: String, i: Int) =
-        s"""a${i}_$j AS (
+        s"""a${i}_$sfx$j AS (
            |  SELECT n.vec_id, n.v, s.cid,
            |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
            |      ${dist("n.v", "s.v")} ASC, s.cid ASC) AS rn
-           |  FROM n_$j n CROSS JOIN $prev s),
-           |u${i}_$j AS (
+           |  FROM n_$sfx$j n CROSS JOIN $prev s),
+           |u${i}_$sfx$j AS (
            |  SELECT cid, i AS dim,
            |    CAST(SUM(CAST(v[i] AS DECIMAL(18,7))) AS DOUBLE)
            |      / CAST(COUNT(*) AS DOUBLE) AS comp
-           |  FROM (SELECT v, cid FROM a${i}_$j WHERE rn = 1)
+           |  FROM (SELECT v, cid FROM a${i}_$sfx$j WHERE rn = 1)
            |       CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS i)
            |  GROUP BY cid, i),
-           |c${i}_$j AS (
+           |c${i}_$sfx$j AS (
            |  SELECT s.cid, coalesce(u.cv, s.v) AS v
            |  FROM $prev s LEFT JOIN
-           |    (SELECT cid, list(comp ORDER BY dim) AS cv FROM u${i}_$j GROUP BY cid) u
+           |    (SELECT cid, list(comp ORDER BY dim) AS cv FROM u${i}_$sfx$j GROUP BY cid) u
            |    USING (cid))""".stripMargin
-      s"""n_$j AS (SELECT vec_id, v[${off + 1}:${off + PqSubDim}] AS v FROM n),
-         |seeds_$j AS (
+      s"""n_$sfx$j AS (SELECT vec_id, v[${off + 1}:${off + PqSubDim}] AS v FROM $src),
+         |seeds_$sfx$j AS (
          |  SELECT CAST(rn - 1 AS BIGINT) AS cid, v FROM (
          |    SELECT v, row_number() OVER (
-         |      ORDER BY md5('pq$j|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |    FROM n_$j) WHERE rn <= $PqK),
-         |${iter(s"seeds_$j", 1)},
-         |${iter(s"c1_$j", 2)},
-         |af_$j AS (
+         |      ORDER BY md5('$seedBase$j|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM n_$sfx$j) WHERE rn <= $PqK),
+         |${iter(s"seeds_$sfx$j", 1)},
+         |${iter(s"c1_$sfx$j", 2)},
+         |af_$sfx$j AS (
          |  SELECT n.vec_id, s.cid, ${dist("n.v", "s.v")} AS d2,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
          |      ${dist("n.v", "s.v")} ASC, s.cid ASC) AS rn
-         |  FROM n_$j n CROSS JOIN c2_$j s),
-         |best_$j AS (
+         |  FROM n_$sfx$j n CROSS JOIN c2_$sfx$j s),
+         |best_$sfx$j AS (
          |  SELECT vec_id, cid AS code_$j, floor(d2 * 1e9 + 0.5) / 1e9 AS d2_$j
-         |  FROM af_$j WHERE rn = 1)""".stripMargin
+         |  FROM af_$sfx$j WHERE rn = 1)""".stripMargin
     }
-    s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |${(0 until PqM).map(sub).mkString(",\n")},
-       |codes AS (
+    s"""${(0 until PqM).map(sub).mkString(",\n")},
+       |$codesName AS (
        |  SELECT b0.vec_id, b0.code_0, b1.code_1, b2.code_2, b3.code_3,
        |         b0.d2_0, b1.d2_1, b2.d2_2, b3.d2_3
-       |  FROM best_0 b0 JOIN best_1 b1 USING (vec_id)
-       |       JOIN best_2 b2 USING (vec_id) JOIN best_3 b3 USING (vec_id))""".stripMargin
+       |  FROM best_${sfx}0 b0 JOIN best_${sfx}1 b1 USING (vec_id)
+       |       JOIN best_${sfx}2 b2 USING (vec_id) JOIN best_${sfx}3 b3 USING (vec_id))""".stripMargin
   }
+
+  private def pqOracleCtes: String =
+    s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${pqChainCtes("n", "pq", "", "codes")}""".stripMargin
 
   /** Shared q178/q179 lut CTEs: one (query_id, code_j, l_j) table per
     * subspace from the FINAL per-subspace codebooks; expects a `qs`
@@ -1309,6 +1363,38 @@ object VectorQueries {
          |       CAST(t.target_n AS BIGINT) AS target_n
          |FROM ranked r JOIN tgt t ON r.cid = t.cid
          |WHERE r.sr <= t.target_n""".stripMargin,
+
+    // Raw chain (codes) + the q179 assignment CTEs + residual build +
+    // residual chain (rcodes), joined per vector.
+    "q193_residual_pq" ->
+      s"""WITH $pqOracleCtes,
+         |nrm2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+         |iseeds AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM nrm2 ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT 16),
+         |asg2 AS (
+         |  SELECT t.vec_id, s.centroid_id,
+         |    row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |      (CASE WHEN t.nrm > 0 AND s.cnrm > 0
+         |            THEN list_dot_product(t.v, s.cv) / (t.nrm * s.cnrm)
+         |       END) DESC NULLS LAST, s.centroid_id) AS rn
+         |  FROM nrm2 t CROSS JOIN iseeds s),
+         |lists2 AS (SELECT vec_id, centroid_id FROM asg2 WHERE rn = 1),
+         |rres AS (
+         |  SELECT l.vec_id, l.centroid_id,
+         |    list_transform(range(1, 65), i -> nv.v[i] - s.cv[i]) AS v
+         |  FROM lists2 l JOIN nrm2 nv USING (vec_id)
+         |       JOIN iseeds s ON l.centroid_id = s.centroid_id),
+         |${pqChainCtes("rres", "rpq", "r", "rcodes")}
+         |SELECT r.vec_id, l.centroid_id,
+         |  r.code_0, r.code_1, r.code_2, r.code_3,
+         |  r.d2_0 + r.d2_1 + r.d2_2 + r.d2_3 AS distortion_residual,
+         |  c.d2_0 + c.d2_1 + c.d2_2 + c.d2_3 AS distortion_raw,
+         |  (r.d2_0 + r.d2_1 + r.d2_2 + r.d2_3) <
+         |    (c.d2_0 + c.d2_1 + c.d2_2 + c.d2_3) AS improved
+         |FROM rcodes r JOIN codes c USING (vec_id)
+         |     JOIN lists2 l USING (vec_id)""".stripMargin,
 
     "q97_kmeans" ->
       s"""WITH $kmeansOracleCtes
