@@ -183,6 +183,33 @@ object VectorQueries {
                 (col("distortion_residual") < col("distortion_raw")).as("improved"))
     },
 
+    // q194: PQ codebook DRIFT gate — the q146 index-health discipline
+    // applied to the compression layer: after the corpus grows (odd
+    // vec_ids appended to an even-id base), codebooks FROZEN at base
+    // time quantize the full corpus worse than a refit; this readout
+    // measures exactly how much, per vector (frozen vs refit distortion
+    // + the verdict), with delta vectors flagged — the evidence an
+    // operator reads before scheduling a codebook rebuild. Code IDs are
+    // NOT compared across codebooks (cluster j means different things
+    // in each fit); distortion is the comparable quantity.
+    "q194_pq_codebook_drift" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val frozen = graft.operators.Pq.fitCodebooks(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        PqM, PqSubDim, PqK, PqIters, seedBase = "fpq")
+      val refit = graft.operators.Pq.fitCodebooks(
+        e, "vec_id", "embedding", PqM, PqSubDim, PqK, PqIters, seedBase = "fpq")
+      val encF = graft.operators.Pq.encode(e, "vec_id", "embedding", frozen, PqSubDim)
+        .select(col("vec_id"), col("distortion").as("distortion_frozen"))
+      val encR = graft.operators.Pq.encode(e, "vec_id", "embedding", refit, PqSubDim)
+        .select(col("vec_id"), col("distortion").as("distortion_refit"))
+      encF.join(encR, Seq("vec_id"))
+        .select(col("vec_id"), (col("vec_id") % 2 === 1).as("is_delta"),
+                col("distortion_frozen"), col("distortion_refit"),
+                (col("distortion_refit") < col("distortion_frozen"))
+                  .as("refit_improves"))
+    },
+
     // q184: cluster-balanced CORESET sampling — the embedding-space
     // dual of q157's language quotas (the "semantic diversity" sampler
     // real pipelines run before expensive annotation/training): q97's
@@ -919,7 +946,15 @@ object VectorQueries {
     * oracle; emits `${codesName}` = (vec_id, code_0..3, d2_0..3).
     */
   private def pqChainCtes(src: String, seedBase: String, sfx: String,
-                          codesName: String): String = {
+                          codesName: String): String =
+    pqChainCtes(src, src, seedBase, sfx, codesName)
+
+  /** As above with a SEPARATE encode source: codebooks fit on `src`,
+    * every vector of `encSrc` assigned against them (the q194 frozen-
+    * codebook drift shape).
+    */
+  private def pqChainCtes(src: String, encSrc: String, seedBase: String,
+                          sfx: String, codesName: String): String = {
     def dist(vec: String, cen: String) =
       s"list_dot_product($vec, $vec) - 2 * list_dot_product($vec, $cen)" +
         s" + list_dot_product($cen, $cen)"
@@ -944,6 +979,7 @@ object VectorQueries {
            |    (SELECT cid, list(comp ORDER BY dim) AS cv FROM u${i}_$sfx$j GROUP BY cid) u
            |    USING (cid))""".stripMargin
       s"""n_$sfx$j AS (SELECT vec_id, v[${off + 1}:${off + PqSubDim}] AS v FROM $src),
+         |ne_$sfx$j AS (SELECT vec_id, v[${off + 1}:${off + PqSubDim}] AS v FROM $encSrc),
          |seeds_$sfx$j AS (
          |  SELECT CAST(rn - 1 AS BIGINT) AS cid, v FROM (
          |    SELECT v, row_number() OVER (
@@ -955,7 +991,7 @@ object VectorQueries {
          |  SELECT n.vec_id, s.cid, ${dist("n.v", "s.v")} AS d2,
          |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
          |      ${dist("n.v", "s.v")} ASC, s.cid ASC) AS rn
-         |  FROM n_$sfx$j n CROSS JOIN c2_$sfx$j s),
+         |  FROM ne_$sfx$j n CROSS JOIN c2_$sfx$j s),
          |best_$sfx$j AS (
          |  SELECT vec_id, cid AS code_$j, floor(d2 * 1e9 + 0.5) / 1e9 AS d2_$j
          |  FROM af_$sfx$j WHERE rn = 1)""".stripMargin
@@ -1395,6 +1431,21 @@ object VectorQueries {
          |    (c.d2_0 + c.d2_1 + c.d2_2 + c.d2_3) AS improved
          |FROM rcodes r JOIN codes c USING (vec_id)
          |     JOIN lists2 l USING (vec_id)""".stripMargin,
+
+    // Two fpq-seeded chains — fit on the even base vs fit on the full
+    // corpus — both ENCODING the full corpus; distortions joined per
+    // vector.
+    "q194_pq_codebook_drift" ->
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nb AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+         |${pqChainCtes("nb", "n", "fpq", "f", "fcodes")},
+         |${pqChainCtes("n", "n", "fpq", "g", "gcodes")}
+         |SELECT f.vec_id, (f.vec_id % 2 = 1) AS is_delta,
+         |  f.d2_0 + f.d2_1 + f.d2_2 + f.d2_3 AS distortion_frozen,
+         |  g.d2_0 + g.d2_1 + g.d2_2 + g.d2_3 AS distortion_refit,
+         |  (g.d2_0 + g.d2_1 + g.d2_2 + g.d2_3) <
+         |    (f.d2_0 + f.d2_1 + f.d2_2 + f.d2_3) AS refit_improves
+         |FROM fcodes f JOIN gcodes g USING (vec_id)""".stripMargin,
 
     "q97_kmeans" ->
       s"""WITH $kmeansOracleCtes

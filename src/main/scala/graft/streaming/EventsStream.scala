@@ -523,6 +523,56 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming mixture audit — q192 maintained incrementally: language
+    * targets are FROZEN from the planning run (exactly how a shard
+    * writer consumes them), each micro-batch appends its documents'
+    * (doc_id, lang, emitted_tokens = n_repeats·n_tokens) rows
+    * idempotently (doc_id anti-join), and the running
+    * achieved-vs-target readout derives from the state table — the
+    * live "is the realized mixture on track" dashboard. Per-doc repeat
+    * arithmetic is EXACTLY q168's (md5-thresholded extra epoch), so
+    * after draining the same corpus the audit ≡ batch q192
+    * (StreamingSpec asserts).
+    */
+  def mixtureAuditStream(
+      docs: DataFrame,
+      targets: Seq[(String, Long, Long)], // (lang, lang_tokens, target_tokens)
+      table: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val tgt = broadcast(targets.toDF("lang", "lang_tokens", "target_tokens"))
+        val h = graft.functions.HexKeys.value16(
+          md5(concat(lit("mix|"), col("doc_id").cast("string")))).cast("long")
+        val rows = batch.toDF()
+          .select(col("doc_id"), col("lang"),
+            org.apache.spark.sql.functions.size(
+              graft.functions.Text.tokens(col("text"))).cast("long").as("n_tokens"))
+          .join(tgt, Seq("lang"))
+          .withColumn("h", h)
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            ((expr("target_tokens DIV lang_tokens") +
+              when(col("h") * col("lang_tokens") <
+                   (col("target_tokens") % col("lang_tokens")) * 65536L, 1L)
+                .otherwise(0L)) * col("n_tokens")).as("emitted_tokens"))
+        val exists =
+          try { spark.table(table); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!exists) graft.sources.Warehouse.writeTable(rows, table)
+        else graft.sources.Warehouse.appendTable(
+          rows.join(spark.table(table).select(col("doc_id")),
+                    Seq("doc_id"), "left_anti"),
+          table)
+        ()
+      }
+      .start()
+
   /** Schema of the `embeddings` parquet (query-side streaming ANN legs). */
   val embeddingSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

@@ -656,6 +656,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(table).count() === n, "replay duplicated drift state")
   }
 
+  test("streaming mixture audit ≡ batch q192 after drain; replay is a no-op") {
+    // frozen targets from the batch planning run
+    val plan = SparkEntry.queries("q168_temperature_mixture")(spark, dir)
+      .select(col("lang"), col("lang_tokens"), col("target_tokens"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_mix_stream")
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-mix-ck1").toString
+    val q1 = EventsStream.mixtureAuditStream(
+      EventsStream.readDocuments(spark, docsDir), plan, table, ck1, "mix_1")
+    q1.processAllAvailable(); q1.stop()
+    val got = spark.table(table).groupBy(col("lang"))
+      .agg(org.apache.spark.sql.functions.sum(col("emitted_tokens")).as("achieved"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = SparkEntry.queries("q192_mixture_audit")(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("achieved_tokens")).toMap
+    assert(want.nonEmpty && got === want,
+      s"streamed audit $got diverged from batch q192 $want")
+    // replay with a fresh checkpoint: doc_id anti-join keeps it a no-op
+    val n = spark.table(table).count()
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-mix-ck2").toString
+    val q2 = EventsStream.mixtureAuditStream(
+      EventsStream.readDocuments(spark, docsDir), plan, table, ck2, "mix_2")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(table).count() === n, "replay duplicated audit rows")
+  }
+
   test("streaming decontamination ≡ batch q77 across micro-batches; replay is a no-op") {
     val docs  = graft.core.Tables(spark, dir).documents
     val bench = docs.filter(col("doc_id") % 10 === 0)
