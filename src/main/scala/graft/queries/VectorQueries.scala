@@ -153,35 +153,8 @@ object VectorQueries {
     // of assuming.) IVF centroids need no Lloyd (md5-ordered seeds, the
     // q64 contract), so the residual is one broadcast join + zip_with;
     // the residual frame is cut before the 4 sub-space fits re-scan it.
-    "q193_residual_pq" -> { (s, dir) =>
-      val e = Tables(s, dir).embeddings
-      val n = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val (_, cents) = ivfServingParts(s, dir)
-      import s.implicits._
-      val centDf = broadcast(
-        cents.map { case (id, cv, _) => (id, cv.toSeq) }
-          .toDF("centroid_id", "cv"))
-      val resid = graft.core.Materialize.cut(
-        Similarity.ivfAssignWith(n, cents)
-          .select(col("vec_id"), col("v"), col("centroid_id"))
-          .join(centDf, Seq("centroid_id"))
-          .select(col("vec_id"), col("centroid_id"),
-                  zip_with(col("v"), col("cv"), (a, b) => a - b).as("v")),
-        "pq_residuals")
-      val rcb = graft.operators.Pq.fitCodebooks(
-        resid, "vec_id", "v", PqM, PqSubDim, PqK, PqIters, seedBase = "rpq")
-      graft.operators.Pq.encode(resid, "vec_id", "v", rcb, PqSubDim)
-        .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")) :+
-                col("distortion").as("distortion_residual"): _*)
-        .join(resid.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
-        .join(pqCodes(s, dir)
-                .select(col("vec_id"), col("distortion").as("distortion_raw")),
-              Seq("vec_id"))
-        .select(col("vec_id"), col("centroid_id"),
-                col("code_0"), col("code_1"), col("code_2"), col("code_3"),
-                col("distortion_residual"), col("distortion_raw"),
-                (col("distortion_residual") < col("distortion_raw")).as("improved"))
-    },
+    "q193_residual_pq" -> { (s, dir) => residualPqFrame(s, dir) },
+
 
     // q194: PQ codebook DRIFT gate — the q146 index-health discipline
     // applied to the compression layer: after the corpus grows (odd
@@ -192,23 +165,8 @@ object VectorQueries {
     // operator reads before scheduling a codebook rebuild. Code IDs are
     // NOT compared across codebooks (cluster j means different things
     // in each fit); distortion is the comparable quantity.
-    "q194_pq_codebook_drift" -> { (s, dir) =>
-      val e = Tables(s, dir).embeddings
-      val frozen = graft.operators.Pq.fitCodebooks(
-        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-        PqM, PqSubDim, PqK, PqIters, seedBase = "fpq")
-      val refit = graft.operators.Pq.fitCodebooks(
-        e, "vec_id", "embedding", PqM, PqSubDim, PqK, PqIters, seedBase = "fpq")
-      val encF = graft.operators.Pq.encode(e, "vec_id", "embedding", frozen, PqSubDim)
-        .select(col("vec_id"), col("distortion").as("distortion_frozen"))
-      val encR = graft.operators.Pq.encode(e, "vec_id", "embedding", refit, PqSubDim)
-        .select(col("vec_id"), col("distortion").as("distortion_refit"))
-      encF.join(encR, Seq("vec_id"))
-        .select(col("vec_id"), (col("vec_id") % 2 === 1).as("is_delta"),
-                col("distortion_frozen"), col("distortion_refit"),
-                (col("distortion_refit") < col("distortion_frozen"))
-                  .as("refit_improves"))
-    },
+    "q194_pq_codebook_drift" -> { (s, dir) => pqDriftFrame(s, dir) },
+
 
     // q184: cluster-balanced CORESET sampling — the embedding-space
     // dual of q157's language quotas (the "semantic diversity" sampler
@@ -926,6 +884,67 @@ object VectorQueries {
          org.apache.spark.sql.types.DoubleType))),
     notNull = Seq("vec_id") ++ (0 until PqM).map(j => s"code_$j"),
     uniqueKeys = Seq(Seq("vec_id")))
+
+  /** q193's per-vector residual-PQ frame, memoized per (session, dir)
+    * behind a lineage cut — the two codebook fits are index builds, not
+    * per-read work (the pqCodes discipline).
+    */
+  private val residPqCache = new graft.core.SessionCache[String]
+  private def residualPqFrame(s: SparkSession, dir: String): DataFrame =
+    residPqCache.getOrElseUpdate(s, dir)(graft.core.Materialize.cut({
+
+      val e = Tables(s, dir).embeddings
+      val n = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (_, cents) = ivfServingParts(s, dir)
+      import s.implicits._
+      val centDf = broadcast(
+        cents.map { case (id, cv, _) => (id, cv.toSeq) }
+          .toDF("centroid_id", "cv"))
+      val resid = graft.core.Materialize.cut(
+        Similarity.ivfAssignWith(n, cents)
+          .select(col("vec_id"), col("v"), col("centroid_id"))
+          .join(centDf, Seq("centroid_id"))
+          .select(col("vec_id"), col("centroid_id"),
+                  zip_with(col("v"), col("cv"), (a, b) => a - b).as("v")),
+        "pq_residuals")
+      val rcb = graft.operators.Pq.fitCodebooks(
+        resid, "vec_id", "v", PqM, PqSubDim, PqK, PqIters, seedBase = "rpq")
+      graft.operators.Pq.encode(resid, "vec_id", "v", rcb, PqSubDim)
+        .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")) :+
+                col("distortion").as("distortion_residual"): _*)
+        .join(resid.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+        .join(pqCodes(s, dir)
+                .select(col("vec_id"), col("distortion").as("distortion_raw")),
+              Seq("vec_id"))
+        .select(col("vec_id"), col("centroid_id"),
+                col("code_0"), col("code_1"), col("code_2"), col("code_3"),
+                col("distortion_residual"), col("distortion_raw"),
+                (col("distortion_residual") < col("distortion_raw")).as("improved"))
+    }, "residual_pq"))
+
+  /** q194's drift frame, memoized per (session, dir) behind a lineage
+    * cut — both fits plus both encodes run once per session.
+    */
+  private val pqDriftCache = new graft.core.SessionCache[String]
+  private def pqDriftFrame(s: SparkSession, dir: String): DataFrame =
+    pqDriftCache.getOrElseUpdate(s, dir)(graft.core.Materialize.cut({
+
+      val e = Tables(s, dir).embeddings
+      val frozen = graft.operators.Pq.fitCodebooks(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        PqM, PqSubDim, PqK, PqIters, seedBase = "fpq")
+      val refit = graft.operators.Pq.fitCodebooks(
+        e, "vec_id", "embedding", PqM, PqSubDim, PqK, PqIters, seedBase = "fpq")
+      val encF = graft.operators.Pq.encode(e, "vec_id", "embedding", frozen, PqSubDim)
+        .select(col("vec_id"), col("distortion").as("distortion_frozen"))
+      val encR = graft.operators.Pq.encode(e, "vec_id", "embedding", refit, PqSubDim)
+        .select(col("vec_id"), col("distortion").as("distortion_refit"))
+      encF.join(encR, Seq("vec_id"))
+        .select(col("vec_id"), (col("vec_id") % 2 === 1).as("is_delta"),
+                col("distortion_frozen"), col("distortion_refit"),
+                (col("distortion_refit") < col("distortion_frozen"))
+                  .as("refit_improves"))
+    }, "pq_drift"))
 
   private val pqCodesCache = new graft.core.SessionCache[String]
   private def pqCodes(s: SparkSession, dir: String): DataFrame =
