@@ -372,20 +372,49 @@ object EventsStream {
           .select(col("doc_id"), col("band.band_idx").as("band_idx"),
                   col("band.band_hash").as("band_hash"))
           .dropDuplicates("doc_id", "band_idx") // in-batch redelivery guard
-        val exists =
-          try { spark.table(table); true }
-          catch { case _: org.apache.spark.sql.AnalysisException => false }
-        if (!exists)
-          graft.sources.Warehouse.writeBucketed(bands, table, "band_hash", numBuckets = 16)
-        else {
-          val fresh = bands.join(
-            spark.table(table).select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          graft.sources.Warehouse.appendBucketed(fresh, table, "band_hash", numBuckets = 16)
-        }
+        idempotentAppendBucketed(bands, table, "band_hash", "doc_id")
         ()
       }
       .start()
+
+  /** [[idempotentAppend]] for BUCKETED state tables: the anti-join runs
+    * on `guardKey` (the redelivery identity) while appends preserve the
+    * `bucketCol` layout the probes depend on.
+    */
+  private def idempotentAppendBucketed(rows: DataFrame, table: String,
+                                       bucketCol: String,
+                                       guardKey: String): Unit = {
+    val spark = rows.sparkSession
+    val exists =
+      try { spark.table(table); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!exists)
+      graft.sources.Warehouse.writeBucketed(rows, table, bucketCol, numBuckets = 16)
+    else
+      graft.sources.Warehouse.appendBucketed(
+        rows.join(spark.table(table).select(col(guardKey)).distinct(),
+                  Seq(guardKey), "left_anti"),
+        table, bucketCol, numBuckets = 16)
+  }
+
+  /** The shared idempotent micro-batch sink: create `table` from the
+    * first batch, then append only rows whose `keyCol` is not already
+    * present — one anti-join doubling as the redelivery guard for every
+    * foreachBatch state-table leg (decon, PSI drift, mixture audit, ANN
+    * serving results).
+    */
+  private def idempotentAppend(rows: DataFrame, table: String,
+                               keyCol: String): Unit = {
+    val spark = rows.sparkSession
+    val exists =
+      try { spark.table(table); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!exists) graft.sources.Warehouse.writeTable(rows, table)
+    else graft.sources.Warehouse.appendTable(
+      rows.join(spark.table(table).select(col(keyCol)).distinct(),
+                Seq(keyCol), "left_anti"),
+      table)
+  }
 
   /** Streaming maintenance of the PERSISTED chunk-hash dedup index
     * (q172): each micro-batch is chunked scan-locally
@@ -420,17 +449,7 @@ object EventsStream {
         val canon = ch.withColumn("is_canon", col("k") === min(col("k")).over(w))
           .filter(col("is_canon"))
           .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"))
-        val exists =
-          try { spark.table(table); true }
-          catch { case _: org.apache.spark.sql.AnalysisException => false }
-        if (!exists)
-          graft.sources.Warehouse.writeBucketed(canon, table, "chunk_hash", numBuckets = 16)
-        else {
-          val fresh = canon.join(
-            spark.table(table).select(col("chunk_hash")),
-            Seq("chunk_hash"), "left_anti")
-          graft.sources.Warehouse.appendBucketed(fresh, table, "chunk_hash", numBuckets = 16)
-        }
+        idempotentAppendBucketed(canon, table, "chunk_hash", "chunk_hash")
         ()
       }
       .start()
@@ -470,14 +489,7 @@ object EventsStream {
           .select(col("doc_id"), col("lang"),
                   coalesce(col("n_overlap"), lit(0L)).as("n_overlap_ngrams"),
                   (coalesce(col("n_overlap"), lit(0L)) > 0).as("is_contaminated"))
-        val exists =
-          try { spark.table(outTable); true }
-          catch { case _: org.apache.spark.sql.AnalysisException => false }
-        if (!exists) graft.sources.Warehouse.writeTable(res, outTable)
-        else graft.sources.Warehouse.appendTable(
-          res.join(spark.table(outTable).select(col("doc_id")).distinct(),
-                   Seq("doc_id"), "left_anti"),
-          outTable)
+        idempotentAppend(res, outTable, "doc_id")
         ()
       }
       .start()
@@ -511,14 +523,7 @@ object EventsStream {
             expr(s"(unix_micros(ts) DIV 86400000000 - ${minDay}L) DIV 7")
               .as("week_idx"),
             graft.queries.RetrievalQueries.psiBin(col("value")).as("bin"))
-        val exists =
-          try { spark.table(table); true }
-          catch { case _: org.apache.spark.sql.AnalysisException => false }
-        if (!exists) graft.sources.Warehouse.writeTable(rows, table)
-        else graft.sources.Warehouse.appendTable(
-          rows.join(spark.table(table).select(col("event_id")),
-                    Seq("event_id"), "left_anti"),
-          table)
+        idempotentAppend(rows, table, "event_id")
         ()
       }
       .start()
@@ -561,14 +566,7 @@ object EventsStream {
               when(col("h") * col("lang_tokens") <
                    (col("target_tokens") % col("lang_tokens")) * 65536L, 1L)
                 .otherwise(0L)) * col("n_tokens")).as("emitted_tokens"))
-        val exists =
-          try { spark.table(table); true }
-          catch { case _: org.apache.spark.sql.AnalysisException => false }
-        if (!exists) graft.sources.Warehouse.writeTable(rows, table)
-        else graft.sources.Warehouse.appendTable(
-          rows.join(spark.table(table).select(col("doc_id")),
-                    Seq("doc_id"), "left_anti"),
-          table)
+        idempotentAppend(rows, table, "doc_id")
         ()
       }
       .start()
@@ -615,14 +613,7 @@ object EventsStream {
         val spark = batch.sparkSession
         val res = graft.operators.Similarity.annTopKIvfServe(
           batch.toDF(), index, cents, "vec_id", "embedding", k, nprobe)
-        val exists =
-          try { spark.table(outTable); true }
-          catch { case _: org.apache.spark.sql.AnalysisException => false }
-        if (!exists) graft.sources.Warehouse.writeTable(res, outTable)
-        else graft.sources.Warehouse.appendTable(
-          res.join(spark.table(outTable).select(col("query_id")).distinct(),
-                   Seq("query_id"), "left_anti"),
-          outTable)
+        idempotentAppend(res, outTable, "query_id")
         ()
       }
       .start()
