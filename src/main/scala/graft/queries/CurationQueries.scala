@@ -108,6 +108,35 @@ object CurationQueries {
                 lit(1.0)).as("perplexity"))
   }
 
+  /** The q190/q191 scattered-copy frame: q168's repeats exploded into
+    * per-copy rows, each keyed by its own md5 permutation packed with
+    * (doc_id, copy) into ONE BIGINT (bounds fail loudly — a violation
+    * would silently collide key spaces). `carry` columns ride along.
+    */
+  private def orderKeyedCopies(s: SparkSession, dir: String,
+                               carry: Seq[String]): DataFrame = {
+    import graft.functions.HexKeys
+    val rep = defs("q168_temperature_mixture")(s, dir)
+      .select((col("doc_id") +: col("n_repeats") +: carry.map(col)): _*)
+      .filter(col("n_repeats") >= 1L)
+    val copies = rep.select((col("doc_id") +:
+      explode(sequence(lit(1L), col("n_repeats"))).as("epoch_copy") +:
+      carry.map(col)): _*)
+    val hex = md5(concat(lit("ord|"), col("doc_id").cast(StringType),
+                         lit("|"), col("epoch_copy").cast(StringType)))
+    val h24 = HexKeys.value16(hex, 0).cast(LongType) * 256L +
+      HexKeys.digit(hex, 4).cast(LongType) * 16L +
+      HexKeys.digit(hex, 5).cast(LongType)
+    copies.select(
+      when(col("doc_id").between(0L, 2147483647L) && col("epoch_copy") <= 31L,
+           h24 * 68719476736L + col("doc_id") * 32L + col("epoch_copy"))
+        .otherwise(raise_error(concat(
+          lit("training order requires 0 <= doc_id < 2^31 and n_repeats <= 31, got "),
+          col("doc_id").cast(StringType)))
+          .cast(LongType))
+        .as("ord_key") +: carry.map(col): _*)
+  }
+
   /** The q182/q186 stage-flag frame: one row per document with the
     * cumulative survival booleans s1..s5 (see the q182 def comment for
     * the stage semantics and the survivor-scoped dedup canonical).
@@ -1094,26 +1123,7 @@ object CurationQueries {
     // collide key spaces).
     // ---------------------------------------------------------------
     "q190_training_order" -> { (s, dir) =>
-      import graft.functions.HexKeys
-      val rep = defs("q168_temperature_mixture")(s, dir)
-        .select(col("doc_id"), col("n_repeats"))
-        .filter(col("n_repeats") >= 1L)
-      val copies = rep.select(col("doc_id"),
-        explode(sequence(lit(1L), col("n_repeats"))).as("epoch_copy"))
-      val hex = md5(concat(lit("ord|"), col("doc_id").cast(StringType),
-                           lit("|"), col("epoch_copy").cast(StringType)))
-      val h24 = HexKeys.value16(hex, 0).cast(LongType) * 256L +
-        HexKeys.digit(hex, 4).cast(LongType) * 16L +
-        HexKeys.digit(hex, 5).cast(LongType)
-      val keyed = copies.select(
-        when(col("doc_id").between(0L, 2147483647L) && col("epoch_copy") <= 31L,
-             h24 * 68719476736L + col("doc_id") * 32L + col("epoch_copy"))
-          .otherwise(raise_error(concat(
-            lit("q190 requires 0 <= doc_id < 2^31 and n_repeats <= 31, got "),
-            col("doc_id").cast(StringType)))
-            .cast(LongType))
-          .as("ord_key"),
-        lit(1L).as("one"))
+      val keyed = orderKeyedCopies(s, dir, Nil).withColumn("one", lit(1L))
       graft.operators.Sharding
         .runningTotal(keyed, "ord_key", "one", "train_rank")
         .select(col("train_rank"),
@@ -1131,26 +1141,7 @@ object CurationQueries {
     // a shard owns the copies whose budget STARTS inside it).
     // ---------------------------------------------------------------
     "q191_token_budget_shards" -> { (s, dir) =>
-      import graft.functions.HexKeys
-      val rep = defs("q168_temperature_mixture")(s, dir)
-        .select(col("doc_id"), col("n_tokens"), col("n_repeats"))
-        .filter(col("n_repeats") >= 1L)
-      val copies = rep.select(col("doc_id"), col("n_tokens"),
-        explode(sequence(lit(1L), col("n_repeats"))).as("epoch_copy"))
-      val hex = md5(concat(lit("ord|"), col("doc_id").cast(StringType),
-                           lit("|"), col("epoch_copy").cast(StringType)))
-      val h24 = HexKeys.value16(hex, 0).cast(LongType) * 256L +
-        HexKeys.digit(hex, 4).cast(LongType) * 16L +
-        HexKeys.digit(hex, 5).cast(LongType)
-      val keyed = copies.select(
-        when(col("doc_id").between(0L, 2147483647L) && col("epoch_copy") <= 31L,
-             h24 * 68719476736L + col("doc_id") * 32L + col("epoch_copy"))
-          .otherwise(raise_error(concat(
-            lit("q191 requires 0 <= doc_id < 2^31 and n_repeats <= 31, got "),
-            col("doc_id").cast(StringType)))
-            .cast(LongType))
-          .as("ord_key"),
-        col("n_tokens"))
+      val keyed = orderKeyedCopies(s, dir, Seq("n_tokens"))
       graft.operators.Sharding
         .runningTotal(keyed, "ord_key", "n_tokens", "cum_tokens")
         .select(expr("(ord_key DIV 32) % 2147483648").as("doc_id"),
