@@ -831,6 +831,31 @@ class PlanQualitySpec extends SparkSpec {
       s"q172 plans $hashEx chunk_hash exchanges — the bucketed index side got re-shuffled:\n$p")
   }
 
+  test("q190/q191 manifest ranks ride the bucketed prefix sum (q62's discipline)") {
+    for (q <- Seq("q190_training_order", "q191_token_budget_shards")) {
+      val df   = SparkEntry.queries(q)(spark, dir)
+      val plan = planOf(df)
+      assert(plan.contains("hashpartitioning(__pid"),
+        s"$q lost the parallel bucket partitioning:\n$plan")
+      // any SinglePartition exchange must sit above an aggregate (the
+      // P-row offsets), never above raw copy rows — q62's exact guard
+      val offenders = physical(df).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 &&
+              e.child.collect {
+                case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+              }.isEmpty => e
+      }
+      assert(offenders.isEmpty,
+        s"$q funnels non-aggregated data through one partition:\n$plan")
+      // (a BroadcastNestedLoopJoin IS expected here: q168's totals ride a
+      // 1-row broadcast cross join — the scalar-join pattern, not a
+      // corpus cross product; CartesianProduct stays banned)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q degenerated to a cartesian product:\n$plan")
+    }
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
