@@ -287,6 +287,29 @@ class DedupSpec extends SparkSpec {
     assert(out(3L).getAs[String]("residual_text") == "a b c")
   }
 
+  test("exactSubstrRemediateAgainst cleans only delta-vs-BASE spans, never delta-vs-delta") {
+    val shared = "abcdefghijklmnopqrstuvwxy12345" // 30 chars, lives in the base
+    val dd     = "ZYXWVUTSRQPONMLKJIHGFEDCBA9876" // 30 chars shared only BETWEEN deltas
+    val base  = Seq((1L, "B" * 10 + shared + "Q" * 10)).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "A" * 20 + shared + "Z" * 20), // base span → cut
+      (11L, "C" * 10 + dd + "D" * 10),     // delta-only duplication → kept
+      (12L, "E" * 10 + dd + "F" * 10)
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrRemediateAgainst(delta, base, "doc_id", "text",
+        k = 25, minChars = 30)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getAs[String]("residual_text") == "A" * 20 + "Z" * 20)
+    assert(out(10L).getAs[Long]("dup_chars") == 30L)
+    // delta-vs-delta duplication is NOT this operator's job (the batch
+    // pass owns it) — both docs pass through untouched
+    Seq(11L, 12L).foreach { id =>
+      assert(out(id).getAs[Long]("dup_chars") == 0L)
+      assert(approx(out(id).getAs[Double]("kept_frac"), 1.0))
+    }
+    assert(!out.contains(1L), "base docs must not appear in the delta output")
+  }
+
   test("chunkDedup cuts a repeated chunk WITHIN one document") {
     val rep = ((1 to 20) ++ (1 to 20)).map("t" + _).mkString(" ") // chunk1 == chunk0
     val d = Seq((7L, rep)).toDF("doc_id", "text")
