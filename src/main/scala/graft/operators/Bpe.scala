@@ -68,6 +68,21 @@ object Bpe {
   def tokenize(toks: Seq[String], merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(toks) { case (cur, (a, b)) => applyMerge(cur, a, b) }
 
+  /** One round of pair-count state maintenance: fold a ±1-weighted delta
+    * into the counts table and drop exhausted pairs. Both sides hash on
+    * (a, b), so under a B-partition shuffle the merged state lands
+    * hash-BUCKETED by pair across B partitions — each bucket merges its
+    * own deltas, no bucket ever sees another's keys, and no stage plans a
+    * single-partition exchange (PlanQualitySpec gates this). The argmax
+    * over the result is a per-bucket top-1 + a B-row driver reduce
+    * (TakeOrdered), so driver state stays constant-sized.
+    */
+  private[graft] def mergedCounts(counts: DataFrame, delta: DataFrame): DataFrame =
+    counts.unionByName(delta)
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("cnt")).cast(LongType).as("cnt"))
+      .where(col("cnt") > 0)
+
   /** Fit `numMerges` merges over whitespace-split `textCol`. Per round:
     * one corpus aggregation (collapsed to the argmax pair via a 1-row
     * TakeOrdered — count desc, pair asc) and nothing else driver-sized.
@@ -131,30 +146,49 @@ object Bpe {
     * all rounds. AQE is likewise scoped OFF for the fit’s fixed tiny-shape
     * jobs — adaptive re-planning is pure per-round latency here.
     *
+    * The counts state is hash-BUCKETED by (a, b) across `stateBuckets`
+    * partitions ([[mergedCounts]]): each round's delta merges per-bucket
+    * and the argmax is a per-bucket top-1 + driver reduce over
+    * `stateBuckets` rows — no stage of the fit ever plans a
+    * single-partition exchange, so the state scales horizontally when the
+    * pair table outgrows one machine. `stateBuckets` defaults low (8)
+    * because at local[n] the per-round cost is task scheduling, not data;
+    * a 100 TB fit raises it to match the cluster.
+    *
     * State is `localCheckpoint`ed each round (lineage/plan depth would
     * otherwise grow linearly in R and blow analysis + codegen); the
     * superseded round’s blocks are unpersisted immediately, so peak
     * storage is two corpus snapshots. On a multi-executor cluster the
     * durable form of this cut is a warehouse-table materialization per K
     * rounds (localCheckpoint blocks die with an executor); local[n] has
-    * no executor loss, so the cheap cut is correct here.
+    * no executor loss, so the cheap cut is correct here (see
+    * [[graft.core.Materialize]] — round state deliberately stays local).
     *
     * Identical output to [[fit]] by the argmax-sequence argument: both
     * maintain exactly the corpus pair-count multiset between rounds and
     * take the same (cnt desc, a asc, b asc) argmax. Property-tested
     * (BpeSpec) and oracle-gated at 256 merges (q144).
     */
-  def fitDelta(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+  def fitDelta(df: DataFrame, textCol: String, numMerges: Int,
+               stateBuckets: Int = 8): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(stateBuckets >= 2,
+      s"stateBuckets must be >= 2 (a 1-bucket state is the single-task " +
+        s"anti-pattern this operator exists to avoid), got $stateBuckets")
     val spark = df.sparkSession
     import spark.implicits._
     // AQE is pure latency here: every round runs the same three fixed
     // tiny-shape jobs, and adaptive re-planning adds a per-stage barrier
     // cost that dominates at hundreds of rounds. Scoped off, restored
-    // after (the session belongs to the caller).
+    // after (the session belongs to the caller). shuffle.partitions is
+    // scoped to `stateBuckets` for the same reason: the only shuffles in
+    // the fit are the (a,b)-hashed state merges, and B buckets at R
+    // rounds means B·R tasks — the bucket count IS the partition count.
     val conf = spark.conf
     val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", stateBuckets.toString)
     // Truncated-lineage blocks of the superseded round: a localCheckpoint
     // is registered with the block manager, not the cache manager, so
     // Dataset.unpersist would be a no-op — free the RDD directly.
@@ -189,16 +223,14 @@ object Bpe {
         .map(t => t.split(' ').toSeq.filter(_.nonEmpty))
         .filter((t: Seq[String]) => t.length >= 2)
         .localCheckpoint()
-      // The counts state rides ONE partition: per-round jobs over it are
-      // single-task (the 32-task default made each of 256 rounds pay
-      // ~100ms of empty-task scheduling). At a 100 TB fit the pair table
-      // outgrows one partition — there the state belongs hash-bucketed by
-      // (a,b) with the delta merged per-bucket; the round structure is
-      // unchanged.
+      // The counts state lands hash-bucketed by (a,b) across
+      // `stateBuckets` partitions (the scoped shuffle.partitions above):
+      // every per-round merge and argmax parallelizes across buckets, and
+      // no corpus-scale structure ever funnels through one task.
       counts = cur.flatMap(localPairs).toDF("a", "b")
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).cast(LongType).as("cnt"))
-        .coalesce(1).localCheckpoint()
+        .localCheckpoint()
       // The corpus is re-materialized only every CkptEvery rounds; in
       // between it rides as a lazy chain of ≤CkptEvery typed maps over
       // the last checkpoint (maps fuse — objects flow through without
@@ -228,12 +260,8 @@ object Bpe {
                 localPairs(toks).map { case (x, y) => (x, y, -1L) }
             }
           }.toDF("a", "b", "cnt")
-          val newCounts = tt("counts-ckpt")(counts.unionByName(delta)
-            .groupBy(col("a"), col("b"))
-            .agg(sum(col("cnt")).cast(LongType).as("cnt"))
-            .where(col("cnt") > 0)
-            .coalesce(1)
-            .localCheckpoint())
+          val newCounts = tt("counts-ckpt")(
+            mergedCounts(counts, delta).localCheckpoint())
           freeCheckpoint(counts)
           counts = newCounts
           cur = cur
@@ -252,6 +280,7 @@ object Bpe {
       if (counts != null) freeCheckpoint(counts)
       if (curCkpt != null) freeCheckpoint(curCkpt)
       conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      conf.set("spark.sql.shuffle.partitions", shufBefore)
     }
   }
 }

@@ -76,14 +76,33 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("fitDelta stops early when pairs run out, restores AQE, skips nulls") {
+  test("fitDelta merge sequence is invariant to the state bucket count") {
+    // The pair-count state is hash-bucketed by (a,b); the argmax is a
+    // per-bucket top-1 + driver reduce, so the chosen merge — and hence
+    // the whole sequence — must not depend on how many buckets hold the
+    // state. 2 vs 7 buckets (coprime with nothing special) must agree.
+    val docs = (Seq.fill(5)("we saw new york") ++
+      Seq.fill(3)("in new york today") ++
+      Seq.fill(2)("the cat sat here quietly")).toDF("text")
+    val at2 = Bpe.fitDelta(docs, "text", numMerges = 4, stateBuckets = 2)
+    val at7 = Bpe.fitDelta(docs, "text", numMerges = 4, stateBuckets = 7)
+    assert(at2 == at7, "merge sequence depends on bucket count")
+    assert(at2 == Bpe.fit(docs, "text", 4))
+    // a 1-bucket state is the single-task anti-pattern — rejected loudly
+    intercept[IllegalArgumentException](
+      Bpe.fitDelta(docs, "text", numMerges = 1, stateBuckets = 1))
+  }
+
+  test("fitDelta stops early when pairs run out, restores AQE+shuffle conf, skips nulls") {
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
     // 'a a a' exhausts: merge1 (a,a) → [a+a, a]; merge2 (a+a, a) → one
     // token; no pairs remain → early return after 2 of 5 requested
     val docs = Seq(Some("a a a"), None).toDF("text")
     val merges = Bpe.fitDelta(docs, "text", numMerges = 5)
     assert(merges == Seq(("a", "a"), ("a+a", "a")))
     assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == shufBefore)
     intercept[IllegalArgumentException](Bpe.fitDelta(docs, "text", 0))
   }
 

@@ -856,6 +856,57 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("BPE fitDelta never plans a 1-partition exchange — state is (a,b)-bucketed") {
+    // Round 11's last corpus-through-one-task shape: the fit's pair-count
+    // state rode coalesce(1). Now the state is hash-bucketed by (a,b)
+    // across `stateBuckets` partitions. This gate runs a REAL fit under a
+    // QueryExecutionListener on an isolated session (listenerManager is
+    // session-scoped, so parallel suites can't pollute the capture) and
+    // asserts every executed plan of every round — argmax collects, delta
+    // merges, state checkpoints — plans zero single-partition exchanges
+    // and zero coalesce(1), and that the state shuffles land on exactly
+    // the requested bucket count.
+    val s = spark.newSession()
+    import s.implicits._
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.execution.SparkPlan]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      val docs = (Seq.fill(6)("a b c a b d e a b") ++ Seq.fill(4)("c d e c d"))
+        .toDF("text")
+      val merges = graft.operators.Bpe.fitDelta(docs, "text", numMerges = 4,
+        stateBuckets = 4)
+      assert(merges.length == 4)
+      // drain the async listener bus: poll until the capture stops growing
+      val deadline = System.nanoTime() + 15e9.toLong
+      var last = -1
+      while (System.nanoTime() < deadline && plans.size != last) {
+        last = plans.size; Thread.sleep(250)
+      }
+      assert(!plans.isEmpty, "listener captured no plans from the fit")
+      import scala.jdk.CollectionConverters._
+      val exchanges = plans.asScala.toSeq.flatMap(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      })
+      assert(exchanges.nonEmpty, "fit planned no shuffles at all — state merge missing?")
+      exchanges.foreach { e =>
+        assert(e.outputPartitioning.numPartitions == 4,
+          s"fit stage shuffled to ${e.outputPartitioning.numPartitions} partitions (want 4 buckets):\n$e")
+      }
+      val coalesced = plans.asScala.toSeq.flatMap(_.collect {
+        case c: org.apache.spark.sql.execution.CoalesceExec if c.numPartitions == 1 => c
+      })
+      assert(coalesced.isEmpty, "fit still funnels state through coalesce(1)")
+    } finally s.listenerManager.unregister(listener)
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
