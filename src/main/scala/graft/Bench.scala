@@ -99,6 +99,21 @@ object Bench {
     // and are enumerated in `errors` (an empty-on-success key in both
     // outputs, so its absence can never be read as "all green")
     val total = results.map(r => minOf(r._2)).filter(_ >= 0.0).sum
+    // Round-11 verdict: min-of-N is the right SERVING metric but hides
+    // one-time build cost inside session-memoized queries (q144's 70 s
+    // pass-1 fit read as "0.4 s"). Both cost classes are now first-class
+    // and tracked round-over-round:
+    //   build_total = pass-1 sum (every memoized index/fit built cold);
+    //   serve_total = sum of per-query min over the WARM passes (2..N) —
+    //     the steady-state cost a serving deployment pays.
+    // With passes=1 there are no warm samples; serve_total then equals
+    // the cold pass rather than lying with a 0.
+    val buildTotal = results.map(r => r._2.headOption.getOrElse(-1.0))
+      .filter(_ >= 0.0).sum
+    val serveTotal = results.map { r =>
+      val warm = ok(r._2.drop(1))
+      if (warm.nonEmpty) warm.min else minOf(r._2)
+    }.filter(_ >= 0.0).sum
     def errJson(full: Boolean): String = errors.map { case (k, cls) =>
       s"\"" + (if (full) k else k.takeWhile(_ != '_')) + "\":\"" + cls + "\""
     }.mkString("{", ",", "}")
@@ -108,7 +123,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val sp = results.map { case (k, ts) => s"\"" + k + "\":" + s3(spreadOf(ts)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","method":"min-of-$passes-passes","samples":$ss,"spread":$sp,"errors":${errJson(full = true)},"sf":"$sfDir","load":[${loads.map(s3).mkString(",")}],"passes":$passes}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","method":"min-of-$passes-passes","build_total":${s3(buildTotal)},"serve_total":${s3(serveTotal)},"samples":$ss,"spread":$sp,"errors":${errJson(full = true)},"sf":"$sfDir","load":[${loads.map(s3).mkString(",")}],"passes":$passes}"""
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     catch { case _: Throwable => () }
@@ -130,7 +145,7 @@ object Bench {
       else ""
       // sf shortened to its basename: the driver only needs the scale tag.
       val sfTag = sfDir.split('/').last
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,$sp"errors":${errJson(full = false)},"sf":"$sfTag","load":[${loads.map(fmt(_, 1)).mkString(",")}],"passes":$passes}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","build_total":${fmt(buildTotal, 1)},"serve_total":${fmt(serveTotal, 1)},"queries":$qs,$sp"errors":${errJson(full = false)},"sf":"$sfTag","load":[${loads.map(fmt(_, 1)).mkString(",")}],"passes":$passes}"""
     }
     val line = Seq(compactLine(2, withSpread = true), compactLine(1, withSpread = true),
       compactLine(2, withSpread = false), compactLine(1, withSpread = false))

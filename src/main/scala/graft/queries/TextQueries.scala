@@ -791,17 +791,35 @@ object TextQueries {
       val n = 200
       val samples = s.range(n).select(col("id").cast(LongType).as("i"))
       val sCol = (col("i").cast(DoubleType) + 0.5) / n
-      def pow2Chain(base: Column, sel: Column): Column = {
-        val p1 = base; val p2 = p1 * p1; val p4 = p2 * p2
-        val p8 = p4 * p4; val p16 = p8 * p8
-        when(sel === 1, p1).when(sel === 2, p2).when(sel === 4, p4)
-          .when(sel === 8, p8).otherwise(p16)
-      }
-      val sr   = pow2Chain(sCol, col("r"))
-      val coll = lit(1.0) - pow2Chain(lit(1.0) - sr, col("b"))
-      val q    = floor(coll * 1e12).cast(LongType)
-      val scored = g.crossJoin(samples)
-        .select(col("b"), col("r"), col("i"), q.as("qp"))
+      // The square-chains are STEPWISE PROJECTED COLUMNS, not one nested
+      // expression: a single when-of-chains expression duplicates each
+      // power subtree textually (Catalyst CSE can't hoist out of CASE
+      // branches), and the generated project method blew Janino's 64 KB
+      // limit — silent interpreted fallback. Chained selects make each
+      // power one codegen local, evaluated once (CollapseProject won't
+      // re-inline an alias referenced more than once by a non-cheap
+      // expression, so the chain survives optimization). ToolchainSpec
+      // gates this plan compiling with zero CodeGenerator errors.
+      def chainOf(baseName: String, sel: Column): Column =
+        when(sel === 1, col(baseName))
+          .when(sel === 2, col(s"${baseName}2"))
+          .when(sel === 4, col(s"${baseName}4"))
+          .when(sel === 8, col(s"${baseName}8"))
+          .otherwise(col(s"${baseName}16"))
+      def squares(df: org.apache.spark.sql.DataFrame, baseName: String) = df
+        .withColumn(s"${baseName}2", col(baseName) * col(baseName))
+        .withColumn(s"${baseName}4", col(s"${baseName}2") * col(s"${baseName}2"))
+        .withColumn(s"${baseName}8", col(s"${baseName}4") * col(s"${baseName}4"))
+        .withColumn(s"${baseName}16", col(s"${baseName}8") * col(s"${baseName}8"))
+      val withSr = squares(
+          g.crossJoin(samples).select(col("b"), col("r"), col("i"), sCol.as("__s")),
+          "__s")
+        .withColumn("__sr", chainOf("__s", col("r")))
+      val withColl = squares(withSr.withColumn("__u", lit(1.0) - col("__sr")), "__u")
+        .withColumn("__coll", lit(1.0) - chainOf("__u", col("b")))
+      val scored = withColl
+        .select(col("b"), col("r"), col("i"),
+                floor(col("__coll") * 1e12).cast(LongType).as("qp"))
         .groupBy(col("b"), col("r"))
         .agg(sum(when(col("i") < n / 2, col("qp")).otherwise(0L)).as("fp_q"),
              sum(when(col("i") >= n / 2, lit(1000000000000L) - col("qp"))

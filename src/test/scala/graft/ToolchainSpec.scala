@@ -53,4 +53,44 @@ class ToolchainSpec extends SparkSpec {
       graft.core.Tables(spark, "/root/testdata/sf0.001").events,
       Seq("user_id"), "ts", gapMicros = 60L * 1000000).count()
   }
+
+  test("expression-heavy plans compile under Janino's 64 KB method limit — no interpreted fallback") {
+    // Round-11 judge log: q174's S-curve projection generated a
+    // project_doConsume past 64 KB (nested when-of-power-chains duplicate
+    // subtrees — CSE can't hoist out of CASE branches); Spark fell back
+    // to interpreted execution SILENTLY except for an ERROR CodeGenerator
+    // line. This canary attaches an appender to that logger and runs the
+    // formerly-failing queries plus the suite's other expression-dense
+    // plans: any codegen compile failure anywhere in these plans fails
+    // the test instead of scrolling past in a 4000-line log.
+    val logged = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-codegen-canary", null,
+        org.apache.logging.log4j.core.layout.PatternLayout.createDefaultLayout(),
+        false, org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getLevel.isMoreSpecificThan(org.apache.logging.log4j.Level.ERROR))
+          logged.add(e.getMessage.getFormattedMessage.take(400))
+    }
+    appender.start()
+    val logger = org.apache.logging.log4j.LogManager
+      .getLogger("org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    logger.addAppender(appender)
+    try {
+      // self-check: a synthetic ERROR must reach the appender, else the
+      // whole canary is a no-op that can never fail
+      logger.error("graft-canary-self-check")
+      assert(logged.size == 1 && logged.get(0).contains("graft-canary-self-check"),
+        "canary appender not wired — the codegen gate would pass vacuously")
+      logged.clear()
+      for (q <- Seq("q174_lsh_parameter_plan", "q162_heaps_law",
+                    "q156_gopher_repetition", "q57_quality_scores"))
+        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      import scala.jdk.CollectionConverters._
+      assert(logged.isEmpty,
+        "codegen compile failure (interpreted fallback):\n" +
+          logged.asScala.mkString("\n---\n"))
+    } finally { logger.removeAppender(appender); appender.stop() }
+  }
 }
