@@ -240,6 +240,103 @@ object CurationQueries {
     (docDim, tot, model)
   }
 
+  /** q195/q196's per-source document cap (absolute, not proportional —
+    * the anti-flooding semantics: no source contributes more than this
+    * many documents regardless of its share).
+    */
+  private val SourceCapC = 10
+
+  /** Deterministic per-source CAP-AND-SELECT — the anti-flooding lever a
+    * web corpus applies before any mixture math: keep at most `cap`
+    * documents per `source`, chosen by md5 rank (never rand() — the
+    * selection is a pure function of doc_id, so task retries and
+    * re-runs pick identical survivors). Scale shape: the q157/q68
+    * bounded-heap discipline — [[org.apache.spark.sql.graftx.TopKPairs]]
+    * reduces every task's slice to ≤ cap pairs per source map-side, the
+    * shuffle carries ≤ cap·P survivors, and no per-source window ever
+    * funnels a hot host's documents through one task (the exact failure
+    * a cap exists to defend against: the flooded source IS the skewed
+    * key). md5-hex UTF8 binary order ≡ DuckDB VARCHAR order (ASCII), so
+    * the oracle's row_number() ranking matches bit for bit.
+    */
+  private def sourceCapped(d: DataFrame, prefix: String = "cap|",
+      cap: Int = SourceCapC): DataFrame = {
+    val key = md5(concat(lit(prefix), col("doc_id").cast(StringType)))
+    d.select(col("source"), col("doc_id"), key.as("cap_key"))
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.graftx.TopKPairs
+        .topK(col("cap_key"), col("doc_id"), cap).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), col("col.id").as("doc_id"),
+              (col("pos") + 1).cast(LongType).as("src_rank"))
+  }
+
+  /** q161/q196's shared curation pass: DSIR-score every document
+    * (q148's model), drop non-canonical duplicates (q67/q149's
+    * transitive clusters — keep each cluster's min id), take the
+    * top-100 selection by importance weight, then apportion a 50-doc
+    * training sample across languages by exact largest-remainder quotas
+    * (q157) picked by md5 rank. `restrict` (q196) limits which docs are
+    * ELIGIBLE for selection — the per-source cap — while the DSIR model
+    * and dup clusters stay corpus-fitted (a cap governs what may be
+    * picked, not what the models see).
+    */
+  private def curationV2(s: SparkSession, dir: String,
+      restrict: Option[DataFrame]): DataFrame = {
+    val d = Tables(s, dir).documents
+    val (docDim, _, model) = dsirParts(s, dir)
+    val w0 = docDim.join(broadcast(model), "dim")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("qratio")).as("logw_q"))
+    val w = restrict.fold(w0)(r => w0.join(r.select(col("doc_id")), Seq("doc_id")))
+    val canon = graft.operators.Dedup.connectedComponentsStars(
+        d.select(col("doc_id").as("id")),
+        graft.operators.Dedup.dupEdgesFromPairs(
+          d, "doc_id", "text", TextQueries.jaccardQuery(s, dir)),
+        "doc_a", "doc_b")
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val selected = w.join(canon, Seq("doc_id"))
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .orderBy(col("logw_q").desc, col("doc_id")).limit(100)
+      .localCheckpoint() // 100 rows, consumed by counts + pick below
+    val B = 50
+    val counts = selected.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val tot = counts.agg(sum(col("n_l")).as("nn"))
+    val q = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_l"),
+              expr(s"($B * n_l) DIV nn").as("base_l"),
+              (lit(B.toLong) * col("n_l") -
+                expr(s"($B * n_l) DIV nn") * col("nn")).as("rem"))
+      .localCheckpoint()
+    val sumBase = q.agg(sum(col("base_l")).as("sum_base"))
+    val ranked = q
+      .agg(sort_array(collect_list(struct((-col("rem")).as("negrem"),
+             col("lang").as("lang"), col("base_l").as("base_l")))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("pos", "x")))
+      .select(col("x.lang").as("lang"), col("x.base_l").as("base_l"),
+              (col("pos") + 1).cast(LongType).as("seat_rank"))
+    val tgt = ranked.crossJoin(broadcast(sumBase))
+      .select(col("lang"),
+              (col("base_l") +
+                when(col("seat_rank") <= lit(B.toLong) - col("sum_base"),
+                     lit(1L)).otherwise(lit(0L))).as("target_n"))
+    val key = md5(concat(lit("quota|"), col("doc_id").cast(StringType)))
+    selected.select(col("doc_id"), col("lang"), col("logw_q"),
+                    key.as("sample_key"))
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.graftx.TopKPairs
+        .topK(col("sample_key"), col("doc_id"), B).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), col("col.id").as("doc_id"),
+              (col("pos") + 1).cast(LongType).as("strat_rank"))
+      .join(broadcast(tgt), Seq("lang"))
+      .filter(col("strat_rank") <= col("target_n"))
+      .join(selected.select(col("doc_id"), col("logw_q")), Seq("doc_id"))
+      .select(col("lang"), col("doc_id"), col("logw_q"), col("strat_rank"),
+              col("target_n").cast(LongType).as("target_n"))
+  }
+
   /** The q148 model in driver form for the STREAMING scoring leg
     * ([[graft.streaming.EventsStream.dsirScoreStream]]): (dim → qratio,
     * default-for-unseen-bucket). The default is the model formula at
@@ -813,58 +910,42 @@ object CurationQueries {
     // already-gated operator; the gate proves the COMPOSITION still
     // hash-matches end to end.
     // ---------------------------------------------------------------
-    "q161_curation_v2" -> { (s, dir) =>
+    "q161_curation_v2" -> { (s, dir) => curationV2(s, dir, restrict = None) },
+
+    // ---------------------------------------------------------------
+    // q195: per-source CAP-AND-SELECT — the standard anti-flooding
+    // lever against one host dominating a web corpus: at most
+    // SourceCapC documents survive per `source`, selected
+    // deterministically by md5 rank (see [[sourceCapped]] for the
+    // bounded-heap scale shape — the flooded source IS the skewed key,
+    // so no per-source window sort is ever planned). The readout
+    // carries the pre-cap size and a `capped` flag per source so the
+    // composition reports (q182/q186) can attribute mass removed by
+    // the cap.
+    // ---------------------------------------------------------------
+    "q195_source_cap" -> { (s, dir) =>
       val d = Tables(s, dir).documents
-      val (docDim, _, model) = dsirParts(s, dir)
-      val w = docDim.join(broadcast(model), "dim")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c") * col("qratio")).as("logw_q"))
-      val canon = graft.operators.Dedup.connectedComponentsStars(
-          d.select(col("doc_id").as("id")),
-          graft.operators.Dedup.dupEdgesFromPairs(
-            d, "doc_id", "text", TextQueries.jaccardQuery(s, dir)),
-          "doc_a", "doc_b")
-        .filter(col("id") === col("cluster_id"))
-        .select(col("id").as("doc_id"))
-      val selected = w.join(canon, Seq("doc_id"))
-        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .orderBy(col("logw_q").desc, col("doc_id")).limit(100)
-        .localCheckpoint() // 100 rows, consumed by counts + pick below
-      val B = 50
-      val counts = selected.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
-      val tot = counts.agg(sum(col("n_l")).as("nn"))
-      val q = counts.crossJoin(broadcast(tot))
-        .select(col("lang"), col("n_l"),
-                expr(s"($B * n_l) DIV nn").as("base_l"),
-                (lit(B.toLong) * col("n_l") -
-                  expr(s"($B * n_l) DIV nn") * col("nn")).as("rem"))
-        .localCheckpoint()
-      val sumBase = q.agg(sum(col("base_l")).as("sum_base"))
-      val ranked = q
-        .agg(sort_array(collect_list(struct((-col("rem")).as("negrem"),
-               col("lang").as("lang"), col("base_l").as("base_l")))).as("xs"))
-        .select(posexplode(col("xs")).as(Seq("pos", "x")))
-        .select(col("x.lang").as("lang"), col("x.base_l").as("base_l"),
-                (col("pos") + 1).cast(LongType).as("seat_rank"))
-      val tgt = ranked.crossJoin(broadcast(sumBase))
-        .select(col("lang"),
-                (col("base_l") +
-                  when(col("seat_rank") <= lit(B.toLong) - col("sum_base"),
-                       lit(1L)).otherwise(lit(0L))).as("target_n"))
-      val key = md5(concat(lit("quota|"), col("doc_id").cast(StringType)))
-      selected.select(col("doc_id"), col("lang"), col("logw_q"),
-                      key.as("sample_key"))
-        .groupBy(col("lang"))
-        .agg(org.apache.spark.sql.graftx.TopKPairs
-          .topK(col("sample_key"), col("doc_id"), B).as("top"))
-        .select(col("lang"), posexplode(col("top")))
-        .select(col("lang"), col("col.id").as("doc_id"),
-                (col("pos") + 1).cast(LongType).as("strat_rank"))
-        .join(broadcast(tgt), Seq("lang"))
-        .filter(col("strat_rank") <= col("target_n"))
-        .join(selected.select(col("doc_id"), col("logw_q")), Seq("doc_id"))
-        .select(col("lang"), col("doc_id"), col("logw_q"), col("strat_rank"),
-                col("target_n").cast(LongType).as("target_n"))
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      sourceCapped(d)
+        .join(broadcast(counts), Seq("source"))
+        .select(col("source"), col("doc_id"), col("src_rank"),
+                col("n_source").cast(LongType).as("n_source"),
+                lit(SourceCapC.toLong).as("cap"),
+                (col("n_source") > SourceCapC).as("capped"))
+    },
+
+    // ---------------------------------------------------------------
+    // q196: the cap COMPOSED with q161's full curation pass — cap
+    // eligibility per source first (anti-flooding), then DSIR-select,
+    // canonical-dedup, and quota-apportion exactly as q161. The gate
+    // proves the composition still hash-matches end to end with the
+    // cap in the loop (the q161 discipline); the DSIR model and dup
+    // clusters stay corpus-fitted — the cap governs what may be
+    // picked, not what the models see.
+    // ---------------------------------------------------------------
+    "q196_capped_curation" -> { (s, dir) =>
+      curationV2(s, dir,
+        restrict = Some(sourceCapped(Tables(s, dir).documents)))
     },
 
     // ---------------------------------------------------------------
@@ -1501,6 +1582,68 @@ object CurationQueries {
         |           1.0) AS perplexity
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** q161/q196's shared oracle chain ([[curationV2]] mirrored in SQL);
+    * `capped` inserts q195's per-source cap CTE and restricts which docs
+    * are eligible for the top-100 selection — exactly where the Spark def
+    * applies `restrict`.
+    */
+  private def curationV2OracleSql(capped: Boolean): String = {
+    val capCte = if (!capped) "" else
+      s"""capq AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS sr
+         |    FROM documents) WHERE sr <= $SourceCapC),
+         |""".stripMargin
+    val capJoin = if (!capped) "" else
+      "  JOIN capq cp ON w.doc_id = cp.doc_id\n"
+    s"""WITH RECURSIVE
+       |${TextQueries.dupEdgeCtesSql},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM jed UNION SELECT doc_b, doc_a FROM jed
+       |  UNION SELECT doc_a, doc_b FROM eed UNION SELECT doc_b, doc_a FROM eed),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT rc.id, e.d FROM reach rc JOIN edges e ON rc.r = e.s),
+       |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |$dsirCtesSql,
+       |${capCte}sel AS (
+       |  SELECT w.doc_id, w.logw_q, dd.lang
+       |  FROM w
+       |${capJoin}  JOIN comp c ON w.doc_id = c.id AND c.id = c.cluster_id
+       |  JOIN documents dd ON w.doc_id = dd.doc_id
+       |  ORDER BY w.logw_q DESC, w.doc_id LIMIT 100),
+       |counts2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM sel GROUP BY 1),
+       |tot2 AS (SELECT CAST(sum(n_l) AS BIGINT) AS nn FROM counts2),
+       |q2 AS (
+       |  SELECT lang, n_l, (50 * n_l) // nn AS base_l,
+       |         50 * n_l - ((50 * n_l) // nn) * nn AS rem
+       |  FROM counts2 CROSS JOIN tot2),
+       |sb2 AS (SELECT sum(base_l) AS sum_base FROM q2),
+       |rk2 AS (SELECT lang, base_l,
+       |               row_number() OVER (ORDER BY rem DESC, lang) AS seat_rank
+       |        FROM q2),
+       |tgt2 AS (
+       |  SELECT lang,
+       |    base_l + CASE WHEN seat_rank <= 50 - (SELECT sum_base FROM sb2)
+       |                  THEN 1 ELSE 0 END AS target_n
+       |  FROM rk2),
+       |keyed2 AS (
+       |  SELECT doc_id, lang, logw_q,
+       |         md5('quota|' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM sel),
+       |ranked2 AS (
+       |  SELECT doc_id, lang, logw_q,
+       |         row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS sr
+       |  FROM keyed2)
+       |SELECT r.lang, r.doc_id, r.logw_q, CAST(r.sr AS BIGINT) AS strat_rank,
+       |       CAST(t.target_n AS BIGINT) AS target_n
+       |FROM ranked2 r JOIN tgt2 t USING (lang)
+       |WHERE r.sr <= t.target_n""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q156_gopher_repetition" -> q156Oracle,
     "q157_quota_sample" ->
@@ -1542,52 +1685,26 @@ object CurationQueries {
 
     // The composition gate: q67's reachability CTEs + q148's DSIR CTEs
     // + q157's apportionment, chained exactly as the Spark def chains
-    // the operators.
-    "q161_curation_v2" ->
-      s"""WITH RECURSIVE
-         |${TextQueries.dupEdgeCtesSql},
-         |edges AS (
-         |  SELECT doc_a AS s, doc_b AS d FROM jed UNION SELECT doc_b, doc_a FROM jed
-         |  UNION SELECT doc_a, doc_b FROM eed UNION SELECT doc_b, doc_a FROM eed),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT rc.id, e.d FROM reach rc JOIN edges e ON rc.r = e.s),
-         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |$dsirCtesSql,
-         |sel AS (
-         |  SELECT w.doc_id, w.logw_q, dd.lang
-         |  FROM w
-         |  JOIN comp c ON w.doc_id = c.id AND c.id = c.cluster_id
-         |  JOIN documents dd ON w.doc_id = dd.doc_id
-         |  ORDER BY w.logw_q DESC, w.doc_id LIMIT 100),
-         |counts2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM sel GROUP BY 1),
-         |tot2 AS (SELECT CAST(sum(n_l) AS BIGINT) AS nn FROM counts2),
-         |q2 AS (
-         |  SELECT lang, n_l, (50 * n_l) // nn AS base_l,
-         |         50 * n_l - ((50 * n_l) // nn) * nn AS rem
-         |  FROM counts2 CROSS JOIN tot2),
-         |sb2 AS (SELECT sum(base_l) AS sum_base FROM q2),
-         |rk2 AS (SELECT lang, base_l,
-         |               row_number() OVER (ORDER BY rem DESC, lang) AS seat_rank
-         |        FROM q2),
-         |tgt2 AS (
-         |  SELECT lang,
-         |    base_l + CASE WHEN seat_rank <= 50 - (SELECT sum_base FROM sb2)
-         |                  THEN 1 ELSE 0 END AS target_n
-         |  FROM rk2),
-         |keyed2 AS (
-         |  SELECT doc_id, lang, logw_q,
-         |         md5('quota|' || CAST(doc_id AS VARCHAR)) AS k
-         |  FROM sel),
-         |ranked2 AS (
-         |  SELECT doc_id, lang, logw_q,
-         |         row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS sr
-         |  FROM keyed2)
-         |SELECT r.lang, r.doc_id, r.logw_q, CAST(r.sr AS BIGINT) AS strat_rank,
-         |       CAST(t.target_n AS BIGINT) AS target_n
-         |FROM ranked2 r JOIN tgt2 t USING (lang)
-         |WHERE r.sr <= t.target_n""".stripMargin,
+    // the operators. q196 is the same chain with the q195 cap CTE
+    // restricting eligibility.
+    "q161_curation_v2" -> curationV2OracleSql(capped = false),
+    "q196_capped_curation" -> curationV2OracleSql(capped = true),
+
+    "q195_source_cap" ->
+      s"""WITH counts AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_source
+         |  FROM documents GROUP BY 1),
+         |ranked AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS sr
+         |  FROM documents)
+         |SELECT r.source, r.doc_id, CAST(r.sr AS BIGINT) AS src_rank,
+         |       c.n_source, CAST($SourceCapC AS BIGINT) AS cap,
+         |       c.n_source > $SourceCapC AS capped
+         |FROM ranked r JOIN counts c USING (source)
+         |WHERE r.sr <= $SourceCapC""".stripMargin,
 
     "q107_pii_redaction" ->
       s"""WITH inj AS (

@@ -306,4 +306,39 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Boolean]("contaminated") == (j >= 0.5))
     }
   }
+
+  test("q195 source cap: at most C per source, deterministic, flags pre-cap size") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q195_source_cap")(spark, dir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      val cap = rs.head.getAs[Long]("cap")
+      assert(rs.length <= cap, s"$src kept ${rs.length} > cap $cap")
+      // ranks are 1..k dense within the source
+      assert(rs.map(_.getAs[Long]("src_rank")).sorted.toSeq ==
+        (1L to rs.length.toLong), s"$src ranks not dense")
+      val n = rs.head.getAs[Long]("n_source")
+      assert(rs.head.getAs[Boolean]("capped") == (n > cap))
+      // when the cap bites, exactly cap survive
+      if (n > cap) assert(rs.length == cap)
+    }
+    // determinism: a second run (fresh plan, different partitioning) picks
+    // the identical survivor set — md5 rank is a pure function of doc_id
+    val again = SparkEntry.queries("q195_source_cap")(spark, dir)
+      .repartition(7).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      again.map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("q196 capped curation only ever picks cap survivors") {
+    val dir = "/root/testdata/sf0.001"
+    val capIds = SparkEntry.queries("q195_source_cap")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val picked = SparkEntry.queries("q196_capped_curation")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(picked.nonEmpty)
+    picked.foreach(id => assert(capIds.contains(id),
+      s"doc $id selected despite being cut by the source cap"))
+  }
 }
