@@ -380,6 +380,101 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L) == ((50L, 5.0)))
   }
 
+  test("incremental sink RESTARTS from checkpointLocation: committed batches are not re-read") {
+    // The cluster failure mode the checkpoint exists for: the query dies
+    // mid-stream (here: stopped after batch 0, with more data arriving
+    // while it is down), and a NEW StreamingQuery instance on the SAME
+    // checkpointLocation must resume from the recorded offsets — reading
+    // ONLY the unseen files, never re-reading committed batches — while
+    // the target stays exactly-once. Replay idempotence (fresh checkpoint
+    // re-reads everything, anti-join absorbs it) is covered above; this
+    // asserts the recovery path itself via the restarted run's
+    // numInputRows and the checkpoint's advancing batch ids.
+    import spark.implicits._
+    val src    = java.nio.file.Files.createTempDirectory("graft-rst-src").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-rst-tgt").toString
+    val cp     = java.nio.file.Files.createTempDirectory("graft-rst-cp").toString
+    def minNtz(m: Long): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond(m * 60L, 0, java.time.ZoneOffset.UTC)
+    def writeEvents(rows: Seq[Long], file: String): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-rst-scratch")
+      rows.map(id => (id, minNtz(600L + id), id, "view", id.toDouble, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = new java.io.File(scratch.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$file.parquet"))
+    }
+    def runOnce(name: String): Long = {
+      val q = EventsStream.incrementalSink(
+        EventsStream.read(spark, src).select("event_id", "ts", "value"),
+        target, "event_id", cp, name)
+      q.processAllAvailable()
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      inputRows
+    }
+    writeEvents(Seq(1L, 2L, 3L), "b1")
+    assert(runOnce("restart_inc_1") == 3L)
+    assert(spark.read.parquet(target).count() == 3L)
+    // the query is DOWN; the world keeps producing
+    writeEvents(Seq(4L, 5L), "b2")
+    // restart on the same checkpoint: only the 2 unseen rows may be read
+    val run2 = runOnce("restart_inc_2")
+    assert(run2 == 2L,
+      s"restart re-read committed data: $run2 input rows (want 2)")
+    val keys = spark.read.parquet(target).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys == Seq(1L, 2L, 3L, 4L, 5L), s"exactly-once violated: $keys")
+    // the restarted run continued the batch sequence (0 then 1) rather
+    // than starting a new one — the offsets genuinely came from cp
+    val commits = new java.io.File(cp, "commits").list().toSeq
+      .filter(_.forall(_.isDigit)).map(_.toInt).sorted
+    assert(commits == Seq(0, 1), s"commit log did not advance across restart: $commits")
+  }
+
+  test("LSH index maintenance RESTARTS from checkpointLocation; index ≡ batch build") {
+    import spark.implicits._
+    val src   = java.nio.file.Files.createTempDirectory("graft-rstl-src").toString
+    val cp    = java.nio.file.Files.createTempDirectory("graft-rstl-cp").toString
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_lsh_restart_idx")
+    def writeDocs(rows: Seq[(Long, String)], file: String): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-rstl-scratch")
+      rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = new java.io.File(scratch.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$file.parquet"))
+    }
+    def runOnce(name: String): Long = {
+      val q = EventsStream.lshIndexMaintainStream(
+        EventsStream.readDocuments(spark, src), table, cp, name)
+      q.processAllAvailable()
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      inputRows
+    }
+    val batch1 = Seq(1L -> "the quick brown fox jumps over the lazy dog today",
+                     2L -> "pack my box with five dozen liquor jugs right now")
+    val batch2 = Seq(3L -> "sphinx of black quartz judge my vow before sunset")
+    writeDocs(batch1, "b1")
+    assert(runOnce("lsh_restart_1") == 2L)
+    writeDocs(batch2, "b2")
+    assert(runOnce("lsh_restart_2") == 1L,
+      "restarted maintenance re-read committed documents")
+    // state table ≡ the one-shot batch band build over ALL docs
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val want = graft.operators.Dedup
+      .lshBands(graft.operators.Dedup.minhashSignatures(all, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val got = spark.table(table)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === want, "restarted index diverged from the one-shot build")
+  }
+
   test("streaming dedup drops re-delivered events across micro-batches; state is watermark-bounded") {
     import spark.implicits._
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
