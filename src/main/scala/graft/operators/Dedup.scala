@@ -464,9 +464,11 @@ object Dedup {
     * `doc_id · 2^20 + chunk_idx` rather than a struct min, so the exact
     * tie-break arithmetic is engine-portable (valid while chunk_idx <
     * 2^20 — i.e. docs under ~20M tokens at the default chunk size — and
-    * doc_id < 2^43; both hold by orders of magnitude for any real
-    * per-document bound, and a violation would overflow loudly, not
-    * silently reorder).
+    * doc_id < 2^43). A violation would NOT overflow loudly: chunk_idx
+    * ≥ 2^20 bleeds into the doc_id bits and silently changes
+    * first-occurrence tie-breaks (only doc_id ≥ 2^43 trips ANSI
+    * overflow) — so [[packedChunkKey]] guards both bounds with
+    * raise_error, the orderKeyedCopies discipline.
     *
     * Scale shape: chunking is scan-local (one `transform` over the token
     * array — per CHUNK, not per token); the only shuffle is the
@@ -477,12 +479,27 @@ object Dedup {
     * Returns one row per input document:
     * (doc_id, n_chunks, kept_chunks, kept_tokens, residual_text).
     */
+  /** The `doc_id · 2^20 + chunk_idx` packed first-occurrence key with
+    * LOUD bounds: chunk_idx ≥ 2^20 would bleed into the doc_id bits and
+    * doc_id ∉ [0, 2^43) would wrap — both SILENT tie-break corruptions,
+    * not ANSI overflows — so out-of-range inputs raise instead of
+    * reordering. Scalar, codegen'd; the oracles need no guard (DuckDB
+    * replays the same arithmetic on data already inside the bounds).
+    */
+  private[graft] def packedChunkKey(docId: Column, chunkIdx: Column): Column =
+    when(docId.between(0L, (1L << 43) - 1) && chunkIdx.between(0L, 1048575L),
+         docId * 1048576L + chunkIdx)
+      .otherwise(raise_error(concat(
+        lit("chunk key packing requires 0 <= doc_id < 2^43 and 0 <= chunk_idx < 2^20, got doc_id="),
+        docId.cast("string"), lit(" chunk_idx="), chunkIdx.cast("string")))
+        .cast(LongType))
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
     val chunks = chunkFrame(df, idCol, textCol, chunkTokens)
     val w = Window.partitionBy(col("chunk_text"))
     val keyed = chunks
-      .withColumn("k", col("doc_id") * 1048576L + col("chunk_idx"))
+      .withColumn("k", packedChunkKey(col("doc_id"), col("chunk_idx")))
       .withColumn("keep_chunk", col("k") === min(col("k")).over(w))
     keyed.groupBy(col("doc_id"))
       .agg(max(col("n_chunks")).as("n_chunks"),

@@ -86,12 +86,21 @@ object Pq {
       acc
     }
     // query batch to the driver: bounded by the caller's predicate
-    // (serving batches are small by construction — the q139 argument)
+    // (serving batches are small by construction — the q139 argument).
+    // The bound is ENFORCED, not assumed: a caller handing a corpus-sized
+    // frame here must get a contract error, not a silent driver OOM.
+    val MaxQueryBatch = 4096
     val qRows: Seq[(Long, Seq[Double])] = queries
       .select(col(idCol).cast(LongType),
               col(vecCol).cast("array<double>"))
+      .limit(MaxQueryBatch + 1)
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(qRows.length <= MaxQueryBatch,
+      s"Pq.queryLuts is a per-BATCH serving kernel: the query frame " +
+        s"exceeds $MaxQueryBatch rows and would be collected to the " +
+        s"driver — score large query sets through the distributed ADC " +
+        s"join instead, or chunk the batch")
     codebooks.zipWithIndex.map { case (cb, j) =>
       val rows = for {
         (qid, qv) <- qRows

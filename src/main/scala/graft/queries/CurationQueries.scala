@@ -34,8 +34,16 @@ object CurationQueries {
     * budget (sqrt is the only float step, the normalizer sums
     * 1e6-quantized BIGINTs), per-doc epochs floor(target/T_l) plus an
     * md5-thresholded extra.
+    *
+    * The two corpus-scale products — qs·(all_tokens DIV 2) (~sqrt(T)·1e6
+    * · T/2, past BIGINT at T ≈ 10^10 total tokens) and the extra-epoch
+    * threshold h·lang_tokens (past BIGINT at T_l ≈ 1.4·10^14) — run in
+    * DECIMAL(38,0): exact 128-bit integer arithmetic in BOTH engines
+    * (DuckDB mirrors with HUGEINT), so the operator holds to ~10^33
+    * tokens instead of silently capping at 10^10. Division collapses
+    * back to BIGINT.
     */
-  private def temperatureRepeats(t: DataFrame): DataFrame = {
+  private[graft] def temperatureRepeats(t: DataFrame): DataFrame = {
     val perLang = t.groupBy(col("lang")).agg(sum(col("n_tokens")).as("lang_tokens"))
       .withColumn("qs",
         floor(sqrt(col("lang_tokens").cast(DoubleType)) * 1e6).cast(LongType))
@@ -43,7 +51,7 @@ object CurationQueries {
                           sum(col("lang_tokens")).as("all_tokens"))
     val targets = perLang.crossJoin(broadcast(tot))
       .withColumn("target_tokens",
-        expr("qs * (all_tokens DIV 2) DIV qs_tot"))
+        expr("CAST(CAST(qs AS DECIMAL(38,0)) * (all_tokens DIV 2) DIV qs_tot AS BIGINT)"))
       .select(col("lang"), col("lang_tokens"), col("target_tokens"))
     val h = graft.functions.HexKeys.value16(
       md5(concat(lit("mix|"), col("doc_id").cast(StringType)))).cast(LongType)
@@ -52,8 +60,9 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
               col("lang_tokens"), col("target_tokens"),
               (expr("target_tokens DIV lang_tokens") +
-               when(col("h") * col("lang_tokens") <
-                    (col("target_tokens") % col("lang_tokens")) * 65536L, 1L)
+               when(expr("CAST(h AS DECIMAL(38,0)) * lang_tokens") <
+                    expr("CAST(target_tokens % lang_tokens AS DECIMAL(38,0)) * 65536"),
+                    1L)
                  .otherwise(0L)).as("n_repeats"))
   }
 
@@ -1084,9 +1093,12 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
                 col("lang_tokens"), col("capacity"), col("alloc_tokens"),
                 (col("alloc_tokens") === col("capacity")).as("capped"),
+                // extra-epoch threshold in DECIMAL(38,0) — h·lang_tokens
+                // passes BIGINT at T_l ≈ 1.4e14 (temperatureRepeats' rule)
                 (expr("alloc_tokens DIV lang_tokens") +
-                 when(col("h") * col("lang_tokens") <
-                      (col("alloc_tokens") % col("lang_tokens")) * 65536L, 1L)
+                 when(expr("CAST(h AS DECIMAL(38,0)) * lang_tokens") <
+                      expr("CAST(alloc_tokens % lang_tokens AS DECIMAL(38,0)) * 65536"),
+                      1L)
                    .otherwise(0L)).as("n_repeats"))
     },
 
@@ -1510,15 +1522,16 @@ object CurationQueries {
          |  FROM pl),
          |tgt AS (
          |  SELECT pl.lang, pl.lang_tokens,
-         |         (pl.qs * (tot.all_tokens // 2)) // tot.qs_tot AS target_tokens
+         |         CAST((CAST(pl.qs AS HUGEINT) * (tot.all_tokens // 2))
+         |              // tot.qs_tot AS BIGINT) AS target_tokens
          |  FROM pl CROSS JOIN tot),
          |h AS (
          |  SELECT doc_id, md5('mix|' || CAST(doc_id AS VARCHAR)) AS hex
          |  FROM documents)
          |SELECT t.doc_id, t.lang, t.n_tokens, tgt.lang_tokens, tgt.target_tokens,
          |  CAST(tgt.target_tokens // tgt.lang_tokens +
-         |       CASE WHEN CAST($bucket AS BIGINT) * tgt.lang_tokens <
-         |                 (tgt.target_tokens % tgt.lang_tokens) * 65536
+         |       CASE WHEN CAST($bucket AS HUGEINT) * tgt.lang_tokens <
+         |                 CAST(tgt.target_tokens % tgt.lang_tokens AS HUGEINT) * 65536
          |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
          |FROM t JOIN tgt USING (lang) JOIN h USING (doc_id)""".stripMargin
     }
@@ -2036,8 +2049,8 @@ object CurationQueries {
          |  a.cap AS capacity, a.alloc AS alloc_tokens,
          |  (a.alloc = a.cap) AS capped,
          |  CAST(a.alloc // a.lt +
-         |       CASE WHEN CAST($bucket AS BIGINT) * a.lt <
-         |                 (a.alloc % a.lt) * 65536
+         |       CASE WHEN CAST($bucket AS HUGEINT) * a.lt <
+         |                 CAST(a.alloc % a.lt AS HUGEINT) * 65536
          |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
          |FROM t JOIN alloc a USING (lang) JOIN h USING (doc_id)""".stripMargin
     },
@@ -2064,15 +2077,16 @@ object CurationQueries {
          |  FROM pl),
          |tgt AS (
          |  SELECT pl.lang, pl.lang_tokens,
-         |         (pl.qs * (tot.all_tokens // 2)) // tot.qs_tot AS target_tokens
+         |         CAST((CAST(pl.qs AS HUGEINT) * (tot.all_tokens // 2))
+         |              // tot.qs_tot AS BIGINT) AS target_tokens
          |  FROM pl CROSS JOIN tot),
          |h AS (
          |  SELECT doc_id, md5('mix|' || CAST(doc_id AS VARCHAR)) AS hex
          |  FROM documents)
          |SELECT t2.doc_id, t2.lang, t2.n_tokens, tgt.lang_tokens, tgt.target_tokens,
          |  CAST(tgt.target_tokens // tgt.lang_tokens +
-         |       CASE WHEN CAST($bucket AS BIGINT) * tgt.lang_tokens <
-         |                 (tgt.target_tokens % tgt.lang_tokens) * 65536
+         |       CASE WHEN CAST($bucket AS HUGEINT) * tgt.lang_tokens <
+         |                 CAST(tgt.target_tokens % tgt.lang_tokens AS HUGEINT) * 65536
          |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
          |FROM t2 JOIN tgt USING (lang) JOIN h USING (doc_id)""".stripMargin
     },

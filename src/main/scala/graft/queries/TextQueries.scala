@@ -1976,7 +1976,7 @@ object TextQueries {
       val base = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
       val ch = Dedup.chunkFrame(base, "doc_id", "text", ChunkDedupTokens)
         .withColumn("chunk_hash", md5(col("chunk_text")))
-        .withColumn("k", col("doc_id") * 1048576L + col("chunk_idx"))
+        .withColumn("k", Dedup.packedChunkKey(col("doc_id"), col("chunk_idx")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))
       val canon = ch.withColumn("is_canon", col("k") === min(col("k")).over(w))
         .filter(col("is_canon"))
@@ -2003,7 +2003,7 @@ object TextQueries {
     val delta = Tables(s, dir).documents.filter(col("doc_id") % 2 === 1)
     val ch = Dedup.chunkFrame(delta, "doc_id", "text", ChunkDedupTokens)
       .withColumn("chunk_hash", md5(col("chunk_text")))
-      .withColumn("k", col("doc_id") * 1048576L + col("chunk_idx"))
+      .withColumn("k", Dedup.packedChunkKey(col("doc_id"), col("chunk_idx")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))
     val keyed = ch
       .withColumn("first_in_delta", col("k") === min(col("k")).over(w))
@@ -2743,7 +2743,10 @@ object TextQueries {
     // (base) occurrence before any ODD (delta) one, then (doc_id,
     // chunk_idx) — a delta chunk survives iff the partition min is its
     // own key. Valid while doc_id < 2^24 (the 2^44 parity bit clears the
-    // 2^20-shifted doc range).
+    // 2^20-shifted doc range) — beyond it the doc_id bits bleed into the
+    // parity bit SILENTLY, not as an overflow. Oracle-only arithmetic on
+    // testdata ids (< 2^16 at every SF); the engine-side packing routes
+    // through Dedup.packedChunkKey, which raises loudly on bound breaks.
     "q172_chunk_dedup_incremental" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,

@@ -307,6 +307,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperature repeats stay exact past 10^10 total tokens (128-bit arithmetic)") {
+    // Round-11 advice: qs · (all_tokens DIV 2) is a product of two
+    // corpus-scale BIGINTs that passed Long at ~10^10 total tokens —
+    // exactly the scale the operator is billed for. The arithmetic now
+    // rides DECIMAL(38,0); this fixture carries 5·10^17 tokens (product
+    // ~2.5·10^32) and checks the result against an independent BigInt
+    // replay of the formula.
+    val en = 400000000000000000L
+    val fr = 100000000000000000L
+    val t = Seq((1L, "en", en), (2L, "fr", fr))
+      .toDF("doc_id", "lang", "n_tokens")
+    val got = CurationQueries.temperatureRepeats(t).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("target_tokens"), r.getAs[Long]("n_repeats"))).toMap
+    def qs(lt: Long): BigInt = BigInt(math.floor(math.sqrt(lt.toDouble) * 1e6).toLong)
+    val qsTot = qs(en) + qs(fr)
+    val budget = BigInt(en + fr) / 2
+    def target(lt: Long): BigInt = qs(lt) * budget / qsTot
+    def h(docId: Long): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix|$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      BigInt(hex.take(4), 16)
+    }
+    def repeats(docId: Long, lt: Long): Long =
+      (target(lt) / lt +
+        (if (h(docId) * lt < target(lt) % lt * 65536) BigInt(1) else BigInt(0))).toLong
+    assert(got("en") == ((target(en).toLong, repeats(1L, en))),
+      s"en diverged from the BigInt replay: ${got("en")}")
+    assert(got("fr") == ((target(fr).toLong, repeats(2L, fr))),
+      s"fr diverged from the BigInt replay: ${got("fr")}")
+    // the sqrt temperature genuinely upweights the smaller language
+    assert(got("fr")._1.toDouble / fr > got("en")._1.toDouble / en)
+  }
+
   test("q195 source cap: at most C per source, deterministic, flags pre-cap size") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q195_source_cap")(spark, dir).collect()

@@ -319,4 +319,27 @@ class DedupSpec extends SparkSpec {
     assert(out.getAs[Long]("kept_tokens") == 20L)
     assert(out.getAs[String]("residual_text") == (1 to 20).map("t" + _).mkString(" "))
   }
+
+  test("packedChunkKey fails loudly outside its silent-collision bounds") {
+    import spark.implicits._
+    // in-bounds: exact packing
+    val ok = Seq((5L, 3L)).toDF("d", "c")
+      .select(Dedup.packedChunkKey(col("d"), col("c"))).collect()
+    assert(ok.head.getLong(0) == 5L * 1048576L + 3L)
+    // out of bounds: chunk_idx ≥ 2^20 would silently bleed into doc_id
+    // bits and doc_id ≥ 2^43 would wrap — both must raise, not reorder
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    def boom(d: Long, c: Long): Unit = {
+      val ex = intercept[Throwable] {
+        Seq((d, c)).toDF("d", "c")
+          .select(Dedup.packedChunkKey(col("d"), col("c"))).collect()
+      }
+      assert(msgs(ex).contains("chunk key packing"),
+        s"($d,$c) failed for the wrong reason: ${msgs(ex).take(200)}")
+    }
+    boom(1L << 43, 0L)  // doc_id at the wrap bound
+    boom(-1L, 0L)       // negative doc_id
+    boom(5L, 1048576L)  // chunk_idx at the bleed bound
+  }
 }

@@ -292,4 +292,24 @@ class SimilaritySpec extends SparkSpec {
         .forall(p => p.head <= p.last), "ranks must ascend in approx distance")
     }
   }
+
+  test("PQ serving rejects an unbounded query batch instead of collecting it") {
+    // queryLuts collects the query frame to the driver — bounded by
+    // contract, and the contract is enforced: a corpus-sized frame must
+    // fail loudly, not OOM the driver (round-11 advice).
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.core.Tables(spark, dir).embeddings
+    val cb = graft.operators.Pq.fitCodebooks(e, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 4, iters = 1)
+    val codes = graft.operators.Pq.encode(e, "vec_id", "embedding", cb, 16)
+      .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"), col("code_3"))
+    // 5000 "queries" (the corpus unioned onto itself past the 4096 bound)
+    val big = (0 until 10).map(i =>
+        e.select((col("vec_id") + i * 100000).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Pq.adcTopK(big, codes, "vec_id", "embedding", cb, 16, k = 3)
+    }
+    assert(ex.getMessage.contains("per-BATCH serving kernel"))
+  }
 }
