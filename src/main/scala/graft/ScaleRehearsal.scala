@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The 10× SCALE REHEARSAL behind BENCH_SF1.json — the round-11 verdict's
+  * ask: the 100 TB claims rest on plan shapes verified at sf0.1, so run
+  * the headline operator families once at ~sf1 (10× sf0.1: ~6M lineitem,
+  * ~50k documents) and surface anything a plan assertion can't — memory
+  * cliffs, band skew, checkpoint storage.
+  *
+  * The driver's testdata stops at sf0.1 (TESTDATA.md), so the sf1 corpus
+  * is SYNTHESIZED from sf0.1 as `copies` key-disjoint shards, each a
+  * transformed image of the original under a transform that PRESERVES
+  * intra-copy operator structure (so per-query work scales ~linearly and
+  * the sf0.1→sf1 scaling factor is interpretable):
+  *
+  *   - documents: doc_id += i·10^7; every whitespace token gets a
+  *     copy-suffix (copy 0 untouched), so shingle/chunk/token spaces are
+  *     DISJOINT across copies — dup structure replicates 10×, with no
+  *     cross-copy accidental near-dups;
+  *   - embeddings: vec_id += i·10^7; a copy-specific SIGNED ROTATION of
+  *     the components (an orthogonal map: rotate by i, flip sign when
+  *     (pos+i) % 3 == 0 for i > 0) — intra-copy cosines are preserved
+  *     EXACTLY, cross-copy vectors decorrelate;
+  *   - lineitem: l_orderkey/l_partkey/l_suppkey += i·10^7 — the
+  *     co-purchase graph becomes 10 disjoint copies, triangles ×10.
+  *
+  * Everything else (tiny dims, events for non-headline paths) is read
+  * from sf0.1 unchanged via per-table parquet copies. This is a
+  * REHEARSAL, not a correctness gate: no oracle runs here (the synthetic
+  * corpus has no DuckDB twin); correctness is the 191-row sf0.01 gate.
+  *
+  * Usage: runMain graft.ScaleRehearsal [srcDir] [outDir] [copies]
+  * Emits one JSON line (and BENCH_SF1.json if cwd is writable):
+  * per-query cold seconds, a warm second pass for the serve-path
+  * queries, and output row counts.
+  */
+object ScaleRehearsal {
+
+  private val Shift = 10000000L
+
+  /** Queries rehearsed: the verdict's headline families. */
+  private val Headline = Seq(
+    "q36_minhash_lsh",          // LSH band mining
+    "q145_lsh_index_incremental", // persisted band index + delta probe
+    "q38_embedding_neardup",    // ball-cover exact near-dup
+    "q62_token_shards",         // bucketed prefix-sum sharding
+    "q190_training_order",      // scattered-copy global order
+    "q123_triangle_count",      // degree-oriented wedges
+    "q144_bpe_fit_delta",       // 256-merge delta-maintained fit
+    "q161_curation_v2")         // DSIR → dedup → quota composition
+
+  private def copyTable(spark: SparkSession, src: String, out: String,
+                        name: String): Unit =
+    spark.read.parquet(s"$src/$name.parquet")
+      .write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+  private def scaled(spark: SparkSession, src: String, name: String,
+                     copies: Int)(xform: (DataFrame, Int) => DataFrame): DataFrame = {
+    val base = spark.read.parquet(s"$src/$name.parquet")
+    (0 until copies).map(i => xform(base, i)).reduce(_ unionByName _)
+  }
+
+  def build(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    val done = new java.io.File(s"$out/_REHEARSAL_READY")
+    if (done.exists) return
+    scaled(spark, src, "documents", copies) { (d, i) =>
+      if (i == 0) d
+      else d.select(
+        (col("doc_id") + i * Shift).as("doc_id"),
+        // suffix every token: token spaces disjoint across copies
+        regexp_replace(col("text"), "(\\S+)", s"$$1c$i").as("text"),
+        col("lang"), col("source"),
+        length(regexp_replace(col("text"), "(\\S+)", s"$$1c$i")).as("n_chars"))
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    scaled(spark, src, "embeddings", copies) { (e, i) =>
+      if (i == 0) e
+      else {
+        val d = 64 // embedding dim (TESTDATA contract, asserted below)
+        val rot = transform(sequence(lit(0), lit(d - 1)), p => {
+          val srcPos = (p + i) % d
+          element_at(col("embedding"), srcPos + 1) *
+            when((p + i) % 3 === 0, lit(-1.0f)).otherwise(lit(1.0f))
+        })
+        e.select((col("vec_id") + i * Shift).as("vec_id"),
+                 rot.cast("array<float>").as("embedding"), col("label"))
+      }
+    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    scaled(spark, src, "lineitem", copies) { (l, i) =>
+      if (i == 0) l
+      else l.withColumn("l_orderkey", col("l_orderkey") + i * Shift)
+        .withColumn("l_partkey", col("l_partkey") + i * Shift)
+        .withColumn("l_suppkey", col("l_suppkey") + i * Shift)
+    }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "events"))
+      copyTable(spark, src, out, t)
+    done.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src    = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out    = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark  = core.Sessions.local(32, "scale-rehearsal")
+    spark.range(1000).selectExpr("sum(id)").collect() // codegen warmup
+    val dim = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(size(col("embedding"))).first().getInt(0)
+    require(dim == 64, s"embedding dim changed ($dim != 64): fix the rotation")
+    val t0 = System.nanoTime()
+    build(spark, src, out, copies)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val cold  = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warm  = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rows  = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val errs  = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (q <- Headline) {
+      def once(): Double = {
+        val s0 = System.nanoTime()
+        rows(q) = SparkEntry.queries(q)(spark, out).count()
+        (System.nanoTime() - s0) / 1e9
+      }
+      try { cold(q) = once(); warm(q) = once() }
+      catch { case e: Throwable =>
+        errs(q) = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200)
+      }
+      System.err.println(s"[sf1] $q cold=${cold.get(q).map(fmt)} warm=${warm.get(q).map(fmt)} rows=${rows.get(q)} err=${errs.get(q)}")
+    }
+    def m(kv: Iterable[(String, String)]): String =
+      kv.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"sf1_rehearsal","copies":$copies,"build_sec":${fmt(buildSec)},""" +
+      s""""cold":${m(cold.map { case (k, v) => k.takeWhile(_ != '_') -> fmt(v) })},""" +
+      s""""warm":${m(warm.map { case (k, v) => k.takeWhile(_ != '_') -> fmt(v) })},""" +
+      s""""rows":${m(rows.map { case (k, v) => k.takeWhile(_ != '_') -> v.toString })},""" +
+      s""""errors":${m(errs.map { case (k, v) => k.takeWhile(_ != '_') -> ("\"" + v + "\"") })}}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SF1.json"), line + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
+  }
+}

@@ -379,6 +379,23 @@ object VectorQueries {
       ivfServeRebuilt(s, dir, col("vec_id") < 50, k = 3)
     },
 
+    // IVF index-health MONITOR over q141's appended index — the
+    // operational rebuild trigger q146 needs (SimilaritySpec:194 shows
+    // the recall cliff only in-test; this is the gated readout an
+    // operator watches): per centroid list, sizes split base/delta,
+    // list-size skew vs the uniform share, and the mean assignment
+    // cosine of frozen-centroid DELTA rows vs base rows — drift shows
+    // as delta rows sitting measurably farther from their (stale)
+    // centroids. `needs_rebuild` fires on skew > 2× uniform or a delta
+    // mean-cosine gap > 0.05 (thresholds documented in PERF.md; the
+    // q194 discipline for the PQ side). Cosines are 1e9-quantized
+    // BIGINT sums before the mean (the q112 rule), so partition order
+    // can't perturb a mean; the only doubles are final divisions —
+    // bit-identical across engines. Scale shape: one pass over the
+    // index (already centroid_id-bucketed — the groupBy needs no
+    // exchange), centroids broadcast, output ≤ nlist rows.
+    "q197_ivf_list_drift" -> { (s, dir) => ivfDriftFrame(s, dir) },
+
     // Hard-negative mining — the contrastive-training data op: per
     // anchor vector, the top-5 most-similar corpus vectors of a
     // DIFFERENT label (the negatives that actually move an embedding
@@ -1194,6 +1211,47 @@ object VectorQueries {
       s.table(table)
     }
 
+  /** q197's drift readout, memoized per (session, dir) and cut (the
+    * q194 discipline). See the defs-map comment for semantics.
+    */
+  private val ivfDriftCache = new graft.core.SessionCache[String]
+  private def ivfDriftFrame(s: SparkSession, dir: String): DataFrame =
+    ivfDriftCache.getOrElseUpdate(s, dir)(graft.core.Materialize.cut({
+      val idx   = ivfIncIndex(s, dir)
+      val cents = ivfIncCents(s, dir)
+      val seedDf = broadcast(s.createDataFrame(
+          cents.map { case (id, cv, cn) => (id, cv.toSeq, cn) })
+        .toDF("centroid_id", "cv", "cnrm"))
+      val cos = when(col("nrm") > 0 && col("cnrm") > 0,
+        graft.functions.Vectors.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cnrm")))
+      val per = idx.join(seedDf, Seq("centroid_id"))
+        .select(col("centroid_id"), (col("vec_id") % 2 === 0).as("is_base"),
+                floor(cos * 1e9 + 0.5).cast("long").as("q"))
+      val corpusN = broadcast(per.agg(count(lit(1)).as("corpus_n")))
+      val agg0 = per.groupBy(col("centroid_id")).agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_delta"),
+        sum(when(col("is_base"), col("q"))).as("bq"),
+        count(when(col("is_base"), col("q"))).as("nbs"),
+        sum(when(!col("is_base"), col("q"))).as("dq"),
+        count(when(!col("is_base"), col("q"))).as("nds"))
+      val skew = (col("n_total") * IvfNlist).cast("double") /
+        col("corpus_n").cast("double")
+      val meanB = when(col("nbs") > 0,
+        col("bq").cast("double") / col("nbs").cast("double") / 1e9)
+      val meanD = when(col("nds") > 0,
+        col("dq").cast("double") / col("nds").cast("double") / 1e9)
+      agg0.crossJoin(corpusN)
+        .select(col("centroid_id"), col("n_total"), col("n_base"),
+                col("n_delta"), skew.as("skew_ratio"),
+                meanB.as("mean_cos_base"), meanD.as("mean_cos_delta"),
+                (skew > 2.0 ||
+                 (col("nbs") > 0 && col("nds") > 0 && meanD < meanB - 0.05))
+                  .as("needs_rebuild"))
+    }, "ivf_drift"))
+
   /** The q141 serving path over the incrementally-built index. */
   def ivfServeIncremental(s: SparkSession, dir: String,
                           queryPred: org.apache.spark.sql.Column, k: Int): DataFrame =
@@ -1753,6 +1811,30 @@ object VectorQueries {
        |        ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank FROM s)
        |WHERE rank <= 3""".stripMargin
 
+  /** The q141 incremental-index CTE chain (base-only md5-ordered seeds,
+    * full-corpus frozen-centroid assignment) — shared by the q141
+    * serving oracle and the q197 drift monitor, so both provably read
+    * the same index restatement. A def (not val): referenced from the
+    * `oracles` initializer below, and object-init order must not matter.
+    */
+  private def ivfIncListsCtes: String =
+    """n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+      |  FROM n WHERE vec_id % 2 = 0
+      |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT n.vec_id, n.v, n.nrm, s.centroid_id,
+      |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |      (CASE WHEN n.nrm > 0 AND s.cnrm > 0
+      |            THEN list_dot_product(n.v, s.cv) / (n.nrm * s.cnrm) END) DESC NULLS LAST,
+      |      s.centroid_id) AS rn
+      |  FROM n CROSS JOIN seeds s),
+      |lists AS (SELECT vec_id, v, nrm, centroid_id FROM assign WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = baseOracles +
     ("q159_knn_classifier" ->
       s"""WITH knn AS (${baseOracles("q64_ann_ivf")}),
@@ -1873,22 +1955,7 @@ object VectorQueries {
     // centroids), so the incremental base+append build must equal this
     // one-shot restatement exactly
     ("q141_ann_index_append" ->
-      """WITH n AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings),
-        |seeds AS (
-        |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
-        |  FROM n WHERE vec_id % 2 = 0
-        |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        |assign AS (
-        |  SELECT n.vec_id, n.v, n.nrm, s.centroid_id,
-        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |      (CASE WHEN n.nrm > 0 AND s.cnrm > 0
-        |            THEN list_dot_product(n.v, s.cv) / (n.nrm * s.cnrm) END) DESC NULLS LAST,
-        |      s.centroid_id) AS rn
-        |  FROM n CROSS JOIN seeds s),
-        |lists AS (SELECT vec_id, v, nrm, centroid_id FROM assign WHERE rn = 1),
+      s"""WITH $ivfIncListsCtes,
         |qprobe AS (
         |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, s.centroid_id,
         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -1909,5 +1976,41 @@ object VectorQueries {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
         |      FROM sc)
-        |WHERE rank <= 3""".stripMargin)
+        |WHERE rank <= 3""".stripMargin) +
+    // the q141 lists aggregated per centroid: sizes split base/delta,
+    // skew vs uniform, 1e9-quantized mean assignment cosines, and the
+    // rebuild trigger (thresholds: PERF.md)
+    ("q197_ivf_list_drift" ->
+      s"""WITH $ivfIncListsCtes,
+        |per AS (
+        |  SELECT l.centroid_id, (l.vec_id % 2 = 0) AS is_base,
+        |    CAST(floor((CASE WHEN l.nrm > 0 AND s.cnrm > 0
+        |                     THEN list_dot_product(l.v, s.cv) / (l.nrm * s.cnrm)
+        |                END) * 1e9 + 0.5) AS BIGINT) AS q
+        |  FROM lists l JOIN seeds s USING (centroid_id)),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS corpus_n FROM per),
+        |agg AS (
+        |  SELECT centroid_id,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |    CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_delta,
+        |    CAST(sum(CASE WHEN is_base THEN q END) AS BIGINT) AS bq,
+        |    CAST(count(CASE WHEN is_base THEN q END) AS BIGINT) AS nbs,
+        |    CAST(sum(CASE WHEN NOT is_base THEN q END) AS BIGINT) AS dq,
+        |    CAST(count(CASE WHEN NOT is_base THEN q END) AS BIGINT) AS nds
+        |  FROM per GROUP BY 1)
+        |SELECT a.centroid_id, a.n_total, a.n_base, a.n_delta,
+        |  CAST(a.n_total * 16 AS DOUBLE) / CAST(c.corpus_n AS DOUBLE) AS skew_ratio,
+        |  CASE WHEN a.nbs > 0
+        |       THEN CAST(a.bq AS DOUBLE) / CAST(a.nbs AS DOUBLE) / 1e9 END
+        |    AS mean_cos_base,
+        |  CASE WHEN a.nds > 0
+        |       THEN CAST(a.dq AS DOUBLE) / CAST(a.nds AS DOUBLE) / 1e9 END
+        |    AS mean_cos_delta,
+        |  (CAST(a.n_total * 16 AS DOUBLE) / CAST(c.corpus_n AS DOUBLE) > 2.0
+        |   OR (a.nbs > 0 AND a.nds > 0 AND
+        |       CAST(a.dq AS DOUBLE) / CAST(a.nds AS DOUBLE) / 1e9 <
+        |       CAST(a.bq AS DOUBLE) / CAST(a.nbs AS DOUBLE) / 1e9 - 0.05))
+        |    AS needs_rebuild
+        |FROM agg a CROSS JOIN c""".stripMargin)
 }
