@@ -19,10 +19,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * asserts the near-dup hash under both modes — parquet round-trips
   * preserve the engine's long/double/string values exactly).
   *
-  * Iterative ROUND state (connected-components labels, pagerank ranks,
-  * the BPE fit) deliberately stays on localCheckpoint even in durable
-  * mode: a table write per loop round would thrash the warehouse, and
-  * those loops re-derive from their own inputs on restart.
+  * ROUTING POLICY (audited round 12 — every `localCheckpoint` site in
+  * `src/main` is one of these three, with a justifying comment):
+  *
+  *   1. MEMOIZED / CORPUS-DERIVED state consumed across queries or by
+  *      multiple downstream stages (mined pair tables, perceptual-hash
+  *      frames, DSIR doc×dim features, classifier features, CC loop
+  *      inputs, scoring frames) → routed THROUGH [[cut]], so the one
+  *      durability conf governs all of them;
+  *   2. iterative ROUND state (connected-components labels, pagerank
+  *      ranks, the BPE fit's per-round corpus/counts) — deliberately
+  *      stays on localCheckpoint even in durable mode: a table write
+  *      per loop round would thrash the warehouse, and those loops
+  *      re-derive from their own (durably-cut) inputs on restart;
+  *   3. TINY driver-bounded frames (≤|langs|/≤k/1-row quota and margin
+  *      tables) — a warehouse round-trip costs more than recomputing
+  *      them; executor loss re-runs a sub-second aggregation.
   */
 object Materialize {
 

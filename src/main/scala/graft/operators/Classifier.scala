@@ -62,7 +62,7 @@ object Classifier {
     // every branch re-runs the featurizer's corpus scan + aggregation
     // (the q119/q35 miner discipline; the frame is ≤ dims rows per doc,
     // far smaller than the corpus)
-    val feats = featsRaw.localCheckpoint()
+    val feats = graft.core.Materialize.cut(featsRaw, "classifier_feats")
     val train = feats
       .join(trainIds.select(col("doc_id")), Seq("doc_id"))
       .join(labels, Seq("doc_id"))

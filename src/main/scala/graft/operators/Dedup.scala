@@ -643,7 +643,8 @@ object Dedup {
       // consumed long after this call returns, and checkpoint blocks are
       // reclaimed by the ContextCleaner once unreferenced — a cache here
       // would leak executor storage across invocations.
-      val edgeNodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+      val edgeNodes = graft.core.Materialize.cut(
+        edges.select(col("src").as("id")).distinct(), "cc_edge_nodes")
       // Per-round lineage is truncated by an EAGER localCheckpoint, and
       // the convergence count rides a LongAccumulator on the checkpoint
       // materialization itself — ONE action per round, not a checkpoint
@@ -740,13 +741,14 @@ object Dedup {
         .union(mm.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
     }
-    val initial = pairs
+    val initial = graft.core.Materialize.cut(pairs
       .select(col(aCol).cast(LongType).as("u"), col(bCol).cast(LongType).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct(), "cc_star_edges")
     // endpoint set from the ORIGINAL edges — the contracted set only
     // retains (child, root) pairs, but every original endpoint needs a label
-    val endpoints = initial.select(col("u").as("id"))
-      .union(initial.select(col("v").as("id"))).distinct().localCheckpoint(true)
+    val endpoints = graft.core.Materialize.cut(
+      initial.select(col("u").as("id"))
+        .union(initial.select(col("v").as("id"))).distinct(), "cc_endpoints")
     var edges = initial
     var converged = initial.isEmpty
     var i = 0

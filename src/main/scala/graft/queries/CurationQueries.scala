@@ -227,15 +227,14 @@ object CurationQueries {
   private def dsirParts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables(s, dir).documents
-    val docDim = docs
+    val docDim = graft.core.Materialize.cut(docs
       .select(col("doc_id"), col("lang"),
               explode(Text.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("lang"),
               (hexValue16(md5(concat(lit("fh|"), col("tok"))), 0) % DsirB)
                 .cast(LongType).as("dim"))
       .groupBy(col("doc_id"), col("lang"), col("dim"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("c")), "dsir_doc_dim")
     val byDim = docDim.groupBy(col("dim")).agg(
       sum(col("c")).as("r_cnt"),
       sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("t_cnt"))
@@ -317,7 +316,7 @@ object CurationQueries {
               expr(s"($B * n_l) DIV nn").as("base_l"),
               (lit(B.toLong) * col("n_l") -
                 expr(s"($B * n_l) DIV nn") * col("nn")).as("rem"))
-      .localCheckpoint()
+      .localCheckpoint() // ≤|langs| rows, consumed twice below
     val sumBase = q.agg(sum(col("base_l")).as("sum_base"))
     val ranked = q
       .agg(sort_array(collect_list(struct((-col("rem")).as("negrem"),

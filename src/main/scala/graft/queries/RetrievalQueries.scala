@@ -362,7 +362,7 @@ object RetrievalQueries {
         .filter(!col("in_train"))
         .groupBy(col("label"), col("predicted"))
         .agg(count(lit(1)).as("n_docs"))
-        .localCheckpoint()
+        .localCheckpoint() // ≤|labels|² rows, consumed by 3 margins below
       val rt = cells.groupBy(col("label")).agg(sum(col("n_docs")).as("n_labeled"))
       val ct = cells.groupBy(col("predicted")).agg(sum(col("n_docs")).as("n_predicted"))
       cells.join(broadcast(rt), Seq("label"))
@@ -749,9 +749,9 @@ object RetrievalQueries {
         .select(col("doc_id"), col("is_high_quality").as("label"))
       val trainIds = TextQueries.defs("q61_train_split")(s, dir)
         .filter(col("split") === "train").select(col("doc_id"))
-      graft.operators.Classifier.nbLogOddsScore(
-        d.select(col("doc_id")), feats, labels, trainIds, dims = 64)
-        .localCheckpoint()
+      graft.core.Materialize.cut(graft.operators.Classifier.nbLogOddsScore(
+        d.select(col("doc_id")), feats, labels, trainIds, dims = 64),
+        "nb_scores")
     }
 
   /** The q103 featurizer oracle — shared verbatim by q129's composed fit. */

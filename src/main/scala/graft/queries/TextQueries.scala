@@ -97,7 +97,7 @@ object TextQueries {
       val cells = defs("q32_langid")(s, dir)
         .groupBy(col("labeled_lang"), col("predicted_lang"))
         .agg(count(lit(1)).as("n_docs"))
-        .localCheckpoint()
+        .localCheckpoint() // ≤|langs|² rows, consumed by 3 margins below
       val rt = cells.groupBy(col("labeled_lang"))
         .agg(sum(col("n_docs")).as("n_labeled"))
       val ct = cells.groupBy(col("predicted_lang"))
@@ -995,11 +995,11 @@ object TextQueries {
         baseEdges, "doc_a", "doc_b")
       // id → representative: base members carry their base label, delta
       // docs represent themselves
-      val rep = baseComp.unionByName(
+      val rep = graft.core.Materialize.cut(baseComp.unionByName(
         d.filter(col("doc_id") % 2 =!= 0)
           .select(col("doc_id").as("id"))
-          .withColumn("cluster_id", col("id")))
-        .localCheckpoint()
+          .withColumn("cluster_id", col("id"))),
+        "incremental_cc_rep")
       val mapped = deltaEdges
         .join(rep.select(col("id").as("doc_a"), col("cluster_id").as("rep_a")),
               Seq("doc_a"))
@@ -1701,13 +1701,12 @@ object TextQueries {
       val para = s.sparkContext.defaultParallelism
       val ids = (if (idsDf.rdd.getNumPartitions < para)
                    idsDf.repartition(para) else idsDf).as[Long]
-      ids.map { id =>
+      graft.core.Materialize.cut(ids.map { id =>
         val h = graft.operators.Multimodal.dHash64(
           graft.operators.Multimodal.syntheticPatternPng(id))
           .getOrElse(sys.error(s"undecodable synthetic PNG for id $id"))
         (id, h)
-      }.toDF("media_id", "dhash")
-        .localCheckpoint()
+      }.toDF("media_id", "dhash"), "dhash_frame")
     }
 
   /** The q127 dHash pair miner, mined once per (session, dir) — the
@@ -1719,7 +1718,7 @@ object TextQueries {
   private val dhashPairCache = new graft.core.SessionCache[String]
   private def dhashPairs(s: SparkSession, dir: String): DataFrame =
     dhashPairCache.getOrElseUpdate(s, dir) {
-      dhashPairsPlan(s, dir).localCheckpoint()
+      graft.core.Materialize.cut(dhashPairsPlan(s, dir), "dhash_pairs")
     }
 
   /** The LAZY banded-join mining plan (no memo, no checkpoint) — exposed
@@ -1771,13 +1770,12 @@ object TextQueries {
       val para = s.sparkContext.defaultParallelism
       val ids = (if (idsDf.rdd.getNumPartitions < para)
                    idsDf.repartition(para) else idsDf).as[Long]
-      ids.map { id =>
+      graft.core.Materialize.cut(ids.map { id =>
         val h = graft.operators.Multimodal.audioFingerprint64(
           graft.operators.Multimodal.syntheticToneWav(id))
           .getOrElse(sys.error(s"undecodable synthetic WAV for id $id"))
         (id, h)
-      }.toDF("media_id", "afp")
-        .localCheckpoint()
+      }.toDF("media_id", "afp"), "afp_frame")
     }
 
   /** The q135 audio-fingerprint pair miner, mined once per (session, dir)
@@ -1787,7 +1785,7 @@ object TextQueries {
   private val afpPairCache = new graft.core.SessionCache[String]
   private def audioPairs(s: SparkSession, dir: String): DataFrame =
     afpPairCache.getOrElseUpdate(s, dir) {
-      audioPairsPlan(s, dir).localCheckpoint()
+      graft.core.Materialize.cut(audioPairsPlan(s, dir), "afp_pairs")
     }
 
   /** The LAZY q135 mining plan — exposed for PlanQualitySpec, like

@@ -342,4 +342,34 @@ class DedupSpec extends SparkSpec {
     boom(-1L, 0L)       // negative doc_id
     boom(5L, 1048576L)  // chunk_idx at the bleed bound
   }
+
+  test("durable mode: representative pipelines hash-identical through table-backed cuts") {
+    // Round-12 audit routed every memoized/corpus-derived lineage cut
+    // through Materialize.cut (miners, CC loop inputs, DSIR features,
+    // classifier features/scores — see Materialize's routing policy).
+    // This runs four pipelines that together traverse those cut sites
+    // on a FRESH session with durable=true (fresh session: the memo
+    // caches are session-keyed, so the durable path genuinely executes
+    // instead of serving the local-mode memo), and asserts results are
+    // identical row for row.
+    val dir = "/root/testdata/sf0.001"
+    val qs = Seq(
+      "q67_dedup_clusters",       // jaccard miner + cc_star_edges/cc_endpoints/cc_edge_nodes
+      "q148_importance_resample", // dsir_doc_dim
+      "q135_audio_neardup",       // afp_frame + afp_pairs
+      "q129_quality_classifier")  // classifier_feats + nb_scores
+    def results(s: org.apache.spark.sql.SparkSession): Map[String, Set[String]] =
+      qs.map { q =>
+        val df = SparkEntry.queries(q)(s, dir)
+        q -> df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      }.toMap
+    val local = results(spark)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.materialize.durable", "true")
+    assert(graft.core.Materialize.durable(s2))
+    val durable = results(s2)
+    qs.foreach { q =>
+      assert(durable(q) == local(q), s"$q diverged under durable cuts")
+    }
+  }
 }
