@@ -1216,7 +1216,14 @@ object VectorQueries {
     */
   private val ivfDriftCache = new graft.core.SessionCache[String]
   private def ivfDriftFrame(s: SparkSession, dir: String): DataFrame =
-    ivfDriftCache.getOrElseUpdate(s, dir)(graft.core.Materialize.cut({
+    ivfDriftCache.getOrElseUpdate(s, dir)(
+      graft.core.Materialize.cut(ivfDriftPlan(s, dir), "ivf_drift"))
+
+  /** The LAZY q197 readout plan (no memo, no cut) — exposed so
+    * PlanQualitySpec can assert the per-centroid aggregate rides the
+    * index's bucketed layout without an Exchange.
+    */
+  private[graft] def ivfDriftPlan(s: SparkSession, dir: String): DataFrame = {
       val idx   = ivfIncIndex(s, dir)
       val cents = ivfIncCents(s, dir)
       val seedDf = broadcast(s.createDataFrame(
@@ -1250,7 +1257,7 @@ object VectorQueries {
                 (skew > 2.0 ||
                  (col("nbs") > 0 && col("nds") > 0 && meanD < meanB - 0.05))
                   .as("needs_rebuild"))
-    }, "ivf_drift"))
+  }
 
   /** The q141 serving path over the incrementally-built index. */
   def ivfServeIncremental(s: SparkSession, dir: String,

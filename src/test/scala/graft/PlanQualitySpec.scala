@@ -907,6 +907,52 @@ class PlanQualitySpec extends SparkSpec {
     } finally s.listenerManager.unregister(listener)
   }
 
+  test("q195 source cap is a two-level top-N — the flooded source never funnels one task") {
+    // The cap exists to defend against a skewed source; a per-source
+    // window sort would push the flooded host's documents through ONE
+    // task — the exact failure. Must plan as the q68 shape: bounded-heap
+    // ObjectHashAggregate with a partial level before the source shuffle.
+    val df   = SparkEntry.queries("q195_source_cap")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"per-source window still present:\n$plan")
+    val aggs = physical(df).collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"no partial+final bounded-heap pair:\n$plan")
+    assert(aggs.last.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"partial top-k runs after a shuffle:\n$plan")
+    // the pre-cap counts join back by broadcast (a per-source count is
+    // ≤|sources| rows — shuffling the survivors against it would be silly)
+    assert(plan.contains("BroadcastHashJoin"), s"counts join not broadcast:\n$plan")
+  }
+
+  test("q197 drift readout aggregates on the index's bucketed layout without an exchange") {
+    // The monitor is one pass over the centroid_id-bucketed q141 table:
+    // the groupBy(centroid_id) must be satisfied by the bucketed scan's
+    // hash partitioning — an Exchange between the index scan and the
+    // per-centroid aggregate means the monitor shuffles the corpus to
+    // produce ≤ nlist rows.
+    val df   = graft.queries.VectorQueries.ivfDriftPlan(spark, dir)
+    val plan = planOf(df)
+    val aggPairs = physical(df).collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.exists(_.toString.contains("centroid_id")) => a
+    }
+    assert(aggPairs.nonEmpty, s"no per-centroid aggregate in:\n$plan")
+    // the FINAL per-centroid aggregate must see no shuffle below it on
+    // the index side (the seed join is broadcast; corpus_n is a 1-row
+    // broadcast cross join)
+    aggPairs.foreach { a =>
+      val ex = a.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(ex.isEmpty,
+        s"per-centroid aggregate shuffles the index (bucketed layout lost):\n$plan")
+    }
+    assert(!plan.contains("CartesianProduct"), s"cartesian in monitor:\n$plan")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
