@@ -252,7 +252,7 @@ object CurationQueries {
     * the anti-flooding semantics: no source contributes more than this
     * many documents regardless of its share).
     */
-  private val SourceCapC = 10
+  private[graft] val SourceCapC = 10
 
   /** Deterministic per-source CAP-AND-SELECT — the anti-flooding lever a
     * web corpus applies before any mixture math: keep at most `cap`
@@ -267,7 +267,7 @@ object CurationQueries {
     * key). md5-hex UTF8 binary order ≡ DuckDB VARCHAR order (ASCII), so
     * the oracle's row_number() ranking matches bit for bit.
     */
-  private def sourceCapped(d: DataFrame, prefix: String = "cap|",
+  private[graft] def sourceCapped(d: DataFrame, prefix: String = "cap|",
       cap: Int = SourceCapC): DataFrame = {
     val key = md5(concat(lit(prefix), col("doc_id").cast(StringType)))
     d.select(col("source"), col("doc_id"), key.as("cap_key"))
@@ -278,6 +278,51 @@ object CurationQueries {
       .select(col("source"), col("col.id").as("doc_id"),
               (col("pos") + 1).cast(LongType).as("src_rank"))
   }
+
+  /** The q198 persisted cap-index contract: the kept set is the whole
+    * state (≤ cap·|sources| rows), so a null or duplicated row silently
+    * corrupts every later delta merge — enforced before the write.
+    */
+  private val SourceCapContract: graft.model.Contract = graft.model.Contract(
+    schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("src_rank",
+        org.apache.spark.sql.types.LongType))),
+    notNull = Seq("source", "doc_id", "src_rank"),
+    uniqueKeys = Seq(Seq("doc_id")))
+
+  /** Session-scoped q198 cap-index table name. */
+  def capIndexTable(s: SparkSession, dir: String): String =
+    graft.sources.Warehouse.sessionScopedName(s,
+      "graft_q198_capidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+
+  /** The q198 persisted cap index: the BASE half's (even doc_ids) kept
+    * set, built once per (session, dir) — q141/q145/q172's
+    * build-once/probe-deltas discipline applied to the cap. The state IS
+    * the selection (≤ cap·|sources| rows), so later merges never re-read
+    * the base corpus.
+    */
+  /** q198's base/delta split: the q61 md5 bucket (a pure function of
+    * doc_id, INDEPENDENT of `source` — the testdata assigns source by
+    * doc_id % 20, so a parity split would never put two halves of one
+    * source on opposite sides and the eviction path would go untested).
+    */
+  private def capSplitBucket: Column =
+    graft.functions.HexKeys.value16(
+      md5(concat(lit("split|"), col("doc_id").cast(StringType)))) % 100
+
+  private val capIdxCache = new graft.core.SessionCache[String]
+  private def sourceCapIndex(s: SparkSession, dir: String): DataFrame =
+    capIdxCache.getOrElseUpdate(s, dir) {
+      val kept = sourceCapped(
+        Tables(s, dir).documents.filter(capSplitBucket < 50))
+      graft.model.Contract.enforce("q198_cap_index", kept, SourceCapContract)
+      graft.sources.Warehouse.writeTable(kept, capIndexTable(s, dir))
+      s.table(capIndexTable(s, dir))
+    }
 
   /** q161/q196's shared curation pass: DSIR-score every document
     * (q148's model), drop non-canonical duplicates (q67/q149's
@@ -954,6 +999,29 @@ object CurationQueries {
     "q196_capped_curation" -> { (s, dir) =>
       curationV2(s, dir,
         restrict = Some(sourceCapped(Tables(s, dir).documents)))
+    },
+
+    // ---------------------------------------------------------------
+    // q198: INCREMENTAL cap maintenance — the q141/q145/q172
+    // build-once/probe-deltas discipline on q195: the base half's kept
+    // set persists as a contract-enforced warehouse table (the state IS
+    // the selection, ≤ cap·|sources| rows), and a delta batch merges
+    // against THAT — never the base corpus — with a fresh bounded-heap
+    // top-C per source. Exact by the top-k union identity:
+    // topC(base ∪ delta) = topC(topC(base) ∪ delta), and survivor ranks
+    // equal full-corpus ranks (every doc ranked above a survivor is
+    // itself kept on its side). Gated against the one-shot q195
+    // restatement; a displaced base doc simply drops out of the top-C —
+    // the eviction case a naive append-only index gets wrong.
+    // ---------------------------------------------------------------
+    "q198_source_cap_incremental" -> { (s, dir) =>
+      val idx = sourceCapIndex(s, dir)
+      val delta = Tables(s, dir).documents.filter(capSplitBucket >= 50)
+      sourceCapped(idx.select(col("source"), col("doc_id"))
+          .unionByName(delta.select(col("source"), col("doc_id")))
+          .distinct()) // the heap is a multiset — overlap must not double-occupy slots
+        .select(col("source"), col("doc_id"), col("src_rank"),
+                (capSplitBucket >= 50).as("is_delta"))
     },
 
     // ---------------------------------------------------------------
@@ -1701,6 +1769,24 @@ object CurationQueries {
     // restricting eligibility.
     "q161_curation_v2" -> curationV2OracleSql(capped = false),
     "q196_capped_curation" -> curationV2OracleSql(capped = true),
+
+    // incremental ≡ one-shot (top-k union identity): the oracle is the
+    // q195 restatement over the FULL corpus, plus the delta flag
+    "q198_source_cap_incremental" ->
+      s"""WITH hh AS (
+         |  SELECT source, doc_id,
+         |         md5('split|' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT source, doc_id,
+         |         (${graft.functions.HexKeys.value16Sql()} % 100) AS b,
+         |         row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS sr
+         |  FROM hh)
+         |SELECT source, doc_id, CAST(sr AS BIGINT) AS src_rank,
+         |       (b >= 50) AS is_delta
+         |FROM ranked WHERE sr <= $SourceCapC""".stripMargin,
 
     "q195_source_cap" ->
       s"""WITH counts AS (

@@ -444,12 +444,67 @@ object EventsStream {
           .chunkFrame(batch.toDF(), "doc_id", "text",
                       graft.queries.TextQueries.ChunkDedupTokens)
           .withColumn("chunk_hash", md5(col("chunk_text")))
-          .withColumn("k", col("doc_id") * 1048576L + col("chunk_idx"))
+          .withColumn("k", graft.operators.Dedup.packedChunkKey(
+            col("doc_id"), col("chunk_idx")))
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))
         val canon = ch.withColumn("is_canon", col("k") === min(col("k")).over(w))
           .filter(col("is_canon"))
           .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"))
         idempotentAppendBucketed(canon, table, "chunk_hash", "chunk_hash")
+        ()
+      }
+      .start()
+
+  /** Streaming maintenance of the PERSISTED source-cap index (q198's
+    * state): each micro-batch merges its documents with the current kept
+    * set and re-takes the per-source md5-rank top-C, REWRITING the state
+    * table. The state IS the selection — ≤ cap·|sources| rows — so a
+    * rewrite per batch costs less than any delta bookkeeping, and
+    * EVICTION (a better-ranked arrival displacing a kept doc) is handled
+    * by construction, where the append-only helpers above would retain
+    * displaced docs forever. Replay-idempotent by the top-k union
+    * identity: topC(S ∪ A ∪ A) = topC(S ∪ A), so re-delivered batches are
+    * no-ops. Drained state ≡ the one-shot batch cap over everything
+    * delivered (StreamingSpec asserts, arrival-order independent — the
+    * md5 rank is a pure function of doc_id).
+    */
+  def capIndexMaintainStream(
+      docs: DataFrame,
+      table: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val exists =
+          try { spark.table(table); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        val cur =
+          if (exists) spark.table(table).select(col("source"), col("doc_id"))
+          else batch.toDF().select(col("source"), col("doc_id")).limit(0)
+        // DISTINCT before re-ranking: a re-delivered doc sits in both the
+        // state and the batch, and the bounded heap has multiset
+        // semantics — without the dedup a replayed doc would occupy two
+        // of its source's cap slots (caught by the replay gate)
+        val merged = batch.toDF().select(col("source"), col("doc_id"))
+          .unionByName(cur).distinct()
+        // materialize BEFORE the overwrite — the plan reads the table it
+        // is about to replace (tiny: ≤ cap·|sources| + batch rows)
+        val kept = graft.queries.CurationQueries.sourceCapped(merged)
+          .localCheckpoint()
+        graft.sources.Warehouse.writeTable(kept, table)
+        // the overwrite replaced the table's files in place — drop the
+        // cached file listing or the next batch reads deleted parts.
+        // NOTE this refresh covers the STREAM's (cloned) session only:
+        // foreachBatch runs on a micro-batch session clone with its own
+        // relation cache, so OTHER sessions reading the index between
+        // maintenance batches must refreshTable themselves (the standard
+        // contract for any overwrite-in-place table; the append-only
+        // index legs above don't need it because appends only add files)
+        spark.catalog.refreshTable(table)
         ()
       }
       .start()

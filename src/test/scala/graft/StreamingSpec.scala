@@ -475,6 +475,58 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "restarted index diverged from the one-shot build")
   }
 
+  test("streaming cap-index maintenance ≡ one-shot cap; evictions happen; replay is a no-op") {
+    import spark.implicits._
+    val src   = java.nio.file.Files.createTempDirectory("graft-cap-src").toString
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_cap_stream_idx")
+    val all = graft.core.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-cap-scratch")
+      all.filter(pred).coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = new java.io.File(scratch.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    def drain(cp: String, name: String): Unit = {
+      val q = EventsStream.capIndexMaintainStream(
+        EventsStream.readDocuments(spark, src), table, cp, name)
+      q.processAllAvailable(); q.stop()
+    }
+    val cp1 = java.nio.file.Files.createTempDirectory("graft-cap-cp1").toString
+    def snapshot(): Set[(String, Long, Long)] = {
+      // the maintenance leg overwrites the table in place; its refresh
+      // covers the stream's cloned session, so this reader refreshes too
+      // (the leg's documented contract)
+      spark.catalog.refreshTable(table)
+      spark.table(table)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // the split must be INDEPENDENT of `source` (testdata assigns
+    // source by doc_id % 20 — a parity split would never cross a
+    // source, and eviction would go unexercised): the q61 md5 bucket
+    val bucket = graft.functions.HexKeys.value16(
+      md5(concat(lit("split|"), col("doc_id").cast("string")))) % 100
+    stage(bucket < 50, "b1")
+    drain(cp1, "cap_maint_1")
+    val afterB1 = snapshot()
+    // batch 2 arrives: better-ranked late docs must EVICT kept ones
+    stage(bucket >= 50, "b2")
+    drain(cp1, "cap_maint_2")
+    val fin = snapshot()
+    val want = graft.queries.CurationQueries.sourceCapped(all)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fin === want, "drained cap state diverged from the one-shot cap")
+    assert((afterB1 -- fin).nonEmpty,
+      "no eviction exercised — the fixture no longer covers displacement")
+    // replay with a fresh checkpoint re-reads both files: the top-k union
+    // identity must keep the state unchanged
+    val cp2 = java.nio.file.Files.createTempDirectory("graft-cap-cp2").toString
+    drain(cp2, "cap_maint_replay")
+    assert(snapshot() === want, "replay perturbed the cap state")
+  }
+
   test("streaming dedup drops re-delivered events across micro-batches; state is watermark-bounded") {
     import spark.implicits._
     val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
