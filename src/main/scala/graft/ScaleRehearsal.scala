@@ -50,7 +50,10 @@ object ScaleRehearsal {
     "q190_training_order",      // scattered-copy global order
     "q123_triangle_count",      // degree-oriented wedges
     "q144_bpe_fit_delta",       // 256-merge delta-maintained fit
-    "q161_curation_v2")         // DSIR → dedup → quota composition
+    "q161_curation_v2",         // DSIR → dedup → quota composition
+    "q195_source_cap",          // bounded-heap anti-flooding cap
+    "q197_ivf_list_drift",      // index-health monitor over q141's index
+    "q198_source_cap_incremental") // persisted cap state + delta merge
 
   private def copyTable(spark: SparkSession, src: String, out: String,
                         name: String): Unit =

@@ -1035,13 +1035,17 @@ object CurationQueries {
     // threshold √(n_min·n_source) is the ONLY non-integer step — IEEE
     // sqrt is correctly rounded, so floor(sqrt(CAST(n_min·n_source)))
     // is bit-identical across engines; the keep comparison itself
-    // stays all-integer (bucket·n_source < 2¹⁶·thr).
+    // stays all-integer (bucket·n_source < 2¹⁶·thr). The n_min·n_source
+    // product rides DECIMAL(38,0)/HUGEINT (temperatureRepeats' rule —
+    // two corpus-scale doc counts pass BIGINT at ~3·10⁹ docs each);
+    // the DOUBLE cast after it is the same IEEE value in both engines.
     // ---------------------------------------------------------------
     "q96_temperature_mix" -> { (s, dir) =>
       val docs   = Tables(s, dir).documents
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
       val target = counts.agg(min(col("n_source")).as("n_min"))
-      val thr = floor(sqrt((col("n_min") * col("n_source")).cast(DoubleType)))
+      val thr = floor(sqrt(
+        expr("CAST(CAST(n_min AS DECIMAL(38,0)) * n_source AS DOUBLE)")))
         .cast(LongType)
       val bucket = md5Bucket16("temp|", col("doc_id")).cast(LongType)
       docs.select(col("doc_id"), col("lang"), col("source"),
@@ -2091,7 +2095,7 @@ object CurationQueries {
          |tgt AS (SELECT min(n_source) AS n_min FROM counts),
          |t AS (
          |  SELECT doc_id, lang, h.source, n_source, n_min,
-         |         CAST(floor(sqrt(CAST(n_min * n_source AS DOUBLE))) AS BIGINT)
+         |         CAST(floor(sqrt(CAST(CAST(n_min AS HUGEINT) * n_source AS DOUBLE))) AS BIGINT)
          |           AS thr,
          |         CAST($bucket AS BIGINT) AS keep_bucket
          |  FROM h JOIN counts USING (source) CROSS JOIN tgt)

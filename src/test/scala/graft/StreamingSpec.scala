@@ -525,6 +525,12 @@ class StreamingSpec extends SparkSpec {
     val cp2 = java.nio.file.Files.createTempDirectory("graft-cap-cp2").toString
     drain(cp2, "cap_maint_replay")
     assert(snapshot() === want, "replay perturbed the cap state")
+    // and the two cp1 drains genuinely RESTARTED from the checkpoint:
+    // drain 2's batch id continued the sequence (the recovery contract
+    // the incremental-sink/LSH restart tests pin in full)
+    val commits = new java.io.File(cp1, "commits").list().toSeq
+      .filter(_.forall(_.isDigit)).map(_.toInt).sorted
+    assert(commits == Seq(0, 1), s"cap maintenance did not resume offsets: $commits")
   }
 
   test("streaming dedup drops re-delivered events across micro-batches; state is watermark-bounded") {
