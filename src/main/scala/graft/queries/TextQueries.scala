@@ -603,6 +603,14 @@ object TextQueries {
     // by reusing q36's full-corpus oracle verbatim.
     "q145_lsh_index_incremental" -> { (s, dir) => lshServeIncremental(s, dir) },
 
+    // q199: the q174 banding PLANNER closing its loop — the miner runs
+    // at the planner-chosen (b, r) = 16-hash 8×2 instead of q36's
+    // hand-picked 8-hash 4×2 (see [[plannedLsh]]; TextSpec pins the
+    // Scala replay to q174's is_best row). Candidates at the planned
+    // banding, verified exactly — the operational story: plan the
+    // S-curve once, mine with its output, audit with q152.
+    "q199_planned_lsh_mining" -> { (s, dir) => plannedMinhashQuery(s, dir) },
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     // MOSS algorithm): positional 4-token k-gram hashes, and from every
     // window of 5 consecutive hashes select the minimum (rightmost on
@@ -1486,9 +1494,13 @@ object TextQueries {
     })
 
   /** The shared q36/q145/q152 CTE chain: shingles → md5 word pair →
-    * K–M signatures → bands → candidate pairs.
+    * K–M signatures → bands → candidate pairs. Parameterized by
+    * (numHashes, rowsPerBand) so q199 can replay the chain at the
+    * PLANNER-chosen banding; q36/q145/q152 keep the 8/2 default.
     */
-  private def minhashCtesSql: String = {
+  private def minhashCtesSql: String = minhashCtesSql(8, 2)
+  private def minhashCtesSql(numHashes: Int, rowsPerBand: Int): String = {
+      require(numHashes % rowsPerBand == 0, "bands must tile the signature")
       // h1/h2 = first/second 8 hex digits of md5(shingle) as integers —
       // the oracle restatement of MinHashSigs' big-endian digest words.
       def hexVal(start: Int): String = (0 until 8).map { j =>
@@ -1496,8 +1508,16 @@ object TextQueries {
         val v  = s"(CASE WHEN ascii($ch) <= 57 THEN ascii($ch) - 48 ELSE ascii($ch) - 87 END)"
         s"CAST($v AS BIGINT) * ${1L << (4 * (7 - j))}"
       }.mkString(" + ")
-      val sigCols = (0 until 8)
+      val sigCols = (0 until numHashes)
         .map(k => s"min((h1 + $k * h2) % 4294967296) AS sig_$k").mkString(",\n        |    ")
+      // engine band hash: md5(concat_ws("|", sig casts)) — one UNION leg
+      // per band, r signature components each
+      val bandLegs = (0 until numHashes / rowsPerBand).map { b =>
+        val concat = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(k => s"CAST(sig_$k AS VARCHAR)").mkString(" || '|' || ")
+        if (b == 0) s"SELECT doc_id, 0 AS band_idx, md5($concat) AS band_hash FROM sigs"
+        else s"UNION ALL SELECT doc_id, $b, md5($concat) FROM sigs"
+      }.mkString("\n        |  ")
       s"""WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
@@ -1511,10 +1531,7 @@ object TextQueries {
         |    $sigCols
         |  FROM hv GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, md5(CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR)) AS band_hash FROM sigs
-        |  UNION ALL SELECT doc_id, 1, md5(CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR)) FROM sigs
-        |  UNION ALL SELECT doc_id, 2, md5(CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR)) FROM sigs
-        |  UNION ALL SELECT doc_id, 3, md5(CAST(sig_6 AS VARCHAR) || '|' || CAST(sig_7 AS VARCHAR)) FROM sigs),
+        |  $bandLegs),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
@@ -1821,6 +1838,63 @@ object TextQueries {
     if (materialize) jaccard05(s, dir)
     else Dedup.jaccardPairs(Tables(s, dir).documents, "doc_id", "text",
                             threshold = 0.5, materialize = false)
+
+  /** The q174 planner's argmin replayed in plain Scala doubles — the
+    * same IEEE square-chains and 1e12 quantization the codegen'd plan
+    * runs, so the result provably matches q174's `is_best` row (TextSpec
+    * pins it). Needed because q199's oracle SQL is a static string: the
+    * planner is a pure function of its constant grid (corpus-independent
+    * by design — it models collision probability, not data), so the
+    * chosen (bands, rowsPerBand) can be computed at class init and
+    * embedded in BOTH the Spark plan and the DuckDB restatement.
+    */
+  private[graft] lazy val plannedLsh: (Int, Int) = {
+    val n = 200
+    def chain(x: Double, k: Int): Double = {
+      var v = x; var p = 1
+      while (p < k) { v = v * v; p *= 2 }
+      v
+    }
+    val scored = for (b <- Seq(1, 2, 4, 8, 16); r <- Seq(1, 2, 4, 8)) yield {
+      var fp = 0L; var fn = 0L
+      var i = 0
+      while (i < n) {
+        val s    = (i + 0.5) / n
+        val coll = 1.0 - chain(1.0 - chain(s, r), b)
+        val qp   = math.floor(coll * 1e12).toLong
+        if (i < n / 2) fp += qp else fn += 1000000000000L - qp
+        i += 1
+      }
+      (b, r, b * r, fp + 10L * fn)
+    }
+    val best = scored.filter(_._3 <= 16)
+      .minBy { case (_, r, sig, cost) => (cost, sig, -r) }
+    (best._1, best._2)
+  }
+
+  /** q199: the q174 planner DRIVING the miner — mining at the planned
+    * (bands, rowsPerBand) instead of q36's hand-picked 8/2. Same verify
+    * semantics as q36 on the resulting candidates; the planned banding
+    * rides along so the output is self-describing.
+    */
+  def plannedMinhashQuery(s: SparkSession, dir: String): DataFrame = {
+    val (bands, r) = plannedLsh
+    val k = bands * r
+    val d = Tables(s, dir).documents
+    val bandsDf = Dedup.lshBands(
+      Dedup.minhashSignatures(d, "doc_id", "text", numHashes = k),
+      numHashes = k, rowsPerBand = r)
+    val a = bandsDf.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+    val b = bandsDf.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    Dedup.verifyPairs(cand, Dedup.shingled(d, "doc_id", "text"), threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+              (col("jaccard") >= 0.5).as("is_near_dup"),
+              lit(bands.toLong).as("n_bands"),
+              lit(r.toLong).as("rows_per_band"))
+  }
 
   def minhashQuery(s: SparkSession, dir: String, materialize: Boolean = true): DataFrame = {
     val d    = Tables(s, dir).documents
@@ -2789,6 +2863,20 @@ object TextQueries {
     // doc-local, so the persisted-index incremental candidate set must
     // equal the one-shot set exactly (q139/q141's gate pattern).
     "q145_lsh_index_incremental" -> minhashLshOracleSql,
+    // q36's verify chain replayed at the Scala-planned banding (the
+    // planner is corpus-independent, so embedding its output as
+    // constants is sound; TextSpec gates the replay against q174)
+    "q199_planned_lsh_mining" -> {
+      val (bands, r) = plannedLsh
+      s"""${minhashCtesSql(bands * r, r)}
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
+      |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) AS jaccard,
+      |  CAST(len(list_intersect(sa.tg, sb.tg)) AS DOUBLE)
+      |    / CAST(len(sa.tg) + len(sb.tg) - len(list_intersect(sa.tg, sb.tg)) AS DOUBLE) >= 0.5 AS is_near_dup,
+      |  CAST($bands AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band
+      |FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin
+    },
     "q41_simhash" -> {
       val bitSums = (0 until 64).map { b =>
         val ch = s"substring(hex, ${b / 4 + 1}, 1)"

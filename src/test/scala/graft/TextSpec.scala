@@ -145,5 +145,12 @@ class TextSpec extends SparkSpec {
     val best = rows.filter(_.getAs[Boolean]("is_best"))
     assert(best.length == 1)
     assert(best.head.getAs[Long]("sig_len") <= 16)
+    // q199's Scala planner replay (pure-JVM doubles, same square chains
+    // and 1e12 quantization) must pick EXACTLY the plan the Spark-side
+    // integral marks — this is what makes embedding the planned (b, r)
+    // as constants in q199's oracle sound
+    val (pb, pr) = graft.queries.TextQueries.plannedLsh
+    assert((best.head.getAs[Long]("b").toInt, best.head.getAs[Long]("r").toInt)
+      == ((pb, pr)), s"Scala replay ($pb,$pr) diverged from q174's is_best")
   }
 }
