@@ -123,13 +123,14 @@ object CurationQueries {
     * would silently collide key spaces). `carry` columns ride along.
     */
   private def orderKeyedCopies(s: SparkSession, dir: String,
-                               carry: Seq[String]): DataFrame = {
+                               carry: Seq[String],
+                               epochs: Int = 1): DataFrame = {
     import graft.functions.HexKeys
     val rep = defs("q168_temperature_mixture")(s, dir)
       .select((col("doc_id") +: col("n_repeats") +: carry.map(col)): _*)
       .filter(col("n_repeats") >= 1L)
     val copies = rep.select((col("doc_id") +:
-      explode(sequence(lit(1L), col("n_repeats"))).as("epoch_copy") +:
+      explode(sequence(lit(1L), col("n_repeats") * epochs)).as("epoch_copy") +:
       carry.map(col)): _*)
     val hex = md5(concat(lit("ord|"), col("doc_id").cast(StringType),
                          lit("|"), col("epoch_copy").cast(StringType)))
@@ -176,6 +177,12 @@ object CurationQueries {
     * fixed 10-token windows stand in for the reference corpus's lines.
     */
   private val SegTokens = 10
+
+  /** q200's boilerplate bar: a segment present in ≥ this many DISTINCT
+    * documents is scrubbed from every one of them. Shared by the Spark
+    * def and the DuckDB oracle.
+    */
+  private val BoilerplateDf = 3
 
   private def md5Bucket16(prefix: String, key: Column): Column = {
     // First 4 md5 hex digits as an integer in [0, 65536) — ascii
@@ -452,6 +459,60 @@ object CurationQueries {
                    when(col("kept"), struct(col("seg_idx"), col("seg"))))),
                  x => x.getField("seg")),
                " ").as("clean_text"))
+    },
+
+    // ---------------------------------------------------------------
+    // q200: document-frequency boilerplate SCRUB — the CCNet/RefinedWeb
+    // lever q75 is not. q75 keeps a duplicated segment's globally FIRST
+    // occurrence; boilerplate (nav chrome, license headers, cookie
+    // banners) must be removed from EVERY document once it appears in
+    // ≥ BoilerplateDf distinct docs — including the first. Segments are
+    // q75's 10-token windows; DF = distinct docs per segment; docs are
+    // rebuilt from surviving segments in order, and a doc losing more
+    // than half its segments is dropped outright (a mostly-boilerplate
+    // doc isn't worth keeping).
+    //
+    // Shape at 100 TB: DF is groupBy(seg) + countDistinct (two-level
+    // partial agg — a segment repeated in billions of docs collapses
+    // map-side; a window partitioned by segment would funnel that hot
+    // segment through ONE task); the verdict returns via an equi-join
+    // on the segment; reassembly is the same (doc_id)-keyed bounded
+    // array agg as q75. The clean text is gated by md5, so removal is
+    // byte-exact.
+    // ---------------------------------------------------------------
+    "q200_boilerplate_scrub" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val tok = docs.select(
+        col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val segs = tok
+        .groupBy(col("doc_id"),
+                 floor(col("pos") / SegTokens).cast(IntegerType).as("seg_idx"))
+        .agg(array_join(
+               transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                         x => x.getField("tok")),
+               " ").as("seg"))
+      val df = segs.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val flagged = segs.join(df, "seg")
+        .select(col("doc_id"), col("seg_idx"), col("seg"),
+                (col("df") < BoilerplateDf).as("kept"))
+      flagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_segments"),
+             array_join(
+               transform(
+                 array_sort(collect_list(
+                   when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+                 x => x.getField("seg")),
+               " ").as("clean_text"))
+        .select(col("doc_id"), col("n_segments"), col("n_kept_segments"),
+                (col("n_segments") - col("n_kept_segments")).as("n_removed"),
+                md5(col("clean_text")).as("clean_hash"),
+                ((col("n_segments") - col("n_kept_segments")).cast(DoubleType) /
+                 col("n_segments").cast(DoubleType)).as("frac_removed"),
+                (lit(2L) * col("n_kept_segments") < col("n_segments"))
+                  .as("is_dropped"))
     },
 
     // ---------------------------------------------------------------
@@ -1334,6 +1395,58 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q203: repeat-SPACING audit of the MULTI-EPOCH training order —
+    // the scatter-quality check on the q190 manifest machinery in the
+    // configuration where spacing actually matters: 3 epochs of q168's
+    // allocation (per-doc copies = 3·n_repeats, same packed permutation
+    // keys — single-epoch repeats are ∈ {0,1} on this corpus, so the
+    // single-epoch audit would be vacuous). A doc appearing n times
+    // should land roughly uniformly (expected gap ≈ N/n); a broken
+    // permutation key (copies clustering because they share key bits)
+    // surfaces here as min_gap ≪ expected long before a training run
+    // does. Scale shape: consecutive-copy gaps ride a PER-DOC window
+    // whose partitions hold ≤ 31 rows by the packing contract (never
+    // corpus-sized); extrema/sums are all-BIGINT (min_gap·n_copies·4
+    // ≤ 124·N — no corpus-scale product); the 1-row manifest total
+    // arrives via a broadcast scalar cross join; the two means are
+    // single IEEE divisions of exact integers.
+    // ---------------------------------------------------------------
+    "q203_repeat_spacing" -> { (s, dir) =>
+      val keyed = orderKeyedCopies(s, dir, Nil, epochs = 3)
+        .withColumn("one", lit(1L))
+      val ord = graft.operators.Sharding
+        .runningTotal(keyed, "ord_key", "one", "train_rank")
+        .select(expr("(ord_key DIV 32) % 2147483648").as("doc_id"),
+                col("train_rank"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("train_rank"))
+      val perDoc = ord
+        .withColumn("gap", col("train_rank") - lag(col("train_rank"), 1).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_copies"),
+             min(col("gap")).as("min_gap"),
+             max(col("gap")).as("max_gap"),
+             sum(col("gap")).as("span"))
+        .filter(col("n_copies") >= 2L)
+      val total = broadcast(ord.agg(count(lit(1)).as("manifest_rows")))
+      perDoc.crossJoin(total)
+        .select(col("doc_id"), col("n_copies"), col("min_gap"),
+                col("max_gap"), col("span"),
+                (col("span").cast(DoubleType) /
+                 (col("n_copies") - 1L).cast(DoubleType)).as("mean_gap"),
+                col("manifest_rows"),
+                (col("manifest_rows").cast(DoubleType) /
+                 col("n_copies").cast(DoubleType)).as("expected_gap"),
+                // random scatter of n copies has expected MINIMUM spacing
+                // ≈ N/n² (min of n−1 iid gaps), so the flag fires below a
+                // quarter of that — not below N/(4n), which half the docs
+                // would trip by chance. All-BIGINT: n ≤ 31 by the packing
+                // contract, so min_gap·n²·4 ≤ 3844·N never overflows.
+                (col("min_gap") * col("n_copies") * col("n_copies") *
+                 lit(4L) < col("manifest_rows")).as("is_clumped"))
+    },
+
+    // ---------------------------------------------------------------
     // q100: dataset-card rollup — the per-source/per-language corpus
     // profile a training-data release ships (docs, tokens, chars, exact
     // dedup rate from the q31 fingerprint) over GROUPING SETS
@@ -1576,6 +1689,42 @@ object CurationQueries {
   /** The q168 oracle body — shared by q168 and (as a derived table)
     * the q190 training-order manifest.
     */
+  /** The q190 manifest oracle, parameterized by epoch count — shared by
+    * q190 (1 epoch) and q203's spacing audit (3 epochs) so both gates
+    * pin the same key derivation (the q168OracleSql discipline).
+    */
+  private def manifestOracleSql(epochs: Int): String = {
+    val h24 = s"(CAST(${graft.functions.HexKeys.value16Sql(0)} AS BIGINT) * 256" +
+      s" + CAST(${graft.functions.HexKeys.digitSql(4)} AS BIGINT) * 16" +
+      s" + CAST(${graft.functions.HexKeys.digitSql(5)} AS BIGINT))"
+    s"""WITH rep AS (
+       |  SELECT doc_id, n_repeats FROM ($q168OracleSql) z WHERE n_repeats >= 1),
+       |cp AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, n_repeats * $epochs)) AS epoch_copy
+       |  FROM rep),
+       |k AS (
+       |  SELECT doc_id, epoch_copy,
+       |    md5('ord|' || CAST(doc_id AS VARCHAR) || '|' ||
+       |        CAST(epoch_copy AS VARCHAR)) AS hex
+       |  FROM cp),
+       |keyed AS (
+       |  SELECT doc_id, epoch_copy,
+       |    $h24 * 68719476736 + doc_id * 32 + epoch_copy AS ord_key
+       |  FROM k),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY ord_key) AS BIGINT)
+       |         AS train_rank
+       |  FROM keyed)
+       |SELECT train_rank, CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(epoch_copy AS BIGINT) AS epoch_copy,
+       |  CAST((train_rank - 1) // 64 AS BIGINT) AS shard_id,
+       |  CAST((train_rank - 1) % 64 AS BIGINT) AS shard_offset
+       |FROM r""".stripMargin
+  }
+
+  private lazy val q190OracleSql: String = manifestOracleSql(1)
+
   private lazy val q168OracleSql: String = {
       val bucket = s"(${graft.functions.HexKeys.value16Sql()})"
       s"""WITH t AS (
@@ -1846,6 +1995,35 @@ object CurationQueries {
          |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segments,
          |  coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), '')
          |    AS clean_text
+         |FROM flagged GROUP BY doc_id""".stripMargin,
+
+    // q200: the q75 segment CTEs + distinct-doc DF, kept = df < bar,
+    // md5-gated reassembly.
+    "q200_boilerplate_scrub" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |  FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks))) AS i FROM t)),
+         |seg AS (
+         |  SELECT doc_id, CAST(floor(pos / $SegTokens) AS INT) AS seg_idx,
+         |         string_agg(tok, ' ' ORDER BY pos) AS seg
+         |  FROM tok GROUP BY doc_id, seg_idx),
+         |df AS (
+         |  SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM seg GROUP BY seg),
+         |flagged AS (
+         |  SELECT s.doc_id, s.seg_idx, s.seg, d.df < $BoilerplateDf AS kept
+         |  FROM seg s JOIN df d USING (seg))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segments,
+         |  CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  md5(coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), ''))
+         |    AS clean_hash,
+         |  CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS frac_removed,
+         |  2 * sum(CASE WHEN kept THEN 1 ELSE 0 END) < count(*) AS is_dropped
          |FROM flagged GROUP BY doc_id""".stripMargin,
 
     "q76_repetition_quality" ->
@@ -2227,34 +2405,33 @@ object CurationQueries {
          |FROM w JOIN eff USING (alpha_den)""".stripMargin
     },
 
-    "q190_training_order" -> {
-      val h24 = s"(CAST(${graft.functions.HexKeys.value16Sql(0)} AS BIGINT) * 256" +
-        s" + CAST(${graft.functions.HexKeys.digitSql(4)} AS BIGINT) * 16" +
-        s" + CAST(${graft.functions.HexKeys.digitSql(5)} AS BIGINT))"
-      s"""WITH rep AS (
-         |  SELECT doc_id, n_repeats FROM ($q168OracleSql) z WHERE n_repeats >= 1),
-         |cp AS (
-         |  SELECT doc_id, unnest(generate_series(1, n_repeats)) AS epoch_copy
-         |  FROM rep),
-         |k AS (
-         |  SELECT doc_id, epoch_copy,
-         |    md5('ord|' || CAST(doc_id AS VARCHAR) || '|'
-         |        || CAST(epoch_copy AS VARCHAR)) AS hex
-         |  FROM cp),
-         |keyed AS (
-         |  SELECT doc_id, epoch_copy,
-         |    $h24 * 68719476736 + doc_id * 32 + epoch_copy AS ord_key
-         |  FROM k),
-         |r AS (
-         |  SELECT *, CAST(row_number() OVER (ORDER BY ord_key) AS BIGINT)
-         |         AS train_rank
-         |  FROM keyed)
-         |SELECT train_rank, CAST(doc_id AS BIGINT) AS doc_id,
-         |  CAST(epoch_copy AS BIGINT) AS epoch_copy,
-         |  CAST((train_rank - 1) // 64 AS BIGINT) AS shard_id,
-         |  CAST((train_rank - 1) % 64 AS BIGINT) AS shard_offset
-         |FROM r""".stripMargin
-    },
+    "q190_training_order" -> q190OracleSql,
+
+    // q203: consecutive-copy gaps of the 3-EPOCH manifest via a PER-DOC
+    // window (≤31 rows by the packing contract), integer extrema/sums,
+    // the 1-row manifest total cross-joined on.
+    "q203_repeat_spacing" ->
+      s"""WITH ord AS (SELECT doc_id, train_rank
+         |            FROM (${manifestOracleSql(3)}) z),
+         |g AS (
+         |  SELECT doc_id,
+         |    train_rank - lag(train_rank) OVER (PARTITION BY doc_id
+         |                                       ORDER BY train_rank) AS gap
+         |  FROM ord),
+         |p AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_copies,
+         |    CAST(min(gap) AS BIGINT) AS min_gap,
+         |    CAST(max(gap) AS BIGINT) AS max_gap,
+         |    CAST(sum(gap) AS BIGINT) AS span
+         |  FROM g GROUP BY doc_id HAVING count(*) >= 2),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS manifest_rows FROM ord)
+         |SELECT doc_id, n_copies, min_gap, max_gap, span,
+         |  CAST(span AS DOUBLE) / CAST(n_copies - 1 AS DOUBLE) AS mean_gap,
+         |  manifest_rows,
+         |  CAST(manifest_rows AS DOUBLE) / CAST(n_copies AS DOUBLE)
+         |    AS expected_gap,
+         |  min_gap * n_copies * n_copies * 4 < manifest_rows AS is_clumped
+         |FROM p CROSS JOIN t""".stripMargin,
 
     "q191_token_budget_shards" -> {
       val h24 = s"(CAST(${graft.functions.HexKeys.value16Sql(0)} AS BIGINT) * 256" +

@@ -312,6 +312,40 @@ object TextQueries {
                 col("n_merged_tokens"), md5(col("joined")).as("tokens_hash"))
     },
 
+    // ---------------------------------------------------------------
+    // q202: tokenizer fertility / compression per LANGUAGE — the
+    // mixture-design readout next to q150/q189: how many tokens the
+    // q111-ranked merge table leaves per whitespace word (fertility;
+    // < 1 here because this BPE merges word pairs into super-tokens),
+    // how many chars ride in each emitted token (compression), and the
+    // merged-token share. A shared vocabulary that under-merges a
+    // language inflates its token bill — this is the per-language
+    // evidence read BEFORE fixing token quotas (q157/q168). Composes
+    // q130's gated tokenization; the rollup is ONE partial+final
+    // per-language aggregation of exact integers, the three ratios
+    // single IEEE divisions of those sums.
+    // ---------------------------------------------------------------
+    "q202_tokenizer_fertility" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      defs("q130_bpe_tokenize")(s, dir)
+        .join(d, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens_before")).as("n_words"),
+             sum(col("n_tokens_after")).as("n_bpe_tokens"),
+             sum(col("n_merged_tokens")).as("n_merged_tokens"),
+             sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+                col("n_bpe_tokens"), col("n_merged_tokens"), col("n_chars"),
+                (col("n_bpe_tokens").cast(DoubleType) /
+                 col("n_words").cast(DoubleType)).as("fertility"),
+                (col("n_chars").cast(DoubleType) /
+                 col("n_bpe_tokens").cast(DoubleType)).as("chars_per_token"),
+                (col("n_merged_tokens").cast(DoubleType) /
+                 col("n_bpe_tokens").cast(DoubleType)).as("merged_frac"))
+    },
+
     // The TRUE iterative BPE fit+apply, gated END TO END (q130 gates
     // apply under a GIVEN ranked table; this gates Sennrich's actual
     // loop): Bpe.fit runs 5 merge rounds — each ONE corpus scan + a
@@ -511,6 +545,72 @@ object TextQueries {
                   col("total_docs").cast(DoubleType)).as("frac_docs_kept"),
                 (col("tokens_kept").cast(DoubleType) /
                   col("total_tokens").cast(DoubleType)).as("frac_tokens_kept"))
+    },
+
+    // ---------------------------------------------------------------
+    // q201: two-sample Kolmogorov–Smirnov drift statistic between the
+    // BASE and DELTA halves' quality-score distributions (the q61 md5
+    // split — the same base/delta discipline as q198) — the third drift
+    // modality next to PSI (q181, binned ratio) and JSD (q187,
+    // distributional): KS is the max CDF gap, the standard
+    // two-sample test a curation pipeline runs before accepting a new
+    // crawl into the mix. BINNED form on q109's floor(score/5) buckets
+    // — the 100 TB shape: per-split bucket counts are ONE partial+final
+    // aggregation; the CDF, totals, and max-gap windows run over the
+    // ≤21-row bucket frame only (constPartition, the q109 idiom).
+    // Exactness: the CDF gap |cum_b·n_d − cum_d·n_b| is DECIMAL(38,0)
+    // (two corpus-scale factors — BIGINT overflows at ~3·10⁹ docs per
+    // side, the q168 lesson); ks_stat and the CDFs are single IEEE
+    // divisions of exact integers, so the gate hash-matches.
+    // ---------------------------------------------------------------
+    "q201_ks_drift" -> { (s, dir) =>
+      val d   = Tables(s, dir).documents
+      val hex = md5(concat(lit("split|"), col("doc_id").cast(StringType)))
+      val isBase = graft.functions.HexKeys.value16(hex, 0) % 100 < 50
+      val bucketed = d
+        .select(floor(qualityScore / 5).cast(LongType).as("bucket"),
+                isBase.as("is_base"))
+        .filter(col("bucket").isNotNull)
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+             sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_delta"))
+      val W    = org.apache.spark.sql.expressions.Window
+      val part = graft.functions.Macros.constPartition(col("bucket"))
+      val cum = W.partitionBy(part).orderBy(col("bucket"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wAll = W.partitionBy(part)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      val dec = DecimalType(19, 0)
+      val cdf = bucketed
+        .withColumn("cum_base", sum(col("n_base")).over(cum))
+        .withColumn("cum_delta", sum(col("n_delta")).over(cum))
+        .withColumn("tot_base", sum(col("n_base")).over(wAll))
+        .withColumn("tot_delta", sum(col("n_delta")).over(wAll))
+        .withColumn("gap_num",
+          abs(col("cum_base").cast(dec) * col("tot_delta").cast(dec) -
+              col("cum_delta").cast(dec) * col("tot_base").cast(dec)))
+        .withColumn("ks_num", max(col("gap_num")).over(wAll))
+      cdf.select(
+        col("bucket"), (col("bucket") * 5).as("threshold"),
+        col("n_base"), col("n_delta"), col("cum_base"), col("cum_delta"),
+        (col("cum_base").cast(DoubleType) /
+          col("tot_base").cast(DoubleType)).as("cdf_base"),
+        (col("cum_delta").cast(DoubleType) /
+          col("tot_delta").cast(DoubleType)).as("cdf_delta"),
+        (col("ks_num").cast(DoubleType) /
+          (col("tot_base").cast(DoubleType) *
+           col("tot_delta").cast(DoubleType))).as("ks_stat"),
+        (col("gap_num") === col("ks_num")).as("is_ks_bucket"),
+        // size-aware bar: the classical α=0.05 two-sample critical value
+        // c(α)·√((nₐ+n_d)/(nₐ·n_d)), c = 1.358 — a fixed threshold would
+        // fire on sampling noise at small n and go blind at corpus n
+        (col("ks_num").cast(DoubleType) /
+          (col("tot_base").cast(DoubleType) *
+           col("tot_delta").cast(DoubleType)) >
+         lit(1.358) * sqrt((col("tot_base") + col("tot_delta"))
+             .cast(DoubleType) /
+           (col("tot_base").cast(DoubleType) *
+            col("tot_delta").cast(DoubleType)))).as("is_drifted"))
     },
 
     // n-gram Jaccard near-dup pairs via shared-shingle inverted index
@@ -2313,6 +2413,53 @@ object TextQueries {
         |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 7""".stripMargin
 
+  /** The q130 BPE-apply oracle (ranked merges from q111's pair counts,
+    * recursive leftmost-rewrite walk) — a val so q202's fertility rollup
+    * can compose it as a derived table (the q67Oracle discipline).
+    */
+  private lazy val q130OracleSql: String =
+      """WITH RECURSIVE m AS (
+        |  SELECT a, b, rank FROM (
+        |    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |    p AS (
+        |      SELECT toks[i] AS a, toks[i + 1] AS b
+        |      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |            FROM t WHERE len(toks) >= 2)),
+        |    c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2),
+        |    top AS (SELECT * FROM c ORDER BY cnt DESC, a, b LIMIT 20)
+        |    SELECT a, b, CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rank
+        |    FROM top)),
+        |mx AS (SELECT max(rank) AS mr FROM m),
+        |norm AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |walk AS (
+        |  SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s,
+        |         CAST(1 AS BIGINT) AS mi
+        |  FROM norm
+        |  UNION ALL
+        |  SELECT w.doc_id,
+        |    CASE WHEN contains(w.s, ' ' || m.a || ' ' || m.b || ' ')
+        |         THEN regexp_replace(w.s, ' ' || m.a || ' ' || m.b || ' ',
+        |                             ' ' || m.a || '+' || m.b || ' ')
+        |         ELSE w.s END,
+        |    CASE WHEN contains(w.s, ' ' || m.a || ' ' || m.b || ' ')
+        |         THEN w.mi ELSE w.mi + 1 END
+        |  FROM walk w JOIN m ON m.rank = w.mi),
+        |fin AS (
+        |  SELECT w.doc_id, trim(w.s) AS joined
+        |  FROM walk w CROSS JOIN mx
+        |  WHERE w.mi = coalesce(mx.mr, 0) + 1)
+        |SELECT n.doc_id,
+        |  CAST(len(n.toks) AS BIGINT) AS n_tokens_before,
+        |  CAST(len(list_filter(string_split(f.joined, ' '), x -> x <> ''))
+        |    AS BIGINT) AS n_tokens_after,
+        |  CAST(len(list_filter(string_split(f.joined, ' '), x -> contains(x, '+'))) AS BIGINT)
+        |    AS n_merged_tokens,
+        |  md5(f.joined) AS tokens_hash
+        |FROM norm n JOIN fin f USING (doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Relational winnowing: the same min(struct(hash, -pos)) per sliding
     // window, built from an explicit window-start × gram range join (the
@@ -2431,6 +2578,61 @@ object TextQueries {
          |  CAST(docs_kept AS DOUBLE) / CAST(total_docs AS DOUBLE) AS frac_docs_kept,
          |  CAST(tokens_kept AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS frac_tokens_kept
          |FROM c CROSS JOIN tot""".stripMargin,
+
+    // q201: q33's exact score expression + the q61 md5 split, binned
+    // CDFs and the HUGEINT max-gap over the ≤21-row bucket frame.
+    "q201_ks_drift" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+         |    CAST(len(list_filter(toks, x -> list_contains([$enList], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id,
+         |    least(CAST(n_tokens AS DOUBLE) / 50, 1.0) * 25 + distinct_ratio * 25 +
+         |    least(stopword_ratio * 5, 1.0) * 25 + (1.0 - least(punct_ratio * 10, 1.0)) * 25 AS q
+         |  FROM m),
+         |h AS (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS hex
+         |      FROM documents),
+         |b AS (
+         |  SELECT CAST(floor(q / 5) AS BIGINT) AS bucket,
+         |    CAST(sum(CASE WHEN (${graft.functions.HexKeys.value16Sql()} % 100) < 50
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |    CAST(sum(CASE WHEN (${graft.functions.HexKeys.value16Sql()} % 100) < 50
+         |             THEN 0 ELSE 1 END) AS BIGINT) AS n_delta
+         |  FROM s JOIN h USING (doc_id) WHERE q IS NOT NULL GROUP BY 1),
+         |c AS (
+         |  SELECT bucket, n_base, n_delta,
+         |    CAST(sum(n_base) OVER wc AS BIGINT) AS cum_base,
+         |    CAST(sum(n_delta) OVER wc AS BIGINT) AS cum_delta,
+         |    CAST(sum(n_base) OVER wa AS BIGINT) AS tot_base,
+         |    CAST(sum(n_delta) OVER wa AS BIGINT) AS tot_delta
+         |  FROM b WINDOW
+         |    wc AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wa AS (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |g AS (
+         |  SELECT *,
+         |    abs(CAST(cum_base AS HUGEINT) * tot_delta
+         |        - CAST(cum_delta AS HUGEINT) * tot_base) AS gap_num,
+         |    max(abs(CAST(cum_base AS HUGEINT) * tot_delta
+         |            - CAST(cum_delta AS HUGEINT) * tot_base))
+         |      OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |      AS ks_num
+         |  FROM c)
+         |SELECT bucket, bucket * 5 AS threshold, n_base, n_delta,
+         |  cum_base, cum_delta,
+         |  CAST(cum_base AS DOUBLE) / CAST(tot_base AS DOUBLE) AS cdf_base,
+         |  CAST(cum_delta AS DOUBLE) / CAST(tot_delta AS DOUBLE) AS cdf_delta,
+         |  CAST(ks_num AS DOUBLE) / (CAST(tot_base AS DOUBLE) * CAST(tot_delta AS DOUBLE)) AS ks_stat,
+         |  gap_num = ks_num AS is_ks_bucket,
+         |  CAST(ks_num AS DOUBLE) / (CAST(tot_base AS DOUBLE) * CAST(tot_delta AS DOUBLE))
+         |    > 1.358 * sqrt(CAST(tot_base + tot_delta AS DOUBLE)
+         |                   / (CAST(tot_base AS DOUBLE) * CAST(tot_delta AS DOUBLE)))
+         |    AS is_drifted
+         |FROM g""".stripMargin,
     "q115_normalize_text" ->
       """WITH n AS (
         |  SELECT doc_id, text,
@@ -2492,48 +2694,25 @@ object TextQueries {
     // fold: a rewrite can never create a matchable pair to its left,
     // because merged tokens contain '+' and merge operands never do.
     // Docs exit the walk at mi = max(rank)+1 with their final string.
-    "q130_bpe_tokenize" ->
-      """WITH RECURSIVE m AS (
-        |  SELECT a, b, rank FROM (
-        |    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
-        |    p AS (
-        |      SELECT toks[i] AS a, toks[i + 1] AS b
-        |      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
-        |            FROM t WHERE len(toks) >= 2)),
-        |    c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2),
-        |    top AS (SELECT * FROM c ORDER BY cnt DESC, a, b LIMIT 20)
-        |    SELECT a, b, CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rank
-        |    FROM top)),
-        |mx AS (SELECT max(rank) AS mr FROM m),
-        |norm AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |walk AS (
-        |  SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s,
-        |         CAST(1 AS BIGINT) AS mi
-        |  FROM norm
-        |  UNION ALL
-        |  SELECT w.doc_id,
-        |    CASE WHEN contains(w.s, ' ' || m.a || ' ' || m.b || ' ')
-        |         THEN regexp_replace(w.s, ' ' || m.a || ' ' || m.b || ' ',
-        |                             ' ' || m.a || '+' || m.b || ' ')
-        |         ELSE w.s END,
-        |    CASE WHEN contains(w.s, ' ' || m.a || ' ' || m.b || ' ')
-        |         THEN w.mi ELSE w.mi + 1 END
-        |  FROM walk w JOIN m ON m.rank = w.mi),
-        |fin AS (
-        |  SELECT w.doc_id, trim(w.s) AS joined
-        |  FROM walk w CROSS JOIN mx
-        |  WHERE w.mi = coalesce(mx.mr, 0) + 1)
-        |SELECT n.doc_id,
-        |  CAST(len(n.toks) AS BIGINT) AS n_tokens_before,
-        |  CAST(len(list_filter(string_split(f.joined, ' '), x -> x <> ''))
-        |    AS BIGINT) AS n_tokens_after,
-        |  CAST(len(list_filter(string_split(f.joined, ' '), x -> contains(x, '+'))) AS BIGINT)
-        |    AS n_merged_tokens,
-        |  md5(f.joined) AS tokens_hash
-        |FROM norm n JOIN fin f USING (doc_id)""".stripMargin,
+    "q130_bpe_tokenize" -> q130OracleSql,
+
+    // q202: q130's gated tokenization as a derived table + a per-language
+    // integer rollup; the three ratios are single divisions of the sums.
+    "q202_tokenizer_fertility" ->
+      s"""SELECT d.lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(z.n_tokens_before) AS BIGINT) AS n_words,
+         |  CAST(sum(z.n_tokens_after) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(z.n_merged_tokens) AS BIGINT) AS n_merged_tokens,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(z.n_tokens_after) AS DOUBLE)
+         |    / CAST(sum(z.n_tokens_before) AS DOUBLE) AS fertility,
+         |  CAST(sum(d.n_chars) AS DOUBLE)
+         |    / CAST(sum(z.n_tokens_after) AS DOUBLE) AS chars_per_token,
+         |  CAST(sum(z.n_merged_tokens) AS DOUBLE)
+         |    / CAST(sum(z.n_tokens_after) AS DOUBLE) AS merged_frac
+         |FROM ($q130OracleSql) z JOIN documents d USING (doc_id)
+         |GROUP BY d.lang""".stripMargin,
     // Replays Sennrich's iterative fit itself — see bpeFitReplaySql.
     "q134_bpe_fit_apply" -> bpeFitReplaySql(5),
 

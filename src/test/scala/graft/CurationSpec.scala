@@ -65,6 +65,69 @@ class CurationSpec extends SparkSpec {
     assert(byDoc.size == 4)
   }
 
+  test("q200 boilerplate scrub removes EVERY occurrence of a df>=3 segment (q75 keeps the first)") {
+    val dir = Files.createTempDirectory("boilerplate_fixture").toString
+    val x  = (1 to 10).map(i => s"x$i").mkString(" ") // boilerplate: df = 4
+    val u0 = (1 to 10).map(i => s"u$i").mkString(" ")
+    val u1 = (1 to 10).map(i => s"v$i").mkString(" ")
+    val w  = (1 to 10).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, s"$x $u0", "en", "web", 1L), // boilerplate + unique tail
+      (1L, s"$x $u1", "en", "web", 1L),
+      (2L, x, "en", "web", 1L),         // nothing but boilerplate
+      (3L, s"$x $x", "en", "web", 1L),  // boilerplate twice (df counts DOCS)
+      (4L, w, "en", "web", 1L))         // untouched
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = CurationQueries.defs("q200_boilerplate_scrub")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the FIRST occurrence (doc 0) loses the segment too — the q75 contrast
+    assert(out(0L).getAs[Long]("n_removed") == 1L &&
+           out(0L).getAs[String]("clean_hash") == md5hex(u0) &&
+           !out(0L).getAs[Boolean]("is_dropped"))
+    assert(out(1L).getAs[String]("clean_hash") == md5hex(u1))
+    // a doc that was ALL boilerplate scrubs to empty and is dropped
+    assert(out(2L).getAs[Boolean]("is_dropped") &&
+           out(2L).getAs[String]("clean_hash") == md5hex(""))
+    // df counts distinct docs: doc 3's two copies both go
+    assert(out(3L).getAs[Long]("n_removed") == 2L &&
+           out(3L).getAs[Boolean]("is_dropped"))
+    // non-boilerplate doc is byte-identical
+    assert(out(4L).getAs[Long]("n_removed") == 0L &&
+           out(4L).getAs[String]("clean_hash") == md5hex(w))
+    // q75 on the same fixture KEEPS doc 0's copy of the segment
+    val q75 = CurationQueries.defs("q75_segment_dedup")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(q75(0L).startsWith(x))
+  }
+
+  test("q203 spacing audit: 3-epoch copies, per-doc gap identities on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CurationQueries.defs("q203_repeat_spacing")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val reps = CurationQueries.defs("q168_temperature_mixture")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_repeats")).toMap
+    val manifestRows = out.head.getAs[Long]("manifest_rows")
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_copies")
+      // every audited doc carries exactly 3 epochs of its q168 allocation
+      assert(n == 3L * reps(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("min_gap") >= 1L)
+      assert(r.getAs[Long]("min_gap") <= r.getAs[Long]("max_gap"))
+      val span = r.getAs[Long]("span")
+      assert(span >= (n - 1L) * r.getAs[Long]("min_gap"))
+      assert(span <= (n - 1L) * r.getAs[Long]("max_gap"))
+      assert(span <= manifestRows - 1L)
+    }
+    // the scatter keys work: most docs must NOT be clumped (the flag fires
+    // below a quarter of the random-scatter min-spacing expectation, so a
+    // correct permutation leaves the large majority unflagged)
+    assert(out.count(_.getAs[Boolean]("is_clumped")) * 2 < out.length)
+  }
+
   test("q76 repetition metrics handle the sub-2-token edge") {
     val byDoc = run("q76_repetition_quality")
       .collect().map(r => r.getAs[Long]("doc_id") ->

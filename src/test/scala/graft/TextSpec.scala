@@ -153,4 +153,65 @@ class TextSpec extends SparkSpec {
     assert((best.head.getAs[Long]("b").toInt, best.head.getAs[Long]("r").toInt)
       == ((pb, pr)), s"Scala replay ($pb,$pr) diverged from q174's is_best")
   }
+
+  test("q201 KS drift: monotone CDFs ending at 1, ks = max gap, size-aware bar") {
+    val rows = graft.queries.TextQueries.defs("q201_ks_drift")(
+      spark, "/root/testdata/sf0.001").orderBy("bucket").collect()
+    assert(rows.nonEmpty)
+    var pb = 0.0; var pd = 0.0; var maxGap = 0.0
+    rows.foreach { r =>
+      val cb = r.getAs[Double]("cdf_base")
+      val cd = r.getAs[Double]("cdf_delta")
+      assert(cb >= pb - 1e-12 && cd >= pd - 1e-12, "CDFs must be monotone")
+      pb = cb; pd = cd
+      maxGap = math.max(maxGap, math.abs(cb - cd))
+    }
+    assert(math.abs(rows.last.getAs[Double]("cdf_base") - 1.0) < 1e-12)
+    assert(math.abs(rows.last.getAs[Double]("cdf_delta") - 1.0) < 1e-12)
+    val ks = rows.head.getAs[Double]("ks_stat")
+    assert(rows.forall(r => math.abs(r.getAs[Double]("ks_stat") - ks) < 1e-15))
+    assert(math.abs(ks - maxGap) < 1e-9, s"ks_stat $ks != max CDF gap $maxGap")
+    assert(rows.count(_.getAs[Boolean]("is_ks_bucket")) >= 1)
+    // the α=0.05 bar is the classical c·√((nₐ+n_d)/(nₐ·n_d)) — and on a
+    // RANDOM md5 split of one corpus the statistic must sit under it
+    val nb = rows.map(_.getAs[Long]("n_base")).sum
+    val nd = rows.map(_.getAs[Long]("n_delta")).sum
+    val crit = 1.358 * math.sqrt((nb + nd).toDouble / (nb.toDouble * nd.toDouble))
+    rows.foreach(r => assert(r.getAs[Boolean]("is_drifted") == (ks > crit)))
+    assert(ks <= crit, "a random split of one distribution must not read as drift")
+  }
+
+  test("q202 fertility rollup ≡ independent per-language recompute from q130") {
+    val dir  = "/root/testdata/sf0.001"
+    val q130 = graft.queries.TextQueries.defs("q130_bpe_tokenize")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens_before"), r.getAs[Long]("n_tokens_after"),
+         r.getAs[Long]("n_merged_tokens"))).toMap
+    val docs = graft.core.Tables(spark, dir).documents
+      .select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+                           r.getAs[Long]("n_chars")))
+    val expected = docs.groupBy(_._2).map { case (lang, ds) =>
+      val t = ds.map { case (id, _, nc) =>
+        val (b, a, m) = q130(id); (b, a, m, nc)
+      }
+      lang -> (ds.length.toLong, t.map(_._1).sum, t.map(_._2).sum,
+               t.map(_._3).sum, t.map(_._4).sum)
+    }
+    val out = graft.queries.TextQueries.defs("q202_tokenizer_fertility")(
+      spark, dir).collect()
+    assert(out.map(_.getAs[String]("lang")).toSet == expected.keySet)
+    out.foreach { r =>
+      val (nDocs, words, bpe, merged, chars) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("n_words") == words)
+      assert(r.getAs[Long]("n_bpe_tokens") == bpe)
+      assert(r.getAs[Long]("n_merged_tokens") == merged)
+      assert(r.getAs[Long]("n_chars") == chars)
+      assert(r.getAs[Double]("fertility") == bpe.toDouble / words.toDouble)
+      // this BPE merges whitespace words, so fertility ≤ 1 and each merged
+      // token accounts for ≥1 of the before−after shrink
+      assert(bpe <= words && (words - bpe) >= merged)
+    }
+  }
 }
