@@ -233,7 +233,8 @@ class PlanQualitySpec extends SparkSpec {
     for (q <- Seq("q80_funnel", "q81_retention", "q75_segment_dedup",
                   "q82_ngram_novelty", "q76_repetition_quality",
                   "q91_snapshot_dedup", "q99_cluster_medoids",
-                  "q100_dataset_card", "q103_feature_hashing")) {
+                  "q100_dataset_card", "q103_feature_hashing",
+                  "q200_boilerplate_scrub")) {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("Window"), s"$q plans a window:\n$plan")
       // struct-typed min/max (q99's medoid pick) is not hash-aggregable and
@@ -558,6 +559,44 @@ class PlanQualitySpec extends SparkSpec {
     }
     assert(planOf(df).contains("BroadcastNestedLoopJoin"),
       s"stats not broadcast:\n${planOf(df)}")
+  }
+
+  test("q201 KS: every window runs over the aggregated bucket frame, never raw docs") {
+    // The corpus pass is ONE partial+final aggregation to ≤21 bucket rows;
+    // the CDF / totals / max-gap windows are legal only above that
+    // aggregate (q93's discipline).
+    val df = SparkEntry.queries("q201_ks_drift")(spark, dir)
+    val wins = physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the CDF/max-gap windows")
+    wins.foreach { w =>
+      assert(w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty, s"KS window runs over non-aggregated data:\n${planOf(df)}")
+    }
+    assert(!planOf(df).contains("CartesianProduct"))
+  }
+
+  test("q203 spacing audit keeps the prefix-sum rank shape; gaps ride a per-doc window") {
+    // Rank assignment must stay on q62's bucketed prefix sum (no global
+    // Window.orderBy over the manifest); the only corpus-keyed window is
+    // the per-doc lag whose partitions hold ≤31 rows by the packing
+    // contract.
+    val df   = SparkEntry.queries("q203_repeat_spacing")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("hashpartitioning(__pid"),
+      s"q203 lost the parallel bucket partitioning:\n$plan")
+    val offenders = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 &&
+            e.child.collect {
+              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            }.isEmpty => e
+    }
+    assert(offenders.isEmpty,
+      s"q203 funnels non-aggregated data through one partition:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("q94 robust stats broadcast back; q95 epoch rank reuses the q62 prefix-sum shape") {
