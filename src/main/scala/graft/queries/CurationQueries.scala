@@ -184,6 +184,76 @@ object CurationQueries {
     */
   private val BoilerplateDf = 3
 
+  /** The (doc_id, seg_idx, seg) frame behind q75/q200/q204 and the
+    * streaming index leg: documents split into [[SegTokens]]-token
+    * segments, reassembled in token order — one explode + one
+    * (doc_id, seg_idx)-keyed bounded aggregation.
+    */
+  private[graft] def docSegments(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"),
+               floor(col("pos") / SegTokens).cast(IntegerType).as("seg_idx"))
+      .agg(array_join(
+             transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                       x => x.getField("tok")),
+             " ").as("seg"))
+
+  /** The DF readout tail shared by the batch operators and the streaming
+    * index leg's drained-state assertion: distinct-doc counts per segment
+    * over an INCIDENCE frame (seg, doc_id), thresholded at
+    * [[BoilerplateDf]] — document frequency is counting state, so the
+    * streaming state keeps idempotent incidence rows and this tail
+    * derives the counts (a running count would double on redelivery).
+    */
+  private[graft] def boilerplateFromIncidences(inc: DataFrame): DataFrame =
+    inc.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerplateDf)
+
+  /** An index whose per-segment base counts are wrong silently corrupts
+    * every later delta merge — enforced before the write (q198's rule).
+    */
+  private val BoilerplateIdxContract: graft.model.Contract = graft.model.Contract(
+    schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seg_hash",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seg",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("base_df",
+        org.apache.spark.sql.types.LongType))),
+    notNull = Seq("seg_hash", "seg", "base_df"),
+    uniqueKeys = Seq(Seq("seg_hash")))
+
+  /** Session-scoped q204 boilerplate-index table name. */
+  def boilerplateIndexTable(s: SparkSession, dir: String): String =
+    graft.sources.Warehouse.sessionScopedName(s,
+      "graft_q204_bpidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+
+  private val bpIdxCache = new graft.core.SessionCache[String]
+
+  /** The q204 persisted boilerplate-DF index: per-segment distinct-doc
+    * counts over the BASE half (q61 md5 bucket < 50), built once per
+    * (session, dir) and bucketed by `seg_hash` so delta merges join the
+    * index side without an exchange — the q141/q145/q172
+    * build-once/probe-deltas discipline applied to segment document
+    * frequency.
+    */
+  private def boilerplateIndex(s: SparkSession, dir: String): DataFrame =
+    bpIdxCache.getOrElseUpdate(s, dir) {
+      val base = docSegments(
+          Tables(s, dir).documents.filter(capSplitBucket < 50))
+        .groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("base_df"))
+        .select(md5(col("seg")).as("seg_hash"), col("seg"), col("base_df"))
+      graft.model.Contract.enforce(
+        "q204_boilerplate_index", base, BoilerplateIdxContract)
+      graft.sources.Warehouse.writeBucketed(
+        base, boilerplateIndexTable(s, dir), "seg_hash", 16)
+      s.table(boilerplateIndexTable(s, dir))
+    }
+
   private def md5Bucket16(prefix: String, key: Column): Column = {
     // First 4 md5 hex digits as an integer in [0, 65536) — ascii
     // arithmetic, portable to the DuckDB oracle without conv().
@@ -481,17 +551,7 @@ object CurationQueries {
     // byte-exact.
     // ---------------------------------------------------------------
     "q200_boilerplate_scrub" -> { (s, dir) =>
-      val docs = Tables(s, dir).documents
-      val tok = docs.select(
-        col("doc_id"),
-        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
-      val segs = tok
-        .groupBy(col("doc_id"),
-                 floor(col("pos") / SegTokens).cast(IntegerType).as("seg_idx"))
-        .agg(array_join(
-               transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-                         x => x.getField("tok")),
-               " ").as("seg"))
+      val segs = docSegments(Tables(s, dir).documents)
       val df = segs.groupBy(col("seg"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val flagged = segs.join(df, "seg")
@@ -513,6 +573,41 @@ object CurationQueries {
                  col("n_segments").cast(DoubleType)).as("frac_removed"),
                 (lit(2L) * col("n_kept_segments") < col("n_segments"))
                   .as("is_dropped"))
+    },
+
+    // ---------------------------------------------------------------
+    // q204: INCREMENTAL boilerplate detection — q200's DF table under
+    // the q141/q145/q172/q198 build-once/probe-deltas discipline. The
+    // base half's per-segment distinct-doc counts persist as a
+    // contract-enforced table bucketed by seg_hash; a delta batch
+    // aggregates ITS segment counts (∝ delta, never re-reading the base
+    // corpus) and merges with one seg_hash join whose index side needs
+    // no exchange. Because the split halves are doc-disjoint,
+    // total = base + delta exactly. The operational readout is the
+    // boilerplate LIST the scrub consumes — and `newly_boilerplate`
+    // marks segments the delta pushed over the bar, which is exactly
+    // the remediation set: base docs containing those segments were
+    // scrubbed against stale DF and need re-scrubbing. Gated ≡ the
+    // one-shot DF restatement over the full corpus.
+    // ---------------------------------------------------------------
+    "q204_boilerplate_incremental" -> { (s, dir) =>
+      val idx = boilerplateIndex(s, dir)
+      val deltaDf = docSegments(
+          Tables(s, dir).documents.filter(capSplitBucket >= 50))
+        .groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("delta_df"))
+        .select(md5(col("seg")).as("seg_hash"), col("seg").as("dseg"),
+                col("delta_df"))
+      idx.join(deltaDf, Seq("seg_hash"), "full_outer")
+        .select(col("seg_hash"),
+                coalesce(col("seg"), col("dseg")).as("seg"),
+                coalesce(col("base_df"), lit(0L)).as("base_df"),
+                coalesce(col("delta_df"), lit(0L)).as("delta_df"))
+        .withColumn("total_df", col("base_df") + col("delta_df"))
+        .filter(col("total_df") >= BoilerplateDf)
+        .select(col("seg_hash"), col("seg"), col("base_df"),
+                col("delta_df"), col("total_df"),
+                (col("base_df") < BoilerplateDf).as("newly_boilerplate"))
     },
 
     // ---------------------------------------------------------------
@@ -2025,6 +2120,36 @@ object CurationQueries {
          |    / CAST(count(*) AS DOUBLE) AS frac_removed,
          |  2 * sum(CASE WHEN kept THEN 1 ELSE 0 END) < count(*) AS is_dropped
          |FROM flagged GROUP BY doc_id""".stripMargin,
+
+    // q204: the one-shot restatement — full-corpus per-segment DF split
+    // by the q61 md5 bucket; incremental must reproduce it bit for bit.
+    "q204_boilerplate_incremental" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |  FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks))) AS i FROM t)),
+         |seg AS (
+         |  SELECT doc_id, CAST(floor(pos / $SegTokens) AS INT) AS seg_idx,
+         |         string_agg(tok, ' ' ORDER BY pos) AS seg
+         |  FROM tok GROUP BY doc_id, seg_idx),
+         |h AS (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS hex
+         |      FROM documents),
+         |sp AS (SELECT doc_id,
+         |              (${graft.functions.HexKeys.value16Sql()} % 100) < 50
+         |                AS is_base
+         |       FROM h),
+         |per AS (
+         |  SELECT seg,
+         |    CAST(count(DISTINCT CASE WHEN is_base THEN s.doc_id END)
+         |      AS BIGINT) AS base_df,
+         |    CAST(count(DISTINCT CASE WHEN NOT is_base THEN s.doc_id END)
+         |      AS BIGINT) AS delta_df
+         |  FROM seg s JOIN sp USING (doc_id) GROUP BY seg)
+         |SELECT md5(seg) AS seg_hash, seg, base_df, delta_df,
+         |  base_df + delta_df AS total_df,
+         |  base_df < $BoilerplateDf AS newly_boilerplate
+         |FROM per WHERE base_df + delta_df >= $BoilerplateDf""".stripMargin,
 
     "q76_repetition_quality" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -455,6 +455,41 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming maintenance of the boilerplate-DF index (q204's state):
+    * each micro-batch is segmented scan-locally (the q75/q200
+    * arithmetic), collapsed to its within-batch distinct
+    * (segment, doc) INCIDENCES, and appended seg_hash-bucketed with an
+    * incidence-key anti-join as the redelivery guard. Document frequency
+    * is COUNTING state, so the state granularity must be the incidence
+    * row, not a running count — a re-delivered batch would
+    * double-increment any count-typed state, while incidence rows are
+    * naturally idempotent under the same anti-join every other index leg
+    * uses. The DF counts (and the boilerplate list q200's scrub
+    * consumes) derive from the state table through the SAME
+    * `boilerplateFromIncidences` tail the batch side uses.
+    */
+  def boilerplateIndexMaintainStream(
+      docs: DataFrame,
+      table: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val inc = graft.queries.CurationQueries.docSegments(batch.toDF())
+          .select(md5(col("seg")).as("seg_hash"), col("seg"), col("doc_id"))
+          .dropDuplicates("seg_hash", "doc_id") // in-batch redelivery guard
+          .withColumn("inc_key",
+            md5(concat(col("seg_hash"), lit("|"),
+                       col("doc_id").cast("string"))))
+          .select(col("inc_key"), col("seg_hash"), col("seg"), col("doc_id"))
+        idempotentAppendBucketed(inc, table, "seg_hash", "inc_key")
+        ()
+      }
+      .start()
+
   /** Streaming maintenance of the PERSISTED source-cap index (q198's
     * state): each micro-batch merges its documents with the current kept
     * set and re-takes the per-source md5-rank top-C, REWRITING the state

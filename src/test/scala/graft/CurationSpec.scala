@@ -104,6 +104,38 @@ class CurationSpec extends SparkSpec {
     assert(q75(0L).startsWith(x))
   }
 
+  test("q204 incremental boilerplate DF ≡ one-shot full-corpus recompute; crossing semantics") {
+    val dir = "/root/testdata/sf0.001"
+    val out = CurationQueries.defs("q204_boilerplate_incremental")(spark, dir)
+      .collect().map(r => r.getAs[String]("seg") ->
+        (r.getAs[Long]("base_df"), r.getAs[Long]("delta_df"),
+         r.getAs[Long]("total_df"), r.getAs[Boolean]("newly_boilerplate"))).toMap
+    assert(out.nonEmpty)
+    // independent one-shot recompute: full-corpus distinct-doc DF per seg
+    val docs = graft.core.Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val segDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    docs.foreach { case (id, text) =>
+      // mirror Text.tokens = split(text, " ") exactly: keep empties
+      val toks = Option(text).map(_.split(" ", -1).toSeq).getOrElse(Nil)
+      toks.grouped(10).map(_.mkString(" ")).foreach { seg =>
+        segDocs.getOrElseUpdate(seg, scala.collection.mutable.Set.empty) += id
+      }
+    }
+    val expected = segDocs.filter(_._2.size >= 3)
+    assert(out.keySet == expected.keySet,
+      s"boilerplate set mismatch: ${out.keySet.diff(expected.keySet)} / ${expected.keySet.diff(out.keySet)}")
+    out.foreach { case (seg, (b, d, t, newly)) =>
+      assert(t == expected(seg).size && t == b + d)
+      assert(newly == (b < 3))
+    }
+    // both crossing modes must actually occur on this data for the gate
+    // to mean anything: segments already boilerplate in the base, and
+    // segments the delta pushed over the bar
+    assert(out.values.exists(_._4) , "no segment crossed the bar via the delta")
+  }
+
   test("q203 spacing audit: 3-epoch copies, per-doc gap identities on real data") {
     val dir = "/root/testdata/sf0.001"
     val out = CurationQueries.defs("q203_repeat_spacing")(spark, dir).collect()

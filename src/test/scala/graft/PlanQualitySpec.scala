@@ -870,6 +870,18 @@ class PlanQualitySpec extends SparkSpec {
       s"q172 plans $hashEx chunk_hash exchanges — the bucketed index side got re-shuffled:\n$p")
   }
 
+  test("q204 merges deltas against the bucketed boilerplate index without shuffling it") {
+    val p = planOf(SparkEntry.queries("q204_boilerplate_incremental")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"q204 degenerated to a cross product:\n$p")
+    // q172's rule at segment-DF granularity: the index is 16-bucketed on
+    // seg_hash; only the DELTA side may exchange on the merge key.
+    val hashEx = "Exchange hashpartitioning\\(seg_hash".r.findAllIn(p).size
+    assert(hashEx <= 1,
+      s"q204 plans $hashEx seg_hash exchanges — the bucketed index side got re-shuffled:\n$p")
+  }
+
   test("q190/q191 manifest ranks ride the bucketed prefix sum (q62's discipline)") {
     for (q <- Seq("q190_training_order", "q191_token_budget_shards")) {
       val df   = SparkEntry.queries(q)(spark, dir)

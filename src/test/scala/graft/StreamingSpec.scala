@@ -738,6 +738,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(table).count() === want.size.toLong, "replay duplicated chunks")
   }
 
+  test("streaming boilerplate-DF index: drained readout ≡ batch DF; replay is a no-op") {
+    val docs  = graft.core.Tables(spark, dir).documents
+    val watch = java.nio.file.Files.createTempDirectory("graft-bp-watch")
+    def stageHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bp-half")
+      docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    stageHalf(col("doc_id") % 2 === 0, "b0.parquet")
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_bp_stream_idx")
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-bp-ck1").toString
+    val q1 = EventsStream.boilerplateIndexMaintainStream(
+      EventsStream.readDocuments(spark, watch.toString), table, ck1, "bp_maint_1")
+    q1.processAllAvailable()
+    stageHalf(col("doc_id") % 2 === 1, "b1.parquet")
+    q1.processAllAvailable(); q1.stop()
+    // drained state → DF readout through the SAME tail as the batch side,
+    // compared against the full-corpus distinct-doc DF (order-free: DF is
+    // a set count, so arrival order cannot matter)
+    def readout(inc: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      graft.queries.CurationQueries.boilerplateFromIncidences(inc)
+        .collect().map(r => r.getAs[String]("seg") -> r.getAs[Long]("df")).toMap
+    val got  = readout(spark.table(table).select(col("seg"), col("doc_id")))
+    val want = readout(graft.queries.CurationQueries.docSegments(docs)
+      .select(col("seg"), col("doc_id")))
+    assert(want.nonEmpty && got === want,
+      "streamed boilerplate DF diverged from the batch computation")
+    // redelivery with a fresh checkpoint: the incidence-key anti-join
+    // keeps the append a no-op
+    val n = spark.table(table).count()
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-bp-ck2").toString
+    val q2 = EventsStream.boilerplateIndexMaintainStream(
+      EventsStream.readDocuments(spark, watch.toString), table, ck2, "bp_maint_2")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(table).count() === n, "replay duplicated incidence rows")
+  }
+
   test("streaming ANN serving from the persisted IVF index ≡ batch serving; replay is a no-op") {
     val emb   = graft.core.Tables(spark, dir).embeddings
     val watch = java.nio.file.Files.createTempDirectory("graft-ann-watch")
