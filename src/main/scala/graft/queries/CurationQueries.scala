@@ -576,6 +576,40 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q205: scrub THEN dedup — the ORDERING every real pipeline must
+    // get right. Two crawls of one page differ only in nav chrome /
+    // cookie banners: raw exact dedup sees two distinct hashes and
+    // keeps both; after q200's scrub their bytes coincide and the
+    // duplicate surfaces. So exact dedup must run on the SCRUBBED
+    // text — this composition does, with q75's groupBy-min canonical
+    // over the clean hash among surviving (non-dropped) docs, and
+    // `scrub_revealed` marking groups whose raw bytes differed: the
+    // duplicates only this ordering can catch (CurationSpec proves one
+    // on a crafted pair; raw dedup provably misses it).
+    // Shape: q200's aggregates + one clean_hash groupBy (partial agg —
+    // a viral post duplicated across billions of pages collapses
+    // map-side) + the verdict equi-join. No window, no new corpus scan.
+    // ---------------------------------------------------------------
+    "q205_scrub_then_dedup" -> { (s, dir) =>
+      val scrub = defs("q200_boilerplate_scrub")(s, dir)
+        .filter(!col("is_dropped"))
+        .select(col("doc_id"), col("clean_hash"), col("n_removed"))
+      val raw = Tables(s, dir).documents
+        .select(col("doc_id"), md5(col("text")).as("raw_hash"))
+      val j = scrub.join(raw, "doc_id")
+      val firsts = j.groupBy(col("clean_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+             count(lit(1)).as("n_copies"),
+             countDistinct(col("raw_hash")).as("n_raw_variants"))
+      j.join(firsts, "clean_hash")
+        .select(col("doc_id"), col("clean_hash"), col("n_removed"),
+                col("canonical_id"), col("n_copies"),
+                (col("doc_id") === col("canonical_id")).as("is_canonical"),
+                (col("n_copies") > 1L && col("n_raw_variants") > 1L)
+                  .as("scrub_revealed"))
+    },
+
+    // ---------------------------------------------------------------
     // q204: INCREMENTAL boilerplate detection — q200's DF table under
     // the q141/q145/q172/q198 build-once/probe-deltas discipline. The
     // base half's per-segment distinct-doc counts persist as a
@@ -1820,6 +1854,36 @@ object CurationQueries {
 
   private lazy val q190OracleSql: String = manifestOracleSql(1)
 
+  /** The q200 scrub oracle — a val so q205's dedup composition can use
+    * it as a derived table (the q168OracleSql discipline).
+    */
+  private lazy val q200OracleSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+       |  FROM (SELECT doc_id, toks,
+       |               unnest(generate_series(1, len(toks))) AS i FROM t)),
+       |seg AS (
+       |  SELECT doc_id, CAST(floor(pos / $SegTokens) AS INT) AS seg_idx,
+       |         string_agg(tok, ' ' ORDER BY pos) AS seg
+       |  FROM tok GROUP BY doc_id, seg_idx),
+       |df AS (
+       |  SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM seg GROUP BY seg),
+       |flagged AS (
+       |  SELECT s.doc_id, s.seg_idx, s.seg, d.df < $BoilerplateDf AS kept
+       |  FROM seg s JOIN df d USING (seg))
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_segments,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segments,
+       |  CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  md5(coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), ''))
+       |    AS clean_hash,
+       |  CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS frac_removed,
+       |  2 * sum(CASE WHEN kept THEN 1 ELSE 0 END) < count(*) AS is_dropped
+       |FROM flagged GROUP BY doc_id""".stripMargin
+
   private lazy val q168OracleSql: String = {
       val bucket = s"(${graft.functions.HexKeys.value16Sql()})"
       s"""WITH t AS (
@@ -2094,32 +2158,25 @@ object CurationQueries {
 
     // q200: the q75 segment CTEs + distinct-doc DF, kept = df < bar,
     // md5-gated reassembly.
-    "q200_boilerplate_scrub" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |tok AS (
-         |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
-         |  FROM (SELECT doc_id, toks,
-         |               unnest(generate_series(1, len(toks))) AS i FROM t)),
-         |seg AS (
-         |  SELECT doc_id, CAST(floor(pos / $SegTokens) AS INT) AS seg_idx,
-         |         string_agg(tok, ' ' ORDER BY pos) AS seg
-         |  FROM tok GROUP BY doc_id, seg_idx),
-         |df AS (
-         |  SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-         |  FROM seg GROUP BY seg),
-         |flagged AS (
-         |  SELECT s.doc_id, s.seg_idx, s.seg, d.df < $BoilerplateDf AS kept
-         |  FROM seg s JOIN df d USING (seg))
-         |SELECT doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_segments,
-         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segments,
-         |  CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-         |  md5(coalesce(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), ''))
-         |    AS clean_hash,
-         |  CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) AS frac_removed,
-         |  2 * sum(CASE WHEN kept THEN 1 ELSE 0 END) < count(*) AS is_dropped
-         |FROM flagged GROUP BY doc_id""".stripMargin,
+    "q200_boilerplate_scrub" -> q200OracleSql,
+
+    // q205: q200's scrub as a derived table + exact dedup on the CLEAN
+    // hash among surviving docs (groupBy-min canonical, q75's rule);
+    // scrub_revealed = the group's raw bytes differed.
+    "q205_scrub_then_dedup" ->
+      s"""WITH scrub AS (SELECT * FROM ($q200OracleSql) z WHERE NOT is_dropped),
+         |j AS (
+         |  SELECT s.doc_id, s.clean_hash, s.n_removed, md5(d.text) AS raw_hash
+         |  FROM scrub s JOIN documents d USING (doc_id)),
+         |firsts AS (
+         |  SELECT clean_hash, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+         |         CAST(count(*) AS BIGINT) AS n_copies,
+         |         CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
+         |  FROM j GROUP BY clean_hash)
+         |SELECT j.doc_id, j.clean_hash, j.n_removed, f.canonical_id,
+         |  f.n_copies, j.doc_id = f.canonical_id AS is_canonical,
+         |  f.n_copies > 1 AND f.n_raw_variants > 1 AS scrub_revealed
+         |FROM j JOIN firsts f USING (clean_hash)""".stripMargin,
 
     // q204: the one-shot restatement — full-corpus per-segment DF split
     // by the q61 md5 bucket; incremental must reproduce it bit for bit.

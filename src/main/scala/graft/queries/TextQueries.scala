@@ -44,6 +44,13 @@ object TextQueries {
     */
   val ChunkDedupTokens = 20
 
+  /** q206 stop-fingerprint bar: a winnowing fingerprint present in more
+    * documents than this is excluded from overlap mining (ubiquitous
+    * phrases + 16-bit pigeonhole collisions — the hot postings keys).
+    * Shared by the Spark def and the DuckDB oracle.
+    */
+  private val WinnowDfCap = 50
+
   val defs: Map[String, Q] = Map(
     // Token counting: whitespace + BPE-ish regex tokens, distinct counts,
     // mean token length.
@@ -767,6 +774,47 @@ object TextQueries {
         .select(col("doc_id"),
                 (-col("fp.negpos")).cast(LongType).as("fp_pos"),
                 col("fp.h").cast(LongType).as("fp_hash"))
+    },
+
+    // ---------------------------------------------------------------
+    // q206: winnowing OVERLAP mining — the MOSS match step over q87's
+    // local fingerprints (Schleimer et al.'s actual use: find document
+    // pairs sharing selected fingerprints, the guarantee being that any
+    // shared run of ≥ w+k−1 tokens shares at least one). Fingerprints
+    // are 16-bit by q87's contract, so sharing is a SCREEN, not a
+    // verdict (LSH's candidate role — q36/q158-style exact verification
+    // downstream); pairs need ≥2 shared prints. Hot fingerprints
+    // (> WinnowDfCap docs: ubiquitous phrases plus pigeonholed
+    // collisions) are excluded BEFORE the postings self-join — the
+    // stop-key discipline that keeps the join skew-free at corpus scale
+    // (a fingerprint in n docs contributes n² candidate rows; the cap
+    // bounds every posting list). All counts integer; the one ratio is
+    // a single division.
+    // ---------------------------------------------------------------
+    "q206_winnow_overlap" -> { (s, dir) =>
+      val fp = defs("q87_winnow_fingerprint")(s, dir)
+        .select(col("doc_id"), col("fp_hash")).distinct()
+      val df = fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+      val rare = fp.join(df.filter(col("df") <= WinnowDfCap), "fp_hash")
+        .select(col("fp_hash"), col("doc_id"))
+      val cnt = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+      val pairs = rare.select(col("fp_hash"), col("doc_id").as("doc_a"))
+        .join(rare.select(col("fp_hash"), col("doc_id").as("doc_b")),
+              Seq("fp_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2L)
+      pairs
+        .join(cnt.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")),
+              Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")),
+              Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+                col("nfp_a"), col("nfp_b"),
+                (col("shared").cast(DoubleType) /
+                 least(col("nfp_a"), col("nfp_b")).cast(DoubleType))
+                  .as("overlap"))
     },
 
     // SimHash near-dup: 64-bit md5-derived simhash, 4×16-bit band
@@ -2413,6 +2461,35 @@ object TextQueries {
         |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 7""".stripMargin
 
+  /** The q87 winnowing oracle — a val so q206's overlap miner can
+    * compose it as a derived table (the q67Oracle discipline).
+    */
+  private lazy val q87OracleSql: String = {
+    val h16 = graft.functions.HexKeys.value16Sql()
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         md5('win|' || array_to_string(toks[i:i+3], ' ')) AS hex
+       |  FROM (SELECT doc_id, toks,
+       |               unnest(generate_series(1, len(toks) - 3)) AS i FROM t)),
+       |hashed AS (SELECT doc_id, pos, $h16 AS h FROM grams),
+       |counts AS (SELECT doc_id, count(*) AS ng FROM hashed GROUP BY doc_id),
+       |wins AS (
+       |  SELECT doc_id, ng, unnest(generate_series(0, greatest(ng - 5, 0))) AS j
+       |  FROM counts),
+       |sel AS (
+       |  SELECT g.doc_id, w.j,
+       |         min(struct_pack(h := g.h, negpos := -g.pos)) AS top
+       |  FROM hashed g JOIN wins w
+       |    ON g.doc_id = w.doc_id
+       |   AND g.pos >= w.j AND g.pos < w.j + least(5, w.ng)
+       |  GROUP BY g.doc_id, w.j)
+       |SELECT DISTINCT doc_id,
+       |  CAST(-top['negpos'] AS BIGINT) AS fp_pos,
+       |  CAST(top['h'] AS BIGINT) AS fp_hash
+       |FROM sel""".stripMargin
+  }
+
   /** The q130 BPE-apply oracle (ranked merges from q111's pair counts,
     * recursive leftmost-rewrite walk) — a val so q202's fertility rollup
     * can compose it as a derived table (the q67Oracle discipline).
@@ -2465,31 +2542,31 @@ object TextQueries {
     // window, built from an explicit window-start × gram range join (the
     // array-native Spark form and this row form select identical
     // fingerprints; DISTINCT collapses windows that picked the same gram).
-    "q87_winnow_fingerprint" -> {
-      val h16 = graft.functions.HexKeys.value16Sql()
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |grams AS (
-         |  SELECT doc_id, i - 1 AS pos,
-         |         md5('win|' || array_to_string(toks[i:i+3], ' ')) AS hex
-         |  FROM (SELECT doc_id, toks,
-         |               unnest(generate_series(1, len(toks) - 3)) AS i FROM t)),
-         |hashed AS (SELECT doc_id, pos, $h16 AS h FROM grams),
-         |counts AS (SELECT doc_id, count(*) AS ng FROM hashed GROUP BY doc_id),
-         |wins AS (
-         |  SELECT doc_id, ng, unnest(generate_series(0, greatest(ng - 5, 0))) AS j
-         |  FROM counts),
-         |sel AS (
-         |  SELECT g.doc_id, w.j,
-         |         min(struct_pack(h := g.h, negpos := -g.pos)) AS top
-         |  FROM hashed g JOIN wins w
-         |    ON g.doc_id = w.doc_id
-         |   AND g.pos >= w.j AND g.pos < w.j + least(5, w.ng)
-         |  GROUP BY g.doc_id, w.j)
-         |SELECT DISTINCT doc_id,
-         |  CAST(-top['negpos'] AS BIGINT) AS fp_pos,
-         |  CAST(top['h'] AS BIGINT) AS fp_hash
-         |FROM sel""".stripMargin
-    },
+    "q87_winnow_fingerprint" -> q87OracleSql,
+
+    // q206: q87's fingerprints as a derived table, DF-capped postings
+    // self-join, shared-count rollup + per-doc totals.
+    "q206_winnow_overlap" ->
+      s"""WITH q87 AS (SELECT doc_id, fp_hash FROM ($q87OracleSql) z),
+         |fp AS (SELECT DISTINCT doc_id, fp_hash FROM q87),
+         |df AS (SELECT fp_hash, CAST(count(*) AS BIGINT) AS df
+         |       FROM fp GROUP BY 1),
+         |rare AS (SELECT fp.doc_id, fp.fp_hash
+         |         FROM fp JOIN df USING (fp_hash) WHERE df <= $WinnowDfCap),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+         |        FROM rare GROUP BY 1),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS shared
+         |  FROM rare a JOIN rare b
+         |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT doc_a, doc_b, shared, ca.nfp AS nfp_a, cb.nfp AS nfp_b,
+         |  CAST(shared AS DOUBLE) / CAST(least(ca.nfp, cb.nfp) AS DOUBLE)
+         |    AS overlap
+         |FROM p
+         |JOIN cnt ca ON p.doc_a = ca.doc_id
+         |JOIN cnt cb ON p.doc_b = cb.doc_id""".stripMargin,
     "q30_token_stats" ->
       """WITH t AS (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id, lang, n_chars,

@@ -104,6 +104,35 @@ class CurationSpec extends SparkSpec {
     assert(q75(0L).startsWith(x))
   }
 
+  test("q205 scrub-then-dedup catches the duplicate raw exact dedup provably misses") {
+    val dir = Files.createTempDirectory("scrubdedup_fixture").toString
+    val x = (1 to 10).map(i => s"x$i").mkString(" ") // boilerplate (df = 3)
+    val u = (1 to 10).map(i => s"u$i").mkString(" ") // the shared body
+    Seq(
+      (0L, s"$x $u", "en", "web", 1L), // chrome + body
+      (1L, u, "en", "web", 1L),        // the SAME body, no chrome
+      (2L, s"$x ${(1 to 10).map(i => s"p$i").mkString(" ")}", "en", "web", 1L),
+      (3L, s"$x ${(1 to 10).map(i => s"q$i").mkString(" ")}", "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // raw exact dedup sees four distinct hashes — no duplicate anywhere
+    val rawDups = graft.queries.TextQueries.defs("q34_dedup_exact")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("is_duplicate")).count()
+    assert(rawDups == 0L, "raw dedup unexpectedly found a duplicate")
+    val out = CurationQueries.defs("q205_scrub_then_dedup")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // after the scrub docs 0 and 1 coincide: one clean group, doc 0 canonical
+    assert(out(0L).getAs[String]("clean_hash") == out(1L).getAs[String]("clean_hash"))
+    assert(out(0L).getAs[Boolean]("is_canonical") && !out(1L).getAs[Boolean]("is_canonical"))
+    assert(out(1L).getAs[Long]("canonical_id") == 0L)
+    assert(out(0L).getAs[Boolean]("scrub_revealed") && out(1L).getAs[Boolean]("scrub_revealed"))
+    // and the raw bytes really did differ (what raw dedup keyed on)
+    assert(out(0L).getAs[Long]("n_removed") == 1L && out(1L).getAs[Long]("n_removed") == 0L)
+    // docs 2/3 keep unique bodies: their groups are singletons
+    assert(!out(2L).getAs[Boolean]("scrub_revealed") &&
+           out(2L).getAs[Long]("n_copies") == 1L)
+  }
+
   test("q204 incremental boilerplate DF ≡ one-shot full-corpus recompute; crossing semantics") {
     val dir = "/root/testdata/sf0.001"
     val out = CurationQueries.defs("q204_boilerplate_incremental")(spark, dir)

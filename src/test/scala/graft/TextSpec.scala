@@ -154,6 +154,32 @@ class TextSpec extends SparkSpec {
       == ((pb, pr)), s"Scala replay ($pb,$pr) diverged from q174's is_best")
   }
 
+  test("q206 winnow overlap ≡ brute-force recompute over q87's fingerprints") {
+    val dir = "/root/testdata/sf0.001"
+    val fps = graft.queries.TextQueries.defs("q87_winnow_fingerprint")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp_hash")))
+      .toSet // distinct (doc, print) incidences
+    val df = fps.groupBy(_._2).map { case (h, s) => h -> s.size }
+    val rare = fps.filter { case (_, h) => df(h) <= 50 }
+    val nfp  = rare.groupBy(_._1).map { case (d, s) => d -> s.size.toLong }
+    val byHash = rare.groupBy(_._2).mapValues(_.map(_._1).toSeq.sorted)
+    val shared = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byHash.values.foreach { ds =>
+      for (i <- ds.indices; j <- (i + 1) until ds.size)
+        shared((ds(i), ds(j))) = shared.getOrElse((ds(i), ds(j)), 0L) + 1L
+    }
+    val want = shared.filter(_._2 >= 2L).map { case ((a, b), s) =>
+      (a, b) -> (s, nfp(a), nfp(b),
+                 s.toDouble / math.min(nfp(a), nfp(b)).toDouble)
+    }.toMap
+    val got = graft.queries.TextQueries.defs("q206_winnow_overlap")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("shared"), r.getAs[Long]("nfp_a"),
+         r.getAs[Long]("nfp_b"), r.getAs[Double]("overlap"))).toMap
+    assert(want.nonEmpty, "no overlap pairs on the test corpus — screen untestable")
+    assert(got == want, s"overlap mismatch: ${got.size} vs ${want.size} pairs")
+  }
+
   test("q201 KS drift: monotone CDFs ending at 1, ks = max gap, size-aware bar") {
     val rows = graft.queries.TextQueries.defs("q201_ks_drift")(
       spark, "/root/testdata/sf0.001").orderBy("bucket").collect()
