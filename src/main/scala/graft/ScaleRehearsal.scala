@@ -53,7 +53,13 @@ object ScaleRehearsal {
     "q161_curation_v2",         // DSIR → dedup → quota composition
     "q195_source_cap",          // bounded-heap anti-flooding cap
     "q197_ivf_list_drift",      // index-health monitor over q141's index
-    "q198_source_cap_incremental") // persisted cap state + delta merge
+    "q198_source_cap_incremental", // persisted cap state + delta merge
+    "q200_boilerplate_scrub",      // DF scrub: explode + DF agg + rebuild
+    "q204_boilerplate_incremental", // persisted DF index + delta merge
+    "q205_scrub_then_dedup",       // scrub → clean-hash dedup composition
+    "q206_winnow_overlap",         // DF-capped fingerprint postings join
+    "q201_ks_drift",               // binned two-sample KS (bounded windows)
+    "q203_repeat_spacing")         // 3-epoch manifest per-doc gap audit
 
   private def copyTable(spark: SparkSession, src: String, out: String,
                         name: String): Unit =
