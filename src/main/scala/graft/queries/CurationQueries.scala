@@ -1192,6 +1192,24 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q209: SCRUB-GATED curation — the boilerplate family plugged into
+    // the flagship composition through the same eligibility hook as
+    // q196's cap: only q200's scrub survivors (docs that kept ≥ half
+    // their segments) may be SELECTED, while the DSIR model and dup
+    // clusters stay corpus-fitted. The real-pipeline reading: a
+    // mostly-boilerplate doc must not spend selection budget, but
+    // hiding it from model fitting would silently shift every
+    // importance weight — eligibility and fitting are different scopes,
+    // and this hook keeps them separate.
+    // ---------------------------------------------------------------
+    "q209_scrubbed_curation" -> { (s, dir) =>
+      curationV2(s, dir,
+        restrict = Some(defs("q200_boilerplate_scrub")(s, dir)
+          .filter(!col("is_dropped"))
+          .select(col("doc_id"))))
+    },
+
+    // ---------------------------------------------------------------
     // q198: INCREMENTAL cap maintenance — the q141/q145/q172
     // build-once/probe-deltas discipline on q195: the base half's kept
     // set persists as a contract-enforced warehouse table (the state IS
@@ -1979,17 +1997,15 @@ object CurationQueries {
     * are eligible for the top-100 selection — exactly where the Spark def
     * applies `restrict`.
     */
-  private def curationV2OracleSql(capped: Boolean): String = {
-    val capCte = if (!capped) "" else
-      s"""capq AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, row_number() OVER (
-         |      PARTITION BY source
-         |      ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS sr
-         |    FROM documents) WHERE sr <= $SourceCapC),
-         |""".stripMargin
-    val capJoin = if (!capped) "" else
-      "  JOIN capq cp ON w.doc_id = cp.doc_id\n"
+  /** The q161/q196/q209 oracle, parameterized by an ELIGIBILITY
+    * restriction: `restrictCte` contributes a `doc_id`-valued CTE (with
+    * trailing ",\n"), `restrictJoin` the matching join line — "" / "" is
+    * the unrestricted q161.
+    */
+  private def curationV2OracleSql(restrictCte: String,
+                                  restrictJoin: String): String = {
+    val capCte  = restrictCte
+    val capJoin = restrictJoin
     s"""WITH RECURSIVE
        |${TextQueries.dupEdgeCtesSql},
        |edges AS (
@@ -2079,8 +2095,22 @@ object CurationQueries {
     // + q157's apportionment, chained exactly as the Spark def chains
     // the operators. q196 is the same chain with the q195 cap CTE
     // restricting eligibility.
-    "q161_curation_v2" -> curationV2OracleSql(capped = false),
-    "q196_capped_curation" -> curationV2OracleSql(capped = true),
+    "q161_curation_v2" -> curationV2OracleSql("", ""),
+    "q196_capped_curation" -> curationV2OracleSql(
+      s"""capq AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS sr
+         |    FROM documents) WHERE sr <= $SourceCapC),
+         |""".stripMargin,
+      "  JOIN capq cp ON w.doc_id = cp.doc_id\n"),
+    // q209: eligibility = q200's scrub survivors (NOT is_dropped).
+    "q209_scrubbed_curation" -> curationV2OracleSql(
+      s"""scrubq AS (
+         |  SELECT doc_id FROM ($q200OracleSql) sc WHERE NOT is_dropped),
+         |""".stripMargin,
+      "  JOIN scrubq sq ON w.doc_id = sq.doc_id\n"),
 
     // incremental ≡ one-shot (top-k union identity): the oracle is the
     // q195 restatement over the FULL corpus, plus the delta flag

@@ -620,6 +620,106 @@ object TextQueries {
             col("tot_delta").cast(DoubleType)))).as("is_drifted"))
     },
 
+    // ---------------------------------------------------------------
+    // q208: per-SOURCE KS outlier scan — q201's statistic swept across
+    // provenance: each source's quality-score distribution against the
+    // REST of the corpus, one row per source with its own size-aware
+    // critical value (a 100-doc source and a 10M-doc source get
+    // different bars — exactly why a fixed threshold can't run this
+    // scan). The crawl-quality triage read next to q187's stylistic
+    // JSD matrix: which source should a curator eyeball first.
+    // Scale shape: ONE corpus aggregation to the (source, bucket)
+    // lattice; the bucket-complete lattice is |sources| × ≤21 rows via
+    // a broadcast cross join of two aggregate frames; every window
+    // partitions BY SOURCE over ≤21 bucket rows (bounded partitions —
+    // the source COUNT may be huge, partition SIZE never is); the gap
+    // arithmetic is DECIMAL(38,0)-exact as in q201.
+    // ---------------------------------------------------------------
+    "q208_source_ks" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val bucketed = d
+        .select(col("source"), floor(qualityScore / 5).cast(LongType).as("bucket"))
+        .filter(col("bucket").isNotNull)
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_sb"))
+      val perBucket = bucketed.groupBy(col("bucket"))
+        .agg(sum(col("n_sb")).as("n_b")) // ≤21 rows
+      val lattice = bucketed.select(col("source")).distinct()
+        .crossJoin(broadcast(perBucket))
+        .join(bucketed, Seq("source", "bucket"), "left")
+        .select(col("source"), col("bucket"), col("n_b"),
+                coalesce(col("n_sb"), lit(0L)).as("n_in"))
+      val W = org.apache.spark.sql.expressions.Window
+      val cum = W.partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      val all = W.partitionBy(col("source"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      val dec = DecimalType(19, 0)
+      val g = lattice
+        .withColumn("cum_in", sum(col("n_in")).over(cum))
+        .withColumn("cum_all", sum(col("n_b")).over(cum))
+        .withColumn("tot_in", sum(col("n_in")).over(all))
+        .withColumn("tot_all", sum(col("n_b")).over(all))
+        .withColumn("tot_rest", col("tot_all") - col("tot_in"))
+        .withColumn("gap_num",
+          abs(col("cum_in").cast(dec) * (col("tot_all") - col("tot_in")).cast(dec) -
+              (col("cum_all") - col("cum_in")).cast(dec) * col("tot_in").cast(dec)))
+      val ks = col("ks_num").cast(DoubleType) /
+        (col("n_in").cast(DoubleType) * col("n_rest").cast(DoubleType))
+      val crit = lit(1.358) * sqrt((col("n_in") + col("n_rest")).cast(DoubleType) /
+        (col("n_in").cast(DoubleType) * col("n_rest").cast(DoubleType)))
+      g.groupBy(col("source"))
+        .agg(max(col("tot_in")).as("n_in"),
+             max(col("tot_rest")).as("n_rest"),
+             max(col("gap_num")).as("ks_num"))
+        .select(col("source"), col("n_in"), col("n_rest"),
+                ks.as("ks_stat"), crit.as("ks_crit"),
+                (ks > crit).as("is_outlier"))
+    },
+
+    // ---------------------------------------------------------------
+    // q211: character-entropy filter — the gibberish/noise signal the
+    // q33 ratio family doesn't carry (Dolma/RedPajama-class pipelines
+    // run it alongside the ratios): per document, the Shannon entropy
+    // of the CHARACTER unigram distribution, in nats. Base64 blobs,
+    // minified JS and key-mash score HIGH (≈ ln|alphabet|, uniform over
+    // a wide alphabet); "aaaa…"-style degenerate repetition scores LOW;
+    // natural prose sits in a narrow band (≈ 2.5–3.5 nats with spaces)
+    // — so BOTH tails are flagged, each by its own threshold.
+    // Scale shape: ONE scan-local char explode into a partial+final
+    // (doc_id, ch) count agg; the per-doc entropy fold sums ≤|alphabet|
+    // 1e9-quantized BIGINT terms (q78's rule, but the sum is EXACT
+    // integer arithmetic — no ordered float fold needed, so the
+    // aggregation is order-free and map-side combinable at any scale).
+    // ---------------------------------------------------------------
+    "q211_char_entropy" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .filter(col("text").isNotNull && length(col("text")) >= 1)
+      // sequence(1, n) is guarded by the length>=1 filter above: Spark's
+      // sequence DESCENDS when stop < start (sequence(1,0) = [1,0]), so an
+      // empty doc would fabricate two phantom positions, not zero.
+      val chars = d
+        .select(col("doc_id"), col("text"),
+                length(col("text")).cast(LongType).as("n_chars"))
+        .select(col("doc_id"), col("n_chars"), col("text"),
+                explode(sequence(lit(1), col("n_chars").cast("int"))).as("i"))
+        .select(col("doc_id"), col("n_chars"),
+                col("text").substr(col("i"), lit(1)).as("ch"))
+      val r = col("c").cast(DoubleType) / col("n_chars").cast(DoubleType)
+      val terms = chars
+        .groupBy(col("doc_id"), col("n_chars"), col("ch"))
+        .agg(count(lit(1)).cast(LongType).as("c"))
+        .select(col("doc_id"), col("n_chars"),
+                floor(-r * log(r) * 1e9 + 0.5).cast(LongType).as("term_q"))
+      terms.groupBy(col("doc_id"), col("n_chars"))
+        .agg(count(lit(1)).cast(LongType).as("n_distinct_chars"),
+             sum(col("term_q")).cast(LongType).as("h_q"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+                (col("h_q").cast(DoubleType) / 1e9).as("entropy_nats"),
+                (col("h_q") < 2000000000L).as("is_low_entropy"),
+                (col("h_q") > 4500000000L).as("is_high_entropy"))
+    },
+
     // n-gram Jaccard near-dup pairs via shared-shingle inverted index
     // (never all-pairs). Mined once per (session, dir) and shared with
     // the cluster-resolution query (q67) — the query-level analog of a
@@ -1105,6 +1205,29 @@ object TextQueries {
       comp.select(col("id").as("doc_id"), col("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // q207: dedup survivor WEIGHTS — the inverse-propensity correction
+    // statistics over a deduplicated corpus need: dropping near-dup
+    // cluster members biases every downstream estimate toward rare
+    // content, so each canonical carries weight = its cluster size and
+    // weighted readouts (Σ weight·n_tokens) recover raw-corpus-scale
+    // quantities from the deduped survivor set. Σ weight = n_docs by
+    // construction (every doc contributes once to its canonical).
+    // Composes q67's transitive clusters (memoized pair mining); the
+    // weight attach is one id-equi-join — no new corpus pass.
+    // ---------------------------------------------------------------
+    "q207_dedup_weights" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"),
+                size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      defs("q67_dedup_clusters")(s, dir)
+        .filter(col("is_canonical"))
+        .join(toks, "doc_id")
+        .select(col("doc_id"), col("cluster_id"),
+                col("cluster_size").as("weight"), col("n_tokens"),
+                (col("cluster_size") * col("n_tokens")).as("weighted_tokens"))
     },
 
     // q149: the SAME cluster assignment computed by large-star/small-star
@@ -2710,6 +2833,96 @@ object TextQueries {
          |                   / (CAST(tot_base AS DOUBLE) * CAST(tot_delta AS DOUBLE)))
          |    AS is_drifted
          |FROM g""".stripMargin,
+
+    // q208: q33's score, (source, bucket) lattice completed by a cross
+    // join, per-source bounded windows, HUGEINT gaps, per-source bar.
+    "q208_source_ks" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+         |    CAST(len(list_filter(toks, x -> list_contains([$enList], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id,
+         |    least(CAST(n_tokens AS DOUBLE) / 50, 1.0) * 25 + distinct_ratio * 25 +
+         |    least(stopword_ratio * 5, 1.0) * 25 + (1.0 - least(punct_ratio * 10, 1.0)) * 25 AS q
+         |  FROM m),
+         |b0 AS (
+         |  SELECT d.source, CAST(floor(s.q / 5) AS BIGINT) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS n_sb
+         |  FROM s JOIN documents d USING (doc_id)
+         |  WHERE s.q IS NOT NULL GROUP BY 1, 2),
+         |pb AS (SELECT bucket, CAST(sum(n_sb) AS BIGINT) AS n_b
+         |       FROM b0 GROUP BY 1),
+         |src AS (SELECT DISTINCT source FROM b0),
+         |lat AS (
+         |  SELECT src.source, pb.bucket, pb.n_b,
+         |         CAST(coalesce(b0.n_sb, 0) AS BIGINT) AS n_in
+         |  FROM src CROSS JOIN pb
+         |  LEFT JOIN b0 ON b0.source = src.source AND b0.bucket = pb.bucket),
+         |c AS (
+         |  SELECT source, bucket, n_in, n_b,
+         |    CAST(sum(n_in) OVER wc AS BIGINT) AS cum_in,
+         |    CAST(sum(n_b) OVER wc AS BIGINT) AS cum_all,
+         |    CAST(sum(n_in) OVER wa AS BIGINT) AS tot_in,
+         |    CAST(sum(n_b) OVER wa AS BIGINT) AS tot_all
+         |  FROM lat WINDOW
+         |    wc AS (PARTITION BY source ORDER BY bucket
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wa AS (PARTITION BY source
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |g AS (
+         |  SELECT source, tot_in, tot_all - tot_in AS tot_rest,
+         |    abs(CAST(cum_in AS HUGEINT) * (tot_all - tot_in)
+         |        - CAST(cum_all - cum_in AS HUGEINT) * tot_in) AS gap
+         |  FROM c),
+         |k AS (
+         |  SELECT source, CAST(max(tot_in) AS BIGINT) AS n_in,
+         |         CAST(max(tot_rest) AS BIGINT) AS n_rest,
+         |         max(gap) AS ks_num
+         |  FROM g GROUP BY 1)
+         |SELECT source, n_in, n_rest,
+         |  CAST(ks_num AS DOUBLE) / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks_stat,
+         |  1.358 * sqrt(CAST(n_in + n_rest AS DOUBLE)
+         |               / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE))) AS ks_crit,
+         |  CAST(ks_num AS DOUBLE) / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE))
+         |    > 1.358 * sqrt(CAST(n_in + n_rest AS DOUBLE)
+         |                   / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE)))
+         |    AS is_outlier
+         |FROM k""".stripMargin,
+
+    // q211: per-position substr explode, (doc, char) counts, 1e9-quantized
+    // BIGINT entropy terms summed exactly, both tails flagged.
+    "q211_char_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+        |ch AS (
+        |  SELECT doc_id, n_chars, substr(text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM (SELECT doc_id, text, n_chars,
+        |               unnest(generate_series(1, n_chars)) AS i FROM d)),
+        |c AS (
+        |  SELECT doc_id, n_chars, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(floor(-(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))
+        |               * ln(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))
+        |               * 1e9 + 0.5) AS BIGINT) AS term_q
+        |  FROM c),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |         CAST(sum(term_q) AS BIGINT) AS h_q
+        |  FROM t GROUP BY 1, 2)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        |  CAST(h_q AS DOUBLE) / 1e9 AS entropy_nats,
+        |  h_q < 2000000000 AS is_low_entropy,
+        |  h_q > 4500000000 AS is_high_entropy
+        |FROM h""".stripMargin,
     "q115_normalize_text" ->
       """WITH n AS (
         |  SELECT doc_id, text,
@@ -3215,6 +3428,18 @@ object TextQueries {
         |      FROM keyed)
         |WHERE sample_rank <= 50""".stripMargin,
     "q67_dedup_clusters" -> q67Oracle,
+
+    // q207: q67's clusters as a derived table — canonicals joined to
+    // token counts, weight = cluster size.
+    "q207_dedup_weights" ->
+      s"""SELECT c.doc_id, c.cluster_id,
+         |  CAST(c.cluster_size AS BIGINT) AS weight, t.n_tokens,
+         |  CAST(c.cluster_size * t.n_tokens AS BIGINT) AS weighted_tokens
+         |FROM ($q67Oracle) c
+         |JOIN (SELECT doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents) t USING (doc_id)
+         |WHERE c.is_canonical""".stripMargin,
     // q149 must reproduce q67's components EXACTLY — the oracle is shared
     // on purpose: one reachability ground truth, two CC algorithms.
     "q149_cc_star_contraction" -> q67Oracle,

@@ -500,4 +500,75 @@ class CurationSpec extends SparkSpec {
     picked.foreach(id => assert(capIds.contains(id),
       s"doc $id selected despite being cut by the source cap"))
   }
+
+  test("q209 scrub-gated curation only ever picks scrub survivors") {
+    val dir = "/root/testdata/sf0.001"
+    val survivors = SparkEntry.queries("q200_boilerplate_scrub")(spark, dir)
+      .filter(!org.apache.spark.sql.functions.col("is_dropped"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val picked = SparkEntry.queries("q209_scrubbed_curation")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(picked.nonEmpty)
+    picked.foreach(id => assert(survivors.contains(id),
+      s"doc $id selected despite being dropped by the boilerplate scrub"))
+  }
+
+  test("q207 weights telescope: Σ weight = n_docs, canonicals only, weights ≥ 1") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q207_dedup_weights")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.core.Tables(spark, dir).documents.count()
+    // every doc contributes exactly once to its canonical's weight
+    assert(rows.map(_.getAs[Long]("weight")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("weight") >= 1L)
+      // canonical: the row's doc IS its cluster representative
+      assert(r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id"))
+      assert(r.getAs[Long]("weighted_tokens") ==
+             r.getAs[Long]("weight") * r.getAs[Long]("n_tokens"))
+    }
+    // the weighted estimator moves: some cluster has size > 1 on this data
+    assert(rows.exists(_.getAs[Long]("weight") > 1L))
+  }
+
+  test("q208 per-source KS ≡ independent recompute from collected scores") {
+    val dir = "/root/testdata/sf0.001"
+    val scored = graft.queries.TextQueries.defs("q33_text_quality")(spark, dir)
+      .select("doc_id", "quality_score").collect()
+      .flatMap(r => if (r.isNullAt(1)) None // unscoreable docs: q208 drops them
+                    else Some(r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")))
+      .toMap
+    val srcOf = graft.core.Tables(spark, dir).documents
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val buckets = scored.toSeq.collect { case (id, q) if !q.isNaN =>
+      (srcOf(id), math.floor(q / 5).toLong) }
+    val allBuckets = buckets.map(_._2).distinct.sorted
+    val bySrc = buckets.groupBy(_._1)
+    val total = buckets.size.toLong
+    val want = bySrc.map { case (src, bs) =>
+      val nIn = bs.size.toLong
+      val nRest = total - nIn
+      var cumIn = 0L; var cumAll = 0L; var maxGap = BigInt(0)
+      allBuckets.foreach { b =>
+        cumIn += bs.count(_._2 == b)
+        cumAll += buckets.count(_._2 == b)
+        val gap = (BigInt(cumIn) * nRest - BigInt(cumAll - cumIn) * nIn).abs
+        if (gap > maxGap) maxGap = gap
+      }
+      src -> (nIn, nRest, maxGap.toDouble / (nIn.toDouble * nRest.toDouble))
+    }
+    val got = graft.queries.TextQueries.defs("q208_source_ks")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_rest"),
+         r.getAs[Double]("ks_stat"), r.getAs[Boolean]("is_outlier"))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (src, (nIn, nRest, ks, outlier)) =>
+      val (wIn, wRest, wKs) = want(src)
+      assert(nIn == wIn && nRest == wRest)
+      assert(math.abs(ks - wKs) < 1e-12, s"$src ks $ks != $wKs")
+      val crit = 1.358 * math.sqrt((nIn + nRest).toDouble / (nIn.toDouble * nRest.toDouble))
+      assert(outlier == (ks > crit))
+    }
+  }
 }
