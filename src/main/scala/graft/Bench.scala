@@ -39,14 +39,38 @@ object Bench {
     // in the suite). A failed sample records -1, the exception class is
     // kept per query, and any error flips the process exit code.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Round-12 verdict: a +24% serve drift (q123 2× on zero code diff) was
+    // UNATTRIBUTABLE from wall-clock alone. Every sample now records the
+    // task-level GC ms, spill bytes, and peak execution memory between
+    // bus-drained markers (ServeMetrics), so a judge can separate
+    // GC/session pressure from plan regressions using the capture alone.
+    val attrib = new org.apache.spark.graftbus.ServeMetrics
+    spark.sparkContext.addSparkListener(attrib)
+    val gcs = scala.collection.mutable.LinkedHashMap[String, List[Long]]()
+    val spills = scala.collection.mutable.LinkedHashMap[String, List[Long]]()
+    val peaks = scala.collection.mutable.LinkedHashMap[String, List[Long]]()
+    // driver heap in MB after each pass — local-mode session pressure
+    // (memoized frames + persisted tables accumulating across 200+
+    // queries) shows up here round-over-round
+    val heaps = scala.collection.mutable.ArrayBuffer[Long]()
+    def heapMb(): Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
+    }
     def sample(name: String,
                fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      attrib.reset(spark.sparkContext)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val r = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         errors.getOrElseUpdate(name, e.getClass.getSimpleName)
         -1.0
       }
+      val (gc, memSp, diskSp, peak) = attrib.snapshot(spark.sparkContext)
+      gcs(name) = gcs.getOrElse(name, Nil) :+ gc
+      spills(name) = spills.getOrElse(name, Nil) :+ (memSp + diskSp)
+      peaks(name) = peaks.getOrElse(name, Nil) :+ peak
+      r
     }
     val names = SparkEntry.queries.keys.toSeq
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]](
@@ -59,6 +83,7 @@ object Bench {
         if (!errors.contains(name))
           samples(name) = samples(name) :+ sample(name, SparkEntry.queries(name))
       }
+      heaps += heapMb()
     }
     loads += loadAvg()
     def ok(ts: List[Double]): List[Double] = ts.filter(_ >= 0.0)
@@ -123,7 +148,15 @@ object Bench {
       }.mkString("{", ",", "}")
       val sp = results.map { case (k, ts) => s"\"" + k + "\":" + s3(spreadOf(ts)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","method":"min-of-$passes-passes","build_total":${s3(buildTotal)},"serve_total":${s3(serveTotal)},"samples":$ss,"spread":$sp,"errors":${errJson(full = true)},"sf":"$sfDir","load":[${loads.map(s3).mkString(",")}],"passes":$passes}"""
+      def longMap(m: scala.collection.Map[String, List[Long]]): String =
+        names.map { k =>
+          s"\"" + k + "\":[" + m.getOrElse(k, Nil).mkString(",") + "]"
+        }.mkString("{", ",", "}")
+      // serve-side attribution (round-12 ask): per-sample task GC ms,
+      // spill bytes (memory+disk), peak task execution memory bytes, and
+      // per-pass driver heap MB — the fields that decide whether a
+      // round-over-round drift is pressure or plan.
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","method":"min-of-$passes-passes","build_total":${s3(buildTotal)},"serve_total":${s3(serveTotal)},"samples":$ss,"spread":$sp,"gc_ms":${longMap(gcs)},"spill_bytes":${longMap(spills)},"peak_mem_bytes":${longMap(peaks)},"heap_mb":[${heaps.mkString(",")}],"errors":${errJson(full = true)},"sf":"$sfDir","load":[${loads.map(s3).mkString(",")}],"passes":$passes}"""
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     catch { case _: Throwable => () }

@@ -59,7 +59,13 @@ object ScaleRehearsal {
     "q205_scrub_then_dedup",       // scrub → clean-hash dedup composition
     "q206_winnow_overlap",         // DF-capped fingerprint postings join
     "q201_ks_drift",               // binned two-sample KS (bounded windows)
-    "q203_repeat_spacing")         // 3-epoch manifest per-doc gap audit
+    "q203_repeat_spacing",         // 3-epoch manifest per-doc gap audit
+    // round-12 verdict ask #4: the two most expensive SERVING queries —
+    // the flagship curation compositions most likely to hit a
+    // composition cliff at scale — were missing from the rehearsal
+    "q196_capped_curation",        // cap-restricted curationV2 chain
+    "q209_scrubbed_curation",      // scrub-survivor-restricted curationV2
+    "q210_bpe_fit_batched")        // 16×16 batched fit (round-13 sibling)
 
   private def copyTable(spark: SparkSession, src: String, out: String,
                         name: String): Unit =

@@ -169,9 +169,72 @@ object Bpe {
     * take the same (cnt desc, a asc, b asc) argmax. Property-tested
     * (BpeSpec) and oracle-gated at 256 merges (q144).
     */
+  /** Greedy token-disjoint batch selection from a count-ordered candidate
+    * list: a candidate joins the batch iff neither of its tokens appears
+    * in any already-selected pair. Token-disjoint merges commute — each
+    * rewrites occurrences the others cannot touch — so applying the whole
+    * batch in one pass is order-independent and the batch delta algebra
+    * stays exact. Driver cost O(k²) over ≤ k candidate rows.
+    */
+  private[graft] def disjointBatch(
+      cands: Seq[(String, String)], maxBatch: Int): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = Seq.newBuilder[(String, String)]
+    var n = 0
+    cands.foreach { case (a, b) =>
+      if (n < maxBatch && !used(a) && !used(b)) {
+        used += a; used += b; out += ((a, b)); n += 1
+      }
+    }
+    out.result()
+  }
+
   def fitDelta(df: DataFrame, textCol: String, numMerges: Int,
-               stateBuckets: Int = 8): Seq[(String, String)] = {
+               stateBuckets: Int = 8): Seq[(String, String)] =
+    fitDeltaBatched(df, textCol, numMerges, maxBatch = 1,
+                    stateBuckets = stateBuckets)
+
+  /** [[fitDelta]] with MULTI-MERGE ROUNDS — the fix for the fit's last
+    * scale wall. With one merge per round, a 32k-vocab fit is
+    * round-LATENCY-bound: at the measured ~0.27 s/round the data no
+    * longer matters (the bucketed state scales, sf1 measured 1.17× for
+    * 10× data) and 32k driver-looped rounds ≈ 2.4 h regardless of
+    * cluster size. Classic batched BPE (the SentencePiece speedup):
+    * per round take the top `maxBatch` pairs by count and keep the
+    * greedy TOKEN-DISJOINT prefix ([[disjointBatch]]). Disjoint merges
+    * commute — none can create, destroy, or overlap an occurrence of
+    * another — so the round's rewrite applies them all in ONE corpus
+    * pass and the ±1 delta fold stays exact per merge. Round count drops
+    * ~`maxBatch`× (PERF.md records the measured reduction).
+    *
+    * Equivalence contract: `maxBatch = 1` IS the sequential fit (same
+    * argmax, same tie-break — fitDelta delegates here). For larger
+    * batches the merge SEQUENCE can differ from sequential exactly when
+    * a batched merge's product pair (x, a+b) would have out-counted a
+    * later batch member — the standard batched-BPE approximation
+    * (measured real on the documents corpus: a 16-batch fit diverges
+    * from sequential within the first round, so the approximation is a
+    * DOCUMENTED semantic, not a hoped-away corner). The gates pin both
+    * halves separately: BpeSpec pins batch=1 ≡ sequential on random
+    * corpora and batch>1 ≡ sequential on a token-disjoint-by-
+    * construction fixture (equivalence exactly where merges don't
+    * interact); q210 gates the batched algorithm ITSELF — top-k
+    * candidates, count-ordered tie-break, greedy disjoint selection,
+    * one-pass batch apply — against a DuckDB replay of the SAME
+    * algorithm, so one wrong selection anywhere flips some document's
+    * tokenization hash.
+    *
+    * `maxRounds` bounds the ROUND count rather than the merge count
+    * (q210's replayable contract: a fixed number of stages, each taking
+    * whatever the greedy disjoint prefix yields — a merge-count stop
+    * would truncate the final batch nondeterministically vs the replay).
+    */
+  def fitDeltaBatched(df: DataFrame, textCol: String, numMerges: Int,
+                      maxBatch: Int, stateBuckets: Int = 8,
+                      maxRounds: Int = Int.MaxValue): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     require(stateBuckets >= 2,
       s"stateBuckets must be >= 2 (a 1-bucket state is the single-task " +
         s"anti-pattern this operator exists to avoid), got $stateBuckets")
@@ -240,22 +303,38 @@ object Bpe {
       curCkpt = cur
       var sinceCkpt = 0
       var round = 0
-      while (round < numMerges) {
+      var roundsDone = 0
+      while (round < numMerges && roundsDone < maxRounds) {
+        // top maxBatch candidates, count-ordered with the sequential
+        // tie-break; the greedy token-disjoint prefix becomes this
+        // round's batch (≤ remaining merges). maxBatch=1 degenerates to
+        // the exact sequential argmax.
+        val want = math.min(maxBatch, numMerges - round)
         val top = tt("argmax")(counts.orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect())
+          .limit(maxBatch).collect())
         if (top.isEmpty) return merges // no adjacent pairs left anywhere
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges :+= ((a, b))
-        round += 1
-        if (round < numMerges) { // last merge needs no state update
-          val (ma, mb) = (a, b) // stable locals for the closures
-          // ONE weighted delta leg: hit rows emit their post-merge pairs
-          // at +1 and pre-merge pairs at −1; non-hit rows emit nothing.
+        val batch = disjointBatch(
+          top.toSeq.map(r => (r.getString(0), r.getString(1))), want)
+        merges ++= batch
+        round += batch.length
+        roundsDone += 1
+        if (round < numMerges && roundsDone < maxRounds) { // last round needs no state update
+          val bt = batch // stable local for the closures
+          // Disjoint merges commute: fold-apply is order-independent and
+          // each merge's occurrences are untouchable by the others.
+          def applyBatch(t: Seq[String]): Seq[String] =
+            bt.foldLeft(t) { case (c, (a, b)) =>
+              if (hasAdjacent(c, a, b)) applyMerge(c, a, b) else c
+            }
+          def hitsAny(t: Seq[String]): Boolean =
+            bt.exists { case (a, b) => hasAdjacent(t, a, b) }
+          // ONE weighted delta leg: hit rows emit their post-batch pairs
+          // at +1 and pre-batch pairs at −1; non-hit rows emit nothing.
           // Folded with the old counts in a single shuffle per round.
           val delta = cur.flatMap { toks =>
-            if (!hasAdjacent(toks, ma, mb)) Iterator.empty
+            if (!hitsAny(toks)) Iterator.empty
             else {
-              val out = applyMerge(toks, ma, mb)
+              val out = applyBatch(toks)
               localPairs(out).map { case (x, y) => (x, y, 1L) } ++
                 localPairs(toks).map { case (x, y) => (x, y, -1L) }
             }
@@ -265,7 +344,7 @@ object Bpe {
           freeCheckpoint(counts)
           counts = newCounts
           cur = cur
-            .map(t => if (hasAdjacent(t, ma, mb)) applyMerge(t, ma, mb) else t)
+            .map(t => if (hitsAny(t)) applyBatch(t) else t)
             .filter((t: Seq[String]) => t.length >= 2)
           sinceCkpt += 1
           if (sinceCkpt >= CkptEvery) {

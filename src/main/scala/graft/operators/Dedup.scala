@@ -46,23 +46,47 @@ object Dedup {
   private def withCachesIf(materialize: Boolean, tmp: DataFrame*)(build: => DataFrame): DataFrame =
     if (materialize) withCaches(tmp: _*)(build) else build
 
+  /** Attach `canonical_id` (= min id in the hash group) and `group_size`
+    * to every row via groupBy + join-back — NEVER a window over the
+    * content hash. A `Window.partitionBy(content_hash)` funnels each
+    * duplicate group through ONE WindowExec task with no map-side
+    * combine; at web scale the hot group (empty docs, error boilerplate,
+    * mirrored spam) is 10⁶–10⁸ rows, the exact flooded-key shape the cap
+    * operator refuses to window over. Here the hot key is bounded
+    * map-side: the partial HashAggregate collapses each task's rows to
+    * one (hash, min, count) triple BEFORE the exchange, and the
+    * join-back's right side carries only groups with ≥ 2 members (one
+    * row per duplicated hash — typically small enough for AQE to flip
+    * the join to broadcast, in which case the corpus side never
+    * re-shuffles at all). Singleton rows are their own canonical via
+    * coalesce.
+    */
+  private[graft] def attachCanonical(df: DataFrame, hashCol: String,
+                                     idCol: String): DataFrame = {
+    val dupGroups = df.groupBy(col(hashCol))
+      .agg(min(col(idCol)).as("__canon"), count(lit(1)).as("__gsize"))
+      .filter(col("__gsize") > 1L)
+    df.join(dupGroups, Seq(hashCol), "left")
+      .withColumn("canonical_id", coalesce(col("__canon"), col(idCol)))
+      .withColumn("group_size", coalesce(col("__gsize"), lit(1L)))
+      .drop("__canon", "__gsize")
+  }
+
   /** Exact dedup by content hash: every row keeps its hash, the canonical
-    * (minimum) id in its duplicate group, and a duplicate flag. One
-    * shuffle on the text hash; at scale this is a hash-partitioned
-    * window, no driver state.
+    * (minimum) id in its duplicate group, and a duplicate flag. Hot-key
+    * safe: partial+final agg plus a dup-groups-only join-back (see
+    * [[attachCanonical]]) — no per-group window, no one-task funnel on a
+    * mega-duplicate group.
     */
   def exact(df: DataFrame, idCol: String, textCol: String,
             keepInput: Boolean = false): DataFrame = {
-    val w = Window.partitionBy(col("text_hash"))
     // keepInput: retain the input columns so a composing pipeline (q110)
     // filters duplicates WITHOUT joining the corpus back by id — one
     // corpus scan instead of two
     val base =
       if (keepInput) df.withColumn("text_hash", md5(col(textCol)))
       else df.select(col(idCol), md5(col(textCol)).as("text_hash"))
-    base
-      .withColumn("canonical_id", min(col(idCol)).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
+    attachCanonical(base, "text_hash", idCol)
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
 
@@ -497,10 +521,24 @@ object Dedup {
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
     val chunks = chunkFrame(df, idCol, textCol, chunkTokens)
-    val w = Window.partitionBy(col("chunk_text"))
-    val keyed = chunks
+    // First-occurrence keep flag via groupBy + join-back on the chunk
+    // HASH (md5 — the exchange carries 32-hex keys, not chunk text), not
+    // a window over the chunk: a boilerplate chunk duplicated 10⁶–10⁸×
+    // would funnel through one WindowExec task, while the partial agg
+    // here bounds it map-side and the dup-only right side joins back
+    // small (see attachCanonical's rationale). Singletons keep via the
+    // null-min coalesce.
+    val hashed = chunks
+      .withColumn("chunk_hash", md5(col("chunk_text")))
       .withColumn("k", packedChunkKey(col("doc_id"), col("chunk_idx")))
-      .withColumn("keep_chunk", col("k") === min(col("k")).over(w))
+    val dupMin = hashed.groupBy(col("chunk_hash"))
+      .agg(min(col("k")).as("__min_k"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1L)
+      .drop("__n")
+    val keyed = hashed
+      .join(dupMin, Seq("chunk_hash"), "left")
+      .withColumn("keep_chunk",
+        col("__min_k").isNull || col("k") === col("__min_k"))
     keyed.groupBy(col("doc_id"))
       .agg(max(col("n_chunks")).as("n_chunks"),
            sum(when(col("keep_chunk"), 1L).otherwise(0L)).as("kept_chunks"),

@@ -126,9 +126,23 @@ object CurationQueries {
                                carry: Seq[String],
                                epochs: Int = 1): DataFrame = {
     import graft.functions.HexKeys
+    // epoch_copy = n_repeats · epochs packs into the ord_key's 5 low
+    // bits, so the EFFECTIVE per-epoch bound is n_repeats ≤ 31/epochs
+    // (31 at q190's epochs=1, 10 at q203's epochs=3) — checked BEFORE
+    // the explode with the epochs-aware limit in the message; the
+    // epoch_copy ≤ 31 check below stays as the packing-site defense.
+    val maxRepeats = 31L / epochs
     val rep = defs("q168_temperature_mixture")(s, dir)
       .select((col("doc_id") +: col("n_repeats") +: carry.map(col)): _*)
       .filter(col("n_repeats") >= 1L)
+      .withColumn("n_repeats",
+        when(col("n_repeats") <= maxRepeats, col("n_repeats"))
+          .otherwise(raise_error(concat(
+            lit(s"training order packs epoch_copy = n_repeats x epochs " +
+                s"into 5 bits: with epochs=$epochs the effective limit is " +
+                s"n_repeats <= $maxRepeats, got "),
+            col("n_repeats").cast(StringType)))
+            .cast(LongType)))
     val copies = rep.select((col("doc_id") +:
       explode(sequence(lit(1L), col("n_repeats") * epochs)).as("epoch_copy") +:
       carry.map(col)): _*)
@@ -141,7 +155,7 @@ object CurationQueries {
       when(col("doc_id").between(0L, 2147483647L) && col("epoch_copy") <= 31L,
            h24 * 68719476736L + col("doc_id") * 32L + col("epoch_copy"))
         .otherwise(raise_error(concat(
-          lit("training order requires 0 <= doc_id < 2^31 and n_repeats <= 31, got "),
+          lit("training order requires 0 <= doc_id < 2^31 and epoch_copy <= 31, got doc_id="),
           col("doc_id").cast(StringType)))
           .cast(LongType))
         .as("ord_key") +: carry.map(col): _*)
@@ -164,9 +178,22 @@ object CurationQueries {
       .withColumn("s1", col("doc_id") % 10 =!= 0)
       .withColumn("s2", col("s1") && col("n_toks") >= 20L)
       .withColumn("s3", col("s2") && col("quality_score") >= 40.0)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))
-    base.withColumn("text_hash", md5(col("text")))
-      .withColumn("min_id_s3", min(when(col("s3"), col("doc_id"))).over(w))
+    // Survivor-scoped canonical via groupBy + dup-only join-back (the
+    // Dedup.attachCanonical discipline): min s3-survivor id per text
+    // hash comes from a partial+final agg, and only hashes with ≥ 2 rows
+    // join back — a mega-duplicate group stays bounded map-side instead
+    // of funneling one text_hash WindowExec task. Singleton rows derive
+    // min_id_s3 locally (own id when s3, else null — the window's value).
+    val hashed = base.withColumn("text_hash", md5(col("text")))
+    val dupMin = hashed.groupBy(col("text_hash"))
+      .agg(min(when(col("s3"), col("doc_id"))).as("__min_s3"),
+           count(lit(1)).as("__n"))
+      .filter(col("__n") > 1L)
+    hashed.join(dupMin, Seq("text_hash"), "left")
+      .withColumn("min_id_s3",
+        when(col("__n").isNotNull, col("__min_s3"))
+          .otherwise(when(col("s3"), col("doc_id"))))
+      .drop("__min_s3", "__n")
       .withColumn("s4", col("s3") && col("doc_id") === col("min_id_s3"))
       .withColumn("s5",
         col("s4") && !coalesce(col("is_contaminated"), lit(false)))
@@ -200,12 +227,17 @@ object CurationQueries {
                        x => x.getField("tok")),
              " ").as("seg"))
 
-  /** The DF readout tail shared by the batch operators and the streaming
+  /** The DF readout tail shared by q200's batch scrub and the streaming
     * index leg's drained-state assertion: distinct-doc counts per segment
     * over an INCIDENCE frame (seg, doc_id), thresholded at
     * [[BoilerplateDf]] — document frequency is counting state, so the
     * streaming state keeps idempotent incidence rows and this tail
     * derives the counts (a running count would double on redelivery).
+    * q204's incremental path is the one consumer that CANNOT route
+    * through it (its counts are a base-table + delta-agg MERGE, not one
+    * aggregation over full incidences); it shares the [[BoilerplateDf]]
+    * threshold constant, and the q204-vs-q200 oracle equality is what
+    * pins the merge to this aggregation.
     */
   private[graft] def boilerplateFromIncidences(inc: DataFrame): DataFrame =
     inc.groupBy(col("seg"))
@@ -503,17 +535,11 @@ object CurationQueries {
     // task); the verdict comes back via an equi-join on the segment.
     // ---------------------------------------------------------------
     "q75_segment_dedup" -> { (s, dir) =>
-      val docs = Tables(s, dir).documents
-      val tok = docs.select(
-        col("doc_id"),
-        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
-      val segs = tok
-        .groupBy(col("doc_id"),
-                 floor(col("pos") / SegTokens).cast(IntegerType).as("seg_idx"))
-        .agg(array_join(
-               transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-                         x => x.getField("tok")),
-               " ").as("seg"))
+      // segmentation is docSegments — the single source the q200/q204
+      // family and the streaming index leg share (an inlined copy here
+      // could silently drift if SegTokens handling or token ordering
+      // changed in one place)
+      val segs = docSegments(Tables(s, dir).documents)
       val firsts = segs.groupBy(col("seg"))
         .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first_occ"))
       val flagged = segs.join(firsts, "seg")
@@ -552,11 +578,18 @@ object CurationQueries {
     // ---------------------------------------------------------------
     "q200_boilerplate_scrub" -> { (s, dir) =>
       val segs = docSegments(Tables(s, dir).documents)
-      val df = segs.groupBy(col("seg"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val flagged = segs.join(df, "seg")
+      // The boilerplate list comes from boilerplateFromIncidences — the
+      // SAME aggregation+threshold the streaming index readout uses, so
+      // the two cannot drift. Scale bonus over joining the full DF
+      // table back: the right side carries ONLY boilerplate segments
+      // (df ≥ threshold — typically a tiny fraction), so the verdict
+      // join's build side is small enough for AQE to broadcast.
+      val bp = boilerplateFromIncidences(
+          segs.select(col("seg"), col("doc_id")))
+        .select(col("seg"), lit(true).as("__bp"))
+      val flagged = segs.join(bp, Seq("seg"), "left")
         .select(col("doc_id"), col("seg_idx"), col("seg"),
-                (col("df") < BoilerplateDf).as("kept"))
+                col("__bp").isNull.as("kept"))
       flagged.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_segments"),
              sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_segments"),

@@ -44,6 +44,16 @@ object TextQueries {
     */
   val ChunkDedupTokens = 20
 
+  /** q210 batched-BPE shape: `BpeBatchRounds` rounds, each merging the
+    * greedy token-disjoint prefix of the top-`BpeBatchSize` pairs —
+    * shared by the Spark def and the DuckDB batched replay below. The
+    * contract is round-count-shaped, not merge-count-shaped (a
+    * merge-count stop would truncate the final batch nondeterministically
+    * against a fixed-stage replay).
+    */
+  private val BpeBatchRounds = 16
+  private val BpeBatchSize = 16
+
   /** q206 stop-fingerprint bar: a winnowing fingerprint present in more
     * documents than this is excluded from overlap mining (ubiquitous
     * phrases + 16-bit pigeonhole collisions — the hot postings keys).
@@ -68,14 +78,15 @@ object TextQueries {
     },
 
     // Document fingerprinting: md5 of the sorted token multiset — catches
-    // reordered duplicates; canonical id per fingerprint group.
+    // reordered duplicates; canonical id per fingerprint group, attached
+    // via the hot-key-safe groupBy+join-back (Dedup.attachCanonical), not
+    // a fingerprint window — a mega-duplicate group stays bounded
+    // map-side by the partial agg instead of funneling one WindowExec task.
     "q31_fingerprint" -> { (s, dir) =>
       val d  = Tables(s, dir).documents
       val fp = d.select(col("doc_id"),
                         Text.sortedTokenFingerprint(col("text")).as("fingerprint"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
-      fp.withColumn("canonical_id", min(col("doc_id")).over(w))
-        .withColumn("group_size", count(lit(1)).over(w))
+      graft.operators.Dedup.attachCanonical(fp, "fingerprint", "doc_id")
         .withColumn("is_reordered_dup", col("doc_id") =!= col("canonical_id"))
     },
 
@@ -432,6 +443,45 @@ object TextQueries {
                 md5(col("joined")).as("tokens_hash"))
     },
 
+    // q210: q144's fit with MULTI-MERGE ROUNDS — 16 rounds of up to 16
+    // token-disjoint merges (classic batched BPE). Round 12 left the fit
+    // round-LATENCY-bound: the bucketed state scales with data (sf1:
+    // 1.17× for 10×) but a 32k vocab is ~32k driver-looped rounds
+    // ≈ 2.4 h regardless of cluster size; batching cuts the round count
+    // ~batch× (PERF.md records the measured reduction). The batched
+    // sequence genuinely DIVERGES from sequential on this corpus (a
+    // merge's product pair can out-count a later batch member — the
+    // standard batched-BPE approximation), so the gate replays the
+    // BATCHED algorithm itself in SQL: per stage, top-16 candidates
+    // under the (cnt desc, a, b) order, recursive greedy token-disjoint
+    // selection, one-pass apply of the whole batch — md5 of every
+    // document's final tokenization pins all 16 stages' selections.
+    // BpeSpec separately pins batch=1 ≡ sequential on random corpora
+    // and batch>1 ≡ sequential on a disjoint-by-construction fixture.
+    "q210_bpe_fit_batched" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents
+      val merges = bpeBatchedFitCache.getOrElseUpdate(s, dir)(
+        graft.operators.Bpe.fitDeltaBatched(d, "text",
+          numMerges = BpeBatchRounds * BpeBatchSize,
+          maxBatch = BpeBatchSize, maxRounds = BpeBatchRounds))
+      val baseDf = d.select(col("doc_id"), col("text").cast(StringType))
+      val para = s.sparkContext.defaultParallelism
+      (if (baseDf.rdd.getNumPartitions < para)
+         baseDf.repartition(para) else baseDf).as[(Long, String)]
+        .map { case (id, text) =>
+          val toks = if (text == null) Seq.empty[String]
+                     else text.split(' ').toSeq.filter(_.nonEmpty)
+          val out  = graft.operators.Bpe.tokenize(toks, merges)
+          (id, out.length.toLong,
+           out.count(_.contains(graft.operators.Bpe.Sep)).toLong,
+           out.mkString(" "))
+        }
+        .toDF("doc_id", "n_tokens_after", "n_merged_tokens", "joined")
+        .select(col("doc_id"), col("n_tokens_after"), col("n_merged_tokens"),
+                md5(col("joined")).as("tokens_hash"))
+    },
+
     // q151: vocabulary coverage / compression curve — the tokenizer-
     // selection readout a pipeline computes BEFORE committing a vocab
     // size: corpus tokens-after, merged-token count, realized vocabulary
@@ -565,10 +615,12 @@ object TextQueries {
     // — the 100 TB shape: per-split bucket counts are ONE partial+final
     // aggregation; the CDF, totals, and max-gap windows run over the
     // ≤21-row bucket frame only (constPartition, the q109 idiom).
-    // Exactness: the CDF gap |cum_b·n_d − cum_d·n_b| is DECIMAL(38,0)
-    // (two corpus-scale factors — BIGINT overflows at ~3·10⁹ docs per
-    // side, the q168 lesson); ks_stat and the CDFs are single IEEE
-    // divisions of exact integers, so the gate hash-matches.
+    // Exactness: the CDF gap |cum_b·n_d − cum_d·n_b| casts each operand
+    // to DECIMAL(19,0); Spark promotes the products to DECIMAL(38,0),
+    // where the difference of two ≤9.2·10¹⁸-factor products fits (BIGINT
+    // products overflow at ~3·10⁹ docs per side, the q168 lesson).
+    // ks_stat and the CDFs are single IEEE divisions of exact integers,
+    // so the gate hash-matches.
     // ---------------------------------------------------------------
     "q201_ks_drift" -> { (s, dir) =>
       val d   = Tables(s, dir).documents
@@ -633,7 +685,9 @@ object TextQueries {
     // a broadcast cross join of two aggregate frames; every window
     // partitions BY SOURCE over ≤21 bucket rows (bounded partitions —
     // the source COUNT may be huge, partition SIZE never is); the gap
-    // arithmetic is DECIMAL(38,0)-exact as in q201.
+    // arithmetic is DECIMAL(19,0)-operand / DECIMAL(38,0)-product exact
+    // as in q201; a source holding the WHOLE corpus (n_rest = 0, an
+    // undefined statistic) is excluded on both sides.
     // ---------------------------------------------------------------
     "q208_source_ks" -> { (s, dir) =>
       val d = Tables(s, dir).documents
@@ -672,6 +726,12 @@ object TextQueries {
         .agg(max(col("tot_in")).as("n_in"),
              max(col("tot_rest")).as("n_rest"),
              max(col("gap_num")).as("ks_num"))
+        // a degenerate corpus where ONE source holds every doc has
+        // n_rest = 0: Spark's Divide yields NULL where DuckDB's double
+        // division yields inf — and there is no "rest" distribution to
+        // drift FROM, so the source is excluded on both sides rather
+        // than letting the engines disagree on an undefined statistic
+        .filter(col("n_rest") > 0L)
         .select(col("source"), col("n_in"), col("n_rest"),
                 ks.as("ks_stat"), crit.as("ks_crit"),
                 (ks > crit).as("is_outlier"))
@@ -686,34 +746,32 @@ object TextQueries {
     // a wide alphabet); "aaaa…"-style degenerate repetition scores LOW;
     // natural prose sits in a narrow band (≈ 2.5–3.5 nats with spaces)
     // — so BOTH tails are flagged, each by its own threshold.
-    // Scale shape: ONE scan-local char explode into a partial+final
-    // (doc_id, ch) count agg; the per-doc entropy fold sums ≤|alphabet|
-    // 1e9-quantized BIGINT terms (q78's rule, but the sum is EXACT
-    // integer arithmetic — no ordered float fold needed, so the
-    // aggregation is order-free and map-side combinable at any scale).
+    // Scale shape: PROJECTION-ONLY — the graftx CharHistogram expression
+    // computes each document's (ch, c) array in one native pass (no
+    // per-char explode: the round-12 shape amplified a 10 KB doc into
+    // 10⁴ rows before the partial agg), and the per-doc entropy is a
+    // functions.aggregate fold over that ≤|alphabet|-element array
+    // summing 1e9-quantized BIGINT terms (q78's rule; exact integer
+    // arithmetic, order-free). No Generate, no shuffle, nothing leaves
+    // the scan task.
     // ---------------------------------------------------------------
     "q211_char_entropy" -> { (s, dir) =>
       val d = Tables(s, dir).documents
         .filter(col("text").isNotNull && length(col("text")) >= 1)
-      // sequence(1, n) is guarded by the length>=1 filter above: Spark's
-      // sequence DESCENDS when stop < start (sequence(1,0) = [1,0]), so an
-      // empty doc would fabricate two phantom positions, not zero.
-      val chars = d
-        .select(col("doc_id"), col("text"),
-                length(col("text")).cast(LongType).as("n_chars"))
-        .select(col("doc_id"), col("n_chars"), col("text"),
-                explode(sequence(lit(1), col("n_chars").cast("int"))).as("i"))
-        .select(col("doc_id"), col("n_chars"),
-                col("text").substr(col("i"), lit(1)).as("ch"))
-      val r = col("c").cast(DoubleType) / col("n_chars").cast(DoubleType)
-      val terms = chars
-        .groupBy(col("doc_id"), col("n_chars"), col("ch"))
-        .agg(count(lit(1)).cast(LongType).as("c"))
-        .select(col("doc_id"), col("n_chars"),
-                floor(-r * log(r) * 1e9 + 0.5).cast(LongType).as("term_q"))
-      terms.groupBy(col("doc_id"), col("n_chars"))
-        .agg(count(lit(1)).cast(LongType).as("n_distinct_chars"),
-             sum(col("term_q")).cast(LongType).as("h_q"))
+      val base = d.select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        org.apache.spark.sql.graftx.CharHistogram.charHistogram(col("text"))
+          .as("hist"))
+      def termQ(x: Column, nChars: Column): Column = {
+        val r = x.getField("c").cast(DoubleType) / nChars.cast(DoubleType)
+        floor(-r * log(r) * 1e9 + 0.5).cast(LongType)
+      }
+      base.select(
+          col("doc_id"), col("n_chars"),
+          size(col("hist")).cast(LongType).as("n_distinct_chars"),
+          aggregate(col("hist"), lit(0L),
+                    (acc, x) => acc + termQ(x, col("n_chars"))).as("h_q"))
         .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
                 (col("h_q").cast(DoubleType) / 1e9).as("entropy_nats"),
                 (col("h_q") < 2000000000L).as("is_low_entropy"),
@@ -1543,8 +1601,7 @@ object TextQueries {
         element_at(array(lit("image"), lit("audio"), lit("video")),
                    (col("doc_id") % 3).cast("int") + 1))
       val feats = graft.operators.Multimodal.extractFeatures(media).toDF()
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
-      feats.select(
+      val sel = feats.select(
           col("media_id"), col("modality"), col("n_bytes"), col("content_hash"),
           // text payloads are not decodable images: the decode columns
           // gate the NEGATIVE path here (-1 sentinels keep dtypes stable);
@@ -1553,8 +1610,10 @@ object TextQueries {
           coalesce(col("image_width"), lit(-1L)).as("image_width"),
           coalesce(col("image_height"), lit(-1L)).as("image_height"),
           size(col("feature")).cast(LongType).as("feature_dims"))
-        .withColumn("canonical_id", min(col("media_id")).over(w))
-        .withColumn("group_size", count(lit(1)).over(w))
+      // content-hash dedup via the hot-key-safe groupBy+join-back — a
+      // mirrored asset duplicated millions of times stays bounded
+      // map-side instead of funneling one content_hash WindowExec task
+      graft.operators.Dedup.attachCanonical(sel, "content_hash", "media_id")
         .withColumn("is_duplicate", col("media_id") =!= col("canonical_id"))
     },
 
@@ -1923,6 +1982,76 @@ object TextQueries {
        |FROM t$n""".stripMargin
   }
 
+  /** The SQL replay of the BATCHED fit at `rounds` stages of up to
+    * `batch` merges each (q210): per stage, (1) the top-`batch` pair
+    * candidates under the fit's exact (cnt DESC, a, b) order with dense
+    * candidate ranks; (2) a recursive greedy token-disjoint selection
+    * walk over the rank order — a candidate is picked iff neither token
+    * appears in the accumulated used-token list, precisely
+    * [[graft.operators.Bpe.disjointBatch]]; (3) ONE apply walk per doc
+    * that iterates the picked merges in selection order, rewriting each
+    * to leftmost-fixpoint before advancing (single-merge fixpoint ≡ the
+    * greedy one-pass fold, q144's argument; batch members are
+    * token-disjoint so the apply order cannot matter). The walk state is
+    * (doc_id, s, merge_index); a doc exits when its index passes the
+    * picked count. MATERIALIZED stops DuckDB re-inlining stages (the
+    * q121 lesson).
+    */
+  private def bpeBatchedReplaySql(rounds: Int, batch: Int): String = {
+    val stages = (1 to rounds).map { k =>
+      val prev = s"t${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+         |  FROM (
+         |    SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS cnt
+         |    FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |          FROM (SELECT string_split(trim(s), ' ') AS toks FROM $prev)
+         |          WHERE len(toks) >= 2)
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, a, b LIMIT $batch),
+         |sel$k AS (
+         |  SELECT rn, a, b, [a, b] AS used, true AS picked
+         |  FROM p$k WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.rn, c.a, c.b,
+         |    CASE WHEN list_contains(s.used, c.a) OR list_contains(s.used, c.b)
+         |         THEN s.used ELSE list_concat(s.used, [c.a, c.b]) END,
+         |    NOT (list_contains(s.used, c.a) OR list_contains(s.used, c.b))
+         |  FROM sel$k s JOIN p$k c ON c.rn = s.rn + 1),
+         |pk$k AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY rn) AS mi, a, b
+         |  FROM sel$k WHERE picked),
+         |walk$k AS (
+         |  SELECT doc_id, s, CAST(1 AS BIGINT) AS mi FROM $prev
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |    CASE WHEN contains(w.s, ' ' || p.a || ' ' || p.b || ' ')
+         |         THEN regexp_replace(w.s,
+         |                ' ' || replace(p.a, '+', '\\+') || ' ' ||
+         |                       replace(p.b, '+', '\\+') || ' ',
+         |                ' ' || p.a || '+' || p.b || ' ')
+         |         ELSE w.s END,
+         |    CASE WHEN contains(w.s, ' ' || p.a || ' ' || p.b || ' ')
+         |         THEN w.mi ELSE w.mi + 1 END
+         |  FROM walk$k w JOIN pk$k p ON p.mi = w.mi),
+         |t$k AS MATERIALIZED (
+         |  SELECT doc_id, s FROM walk$k
+         |  WHERE mi = (SELECT coalesce(max(mi), 0) FROM pk$k) + 1)""".stripMargin
+    }
+    s"""WITH RECURSIVE t0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ' ' || trim(regexp_replace(text, ' +', ' ', 'g')) || ' ' AS s
+       |  FROM documents),
+       |${stages.mkString(",\n")}
+       |SELECT doc_id,
+       |  CAST(CASE WHEN trim(s) = '' THEN 0
+       |            ELSE len(string_split(trim(s), ' ')) END AS BIGINT) AS n_tokens_after,
+       |  CAST(len(list_filter(string_split(trim(s), ' '), x -> contains(x, '+'))) AS BIGINT)
+       |    AS n_merged_tokens,
+       |  md5(trim(s)) AS tokens_hash
+       |FROM t$rounds""".stripMargin
+  }
+
   /** q151's oracle: the SAME staged fit replay, read out as corpus-level
     * stats at several vocabulary checkpoints (t0 / t64 / ... are the
     * corpus after that many merges — exactly `Bpe.tokenize(_, merges
@@ -1970,6 +2099,13 @@ object TextQueries {
 
   /** q144's 256-merge delta-fit table, fitted once per (session, dir). */
   private val bpeDeltaFitCache =
+    new graft.core.SessionMemo[String, Seq[(String, String)]]
+
+  /** q210's batched (batch=16) 256-merge fit, fitted once per
+    * (session, dir) — memoized separately from q144's sequential fit so
+    * the two algorithm paths are independently exercised and timed.
+    */
+  private val bpeBatchedFitCache =
     new graft.core.SessionMemo[String, Seq[(String, String)]]
 
   /** The decoded (media_id, dhash) frame, hashed once per (session, dir)
@@ -2320,10 +2456,16 @@ object TextQueries {
       val ch = Dedup.chunkFrame(base, "doc_id", "text", ChunkDedupTokens)
         .withColumn("chunk_hash", md5(col("chunk_text")))
         .withColumn("k", Dedup.packedChunkKey(col("doc_id"), col("chunk_idx")))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))
-      val canon = ch.withColumn("is_canon", col("k") === min(col("k")).over(w))
-        .filter(col("is_canon"))
-        .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"))
+      // Only the canonical (min-k) row per hash survives, so no window
+      // and no join-back: min of the (k, doc_id, chunk_idx) struct is
+      // lexicographic with the unique packed key leading — a pure
+      // partial+final agg, hot duplicate hashes bounded map-side.
+      val canon = ch
+        .groupBy(col("chunk_hash"))
+        .agg(min(struct(col("k"), col("doc_id"), col("chunk_idx"))).as("__c"))
+        .select(col("chunk_hash"),
+                col("__c.doc_id").as("doc_id"),
+                col("__c.chunk_idx").as("chunk_idx"))
       graft.model.Contract.enforce("q172_chunk_index", canon, ChunkIndexContract)
       graft.sources.Warehouse.writeBucketed(
         canon, chunkIndexTable(s, dir), "chunk_hash", numBuckets = 16)
@@ -2347,9 +2489,19 @@ object TextQueries {
     val ch = Dedup.chunkFrame(delta, "doc_id", "text", ChunkDedupTokens)
       .withColumn("chunk_hash", md5(col("chunk_text")))
       .withColumn("k", Dedup.packedChunkKey(col("doc_id"), col("chunk_idx")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))
+    // Within-delta first occurrence via groupBy + dup-only join-back
+    // (the attachCanonical discipline) — a chunk hash flooded across the
+    // delta batch stays bounded by the partial agg, never a one-task
+    // chunk_hash window.
+    val dupMin = ch.groupBy(col("chunk_hash"))
+      .agg(min(col("k")).as("__min_k"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1L)
+      .drop("__n")
     val keyed = ch
-      .withColumn("first_in_delta", col("k") === min(col("k")).over(w))
+      .join(dupMin, Seq("chunk_hash"), "left")
+      .withColumn("first_in_delta",
+        col("__min_k").isNull || col("k") === col("__min_k"))
+      .drop("__min_k")
       .join(idx.select(col("chunk_hash"), lit(true).as("in_base")),
             Seq("chunk_hash"), "left")
       .withColumn("keep_chunk",
@@ -2892,7 +3044,8 @@ object TextQueries {
          |    > 1.358 * sqrt(CAST(n_in + n_rest AS DOUBLE)
          |                   / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE)))
          |    AS is_outlier
-         |FROM k""".stripMargin,
+         |FROM k
+         |WHERE n_rest > 0""".stripMargin,
 
     // q211: per-position substr explode, (doc, char) counts, 1e9-quantized
     // BIGINT entropy terms summed exactly, both tails flagged.
@@ -3011,6 +3164,11 @@ object TextQueries {
     // must land on the identical merge list to hash-match). DuckDB runs
     // the ~220 KB statement in ~25 s at sf0.01 — measured before gating.
     "q144_bpe_fit_delta" -> bpeFitReplaySql(256),
+    // q210: the batched algorithm replayed stage by stage — candidate
+    // ranking, greedy disjoint selection, and batch apply all pinned
+    // (see the def comment; sequential-equivalence is BpeSpec's claim,
+    // scoped to non-interacting fixtures).
+    "q210_bpe_fit_batched" -> bpeBatchedReplaySql(BpeBatchRounds, BpeBatchSize),
     "q151_vocab_coverage" -> bpeCoverageSql(256, BpeCoverageCheckpoints),
 
     "q110_corpus_build" ->

@@ -446,10 +446,18 @@ object EventsStream {
           .withColumn("chunk_hash", md5(col("chunk_text")))
           .withColumn("k", graft.operators.Dedup.packedChunkKey(
             col("doc_id"), col("chunk_idx")))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))
-        val canon = ch.withColumn("is_canon", col("k") === min(col("k")).over(w))
-          .filter(col("is_canon"))
-          .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"))
+        // Only the canonical (min-k) row per hash is appended, so this
+        // is a pure partial+final agg — min of the struct with the
+        // unique packed key leading — never a chunk_hash window: a
+        // boilerplate chunk flooding the batch stays bounded map-side
+        // instead of funneling one WindowExec task (the batch-side
+        // chunkIndex uses the same shape).
+        val canon = ch
+          .groupBy(col("chunk_hash"))
+          .agg(min(struct(col("k"), col("doc_id"), col("chunk_idx"))).as("__c"))
+          .select(col("chunk_hash"),
+                  col("__c.doc_id").as("doc_id"),
+                  col("__c.chunk_idx").as("chunk_idx"))
         idempotentAppendBucketed(canon, table, "chunk_hash", "chunk_hash")
         ()
       }

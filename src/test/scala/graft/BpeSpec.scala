@@ -106,6 +106,46 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bpe.fitDelta(docs, "text", 0))
   }
 
+  test("disjointBatch: greedy token-disjoint prefix in candidate order") {
+    // shares 'b' with the first pick → skipped; ('c','d') disjoint →
+    // picked; ('d','e') shares 'd' with a PICKED pair → skipped (used
+    // tokens accumulate only from picks); cap truncates
+    val cands = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
+    assert(Bpe.disjointBatch(cands, 5) == Seq(("a", "b"), ("c", "d"), ("x", "y")))
+    assert(Bpe.disjointBatch(cands, 2) == Seq(("a", "b"), ("c", "d")))
+    assert(Bpe.disjointBatch(Seq(("a", "a")), 3) == Seq(("a", "a")))
+  }
+
+  test("fitDeltaBatched ≡ sequential fit on a token-disjoint corpus") {
+    // Four hot bigrams over DISJOINT token sets, frequency-separated so
+    // the sequential fit picks them in order and none of their product
+    // pairs ('x+y' forms) can out-count a later pick: every phrase
+    // occurs as an isolated 2-token doc, so merging one creates NO new
+    // adjacent pairs at all — the exact "merges don't interact" regime
+    // where batched ≡ sequential holds by construction.
+    val docs = (Seq.fill(9)("aa bb") ++ Seq.fill(7)("cc dd") ++
+      Seq.fill(5)("ee ff") ++ Seq.fill(3)("gg hh")).toDF("text")
+    val seqFit = Bpe.fit(docs, "text", 4)
+    val batched = Bpe.fitDeltaBatched(docs, "text", numMerges = 4, maxBatch = 4)
+    assert(batched == seqFit, s"batched $batched != sequential $seqFit")
+    assert(seqFit == Seq(("aa", "bb"), ("cc", "dd"), ("ee", "ff"), ("gg", "hh")))
+    // and the whole set lands in ONE round (4 disjoint candidates)
+    val oneRound = Bpe.fitDeltaBatched(docs, "text", numMerges = 16,
+      maxBatch = 16, maxRounds = 1)
+    assert(oneRound == seqFit)
+  }
+
+  test("fitDeltaBatched at maxBatch=1 IS fitDelta (delegation identity)") {
+    val docs = (Seq.fill(5)("we saw new york") ++
+      Seq.fill(3)("in new york today")).toDF("text")
+    assert(Bpe.fitDeltaBatched(docs, "text", numMerges = 3, maxBatch = 1)
+      == Bpe.fitDelta(docs, "text", numMerges = 3))
+    intercept[IllegalArgumentException](
+      Bpe.fitDeltaBatched(docs, "text", 3, maxBatch = 0))
+    intercept[IllegalArgumentException](
+      Bpe.fitDeltaBatched(docs, "text", 3, maxBatch = 2, maxRounds = 0))
+  }
+
   test("pairCounts matches a hand count (scan-local pair projection)") {
     val df = Seq("a b a b", "b a").toDF("text")
     val got = Bpe.pairCounts(df, org.apache.spark.sql.functions.split(

@@ -1004,6 +1004,59 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in monitor:\n$plan")
   }
 
+  test("exact-dup family: no WindowExec partitioned by a content hash") {
+    // A window over a content hash funnels each duplicate group through
+    // ONE task with no map-side combine — at web scale the hot group
+    // (empty docs, error boilerplate, mirrored spam) is 10⁶–10⁸ rows.
+    // The canonical-id attach must be groupBy(hash) + join-back
+    // (partial+final agg bounds the hot key map-side); this gate pins
+    // the whole family to that shape.
+    val hashNames = Set("text_hash", "content_hash", "chunk_hash",
+                        "chunk_text", "fingerprint", "seg_hash")
+    val family = Seq("q31_fingerprint", "q34_dedup_exact", "q63_multimodal",
+                     "q110_corpus_build", "q169_chunk_dedup",
+                     "q172_chunk_dedup_incremental", "q182_curation_waterfall",
+                     "q186_waterfall_by_source")
+    family.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      physical(df).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.foreach { w =>
+        val partNames = w.partitionSpec.flatMap(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+        })
+        assert(!partNames.exists(hashNames.contains),
+          s"$name windows over a content hash (${partNames.mkString(",")}):\n${planOf(df)}")
+      }
+    }
+    // and the q34 canonical attach IS the partial+final agg shape:
+    // at least one aggregate pair over text_hash below the join-back
+    val q34 = SparkEntry.queries("q34_dedup_exact")(spark, dir)
+    val aggs = physical(q34).collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.exists(_.collect {
+          case at: org.apache.spark.sql.catalyst.expressions.Attribute => at.name
+        }.contains("text_hash")) => a
+    }
+    assert(aggs.size >= 2,
+      s"q34 lacks the partial+final text_hash aggregate pair:\n${planOf(q34)}")
+  }
+
+  test("q211 entropy is projection-only: no Generate, no per-char rows") {
+    // The round-12 shape exploded one row per CHARACTER (10 KB doc →
+    // 10⁴ rows) before the partial agg; the CharHistogram expression +
+    // functions.aggregate fold computes the same counts scan-locally.
+    val df = SparkEntry.queries("q211_char_entropy")(spark, dir)
+    val gens = physical(df).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.isEmpty, s"q211 still explodes rows:\n${planOf(df)}")
+    val exchanges = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"q211 shuffles a projection-only op:\n${planOf(df)}")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))

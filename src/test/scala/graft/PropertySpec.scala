@@ -251,6 +251,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CharHistogram ≡ naive code-point counts, random strings") {
+    import org.apache.spark.sql.graftx.CharHistogram
+    // non-BMP chars included: counting UTF-16 units would split the
+    // surrogate pair and diverge from DuckDB's code-point semantics
+    val sGen: Gen[Seq[String]] = Gen.listOfN(20, for {
+      n  <- Gen.choose(0, 15)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", " ", "Ω", "😀"))
+    } yield cs.mkString)
+    forSeeds(sGen) { strs =>
+      val got = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+        .select(col("id"), CharHistogram.charHistogram(col("s")).as("h"))
+        .collect().map { r =>
+          r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => x.getString(0) -> x.getLong(1))
+        }.toMap
+      strs.zipWithIndex.foreach { case (s, i) =>
+        val want = s.codePoints().toArray.toSeq
+          .map(cp => new String(Character.toChars(cp)))
+          .groupBy(identity).map { case (ch, occ) => ch -> occ.size.toLong }
+          .toSeq.sortBy(_._1)
+        assert(got(i.toLong) === want, s"s='$s'")
+      }
+    }
+  }
+
   test("exact decimal sums equal plain double sums within 1e-9 on 2-decimal data") {
     forSeeds(Gen.listOfN(200, Gen.choose(0, 5000000).map(_ / 100.0))) { xs =>
       {
