@@ -67,7 +67,12 @@ object Graph {
       .join(adj.select(col("node"), col("nbrs").as("nv")), col("v") === col("node"))
       .drop("node")
       .select(col("u"), col("v"),
-              explode(array_intersect(col("nu"), col("nv"))).as("w"))
+              // native merge-walk over the SORTED adjacency arrays:
+              // array_intersect's boxed hash set per edge row measured
+              // as 3.5–4.3 s of GC in q123's ~4.8 s warm samples — the
+              // walk allocates only the primitive result
+              explode(org.apache.spark.sql.graftx.SortedIntersect
+                .sortedIntersect(col("nu"), col("nv"))).as("w"))
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))

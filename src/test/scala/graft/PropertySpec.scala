@@ -277,6 +277,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SortedIntersect ≡ array_intersect on sorted distinct long arrays") {
+    import org.apache.spark.sql.graftx.SortedIntersect
+    // the producer contract: ascending, distinct (sort_array over a
+    // collect_list of distinct neighbors) — including empty and
+    // disjoint arrays
+    val aGen: Gen[Seq[(Seq[Long], Seq[Long])]] = Gen.listOfN(25, for {
+      na <- Gen.choose(0, 20)
+      nb <- Gen.choose(0, 20)
+      a  <- Gen.listOfN(na, Gen.choose(0L, 30L))
+      b  <- Gen.listOfN(nb, Gen.choose(0L, 30L))
+    } yield (a.distinct.sorted, b.distinct.sorted))
+    forSeeds(aGen) { pairs =>
+      val df = pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "a", "b")
+      val got = df.select(col("id"),
+          SortedIntersect.sortedIntersect(col("a"), col("b")).as("x"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = df.select(col("id"),
+          sort_array(array_intersect(col("a"), col("b"))).as("x"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got === want)
+    }
+  }
+
   test("exact decimal sums equal plain double sums within 1e-9 on 2-decimal data") {
     forSeeds(Gen.listOfN(200, Gen.choose(0, 5000000).map(_ / 100.0))) { xs =>
       {
