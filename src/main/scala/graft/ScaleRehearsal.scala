@@ -65,7 +65,8 @@ object ScaleRehearsal {
     // composition cliff at scale — were missing from the rehearsal
     "q196_capped_curation",        // cap-restricted curationV2 chain
     "q209_scrubbed_curation",      // scrub-survivor-restricted curationV2
-    "q210_bpe_fit_batched")        // 16×16 batched fit (round-13 sibling)
+    "q210_bpe_fit_batched",        // 16×16 batched fit (round-13 sibling)
+    "q213_snm_simhash")            // sorted-neighborhood simhash screen
 
   private def copyTable(spark: SparkSession, src: String, out: String,
                         name: String): Unit =

@@ -630,6 +630,114 @@ object Dedup {
     }
   }
 
+  /** Sorted-neighborhood simhash candidate mining (Manku, Jain & Das
+    * Sarma, WWW'07 — the production simhash dedup design; public
+    * algorithm): the OTHER standard simhash screen next to banding
+    * ([[simhashPairs]]). Banding is exact only to hamming ≤ bands−1
+    * (pigeonhole); past that its recall decays sharply. The sorted
+    * screen instead sorts the distinct simhash VALUES under R
+    * bit-rotations of their hex form and pairs values within a ±W
+    * sliding window of each sorted order — values differing only in
+    * low-order bits of SOME rotation sort adjacent, so the screen
+    * reaches hamming distances banding cannot, at cost R sorts of the
+    * DISTINCT-value table (≪ corpus).
+    *
+    * Scale shape, piece by piece:
+    *  - identical simhashes collapse FIRST via a partial+final value
+    *    agg (count + min doc id) — the flooded-key discipline: a
+    *    mega-duplicate group contributes ONE sorted row, its membership
+    *    handled by the q34 family, never by this screen;
+    *  - rotation by 4r hex digits is a bijection on the 16-hex key, so
+    *    ORDER BY key alone is total over distinct values and the
+    *    uppercase-hex string order IS unsigned numeric order (both
+    *    engines agree);
+    *  - the global sort is a driver-literal RANGE bucketing on a 48-bit
+    *    numeric proxy (quantile-balanced even when values cluster — and
+    *    they do: clustering is the point) + per-bucket windows, never a
+    *    global row_number: the in-bucket ±W pairs come from one lead()
+    *    pass, and boundary-crossing pairs from the ≤2W-per-bucket
+    *    head/tail frame self-joined on exact global rank (bucket-count
+    *    prefix offsets, constant-sized). Exact for ANY bucket sizes: a
+    *    pair within window W that crosses a bucket boundary has < W
+    *    same-bucket rows after its left end and < W before its right
+    *    end, so both ends are in the head/tail frame.
+    *  - candidates verify by `bit_count(xor)` on the original packed
+    *    longs — two codegen'd integer ops.
+    *
+    * Output is VALUE-level: one row per candidate simhash pair with
+    * hamming ≤ maxHamming, each side carrying its doc count and
+    * canonical (min) doc id for remediation.
+    */
+  def snmPairs(df: DataFrame, idCol: String, textCol: String,
+               windowW: Int = 2, rotations: Int = 4,
+               maxHamming: Int = 8, buckets: Int = 32): DataFrame = {
+    require(windowW >= 1 && rotations >= 1 && rotations <= 16)
+    val vals = simhash(df, idCol, textCol)
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
+      .withColumn("h", lpad(hex(col("simhash")), 16, "0"))
+    val keys = (0 until rotations).map { r =>
+      val d = 4 * r
+      vals.select(lit(r).as("rot"),
+        (if (d == 0) col("h")
+         else concat(substring(col("h"), d + 1, 16 - d),
+                     substring(col("h"), 1, d))).as("k"),
+        col("h"))
+    }.reduce(_ unionByName _)
+    // 48-bit proxy: first 12 hex digits as a number — order-consistent
+    // with the full key's string order, exact in a double. Internal
+    // only (bucketing); the result is bucketing-independent.
+    val withProxy = keys.withColumn("__proxy",
+      conv(substring(col("k"), 1, 12), 16, 10).cast(DoubleType))
+    val bounds = Sharding.boundaries(withProxy, "__proxy", buckets)
+    val bucket: Column = bounds.zipWithIndex
+      .foldRight(lit(bounds.length): Column) { case ((b, i), rest) =>
+        when(col("__proxy") <= b, i).otherwise(rest)
+      }
+    val ranked = withProxy.withColumn("__b", bucket.cast(LongType))
+    val wOrd = Window.partitionBy(col("rot"), col("__b")).orderBy(col("k"))
+    val rn = ranked.withColumn("rn", row_number().over(wOrd))
+    val inBucket = (1 to windowW).map { d =>
+      rn.select(col("h").as("h_a"), lead(col("h"), d).over(wOrd).as("h_b"))
+        .filter(col("h_b").isNotNull)
+    }.reduce(_ unionByName _)
+    val counts = rn.groupBy(col("rot"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val offsets = counts.withColumn("__off",
+      coalesce(
+        sum(col("__n")).over(Window.partitionBy(col("rot")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val edgeRows = rn
+      .join(broadcast(counts), Seq("rot", "__b"))
+      .filter(col("rn") <= windowW || col("rn") > col("__n") - windowW)
+      .join(broadcast(offsets.select(col("rot"), col("__b"), col("__off"))),
+            Seq("rot", "__b"))
+      .select(col("rot"), col("__b"), col("h"),
+              (col("__off") + col("rn")).as("grank"))
+    val boundary = edgeRows.as("a").join(edgeRows.as("b"),
+        col("a.rot") === col("b.rot") &&
+        col("b.grank") - col("a.grank") >= 1 &&
+        col("b.grank") - col("a.grank") <= windowW &&
+        col("a.__b") =!= col("b.__b"))
+      .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
+    val cand = inBucket.unionByName(boundary)
+      .select(least(col("h_a"), col("h_b")).as("sh_a"),
+              greatest(col("h_a"), col("h_b")).as("sh_b"))
+      .distinct()
+    val va = vals.select(col("h").as("sh_a"), col("simhash").as("__sa"),
+      col("n_docs").as("n_docs_a"), col("canonical").as("canonical_a"))
+    val vb = vals.select(col("h").as("sh_b"), col("simhash").as("__sb"),
+      col("n_docs").as("n_docs_b"), col("canonical").as("canonical_b"))
+    cand.join(va, "sh_a").join(vb, "sh_b")
+      .withColumn("hamming_distance",
+        bit_count(col("__sa") bitwiseXOR col("__sb")).cast(LongType))
+      .filter(col("hamming_distance") <= maxHamming)
+      .select(col("sh_a"), col("sh_b"), col("hamming_distance"),
+              col("n_docs_a"), col("canonical_a"),
+              col("n_docs_b"), col("canonical_b"))
+  }
+
   /** The standard duplicate edge set for cluster resolution: exact-dup
     * star edges (canonical → dup) plus verified Jaccard near-dup pairs at
     * `threshold`. One definition shared by the oracle-gated query (q67)

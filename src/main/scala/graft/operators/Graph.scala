@@ -61,19 +61,28 @@ object Graph {
     // guarantee — so no hub ever materializes a quadratic set.
     val adj = o.groupBy(col("u").as("node"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    // q123's warm cost measured ~85% GC (bench gc_ms) — allocation
+    // churn, not compute, so both per-TRIANGLE allocation sites are
+    // rewritten to per-EDGE ones (1.9M triangles vs far fewer edges at
+    // sf0.1): (a) the intersection is a native merge-walk over the
+    // SORTED adjacency arrays (SortedIntersect — array_intersect builds
+    // a boxed hash set per edge row); (b) the per-node participation
+    // emit builds ONE concat array per triangle-bearing edge
+    // (w₁..wₖ, u×k, v×k) instead of a (u,v,w) struct row plus a 3-array
+    // per triangle — same exploded multiset, k-fold fewer allocations.
     val tris = o
       .join(adj.select(col("node"), col("nbrs").as("nu")), col("u") === col("node"))
       .drop("node")
       .join(adj.select(col("node"), col("nbrs").as("nv")), col("v") === col("node"))
       .drop("node")
       .select(col("u"), col("v"),
-              // native merge-walk over the SORTED adjacency arrays:
-              // array_intersect's boxed hash set per edge row measured
-              // as 3.5–4.3 s of GC in q123's ~4.8 s warm samples — the
-              // walk allocates only the primitive result
-              explode(org.apache.spark.sql.graftx.SortedIntersect
-                .sortedIntersect(col("nu"), col("nv"))).as("w"))
-    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+              org.apache.spark.sql.graftx.SortedIntersect
+                .sortedIntersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    tris.select(explode(concat(
+        col("ws"),
+        array_repeat(col("u"), size(col("ws"))),
+        array_repeat(col("v"), size(col("ws"))))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
   }

@@ -44,6 +44,18 @@ object TextQueries {
     */
   val ChunkDedupTokens = 20
 
+  /** q213 sorted-neighborhood shape: ±`SnmWindow` sliding window over
+    * `SnmRotations` hex-rotation sort orders of the distinct simhash
+    * values, verified to hamming ≤ `SnmMaxHamming` — shared by the
+    * Spark def and the DuckDB global-window replay below. Window and
+    * rotations follow Manku et al.'s sorted-table design; the hamming
+    * bar sits past q41's banding-exact range (≤ 3) on purpose: this
+    * screen exists for the distances banding can't certify.
+    */
+  private val SnmWindow = 2
+  private val SnmRotations = 4
+  private val SnmMaxHamming = 8
+
   /** q210 batched-BPE shape: `BpeBatchRounds` rounds, each merging the
     * greedy token-disjoint prefix of the top-`BpeBatchSize` pairs —
     * shared by the Spark def and the DuckDB batched replay below. The
@@ -978,6 +990,24 @@ object TextQueries {
     // SimHash near-dup: 64-bit md5-derived simhash, 4×16-bit band
     // candidates, Hamming-verified.
     "q41_simhash" -> { (s, dir) => simhashQuery(s, dir) },
+
+    // q213: sorted-neighborhood simhash mining (Manku et al., WWW'07 —
+    // the production simhash design) — the screen for the hamming range
+    // banding can't reach: q41's 4×16 banding is exact only to
+    // hamming ≤ 3; this sorts the DISTINCT simhash values under 4
+    // hex-rotations and pairs values within a ±2 window of each order,
+    // verifying to hamming ≤ 8. Identical values collapse first
+    // (partial+final agg — the flooded-key discipline), the sort is a
+    // driver-quantile range bucketing + per-bucket windows (never a
+    // global row_number), and boundary-crossing pairs come from the
+    // ≤2W-per-bucket head/tail frame at exact global ranks. The oracle
+    // replays the GLOBAL sliding window per rotation — the equivalence
+    // of the bucketed two-level form to the global window IS the gate.
+    "q213_snm_simhash" -> { (s, dir) =>
+      graft.operators.Dedup.snmPairs(Tables(s, dir).documents, "doc_id",
+        "text", windowW = SnmWindow, rotations = SnmRotations,
+        maxHamming = SnmMaxHamming)
+    },
 
     // Containment (asymmetric Jaccard) near-superset pairs: the
     // boilerplate/quotation detector — |A∩B|/|A| ≥ 0.8 with A the
@@ -2050,6 +2080,37 @@ object TextQueries {
        |    AS n_merged_tokens,
        |  md5(trim(s)) AS tokens_hash
        |FROM t$rounds""".stripMargin
+  }
+
+  /** The `ex/hx/sums/sh` CTE chain computing the 64-bit packed simhash
+    * per document — `Dedup.simhash`'s exact SQL twin (trigram shingles,
+    * md5 bit features, sign-of-sum packing; bit 0 is the sign bit, so
+    * its literal is the min-long expression — DuckDB rejects 1 << 63 as
+    * overflow). Shared by the q41 banding oracle and the q213
+    * sorted-neighborhood oracle so the two screens are pinned to ONE
+    * fingerprint definition.
+    */
+  private def simhash64CtesSql: String = {
+    val bitSums = (0 until 64).map { b =>
+      val ch = s"substring(hex, ${b / 4 + 1}, 1)"
+      val v  = s"(CASE WHEN ascii($ch) <= 57 THEN ascii($ch) - 48 ELSE ascii($ch) - 87 END)"
+      s"SUM((($v >> ${3 - b % 4}) % 2) * 2 - 1) AS s_$b"
+    }.mkString(",\n        ")
+    val packed = (0 until 64).map { b =>
+      val bitLit = if (b == 0) "(-9223372036854775807 - 1)" else s"${1L << (63 - b)}"
+      s"(CASE WHEN s_$b >= 0 THEN $bitLit ELSE 0 END)"
+    }.mkString(" | ")
+    s"""ex AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+       |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS token
+       |  FROM documents),
+       |hx AS (SELECT doc_id, md5(token) AS hex FROM ex),
+       |sums AS (
+       |  SELECT doc_id,
+       |        $bitSums
+       |  FROM hx GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $packed AS simhash FROM sums)""".stripMargin
   }
 
   /** q151's oracle: the SAME staged fit replay, read out as corpus-level
@@ -3504,29 +3565,40 @@ object TextQueries {
       |  CAST($bands AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band
       |FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id""".stripMargin
     },
+    // q213: the GLOBAL sliding window per rotation — DuckDB affords the
+    // single-node row_number; the Spark side's bucketed two-level
+    // equivalent must reproduce it exactly (that equivalence IS the
+    // gate). Same simhash CTEs as q41: one fingerprint definition.
+    "q213_snm_simhash" -> {
+      s"""WITH $simhash64CtesSql,
+         |vals AS (
+         |  SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(min(doc_id) AS BIGINT) AS canonical,
+         |         lpad(to_hex(simhash), 16, '0') AS h
+         |  FROM sh GROUP BY 1),
+         |keys AS (
+         |  SELECT r, h,
+         |    CASE WHEN r = 0 THEN h
+         |         ELSE substr(h, 4*r + 1) || substr(h, 1, 4*r) END AS k
+         |  FROM vals CROSS JOIN (SELECT unnest([${(0 until SnmRotations).mkString(", ")}]) AS r)),
+         |rk AS (
+         |  SELECT r, h, row_number() OVER (PARTITION BY r ORDER BY k) AS rn
+         |  FROM keys),
+         |cand AS (
+         |  SELECT DISTINCT least(a.h, b.h) AS sh_a, greatest(a.h, b.h) AS sh_b
+         |  FROM rk a JOIN rk b
+         |    ON a.r = b.r AND b.rn - a.rn BETWEEN 1 AND $SnmWindow)
+         |SELECT c.sh_a, c.sh_b,
+         |  CAST(bit_count(xor(va.simhash, vb.simhash)) AS BIGINT) AS hamming_distance,
+         |  va.n_docs AS n_docs_a, va.canonical AS canonical_a,
+         |  vb.n_docs AS n_docs_b, vb.canonical AS canonical_b
+         |FROM cand c
+         |JOIN vals va ON c.sh_a = va.h
+         |JOIN vals vb ON c.sh_b = vb.h
+         |WHERE bit_count(xor(va.simhash, vb.simhash)) <= $SnmMaxHamming""".stripMargin
+    },
     "q41_simhash" -> {
-      val bitSums = (0 until 64).map { b =>
-        val ch = s"substring(hex, ${b / 4 + 1}, 1)"
-        val v  = s"(CASE WHEN ascii($ch) <= 57 THEN ascii($ch) - 48 ELSE ascii($ch) - 87 END)"
-        s"SUM((($v >> ${3 - b % 4}) % 2) * 2 - 1) AS s_$b"
-      }.mkString(",\n        ")
-      // Packed int64 simhash: bit 0 is the sign bit, so its literal is the
-      // min-long expression (DuckDB rejects 1 << 63 as overflow).
-      val packed = (0 until 64).map { b =>
-        val bitLit = if (b == 0) "(-9223372036854775807 - 1)" else s"${1L << (63 - b)}"
-        s"(CASE WHEN s_$b >= 0 THEN $bitLit ELSE 0 END)"
-      }.mkString(" | ")
-      s"""WITH ex AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
-         |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS token
-         |  FROM documents),
-         |hx AS (SELECT doc_id, md5(token) AS hex FROM ex),
-         |sums AS (
-         |  SELECT doc_id,
-         |        $bitSums
-         |  FROM hx GROUP BY doc_id),
-         |sh AS (SELECT doc_id, $packed AS simhash FROM sums),
+      s"""WITH $simhash64CtesSql,
          |bands AS (
          |  SELECT doc_id, simhash, k AS band_idx, (simhash >> (48 - k * 16)) & 65535 AS band_val
          |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),

@@ -372,4 +372,46 @@ class DedupSpec extends SparkSpec {
       assert(durable(q) == local(q), s"$q diverged under durable cuts")
     }
   }
+
+  test("snmPairs: bucket-invariant, and window >= n recovers brute force") {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+    def key(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    // (1) the bucketed two-level sliding window is bucketing-INDEPENDENT:
+    // 2 vs 7 range buckets must produce identical pairs (in-bucket lead
+    // pairs + boundary head/tail cross change shape, the result must not)
+    val at2 = key(Dedup.snmPairs(docs, "doc_id", "text", buckets = 2))
+    val at7 = key(Dedup.snmPairs(docs, "doc_id", "text", buckets = 7))
+    assert(at2 == at7, "SNM output depends on the bucket count")
+    assert(at2.nonEmpty, "fixture mined no SNM pairs - gate is vacuous")
+    // (2) every reported hamming really is bit_count(xor) of the parsed
+    // hex values and respects the bar + orientation
+    Dedup.snmPairs(docs, "doc_id", "text", buckets = 3).collect().foreach { r =>
+      val (ha, hb) = (r.getString(0), r.getString(1))
+      val d = java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(ha, 16) ^
+        java.lang.Long.parseUnsignedLong(hb, 16))
+      assert(ha < hb, "pair not oriented")
+      assert(r.getLong(2) == d && d <= 8, s"hamming mismatch: $ha $hb")
+    }
+    // (3) with W >= distinct values, every rotation's window covers ALL
+    // pairs, so SNM must equal the brute-force screen at the same bar
+    val small = docs.filter(col("doc_id") < 40)
+    val n = Dedup.simhash(small, "doc_id", "text")
+      .select(col("simhash")).distinct().count().toInt
+    val full = Dedup.snmPairs(small, "doc_id", "text", windowW = n, buckets = 3)
+    val sigs = Dedup.simhash(small, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vals = sigs.groupBy(_._2).map { case (sh, g) =>
+      (sh, g.map(_._1).min, g.size.toLong) }.toSeq
+    val brute = (for {
+      (sa, ca, na) <- vals; (sb, cb, nb) <- vals
+      if sa != sb
+      ha = f"$sa%016X"; hb = f"$sb%016X"
+      if ha < hb && java.lang.Long.bitCount(sa ^ sb) <= 8
+    } yield s"$ha|$hb|${java.lang.Long.bitCount(sa ^ sb)}|$na|$ca|$nb|$cb").toSet
+    assert(key(full) == brute.map(_.toString),
+      "full-window SNM diverged from brute force")
+  }
 }

@@ -1057,6 +1057,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges.isEmpty, s"q211 shuffles a projection-only op:\n${planOf(df)}")
   }
 
+  test("q213 SNM: every window is partitioned (no global sort through one task)") {
+    // The sorted-neighborhood screen's whole point at scale is that the
+    // global sliding window is realized as range-bucketed per-bucket
+    // windows + a constant-sized boundary frame — a WindowExec with an
+    // empty partitionSpec would be the single-task global sort the
+    // design exists to avoid.
+    val df = SparkEntry.queries("q213_snm_simhash")(spark, dir)
+    val wins = physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the per-bucket rank/lead windows")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"global (unpartitioned) window in q213:\n${planOf(df)}")
+    }
+    assert(!planOf(df).contains("CartesianProduct"),
+      s"cartesian in q213:\n${planOf(df)}")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
