@@ -668,14 +668,32 @@ object Dedup {
     * hamming ≤ maxHamming, each side carrying its doc count and
     * canonical (min) doc id for remediation.
     */
-  def snmPairs(df: DataFrame, idCol: String, textCol: String,
-               windowW: Int = 2, rotations: Int = 4,
-               maxHamming: Int = 8, buckets: Int = 32): DataFrame = {
-    require(windowW >= 1 && rotations >= 1 && rotations <= 16)
-    val vals = simhash(df, idCol, textCol)
+  /** The distinct simhash VALUE frame behind the SNM screen:
+    * (simhash, n_docs, canonical = min doc id, h = 16-hex padded) — ONE
+    * corpus shingle+md5 pass collapsing identical values map-side.
+    * Surfaced separately so callers (q213, its quantile boundary scan,
+    * q214's recall audit) can memoize it instead of re-running the
+    * corpus pass per consumer.
+    */
+  def simhashVals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash(df, idCol, textCol)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
       .withColumn("h", lpad(hex(col("simhash")), 16, "0"))
+
+  def snmPairs(df: DataFrame, idCol: String, textCol: String,
+               windowW: Int = 2, rotations: Int = 4,
+               maxHamming: Int = 8, buckets: Int = 32): DataFrame =
+    snmPairsFromVals(simhashVals(df, idCol, textCol),
+                     windowW, rotations, maxHamming, buckets)
+
+  /** [[snmPairs]] over an ALREADY-BUILT (ideally memoized) value frame
+    * from [[simhashVals]].
+    */
+  def snmPairsFromVals(vals: DataFrame,
+                       windowW: Int, rotations: Int,
+                       maxHamming: Int, buckets: Int = 32): DataFrame = {
+    require(windowW >= 1 && rotations >= 1 && rotations <= 16)
     val keys = (0 until rotations).map { r =>
       val d = 4 * r
       vals.select(lit(r).as("rot"),
