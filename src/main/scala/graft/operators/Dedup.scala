@@ -688,11 +688,17 @@ object Dedup {
                      windowW, rotations, maxHamming, buckets)
 
   /** [[snmPairs]] over an ALREADY-BUILT (ideally memoized) value frame
-    * from [[simhashVals]].
+    * from [[simhashVals]]. `materialize = false` skips the mid-plan
+    * rank-frame cut and returns the RAW composed plan — for plan
+    * inspection only (withCachesIf's rationale: an eager checkpoint
+    * collapses the plan to an ExistingRDD scan, which documents
+    * nothing); executing the lazy form replays the rank sort once per
+    * consumer.
     */
   def snmPairsFromVals(vals: DataFrame,
                        windowW: Int, rotations: Int,
-                       maxHamming: Int, buckets: Int = 32): DataFrame = {
+                       maxHamming: Int, buckets: Int = 32,
+                       materialize: Boolean = true): DataFrame = {
     require(windowW >= 1 && rotations >= 1 && rotations <= 16)
     val keys = (0 until rotations).map { r =>
       val d = 4 * r
@@ -714,11 +720,23 @@ object Dedup {
       }
     val ranked = withProxy.withColumn("__b", bucket.cast(LongType))
     val wOrd = Window.partitionBy(col("rot"), col("__b")).orderBy(col("k"))
-    val rn = ranked.withColumn("rn", row_number().over(wOrd))
-    val inBucket = (1 to windowW).map { d =>
-      rn.select(col("h").as("h_a"), lead(col("h"), d).over(wOrd).as("h_b"))
-        .filter(col("h_b").isNotNull)
-    }.reduce(_ unionByName _)
+    // ONE WindowExec computes the rank and all W leads (same window
+    // spec), and the result is eagerly cut: four consumers below
+    // (in-bucket pairs, bucket counts, and both sides of the boundary
+    // self-join) would otherwise each replay the sort — on a
+    // distinct-VALUE frame the data is small and the replayed stages,
+    // not the rows, are the serving cost (measured: ~5 s/run before,
+    // dominated by stage scheduling).
+    val rnRaw = ranked.select(
+      (Seq(col("rot"), col("__b"), col("h"),
+           row_number().over(wOrd).as("rn")) ++
+       (1 to windowW).map(d => lead(col("h"), d).over(wOrd).as(s"__l$d"))): _*)
+    val rn = if (materialize) graft.core.Materialize.cut(rnRaw, "snm_rank")
+             else rnRaw
+    val inBucket = rn
+      .select(col("h").as("h_a"),
+              explode(array((1 to windowW).map(d => col(s"__l$d")): _*)).as("h_b"))
+      .filter(col("h_b").isNotNull)
     val counts = rn.groupBy(col("rot"), col("__b"))
       .agg(count(lit(1)).as("__n"))
     val offsets = counts.withColumn("__off",

@@ -1062,8 +1062,13 @@ class PlanQualitySpec extends SparkSpec {
     // global sliding window is realized as range-bucketed per-bucket
     // windows + a constant-sized boundary frame — a WindowExec with an
     // empty partitionSpec would be the single-task global sort the
-    // design exists to avoid.
-    val df = SparkEntry.queries("q213_snm_simhash")(spark, dir)
+    // design exists to avoid. Inspected on the RAW (materialize=false)
+    // plan: the serving form eagerly cuts the rank frame, which
+    // collapses the windows out of the executed plan.
+    val df = graft.operators.Dedup.snmPairsFromVals(
+      graft.operators.Dedup.simhashVals(
+        graft.core.Tables(spark, dir).documents, "doc_id", "text"),
+      windowW = 2, rotations = 4, maxHamming = 8, materialize = false)
     val wins = physical(df).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
