@@ -66,7 +66,8 @@ object ScaleRehearsal {
     "q196_capped_curation",        // cap-restricted curationV2 chain
     "q209_scrubbed_curation",      // scrub-survivor-restricted curationV2
     "q210_bpe_fit_batched",        // 16×16 batched fit (round-13 sibling)
-    "q213_snm_simhash")            // sorted-neighborhood simhash screen
+    "q213_snm_simhash",            // sorted-neighborhood simhash screen
+    "q215_snm_incremental")        // persisted SNM index + halo probe
 
   private def copyTable(spark: SparkSession, src: String, out: String,
                         name: String): Unit =

@@ -695,12 +695,13 @@ object Dedup {
     * nothing); executing the lazy form replays the rank sort once per
     * consumer.
     */
-  def snmPairsFromVals(vals: DataFrame,
-                       windowW: Int, rotations: Int,
-                       maxHamming: Int, buckets: Int = 32,
-                       materialize: Boolean = true): DataFrame = {
-    require(windowW >= 1 && rotations >= 1 && rotations <= 16)
-    val keys = (0 until rotations).map { r =>
+  /** The per-rotation key frame of a [[simhashVals]] frame: one
+    * (rot, k, h) row per (rotation, value); rotation by 4r hex digits
+    * is a bijection on the 16-hex key, so ORDER BY k alone is total
+    * over distinct values within a rotation.
+    */
+  private[graft] def snmKeys(vals: DataFrame, rotations: Int): DataFrame =
+    (0 until rotations).map { r =>
       val d = 4 * r
       vals.select(lit(r).as("rot"),
         (if (d == 0) col("h")
@@ -708,17 +709,54 @@ object Dedup {
                      substring(col("h"), 1, d))).as("k"),
         col("h"))
     }.reduce(_ unionByName _)
-    // 48-bit proxy: first 12 hex digits as a number — order-consistent
-    // with the full key's string order, exact in a double. Internal
-    // only (bucketing); the result is bucketing-independent.
-    val withProxy = keys.withColumn("__proxy",
-      conv(substring(col("k"), 1, 12), 16, 10).cast(DoubleType))
-    val bounds = Sharding.boundaries(withProxy, "__proxy", buckets)
-    val bucket: Column = bounds.zipWithIndex
+
+  /** 48-bit numeric proxy of a rotated key: first 12 hex digits as a
+    * number — order-consistent with the full key's string order, exact
+    * in a double. Internal only (range bucketing); results are
+    * bucketing-independent.
+    */
+  private[graft] def snmProxy(k: Column): Column =
+    conv(substring(k, 1, 12), 16, 10).cast(DoubleType)
+
+  /** Range-bucket index for literal quantile `bounds` (the
+    * Sharding.runningTotal fold). Every boundary is an OBSERVED proxy
+    * value, so each bucket holds ≥ 1 row of the frame the bounds were
+    * computed on — the non-emptiness the W-bucket neighbor reach
+    * argument in [[snmCandidatesBucketed]] rests on.
+    */
+  private[graft] def snmBucketOf(bounds: Array[Double], proxy: Column): Column =
+    bounds.zipWithIndex
       .foldRight(lit(bounds.length): Column) { case ((b, i), rest) =>
-        when(col("__proxy") <= b, i).otherwise(rest)
+        when(proxy <= b, i).otherwise(rest)
       }
-    val ranked = withProxy.withColumn("__b", bucket.cast(LongType))
+
+  def snmPairsFromVals(vals: DataFrame,
+                       windowW: Int, rotations: Int,
+                       maxHamming: Int, buckets: Int = 32,
+                       materialize: Boolean = true): DataFrame = {
+    require(windowW >= 1 && rotations >= 1 && rotations <= 16)
+    val keys = snmKeys(vals, rotations)
+    val withProxy = keys.withColumn("__proxy", snmProxy(col("k")))
+    val bounds = Sharding.boundaries(withProxy, "__proxy", buckets)
+    val ranked = withProxy
+      .withColumn("__b", snmBucketOf(bounds, col("__proxy")).cast(LongType))
+    val cand = snmCandidatesBucketed(ranked, windowW, None, materialize)
+    snmVerify(cand, vals, maxHamming)
+  }
+
+  /** Candidate (sh_a, sh_b) value pairs within ±`windowW` of each
+    * rotation's sorted order, from a (rot, k, h, __b)-bucketed key
+    * frame. `allCounts`: per-(rot, __b) key counts of the FULL key
+    * space, required when `frame` is a PRUNED subset (the incremental
+    * probe) — missing buckets then contribute rank-offset gaps, so the
+    * computed granks are true global positions and a pair separated by
+    * pruned-away values can never read as adjacent. With `None`, counts
+    * derive from the frame itself (the full-corpus path).
+    */
+  private[graft] def snmCandidatesBucketed(
+      frame: DataFrame, windowW: Int,
+      allCounts: Option[DataFrame],
+      materialize: Boolean): DataFrame = {
     val wOrd = Window.partitionBy(col("rot"), col("__b")).orderBy(col("k"))
     // ONE WindowExec computes the rank and all W leads (same window
     // spec), and the result is eagerly cut: four consumers below
@@ -727,7 +765,7 @@ object Dedup {
     // distinct-VALUE frame the data is small and the replayed stages,
     // not the rows, are the serving cost (measured: ~5 s/run before,
     // dominated by stage scheduling).
-    val rnRaw = ranked.select(
+    val rnRaw = frame.select(
       (Seq(col("rot"), col("__b"), col("h"),
            row_number().over(wOrd).as("rn")) ++
        (1 to windowW).map(d => lead(col("h"), d).over(wOrd).as(s"__l$d"))): _*)
@@ -737,9 +775,12 @@ object Dedup {
       .select(col("h").as("h_a"),
               explode(array((1 to windowW).map(d => col(s"__l$d")): _*)).as("h_b"))
       .filter(col("h_b").isNotNull)
+    // per-bucket FRAME counts gate the tail filter (the frame holds its
+    // buckets in full, so these equal the true bucket sizes); OFFSETS
+    // come from the full key space so granks are global positions.
     val counts = rn.groupBy(col("rot"), col("__b"))
       .agg(count(lit(1)).as("__n"))
-    val offsets = counts.withColumn("__off",
+    val offsets = allCounts.getOrElse(counts).withColumn("__off",
       coalesce(
         sum(col("__n")).over(Window.partitionBy(col("rot")).orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)),
@@ -757,10 +798,18 @@ object Dedup {
         col("b.grank") - col("a.grank") <= windowW &&
         col("a.__b") =!= col("b.__b"))
       .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
-    val cand = inBucket.unionByName(boundary)
+    inBucket.unionByName(boundary)
       .select(least(col("h_a"), col("h_b")).as("sh_a"),
               greatest(col("h_a"), col("h_b")).as("sh_b"))
       .distinct()
+  }
+
+  /** The shared verify/readout tail: attach each side's value
+    * attributes and keep pairs at hamming ≤ `maxHamming` —
+    * `bit_count(xor)`, two codegen'd integer ops per pair.
+    */
+  private[graft] def snmVerify(cand: DataFrame, vals: DataFrame,
+                               maxHamming: Int): DataFrame = {
     val va = vals.select(col("h").as("sh_a"), col("simhash").as("__sa"),
       col("n_docs").as("n_docs_a"), col("canonical").as("canonical_a"))
     val vb = vals.select(col("h").as("sh_b"), col("simhash").as("__sb"),

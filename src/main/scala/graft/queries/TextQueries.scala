@@ -1017,6 +1017,17 @@ object TextQueries {
         maxHamming = SnmMaxHamming)
     },
 
+    // q215: INCREMENTAL sorted-neighborhood mining — q213 under the
+    // build-once/probe-deltas discipline (see snmServeIncremental for
+    // the halo/rank-gap exactness argument). The corpus pass is
+    // delta-proportional; the windowing reads only the ±W halo buckets
+    // of NEW values, bucket-pruned from the persisted keys table, with
+    // stored full-space counts keeping ranks global. Oracle: the
+    // one-shot union SNM replay restricted to pairs touching a value
+    // absent from the base half (the q198/q204 one-shot-restatement
+    // pattern).
+    "q215_snm_incremental" -> { (s, dir) => snmServeIncremental(s, dir) },
+
     // q214: SNM screen RECALL audit — the q116/q152 "measure, don't
     // guess" discipline applied to q213 before trusting it to route a
     // corpus: per hamming distance 1..8, how many of the true
@@ -2543,6 +2554,140 @@ object TextQueries {
         "snm_vals")
     }
 
+  /** q215 persisted SNM index table names (session-scoped). */
+  def snmIndexTables(s: SparkSession, dir: String): (String, String, String, String) = {
+    def n(part: String) = graft.sources.Warehouse.sessionScopedName(s,
+      s"graft_q215_snm${part}_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    (n("vals"), n("keys"), n("counts"), n("bounds"))
+  }
+
+  /** A duplicated (rot, k) row would double-count ranks and shift every
+    * window downstream of it — enforced before the write.
+    */
+  private val SnmKeysContract: graft.model.Contract = graft.model.Contract(
+    schema = StructType(Seq(
+      StructField("rot", IntegerType, nullable = false),
+      StructField("k", StringType),
+      StructField("h", StringType),
+      StructField("__b", LongType))),
+    notNull = Seq("rot", "k", "h", "__b"),
+    uniqueKeys = Seq(Seq("rot", "k")))
+
+  /** The q215 persisted SNM index: the BASE half's (q61 md5 bucket < 50)
+    * distinct simhash values with their per-rotation sorted keys, range
+    * bucket ids, per-bucket counts, and the quantile bounds themselves —
+    * built once per (session, dir), keys bucketed by `__b` so a delta
+    * probe reads ONLY the halo buckets it touches (the q145 IN-filter
+    * discipline). The bounds ride in a 1-row table: the probe must
+    * assign delta keys with the EXACT build-time bucketing, and
+    * re-deriving quantiles at probe time would silently shift buckets.
+    */
+  private val snmIdxCache = new graft.core.SessionCache[String]
+  private[graft] def snmIndex(s: SparkSession, dir: String): DataFrame =
+    snmIdxCache.getOrElseUpdate(s, dir) {
+      val (valsT, keysT, countsT, boundsT) = snmIndexTables(s, dir)
+      val base = Tables(s, dir).documents.filter(
+        graft.functions.HexKeys.value16(
+          md5(concat(lit("split|"), col("doc_id").cast(StringType)))) % 100 < 50)
+      val baseVals = graft.core.Materialize.cut(
+        graft.operators.Dedup.simhashVals(base, "doc_id", "text"),
+        "snm_idx_vals")
+      val keys = graft.operators.Dedup.snmKeys(baseVals, SnmRotations)
+        .withColumn("__proxy", graft.operators.Dedup.snmProxy(col("k")))
+      val bounds = graft.operators.Sharding.boundaries(keys, "__proxy", 32)
+      val keyed = keys
+        .withColumn("__b", graft.operators.Dedup
+          .snmBucketOf(bounds, col("__proxy")).cast(LongType))
+        .select(col("rot"), col("k"), col("h"), col("__b"))
+      graft.model.Contract.enforce("q215_snm_keys", keyed, SnmKeysContract)
+      graft.sources.Warehouse.writeTable(baseVals, valsT)
+      // PARTITIONED (not bucketed) by __b: the probe is a scan-only
+      // consumer (filter → union → window), for which the planner
+      // disables bucketed reading entirely ("Bucketed: false") and
+      // bucket pruning with it — directory pruning via PartitionFilters
+      // is planner-independent, and __b has ≤ 33 values
+      graft.sources.Warehouse.writePartitionedTable(keyed, keysT, "__b")
+      graft.sources.Warehouse.writeTable(
+        keyed.groupBy(col("rot"), col("__b")).agg(count(lit(1)).as("__n")),
+        countsT)
+      graft.sources.Warehouse.writeTable(
+        s.range(1).select(
+          typedLit(bounds.toSeq).as("bounds")),
+        boundsT)
+      s.table(keysT)
+    }
+
+  /** q215: the INCREMENTAL sorted-neighborhood probe — q213 under the
+    * q141/q145/q172/q198/q204 build-once/probe-deltas discipline. The
+    * expensive half (the corpus shingle+md5 pass) runs on the DELTA
+    * only; the value-level windowing re-runs on exactly the halo:
+    * buckets within ±W of a NEW value's bucket, read bucket-pruned from
+    * the persisted keys table. Exactness of the pruning: every quantile
+    * bound is an observed base key, so every bucket holds ≥ 1 base row,
+    * and the j-th bucket away contributes ≥ 1 value strictly closer
+    * than anything j+1 away — a ±W window can therefore never reach
+    * past ±W buckets. Global ranks stay global because the probe feeds
+    * the FULL per-bucket counts (stored base counts + delta counts)
+    * into the boundary machinery — pruned-away buckets contribute rank
+    * GAPS, so two values separated by untouched buckets can never read
+    * as adjacent. Output: q213's readout restricted to pairs touching a
+    * NEW value (one absent from the base index), with per-side
+    * is_new flags and UNION doc counts/canonicals.
+    */
+  private def snmServeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val idxKeys = snmIndex(s, dir)
+    val (valsT, _, countsT, boundsT) = snmIndexTables(s, dir)
+    val idxVals = s.table(valsT)
+    val bounds = s.table(boundsT).first().getSeq[Double](0).toArray
+    val delta = Tables(s, dir).documents.filter(
+      graft.functions.HexKeys.value16(
+        md5(concat(lit("split|"), col("doc_id").cast(StringType)))) % 100 >= 50)
+    val deltaVals = graft.core.Materialize.cut(
+      graft.operators.Dedup.simhashVals(delta, "doc_id", "text"),
+      "snm_delta_vals")
+    val newVals = deltaVals.join(idxVals.select(col("simhash")),
+      Seq("simhash"), "left_anti")
+    val newKeys = graft.operators.Dedup.snmKeys(newVals, SnmRotations)
+      .withColumn("__b", graft.operators.Dedup
+        .snmBucketOf(bounds, graft.operators.Dedup.snmProxy(col("k")))
+        .cast(LongType))
+    // halo bucket ids on the driver: ≤ (bounds+1) longs — bounded by
+    // the bucket count, never the data
+    val deltaBs = newKeys.select(col("__b")).distinct()
+      .collect().map(_.getLong(0))
+    val halo = deltaBs
+      .flatMap(b => (b - SnmWindow) to (b + SnmWindow))
+      .filter(b => b >= 0 && b <= bounds.length).distinct.sorted
+    val frame = idxKeys.filter(col("__b").isin(halo.map(Long.box): _*))
+      .select(col("rot"), col("k"), col("h"), col("__b"))
+      .unionByName(newKeys.select(col("rot"), col("k"), col("h"), col("__b")))
+    val allCounts = s.table(countsT)
+      .unionByName(newKeys.groupBy(col("rot"), col("__b"))
+        .agg(count(lit(1)).as("__n")))
+      .groupBy(col("rot"), col("__b")).agg(sum(col("__n")).as("__n"))
+    val cand = graft.operators.Dedup.snmCandidatesBucketed(
+      frame, SnmWindow, Some(allCounts), materialize = true)
+    // union-side value attributes: a value seen in both halves sums its
+    // doc counts and keeps the global min canonical
+    val unionVals = idxVals.unionByName(deltaVals)
+      .groupBy(col("simhash"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+           min(col("canonical")).as("canonical"),
+           min(col("h")).as("h"))
+    val marks = newVals.select(col("h"), lit(true).as("__new"))
+    graft.operators.Dedup.snmVerify(cand, unionVals, SnmMaxHamming)
+      .join(marks.select(col("h").as("sh_a"), col("__new").as("__na")),
+            Seq("sh_a"), "left")
+      .join(marks.select(col("h").as("sh_b"), col("__new").as("__nb")),
+            Seq("sh_b"), "left")
+      .withColumn("is_new_a", coalesce(col("__na"), lit(false)))
+      .withColumn("is_new_b", coalesce(col("__nb"), lit(false)))
+      .filter(col("is_new_a") || col("is_new_b"))
+      .select(col("sh_a"), col("sh_b"), col("hamming_distance"),
+              col("n_docs_a"), col("canonical_a"), col("is_new_a"),
+              col("n_docs_b"), col("canonical_b"), col("is_new_b"))
+  }
+
   /** Session-scoped q172 chunk-hash dedup-index table name. */
   def chunkIndexTable(s: SparkSession, dir: String): String =
     graft.sources.Warehouse.sessionScopedName(s,
@@ -3653,6 +3798,48 @@ object TextQueries {
          |JOIN vals vb ON c.sh_b = vb.h
          |WHERE bit_count(xor(va.simhash, vb.simhash)) <= $SnmMaxHamming""".stripMargin
     },
+    // q215: the one-shot UNION SNM replay (global window per rotation
+    // over ALL values, q213's machinery) restricted to pairs touching a
+    // value with ZERO base-half docs — exactly the new-value set the
+    // incremental probe mines. Union doc counts/canonicals ride along.
+    "q215_snm_incremental" -> {
+      s"""WITH $simhash64CtesSql,
+         |sv AS (
+         |  SELECT doc_id, simhash,
+         |         md5('split|' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM sh),
+         |valsU AS (
+         |  SELECT simhash, lpad(to_hex(simhash), 16, '0') AS h,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(min(doc_id) AS BIGINT) AS canonical,
+         |         CAST(sum(CASE WHEN ${graft.functions.HexKeys.value16Sql()} % 100 < 50
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_base
+         |  FROM sv GROUP BY 1, 2),
+         |keys AS (
+         |  SELECT r, h,
+         |    CASE WHEN r = 0 THEN h
+         |         ELSE substr(h, 4*r + 1) || substr(h, 1, 4*r) END AS k
+         |  FROM valsU CROSS JOIN (SELECT unnest([${(0 until SnmRotations).mkString(", ")}]) AS r)),
+         |rk AS (
+         |  SELECT r, h, row_number() OVER (PARTITION BY r ORDER BY k) AS rn
+         |  FROM keys),
+         |cand AS (
+         |  SELECT DISTINCT least(a.h, b.h) AS sh_a, greatest(a.h, b.h) AS sh_b
+         |  FROM rk a JOIN rk b
+         |    ON a.r = b.r AND b.rn - a.rn BETWEEN 1 AND $SnmWindow)
+         |SELECT c.sh_a, c.sh_b,
+         |  CAST(bit_count(xor(va.simhash, vb.simhash)) AS BIGINT) AS hamming_distance,
+         |  va.n_docs AS n_docs_a, va.canonical AS canonical_a,
+         |  (va.n_base = 0) AS is_new_a,
+         |  vb.n_docs AS n_docs_b, vb.canonical AS canonical_b,
+         |  (vb.n_base = 0) AS is_new_b
+         |FROM cand c
+         |JOIN valsU va ON c.sh_a = va.h
+         |JOIN valsU vb ON c.sh_b = vb.h
+         |WHERE bit_count(xor(va.simhash, vb.simhash)) <= $SnmMaxHamming
+         |  AND (va.n_base = 0 OR vb.n_base = 0)""".stripMargin
+    },
+
     // q214: sampled brute-force truth vs the q213 window replay, per
     // hamming distance — counts exact, recall one IEEE division.
     "q214_snm_recall" -> {

@@ -84,6 +84,27 @@ object Warehouse {
     registerExitCleanup(loc.toUri, spark.sparkContext.hadoopConfiguration)
   }
 
+  /** Register a table PARTITIONED by a low-cardinality column:
+    * predicates on `partitionCol` prune whole directories at scan time
+    * (PartitionFilters) — planner-INDEPENDENT, unlike bucket pruning,
+    * which DisableUnnecessaryBucketedScan switches off for scan-only
+    * plans (a filter+window consumer gets `Bucketed: false` and reads
+    * every file). The right layout for range-bucket id columns probed
+    * with IN filters (q215's halo probe: ≤ 33 directories).
+    */
+  def writePartitionedTable(df: DataFrame, table: String,
+                            partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.graftx.Bridge.defaultTablePath(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy(partitionCol).saveAsTable(table)
+    registerExitCleanup(loc.toUri, spark.sparkContext.hadoopConfiguration)
+  }
+
   /** Append to an EXISTING unbucketed table created by [[writeTable]] —
     * the sink primitive for streaming legs that accumulate results
     * across micro-batches.

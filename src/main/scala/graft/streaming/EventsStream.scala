@@ -498,6 +498,45 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming maintenance of the q215 SNM keys index: each micro-batch
+    * computes its DISTINCT simhash values scan-locally, derives the
+    * per-rotation sorted keys under the index's FIXED quantile `bounds`
+    * (bounds are chosen at index creation and stay stable — re-deriving
+    * them from stream data would silently shift every bucket and with it
+    * every window), and appends only keys not already present. The
+    * (rot, k) anti-join is the redelivery guard: sorted-screen state is
+    * SET-typed (a value's key either is in the order or is not), so
+    * idempotent key rows are the correct state granularity and a
+    * re-delivered batch is a no-op by construction. Drained state ≡ the
+    * batch-built key frame over everything delivered (StreamingSpec
+    * asserts — arrival-order free, because the key set is).
+    */
+  def snmIndexMaintainStream(
+      docs: DataFrame,
+      table: String,
+      bounds: Array[Double],
+      checkpointDir: String,
+      queryName: String,
+      rotations: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val vals = graft.operators.Dedup
+          .simhashVals(batch.toDF(), "doc_id", "text")
+        val keyed = graft.operators.Dedup.snmKeys(vals, rotations)
+          .withColumn("__b", graft.operators.Dedup
+            .snmBucketOf(bounds, graft.operators.Dedup.snmProxy(col("k")))
+            .cast(org.apache.spark.sql.types.LongType))
+          .withColumn("idx_key",
+            md5(concat(col("rot").cast("string"), lit("|"), col("k"))))
+          .select(col("idx_key"), col("rot"), col("k"), col("h"), col("__b"))
+        idempotentAppendBucketed(keyed, table, "__b", "idx_key")
+        ()
+      }
+      .start()
+
   /** Streaming maintenance of the PERSISTED source-cap index (q198's
     * state): each micro-batch merges its documents with the current kept
     * set and re-takes the per-source md5-rank top-C, REWRITING the state

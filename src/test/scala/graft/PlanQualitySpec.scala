@@ -1081,6 +1081,20 @@ class PlanQualitySpec extends SparkSpec {
       s"cartesian in q213:\n${planOf(df)}")
   }
 
+  test("q215 probes the persisted SNM keys table partition-pruned") {
+    // the incremental probe reads only the ±W halo buckets of new
+    // values; the __b-PARTITIONED layout must turn the isin filter into
+    // directory pruning (PartitionFilters — planner-independent, where
+    // bucket pruning is switched off for scan-only consumers)
+    val idx = graft.queries.TextQueries.snmIndex(spark, dir)
+    val probe = idx.filter(col("__b").isin(0L, 1L))
+    val plan = planOf(probe)
+    assert("PartitionFilters: \\[[^\\]]*__b".r.findFirstIn(plan).isDefined,
+      s"halo filter did not reach PartitionFilters:\n$plan")
+    assert(!plan.contains("PushedFilters: [In(__b"),
+      s"__b still filtered row-level (not a partition column):\n$plan")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
