@@ -72,6 +72,25 @@ object Dedup {
       .drop("__canon", "__gsize")
   }
 
+  /** Attach `cluster_size` (+ `is_canonical` = id == cluster_id) to a
+    * component assignment — (idCol, cluster_id) — via groupBy + join-back,
+    * NEVER a window over `cluster_id`: a mega-duplicate CLUSTER (the very
+    * thing dedup exists to find — 10⁶–10⁸ copies of an error page at web
+    * scale) is exactly as flooded a key as the content hash
+    * [[attachCanonical]] refuses to window over. The partial HashAggregate
+    * bounds the hot cluster map-side to one (cluster, count) row per task;
+    * the join-back's right side is one row per cluster (AQE flips it to
+    * broadcast when small, and splits the probe side on skew — a
+    * WindowExec can do neither).
+    */
+  private[graft] def withClusterSize(assign: DataFrame, idCol: String): DataFrame = {
+    val sizes = assign.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assign.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+              (col(idCol) === col("cluster_id")).as("is_canonical"))
+  }
+
   /** Exact dedup by content hash: every row keeps its hash, the canonical
     * (minimum) id in its duplicate group, and a duplicate flag. Hot-key
     * safe: partial+final agg plus a dup-groups-only join-back (see

@@ -63,10 +63,36 @@ object Similarity {
     * encode as an all-'z' key that sorts after every hex key — NULLS
     * LAST — and decode back to null.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+  /** Rank `scored` — (query_id, neighbor_id, cosine) — to per-query top-k
+    * via the bounded-heap [[org.apache.spark.sql.graftx.TopKPairs]]
+    * aggregate: map-side ≤ k survivors per task per query cross the
+    * shuffle, never a `row_number` window buffering every candidate of a
+    * query in ONE task (an LSH bucket / IVF probe list is corpus-sized ÷
+    * a constant — unbounded at 100 TB). Output order semantics are
+    * identical to the window form: (cosine DESC NULLS LAST, neighbor_id
+    * ASC), exact doubles via [[org.apache.spark.sql.graftx.SortableDouble]]'s
+    * lossless encoding; null cosines ride an all-'z' key (sorts after
+    * every hex key = NULLS LAST) and decode back to null.
+    */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graftx.{SortableDouble, TopKPairs}
     val NullKey = "z" * 16
+    scored
+      .select(col("query_id"),
+              when(col("cosine").isNull, lit(NullKey))
+                .otherwise(SortableDouble.sortKeyDesc(col("cosine"))).as("skey"),
+              col("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(TopKPairs.topK(col("skey"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("col.id").as("neighbor_id"),
+              when(col("col.key") === NullKey, lit(null).cast("double"))
+                .otherwise(SortableDouble.decodeDesc(col("col.key"))).as("cosine"))
+  }
+
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
     val q = queries.select(
       col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
@@ -80,18 +106,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
-    scored
-      .select(col("query_id"),
-              when(col("cosine").isNull, lit(NullKey))
-                .otherwise(SortableDouble.sortKeyDesc(col("cosine"))).as("skey"),
-              col("neighbor_id"))
-      .groupBy(col("query_id"))
-      .agg(TopKPairs.topK(col("skey"), col("neighbor_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-              col("col.id").as("neighbor_id"),
-              when(col("col.key") === NullKey, lit(null).cast("double"))
-                .otherwise(SortableDouble.decodeDesc(col("col.key"))).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** IVF-flat ANN (the inverted-file coarse-quantizer family, à la FAISS):
@@ -226,15 +241,11 @@ object Similarity {
       .select(probeCols: _*))
   }
 
-  private def ivfRank(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-              col("neighbor_id"), col("cosine"))
-  }
+  // Probed-list candidate ranking: a probe list is corpus-sized ÷ nlist —
+  // unbounded per query at scale, so the rank is the bounded heap, not a
+  // per-query window (see rankTopK).
+  private def ivfRank(scored: DataFrame, k: Int): DataFrame =
+    rankTopK(scored, k)
 
   /** Serve ANN top-k from a PERSISTED IVF index (the production split of
     * [[annTopKIvf]]: build once, serve many): `index` is the assigned
@@ -384,12 +395,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-              col("neighbor_id"), col("cosine"))
+    // An LSH bucket holds ~corpus/2^bits vectors — unbounded per query at
+    // scale, so the rank is the bounded heap, not a per-query window.
+    rankTopK(scored, k)
   }
 }

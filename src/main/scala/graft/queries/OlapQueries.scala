@@ -169,12 +169,81 @@ object OlapQueries {
         .groupBy(col("k"), col("grp"))
         .agg(count(lit(1)).as("n_events"),
              sumExact(col("value"), 6).as("value_sum"))
+    },
+
+    // -----------------------------------------------------------------
+    // q218: Z-ORDER (Morton) data layout — the lakehouse data-skipping
+    // primitive for multi-dimension range probes. Interleaving the bits
+    // of two 8-bit grid coordinates (customer, order day) gives every
+    // file a TIGHT min/max bounding box in BOTH dimensions, so parquet
+    // footer stats prune range probes on EITHER key — a single-key sort
+    // layout prunes only its own key and scans everything for the other.
+    // The operator emits exactly what data skipping reads: per-file row
+    // counts + min/max of both dims, plus two audit flags — would this
+    // file be scanned for a mid-range probe on custkey alone / on day
+    // alone (file hit ⇔ its bound overlaps the probe band). 100 TB
+    // shape: one bounds agg (1 row, broadcast back), then the grid/z/
+    // file assignment is a pure integer projection (zero shuffle) and
+    // the per-file stats a partial+final agg over ≤ 2^6 file ids; in
+    // production `file_id` is the repartitionByRange key the writer
+    // sorts by before emitting parquet. All arithmetic is BIGINT
+    // (integer DIV and bit ops; the one epoch/86400 floor is exact in
+    // double), so the oracle replays it bit-for-bit.
+    // -----------------------------------------------------------------
+    "q218_zorder_layout" -> { (s, dir) =>
+      // day index via calendar truncation (NTZ → date is TZ-independent
+      // in both engines, unlike an epoch cast)
+      val o = Tables(s, dir).orders.select(
+        col("o_custkey").cast(LongType).as("ck"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast(LongType).as("day"))
+      val bounds = o.agg(
+        min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+        min(col("day")).as("day_min"), max(col("day")).as("day_max"))
+      val assigned = o.crossJoin(broadcast(bounds))
+        .withColumn("xg", expr("((ck - ck_min) * 256) DIV (ck_max - ck_min + 1)"))
+        .withColumn("yg", expr("((day - day_min) * 256) DIV (day_max - day_min + 1)"))
+        .withColumn("zval", expr(ZOrder.sparkZ))
+        .withColumn("file_id", expr(s"shiftright(zval, ${ZOrder.fileShift})"))
+      assigned.groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+             min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+             min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("hit_ck_probe",
+          expr("max_ck >= ck_min + ((ck_max - ck_min + 1) * 7) DIV 16 AND " +
+               "min_ck <= ck_min + ((ck_max - ck_min + 1) * 8) DIV 16 - 1"))
+        .withColumn("hit_day_probe",
+          expr("max_day >= day_min + ((day_max - day_min + 1) * 7) DIV 16 AND " +
+               "min_day <= day_min + ((day_max - day_min + 1) * 8) DIV 16 - 1"))
+        .select(col("file_id"), col("n_rows"), col("min_ck"), col("max_ck"),
+                col("min_day"), col("max_day"),
+                col("hit_ck_probe"), col("hit_day_probe"))
     })
 
   /** q106's salt fan-out (PlanQualitySpec asserts the hot key spreads
     * across this many buckets).
     */
   val SaltBuckets = 8
+
+  /** q218's Morton interleave, generated once for both engines so the
+    * bit arithmetic cannot drift: z = Σ_i (x_i << 2i) + (y_i << 2i+1)
+    * over the 8-bit grid coordinates. `fileShift` keeps the top 6 z bits
+    * → ≤ 64 file ids.
+    */
+  private object ZOrder {
+    val gridBits  = 8
+    val fileShift = 10
+    private def terms(shl: (String, Int) => String,
+                      shr: (String, Int) => String): String =
+      (0 until gridBits).map { i =>
+        s"(${shl(s"(${shr("xg", i)} & 1)", 2 * i)} + ${shl(s"(${shr("yg", i)} & 1)", 2 * i + 1)})"
+      }.mkString(" + ")
+    val sparkZ: String =
+      terms((e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+    val duckZ: String =
+      terms((e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")
+  }
 
   val oracles: Map[String, String] = Map(
     "q46_rollup" ->
@@ -319,5 +388,34 @@ object OlapQueries {
         |SELECT k, grp, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM left_side JOIN dim USING (k)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Same integer grid/interleave arithmetic (ZOrder.duckZ is generated
+    // from the one term builder the Spark expr uses); // is DuckDB's
+    // integer DIV.
+    "q218_zorder_layout" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey AS ck,
+         |         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+         |  FROM orders),
+         |b AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+         |             min(day) AS day_min, max(day) AS day_max FROM o),
+         |g AS (
+         |  SELECT ck, day,
+         |         ((ck - ck_min) * 256) // (ck_max - ck_min + 1) AS xg,
+         |         ((day - day_min) * 256) // (day_max - day_min + 1) AS yg
+         |  FROM o CROSS JOIN b),
+         |z AS (SELECT ck, day, (${ZOrder.duckZ}) AS zval FROM g),
+         |f AS (SELECT ck, day, (zval >> ${ZOrder.fileShift}) AS file_id FROM z),
+         |agg AS (
+         |  SELECT file_id, count(*) AS n_rows,
+         |         min(ck) AS min_ck, max(ck) AS max_ck,
+         |         min(day) AS min_day, max(day) AS max_day
+         |  FROM f GROUP BY 1)
+         |SELECT file_id, n_rows, min_ck, max_ck, min_day, max_day,
+         |  (max_ck >= ck_min + ((ck_max - ck_min + 1) * 7) // 16 AND
+         |   min_ck <= ck_min + ((ck_max - ck_min + 1) * 8) // 16 - 1) AS hit_ck_probe,
+         |  (max_day >= day_min + ((day_max - day_min + 1) * 7) // 16 AND
+         |   min_day <= day_min + ((day_max - day_min + 1) * 8) // 16 - 1) AS hit_day_probe
+         |FROM agg CROSS JOIN b""".stripMargin)
 }

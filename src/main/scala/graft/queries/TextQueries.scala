@@ -1334,17 +1334,17 @@ object TextQueries {
     // pairs → connected components (min-label propagation), every doc
     // labeled with its transitive cluster's min id. The step after pair
     // mining that an actual dedup pipeline ships: keep one doc per
-    // CLUSTER, not per pair.
+    // CLUSTER, not per pair. Sizes attach via groupBy + join-back
+    // (Dedup.withClusterSize) — a mega-dup cluster is a flooded key, so
+    // never a window over cluster_id.
     "q67_dedup_clusters" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       val comp = Dedup.connectedComponents(
         d.select(col("doc_id").as("id")),
         Dedup.dupEdgesFromPairs(d, "doc_id", "text", jaccard05(s, dir)),
         "doc_a", "doc_b")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-      comp.select(col("id").as("doc_id"), col("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(w))
-        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      Dedup.withClusterSize(
+        comp.select(col("id").as("doc_id"), col("cluster_id")), "doc_id")
     },
 
     // ---------------------------------------------------------------
@@ -1370,6 +1370,55 @@ object TextQueries {
                 (col("cluster_size") * col("n_tokens")).as("weighted_tokens"))
     },
 
+    // ---------------------------------------------------------------
+    // q219: dup-cluster size SPECTRUM — the Hill plot over the largest
+    // cluster sizes. Duplication on web corpora is heavy-tailed (a few
+    // mirrored/error pages own millions of copies); the Hill estimator
+    // α̂(k) = k / Σ_{j≤k} ln(s_j / s_{k+1}) over the top-k order
+    // statistics is the standard tail-index read: a stable α̂ region ⇒
+    // power-law tail with that exponent, and α̂ ≤ 1 warns that dedup
+    // savings are dominated by a handful of clusters (fix those first).
+    // Scale shape: sizes are a partial+final count per cluster; the top
+    // 21 order statistics ride the bounded TopKPairs heap (map-side ≤21
+    // per task — never a global sort), the exact size through
+    // SortableDouble's lossless key; each ln(s) is 1e9-quantized to
+    // BIGINT immediately (the q125 discipline) so prefix sums are exact
+    // integers and the oracle replays them bit-for-bit; the k-sweep is a
+    // window over the ≤21-row frame only (constPartition, the q109
+    // idiom). All-equal tails (gap 0) yield an explicit NULL, not an
+    // engine-dependent inf.
+    // ---------------------------------------------------------------
+    "q219_dup_cluster_spectrum" -> { (s, dir) =>
+      import org.apache.spark.sql.graftx.{SortableDouble, TopKPairs}
+      val m = 20
+      val sizes = defs("q67_dedup_clusters")(s, dir)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      val top = sizes
+        .select(SortableDouble.sortKeyDesc(col("sz").cast("double")).as("skey"),
+                col("cluster_id"))
+        .agg(TopKPairs.topK(col("skey"), col("cluster_id"), m + 1).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast(LongType).as("tail_rank"),
+                SortableDouble.decodeDesc(col("col.key")).cast(LongType).as("cluster_size"))
+        .withColumn("tq",
+          floor(lit(1e9) * log(col("cluster_size").cast("double")) + lit(0.5))
+            .cast(LongType))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.Macros.constPartition(col("tq")))
+        .orderBy(col("tail_rank"))
+      top
+        .withColumn("s", sum(col("tq")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                        org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("tnext", lead(col("tq"), 1).over(w))
+        .filter(col("tail_rank") <= m && col("tnext").isNotNull)
+        .withColumn("gap", col("s") - col("tail_rank") * col("tnext"))
+        .select(col("tail_rank"), col("cluster_size"),
+                when(col("gap") === 0, lit(null).cast("double"))
+                  .otherwise(col("tail_rank").cast("double") * lit(1e9) /
+                             col("gap").cast("double")).as("hill_alpha"))
+    },
+
     // q149: the SAME cluster assignment computed by large-star/small-star
     // contraction (Kiveris et al.) instead of q67's min-label propagation
     // — the O(log²)-round form that survives DEEP components (chain-
@@ -1384,10 +1433,8 @@ object TextQueries {
         d.select(col("doc_id").as("id")),
         Dedup.dupEdgesFromPairs(d, "doc_id", "text", jaccard05(s, dir)),
         "doc_a", "doc_b")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-      comp.select(col("id").as("doc_id"), col("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(w))
-        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      Dedup.withClusterSize(
+        comp.select(col("id").as("doc_id"), col("cluster_id")), "doc_id")
     },
 
     // q154: INCREMENTAL component maintenance — the q141/q145
@@ -1431,10 +1478,8 @@ object TextQueries {
         "rep_a", "rep_b")
       val fin = rep.select(col("id").as("doc_id"), col("cluster_id").as("rep"))
         .join(qcc.select(col("id").as("rep"), col("cluster_id")), Seq("rep"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-      fin.select(col("doc_id"), col("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(w))
-        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      Dedup.withClusterSize(
+        fin.select(col("doc_id"), col("cluster_id")), "doc_id")
     },
 
     // q155: cross-source duplication matrix — the dataset-card question
@@ -1598,19 +1643,21 @@ object TextQueries {
     // first: near-dup clusters carry genuinely different texts (unlike
     // exact-dup groups, where every member scores identically and
     // min-id IS argmax), so the keeper should be each cluster's
-    // highest-q33-quality member, not its smallest id. One
-    // max(struct(score, −id)) window over the cluster key resolves
-    // argmax-with-tiebreak in a single pass — no per-cluster sort, no
-    // self-join; clusters are bounded, so the window partition is too.
+    // highest-q33-quality member, not its smallest id. A
+    // groupBy(cluster).agg(max(struct(score, −id))) resolves
+    // argmax-with-tiebreak with map-side partials (the hot mega-cluster
+    // collapses to one row per task BEFORE the exchange) and joins the
+    // one-row-per-cluster winner back — never a window over the cluster
+    // key, which would buffer the whole flooded cluster in ONE task.
     "q143_best_copy_dedup" -> { (s, dir) =>
       val clusters = defs("q67_dedup_clusters")(s, dir)
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       val scored = Tables(s, dir).documents
         .select(col("doc_id"), qualityScore.as("quality_score"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-      clusters.join(scored, Seq("doc_id"))
-        .withColumn("__best",
-          max(struct(col("quality_score"), (-col("doc_id")).as("negid"))).over(w))
+      val joined = clusters.join(scored, Seq("doc_id"))
+      val best = joined.groupBy(col("cluster_id"))
+        .agg(max(struct(col("quality_score"), (-col("doc_id")).as("negid"))).as("__best"))
+      joined.join(best, Seq("cluster_id"))
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
                 col("quality_score"),
                 (-col("__best.negid")).as("best_id"),
@@ -1646,11 +1693,9 @@ object TextQueries {
         .select(col("rep_a"), col("rep_b")).distinct()
       val comp = graft.operators.Dedup.connectedComponents(
         idRep.select(col("rep").as("id")).distinct(), repEdges, "rep_a", "rep_b")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-      idRep.join(comp.select(col("id").as("rep"), col("cluster_id")), Seq("rep"))
-        .select(col("media_id"), col("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(w))
-        .withColumn("is_canonical", col("media_id") === col("cluster_id"))
+      Dedup.withClusterSize(
+        idRep.join(comp.select(col("id").as("rep"), col("cluster_id")), Seq("rep"))
+          .select(col("media_id"), col("cluster_id")), "media_id")
     },
 
     // KMV distinct-count sketch: per-language distinct-token cardinality
@@ -1840,11 +1885,9 @@ object TextQueries {
         .select(col("rep_a"), col("rep_b")).distinct()
       val comp = graft.operators.Dedup.connectedComponents(
         idRep.select(col("rep").as("id")).distinct(), repEdges, "rep_a", "rep_b")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-      idRep.join(comp.select(col("id").as("rep"), col("cluster_id")), Seq("rep"))
-        .select(col("media_id"), col("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(w))
-        .withColumn("is_canonical", col("media_id") === col("cluster_id"))
+      Dedup.withClusterSize(
+        idRep.join(comp.select(col("id").as("rep"), col("cluster_id")), Seq("rep"))
+          .select(col("media_id"), col("cluster_id")), "media_id")
     },
 
     // Perceptual VIDEO near-dup — the sequence modality q127 (stills)
@@ -3953,6 +3996,29 @@ object TextQueries {
          |WHERE c.is_canonical""".stripMargin,
     // q149 must reproduce q67's components EXACTLY — the oracle is shared
     // on purpose: one reachability ground truth, two CC algorithms.
+    // q67's clusters → size order statistics → 1e9-quantized ln gaps →
+    // one final division per k (NULL on an all-equal tail, matching the
+    // Spark guard).
+    "q219_dup_cluster_spectrum" ->
+      s"""WITH cl AS (SELECT doc_id, cluster_id FROM ($q67Oracle) c),
+         |sizes AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1),
+         |top AS (
+         |  SELECT sz, rk FROM (
+         |    SELECT sz, row_number() OVER (ORDER BY sz DESC, cluster_id) AS rk
+         |    FROM sizes)
+         |  WHERE rk <= 21),
+         |t AS (SELECT rk, sz,
+         |        CAST(floor(1e9 * ln(CAST(sz AS DOUBLE)) + 0.5) AS BIGINT) AS tq
+         |      FROM top),
+         |p AS (SELECT rk, sz, tq,
+         |        sum(tq) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS s,
+         |        lead(tq) OVER (ORDER BY rk) AS tnext
+         |      FROM t)
+         |SELECT rk AS tail_rank, sz AS cluster_size,
+         |  CASE WHEN s - rk * tnext = 0 THEN NULL
+         |       ELSE CAST(rk AS DOUBLE) * 1e9 / CAST(s - rk * tnext AS DOUBLE) END AS hill_alpha
+         |FROM p WHERE rk <= 20 AND tnext IS NOT NULL""".stripMargin,
+
     "q149_cc_star_contraction" -> q67Oracle,
     // q154's incremental maintenance must ALSO reproduce the one-shot
     // clusters exactly (the q141/q145 incremental-≡-one-shot gate).

@@ -76,6 +76,50 @@ object VectorQueries {
       annTopKQuantized(e.filter(col("vec_id") < 50), e, k = 3)
     },
 
+    // Multi-probe LSH (Lv et al., VLDB'07): q40's single-bucket probe
+    // misses any true neighbor whose signature differs by one bit — the
+    // common case near a hyperplane boundary. Probing the 8 hamming-1
+    // buckets too recovers most of that recall WITHOUT a second hash
+    // table (the classic memory-for-probes trade); see multiprobeTopK
+    // for the exploded-probe equi-join shape. q217 measures the gain.
+    "q216_multiprobe_lsh" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      multiprobeTopK(e.filter(col("vec_id") < 50), e, k = 3)
+    },
+
+    // The q116/q214 "measure, don't guess" gate for q216: recall@3 of
+    // single-bucket (probe_bits=0 — q40's shape) vs hamming-1 multi-probe
+    // (probe_bits=1 — q216) against exact brute-force ground truth over
+    // the same 50-query batch — the curve an operator reads before
+    // spending 9× probe fan-out. Ground truth is exact top-3 over the
+    // full corpus at gate scale; at 100 TB the same audit runs on a
+    // deterministic md5 query sample (the q214 rate knob) — the corpus
+    // side of the audit is one broadcast-join pass either way.
+    "q217_multiprobe_recall" -> { (s, dir) =>
+      val e  = Tables(s, dir).embeddings
+      val gt = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 50), e, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = defs("q40_ann_lsh")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(0L).as("probe_bits"))
+        .unionByName(defs("q216_multiprobe_lsh")(s, dir)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("probe_bits")))
+      val found = gt.join(ann, Seq("query_id", "neighbor_id"))
+        .groupBy(col("probe_bits")).agg(count(lit(1)).as("found"))
+      // left-join from a literal 2-row spine: a budget that finds NOTHING
+      // must still report its zero instead of vanishing from the audit
+      // no broadcast hint: build-left on a left-outer is unsupported and
+      // the 2-row spine is driver-literal anyway
+      val spine = s.range(0, 2).select(col("id").as("probe_bits"))
+      val tot = gt.agg(count(lit(1)).as("total"))
+      spine.join(found, Seq("probe_bits"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("probe_bits"),
+                coalesce(col("found"), lit(0L)).as("found"), col("total"),
+                (coalesce(col("found"), lit(0L)).cast("double") /
+                  col("total").cast("double")).as("recall"))
+    },
+
     // Lloyd k-means (k=8, 2 iterations): md5-ordered seeds, shuffle-free
     // literal-centroid assignment, exact decimal centroid updates — the
     // clustering primitive for semantic grouping / topic balancing. See
@@ -795,18 +839,23 @@ object VectorQueries {
       s.table(knnEdgeTable(s, dir))
     }
 
+  /** Per-plane sign bits of the 1e3-quantized vector — the signature the
+    * q40/q216 bucket keys concatenate. Kept in integer dot-product space
+    * so the DuckDB oracle ([[bucketSqlExpr]]) replays it exactly.
+    */
+  private def quantSigBits(vec: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val planes = Similarity.hyperplanes(NumPlanes, Dims)
+    val q = transform(vec, x => floor(x * 1000).cast("long"))
+    planes.map { plane =>
+      val p = array(plane.map(v => lit(v.toLong)): _*)
+      when(aggregate(zip_with(q, p, (x, y) => x * y), lit(0L), (acc, x) => acc + x) >= 0,
+           lit("1")).otherwise(lit("0"))
+    }
+  }
+
   private def annTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import graft.functions.Vectors._
-    val planes = Similarity.hyperplanes(NumPlanes, Dims)
-    def bucket(vec: org.apache.spark.sql.Column) = {
-      val q = transform(vec, x => floor(x * 1000).cast("long"))
-      val bits = planes.map { plane =>
-        val p = array(plane.map(v => lit(v.toLong)): _*)
-        when(aggregate(zip_with(q, p, (x, y) => x * y), lit(0L), (acc, x) => acc + x) >= 0,
-             lit("1")).otherwise(lit("0"))
-      }
-      concat(bits: _*)
-    }
+    def bucket(vec: org.apache.spark.sql.Column) = concat(quantSigBits(vec): _*)
     val q = queries.select(col("vec_id").as("query_id"),
                            col("embedding").cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -815,17 +864,52 @@ object VectorQueries {
                           col("embedding").cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
       .withColumn("bucket", bucket(col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
-    broadcast(q).join(c, Seq("bucket"))
+    val scored = broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
               cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-              col("neighbor_id"), col("cosine"))
+    // bucket candidates are ~corpus/2^bits per query — unbounded at scale,
+    // so the rank is the bounded heap, not a per-query window
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** Multi-probe LSH ANN (Lv et al., VLDB'07 "Multi-Probe LSH"): recall
+    * of a (NumPlanes+1)-bucket union at the cost of ONE hash table — each
+    * query probes its own signature bucket PLUS the `NumPlanes` buckets
+    * at hamming distance 1, materialized as an exploded probe list on the
+    * (tiny, broadcast) query side equi-joined to the SAME corpus
+    * bucketing — never a hamming theta-join over the corpus. A corpus
+    * vector matches at most one probe per query (the probe buckets are
+    * pairwise distinct), so candidates need no dedup; top-k is the
+    * bounded heap. 100 TB shape: corpus work is identical to q40 (one
+    * signature pass, one bucket shuffle reused from the same layout);
+    * only the broadcast side grows 9×.
+    */
+  private def multiprobeTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.Vectors._
+    def flip(b: org.apache.spark.sql.Column) =
+      when(b === "1", lit("0")).otherwise(lit("1"))
+    // signature bits land in a materialized array column first so the 9
+    // probe keys re-read sig[i] instead of re-deriving 8 dot products each
+    val q0 = queries.select(col("vec_id").as("query_id"),
+                            col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("sig", array(quantSigBits(col("qv")): _*))
+    val sigAt = (i: Int) => col("sig").getItem(i)
+    val probes = array((concat((0 until NumPlanes).map(sigAt): _*) +:
+      (0 until NumPlanes).map { i =>
+        concat((0 until NumPlanes).map(j => if (i == j) flip(sigAt(j)) else sigAt(j)): _*)
+      }): _*)
+    val q = q0.withColumn("bucket", explode(probes)).drop("sig")
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+                          col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("bucket", concat(quantSigBits(col("cv")): _*))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+    Similarity.rankTopK(scored, k)
   }
 
   /** DuckDB literal for one ±1 hyperplane as a BIGINT list. */
@@ -838,6 +922,15 @@ object VectorQueries {
       s"(CASE WHEN list_dot_product(list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)), ${planeSql(p)}) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
   }
+
+  /** DuckDB hamming distance between two q.bucket/c.bucket signature
+    * strings (per-position mismatch sum) — the q216/q217 probe predicate.
+    * The ORACLE may theta-join on it (500 rows); the Spark side never
+    * does (exploded probe keys + equi-join).
+    */
+  private val hamSqlExpr: String = (1 to NumPlanes)
+    .map(i => s"(CASE WHEN substr(q.bucket,$i,1) != substr(c.bucket,$i,1) THEN 1 ELSE 0 END)")
+    .mkString(" + ")
 
   /** The unrolled 2-iteration Lloyd CTE chain shared by the q97 and q98
     * oracles: seeds → (assign, update) ×2 → final assignment `af`
@@ -1666,6 +1759,72 @@ object VectorQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
          |      FROM s)
          |WHERE rank <= 3""".stripMargin,
+
+    // q40's oracle with the join widened to hamming ≤ 1 (the oracle may
+    // theta-join — 500 rows; the Spark side equi-joins exploded probes).
+    "q216_multiprobe_lsh" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, nrm, $bucketSqlExpr AS bucket FROM n),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN q.nrm > 0 AND c.nrm > 0
+         |         THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS cosine
+         |  FROM b q JOIN b c ON ($hamSqlExpr) <= 1
+         |  WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+         |      FROM s)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q217_multiprobe_recall" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, nrm, $bucketSqlExpr AS bucket FROM n),
+         |gt AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CASE WHEN q.nrm > 0 AND c.nrm > 0
+         |             THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END DESC NULLS LAST,
+         |        c.vec_id) AS rank
+         |    FROM n q, n c WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
+         |  WHERE rank <= 3),
+         |ann0 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CASE WHEN q.nrm > 0 AND c.nrm > 0
+         |             THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END DESC NULLS LAST,
+         |        c.vec_id) AS rank
+         |    FROM b q JOIN b c ON q.bucket = c.bucket
+         |    WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
+         |  WHERE rank <= 3),
+         |ann1 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CASE WHEN q.nrm > 0 AND c.nrm > 0
+         |             THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END DESC NULLS LAST,
+         |        c.vec_id) AS rank
+         |    FROM b q JOIN b c ON ($hamSqlExpr) <= 1
+         |    WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
+         |  WHERE rank <= 3),
+         |counts AS (
+         |  SELECT 0 AS probe_bits, count(*) AS found
+         |  FROM gt JOIN ann0 USING (query_id, neighbor_id)
+         |  UNION ALL
+         |  SELECT 1 AS probe_bits, count(*) AS found
+         |  FROM gt JOIN ann1 USING (query_id, neighbor_id)),
+         |tot AS (SELECT count(*) AS total FROM gt)
+         |SELECT CAST(probe_bits AS BIGINT) AS probe_bits,
+         |       CAST(found AS BIGINT) AS found, total,
+         |       CAST(found AS DOUBLE) / CAST(total AS DOUBLE) AS recall
+         |FROM counts CROSS JOIN tot""".stripMargin,
 
     // Mirrors the Spark side exactly: BIGINT quantized vector, one
     // integer dot per plane, descale once at the end.

@@ -815,13 +815,18 @@ class PlanQualitySpec extends SparkSpec {
       "q129_quality_classifier"-> 0, // memoized scorer checkpoints at construction (q35 pattern)
       "q130_bpe_tokenize"      -> 1, // spread only; tokenize is scan-local
       "q131_classifier_eval"   -> 3, // all post-checkpoint ≤4-cell frames
-      "q132_image_dup_clusters"-> 4, // quotient-graph rep joins + per-cluster window;
+      // re-pinned 4 → 8 in round 13: cluster_size moved from a
+      // per-cluster window (one-task funnel on a mega-dup cluster) to
+      // groupBy + join-back, whose INITIAL plan references the assign
+      // subtree twice; ReuseExchange collapses the duplicates at runtime
+      // (the q128 precedent — runtime count is unchanged)
+      "q132_image_dup_clusters"-> 8, // quotient-graph rep joins + size join-back;
                                      // CC runs on ~distinct-hash-sized rep edges
       "q133_incremental_substr"-> 6, // base gram distinct + probe join + islands
       "q134_bpe_fit_apply"     -> 1, // spread only; fit collapses driver-side, apply scan-local
       "q135_audio_neardup"     -> 0, // memoized miner checkpoints at construction (q127 pattern)
       "q136_profile_kmv"       -> 1, // single partial+final sketch aggregate, no Expand
-      "q137_audio_dup_clusters"-> 4, // quotient-graph rep joins + per-cluster window (q132 shape)
+      "q137_audio_dup_clusters"-> 8, // quotient-graph rep joins + size join-back (q132 shape)
       "q140_sequence_packing"  -> 1) // one stream-id shuffle; the fold is a sorted group iterator
     for ((q, max) <- budget) {
       val n = physical(SparkEntry.queries(q)(spark, dir)).collect {
@@ -1040,6 +1045,50 @@ class PlanQualitySpec extends SparkSpec {
     }
     assert(aggs.size >= 2,
       s"q34 lacks the partial+final text_hash aggregate pair:\n${planOf(q34)}")
+  }
+
+  test("cluster family: no WindowExec partitioned by cluster_id") {
+    // The round-13 extension of the content-hash gate: a mega-duplicate
+    // CLUSTER is exactly as flooded a key as the content hash — its
+    // size/argmax attach must be groupBy + join-back (partial+final agg
+    // bounds the hot cluster map-side), never a window over cluster_id.
+    val family = Seq("q67_dedup_clusters", "q149_cc_star_contraction",
+                     "q154_incremental_components", "q143_best_copy_dedup",
+                     "q132_image_dup_clusters", "q137_audio_dup_clusters")
+    family.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      physical(df).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.foreach { w =>
+        val partNames = w.partitionSpec.flatMap(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+        })
+        assert(!partNames.contains("cluster_id"),
+          s"$name windows over cluster_id (${partNames.mkString(",")}):\n${planOf(df)}")
+      }
+    }
+  }
+
+  test("q216 multi-probe LSH is an exploded-probe equi-join + bounded heap") {
+    // the probe widening must NOT become a hamming theta-join over the
+    // corpus, and ranking must stay the TopKPairs heap (q37's gate)
+    val df   = SparkEntry.queries("q216_multiprobe_lsh")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"all-pairs crept in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ crept in:\n$plan")
+    assert(!plan.contains("Window"), s"per-query window crept in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no TopKPairs aggregate:\n$plan")
+  }
+
+  test("q218 z-order layout is projection + constant-size aggregation") {
+    // grid/interleave/file assignment must stay a pure integer projection
+    // (no shuffle of the fact rows beyond the ≤64-file-id stats agg)
+    val df = SparkEntry.queries("q218_zorder_layout")(spark, dir)
+    val n = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(n <= 3, s"q218 plans $n exchanges (bounds agg + file agg expected):\n${planOf(df)}")
+    assert(!planOf(df).contains("Window"), s"window crept in:\n${planOf(df)}")
   }
 
   test("q211 entropy is projection-only: no Generate, no per-char rows") {

@@ -240,4 +240,29 @@ class TextSpec extends SparkSpec {
       assert(bpe <= words && (words - bpe) >= merged)
     }
   }
+
+  test("q219 Hill spectrum ≡ independent recompute from collected cluster sizes") {
+    // re-derive the whole plot in plain Scala (BigInt prefix sums over
+    // the same 1e9-quantized ln terms) from q67's collected sizes — the
+    // CurationSpec q208 discipline: the distributed heap/window chain
+    // must agree with the direct math, value for value.
+    val dir = "/root/testdata/sf0.001"
+    val sizes = SparkEntry.queries("q67_dedup_clusters")(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .collect().map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("sz")))
+    val top = sizes.sortBy { case (cid, sz) => (-sz, cid) }.take(21).map(_._2)
+    val tq = top.map(s => BigInt(math.floor(1e9 * math.log(s.toDouble) + 0.5).toLong))
+    val expected = (1 until top.length).map { k =>
+      val gap = tq.take(k).sum - k * tq(k)
+      val alpha = if (gap == 0) None
+                  else Some(k.toDouble * 1e9 / gap.toDouble)
+      (k.toLong, top(k - 1), alpha)
+    }.filter(_._1 <= 20)
+    val got = SparkEntry.queries("q219_dup_cluster_spectrum")(spark, dir)
+      .orderBy("tail_rank").collect()
+      .map(r => (r.getAs[Long]("tail_rank"), r.getAs[Long]("cluster_size"),
+                 Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == expected,
+      s"spectrum mismatch:\n got $got\n want $expected")
+  }
 }
