@@ -67,7 +67,12 @@ object ScaleRehearsal {
     "q209_scrubbed_curation",      // scrub-survivor-restricted curationV2
     "q210_bpe_fit_batched",        // 16×16 batched fit (round-13 sibling)
     "q213_snm_simhash",            // sorted-neighborhood simhash screen
-    "q215_snm_incremental")        // persisted SNM index + halo probe
+    "q215_snm_incremental",        // persisted SNM index + halo probe
+    // round-13 second wave
+    "q216_multiprobe_lsh",         // hamming-1 probe union, exploded equi-join
+    "q218_zorder_layout",          // Morton grid + per-file skipping stats
+    "q219_dup_cluster_spectrum",   // Hill plot over cluster size order stats
+    "q220_zorder_incremental")     // persisted stats + frozen-grid delta merge
 
   private def copyTable(spark: SparkSession, src: String, out: String,
                         name: String): Unit =
@@ -111,8 +116,15 @@ object ScaleRehearsal {
         .withColumn("l_partkey", col("l_partkey") + i * Shift)
         .withColumn("l_suppkey", col("l_suppkey") + i * Shift)
     }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // orders: key-shifted only (i·10^7 is even, so q220's parity split is
+    // preserved per copy); ck/day distributions overlay, which is the
+    // right z-order stress — 10× rows per file cell, not 10× more cells
+    scaled(spark, src, "orders", copies) { (o, i) =>
+      if (i == 0) o
+      else o.withColumn("o_orderkey", col("o_orderkey") + i * Shift)
+    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "events"))
+                  "events"))
       copyTable(spark, src, out, t)
     done.createNewFile()
     ()

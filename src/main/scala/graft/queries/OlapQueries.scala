@@ -191,34 +191,45 @@ object OlapQueries {
     // double), so the oracle replays it bit-for-bit.
     // -----------------------------------------------------------------
     "q218_zorder_layout" -> { (s, dir) =>
-      // day index via calendar truncation (NTZ → date is TZ-independent
-      // in both engines, unlike an epoch cast)
-      val o = Tables(s, dir).orders.select(
-        col("o_custkey").cast(LongType).as("ck"),
-        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
-          .cast(LongType).as("day"))
-      val bounds = o.agg(
-        min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
-        min(col("day")).as("day_min"), max(col("day")).as("day_max"))
-      val assigned = o.crossJoin(broadcast(bounds))
-        .withColumn("xg", expr("((ck - ck_min) * 256) DIV (ck_max - ck_min + 1)"))
-        .withColumn("yg", expr("((day - day_min) * 256) DIV (day_max - day_min + 1)"))
-        .withColumn("zval", expr(ZOrder.sparkZ))
-        .withColumn("file_id", expr(s"shiftright(zval, ${ZOrder.fileShift})"))
-      assigned.groupBy(col("file_id"))
-        .agg(count(lit(1)).as("n_rows"),
-             min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
-             min(col("day")).as("min_day"), max(col("day")).as("max_day"))
-        .crossJoin(broadcast(bounds))
-        .withColumn("hit_ck_probe",
-          expr("max_ck >= ck_min + ((ck_max - ck_min + 1) * 7) DIV 16 AND " +
-               "min_ck <= ck_min + ((ck_max - ck_min + 1) * 8) DIV 16 - 1"))
-        .withColumn("hit_day_probe",
-          expr("max_day >= day_min + ((day_max - day_min + 1) * 7) DIV 16 AND " +
-               "min_day <= day_min + ((day_max - day_min + 1) * 8) DIV 16 - 1"))
-        .select(col("file_id"), col("n_rows"), col("min_ck"), col("max_ck"),
-                col("min_day"), col("max_day"),
-                col("hit_ck_probe"), col("hit_day_probe"))
+      val o = ZOrder.prep(Tables(s, dir).orders)
+      val bounds = ZOrder.bounds(o)
+      ZOrder.withProbeFlags(
+        ZOrder.fileStats(ZOrder.assign(o, bounds)), bounds)
+    },
+
+    // -----------------------------------------------------------------
+    // q220: INCREMENTAL z-order stats maintenance — q218 under the
+    // build-once/merge-deltas discipline (the q215/q198/q204 split).
+    // File min/max/count stats are ASSOCIATIVE, which is exactly why
+    // real lakehouses maintain them incrementally: the base stats table
+    // (≤64 rows, persisted WITH its grid bounds — the probe must bucket
+    // deltas on the build-time grid, the q215 stored-bounds contract)
+    // merges with delta-batch stats by a union + re-agg over ≤128 rows.
+    // The delta pass scans ONLY delta rows; the base fact table is never
+    // rescanned. n_delta_rows rides along so the gate can see the
+    // delta-proportional work. Gated against a one-shot restatement
+    // under the SAME frozen bounds (a union-refit would re-grid).
+    // -----------------------------------------------------------------
+    "q220_zorder_incremental" -> { (s, dir) =>
+      val idx = zorderStatsIndex(s, dir)
+      // the stored bounds are constant columns on every stats row
+      val bounds = broadcast(idx.groupBy()
+        .agg(max(col("ck_min")).as("ck_min"), max(col("ck_max")).as("ck_max"),
+             max(col("day_min")).as("day_min"), max(col("day_max")).as("day_max")))
+      val delta = ZOrder.prep(
+        Tables(s, dir).orders.filter(col("o_orderkey") % 2 === 1))
+      val dStats = ZOrder.fileStats(ZOrder.assign(delta, bounds))
+        .withColumn("n_delta", col("n_rows"))
+      val bStats = idx.select(col("file_id"), col("n_rows"), col("min_ck"),
+                              col("max_ck"), col("min_day"), col("max_day"))
+        .withColumn("n_delta", lit(0L))
+      val merged = bStats.unionByName(dStats)
+        .groupBy(col("file_id"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+             min(col("min_ck")).as("min_ck"), max(col("max_ck")).as("max_ck"),
+             min(col("min_day")).as("min_day"), max(col("max_day")).as("max_day"),
+             sum(col("n_delta")).as("n_delta_rows"))
+      ZOrder.withProbeFlags(merged, bounds)
     })
 
   /** q106's salt fan-out (PlanQualitySpec asserts the hot key spreads
@@ -231,7 +242,7 @@ object OlapQueries {
     * over the 8-bit grid coordinates. `fileShift` keeps the top 6 z bits
     * → ≤ 64 file ids.
     */
-  private object ZOrder {
+  private[graft] object ZOrder {
     val gridBits  = 8
     val fileShift = 10
     private def terms(shl: (String, Int) => String,
@@ -243,7 +254,77 @@ object OlapQueries {
       terms((e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
     val duckZ: String =
       terms((e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")
+
+    /** (ck, day) projection of orders — day via calendar truncation
+      * (NTZ → date is TZ-independent in both engines, unlike an epoch
+      * cast). [[prepKeyed]] keeps o_orderkey for the streaming leg's
+      * redelivery guard.
+      */
+    def prepKeyed(orders: DataFrame): DataFrame =
+      orders.select(
+        col("o_orderkey"),
+        col("o_custkey").cast(LongType).as("ck"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast(LongType).as("day"))
+
+    def prep(orders: DataFrame): DataFrame =
+      prepKeyed(orders).drop("o_orderkey")
+
+    def bounds(o: DataFrame): DataFrame =
+      o.agg(min(col("ck")).as("ck_min"), max(col("ck")).as("ck_max"),
+            min(col("day")).as("day_min"), max(col("day")).as("day_max"))
+
+    /** Grid/interleave/file assignment under the GIVEN bounds — a pure
+      * integer projection after the 1-row bounds broadcast.
+      */
+    def assign(o: DataFrame, boundsDf: DataFrame): DataFrame =
+      o.crossJoin(broadcast(boundsDf))
+        .withColumn("xg", expr("((ck - ck_min) * 256) DIV (ck_max - ck_min + 1)"))
+        .withColumn("yg", expr("((day - day_min) * 256) DIV (day_max - day_min + 1)"))
+        .withColumn("zval", expr(sparkZ))
+        .withColumn("file_id", expr(s"shiftright(zval, $fileShift)"))
+
+    def fileStats(assigned: DataFrame): DataFrame =
+      assigned.groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+             min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+             min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+
+    /** Attach the two mid-range-probe audit flags; any extra stats
+      * columns (q220's n_delta_rows) ride through untouched.
+      */
+    def withProbeFlags(stats: DataFrame, boundsDf: DataFrame): DataFrame =
+      stats.crossJoin(broadcast(boundsDf))
+        .withColumn("hit_ck_probe",
+          expr("max_ck >= ck_min + ((ck_max - ck_min + 1) * 7) DIV 16 AND " +
+               "min_ck <= ck_min + ((ck_max - ck_min + 1) * 8) DIV 16 - 1"))
+        .withColumn("hit_day_probe",
+          expr("max_day >= day_min + ((day_max - day_min + 1) * 7) DIV 16 AND " +
+               "min_day <= day_min + ((day_max - day_min + 1) * 8) DIV 16 - 1"))
+        .drop("ck_min", "ck_max", "day_min", "day_max")
   }
+
+  private def zorderStatsTable(s: SparkSession, dir: String): String =
+    graft.sources.Warehouse.sessionScopedName(s,
+      "graft_q220_zstats_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+
+  private val zIdxCache = new graft.core.SessionCache[String]
+
+  /** q220's persisted base stats: per-file min/max/count over the EVEN
+    * o_orderkey half, with the base grid bounds stored as constant
+    * columns on every row (the q215 stored-bounds contract — delta
+    * batches must bucket on the build-time grid, not refit it).
+    */
+  private def zorderStatsIndex(s: SparkSession, dir: String): DataFrame =
+    zIdxCache.getOrElseUpdate(s, dir) {
+      val base = ZOrder.prep(
+        Tables(s, dir).orders.filter(col("o_orderkey") % 2 === 0))
+      val b = ZOrder.bounds(base)
+      val stats = ZOrder.fileStats(ZOrder.assign(base, b))
+        .crossJoin(broadcast(b))
+      graft.sources.Warehouse.writeTable(stats, zorderStatsTable(s, dir))
+      s.table(zorderStatsTable(s, dir))
+    }
 
   val oracles: Map[String, String] = Map(
     "q46_rollup" ->
@@ -413,6 +494,37 @@ object OlapQueries {
          |         min(day) AS min_day, max(day) AS max_day
          |  FROM f GROUP BY 1)
          |SELECT file_id, n_rows, min_ck, max_ck, min_day, max_day,
+         |  (max_ck >= ck_min + ((ck_max - ck_min + 1) * 7) // 16 AND
+         |   min_ck <= ck_min + ((ck_max - ck_min + 1) * 8) // 16 - 1) AS hit_ck_probe,
+         |  (max_day >= day_min + ((day_max - day_min + 1) * 7) // 16 AND
+         |   min_day <= day_min + ((day_max - day_min + 1) * 8) // 16 - 1) AS hit_day_probe
+         |FROM agg CROSS JOIN b""".stripMargin,
+
+    // One-shot restatement of the incremental merge under the SAME
+    // frozen grid: bounds come from the EVEN (base) half only, stats
+    // aggregate over everything, n_delta_rows counts the odd half.
+    "q220_zorder_incremental" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey AS ck,
+         |         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+         |  FROM orders),
+         |b AS (SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+         |             min(day) AS day_min, max(day) AS day_max
+         |      FROM o WHERE o_orderkey % 2 = 0),
+         |g AS (
+         |  SELECT o_orderkey, ck, day,
+         |         ((ck - ck_min) * 256) // (ck_max - ck_min + 1) AS xg,
+         |         ((day - day_min) * 256) // (day_max - day_min + 1) AS yg
+         |  FROM o CROSS JOIN b),
+         |z AS (SELECT o_orderkey, ck, day, (${ZOrder.duckZ}) AS zval FROM g),
+         |f AS (SELECT o_orderkey, ck, day, (zval >> ${ZOrder.fileShift}) AS file_id FROM z),
+         |agg AS (
+         |  SELECT file_id, count(*) AS n_rows,
+         |         min(ck) AS min_ck, max(ck) AS max_ck,
+         |         min(day) AS min_day, max(day) AS max_day,
+         |         CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_rows
+         |  FROM f GROUP BY 1)
+         |SELECT file_id, n_rows, min_ck, max_ck, min_day, max_day, n_delta_rows,
          |  (max_ck >= ck_min + ((ck_max - ck_min + 1) * 7) // 16 AND
          |   min_ck <= ck_min + ((ck_max - ck_min + 1) * 8) // 16 - 1) AS hit_ck_probe,
          |  (max_day >= day_min + ((day_max - day_min + 1) * 7) // 16 AND

@@ -602,6 +602,62 @@ object EventsStream {
     * redelivery idempotent. Drained output ≡ batch q77 on the same
     * corpus (StreamingSpec asserts).
     */
+  /** Orders-shaped file-source stream (the z-order leg's entry point). */
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampNTZType),
+    StructField("o_orderpriority", StringType)))
+
+  def readOrders(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(ordersSchema).parquet(dir)
+
+  /** Streaming maintenance of the z-order file-stats state (q220 from a
+    * stream): each micro-batch of orders is grid-assigned under the
+    * index's FROZEN build bounds (the q215 stored-bounds contract — a
+    * delta must bucket on the build-time grid, never refit it) and
+    * collapsed to per-file stats rows appended at
+    * (file_id, batch-min-order-key) granularity. min/max/count are
+    * ASSOCIATIVE, so the serving readout is a re-aggregation over
+    * ≤ files·batches tiny rows and the base fact table is never
+    * rescanned; the guard key makes redelivery a no-op (an order key is
+    * delivered once, so a re-delivered batch reproduces the same
+    * per-file min key). Drained state re-aggregates to the batch delta
+    * stats (StreamingSpec asserts).
+    */
+  def zorderStatsMaintainStream(
+      orders: DataFrame,
+      table: String,
+      bounds: (Long, Long, Long, Long),
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    orders.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val (ckMin, ckMax, dayMin, dayMax) = bounds
+        val b = s.range(1).select(
+          lit(ckMin).as("ck_min"), lit(ckMax).as("ck_max"),
+          lit(dayMin).as("day_min"), lit(dayMax).as("day_max"))
+        val assigned = graft.queries.OlapQueries.ZOrder.assign(
+          graft.queries.OlapQueries.ZOrder.prepKeyed(batch.toDF()), b)
+        val stats = assigned.groupBy(col("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+               min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+               min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+               min(col("o_orderkey")).as("batch_min_key"))
+          .withColumn("guard_key",
+            md5(concat(col("file_id").cast("string"), lit("|"),
+                       col("batch_min_key").cast("string"))))
+        idempotentAppend(stats, table, "guard_key")
+        ()
+      }
+      .start()
+
   def decontaminateStream(
       docs: DataFrame,
       bench: DataFrame,

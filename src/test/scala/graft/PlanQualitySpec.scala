@@ -1080,6 +1080,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"no TopKPairs aggregate:\n$plan")
   }
 
+  test("q220 merges delta z-order stats against the persisted table — no base rescan") {
+    // the delta pass reads the ≤64-row stats table + ONLY the delta rows;
+    // the base half of orders must never be rescanned (stats are
+    // associative — that's the whole point of incremental maintenance)
+    val df   = SparkEntry.queries("q220_zorder_incremental")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("graft_q220_zstats"),
+      s"q220 does not read the persisted stats table:\n$plan")
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 1,
+      s"q220 scans orders $ordersScans times (want 1 — the delta only):\n$plan")
+  }
+
   test("q218 z-order layout is projection + constant-size aggregation") {
     // grid/interleave/file assignment must stay a pure integer projection
     // (no shuffle of the fact rows beyond the ≤64-file-id stats agg)

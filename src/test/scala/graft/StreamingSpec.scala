@@ -1022,4 +1022,56 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(spark.table(outTable).count() === want.size.toLong, "replay duplicated rows")
   }
+
+  test("z-order stats maintenance: drained state re-aggregates to the batch delta stats") {
+    import graft.queries.OlapQueries.ZOrder
+    val orders = graft.core.Tables(spark, dir).orders
+    val watch = java.nio.file.Files.createTempDirectory("graft-zs-watch")
+    def stage(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zs-half")
+      orders.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    // frozen bounds from the EVEN half — the q220 base-grid contract
+    val bRow = ZOrder.bounds(
+      ZOrder.prep(orders.filter(col("o_orderkey") % 2 === 0))).collect().head
+    val bounds = (bRow.getLong(0), bRow.getLong(1), bRow.getLong(2), bRow.getLong(3))
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_zs_stream_idx")
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-zs-ck1").toString
+    stage(col("o_orderkey") % 4 === 1, "b0.parquet")
+    val q1 = EventsStream.zorderStatsMaintainStream(
+      EventsStream.readOrders(spark, watch.toString), table, bounds, ck1, "zs_maint_1")
+    q1.processAllAvailable()
+    stage(col("o_orderkey") % 4 === 3, "b1.parquet")
+    q1.processAllAvailable(); q1.stop()
+    // the stats rows are associative — the readout re-aggregation must
+    // equal the one-shot delta stats under the same frozen grid
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("file_id"))
+        .agg(sum(col("n_rows")).as("n"), min(col("min_ck")).as("a"),
+             max(col("max_ck")).as("b"), min(col("min_day")).as("c"),
+             max(col("max_day")).as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                             r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val bDf = spark.range(1).select(
+      lit(bounds._1).as("ck_min"), lit(bounds._2).as("ck_max"),
+      lit(bounds._3).as("day_min"), lit(bounds._4).as("day_max"))
+    val want = agg(ZOrder.fileStats(ZOrder.assign(
+      ZOrder.prep(orders.filter(col("o_orderkey") % 2 === 1)), bDf)))
+    val got = agg(spark.table(table))
+    assert(want.nonEmpty && got === want,
+      "streamed z-order stats diverged from the batch delta stats")
+    // two staged batches → per-file rows may appear twice; the state is
+    // strictly finer than the readout, never coarser
+    assert(spark.table(table).count() >= got.size.toLong)
+    // redelivery with a fresh checkpoint: the guard key keeps appends no-op
+    val n = spark.table(table).count()
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-zs-ck2").toString
+    val q2 = EventsStream.zorderStatsMaintainStream(
+      EventsStream.readOrders(spark, watch.toString), table, bounds, ck2, "zs_maint_2")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(table).count() === n, "replay duplicated stats rows")
+  }
 }
