@@ -88,13 +88,14 @@ object VectorQueries {
     },
 
     // The q116/q214 "measure, don't guess" gate for q216: recall@3 of
-    // single-bucket (probe_bits=0 — q40's shape) vs hamming-1 multi-probe
-    // (probe_bits=1 — q216) against exact brute-force ground truth over
-    // the same 50-query batch — the curve an operator reads before
-    // spending 9× probe fan-out. Ground truth is exact top-3 over the
-    // full corpus at gate scale; at 100 TB the same audit runs on a
-    // deterministic md5 query sample (the q214 rate knob) — the corpus
-    // side of the audit is one broadcast-join pass either way.
+    // single-bucket (probe_bits=0 — q40's shape) vs hamming-1 (q216) vs
+    // hamming-2 probing against exact brute-force ground truth over the
+    // same 50-query batch — the budget curve an operator reads before
+    // spending 9×/37× probe fan-out (q221 closes the loop on it).
+    // Ground truth is exact top-3 over the full corpus at gate scale; at
+    // 100 TB the same audit runs on a deterministic md5 query sample
+    // (the q214 rate knob) — the corpus side of the audit is one
+    // broadcast-join pass either way.
     "q217_multiprobe_recall" -> { (s, dir) =>
       val e  = Tables(s, dir).embeddings
       val gt = Similarity.bruteForceTopK(
@@ -104,13 +105,16 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"), lit(0L).as("probe_bits"))
         .unionByName(defs("q216_multiprobe_lsh")(s, dir)
           .select(col("query_id"), col("neighbor_id"), lit(1L).as("probe_bits")))
+        .unionByName(
+          multiprobeTopK(e.filter(col("vec_id") < 50), e, k = 3, maxHam = 2)
+            .select(col("query_id"), col("neighbor_id"), lit(2L).as("probe_bits")))
       val found = gt.join(ann, Seq("query_id", "neighbor_id"))
         .groupBy(col("probe_bits")).agg(count(lit(1)).as("found"))
-      // left-join from a literal 2-row spine: a budget that finds NOTHING
+      // left-join from a literal 3-row spine: a budget that finds NOTHING
       // must still report its zero instead of vanishing from the audit
       // no broadcast hint: build-left on a left-outer is unsupported and
-      // the 2-row spine is driver-literal anyway
-      val spine = s.range(0, 2).select(col("id").as("probe_bits"))
+      // the 3-row spine is driver-literal anyway
+      val spine = s.range(0, 3).select(col("id").as("probe_bits"))
       val tot = gt.agg(count(lit(1)).as("total"))
       spine.join(found, Seq("probe_bits"), "left")
         .crossJoin(broadcast(tot))
@@ -118,6 +122,28 @@ object VectorQueries {
                 coalesce(col("found"), lit(0L)).as("found"), col("total"),
                 (coalesce(col("found"), lit(0L)).cast("double") /
                   col("total").cast("double")).as("recall"))
+    },
+
+    // Probe-budget planner — the q174/q199 close-the-loop discipline on
+    // q217's measured curve: pick the SMALLEST probe budget whose
+    // measured recall clears the target, falling back to the largest
+    // budget when none does, and report it with its serving cost
+    // (probes per query). Recall targets are an SLA, probe count is the
+    // cost — the choice must come from the measured curve, not intuition.
+    "q221_multiprobe_plan" -> { (s, dir) =>
+      val rec = defs("q217_multiprobe_recall")(s, dir)
+      val sel = rec.agg(
+        min(when(col("recall") >= MultiprobeTargetRecall, col("probe_bits"))).as("met"),
+        max(col("probe_bits")).as("fallback"))
+        .select(coalesce(col("met"), col("fallback")).as("probe_bits"))
+      val cost = ProbeCounts.foldLeft(lit(null).cast("long")) {
+        case (acc, (bits, n)) =>
+          when(col("probe_bits") === bits, lit(n.toLong)).otherwise(acc)
+      }
+      rec.join(broadcast(sel), Seq("probe_bits"))
+        .select(col("probe_bits"), col("found"), col("total"), col("recall"),
+                cost.as("probes_per_query"),
+                (col("recall") >= MultiprobeTargetRecall).as("met_target"))
     },
 
     // Lloyd k-means (k=8, 2 iterations): md5-ordered seeds, shuffle-free
@@ -885,21 +911,26 @@ object VectorQueries {
     * signature pass, one bucket shuffle reused from the same layout);
     * only the broadcast side grows 9×.
     */
-  private def multiprobeTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  private def multiprobeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                             maxHam: Int = 1): DataFrame = {
     import graft.functions.Vectors._
     def flip(b: org.apache.spark.sql.Column) =
       when(b === "1", lit("0")).otherwise(lit("1"))
-    // signature bits land in a materialized array column first so the 9
+    // signature bits land in a materialized array column first so the
     // probe keys re-read sig[i] instead of re-deriving 8 dot products each
     val q0 = queries.select(col("vec_id").as("query_id"),
                             col("embedding").cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))
       .withColumn("sig", array(quantSigBits(col("qv")): _*))
     val sigAt = (i: Int) => col("sig").getItem(i)
-    val probes = array((concat((0 until NumPlanes).map(sigAt): _*) +:
-      (0 until NumPlanes).map { i =>
-        concat((0 until NumPlanes).map(j => if (i == j) flip(sigAt(j)) else sigAt(j)): _*)
-      }): _*)
+    // all flip sets of size ≤ maxHam (size 0 = the exact bucket); the
+    // probe list is pairwise distinct by construction
+    val flipSets: Seq[Set[Int]] =
+      (0 to maxHam).flatMap(h => (0 until NumPlanes).combinations(h).map(_.toSet))
+    val probes = array(flipSets.map { fs =>
+      concat((0 until NumPlanes).map(j =>
+        if (fs.contains(j)) flip(sigAt(j)) else sigAt(j)): _*)
+    }: _*)
     val q = q0.withColumn("bucket", explode(probes)).drop("sig")
     val c = corpus.select(col("vec_id").as("neighbor_id"),
                           col("embedding").cast("array<double>").as("cv"))
@@ -931,6 +962,15 @@ object VectorQueries {
   private val hamSqlExpr: String = (1 to NumPlanes)
     .map(i => s"(CASE WHEN substr(q.bucket,$i,1) != substr(c.bucket,$i,1) THEN 1 ELSE 0 END)")
     .mkString(" + ")
+
+  /** q221's recall SLA, and the probe fan-out per budget — Σ_{h≤b} C(8,h):
+    * 1 / 9 / 37 buckets per query. Shared by the Spark def and the oracle.
+    */
+  private val MultiprobeTargetRecall = 0.10
+  private val ProbeCounts: Seq[(Int, Int)] = (0 to 2).map { b =>
+    b -> (0 to b).map(h =>
+      (0 until NumPlanes).combinations(h).size).sum
+  }
 
   /** The unrolled 2-iteration Lloyd CTE chain shared by the q97 and q98
     * oracles: seeds → (assign, update) ×2 → final assignment `af`
@@ -1814,12 +1854,25 @@ object VectorQueries {
          |    FROM b q JOIN b c ON ($hamSqlExpr) <= 1
          |    WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
          |  WHERE rank <= 3),
+         |ann2 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CASE WHEN q.nrm > 0 AND c.nrm > 0
+         |             THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END DESC NULLS LAST,
+         |        c.vec_id) AS rank
+         |    FROM b q JOIN b c ON ($hamSqlExpr) <= 2
+         |    WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
+         |  WHERE rank <= 3),
          |counts AS (
          |  SELECT 0 AS probe_bits, count(*) AS found
          |  FROM gt JOIN ann0 USING (query_id, neighbor_id)
          |  UNION ALL
          |  SELECT 1 AS probe_bits, count(*) AS found
-         |  FROM gt JOIN ann1 USING (query_id, neighbor_id)),
+         |  FROM gt JOIN ann1 USING (query_id, neighbor_id)
+         |  UNION ALL
+         |  SELECT 2 AS probe_bits, count(*) AS found
+         |  FROM gt JOIN ann2 USING (query_id, neighbor_id)),
          |tot AS (SELECT count(*) AS total FROM gt)
          |SELECT CAST(probe_bits AS BIGINT) AS probe_bits,
          |       CAST(found AS BIGINT) AS found, total,
@@ -2046,6 +2099,18 @@ object VectorQueries {
          |LEFT JOIN (${baseOracles("q179_ivfpq_topk")}) i
          |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
          |GROUP BY e.query_id""".stripMargin) +
+    ("q221_multiprobe_plan" ->
+      s"""WITH r AS (${baseOracles("q217_multiprobe_recall")}),
+         |sel AS (
+         |  SELECT coalesce(
+         |    min(CASE WHEN recall >= $MultiprobeTargetRecall THEN probe_bits END),
+         |    max(probe_bits)) AS probe_bits
+         |  FROM r)
+         |SELECT r.probe_bits, r.found, r.total, r.recall,
+         |  CAST(CASE r.probe_bits ${ProbeCounts.map { case (b, n) =>
+               s"WHEN $b THEN $n" }.mkString(" ")} END AS BIGINT) AS probes_per_query,
+         |  (r.recall >= $MultiprobeTargetRecall) AS met_target
+         |FROM r JOIN sel ON r.probe_bits = sel.probe_bits""".stripMargin) +
     ("q116_ann_recall" ->
       s"""SELECT e.query_id, count(*) AS n_exact,
          |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,

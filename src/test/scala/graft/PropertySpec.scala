@@ -312,4 +312,30 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("z-order interleave is a bijection on the 8-bit grid (q218's invariant)") {
+    // min/max file stats are only TIGHT if distinct cells never collide
+    // in z — interleave must be injective on [0,256)², stay inside 16
+    // bits, and the file prefix inside [0,64). Exhaustive over a stride
+    // sample plus the full boundary rows/columns.
+    val coords = (for {
+      x <- 0 until 256 by 7
+      y <- 0 until 256 by 11
+    } yield (x.toLong, y.toLong)) ++
+      (0 until 256).flatMap(v => Seq((v.toLong, 0L), (v.toLong, 255L),
+                                     (0L, v.toLong), (255L, v.toLong)))
+    val df = coords.distinct.toDF("xg", "yg")
+      .select(col("xg"), col("yg"),
+              expr(graft.queries.OlapQueries.ZOrder.sparkZ).as("z"))
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("z")).distinct.length == rows.length,
+      "z collision: interleave not injective")
+    assert(rows.forall(r => r.getAs[Long]("z") >= 0 && r.getAs[Long]("z") < 65536),
+      "z escaped 16 bits")
+    // spot-check the classic Morton identities: (0,0)→0, (255,255)→65535,
+    // (1,0)→1, (0,1)→2
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("z")).toMap
+    assert(m((0L, 0L)) == 0L && m((255L, 255L)) == 65535L &&
+           m((1L, 0L)) == 1L && m((0L, 1L)) == 2L)
+  }
 }

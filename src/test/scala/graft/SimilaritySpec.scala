@@ -324,10 +324,11 @@ class SimilaritySpec extends SparkSpec {
     val rows = SparkEntry.queries("q217_multiprobe_recall")(spark, dir)
       .collect().map(r => r.getAs[Long]("probe_bits") ->
                           (r.getAs[Long]("found"), r.getAs[Long]("total"))).toMap
-    assert(rows.keySet == Set(0L, 1L), s"budgets missing: ${rows.keySet}")
-    val (f0, t0) = rows(0L); val (f1, t1) = rows(1L)
-    assert(t0 == t1 && t0 > 0, s"ground-truth totals disagree: $t0 vs $t1")
-    assert(f1 >= f0, s"multi-probe found $f1 < single-bucket $f0")
+    assert(rows.keySet == Set(0L, 1L, 2L), s"budgets missing: ${rows.keySet}")
+    val (f0, t0) = rows(0L); val (f1, t1) = rows(1L); val (f2, t2) = rows(2L)
+    assert(t0 == t1 && t1 == t2 && t0 > 0, s"ground-truth totals disagree: $t0/$t1/$t2")
+    assert(f1 >= f0 && f2 >= f1,
+      s"recall not monotone in probe budget: $f0, $f1, $f2")
     // and every single-bucket ANN pair is also a multi-probe pair — the
     // per-pair statement of the same superset argument
     val a0 = SparkEntry.queries("q40_ann_lsh")(spark, dir)
