@@ -72,7 +72,8 @@ object ScaleRehearsal {
     "q216_multiprobe_lsh",         // hamming-1 probe union, exploded equi-join
     "q218_zorder_layout",          // Morton grid + per-file skipping stats
     "q219_dup_cluster_spectrum",   // Hill plot over cluster size order stats
-    "q220_zorder_incremental")     // persisted stats + frozen-grid delta merge
+    "q220_zorder_incremental",     // persisted stats + frozen-grid delta merge
+    "q222_source_quantile_norm")   // per-source lattice quantile calibration
 
   private def copyTable(spark: SparkSession, src: String, out: String,
                         name: String): Unit =

@@ -709,6 +709,46 @@ object TextQueries {
     // as in q201; a source holding the WHOLE corpus (n_rest = 0, an
     // undefined statistic) is excluded on both sides.
     // ---------------------------------------------------------------
+    // ---------------------------------------------------------------
+    // q222: per-source QUANTILE NORMALIZATION of quality scores — the
+    // cross-source calibration step real curation needs: the q33 scorer's
+    // distribution shifts with language/format, so one GLOBAL threshold
+    // over-prunes the sources whose scores sit low and under-prunes the
+    // ones that sit high. The fair knob is each doc's WITHIN-SOURCE
+    // quantile. Exact at score-bucket resolution via the q208 lattice
+    // discipline: one (source, bucket) partial+final agg — the flooded
+    // source is never windowed over; every window partitions by source
+    // over ≤21 bucket rows (partition COUNT may be huge, partition SIZE
+    // never is). Each doc maps to its bucket's lower quantile
+    // cum_below / n_source and is kept at a uniform per-source rate —
+    // is_kept is the INTEGER cross-product comparison (cum·5 ≥ n·4, i.e.
+    // quantile ≥ 0.8), so the selection never rides a double threshold
+    // edge. The doc-side attach is an equi-join against the
+    // ≤ |sources|·21-row quantile table (broadcast at any scale).
+    // ---------------------------------------------------------------
+    "q222_source_quantile_norm" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val scored = d.select(col("doc_id"), col("source"),
+                            floor(qualityScore / 5).cast(LongType).as("bucket"))
+      val bucketed = scored.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_sb"))
+      val W = org.apache.spark.sql.expressions.Window
+      val below = W.partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val all = W.partitionBy(col("source"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      val qn = bucketed
+        .withColumn("cum_below", coalesce(sum(col("n_sb")).over(below), lit(0L)))
+        .withColumn("n_source", sum(col("n_sb")).over(all))
+        .select(col("source"), col("bucket"), col("cum_below"), col("n_source"))
+      scored.join(broadcast(qn), Seq("source", "bucket"))
+        .select(col("doc_id"), col("source"), col("bucket"),
+                col("n_source"), col("cum_below"),
+                (col("cum_below").cast(DoubleType) /
+                  col("n_source").cast(DoubleType)).as("quantile"),
+                (col("cum_below") * 5 >= col("n_source") * 4).as("is_kept"))
+    },
+
     "q208_source_ks" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       val bucketed = d
@@ -3293,6 +3333,39 @@ object TextQueries {
 
     // q208: q33's score, (source, bucket) lattice completed by a cross
     // join, per-source bounded windows, HUGEINT gaps, per-source bar.
+    // same t/m/s score prelude as q33/q208; quantiles replayed with the
+    // identical lattice windows, is_kept as the same integer comparison
+    "q222_source_quantile_norm" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+         |    CAST(len(list_filter(toks, x -> list_contains([$enList], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id,
+         |    least(CAST(n_tokens AS DOUBLE) / 50, 1.0) * 25 + distinct_ratio * 25 +
+         |    least(stopword_ratio * 5, 1.0) * 25 + (1.0 - least(punct_ratio * 10, 1.0)) * 25 AS q
+         |  FROM m),
+         |sc AS (
+         |  SELECT d.doc_id, d.source, CAST(floor(s.q / 5) AS BIGINT) AS bucket
+         |  FROM documents d JOIN s ON d.doc_id = s.doc_id),
+         |b AS (SELECT source, bucket, count(*) AS n_sb FROM sc GROUP BY 1, 2),
+         |qn AS (
+         |  SELECT source, bucket,
+         |    coalesce(sum(n_sb) OVER (PARTITION BY source ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below,
+         |    sum(n_sb) OVER (PARTITION BY source) AS n_source
+         |  FROM b)
+         |SELECT sc.doc_id, sc.source, sc.bucket,
+         |  CAST(qn.n_source AS BIGINT) AS n_source,
+         |  CAST(qn.cum_below AS BIGINT) AS cum_below,
+         |  CAST(qn.cum_below AS DOUBLE) / CAST(qn.n_source AS DOUBLE) AS quantile,
+         |  (qn.cum_below * 5 >= qn.n_source * 4) AS is_kept
+         |FROM sc JOIN qn ON sc.source = qn.source AND sc.bucket = qn.bucket""".stripMargin,
+
     "q208_source_ks" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
          |m AS (

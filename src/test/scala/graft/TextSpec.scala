@@ -241,6 +241,35 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q222 per-source quantiles ≡ independent recompute; keep rate ≤ 20% + one bucket") {
+    // re-derive every doc's (cum_below, n_source) from collected
+    // (source, bucket) pairs in plain Scala, and pin the calibration
+    // guarantee: within each source the kept fraction can exceed 20%
+    // only by the one bucket straddling the 0.8 boundary.
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q222_source_quantile_norm")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+                 (r.getAs[String]("source"), r.getAs[Long]("bucket"),
+                  r.getAs[Long]("n_source"), r.getAs[Long]("cum_below"),
+                  r.getAs[Boolean]("is_kept")))).toMap
+    val pairs = got.toSeq.map { case (d, (src, b, _, _, _)) => (d, src, b) }
+    val bySrc = pairs.groupBy(_._2)
+    bySrc.foreach { case (src, ds) =>
+      val n = ds.size.toLong
+      val cnt = ds.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      ds.foreach { case (d, _, b) =>
+        val below = cnt.filter(_._1 < b).values.sum
+        val (gs, gb, gn, gc, gk) = got(d)
+        assert(gs == src && gb == b && gn == n && gc == below &&
+               gk == (below * 5 >= n * 4), s"doc $d mismatch")
+      }
+      val kept = ds.count { case (d, _, _) => got(d)._5 }
+      val largestBucket = cnt.values.max
+      assert(kept <= n / 5 + largestBucket,
+        s"$src keeps $kept of $n — beyond 20% + one bucket")
+    }
+  }
+
   test("q219 Hill spectrum ≡ independent recompute from collected cluster sizes") {
     // re-derive the whole plot in plain Scala (BigInt prefix sums over
     // the same 1e9-quantized ln terms) from q67's collected sizes — the
