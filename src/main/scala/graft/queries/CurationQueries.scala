@@ -1243,6 +1243,23 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q223: CALIBRATED curation — q222's per-source quantile keep set as
+    // the eligibility restrict (the q196/q209 hook): only docs in their
+    // source's top quintile may be SELECTED, while the DSIR model and
+    // dup clusters stay corpus-fitted. This is the composition the
+    // calibration exists FOR: a global quality bar inside the selection
+    // would re-introduce exactly the per-source bias q222 removes, so
+    // the bar is applied in quantile space per source, and the selection
+    // then ranks the calibrated survivors by importance as usual.
+    // ---------------------------------------------------------------
+    "q223_calibrated_curation" -> { (s, dir) =>
+      curationV2(s, dir,
+        restrict = Some(TextQueries.defs("q222_source_quantile_norm")(s, dir)
+          .filter(col("is_kept"))
+          .select(col("doc_id"))))
+    },
+
+    // ---------------------------------------------------------------
     // q198: INCREMENTAL cap maintenance — the q141/q145/q172
     // build-once/probe-deltas discipline on q195: the base half's kept
     // set persists as a contract-enforced warehouse table (the state IS
@@ -2144,6 +2161,13 @@ object CurationQueries {
          |  SELECT doc_id FROM ($q200OracleSql) sc WHERE NOT is_dropped),
          |""".stripMargin,
       "  JOIN scrubq sq ON w.doc_id = sq.doc_id\n"),
+    // q223: eligibility = q222's per-source top-quintile keep set.
+    "q223_calibrated_curation" -> curationV2OracleSql(
+      s"""calq AS (
+         |  SELECT doc_id FROM (${TextQueries.oracles("q222_source_quantile_norm")}) qq
+         |  WHERE is_kept),
+         |""".stripMargin,
+      "  JOIN calq cq ON w.doc_id = cq.doc_id\n"),
 
     // incremental ≡ one-shot (top-k union identity): the oracle is the
     // q195 restatement over the FULL corpus, plus the delta flag

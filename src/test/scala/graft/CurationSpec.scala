@@ -513,6 +513,18 @@ class CurationSpec extends SparkSpec {
       s"doc $id selected despite being dropped by the boilerplate scrub"))
   }
 
+  test("q223 calibrated curation only ever picks per-source top-quintile docs") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = SparkEntry.queries("q222_source_quantile_norm")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("is_kept"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val picked = SparkEntry.queries("q223_calibrated_curation")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(picked.nonEmpty)
+    picked.foreach(id => assert(kept.contains(id),
+      s"doc $id selected despite sitting below its source's quantile bar"))
+  }
+
   test("q207 weights telescope: Σ weight = n_docs, canonicals only, weights ≥ 1") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q207_dedup_weights")(spark, dir).collect()
