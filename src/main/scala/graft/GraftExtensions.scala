@@ -98,6 +98,12 @@ object GraftExtensions {
          "graft_char_grams(text, k)") {
       case Seq(t, k) => CharGramArray(t, intLit(k, "graft_char_grams", "k"))
     },
+    desc("graft_cdc_chunks", classOf[CdcChunkArray],
+         "graft_cdc_chunks(text, k, divisor) — content-defined chunks") {
+      case Seq(t, k, d) => CdcChunkArray(t,
+        intLit(k, "graft_cdc_chunks", "k"),
+        intLit(d, "graft_cdc_chunks", "divisor"))
+    },
     // descending=true fixed: SQL callers get the top-k-by-value-DESC key
     // (the TopKPairs companion); MomentTerms-style asc variants can be
     // added if a consumer appears

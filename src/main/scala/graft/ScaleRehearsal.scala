@@ -73,7 +73,11 @@ object ScaleRehearsal {
     "q218_zorder_layout",          // Morton grid + per-file skipping stats
     "q219_dup_cluster_spectrum",   // Hill plot over cluster size order stats
     "q220_zorder_incremental",     // persisted stats + frozen-grid delta merge
-    "q222_source_quantile_norm")   // per-source lattice quantile calibration
+    "q222_source_quantile_norm",   // per-source lattice quantile calibration
+    // round-13 third wave
+    "q225_cdc_chunk_dedup",        // content-defined chunking, native rolling pass
+    "q227_cdc_incremental",        // persisted CDC index + delta probe
+    "q224_leakage_safe_split")     // cluster-keyed split over shared CC pairs
 
   private def copyTable(spark: SparkSession, src: String, out: String,
                         name: String): Unit =

@@ -574,6 +574,73 @@ object Dedup {
              x => x.getField("chunk_text"))).as("residual_text"))
   }
 
+  /** CDC parameters shared by the q225/q226 defs, their oracles, and the
+    * specs: 8-cp grams, divisor 64 → expected chunk ≈ 64 chars. One
+    * definition so the engines cannot drift.
+    */
+  val CdcK: Int       = 8
+  val CdcDivisor: Int = 64
+
+  /** Content-defined chunking over a corpus: one row per chunk —
+    * (doc_id, n_chunks, chunk_idx, chunk_pos, chunk_chars, chunk_text) —
+    * boundaries from [[org.apache.spark.sql.graftx.CdcChunkArray]]'s
+    * rolling hash, so they are a function of LOCAL content and
+    * re-synchronize after edits (the property [[chunkFrame]]'s
+    * offset-based cuts lack; q226 measures the difference). Scan-local:
+    * one native pass per document, one explode per CHUNK (~n/divisor
+    * rows, the q169 granularity — never per character); no shuffle.
+    */
+  def cdcChunkFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(length(col(textCol)) >= 1)
+      .select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graftx.CdcChunkArray
+          .cdcChunks(col(textCol), CdcK, CdcDivisor).as("ch"))
+      .withColumn("n_chunks", size(col("ch")).cast(LongType))
+      .select(col("doc_id"), col("n_chunks"), posexplode(col("ch")))
+      .select(col("doc_id"), col("n_chunks"),
+              col("pos").cast(LongType).as("chunk_idx"),
+              col("col.chunk_pos").as("chunk_pos"),
+              col("col.chunk_chars").as("chunk_chars"),
+              col("col.chunk_text").as("chunk_text"))
+
+  /** CDC chunk-level dedup with document reconstruction — [[chunkDedup]]
+    * with content-defined boundaries: each distinct chunk text keeps
+    * only its first corpus-wide occurrence (min packed
+    * `doc_id·2^20 + chunk_idx` key — [[packedChunkKey]]'s loud bounds),
+    * and every document reassembles from its kept chunks in order
+    * (empty-string separator: CDC chunks partition the exact character
+    * stream, unlike token chunks which re-join on spaces). Same
+    * flooded-key discipline as [[chunkDedup]]: first-occurrence via
+    * groupBy + join-back on the chunk md5 — a boilerplate chunk
+    * duplicated 10⁶–10⁸× is bounded map-side by the partial agg, never
+    * funneled through a window task.
+    *
+    * Returns one row per input document:
+    * (doc_id, n_chunks, kept_chunks, kept_chars, residual_text).
+    */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = cdcChunkFrame(df, idCol, textCol)
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+      .withColumn("k", packedChunkKey(col("doc_id"), col("chunk_idx")))
+    val dupMin = hashed.groupBy(col("chunk_hash"))
+      .agg(min(col("k")).as("__min_k"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1L)
+      .drop("__n")
+    hashed.join(dupMin, Seq("chunk_hash"), "left")
+      .withColumn("keep_chunk",
+        col("__min_k").isNull || col("k") === col("__min_k"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_chunks")).as("n_chunks"),
+           sum(when(col("keep_chunk"), 1L).otherwise(0L)).as("kept_chunks"),
+           sum(when(col("keep_chunk"), col("chunk_chars")).otherwise(0L))
+             .as("kept_chars"),
+           concat_ws("", transform(
+             array_sort(collect_list(
+               when(col("keep_chunk"),
+                    struct(col("chunk_idx"), col("chunk_text"))))),
+             x => x.getField("chunk_text"))).as("residual_text"))
+  }
+
   def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
                       col("n_shingles").as("size_a"))

@@ -1152,6 +1152,86 @@ object TextQueries {
         Tables(s, dir).documents, "doc_id", "text", ChunkDedupTokens)
     },
 
+    // ---------------------------------------------------------------
+    // q225: CONTENT-DEFINED chunk dedup — q169's operator with
+    // CdcChunkArray boundaries (rolling base-31 hash of the trailing
+    // 8-cp gram, divisor 64). Fixed-offset chunks (q169) are the right
+    // granularity for verbatim mirrors but break on the routine web
+    // case — a mirror that prepends a banner/timestamp shifts every
+    // boundary and dedups NOTHING; content-defined boundaries
+    // re-synchronize ~divisor chars past any edit, which is why every
+    // production dedup store (LBFS/FastCDC lineage) chunks this way.
+    // Scale shape identical to q169: one native pass per doc, explode
+    // per CHUNK (~n/64 rows, never per char), first-occurrence via
+    // groupBy + join-back on the chunk md5 (flooded-key safe), per-doc
+    // reassembly agg. q226 measures the fixed-vs-CDC contrast.
+    // ---------------------------------------------------------------
+    "q225_cdc_chunk_dedup" -> { (s, dir) =>
+      graft.operators.Dedup.cdcChunkDedup(
+        Tables(s, dir).documents, "doc_id", "text")
+    },
+
+    // ---------------------------------------------------------------
+    // q226: CDC realignment audit — the "measure, don't guess" gate
+    // (q116/q152/q214 discipline) for WHY q225 exists. Corpus = every
+    // document plus a prefix-edited copy (id + 10⁶, 'XQZV7 ' + text —
+    // one inserted token / 6 inserted chars). For each method the audit
+    // reports, over the COPY docs only, how much content the method
+    // flags as duplicate: fixed-offset chunks shift by one token so the
+    // copies dedup near-zero; CDC boundaries re-synchronize after the
+    // first surviving boundary so most copy content dedups. Output is
+    // one row per method (n_copy_docs, dup_units, total_units,
+    // dup_frac) — the number a pipeline operator reads before choosing
+    // a chunker. Unit note: fixed chunking is measured in TOKENS and
+    // CDC in CHARS (each method's native unit); the comparison is
+    // between the FRACTIONS. One final division per row; integer
+    // numerators/denominators hash-gate exactly.
+    // ---------------------------------------------------------------
+    "q226_cdc_realign_audit" -> { (s, dir) =>
+      val base = Tables(s, dir).documents
+        .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+      val copies = base.select((col("doc_id") + 1000000L).as("doc_id"),
+                               concat(lit("XQZV7 "), col("text")).as("text"))
+      val corpus = base.unionByName(copies)
+      val isCopy = col("doc_id") >= 1000000L
+      val fixedChunks = graft.operators.Dedup
+        .chunkFrame(corpus, "doc_id", "text", ChunkDedupTokens)
+        .withColumn("chunk_hash", md5(col("chunk_text")))
+        .withColumn("k", graft.operators.Dedup
+          .packedChunkKey(col("doc_id"), col("chunk_idx")))
+      val fixedDup = fixedChunks.groupBy(col("chunk_hash"))
+        .agg(min(col("k")).as("__min_k"), count(lit(1)).as("__n"))
+        .filter(col("__n") > 1L).drop("__n")
+      val fixedStats = fixedChunks.join(fixedDup, Seq("chunk_hash"), "left")
+        .filter(isCopy)
+        .agg(countDistinct(col("doc_id")).as("n_copy_docs"),
+             sum(when(col("__min_k").isNotNull && col("k") =!= col("__min_k"),
+                      col("chunk_toks")).otherwise(0L)).as("dup_units"),
+             sum(col("chunk_toks")).as("total_units"))
+        .select(lit("fixed_token").as("method"), col("n_copy_docs"),
+                col("dup_units"), col("total_units"))
+      val cdcStats = {
+        val ch = graft.operators.Dedup.cdcChunkFrame(corpus, "doc_id", "text")
+          .withColumn("chunk_hash", md5(col("chunk_text")))
+          .withColumn("k", graft.operators.Dedup
+            .packedChunkKey(col("doc_id"), col("chunk_idx")))
+        val dup = ch.groupBy(col("chunk_hash"))
+          .agg(min(col("k")).as("__min_k"), count(lit(1)).as("__n"))
+          .filter(col("__n") > 1L).drop("__n")
+        ch.join(dup, Seq("chunk_hash"), "left")
+          .filter(isCopy)
+          .agg(countDistinct(col("doc_id")).as("n_copy_docs"),
+               sum(when(col("__min_k").isNotNull && col("k") =!= col("__min_k"),
+                        col("chunk_chars")).otherwise(0L)).as("dup_units"),
+               sum(col("chunk_chars")).as("total_units"))
+          .select(lit("cdc").as("method"), col("n_copy_docs"),
+                  col("dup_units"), col("total_units"))
+      }
+      fixedStats.unionByName(cdcStats)
+        .withColumn("dup_frac",
+          col("dup_units").cast(DoubleType) / col("total_units").cast(DoubleType))
+    },
+
     // q172: q169's chunk dedup in its 100 TB-OPERATIONAL form — the
     // persisted chunk-hash index (base = even doc_ids, canonical first
     // occurrences, bucketed by chunk_hash) probed by the delta batch
@@ -1159,6 +1239,55 @@ object TextQueries {
     // semantics are arrival-order first occurrence, replayed in the
     // oracle with a packed (parity, doc_id, chunk_idx) BIGINT key.
     "q172_chunk_dedup_incremental" -> { (s, dir) => chunkServeIncremental(s, dir) },
+
+    // ---------------------------------------------------------------
+    // q228: k-anonymity generalization sweep — the privacy audit next
+    // to PII redaction (q107): released corpus metadata
+    // (lang, source, n_chars) is a QUASI-IDENTIFIER — a combination
+    // shared by < k documents re-identifies them by join with any
+    // external catalog carrying the same fields. The k-anonymity fix is
+    // GENERALIZATION (Sweeney 2002): coarsen n_chars to width-w buckets
+    // until every occupied cell holds ≥ k docs. This sweep measures the
+    // whole ladder w ∈ {1,10,100,1000} in ONE corpus pass (4× constant
+    // lattice explode, the q222/q189 discipline) and picks the SMALLEST
+    // width whose residual risk is zero — fallback to the coarsest when
+    // none clears, the q221 planner shape — so the release pipeline
+    // publishes the finest-grained metadata that is safe. Scale shape:
+    // per-(w,cell) partial+final counts (hot cells bounded map-side),
+    // per-w summary agg, and the chooser windows over the ≤4-row
+    // summary frame only (constPartition).
+    // ---------------------------------------------------------------
+    "q228_k_anonymity_sweep" -> { (s, dir) =>
+      val k = 5L
+      val widths = Seq(1L, 10L, 100L, 1000L)
+      val cells = Tables(s, dir).documents
+        .select(col("lang"), col("source"), col("n_chars"),
+                explode(lit(widths.toArray)).as("bucket_width"))
+        .groupBy(col("bucket_width"), col("lang"), col("source"),
+                 expr("n_chars div bucket_width").as("len_bucket"))
+        .agg(count(lit(1)).as("cell_docs"))
+      val summary = cells.groupBy(col("bucket_width"))
+        .agg(count(lit(1)).as("n_cells"),
+             sum(when(col("cell_docs") < k, 1L).otherwise(0L)).as("n_risky_cells"),
+             sum(when(col("cell_docs") < k, col("cell_docs")).otherwise(0L))
+               .as("n_risky_docs"))
+        .withColumn("satisfies_k", col("n_risky_docs") === 0L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.Macros.constPartition(col("bucket_width")))
+      summary
+        .withColumn("__best", min(when(col("satisfies_k"), col("bucket_width")))
+          .over(w))
+        .withColumn("__coarsest", max(col("bucket_width")).over(w))
+        .withColumn("is_chosen",
+          col("bucket_width") === coalesce(col("__best"), col("__coarsest")))
+        .drop("__best", "__coarsest")
+    },
+
+    // q227: q225's CDC dedup in its build-once/probe-deltas form — the
+    // q172 discipline at content-defined granularity (see
+    // cdcServeIncremental's doc for why the CDC index blocks the
+    // prefix-edited-mirror case q172's fixed-token index passes through).
+    "q227_cdc_incremental" -> { (s, dir) => cdcServeIncremental(s, dir) },
 
     // q187: pairwise Jensen–Shannon divergence between SOURCE token
     // distributions — the stylistic-distance matrix a mixture designer
@@ -1457,6 +1586,55 @@ object TextQueries {
                 when(col("gap") === 0, lit(null).cast("double"))
                   .otherwise(col("tail_rank").cast("double") * lit(1e9) /
                              col("gap").cast("double")).as("hill_alpha"))
+    },
+
+    // ---------------------------------------------------------------
+    // q224: leakage-safe train/eval split — the q61 split keyed by the
+    // dup CLUSTER instead of the document. Hashing doc_id (q61) puts two
+    // near-identical documents on opposite sides of the train/eval wall
+    // with probability 2·p·(1−p) per pair — the eval set then scores
+    // memorization, not generalization (the train/test-leakage failure
+    // dedup-aware splits exist to kill; cf. the decontamination family
+    // q77/q170, which patches leakage against EXTERNAL benchmarks — this
+    // operator prevents the INTERNAL kind at split time). Keying the
+    // md5 bucket by q67's cluster_id moves whole near-dup clusters as
+    // units, so cluster_aware_splits is identically 1 — the gate hash
+    // PROVES it rather than asserting it — while cluster_naive_splits>1
+    // rows quantify exactly the leakage the naive split would have
+    // shipped. Scale shape: the split is a pure projection over the
+    // cluster assignment (no new shuffle beyond q67's own CC); the
+    // per-cluster audit is a two-distinct-count agg (expand +
+    // partial/final pairs, hot cluster bounded map-side) joined back on
+    // cluster_id — never a window over the flooded cluster key.
+    // ---------------------------------------------------------------
+    "q224_leakage_safe_split" -> { (s, dir) =>
+      val hk = graft.functions.HexKeys
+      val aware = defs("q67_dedup_clusters")(s, dir)
+        .withColumn("__hex",
+          md5(concat(lit("csplit|"), col("cluster_id").cast(StringType))))
+        .withColumn("split_bucket", (hk.value16(col("__hex")) % 100).cast(LongType))
+        .withColumn("split",
+          when(col("split_bucket") < 90, "train")
+            .when(col("split_bucket") < 95, "validation")
+            .otherwise("test"))
+        .drop("__hex", "is_canonical")
+      val naive = Tables(s, dir).documents
+        .withColumn("__hex",
+          md5(concat(lit("split|"), col("doc_id").cast(StringType))))
+        .withColumn("__b", hk.value16(col("__hex")) % 100)
+        .select(col("doc_id"),
+          when(col("__b") < 90, "train").when(col("__b") < 95, "validation")
+            .otherwise("test").as("naive_split"))
+      val joined = aware.join(naive, "doc_id")
+      val audit = joined.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("naive_split")).as("cluster_naive_splits"),
+             countDistinct(col("split")).as("cluster_aware_splits"))
+      joined.join(audit, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+                col("split_bucket"), col("split"), col("naive_split"),
+                col("cluster_naive_splits"), col("cluster_aware_splits"),
+                (col("cluster_naive_splits") > 1L && col("cluster_size") > 1L)
+                  .as("leak_risk_naive"))
     },
 
     // q149: the SAME cluster assignment computed by large-star/small-star
@@ -2863,6 +3041,81 @@ object TextQueries {
              x => x.getField("chunk_text"))).as("residual_text"))
   }
 
+  /** Session-scoped q227 CDC chunk-hash dedup-index table name. */
+  def cdcIndexTable(s: SparkSession, dir: String): String =
+    graft.sources.Warehouse.sessionScopedName(s,
+      "graft_q227_cdcidx_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+
+  /** The q227 persisted CDC chunk-hash index — [[chunkIndex]]'s
+    * build-once discipline at CONTENT-DEFINED granularity: canonical
+    * (first-occurrence) CDC chunks of the BASE half (even doc_ids),
+    * chunk_hash-bucketed. The operational win over q172's fixed-token
+    * index: a delta document that is a prefix-edited mirror of a base
+    * document still probes HIT on every realigned chunk (q226's
+    * measured 3.9% → 84% contrast), so the index actually blocks the
+    * routine mirror-with-banner case instead of passing it through.
+    */
+  private val cdcIdxCache = new graft.core.SessionCache[String]
+  private def cdcChunkIndex(s: SparkSession, dir: String): DataFrame =
+    cdcIdxCache.getOrElseUpdate(s, dir) {
+      val base = Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
+      val ch = Dedup.cdcChunkFrame(base, "doc_id", "text")
+        .withColumn("chunk_hash", md5(col("chunk_text")))
+        .withColumn("k", Dedup.packedChunkKey(col("doc_id"), col("chunk_idx")))
+      // canonical row per hash via one partial+final struct-min agg —
+      // no window, no join-back (chunkIndex's rationale)
+      val canon = ch
+        .groupBy(col("chunk_hash"))
+        .agg(min(struct(col("k"), col("doc_id"), col("chunk_idx"))).as("__c"))
+        .select(col("chunk_hash"),
+                col("__c.doc_id").as("doc_id"),
+                col("__c.chunk_idx").as("chunk_idx"))
+      graft.model.Contract.enforce("q227_cdc_index", canon, ChunkIndexContract)
+      graft.sources.Warehouse.writeBucketed(
+        canon, cdcIndexTable(s, dir), "chunk_hash", numBuckets = 16)
+      s.table(cdcIndexTable(s, dir))
+    }
+
+  /** q227: incremental CDC chunk dedup against the persisted index —
+    * [[chunkServeIncremental]] verbatim at CDC granularity: delta docs
+    * (odd ids) chunk scan-locally via the native rolling-hash pass; a
+    * chunk survives iff its hash misses the bucketed base index (the
+    * index side joins without an Exchange) AND it is the within-delta
+    * first occurrence (groupBy + dup-only join-back — never a
+    * chunk_hash window). Keep semantics are arrival-order (base before
+    * delta), replayed in the oracle with the parity-leading packed key.
+    */
+  def cdcServeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val idx = cdcChunkIndex(s, dir)
+    val delta = Tables(s, dir).documents.filter(col("doc_id") % 2 === 1)
+    val ch = Dedup.cdcChunkFrame(delta, "doc_id", "text")
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+      .withColumn("k", Dedup.packedChunkKey(col("doc_id"), col("chunk_idx")))
+    val dupMin = ch.groupBy(col("chunk_hash"))
+      .agg(min(col("k")).as("__min_k"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1L)
+      .drop("__n")
+    val keyed = ch
+      .join(dupMin, Seq("chunk_hash"), "left")
+      .withColumn("first_in_delta",
+        col("__min_k").isNull || col("k") === col("__min_k"))
+      .drop("__min_k")
+      .join(idx.select(col("chunk_hash"), lit(true).as("in_base")),
+            Seq("chunk_hash"), "left")
+      .withColumn("keep_chunk",
+        col("first_in_delta") && col("in_base").isNull)
+    keyed.groupBy(col("doc_id"))
+      .agg(max(col("n_chunks")).as("n_chunks"),
+           sum(when(col("keep_chunk"), 1L).otherwise(0L)).as("kept_chunks"),
+           sum(when(col("keep_chunk"), col("chunk_chars")).otherwise(0L))
+             .as("kept_chars"),
+           concat_ws("", transform(
+             array_sort(collect_list(
+               when(col("keep_chunk"),
+                    struct(col("chunk_idx"), col("chunk_text"))))),
+             x => x.getField("chunk_text"))).as("residual_text"))
+  }
+
   private val enList = Text.langProfiles.toMap.apply("en").map(w => s"'$w'").mkString(", ")
 
   /** q33's composite quality score over `text` — shared by q33 (per-doc
@@ -2967,6 +3220,54 @@ object TextQueries {
     * md5 pairs, both a&lt;b-oriented) shared by the q67/q149/q154 cluster
     * oracle and q155's cross-source matrix.
     */
+  /** CDC chunk CTEs over `src` (doc_id, text): boundary positions from
+    * [[org.apache.spark.sql.graftx.CdcChunkArray.boundaryHashSql]]'s
+    * k-term polynomial (ONE builder for both engines — the ZOrder
+    * discipline), chunks from boundary lags + the per-doc tail, keep
+    * flags from the packed first-occurrence key (q169's arithmetic).
+    * Ends with CTE `${pfx}k`: (doc_id, chunk_idx, chunk_chars,
+    * chunk_text, n_chunks, keep_chunk). Oracle-side windows are fine —
+    * it is the SPARK plan that must never window over content keys.
+    * `keySql` is the first-occurrence ordering key (q227 prepends the
+    * base/delta parity bit, q172's arrival-order discipline).
+    */
+  private def cdcChunkCtesSql(src: String, pfx: String,
+      keySql: String = "doc_id * 1048576 + chunk_idx"): String = {
+    import graft.operators.Dedup.{CdcDivisor, CdcK}
+    val h = org.apache.spark.sql.graftx.CdcChunkArray.boundaryHashSql(CdcK)
+    s"""${pfx}d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM $src WHERE text IS NOT NULL AND length(text) >= 1),
+       |${pfx}bnd AS (
+       |  SELECT doc_id, p
+       |  FROM (SELECT doc_id, text, n,
+       |               unnest(generate_series($CdcK, n)) AS p FROM ${pfx}d)
+       |  WHERE $h % $CdcDivisor = 0),
+       |${pfx}cb AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 AS s,
+       |    p AS e
+       |  FROM ${pfx}bnd),
+       |${pfx}tl AS (
+       |  SELECT d.doc_id, coalesce(b.mx, 0) + 1 AS s, d.n AS e
+       |  FROM ${pfx}d d
+       |  LEFT JOIN (SELECT doc_id, max(p) AS mx FROM ${pfx}bnd GROUP BY 1) b
+       |    USING (doc_id)
+       |  WHERE coalesce(b.mx, 0) < d.n),
+       |${pfx}ch AS (
+       |  SELECT c.doc_id,
+       |    CAST(row_number() OVER (PARTITION BY c.doc_id ORDER BY c.s) - 1 AS BIGINT) AS chunk_idx,
+       |    CAST(c.e - c.s + 1 AS BIGINT) AS chunk_chars,
+       |    substr(d.text, CAST(c.s AS INTEGER), CAST(c.e - c.s + 1 AS INTEGER)) AS chunk_text,
+       |    CAST(count(*) OVER (PARTITION BY c.doc_id) AS BIGINT) AS n_chunks
+       |  FROM (SELECT * FROM ${pfx}cb UNION ALL SELECT * FROM ${pfx}tl) c
+       |  JOIN ${pfx}d d USING (doc_id)),
+       |${pfx}k AS (
+       |  SELECT *, ($keySql) =
+       |            MIN($keySql) OVER (PARTITION BY chunk_text)
+       |              AS keep_chunk
+       |  FROM ${pfx}ch)""".stripMargin
+  }
+
   private[queries] lazy val dupEdgeCtesSql: String =
     """sh AS (
       |  SELECT doc_id,
@@ -3738,6 +4039,99 @@ object TextQueries {
         |  coalesce(string_agg(CASE WHEN keep_chunk THEN chunk_text END,
         |                      ' ' ORDER BY chunk_idx), '') AS residual_text
         |FROM k GROUP BY doc_id""".stripMargin,
+
+    // q225: the CDC chunk CTE chain (shared builder — the boundary
+    // polynomial is generated from CdcChunkArray.boundaryHashSql for
+    // both engines) + q169's first-occurrence/reassembly tail with ''
+    // as the joiner (CDC chunks partition the exact char stream).
+    "q225_cdc_chunk_dedup" ->
+      s"""WITH ${cdcChunkCtesSql("documents", "c")}
+         |SELECT doc_id,
+         |  CAST(MAX(n_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN keep_chunk THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+         |  CAST(SUM(CASE WHEN keep_chunk THEN chunk_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+         |  coalesce(string_agg(CASE WHEN keep_chunk THEN chunk_text END,
+         |                      '' ORDER BY chunk_idx), '') AS residual_text
+         |FROM ck GROUP BY doc_id""".stripMargin,
+
+    // q228: the same lattice via unnest; DIV spelled // (q218's rule).
+    "q228_k_anonymity_sweep" ->
+      """WITH lat AS (
+        |  SELECT w AS bucket_width, lang, source, n_chars // w AS len_bucket,
+        |         CAST(count(*) AS BIGINT) AS cell_docs
+        |  FROM documents, (SELECT unnest([1, 10, 100, 1000]) AS w)
+        |  GROUP BY 1, 2, 3, 4),
+        |summ AS (
+        |  SELECT bucket_width,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(CASE WHEN cell_docs < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_cells,
+        |    CAST(SUM(CASE WHEN cell_docs < 5 THEN cell_docs ELSE 0 END) AS BIGINT) AS n_risky_docs
+        |  FROM lat GROUP BY 1),
+        |s2 AS (
+        |  SELECT *, n_risky_docs = 0 AS satisfies_k,
+        |    MIN(CASE WHEN n_risky_docs = 0 THEN bucket_width END) OVER () AS best,
+        |    MAX(bucket_width) OVER () AS coarsest
+        |  FROM summ)
+        |SELECT CAST(bucket_width AS BIGINT) AS bucket_width, n_cells,
+        |  n_risky_cells, n_risky_docs, satisfies_k,
+        |  bucket_width = coalesce(best, coarsest) AS is_chosen
+        |FROM s2""".stripMargin,
+
+    // q227: the one-shot CDC restatement of the incremental serve —
+    // arrival-order keep via the parity-leading packed key (q172's
+    // oracle discipline), filtered to the delta half.
+    "q227_cdc_incremental" ->
+      s"""WITH ${cdcChunkCtesSql("documents", "c",
+             "(doc_id % 2) * 17592186044416 + doc_id * 1048576 + chunk_idx")}
+         |SELECT doc_id,
+         |  CAST(MAX(n_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN keep_chunk THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+         |  CAST(SUM(CASE WHEN keep_chunk THEN chunk_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+         |  coalesce(string_agg(CASE WHEN keep_chunk THEN chunk_text END,
+         |                      '' ORDER BY chunk_idx), '') AS residual_text
+         |FROM ck WHERE doc_id % 2 = 1 GROUP BY doc_id""".stripMargin,
+
+    // q226: both chunkers replayed over the SAME prefix-edited union
+    // corpus — fixed-token chunks via q169's CTE arithmetic, CDC via
+    // the shared builder — measured on the copies only.
+    "q226_cdc_realign_audit" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'XQZV7 ' || text FROM documents
+         |  WHERE text IS NOT NULL),
+         |ft AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         |fn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+         |              CAST(ceil(len(toks) / 20.0) AS BIGINT) AS n_chunks FROM ft),
+         |fch AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |         array_to_string(list_slice(toks, CAST(i * 20 + 1 AS INTEGER),
+         |                                    CAST(i * 20 + 20 AS INTEGER)), ' ') AS chunk_text,
+         |         least(n_toks - i * 20, 20) AS chunk_toks
+         |  FROM (SELECT doc_id, toks, n_toks, n_chunks,
+         |               unnest(generate_series(0, n_chunks - 1)) AS i FROM fn)),
+         |fk AS (
+         |  SELECT *, (doc_id * 1048576 + chunk_idx) =
+         |            MIN(doc_id * 1048576 + chunk_idx) OVER (PARTITION BY chunk_text)
+         |              AS keep_chunk
+         |  FROM fch),
+         |fstat AS (
+         |  SELECT 'fixed_token' AS method,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_copy_docs,
+         |    CAST(SUM(CASE WHEN NOT keep_chunk THEN chunk_toks ELSE 0 END) AS BIGINT) AS dup_units,
+         |    CAST(SUM(chunk_toks) AS BIGINT) AS total_units
+         |  FROM fk WHERE doc_id >= 1000000),
+         |${cdcChunkCtesSql("corpus", "c")},
+         |cstat AS (
+         |  SELECT 'cdc' AS method,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_copy_docs,
+         |    CAST(SUM(CASE WHEN NOT keep_chunk THEN chunk_chars ELSE 0 END) AS BIGINT) AS dup_units,
+         |    CAST(SUM(chunk_chars) AS BIGINT) AS total_units
+         |  FROM ck WHERE doc_id >= 1000000)
+         |SELECT method, n_copy_docs, dup_units, total_units,
+         |  CAST(dup_units AS DOUBLE) / CAST(total_units AS DOUBLE) AS dup_frac
+         |FROM (SELECT * FROM fstat UNION ALL SELECT * FROM cstat)""".stripMargin,
+
     "q170_neardup_decontam" -> neardupDecontamOracleSql,
     "q187_source_jsd" -> {
       def frac(c: String, t: String) = s"CAST($c AS DOUBLE) / CAST($t AS DOUBLE)"
@@ -4091,6 +4485,42 @@ object TextQueries {
          |  CASE WHEN s - rk * tnext = 0 THEN NULL
          |       ELSE CAST(rk AS DOUBLE) * 1e9 / CAST(s - rk * tnext AS DOUBLE) END AS hill_alpha
          |FROM p WHERE rk <= 20 AND tnext IS NOT NULL""".stripMargin,
+
+    // q224: q67's clusters as a derived table; both buckets restate the
+    // shared HexKeys hex-digit arithmetic; the per-cluster audit is the
+    // same two COUNT(DISTINCT ...) the Spark agg computes.
+    "q224_leakage_safe_split" -> {
+      val hk = graft.functions.HexKeys
+      val cb = s"(${hk.value16Sql(0, "chex")} % 100)"
+      val nb = s"(${hk.value16Sql(0, "nhex")} % 100)"
+      s"""WITH cl AS (
+         |  SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+         |         md5('csplit|' || CAST(cluster_id AS VARCHAR)) AS chex
+         |  FROM ($q67Oracle) c),
+         |aware AS (
+         |  SELECT doc_id, cluster_id, cluster_size,
+         |    CAST($cb AS BIGINT) AS split_bucket,
+         |    CASE WHEN $cb < 90 THEN 'train'
+         |         WHEN $cb < 95 THEN 'validation' ELSE 'test' END AS split
+         |  FROM cl),
+         |nv AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $nb < 90 THEN 'train'
+         |         WHEN $nb < 95 THEN 'validation' ELSE 'test' END AS naive_split
+         |  FROM (SELECT doc_id,
+         |          md5('split|' || CAST(doc_id AS VARCHAR)) AS nhex
+         |        FROM documents)),
+         |j AS (SELECT a.*, nv.naive_split FROM aware a JOIN nv USING (doc_id)),
+         |aud AS (
+         |  SELECT cluster_id,
+         |    CAST(count(DISTINCT naive_split) AS BIGINT) AS cluster_naive_splits,
+         |    CAST(count(DISTINCT split) AS BIGINT) AS cluster_aware_splits
+         |  FROM j GROUP BY 1)
+         |SELECT j.doc_id, j.cluster_id, j.cluster_size, j.split_bucket,
+         |  j.split, j.naive_split, a.cluster_naive_splits, a.cluster_aware_splits,
+         |  (a.cluster_naive_splits > 1 AND j.cluster_size > 1) AS leak_risk_naive
+         |FROM j JOIN aud a USING (cluster_id)""".stripMargin
+    },
 
     "q149_cc_star_contraction" -> q67Oracle,
     // q154's incremental maintenance must ALSO reproduce the one-shot

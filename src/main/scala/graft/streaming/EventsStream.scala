@@ -463,6 +463,42 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming maintenance of the PERSISTED CDC chunk-hash index
+    * (q227's state) — [[chunkIndexMaintainStream]] at content-defined
+    * granularity: each micro-batch is chunked by the native rolling-hash
+    * pass ([[graft.operators.Dedup.cdcChunkFrame]], the same boundary
+    * arithmetic as the batch operator), collapsed to within-batch
+    * canonical occurrences (pure partial+final struct-min agg, never a
+    * chunk_hash window), anti-joined against the existing index, and
+    * appended chunk_hash-bucketed. Same redelivery guard: re-delivered
+    * hashes are already indexed, so the append is a no-op.
+    */
+  def cdcIndexMaintainStream(
+      docs: DataFrame,
+      table: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ch = graft.operators.Dedup
+          .cdcChunkFrame(batch.toDF(), "doc_id", "text")
+          .withColumn("chunk_hash", md5(col("chunk_text")))
+          .withColumn("k", graft.operators.Dedup.packedChunkKey(
+            col("doc_id"), col("chunk_idx")))
+        val canon = ch
+          .groupBy(col("chunk_hash"))
+          .agg(min(struct(col("k"), col("doc_id"), col("chunk_idx"))).as("__c"))
+          .select(col("chunk_hash"),
+                  col("__c.doc_id").as("doc_id"),
+                  col("__c.chunk_idx").as("chunk_idx"))
+        idempotentAppendBucketed(canon, table, "chunk_hash", "chunk_hash")
+        ()
+      }
+      .start()
+
   /** Streaming maintenance of the boilerplate-DF index (q204's state):
     * each micro-batch is segmented scan-locally (the q75/q200
     * arithmetic), collapsed to its within-batch distinct

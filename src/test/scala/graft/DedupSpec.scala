@@ -310,6 +310,88 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(1L), "base docs must not appear in the delta output")
   }
 
+  // --- CDC chunking (q225/q226) -----------------------------------
+
+  /** Scala replay of CdcChunkArray's boundary rule via the UN-rolled
+    * polynomial (the oracle's derivation): boundary at 1-based cp
+    * position p ≥ k iff Σ cp(p−k+j)·31^(k−j) mod 2^32 mod divisor == 0.
+    */
+  private def polyBoundaries(s: String, k: Int, div: Int): Seq[Int] = {
+    val cps = s.codePoints().toArray
+    (k to cps.length).filter { p =>
+      val h = (1 to k).foldLeft(0L) { (acc, j) =>
+        (acc + cps(p - k + j - 1).toLong * Seq.fill(k - j)(31L).product) & 0xFFFFFFFFL
+      }
+      h % div == 0
+    }
+  }
+
+  private def cdcChunksOf(texts: Seq[String]): Map[Long, Seq[org.apache.spark.sql.Row]] = {
+    import spark.implicits._
+    Dedup.cdcChunkFrame(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.sortBy(_.getAs[Long]("chunk_idx")).toSeq }
+  }
+
+  test("CdcChunkArray partitions the exact code-point stream; rolling ≡ polynomial") {
+    val rnd = new scala.util.Random(41)
+    val alpha = "abcdefgh 😀é" // includes a non-BMP cp and a 2-byte cp
+    val texts = (1 to 8).map(_ => (1 to 300).map(_ =>
+      alpha.codePoints().toArray.apply(rnd.nextInt(11))).flatMap(Character.toChars(_).toSeq).mkString) :+
+      "short" :+ "" :+ "x"
+    val out = cdcChunksOf(texts.filter(_.nonEmpty))
+    texts.filter(_.nonEmpty).zipWithIndex.foreach { case (t, i) =>
+      val chunks = out(i.toLong)
+      // exact partition of the char stream
+      assert(chunks.map(_.getAs[String]("chunk_text")).mkString == t)
+      assert(chunks.map(_.getAs[Long]("chunk_chars")).sum ==
+             t.codePointCount(0, t.length).toLong)
+      // boundary set ≡ the un-rolled polynomial (pins the rolling
+      // subtract/mask arithmetic, surrogate pairs included)
+      val bs = polyBoundaries(t, Dedup.CdcK, Dedup.CdcDivisor)
+        .filter(_ < t.codePointCount(0, t.length)) // boundary at n closes no extra chunk
+      val ends = chunks.map(r => r.getAs[Long]("chunk_pos") + r.getAs[Long]("chunk_chars") - 1L)
+      assert(ends.dropRight(1).map(_.toInt) == bs,
+        s"interior chunk ends != polynomial boundaries for doc $i")
+    }
+  }
+
+  test("CDC boundaries re-synchronize after a prefix edit; fixed offsets do not") {
+    val rnd = new scala.util.Random(7)
+    val s = (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val padded = "XQZV7 " + s
+    val ch = cdcChunksOf(Seq(s, padded))
+    val orig = ch(0L).map(_.getAs[String]("chunk_text"))
+    val pad  = ch(1L).map(_.getAs[String]("chunk_text"))
+    assert(orig.size >= 3, "fixture too short to exercise realignment")
+    // every boundary of s survives the shift (the gram ending there is
+    // untouched), so all of s's chunks AFTER its first boundary appear
+    // verbatim in the padded doc's chunk stream
+    assert(orig.tail.forall(pad.contains),
+      "CDC chunks after the first boundary must realign across the prefix edit")
+  }
+
+  test("cdcChunkDedup cuts realigned suffix content of a prefix-edited copy") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val s = (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val d = Seq((1L, s), (2L, "XQZV7 " + s), (3L, s)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkDedup(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 3 is an exact duplicate: every chunk cut, empty residual
+    assert(out(3L).getAs[Long]("kept_chunks") == 0L)
+    assert(out(3L).getAs[String]("residual_text") == "")
+    // doc 1 is the first occurrence: fully kept, exact reassembly
+    assert(out(1L).getAs[String]("residual_text") == s)
+    // doc 2 keeps only its first chunk(s) up to realignment — strictly
+    // less than half survives (at divisor 64 over 600 chars the shared
+    // suffix dominates)
+    assert(out(2L).getAs[Long]("kept_chars") < 300L,
+      s"prefix-edited copy kept ${out(2L).getAs[Long]("kept_chars")} chars — CDC failed to realign")
+  }
+
   test("chunkDedup cuts a repeated chunk WITHIN one document") {
     val rep = ((1 to 20) ++ (1 to 20)).map("t" + _).mkString(" ") // chunk1 == chunk0
     val d = Seq((7L, rep)).toDF("doc_id", "text")

@@ -30,6 +30,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_intersect_size(array('x', 'y', 'z'), array('y', 'z', 'w')) AS n")
       .head().getInt(0)
     assert(is == 2)
+    val cdc = s.sql("SELECT graft_cdc_chunks('hello world', 8, 64) AS ch")
+      .selectExpr("ch").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(cdc.map(_.getAs[String]("chunk_text")).mkString == "hello world",
+      "graft_cdc_chunks must partition the exact char stream")
   }
 
   test("aggregates: SQL results equal the Column-API results per group") {

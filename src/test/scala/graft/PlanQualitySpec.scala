@@ -1021,7 +1021,8 @@ class PlanQualitySpec extends SparkSpec {
     val family = Seq("q31_fingerprint", "q34_dedup_exact", "q63_multimodal",
                      "q110_corpus_build", "q169_chunk_dedup",
                      "q172_chunk_dedup_incremental", "q182_curation_waterfall",
-                     "q186_waterfall_by_source")
+                     "q186_waterfall_by_source", "q225_cdc_chunk_dedup",
+                     "q226_cdc_realign_audit")
     family.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       physical(df).collect {
@@ -1054,7 +1055,8 @@ class PlanQualitySpec extends SparkSpec {
     // bounds the hot cluster map-side), never a window over cluster_id.
     val family = Seq("q67_dedup_clusters", "q149_cc_star_contraction",
                      "q154_incremental_components", "q143_best_copy_dedup",
-                     "q132_image_dup_clusters", "q137_audio_dup_clusters")
+                     "q132_image_dup_clusters", "q137_audio_dup_clusters",
+                     "q224_leakage_safe_split")
     family.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       physical(df).collect {
@@ -1067,6 +1069,31 @@ class PlanQualitySpec extends SparkSpec {
           s"$name windows over cluster_id (${partNames.mkString(",")}):\n${planOf(df)}")
       }
     }
+  }
+
+  test("q225 CDC dedup: window-free, chunk-granular Generate, partial+final chunk_hash aggs") {
+    // the chunker must stay one native pass per doc + one explode per
+    // CHUNK — never a per-character sequence() explode (the q211
+    // lesson) — and first-occurrence must be the groupBy + join-back
+    // shape, so the whole plan is window-free
+    val df = SparkEntry.queries("q225_cdc_chunk_dedup")(spark, dir)
+    val p  = physical(df)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q225 grew a window:\n${planOf(df)}")
+    p.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+      .foreach { g =>
+        assert(!g.boundGenerator.toString.contains("sequence("),
+          s"q225 explodes a per-character sequence:\n${planOf(df)}")
+      }
+    val aggs = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.exists(_.collect {
+          case at: org.apache.spark.sql.catalyst.expressions.Attribute => at.name
+        }.contains("chunk_hash")) => a
+    }
+    assert(aggs.size >= 2,
+      s"q225 lacks the partial+final chunk_hash aggregate pair:\n${planOf(df)}")
   }
 
   test("q216 multi-probe LSH is an exploded-probe equi-join + bounded heap") {

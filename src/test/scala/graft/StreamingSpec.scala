@@ -747,6 +747,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(table).count() === want.size.toLong, "replay duplicated chunks")
   }
 
+  test("streaming CDC chunk index: drained state ≡ arrival-order build; replay is a no-op") {
+    val docs  = graft.core.Tables(spark, dir).documents
+    val watch = java.nio.file.Files.createTempDirectory("graft-cdc-watch")
+    def stageHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-half")
+      docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, watch.resolve(name))
+    }
+    stageHalf(col("doc_id") % 2 === 0, "b0.parquet")
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_cdc_stream_idx")
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-cdc-ck1").toString
+    val q1 = EventsStream.cdcIndexMaintainStream(
+      EventsStream.readDocuments(spark, watch.toString), table, ck1, "cdc_maint_1")
+    q1.processAllAvailable()
+    stageHalf(col("doc_id") % 2 === 1, "b1.parquet")
+    q1.processAllAvailable(); q1.stop()
+    // expected: arrival-order canonical CDC chunk set (q227's packed-key
+    // rule) — the window here is the TEST fixture's ground truth, the
+    // production path never windows over the hash
+    val ch = graft.operators.Dedup.cdcChunkFrame(docs, "doc_id", "text")
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+      .withColumn("k", (col("doc_id") % 2) * 17592186044416L +
+                       col("doc_id") * 1048576L + col("chunk_idx"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_hash"))
+    val want = ch.withColumn("is_canon", col("k") === min(col("k")).over(w))
+      .filter(col("is_canon"))
+      .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = spark.table(table)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "streamed CDC index diverged from the arrival-order build")
+    graft.model.Contract.enforce("cdc_stream_idx", spark.table(table),
+      graft.queries.TextQueries.ChunkIndexContract)
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-cdc-ck2").toString
+    val q2 = EventsStream.cdcIndexMaintainStream(
+      EventsStream.readDocuments(spark, watch.toString), table, ck2, "cdc_maint_2")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(table).count() === want.size.toLong, "replay duplicated CDC chunks")
+  }
+
   test("streaming boilerplate-DF index: drained readout ≡ batch DF; replay is a no-op") {
     val docs  = graft.core.Tables(spark, dir).documents
     val watch = java.nio.file.Files.createTempDirectory("graft-bp-watch")
