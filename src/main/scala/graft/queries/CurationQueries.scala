@@ -1383,6 +1383,60 @@ object CurationQueries {
     // past any budget this operator would see — and the oracle replays
     // the identical walk as a recursive CTE with BIGINT `//`.
     // ---------------------------------------------------------------
+    // ---------------------------------------------------------------
+    // q229: repetition-aware epoch-budget allocator — the data-
+    // constrained planning step next to q168 (temperature repeats) and
+    // q171 (UniMax caps): given a training token budget B and per-source
+    // fresh-token counts, how many EPOCHS of each source is the budget
+    // worth? Repeated data decays in value (Muennighoff et al. 2023,
+    // "Scaling Data-Constrained Language Models": up to ~4 epochs repeat
+    // value falls off roughly geometrically, beyond that ~zero); this
+    // planner models epoch k of any source at per-token value 2^(4−k)/8
+    // (exact-integer ×8 fixed point, δ = ½ per epoch, 4 epochs max) and
+    // fills greedily by marginal value — optimal here for the fractional-
+    // knapsack reason: slice values are per-token, source-independent,
+    // and strictly decreasing in k, so no exchange argument can beat
+    // value order. Budget B = 1.5× total fresh tokens (the classic
+    // "budget exceeds unique data" regime the paper addresses — every
+    // epoch-1 slice funds, then value-2 slices fund in deterministic
+    // source order until the boundary slice goes partial). Scale shape:
+    // ONE corpus pass (per-source partial+final token counts); the
+    // slice lattice is |sources|·4 rows, the prefix window runs over
+    // that bounded frame only (constPartition), and all arithmetic is
+    // BIGINT — greatest/least clamping, never a double threshold.
+    // ---------------------------------------------------------------
+    "q229_epoch_budget_alloc" -> { (s, dir) =>
+      val t = Tables(s, dir).documents.select(
+        col("source"), size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val src = t.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+      val tot = src.agg(sum(col("src_tokens")).as("tt"))
+      val slices = src
+        .select(col("source"), col("src_tokens"),
+                explode(lit((1L to 4L).toArray)).as("epoch"))
+        .withColumn("value_x8",
+          when(col("epoch") === 1L, 8L).when(col("epoch") === 2L, 4L)
+            .when(col("epoch") === 3L, 2L).otherwise(1L))
+        .crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(tt * 3) DIV 2"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.Macros.constPartition(col("epoch")))
+        .orderBy(col("epoch"), col("source"))
+      slices
+        .withColumn("cum_before",
+          coalesce(sum(col("src_tokens")).over(wOrd.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .withColumn("taken_tokens",
+          greatest(lit(0L), least(col("src_tokens"),
+                                  col("budget") - col("cum_before"))))
+        .select(col("source"), col("epoch"),
+                col("src_tokens").as("slice_tokens"), col("value_x8"),
+                col("budget"), col("taken_tokens"),
+                (col("taken_tokens") > 0L &&
+                 col("taken_tokens") < col("src_tokens")).as("is_partial"),
+                (col("taken_tokens") * col("value_x8")).as("weighted_value_x8"))
+    },
+
     "q171_unimax_alloc" -> { (s, dir) =>
       val t = Tables(s, dir).documents.select(
         col("doc_id"), col("lang"),
@@ -2553,6 +2607,31 @@ object CurationQueries {
     },
 
     "q168_temperature_mixture" -> q168OracleSql,
+
+    // q229: the same lattice + prefix-window fill; DIV spelled //.
+    "q229_epoch_budget_alloc" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |src AS (SELECT source, CAST(SUM(n) AS BIGINT) AS src_tokens
+        |        FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS tt FROM src),
+        |sl AS (
+        |  SELECT source, src_tokens, CAST(e AS BIGINT) AS epoch,
+        |    CAST(CASE e WHEN 1 THEN 8 WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 1 END AS BIGINT) AS value_x8,
+        |    (SELECT (tt * 3) // 2 FROM tot) AS budget
+        |  FROM src, (SELECT unnest([1, 2, 3, 4]) AS e)),
+        |c AS (
+        |  SELECT *,
+        |    coalesce(CAST(SUM(src_tokens) OVER (ORDER BY epoch, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        |  FROM sl)
+        |SELECT source, epoch, src_tokens AS slice_tokens, value_x8, budget,
+        |  greatest(0, least(src_tokens, budget - cum_before)) AS taken_tokens,
+        |  greatest(0, least(src_tokens, budget - cum_before)) > 0 AND
+        |  greatest(0, least(src_tokens, budget - cum_before)) < src_tokens AS is_partial,
+        |  greatest(0, least(src_tokens, budget - cum_before)) * value_x8 AS weighted_value_x8
+        |FROM c""".stripMargin,
 
     "q171_unimax_alloc" -> {
       val bucket = s"(${graft.functions.HexKeys.value16Sql()})"

@@ -1460,6 +1460,37 @@ object TextQueries {
         "doc_id", "n_tokens", budget = 5000L)
     },
 
+    // ---------------------------------------------------------------
+    // q230: shard content manifest — the dataset-versioning audit over
+    // q62's shard assignment: per shard, doc/token counts plus an
+    // ORDER-INDEPENDENT content checksum (sum of the 32-bit md5 prefix
+    // of doc_id|text-hash per member). Two independently-computed
+    // builds of "the same" dataset agree shard-for-shard iff the
+    // manifests match — the reproducibility check a release pipeline
+    // runs before publishing, and the fast path for diffing a rebuild
+    // (only shards whose checksum moved need re-upload). Sum (not xor)
+    // so the DuckDB replay is plain aggregate arithmetic; each term is
+    // < 2³², shard membership is bounded by the 5000-token budget, so
+    // the per-shard sum peaks ≈ 2×10¹³ — 5 orders under BIGINT. Scale
+    // shape: the manifest rides q62's bucketed prefix sum; the checksum
+    // adds one projection + the same per-shard partial+final agg.
+    // ---------------------------------------------------------------
+    "q230_shard_manifest" -> { (s, dir) =>
+      val sh = defs("q62_token_shards")(s, dir)
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), md5(col("text")).as("__th"))
+      val term = graft.functions.HexKeys.value32(
+        md5(concat(col("doc_id").cast(StringType), lit("|"), col("__th"))))
+      sh.join(d, "doc_id")
+        .withColumn("__term", term)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("shard_tokens"),
+             sum(col("__term")).as("content_checksum"),
+             min(col("doc_id")).as("first_doc_id"),
+             max(col("doc_id")).as("last_doc_id"))
+    },
+
     // Greedy sequence packing — training-batch construction, the
     // complement of q62: documents are NEVER split (q62 cuts shard
     // boundaries by start offset mid-stream). 8 deterministic packing
@@ -3286,6 +3317,17 @@ object TextQueries {
       |        FROM documents a JOIN documents b
       |        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** q62's oracle — a val so q230's manifest can compose it the way
+    * q207/q219 compose [[q67Oracle]].
+    */
+  private lazy val q62Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+      |SELECT doc_id, n_tokens,
+      |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 5000.0) AS BIGINT) AS shard_id
+      |FROM t""".stripMargin
+
   private lazy val q67Oracle: String =
     s"""WITH RECURSIVE
       |$dupEdgeCtesSql,
@@ -4413,13 +4455,28 @@ object TextQueries {
          |       ELSE 'test' END AS split
          |FROM h""".stripMargin
     },
-    "q62_token_shards" ->
-      """WITH t AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
-        |SELECT doc_id, n_tokens,
-        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
-        |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 5000.0) AS BIGINT) AS shard_id
-        |FROM t""".stripMargin,
+    "q62_token_shards" -> q62Oracle,
+
+    // q230: q62's oracle as a derived table + the shared HexKeys 32-bit
+    // md5-prefix arithmetic per member, summed per shard.
+    "q230_shard_manifest" -> {
+      val term = graft.functions.HexKeys.value32Sql(0, "hex")
+      s"""WITH sh AS (SELECT doc_id, n_tokens, shard_id FROM ($q62Oracle) s),
+         |d AS (
+         |  SELECT doc_id,
+         |    md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS hex
+         |  FROM documents),
+         |j AS (
+         |  SELECT sh.shard_id, sh.doc_id, sh.n_tokens, $term AS term
+         |  FROM sh JOIN d USING (doc_id))
+         |SELECT shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+         |  CAST(SUM(term) AS BIGINT) AS content_checksum,
+         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+         |  CAST(MAX(doc_id) AS BIGINT) AS last_doc_id
+         |FROM j GROUP BY 1""".stripMargin
+    },
     // Replays each packing stream's greedy fold as a recursive CTE (the
     // q67 recursion discipline): rn-ordered walk carrying (bin_seq,
     // fill), new bin exactly when the open bin would overflow.
