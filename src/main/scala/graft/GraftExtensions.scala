@@ -98,6 +98,15 @@ object GraftExtensions {
          "graft_char_grams(text, k)") {
       case Seq(t, k) => CharGramArray(t, intLit(k, "graft_char_grams", "k"))
     },
+    desc("graft_char_hist", classOf[CharHistogram],
+         "graft_char_hist(text) — (ch, c) per distinct code point") {
+      case Seq(t) => CharHistogram(t)
+    },
+    desc("graft_char_gram_hist", classOf[CharGramHistogram],
+         "graft_char_gram_hist(text, k) — (g, c) per distinct char k-gram") {
+      case Seq(t, k) =>
+        CharGramHistogram(t, intLit(k, "graft_char_gram_hist", "k"))
+    },
     desc("graft_cdc_chunks", classOf[CdcChunkArray],
          "graft_cdc_chunks(text, k, divisor) — content-defined chunks") {
       case Seq(t, k, d) => CdcChunkArray(t,

@@ -77,7 +77,12 @@ object ScaleRehearsal {
     // round-13 third wave
     "q225_cdc_chunk_dedup",        // content-defined chunking, native rolling pass
     "q227_cdc_incremental",        // persisted CDC index + delta probe
-    "q224_leakage_safe_split")     // cluster-keyed split over shared CC pairs
+    "q224_leakage_safe_split",     // cluster-keyed split over shared CC pairs
+    // round-13 fourth wave
+    "q233_entropy_rate",           // projection-only CharGramHistogram fold
+    "q235_shuffle_skew_plan",      // 3×P lattice bucket histogram audit
+    "q234_resume_manifest",        // interval cut over the q191 prefix sums
+    "q237_dedup_roi")              // per-cluster bytes agg + bounded heap
 
   private def copyTable(spark: SparkSession, src: String, out: String,
                         name: String): Unit =

@@ -161,6 +161,21 @@ object CurationQueries {
         .as("ord_key") +: carry.map(col): _*)
   }
 
+  /** The q191 token-budget manifest plan (raw, uncut — q191's gate and
+    * oracle surface; q234 cuts a memoized copy for its two consumers).
+    */
+  private def tokenBudgetManifest(s: SparkSession, dir: String): DataFrame = {
+    val keyed = orderKeyedCopies(s, dir, Seq("n_tokens"))
+    graft.operators.Sharding
+      .runningTotal(keyed, "ord_key", "n_tokens", "cum_tokens")
+      .select(expr("(ord_key DIV 32) % 2147483648").as("doc_id"),
+              (col("ord_key") % 32L).as("epoch_copy"),
+              col("n_tokens"), col("cum_tokens"),
+              expr("(cum_tokens - n_tokens) DIV 4096").as("shard_id"))
+  }
+
+  private val manifestCache = new graft.core.SessionCache[String]
+
   /** The q182/q186 stage-flag frame: one row per document with the
     * cumulative survival booleans s1..s5 (see the q182 def comment for
     * the stage semantics and the survivor-scoped dedup canonical).
@@ -1098,6 +1113,64 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q238: decontamination REPORT — the cross-modality dashboard a
+    // release review actually reads, unioning three detectors that
+    // share the q77/q83 benchmark convention (doc_id % 10 == 0):
+    // the Bloom SCREEN (q83 — constant-size broadcast, false positives
+    // only), the exact 8-gram TRUTH (q77), and a NEW chunk-SPAN
+    // modality: corpus docs sharing a ≥16-char CDC chunk with any
+    // benchmark doc — verbatim spans detected at chunk granularity,
+    // robust to tokenization and servable from a persisted chunk index
+    // (q227's state); ≥16 chars drops the short re-sync tails that
+    // match by coincidence. The report classifies every corpus doc
+    // (exact+span / exact / span / screen_only / clean) — screen_only
+    // IS the measured Bloom false-positive set, since q83's hits are a
+    // superset of q77's by construction (CurationSpec's containment) —
+    // so the dashboard doubles as the screen's empirical FP-rate read.
+    // Scale shape: each modality keeps its own gated shape (memoized
+    // composition adds two doc_id equi-joins + one chunk-hash
+    // equi-join against the benchmark-sized chunk set; per-doc DISTINCT
+    // chunk hashes bound the join multiplicity at 1 per (doc, hash)).
+    // ---------------------------------------------------------------
+    "q238_decontam_report" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val exact = defs("q77_decontaminate")(s, dir)
+        .select(col("doc_id"), col("n_overlap_ngrams"),
+                col("is_contaminated").as("is_exact_hit"))
+      val bloom = defs("q83_bloom_decontaminate")(s, dir)
+        .select(col("doc_id"), col("is_flagged_bloom"))
+      val benchChunks = graft.operators.Dedup
+        .cdcChunkFrame(d.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .filter(col("chunk_chars") >= 16L)
+        .select(md5(col("chunk_text")).as("chunk_hash")).distinct()
+      val corpusDocs = d.filter(col("doc_id") % 10 =!= 0)
+      val chunkHits = graft.operators.Dedup.cdcChunkFrame(corpusDocs, "doc_id", "text")
+        .filter(col("chunk_chars") >= 16L)
+        .select(col("doc_id"), md5(col("chunk_text")).as("chunk_hash"))
+        .distinct()
+        .join(benchChunks, "chunk_hash")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_chunks"))
+      val spanHit = col("n_shared_chunks") > 0L
+      corpusDocs.select(col("doc_id"), col("lang"))
+        .join(exact, Seq("doc_id"))
+        .join(bloom, Seq("doc_id"))
+        .join(chunkHits, Seq("doc_id"), "left")
+        .withColumn("n_shared_chunks", coalesce(col("n_shared_chunks"), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("is_flagged_bloom"),
+                col("n_overlap_ngrams"), col("is_exact_hit"),
+                col("n_shared_chunks"), spanHit.as("is_span_hit"),
+                (col("is_exact_hit") || spanHit).as("is_contaminated"),
+                (col("is_flagged_bloom") && !col("is_exact_hit"))
+                  .as("bloom_false_positive"),
+                when(col("is_exact_hit") && spanHit, "exact+span")
+                  .when(col("is_exact_hit"), "exact")
+                  .when(spanHit, "span")
+                  .when(col("is_flagged_bloom"), "screen_only")
+                  .otherwise("clean").as("verdict"))
+    },
+
+
+    // ---------------------------------------------------------------
     // q86: source-mixture rebalancing — downsample every source to the
     // SMALLEST source's size (uniform target mixture), the domain-mixing
     // step of a training-data build. Per-source counts are one partial-
@@ -1617,13 +1690,63 @@ object CurationQueries {
     // a shard owns the copies whose budget STARTS inside it).
     // ---------------------------------------------------------------
     "q191_token_budget_shards" -> { (s, dir) =>
-      val keyed = orderKeyedCopies(s, dir, Seq("n_tokens"))
-      graft.operators.Sharding
-        .runningTotal(keyed, "ord_key", "n_tokens", "cum_tokens")
-        .select(expr("(ord_key DIV 32) % 2147483648").as("doc_id"),
-                (col("ord_key") % 32L).as("epoch_copy"),
-                col("n_tokens"), col("cum_tokens"),
-                expr("(cum_tokens - n_tokens) DIV 4096").as("shard_id"))
+      // stays the RAW plan (no memo/cut): this def is the plan-gate and
+      // oracle surface for the bucketed prefix sum — q234 is the
+      // multi-consumer and cuts its own copy
+      tokenBudgetManifest(s, dir)
+    },
+
+    // ---------------------------------------------------------------
+    // q234: RESUME-POSITION manifest — the artifact a training run
+    // killed mid-epoch actually needs: given q191's token-budget order
+    // and the interrupt point (deterministically T = total DIV 2 here —
+    // the operator's knob in production), every shard's exact restart
+    // state. Per copy the cut is pure integer interval arithmetic on
+    // the prefix sums q191 already carries (consumed: cum ≤ T; partial:
+    // the ONE copy whose [cum−n, cum) interval straddles T, with its
+    // intra-document token offset; pending: starts at or after T) — so
+    // a resumed loader skips consumed copies wholesale, seeks
+    // resume_token_offset into the partial one, and replays NOTHING
+    // (the data-side complement of the streaming legs' restart-from-
+    // checkpoint discipline: recovery must be computed, not re-read).
+    // Scale shape: the cut point is a 1-row broadcast (max over the
+    // manifest — partial+final); statuses are a projection; the shard
+    // rollup is one partial+final agg keyed by shard_id with
+    // conditional-integer columns. No windows beyond q191's own
+    // bucketed prefix sum; the corpus is never re-scanned.
+    // ---------------------------------------------------------------
+    "q234_resume_manifest" -> { (s, dir) =>
+      // the q191 frame is consumed TWICE here (cut-point agg + status
+      // rollup), so this query cuts a memoized copy — Materialize
+      // class-1 routing (corpus-derived state, multiple consumers); the
+      // q191 def itself stays the raw gated plan
+      val m = manifestCache.getOrElseUpdate(s, dir)(
+        graft.core.Materialize.cut(tokenBudgetManifest(s, dir), "q234_manifest"))
+      val cut = m.agg(expr("max(cum_tokens) DIV 2").as("t_cut"))
+      val st = m.crossJoin(broadcast(cut))
+        .withColumn("status",
+          when(col("cum_tokens") <= col("t_cut"), "consumed")
+            .when(col("cum_tokens") - col("n_tokens") < col("t_cut"), "partial")
+            .otherwise("pending"))
+      st.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_copies"),
+             sum(when(col("status") === "consumed", 1L).otherwise(0L))
+               .as("n_consumed"),
+             sum(when(col("status") === "partial", 1L).otherwise(0L))
+               .as("n_partial"),
+             sum(when(col("status") === "pending", 1L).otherwise(0L))
+               .as("n_pending"),
+             max(when(col("status") === "partial", col("doc_id")))
+               .as("resume_doc_id"),
+             max(when(col("status") === "partial", col("epoch_copy")))
+               .as("resume_epoch_copy"),
+             max(when(col("status") === "partial",
+                      col("t_cut") - (col("cum_tokens") - col("n_tokens"))))
+               .as("resume_token_offset"),
+             sum(when(col("status") === "consumed", col("n_tokens"))
+                   .when(col("status") === "partial",
+                         col("t_cut") - (col("cum_tokens") - col("n_tokens")))
+                   .otherwise(0L)).as("consumed_tokens"))
     },
 
     // ---------------------------------------------------------------
@@ -1976,6 +2099,42 @@ object CurationQueries {
 
   private lazy val q190OracleSql: String = manifestOracleSql(1)
 
+  /** The q191 token-budget manifest oracle — a val so q234's resume
+    * computation can use it as a derived table (the q168OracleSql
+    * discipline).
+    */
+  private lazy val q191OracleSql: String = {
+    val h24 = s"(CAST(${graft.functions.HexKeys.value16Sql(0)} AS BIGINT) * 256" +
+      s" + CAST(${graft.functions.HexKeys.digitSql(4)} AS BIGINT) * 16" +
+      s" + CAST(${graft.functions.HexKeys.digitSql(5)} AS BIGINT))"
+    s"""WITH rep AS (
+       |  SELECT doc_id, n_tokens, n_repeats FROM ($q168OracleSql) z
+       |  WHERE n_repeats >= 1),
+       |cp AS (
+       |  SELECT doc_id, n_tokens,
+       |         unnest(generate_series(1, n_repeats)) AS epoch_copy
+       |  FROM rep),
+       |k AS (
+       |  SELECT doc_id, n_tokens, epoch_copy,
+       |    md5('ord|' || CAST(doc_id AS VARCHAR) || '|' ||
+       |        CAST(epoch_copy AS VARCHAR)) AS hex
+       |  FROM cp),
+       |keyed AS (
+       |  SELECT doc_id, n_tokens, epoch_copy,
+       |    $h24 * 68719476736 + doc_id * 32 + epoch_copy AS ord_key
+       |  FROM k),
+       |r AS (
+       |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY ord_key
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS cum_tokens
+       |  FROM keyed)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(epoch_copy AS BIGINT) AS epoch_copy,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
+       |  CAST((cum_tokens - n_tokens) // 4096 AS BIGINT) AS shard_id
+       |FROM r""".stripMargin
+  }
+
   /** The q200 scrub oracle — a val so q205's dedup composition can use
     * it as a derived table (the q168OracleSql discipline).
     */
@@ -2040,6 +2199,53 @@ object CurationQueries {
   /** The q77 oracle body — shared verbatim by q77 and (as a derived
     * table) the q182 waterfall.
     */
+  /** The q83 bloom-screen oracle — a val so q238's report can use
+    * it as a derived table (the q168OracleSql discipline).
+    */
+  private lazy val q83OracleSql: String = {
+      val h1 =
+        s"(${digitSql(0)} * 4096 + ${digitSql(1)} * 256 + ${digitSql(2)} * 16 + ${digitSql(3)})"
+      val h2 =
+        s"(${digitSql(4)} * 4096 + ${digitSql(5)} * 256 + ${digitSql(6)} * 16 + ${digitSql(7)})"
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |bng AS (
+         |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS ngram
+         |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |        FROM t WHERE doc_id % 10 = 0)),
+         |bh AS (SELECT ngram, md5('bloom' || '|' || ngram) AS hex FROM bng),
+         |bpos AS (
+         |  SELECT ($h1 + j * $h2) % 65536 AS pos
+         |  FROM (SELECT hex, unnest([0, 1, 2, 3]) AS j FROM bh)),
+         |bloom AS (
+         |  SELECT pos // 32 AS word_idx,
+         |         bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS words
+         |  FROM bpos GROUP BY 1),
+         |cng AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |        FROM t WHERE doc_id % 10 <> 0)),
+         |cpos AS (
+         |  SELECT doc_id, ngram, ($h1 + j * $h2) % 65536 AS pos
+         |  FROM (SELECT doc_id, ngram, md5('bloom' || '|' || ngram) AS hex,
+         |               unnest([0, 1, 2, 3]) AS j FROM cng)),
+         |perngram AS (
+         |  SELECT doc_id, ngram,
+         |         bool_and(coalesce(words & (CAST(1 AS BIGINT) << (pos % 32)), 0) <> 0)
+         |           AS inbloom
+         |  FROM cpos LEFT JOIN bloom ON cpos.pos // 32 = bloom.word_idx
+         |  GROUP BY doc_id, ngram),
+         |hits AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN inbloom THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_bloom_hits
+         |  FROM perngram GROUP BY doc_id)
+         |SELECT t.doc_id, t.lang,
+         |  coalesce(n_bloom_hits, 0) AS n_bloom_hits,
+         |  coalesce(n_bloom_hits, 0) > 0 AS is_flagged_bloom
+         |FROM t LEFT JOIN hits USING (doc_id)
+         |WHERE t.doc_id % 10 <> 0""".stripMargin
+  }
+
   private val deconOracleSql: String =
     """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
       |bench AS (
@@ -2522,49 +2728,45 @@ object CurationQueries {
          |WHERE CAST($bucket AS BIGINT) * 400 < least(n_chars, 400) * 65536""".stripMargin
     },
 
-    "q83_bloom_decontaminate" -> {
-      val h1 =
-        s"(${digitSql(0)} * 4096 + ${digitSql(1)} * 256 + ${digitSql(2)} * 16 + ${digitSql(3)})"
-      val h2 =
-        s"(${digitSql(4)} * 4096 + ${digitSql(5)} * 256 + ${digitSql(6)} * 16 + ${digitSql(7)})"
-      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
-         |bng AS (
-         |  SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS ngram
-         |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
-         |        FROM t WHERE doc_id % 10 = 0)),
-         |bh AS (SELECT ngram, md5('bloom' || '|' || ngram) AS hex FROM bng),
-         |bpos AS (
-         |  SELECT ($h1 + j * $h2) % 65536 AS pos
-         |  FROM (SELECT hex, unnest([0, 1, 2, 3]) AS j FROM bh)),
-         |bloom AS (
-         |  SELECT pos // 32 AS word_idx,
-         |         bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS words
-         |  FROM bpos GROUP BY 1),
-         |cng AS (
-         |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS ngram
-         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
-         |        FROM t WHERE doc_id % 10 <> 0)),
-         |cpos AS (
-         |  SELECT doc_id, ngram, ($h1 + j * $h2) % 65536 AS pos
-         |  FROM (SELECT doc_id, ngram, md5('bloom' || '|' || ngram) AS hex,
-         |               unnest([0, 1, 2, 3]) AS j FROM cng)),
-         |perngram AS (
-         |  SELECT doc_id, ngram,
-         |         bool_and(coalesce(words & (CAST(1 AS BIGINT) << (pos % 32)), 0) <> 0)
-         |           AS inbloom
-         |  FROM cpos LEFT JOIN bloom ON cpos.pos // 32 = bloom.word_idx
-         |  GROUP BY doc_id, ngram),
+    "q83_bloom_decontaminate" -> q83OracleSql,
+
+    // q238: the q77/q83 oracles as derived tables, chunk-span hits from
+    // the shared CDC CTE builder (TextQueries) over the benchmark/corpus
+    // halves, same ≥16-char floor, same verdict ladder.
+    "q238_decontam_report" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, n_overlap_ngrams, is_contaminated AS is_exact_hit
+         |  FROM ($deconOracleSql) z1),
+         |bl AS (SELECT doc_id, is_flagged_bloom FROM ($q83OracleSql) z2),
+         |bdoc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |cdoc AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 <> 0),
+         |${graft.queries.TextQueries.cdcChunkCtesSql("bdoc", "bb")},
+         |${graft.queries.TextQueries.cdcChunkCtesSql("cdoc", "cc")},
+         |bh AS (SELECT DISTINCT md5(chunk_text) AS chunk_hash
+         |       FROM bbk WHERE chunk_chars >= 16),
+         |ch AS (SELECT DISTINCT doc_id, md5(chunk_text) AS chunk_hash
+         |       FROM cck WHERE chunk_chars >= 16),
          |hits AS (
-         |  SELECT doc_id,
-         |         CAST(sum(CASE WHEN inbloom THEN 1 ELSE 0 END) AS BIGINT)
-         |           AS n_bloom_hits
-         |  FROM perngram GROUP BY doc_id)
-         |SELECT t.doc_id, t.lang,
-         |  coalesce(n_bloom_hits, 0) AS n_bloom_hits,
-         |  coalesce(n_bloom_hits, 0) > 0 AS is_flagged_bloom
-         |FROM t LEFT JOIN hits USING (doc_id)
-         |WHERE t.doc_id % 10 <> 0""".stripMargin
-    },
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_chunks
+         |  FROM ch JOIN bh USING (chunk_hash) GROUP BY 1),
+         |j AS (
+         |  SELECT c.doc_id, c.lang, bl.is_flagged_bloom,
+         |    ex.n_overlap_ngrams, ex.is_exact_hit,
+         |    coalesce(h.n_shared_chunks, 0) AS n_shared_chunks
+         |  FROM cdoc c
+         |  JOIN ex USING (doc_id) JOIN bl USING (doc_id)
+         |  LEFT JOIN hits h USING (doc_id))
+         |SELECT doc_id, lang, is_flagged_bloom, n_overlap_ngrams, is_exact_hit,
+         |  CAST(n_shared_chunks AS BIGINT) AS n_shared_chunks,
+         |  n_shared_chunks > 0 AS is_span_hit,
+         |  is_exact_hit OR n_shared_chunks > 0 AS is_contaminated,
+         |  is_flagged_bloom AND NOT is_exact_hit AS bloom_false_positive,
+         |  CASE WHEN is_exact_hit AND n_shared_chunks > 0 THEN 'exact+span'
+         |       WHEN is_exact_hit THEN 'exact'
+         |       WHEN n_shared_chunks > 0 THEN 'span'
+         |       WHEN is_flagged_bloom THEN 'screen_only'
+         |       ELSE 'clean' END AS verdict
+         |FROM j""".stripMargin,
 
     "q86_mixture_rebalance" -> {
       val bucket =
@@ -2781,37 +2983,40 @@ object CurationQueries {
          |  min_gap * n_copies * n_copies * 4 < manifest_rows AS is_clumped
          |FROM p CROSS JOIN t""".stripMargin,
 
-    "q191_token_budget_shards" -> {
-      val h24 = s"(CAST(${graft.functions.HexKeys.value16Sql(0)} AS BIGINT) * 256" +
-        s" + CAST(${graft.functions.HexKeys.digitSql(4)} AS BIGINT) * 16" +
-        s" + CAST(${graft.functions.HexKeys.digitSql(5)} AS BIGINT))"
-      s"""WITH rep AS (
-         |  SELECT doc_id, n_tokens, n_repeats FROM ($q168OracleSql) z
-         |  WHERE n_repeats >= 1),
-         |cp AS (
-         |  SELECT doc_id, n_tokens,
-         |         unnest(generate_series(1, n_repeats)) AS epoch_copy
-         |  FROM rep),
-         |k AS (
-         |  SELECT doc_id, n_tokens, epoch_copy,
-         |    md5('ord|' || CAST(doc_id AS VARCHAR) || '|'
-         |        || CAST(epoch_copy AS VARCHAR)) AS hex
-         |  FROM cp),
-         |keyed AS (
-         |  SELECT doc_id, n_tokens, epoch_copy,
-         |    $h24 * 68719476736 + doc_id * 32 + epoch_copy AS ord_key
-         |  FROM k),
-         |r AS (
-         |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY ord_key
-         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |            AS BIGINT) AS cum_tokens
-         |  FROM keyed)
-         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |  CAST(epoch_copy AS BIGINT) AS epoch_copy,
-         |  CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
-         |  CAST((cum_tokens - n_tokens) // 4096 AS BIGINT) AS shard_id
-         |FROM r""".stripMargin
-    },
+    "q191_token_budget_shards" -> q191OracleSql,
+
+    // q234: q191's manifest as a derived table; the cut point is a 1-row
+    // scalar cross join, statuses/offsets pure integer interval
+    // arithmetic, nullable resume_* via conditional max.
+    "q234_resume_manifest" ->
+      s"""WITH m AS (SELECT * FROM ($q191OracleSql) z),
+         |t AS (SELECT CAST(max(cum_tokens) // 2 AS BIGINT) AS t_cut FROM m),
+         |st AS (
+         |  SELECT m.*, t.t_cut,
+         |    CASE WHEN cum_tokens <= t_cut THEN 'consumed'
+         |         WHEN cum_tokens - n_tokens < t_cut THEN 'partial'
+         |         ELSE 'pending' END AS status
+         |  FROM m CROSS JOIN t)
+         |SELECT shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(sum(CASE WHEN status = 'consumed' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_consumed,
+         |  CAST(sum(CASE WHEN status = 'partial' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_partial,
+         |  CAST(sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pending,
+         |  CAST(max(CASE WHEN status = 'partial' THEN doc_id END) AS BIGINT)
+         |    AS resume_doc_id,
+         |  CAST(max(CASE WHEN status = 'partial' THEN epoch_copy END) AS BIGINT)
+         |    AS resume_epoch_copy,
+         |  CAST(max(CASE WHEN status = 'partial'
+         |                THEN t_cut - (cum_tokens - n_tokens) END) AS BIGINT)
+         |    AS resume_token_offset,
+         |  CAST(sum(CASE WHEN status = 'consumed' THEN n_tokens
+         |                WHEN status = 'partial'
+         |                THEN t_cut - (cum_tokens - n_tokens)
+         |                ELSE 0 END) AS BIGINT) AS consumed_tokens
+         |FROM st GROUP BY shard_id""".stripMargin,
 
     "q192_mixture_audit" ->
       s"""WITH z AS (SELECT * FROM ($q168OracleSql) zz)

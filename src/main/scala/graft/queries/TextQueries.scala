@@ -798,6 +798,54 @@ object TextQueries {
     },
 
     // ---------------------------------------------------------------
+    // q232: FDR-corrected drift panel — Benjamini–Hochberg over q208's
+    // per-source KS tests. A drift monitor that fires per-source at a
+    // fixed α runs |sources| simultaneous tests every window: at 1000
+    // sources and α = 0.05, ~50 false alarms per scan is the EXPECTED
+    // background, and operators learn to ignore the pager — the
+    // multiple-testing failure BH (1995) exists to fix, controlling the
+    // false-DISCOVERY rate instead of the per-test rate. Each source's
+    // asymptotic two-sample p-value p = min(1, 2·exp(−2·D²·n_eff)),
+    // n_eff = n·m/(n+m), is 1e9-quantized immediately (the q113/q124
+    // ln discipline applied to exp); the BH step-up comparison
+    // p_(i) ≤ α·i/M runs at the SAME integer scale — p_q·20·M ≤ 10⁹·i
+    // at α = 0.05 — so the accept/reject frontier is exact integer
+    // arithmetic on both engines, never a double-threshold edge.
+    // Scale shape: the panel is ≤|sources| rows (q208 already reduced
+    // the corpus); rank/step-up ride constPartition windows over that
+    // bounded frame only — the corpus is never re-touched.
+    // ---------------------------------------------------------------
+    "q232_drift_fdr" -> { (s, dir) =>
+      val panel = defs("q208_source_ks")(s, dir)
+      val nEff = (col("n_in") * col("n_rest")).cast(DoubleType) /
+        (col("n_in") + col("n_rest")).cast(DoubleType)
+      val pRaw = lit(2.0) * exp(lit(-2.0) * col("ks_stat") * col("ks_stat") * nEff)
+      val withP = panel.withColumn("p_q",
+        least(floor(pRaw * 1e9 + 0.5).cast(LongType), lit(1000000000L)))
+      val W = org.apache.spark.sql.expressions.Window
+      val cw = W.partitionBy(graft.functions.Macros.constPartition(col("p_q")))
+      val ranked = withP
+        .withColumn("bh_rank",
+          row_number().over(cw.orderBy(col("p_q"), col("source"))).cast(LongType))
+        .withColumn("m_tests", count(lit(1)).over(
+          cw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+        .withColumn("pass_rank",
+          when(col("p_q") * 20L * col("m_tests") <= col("bh_rank") * 1000000000L,
+               col("bh_rank")))
+      ranked
+        .withColumn("i_max", max(col("pass_rank")).over(
+          cw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+        .select(col("source"), col("n_in"), col("n_rest"), col("ks_stat"),
+                (col("p_q").cast(DoubleType) / 1e9).as("p_value"),
+                col("bh_rank"), col("m_tests"),
+                (col("bh_rank").cast(DoubleType) /
+                  (lit(20.0) * col("m_tests").cast(DoubleType))).as("bh_crit"),
+                (col("p_q") * 20L < 1000000000L).as("is_significant_raw"),
+                coalesce(col("bh_rank") <= col("i_max"), lit(false))
+                  .as("is_significant_fdr"))
+    },
+
+    // ---------------------------------------------------------------
     // q211: character-entropy filter — the gibberish/noise signal the
     // q33 ratio family doesn't carry (Dolma/RedPajama-class pipelines
     // run it alongside the ratios): per document, the Shannon entropy
@@ -836,6 +884,57 @@ object TextQueries {
                 (col("h_q").cast(DoubleType) / 1e9).as("entropy_nats"),
                 (col("h_q") < 2000000000L).as("is_low_entropy"),
                 (col("h_q") > 4500000000L).as("is_high_entropy"))
+    },
+
+    // ---------------------------------------------------------------
+    // q233: character entropy RATE — the conditional entropy H(X₂|X₁)
+    // = H(bigram) − H(first-char marginal), the second-order signal
+    // q211's unigram entropy cannot carry: a Markov text generator (or
+    // templated spam) reuses the SAME transitions over a wide alphabet,
+    // so its unigram entropy looks like prose while its entropy RATE
+    // collapses; conversely base64/key-mash keeps the rate near
+    // ln|alphabet| because successive chars are independent. Both
+    // distributions are over the n−1 bigram positions (the marginal is
+    // the histogram of text[1..n−1], NOT the full unigram histogram —
+    // the last character conditions nothing), so the identity is exact,
+    // not an approximation. Terms are 1e9-quantized BIGINTs summed
+    // exactly (q211's rule), and the difference of the two quantized
+    // sums is itself exact — order-free on both engines.
+    // Scale shape: PROJECTION-ONLY, the q211 discipline at k = 2 — the
+    // graftx CharGramHistogram expression computes each doc's (g, c)
+    // array in one native pass (never a per-bigram explode: a 10 KB doc
+    // would become 10⁴ gram rows before the partial agg), and both
+    // entropy folds are functions.aggregate over ≤|alphabet|²-element
+    // arrays. No Generate, no shuffle, nothing leaves the scan task.
+    // ---------------------------------------------------------------
+    "q233_entropy_rate" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .filter(col("text").isNotNull && length(col("text")) >= 2)
+      val base = d.select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        org.apache.spark.sql.graftx.CharGramHistogram
+          .charGramHistogram(col("text"), 2).as("h2"),
+        org.apache.spark.sql.graftx.CharHistogram
+          .charHistogram(col("text").substr(lit(1), length(col("text")) - 1))
+          .as("h1"))
+      val n2 = col("n_chars") - 1L
+      def termQ(cnt: Column, tot: Column): Column = {
+        val r = cnt.cast(DoubleType) / tot.cast(DoubleType)
+        floor(-r * log(r) * 1e9 + 0.5).cast(LongType)
+      }
+      base.select(
+          col("doc_id"), col("n_chars"),
+          size(col("h2")).cast(LongType).as("n_distinct_bigrams"),
+          aggregate(col("h2"), lit(0L),
+                    (acc, x) => acc + termQ(x.getField("c"), n2)).as("h2_q"),
+          aggregate(col("h1"), lit(0L),
+                    (acc, x) => acc + termQ(x.getField("c"), n2)).as("h1_q"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct_bigrams"),
+                ((col("h2_q") - col("h1_q")).cast(DoubleType) / 1e9)
+                  .as("entropy_rate_nats"),
+                (col("h2_q") - col("h1_q") < 700000000L).as("is_repetitive"),
+                (col("h2_q") - col("h1_q") > 3000000000L).as("is_random"))
     },
 
     // n-gram Jaccard near-dup pairs via shared-shingle inverted index
@@ -1617,6 +1716,178 @@ object TextQueries {
                 when(col("gap") === 0, lit(null).cast("double"))
                   .otherwise(col("tail_rank").cast("double") * lit(1e9) /
                              col("gap").cast("double")).as("hill_alpha"))
+    },
+
+    // ---------------------------------------------------------------
+    // q231: UNSEEN-DUPLICATION estimate — species-richness statistics
+    // over the dup-cluster size histogram, the question q219's tail
+    // plot doesn't answer: "we deduped a sample; how much duplication
+    // is still UNDISCOVERED in the data we haven't crawled/processed?"
+    // Good–Turing coverage (Good 1953): the probability the NEXT
+    // document belongs to an already-seen cluster is ≈ 1 − f₁/n (f₁ =
+    // singleton clusters, n = docs) — so f₁/n is the marginal NOVELTY
+    // rate of continued ingestion, the number a crawl planner reads
+    // before paying for the next 10 TB. Bias-corrected Chao1 (Chao
+    // 1984): Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1)) lower-bounds the total
+    // distinct-document count in the population — defined even when
+    // f₂ = 0, so no division-by-zero branch for either engine.
+    // Scale shape: cluster sizes are a partial+final count per cluster
+    // (hot mega-cluster bounded map-side — never a window over the
+    // flooded cluster key); the richness statistics are ONE global agg
+    // over the |clusters|-row size frame with all-conditional-integer
+    // inputs; doubles appear only in the final single-row projection.
+    // ---------------------------------------------------------------
+    "q231_chao1_unseen" -> { (s, dir) =>
+      val sizes = defs("q67_dedup_clusters")(s, dir)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      val agg = sizes.agg(
+        count(lit(1)).as("s_obs"),
+        sum(col("sz")).as("n_docs"),
+        sum(when(col("sz") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("sz") === 2L, 1L).otherwise(0L)).as("f2"))
+      val extra = (col("f1") * (col("f1") - 1L)).cast(DoubleType) /
+        (lit(2L) * (col("f2") + 1L)).cast(DoubleType)
+      val unseen = col("f1").cast(DoubleType) / col("n_docs").cast(DoubleType)
+      agg.select(col("s_obs"), col("n_docs"), col("f1"), col("f2"),
+                 extra.as("chao1_extra"),
+                 (col("s_obs").cast(DoubleType) + extra).as("chao1_est"),
+                 unseen.as("unseen_mass"),
+                 (lit(1.0) - unseen).as("coverage_gt"))
+    },
+
+    // ---------------------------------------------------------------
+    // q236: per-source NOVELTY rate — q231's Good–Turing read broken
+    // out BY SOURCE, the crawl-budget allocator's question: which
+    // source is exhausted (every new doc duplicates something) and
+    // which still yields novel content. A doc is "novel" iff its GLOBAL
+    // dup cluster is a singleton — membership in a multi-doc cluster
+    // means the content exists elsewhere in the corpus, whichever
+    // source owns the copy — so per source the novelty rate is the
+    // fraction of its docs in singleton clusters, and the exhausted
+    // flag is the exact integer comparison n_novel·10 < n_docs (< 10%
+    // marginal novelty: stop paying for this crawl). Scale shape: the
+    // cluster sizes ride q67's partial+final count (memoized, shared
+    // with q219/q231); the source attach is a doc_id equi-join; the
+    // rollup is one partial+final agg keyed by source with
+    // conditional-integer inputs.
+    // ---------------------------------------------------------------
+    "q236_source_novelty" -> { (s, dir) =>
+      val cl = defs("q67_dedup_clusters")(s, dir)
+      val src = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+      cl.join(src, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("cluster_size") === 1L, 1L).otherwise(0L))
+               .as("n_novel"))
+        .select(col("source"), col("n_docs"), col("n_novel"),
+                (col("n_novel").cast(DoubleType) /
+                  col("n_docs").cast(DoubleType)).as("novelty_rate"),
+                (col("n_novel") * 10L < col("n_docs")).as("is_exhausted"))
+    },
+
+    // ---------------------------------------------------------------
+    // q237: dedup ROI curve — WHERE the dedup savings live, ranked: for
+    // each of the top-20 dup clusters by reclaimable bytes (savings =
+    // member bytes − the largest member kept, the keep-best-copy
+    // convention of q143), the cumulative fraction of the corpus-wide
+    // savings. Duplication is heavy-tailed (q219's Hill read), so the
+    // actionable question is "how many clusters must remediation touch
+    // for 80% of the win" — if the top 5 own most of it, hand-curate
+    // those; if the curve is flat, only wholesale dedup pays. Scale
+    // shape: per-cluster bytes are ONE partial+final agg over the
+    // memoized q67 assignment ⋈ doc bytes (hot mega-cluster bounded
+    // map-side — never a window over cluster_id); the top-20 order
+    // statistics ride the bounded TopKPairs heap (≤21 per task
+    // map-side, exact savings through SortableDouble's lossless key —
+    // the q219 discipline); the prefix sum windows over the ≤20-row
+    // frame only; the corpus-wide total is a 1-row broadcast. Ties at
+    // the heap boundary are value-identical rows, so the curve is
+    // deterministic without a cluster-id column. A dup-free corpus
+    // (total savings 0) reports an explicit NULL fraction, not an
+    // engine-dependent 0/0.
+    // ---------------------------------------------------------------
+    "q237_dedup_roi" -> { (s, dir) =>
+      import org.apache.spark.sql.graftx.{SortableDouble, TopKPairs}
+      val bytes = Tables(s, dir).documents
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("nb"))
+      val perCluster = defs("q67_dedup_clusters")(s, dir)
+        .join(bytes, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg((sum(col("nb")) - max(col("nb"))).as("savings"))
+      val tot = perCluster.agg(sum(col("savings")).as("total_savings"))
+      val top = perCluster.filter(col("savings") > 0L)
+        .select(SortableDouble.sortKeyDesc(col("savings").cast("double")).as("skey"),
+                col("cluster_id"))
+        .agg(TopKPairs.topK(col("skey"), col("cluster_id"), 20).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast(LongType).as("roi_rank"),
+                SortableDouble.decodeDesc(col("col.key")).cast(LongType)
+                  .as("savings_bytes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.Macros.constPartition(col("savings_bytes")))
+        .orderBy(col("roi_rank"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      top.withColumn("cum_savings_bytes", sum(col("savings_bytes")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("roi_rank"), col("savings_bytes"), col("cum_savings_bytes"),
+                col("total_savings").as("total_savings_bytes"),
+                when(col("total_savings") > 0L,
+                     col("cum_savings_bytes").cast(DoubleType) /
+                       col("total_savings").cast(DoubleType))
+                  .otherwise(lit(null).cast(DoubleType)).as("cum_frac"))
+    },
+
+    // ---------------------------------------------------------------
+    // q235: SHUFFLE-SKEW plan audit — measure the partition-key
+    // histogram BEFORE paying for the 100 TB shuffle, for the key this
+    // engine shuffles most: the content hash. For each candidate
+    // partition count P ∈ {32, 256, 1024}, every row's bucket is a pure
+    // function of its md5 (16-bit slice mod P — the engine-portable
+    // proxy for a hash partitioner; the md5-key discipline of
+    // q61/q68), and the audit reads max-bucket/mean-bucket in ROWS and
+    // BYTES — bytes, because a straggler is sized by payload, not row
+    // count. A mega-duplicate group (the routine web case) shares ONE
+    // content hash, so it lands in one bucket at EVERY P: skew_ratio
+    // that stays flat as P grows is the signature of a flooded key
+    // (salt it or pre-aggregate), while skew that decays with P is just
+    // granularity (raise the partition count). The q174/q221 planner
+    // discipline: measure on a sample, then configure the real shuffle.
+    // Scale shape: one corpus scan, a constant 3× lattice explode
+    // (q228's bound), partial+final (P, bucket) aggs — the audit frame
+    // is ≤ Σ P rows; the final per-P rollup is trivial. The skewed-key
+    // verdict is an exact integer cross-product comparison.
+    // ---------------------------------------------------------------
+    "q235_shuffle_skew_plan" -> { (s, dir) =>
+      val hk = graft.functions.HexKeys
+      val d = Tables(s, dir).documents
+        .select(md5(col("text")).as("hex"),
+                length(col("text")).cast(LongType).as("nb"))
+      val bucketed = d
+        .select(col("hex"), col("nb"),
+                explode(array(lit(32), lit(256), lit(1024))).as("p"))
+        .select(col("p").cast(LongType).as("n_partitions"),
+                (hk.value16(col("hex")) % col("p")).cast(LongType).as("bucket"),
+                col("nb"))
+        .groupBy(col("n_partitions"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("nb")).as("n_bytes"))
+      bucketed.groupBy(col("n_partitions"))
+        .agg(sum(col("n_rows")).as("total_rows"),
+             sum(col("n_bytes")).as("total_bytes"),
+             count(lit(1)).as("n_buckets_used"),
+             max(col("n_rows")).as("max_bucket_rows"),
+             max(col("n_bytes")).as("max_bucket_bytes"))
+        .select(col("n_partitions"), col("total_rows"), col("total_bytes"),
+                col("n_buckets_used"), col("max_bucket_rows"),
+                col("max_bucket_bytes"),
+                (col("max_bucket_rows").cast(DoubleType) *
+                  col("n_partitions").cast(DoubleType) /
+                  col("total_rows").cast(DoubleType)).as("row_skew_ratio"),
+                (col("max_bucket_bytes").cast(DoubleType) *
+                  col("n_partitions").cast(DoubleType) /
+                  col("total_bytes").cast(DoubleType)).as("byte_skew_ratio"),
+                (col("max_bucket_bytes") * col("n_partitions") >
+                  col("total_bytes") * 2L).as("is_skewed"))
     },
 
     // ---------------------------------------------------------------
@@ -3262,7 +3533,7 @@ object TextQueries {
     * `keySql` is the first-occurrence ordering key (q227 prepends the
     * base/delta parity bit, q172's arrival-order discipline).
     */
-  private def cdcChunkCtesSql(src: String, pfx: String,
+  private[queries] def cdcChunkCtesSql(src: String, pfx: String,
       keySql: String = "doc_id * 1048576 + chunk_idx"): String = {
     import graft.operators.Dedup.{CdcDivisor, CdcK}
     val h = org.apache.spark.sql.graftx.CdcChunkArray.boundaryHashSql(CdcK)
@@ -3327,6 +3598,69 @@ object TextQueries {
       |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
       |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 5000.0) AS BIGINT) AS shard_id
       |FROM t""".stripMargin
+
+  /** The q208 per-source KS panel oracle — a val so q232's BH-FDR
+    * correction can use it as a derived table (the q168OracleSql
+    * discipline: one definition of the panel for both gates).
+    */
+  private lazy val q208Oracle: String =
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+       |    CAST(len(list_filter(toks, x -> list_contains([$enList], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id,
+       |    least(CAST(n_tokens AS DOUBLE) / 50, 1.0) * 25 + distinct_ratio * 25 +
+       |    least(stopword_ratio * 5, 1.0) * 25 + (1.0 - least(punct_ratio * 10, 1.0)) * 25 AS q
+       |  FROM m),
+       |b0 AS (
+       |  SELECT d.source, CAST(floor(s.q / 5) AS BIGINT) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS n_sb
+       |  FROM s JOIN documents d USING (doc_id)
+       |  WHERE s.q IS NOT NULL GROUP BY 1, 2),
+       |pb AS (SELECT bucket, CAST(sum(n_sb) AS BIGINT) AS n_b
+       |       FROM b0 GROUP BY 1),
+       |src AS (SELECT DISTINCT source FROM b0),
+       |lat AS (
+       |  SELECT src.source, pb.bucket, pb.n_b,
+       |         CAST(coalesce(b0.n_sb, 0) AS BIGINT) AS n_in
+       |  FROM src CROSS JOIN pb
+       |  LEFT JOIN b0 ON b0.source = src.source AND b0.bucket = pb.bucket),
+       |c AS (
+       |  SELECT source, bucket, n_in, n_b,
+       |    CAST(sum(n_in) OVER wc AS BIGINT) AS cum_in,
+       |    CAST(sum(n_b) OVER wc AS BIGINT) AS cum_all,
+       |    CAST(sum(n_in) OVER wa AS BIGINT) AS tot_in,
+       |    CAST(sum(n_b) OVER wa AS BIGINT) AS tot_all
+       |  FROM lat WINDOW
+       |    wc AS (PARTITION BY source ORDER BY bucket
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wa AS (PARTITION BY source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       |g AS (
+       |  SELECT source, tot_in, tot_all - tot_in AS tot_rest,
+       |    abs(CAST(cum_in AS HUGEINT) * (tot_all - tot_in)
+       |        - CAST(cum_all - cum_in AS HUGEINT) * tot_in) AS gap
+       |  FROM c),
+       |k AS (
+       |  SELECT source, CAST(max(tot_in) AS BIGINT) AS n_in,
+       |         CAST(max(tot_rest) AS BIGINT) AS n_rest,
+       |         max(gap) AS ks_num
+       |  FROM g GROUP BY 1)
+       |SELECT source, n_in, n_rest,
+       |  CAST(ks_num AS DOUBLE) / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks_stat,
+       |  1.358 * sqrt(CAST(n_in + n_rest AS DOUBLE)
+       |               / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE))) AS ks_crit,
+       |  CAST(ks_num AS DOUBLE) / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE))
+       |    > 1.358 * sqrt(CAST(n_in + n_rest AS DOUBLE)
+       |                   / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE)))
+       |    AS is_outlier
+       |FROM k
+       |WHERE n_rest > 0""".stripMargin
 
   private lazy val q67Oracle: String =
     s"""WITH RECURSIVE
@@ -3709,65 +4043,37 @@ object TextQueries {
          |  (qn.cum_below * 5 >= qn.n_source * 4) AS is_kept
          |FROM sc JOIN qn ON sc.source = qn.source AND sc.bucket = qn.bucket""".stripMargin,
 
-    "q208_source_ks" ->
-      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
-         |    CAST(len(list_filter(toks, x -> list_contains([$enList], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
-         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
-         |  FROM t),
-         |s AS (
-         |  SELECT doc_id,
-         |    least(CAST(n_tokens AS DOUBLE) / 50, 1.0) * 25 + distinct_ratio * 25 +
-         |    least(stopword_ratio * 5, 1.0) * 25 + (1.0 - least(punct_ratio * 10, 1.0)) * 25 AS q
-         |  FROM m),
-         |b0 AS (
-         |  SELECT d.source, CAST(floor(s.q / 5) AS BIGINT) AS bucket,
-         |         CAST(count(*) AS BIGINT) AS n_sb
-         |  FROM s JOIN documents d USING (doc_id)
-         |  WHERE s.q IS NOT NULL GROUP BY 1, 2),
-         |pb AS (SELECT bucket, CAST(sum(n_sb) AS BIGINT) AS n_b
-         |       FROM b0 GROUP BY 1),
-         |src AS (SELECT DISTINCT source FROM b0),
-         |lat AS (
-         |  SELECT src.source, pb.bucket, pb.n_b,
-         |         CAST(coalesce(b0.n_sb, 0) AS BIGINT) AS n_in
-         |  FROM src CROSS JOIN pb
-         |  LEFT JOIN b0 ON b0.source = src.source AND b0.bucket = pb.bucket),
-         |c AS (
-         |  SELECT source, bucket, n_in, n_b,
-         |    CAST(sum(n_in) OVER wc AS BIGINT) AS cum_in,
-         |    CAST(sum(n_b) OVER wc AS BIGINT) AS cum_all,
-         |    CAST(sum(n_in) OVER wa AS BIGINT) AS tot_in,
-         |    CAST(sum(n_b) OVER wa AS BIGINT) AS tot_all
-         |  FROM lat WINDOW
-         |    wc AS (PARTITION BY source ORDER BY bucket
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         |    wa AS (PARTITION BY source
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
-         |g AS (
-         |  SELECT source, tot_in, tot_all - tot_in AS tot_rest,
-         |    abs(CAST(cum_in AS HUGEINT) * (tot_all - tot_in)
-         |        - CAST(cum_all - cum_in AS HUGEINT) * tot_in) AS gap
-         |  FROM c),
-         |k AS (
-         |  SELECT source, CAST(max(tot_in) AS BIGINT) AS n_in,
-         |         CAST(max(tot_rest) AS BIGINT) AS n_rest,
-         |         max(gap) AS ks_num
-         |  FROM g GROUP BY 1)
-         |SELECT source, n_in, n_rest,
-         |  CAST(ks_num AS DOUBLE) / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS ks_stat,
-         |  1.358 * sqrt(CAST(n_in + n_rest AS DOUBLE)
-         |               / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE))) AS ks_crit,
-         |  CAST(ks_num AS DOUBLE) / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE))
-         |    > 1.358 * sqrt(CAST(n_in + n_rest AS DOUBLE)
-         |                   / (CAST(n_in AS DOUBLE) * CAST(n_rest AS DOUBLE)))
-         |    AS is_outlier
-         |FROM k
-         |WHERE n_rest > 0""".stripMargin,
+    "q208_source_ks" -> q208Oracle,
 
+    // q232: the q208 panel as a derived table; p-values quantized to 1e9
+    // BIGINTs immediately after exp, BH step-up as the exact integer
+    // comparison p_q·20·M ≤ 10⁹·i, i_max via a scalar max over the panel.
+    "q232_drift_fdr" ->
+      s"""WITH ks AS ($q208Oracle),
+         |p AS (
+         |  SELECT source, n_in, n_rest, ks_stat,
+         |    least(CAST(floor(2 * exp(-2 * ks_stat * ks_stat
+         |            * (CAST(n_in * n_rest AS DOUBLE)
+         |               / CAST(n_in + n_rest AS DOUBLE))) * 1e9 + 0.5) AS BIGINT),
+         |          1000000000) AS p_q
+         |  FROM ks),
+         |r AS (
+         |  SELECT *,
+         |    CAST(row_number() OVER (ORDER BY p_q, source) AS BIGINT) AS bh_rank,
+         |    CAST(count(*) OVER () AS BIGINT) AS m_tests
+         |  FROM p),
+         |f AS (
+         |  SELECT *, CASE WHEN p_q * 20 * m_tests <= bh_rank * 1000000000
+         |                 THEN bh_rank END AS pass_rank
+         |  FROM r),
+         |mx AS (SELECT max(pass_rank) AS i_max FROM f)
+         |SELECT source, n_in, n_rest, ks_stat,
+         |  CAST(p_q AS DOUBLE) / 1e9 AS p_value,
+         |  bh_rank, m_tests,
+         |  CAST(bh_rank AS DOUBLE) / (20.0 * CAST(m_tests AS DOUBLE)) AS bh_crit,
+         |  p_q * 20 < 1000000000 AS is_significant_raw,
+         |  coalesce(bh_rank <= i_max, false) AS is_significant_fdr
+         |FROM f CROSS JOIN mx""".stripMargin,
     // q211: per-position substr explode, (doc, char) counts, 1e9-quantized
     // BIGINT entropy terms summed exactly, both tails flagged.
     "q211_char_entropy" ->
@@ -3797,6 +4103,52 @@ object TextQueries {
         |  h_q < 2000000000 AS is_low_entropy,
         |  h_q > 4500000000 AS is_high_entropy
         |FROM h""".stripMargin,
+
+    // q233: per-position substr explodes for the bigram counts AND the
+    // first-char marginal (both over the n−1 bigram positions), the same
+    // 1e9-quantized BIGINT entropy terms as q211, difference of exact
+    // integer sums.
+    "q233_entropy_rate" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 2),
+        |g2 AS (
+        |  SELECT doc_id, n_chars, substr(text, CAST(i AS INTEGER), 2) AS g
+        |  FROM (SELECT doc_id, text, n_chars,
+        |               unnest(generate_series(1, n_chars - 1)) AS i FROM d)),
+        |c2 AS (
+        |  SELECT doc_id, n_chars, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM g2 GROUP BY 1, 2, 3),
+        |t2 AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(floor(-(CAST(c AS DOUBLE) / CAST(n_chars - 1 AS DOUBLE))
+        |               * ln(CAST(c AS DOUBLE) / CAST(n_chars - 1 AS DOUBLE))
+        |               * 1e9 + 0.5) AS BIGINT) AS tq
+        |  FROM c2),
+        |h2 AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |         CAST(sum(tq) AS BIGINT) AS h2_q
+        |  FROM t2 GROUP BY 1, 2),
+        |g1 AS (
+        |  SELECT doc_id, n_chars, substr(text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM (SELECT doc_id, text, n_chars,
+        |               unnest(generate_series(1, n_chars - 1)) AS i FROM d)),
+        |c1 AS (
+        |  SELECT doc_id, n_chars, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM g1 GROUP BY 1, 2, 3),
+        |t1 AS (
+        |  SELECT doc_id,
+        |    CAST(floor(-(CAST(c AS DOUBLE) / CAST(n_chars - 1 AS DOUBLE))
+        |               * ln(CAST(c AS DOUBLE) / CAST(n_chars - 1 AS DOUBLE))
+        |               * 1e9 + 0.5) AS BIGINT) AS tq
+        |  FROM c1),
+        |h1 AS (SELECT doc_id, CAST(sum(tq) AS BIGINT) AS h1_q FROM t1 GROUP BY 1)
+        |SELECT h2.doc_id, h2.n_chars, h2.n_distinct_bigrams,
+        |  CAST(h2_q - h1_q AS DOUBLE) / 1e9 AS entropy_rate_nats,
+        |  h2_q - h1_q < 700000000 AS is_repetitive,
+        |  h2_q - h1_q > 3000000000 AS is_random
+        |FROM h2 JOIN h1 USING (doc_id)""".stripMargin,
     "q115_normalize_text" ->
       """WITH n AS (
         |  SELECT doc_id, text,
@@ -4578,6 +4930,103 @@ object TextQueries {
          |  (a.cluster_naive_splits > 1 AND j.cluster_size > 1) AS leak_risk_naive
          |FROM j JOIN aud a USING (cluster_id)""".stripMargin
     },
+
+    // q231: cluster sizes from the q67 per-doc assignment, richness
+    // statistics as one conditional-integer agg, doubles only in the
+    // final single-row projection (bias-corrected Chao1 — no f2=0 branch).
+    "q231_chao1_unseen" ->
+      s"""WITH cl AS (SELECT doc_id, cluster_id FROM ($q67Oracle) c),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |       FROM cl GROUP BY 1),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS s_obs,
+         |         CAST(sum(sz) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |         CAST(sum(CASE WHEN sz = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM sz)
+         |SELECT s_obs, n_docs, f1, f2,
+         |  CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1_extra,
+         |  CAST(s_obs AS DOUBLE)
+         |    + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1_est,
+         |  CAST(f1 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS unseen_mass,
+         |  1.0 - CAST(f1 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS coverage_gt
+         |FROM a""".stripMargin,
+
+    // q236: global cluster sizes from the q67 assignment, source attach
+    // by doc_id, one conditional-integer rollup per source, the
+    // exhausted flag as the same integer cross-product comparison.
+    "q236_source_novelty" ->
+      s"""WITH cl AS (SELECT doc_id, cluster_size FROM ($q67Oracle) c),
+         |j AS (SELECT d.source, cl.cluster_size
+         |      FROM cl JOIN documents d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN cluster_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(sum(CASE WHEN cluster_size = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty_rate,
+         |  sum(CASE WHEN cluster_size = 1 THEN 1 ELSE 0 END) * 10 < count(*)
+         |    AS is_exhausted
+         |FROM j GROUP BY source""".stripMargin,
+
+    // q237: per-cluster savings (sum − max bytes), row_number DESC top-20
+    // replaying the bounded heap (ties value-identical), prefix sum over
+    // the 20-row frame, 1-row total cross-joined, NULL (not 0/0) on a
+    // dup-free corpus.
+    "q237_dedup_roi" ->
+      s"""WITH cl AS (SELECT doc_id, cluster_id FROM ($q67Oracle) c),
+         |b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nb FROM documents),
+         |pc AS (
+         |  SELECT cluster_id, CAST(sum(nb) - max(nb) AS BIGINT) AS savings
+         |  FROM cl JOIN b USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(savings) AS BIGINT) AS total_savings FROM pc),
+         |top AS (
+         |  SELECT savings, rk FROM (
+         |    SELECT savings,
+         |           row_number() OVER (ORDER BY savings DESC, cluster_id) AS rk
+         |    FROM pc WHERE savings > 0)
+         |  WHERE rk <= 20),
+         |p AS (
+         |  SELECT rk, savings,
+         |    CAST(sum(savings) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING)
+         |         AS BIGINT) AS cum
+         |  FROM top)
+         |SELECT CAST(rk AS BIGINT) AS roi_rank,
+         |  savings AS savings_bytes, cum AS cum_savings_bytes,
+         |  total_savings AS total_savings_bytes,
+         |  CASE WHEN total_savings > 0
+         |       THEN CAST(cum AS DOUBLE) / CAST(total_savings AS DOUBLE)
+         |  END AS cum_frac
+         |FROM p CROSS JOIN tot""".stripMargin,
+
+    // q235: same md5 16-bit slice mod P on both engines, constant 3-way
+    // lattice unnest, integer aggs with doubles only in the final ratios.
+    "q235_shuffle_skew_plan" ->
+      s"""WITH h AS (
+         |  SELECT md5(text) AS hex, CAST(length(text) AS BIGINT) AS nb
+         |  FROM documents),
+         |l AS (SELECT hex, nb, unnest([32, 256, 1024]) AS p FROM h),
+         |b AS (
+         |  SELECT CAST(p AS BIGINT) AS n_partitions,
+         |    CAST(${graft.functions.HexKeys.value16Sql(0)} % p AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(nb) AS BIGINT) AS n_bytes
+         |  FROM l GROUP BY 1, 2),
+         |r AS (
+         |  SELECT n_partitions,
+         |    CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |    CAST(count(*) AS BIGINT) AS n_buckets_used,
+         |    CAST(max(n_rows) AS BIGINT) AS max_bucket_rows,
+         |    CAST(max(n_bytes) AS BIGINT) AS max_bucket_bytes
+         |  FROM b GROUP BY 1)
+         |SELECT n_partitions, total_rows, total_bytes, n_buckets_used,
+         |  max_bucket_rows, max_bucket_bytes,
+         |  CAST(max_bucket_rows AS DOUBLE) * CAST(n_partitions AS DOUBLE)
+         |    / CAST(total_rows AS DOUBLE) AS row_skew_ratio,
+         |  CAST(max_bucket_bytes AS DOUBLE) * CAST(n_partitions AS DOUBLE)
+         |    / CAST(total_bytes AS DOUBLE) AS byte_skew_ratio,
+         |  max_bucket_bytes * n_partitions > total_bytes * 2 AS is_skewed
+         |FROM r""".stripMargin,
 
     "q149_cc_star_contraction" -> q67Oracle,
     // q154's incremental maintenance must ALSO reproduce the one-shot

@@ -34,6 +34,14 @@ class GraftExtensionsSpec extends SparkSpec {
       .selectExpr("ch").head().getSeq[org.apache.spark.sql.Row](0)
     assert(cdc.map(_.getAs[String]("chunk_text")).mkString == "hello world",
       "graft_cdc_chunks must partition the exact char stream")
+    val hist = s.sql("SELECT graft_char_hist('abba') AS h")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hist.map(r => r.getString(0) -> r.getLong(1)) ==
+      Seq("a" -> 2L, "b" -> 2L))
+    val gh = s.sql("SELECT graft_char_gram_hist('abab', 2) AS h")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(gh.map(r => r.getString(0) -> r.getLong(1)) ==
+      Seq("ab" -> 2L, "ba" -> 1L))
   }
 
   test("aggregates: SQL results equal the Column-API results per group") {

@@ -1056,7 +1056,8 @@ class PlanQualitySpec extends SparkSpec {
     val family = Seq("q67_dedup_clusters", "q149_cc_star_contraction",
                      "q154_incremental_components", "q143_best_copy_dedup",
                      "q132_image_dup_clusters", "q137_audio_dup_clusters",
-                     "q224_leakage_safe_split")
+                     "q224_leakage_safe_split", "q231_chao1_unseen",
+                     "q236_source_novelty", "q237_dedup_roi")
     family.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       physical(df).collect {
@@ -1144,6 +1145,58 @@ class PlanQualitySpec extends SparkSpec {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     assert(exchanges.isEmpty, s"q211 shuffles a projection-only op:\n${planOf(df)}")
+  }
+
+  test("q233 entropy rate is projection-only: no Generate, no per-bigram rows") {
+    // the q211 discipline at k = 2 — CharGramHistogram computes the
+    // per-doc bigram counts in one native pass; the composable form
+    // would explode one row per BIGRAM before the partial agg
+    val df = SparkEntry.queries("q233_entropy_rate")(spark, dir)
+    val gens = physical(df).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.isEmpty, s"q233 still explodes rows:\n${planOf(df)}")
+    val exchanges = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"q233 shuffles a projection-only op:\n${planOf(df)}")
+  }
+
+  test("q235 skew audit: window-free, constant lattice, partial+final bucket aggs") {
+    // the audit must never itself hit the failure it measures: per-P
+    // bucket counts are partial+final aggs (hot bucket bounded
+    // map-side), the lattice explode is the constant 3-way Generate,
+    // and no window touches any frame
+    val df = SparkEntry.queries("q235_shuffle_skew_plan")(spark, dir)
+    val p  = physical(df)
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q235 grew a window:\n${planOf(df)}")
+    val gens = p.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.size == 1, s"q235 expects exactly the 3-way lattice explode:\n${planOf(df)}")
+    val n = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(n <= 2, s"q235 plans $n exchanges (bucket agg + per-P rollup expected):\n${planOf(df)}")
+  }
+
+  test("q232 BH step-up rides the bounded panel only (no corpus-level window)") {
+    // rank/step-up windows must sit ABOVE q208's per-source aggregation
+    // — their input is the ≤|sources|-row panel, so every WindowExec in
+    // the plan must be downstream of an aggregate (no window whose
+    // partition key is a document-level column)
+    val df = SparkEntry.queries("q232_drift_fdr")(spark, dir)
+    physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      val partNames = w.partitionSpec.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+      })
+      assert(!partNames.exists(Set("doc_id", "text", "text_hash").contains),
+        s"q232 windows over a document-level key (${partNames.mkString(",")}):\n${planOf(df)}")
+    }
   }
 
   test("q213 SNM: every window is partitioned (no global sort through one task)") {

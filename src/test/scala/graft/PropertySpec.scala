@@ -277,6 +277,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CharGramHistogram ≡ naive code-point gram counts; k=1 ≡ CharHistogram") {
+    import org.apache.spark.sql.graftx.{CharGramHistogram, CharHistogram}
+    // non-BMP chars included: windowing on UTF-16 units would split the
+    // surrogate pair and shift every gram vs DuckDB's code-point substr
+    val sGen: Gen[Seq[String]] = Gen.listOfN(20, for {
+      n  <- Gen.choose(0, 15)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", " ", "Ω", "😀"))
+    } yield cs.mkString)
+    forSeeds(sGen) { strs =>
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      for (k <- Seq(1, 2, 3)) {
+        val got = df
+          .select(col("id"),
+                  CharGramHistogram.charGramHistogram(col("s"), k).as("h"))
+          .collect().map { r =>
+            r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+              .map(x => x.getString(0) -> x.getLong(1))
+          }.toMap
+        strs.zipWithIndex.foreach { case (s, i) =>
+          val cps = s.codePoints().toArray
+          val want = if (cps.length < k) Seq.empty
+                     else (0 to cps.length - k).map(p => new String(cps, p, k))
+                       .groupBy(identity)
+                       .map { case (g, occ) => g -> occ.size.toLong }
+                       .toSeq.sortBy(_._1)
+          assert(got(i.toLong) === want, s"k=$k s='$s'")
+        }
+      }
+      // k = 1 reproduces CharHistogram exactly (modulo field names)
+      val viaGram = df
+        .select(col("id"), CharGramHistogram.charGramHistogram(col("s"), 1).as("h"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1))))
+        .toMap
+      val viaUni = df
+        .select(col("id"), CharHistogram.charHistogram(col("s")).as("h"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1))))
+        .toMap
+      assert(viaGram === viaUni)
+    }
+  }
+
   test("SortedIntersect ≡ array_intersect on sorted distinct long arrays") {
     import org.apache.spark.sql.graftx.SortedIntersect
     // the producer contract: ascending, distinct (sort_array over a
