@@ -1590,6 +1590,68 @@ object TextQueries {
              max(col("doc_id")).as("last_doc_id"))
     },
 
+    // ---------------------------------------------------------------
+    // q239: RESHARD-CHURN audit — what an APPEND costs each sharding
+    // strategy, measured with q230's manifest-diff discipline: after
+    // adding the delta half (base = doc_id % 2 == 0, the house
+    // convention), how many shards of the rebuilt dataset carry a
+    // changed checksum and must re-upload? Cumulative token-budget
+    // packing (q62's strategy — optimal for TRAINING reads) reshards
+    // almost everything: any inserted doc shifts every later prefix
+    // sum, so shard boundaries move wholesale — the shard-level analog
+    // of q226's fixed-chunk realignment failure. Hash sharding
+    // (md5(doc_id) mod 256 — stable under append by construction)
+    // churns only the shards that actually RECEIVE delta docs. The two
+    // reupload_frac rows are the storage-vs-training trade a dataset
+    // release pipeline reads before choosing its layout (and why
+    // release layouts hash-shard then pack WITHIN shards). Scale
+    // shape: checksums are order-independent integer sums (q230), each
+    // manifest one partial+final agg; packed manifests ride q62's
+    // bucketed prefix sum; the diff joins touch only manifest-sized
+    // frames (≤ shards per strategy).
+    // ---------------------------------------------------------------
+    "q239_reshard_churn" -> { (s, dir) =>
+      val hk = graft.functions.HexKeys
+      val keyed = Tables(s, dir).documents.select(
+        col("doc_id"),
+        size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        hk.value32(md5(concat(col("doc_id").cast(StringType), lit("|"),
+                              md5(col("text"))))).as("term"),
+        (hk.value16(md5(concat(lit("shard|"), col("doc_id").cast(StringType))))
+          % 256).cast(LongType).as("hash_shard"))
+      def manifests(docs: DataFrame): DataFrame = {
+        val packed = graft.operators.Sharding.byBudget(
+            docs.select(col("doc_id"), col("n_tokens")),
+            "doc_id", "n_tokens", budget = 5000L)
+          .join(docs.select(col("doc_id"), col("term")), "doc_id")
+          .groupBy(col("shard_id"))
+          .agg(sum(col("term")).as("checksum"))
+          .select(lit("packed").as("strategy"), col("shard_id"), col("checksum"))
+        val hashed = docs.groupBy(col("hash_shard").as("shard_id"))
+          .agg(sum(col("term")).as("checksum"))
+          .select(lit("hashed").as("strategy"), col("shard_id"), col("checksum"))
+        packed.unionByName(hashed)
+      }
+      val base = manifests(keyed.filter(col("doc_id") % 2 === 0))
+        .withColumnRenamed("checksum", "base_checksum")
+      manifests(keyed).join(base, Seq("strategy", "shard_id"), "left")
+        .withColumn("status",
+          when(col("base_checksum").isNull, "new")
+            .when(col("base_checksum") === col("checksum"), "unchanged")
+            .otherwise("changed"))
+        .groupBy(col("strategy"))
+        .agg(count(lit(1)).as("n_shards_full"),
+             sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+               .as("n_unchanged"),
+             sum(when(col("status") === "changed", 1L).otherwise(0L))
+               .as("n_changed"),
+             sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"))
+        .select(col("strategy"), col("n_shards_full"), col("n_unchanged"),
+                col("n_changed"), col("n_new"),
+                ((col("n_changed") + col("n_new")).cast(DoubleType) /
+                  col("n_shards_full").cast(DoubleType)).as("reupload_frac"))
+    },
+
     // Greedy sequence packing — training-batch construction, the
     // complement of q62: documents are NEVER split (q62 cuts shard
     // boundaries by start offset mid-stream). 8 deterministic packing
@@ -4828,6 +4890,64 @@ object TextQueries {
          |  CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
          |  CAST(MAX(doc_id) AS BIGINT) AS last_doc_id
          |FROM j GROUP BY 1""".stripMargin
+    },
+
+    // q239: same term/bucket arithmetic, cumulative shard ids replayed
+    // per subset (the q62 window), manifests diffed by checksum, one
+    // conditional rollup per strategy.
+    "q239_reshard_churn" -> {
+      val term = graft.functions.HexKeys.value32Sql(0, "hex1")
+      val hs   = graft.functions.HexKeys.value16Sql(0, "hex2")
+      def packed(pred: String, name: String) =
+        s"""$name AS (
+           |  SELECT shard_id, CAST(sum(term) AS BIGINT) AS checksum FROM (
+           |    SELECT term,
+           |      CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+           |        / 5000.0) AS BIGINT) AS shard_id
+           |    FROM k WHERE $pred) z
+           |  GROUP BY 1)""".stripMargin
+      def hashed(pred: String, name: String) =
+        s"""$name AS (
+           |  SELECT hash_shard AS shard_id, CAST(sum(term) AS BIGINT) AS checksum
+           |  FROM k WHERE $pred GROUP BY 1)""".stripMargin
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $term AS term,
+         |    CAST($hs % 256 AS BIGINT) AS hash_shard
+         |  FROM (SELECT doc_id, text,
+         |          md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS hex1,
+         |          md5('shard|' || CAST(doc_id AS VARCHAR)) AS hex2
+         |        FROM documents)),
+         |${packed("TRUE", "pfull")},
+         |${packed("doc_id % 2 = 0", "pbase")},
+         |${hashed("TRUE", "hfull")},
+         |${hashed("doc_id % 2 = 0", "hbase")},
+         |m AS (
+         |  SELECT 'packed' AS strategy, f.shard_id, f.checksum,
+         |         b.checksum AS base_checksum
+         |  FROM pfull f LEFT JOIN pbase b USING (shard_id)
+         |  UNION ALL
+         |  SELECT 'hashed', f.shard_id, f.checksum, b.checksum
+         |  FROM hfull f LEFT JOIN hbase b USING (shard_id)),
+         |st AS (
+         |  SELECT strategy,
+         |    CASE WHEN base_checksum IS NULL THEN 'new'
+         |         WHEN base_checksum = checksum THEN 'unchanged'
+         |         ELSE 'changed' END AS status
+         |  FROM m)
+         |SELECT strategy,
+         |  CAST(count(*) AS BIGINT) AS n_shards_full,
+         |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unchanged,
+         |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_changed,
+         |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new,
+         |  CAST(sum(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS reupload_frac
+         |FROM st GROUP BY strategy""".stripMargin
     },
     // Replays each packing stream's greedy fold as a recursive CTE (the
     // q67 recursion discipline): rn-ordered walk carrying (bin_seq,

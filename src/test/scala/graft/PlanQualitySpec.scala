@@ -1147,6 +1147,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges.isEmpty, s"q211 shuffles a projection-only op:\n${planOf(df)}")
   }
 
+  test("q239 reshard audit: both packed manifests ride the bucketed prefix sum") {
+    // the audit builds the q62 packing TWICE (base and full) — each must
+    // keep the parallel bucket partitioning, and any single-partition
+    // exchange must sit above an aggregate (q190/q191's exact guard)
+    val df   = SparkEntry.queries("q239_reshard_churn")(spark, dir)
+    val plan = planOf(df)
+    assert("hashpartitioning\\(__pid".r.findAllIn(plan).size >= 2,
+      s"q239 lost a packed manifest's bucket partitioning:\n$plan")
+    val offenders = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 &&
+            e.child.collect {
+              case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            }.isEmpty => e
+    }
+    assert(offenders.isEmpty,
+      s"q239 funnels non-aggregated data through one partition:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q239 cartesian:\n$plan")
+  }
+
   test("q233 entropy rate is projection-only: no Generate, no per-bigram rows") {
     // the q211 discipline at k = 2 — CharGramHistogram computes the
     // per-doc bigram counts in one native pass; the composable form
