@@ -62,29 +62,26 @@ object Graph {
     val adj = o.groupBy(col("u").as("node"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
     // q123's warm cost measured ~85% GC (bench gc_ms) — allocation
-    // churn, not compute, so both per-TRIANGLE allocation sites are
-    // rewritten to per-EDGE ones (1.9M triangles vs far fewer edges at
-    // sf0.1): (a) the intersection is a native merge-walk over the
-    // SORTED adjacency arrays (SortedIntersect — array_intersect builds
-    // a boxed hash set per edge row); (b) the per-node participation
-    // emit builds ONE concat array per triangle-bearing edge
-    // (w₁..wₖ, u×k, v×k) instead of a (u,v,w) struct row plus a 3-array
-    // per triangle — same exploded multiset, k-fold fewer allocations.
-    val tris = o
-      .join(adj.select(col("node"), col("nbrs").as("nu")), col("u") === col("node"))
+    // churn, not compute — so the per-edge intersection, the
+    // participation emit, and the (node, count) row stream are FUSED
+    // into one expression (TriPack): per oriented edge it merge-walks
+    // the two sorted adjacency arrays and returns k+2 packed BIGINTs
+    // ((w,1)×k, (u,k), (v,k); node<<21|count) in two primitive-array
+    // allocations. The retired form (SortedIntersect → concat +
+    // array_repeat×2 → explode) allocated five arrays per edge and
+    // pushed 3k rows through the agg; packing cuts rows ~3× for the
+    // same exact counts, and the shift/mask agg below stays inside
+    // whole-stage codegen.
+    import org.apache.spark.sql.graftx.TriPack
+    o.join(adj.select(col("node"), col("nbrs").as("nu")), col("u") === col("node"))
       .drop("node")
       .join(adj.select(col("node"), col("nbrs").as("nv")), col("v") === col("node"))
       .drop("node")
-      .select(col("u"), col("v"),
-              org.apache.spark.sql.graftx.SortedIntersect
-                .sortedIntersect(col("nu"), col("nv")).as("ws"))
-      .filter(size(col("ws")) > 0)
-    tris.select(explode(concat(
-        col("ws"),
-        array_repeat(col("u"), size(col("ws"))),
-        array_repeat(col("v"), size(col("ws"))))).as("node"))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(explode(TriPack.triPack(
+        col("u").cast("long"), col("v").cast("long"),
+        col("nu"), col("nv"))).as("p"))
+      .groupBy(shiftright(col("p"), TriPack.CountBits).as("node"))
+      .agg(sum(col("p").bitwiseAND(TriPack.CountMask)).as("n_triangles"))
   }
 
   /** Adamic–Adar link prediction over a SYMMETRIC edge list: for every

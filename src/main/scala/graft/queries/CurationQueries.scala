@@ -1568,8 +1568,10 @@ object CurationQueries {
     // flag); the dedup canonical is chosen AMONG STAGE-3 SURVIVORS
     // (real pipelines dedup the filtered corpus, and the choice of set
     // changes the answer — pinned here, replayed identically in SQL).
-    // One corpus pass + two broadcast-sized operator joins + one
-    // content-hash window; the readout is 5 rows.
+    // One corpus pass + two broadcast-sized operator joins; the dedup
+    // canonical uses the groupBy(hash)+join-back discipline (NEVER a
+    // content-hash window — a mega-dup group would funnel one task);
+    // the readout is 5 rows.
     // ---------------------------------------------------------------
     "q182_curation_waterfall" -> { (s, dir) =>
       val c = waterfallFlags(s, dir).agg(
