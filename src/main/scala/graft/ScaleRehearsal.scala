@@ -82,7 +82,12 @@ object ScaleRehearsal {
     "q233_entropy_rate",           // projection-only CharGramHistogram fold
     "q235_shuffle_skew_plan",      // 3×P lattice bucket histogram audit
     "q234_resume_manifest",        // interval cut over the q191 prefix sums
-    "q237_dedup_roi")              // per-cluster bytes agg + bounded heap
+    "q237_dedup_roi",              // per-cluster bytes agg + bounded heap
+    // round-14 verdict ask #3: the heaviest new composition (26.1 s cold
+    // in BENCH_FULL at sf0.1) and a q231-family Good–Turing richness
+    // representative
+    "q223_calibrated_curation",    // quantile-normalized curationV2 chain
+    "q231_chao1_unseen")           // singleton/doubleton Chao1 over q67 clusters
 
   private def copyTable(spark: SparkSession, src: String, out: String,
                         name: String): Unit =

@@ -333,6 +333,12 @@ object CurationQueries {
   /** q157's total sample budget (Hamilton-apportioned across languages). */
   private val QuotaB = 200
 
+  /** q241's repeat constant R in D'(E) = U·(1 + R·(1 − e^{−(E−1)/R})) —
+    * Muennighoff et al. 2023's fitted R* ≈ 15 (kept integral so the
+    * factor arithmetic stays BIGINT-exact around the quantized exp).
+    */
+  private val EpochRepeatConst = 15L
+
   /** q148's building blocks: (docDim, tot, model).
     *
     * ONE tokenize+md5 pass over the corpus: the per-(doc, dim) feature agg
@@ -1510,6 +1516,102 @@ object CurationQueries {
                 (col("taken_tokens") * col("value_x8")).as("weighted_value_x8"))
     },
 
+    // ---------------------------------------------------------------
+    // q241: DATA-CONSTRAINED SCALING planner — "is another epoch worth
+    // it": Muennighoff et al. 2023 (Scaling Data-Constrained LMs) fit
+    // repeated data's diminishing value as effective tokens
+    // D'(E) = U·(1 + R·(1 − e^{−(E−1)/R})) with repeat constant R ≈ 15
+    // — epoch 1 is full value, epoch E's marginal value decays
+    // geometrically, the asymptote is U·(1+R). The planner sweeps
+    // E = 1..8 over THIS corpus's unique-token mass U (Σ tokens of q67
+    // canonicals — the deduped set is what repeats) and reports budget,
+    // effective tokens, and efficiency, the readout that decides
+    // between another epoch and more crawling (q236's novelty read is
+    // the supply side; this is the demand side). Determinism: the decay
+    // e^{−(E−1)/15} is 1e9-quantized immediately (the q232 exp
+    // discipline) so eff_factor_e9 is an exact BIGINT; the two DOUBLE
+    // readouts are each ONE multiply/divide chain replayed in the same
+    // order in the oracle. Scale shape: U is one partial+final agg over
+    // the memoized q67 assignment ⋈ token counts; the sweep is an
+    // 8-literal-row spine cross-joined against the 1-row broadcast —
+    // the corpus is touched once.
+    // ---------------------------------------------------------------
+    "q241_epoch_yield" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents.select(
+        col("doc_id"), size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val u = TextQueries.defs("q67_dedup_clusters")(s, dir)
+        .filter(col("is_canonical"))
+        .join(toks, "doc_id")
+        .agg(sum(col("n_tokens")).as("unique_tokens"))
+      u.crossJoin(
+          org.apache.spark.sql.functions.broadcast(
+            s.range(1, 9).select(col("id").as("epochs"))))
+        .withColumn("decay_e9",
+          floor(exp((lit(1L) - col("epochs")).cast(DoubleType) / 15.0) * 1e9
+                + 0.5).cast(LongType))
+        .withColumn("eff_factor_e9",
+          lit(1000000000L) + lit(EpochRepeatConst) * (lit(1000000000L) - col("decay_e9")))
+        .select(col("epochs"), col("unique_tokens"),
+                (col("epochs") * col("unique_tokens")).as("budget_tokens"),
+                col("eff_factor_e9"),
+                (col("unique_tokens").cast(DoubleType) *
+                  col("eff_factor_e9").cast(DoubleType) / 1e9)
+                  .as("effective_tokens"),
+                (col("eff_factor_e9").cast(DoubleType) /
+                  (col("epochs").cast(DoubleType) * 1e9)).as("efficiency"))
+    },
+
+    // ---------------------------------------------------------------
+    // q243: DoReMi-style domain reweighting (Xie et al. 2023, Domain
+    // Reweighting with Minimax Optimization) — the mixture-weight
+    // readout DoReMi derives from EXCESS LOSS: domains where a weak
+    // proxy model underperforms a stronger reference have the most
+    // learnable headroom and get upweighted. The deterministic analog
+    // here: proxy = q78's unigram LM, reference = q175's Kneser–Ney
+    // bigram LM (both already gated), per-doc excess loss
+    // max(0, ℓ_uni − ℓ_kn) = max(0, lp_kn − lp_uni) on avg log-probs,
+    // domain = source. One exponentiated-gradient step from uniform:
+    // w_d ∝ exp(η·E_d) with η = 1, then DoReMi's uniform smoothing
+    // w = 0.8·softmax + 0.2/K. Determinism: per-doc excess quantizes to
+    // a 1e9 BIGINT immediately (exact integer domain sums, partition-
+    // order-free), the mean is ONE double division, exp re-quantizes to
+    // BIGINT (the q241 discipline), the normalizer Z is an exact BIGINT
+    // sum, and each weight is a single replayed-order expression chain.
+    // Scale shape: both LM frames are the gated vocab-broadcast scan-
+    // local scorers; the domain rollup is a partial+final agg to
+    // ≤|sources| rows; the softmax/smoothing runs on that tiny frame
+    // against a 1-row broadcast Z. Docs too short to score under both
+    // models (no tokens or no bigrams) are excluded — a loss is only
+    // comparable where both models emit one.
+    // ---------------------------------------------------------------
+    "q243_doremi_weights" -> { (s, dir) =>
+      val uni = defs("q78_unigram_lm")(s, dir)
+        .select(col("doc_id"), col("avg_logprob").as("lp_uni"), col("n_tokens"))
+      val kn = knScores(s, dir)
+        .select(col("doc_id"), col("avg_logprob").as("lp_kn"), col("n_bigrams"))
+      val perDoc = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+        .join(uni, "doc_id").join(kn, "doc_id")
+        .filter(col("n_tokens") > 0L && col("n_bigrams") > 0L)
+        .select(col("source"),
+          floor(greatest(lit(0.0), col("lp_kn") - col("lp_uni")) * 1e9 + 0.5)
+            .cast(LongType).as("excess_e9"))
+      val dom = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("excess_e9")).as("sum_excess_e9"))
+        .withColumn("mean_excess",
+          col("sum_excess_e9").cast(DoubleType) /
+            (col("n_docs").cast(DoubleType) * 1e9))
+        .withColumn("exp_e9",
+          floor(exp(col("mean_excess")) * 1e9 + 0.5).cast(LongType))
+      val z = dom.agg(sum(col("exp_e9")).as("z"), count(lit(1)).as("k"))
+      dom.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("mean_excess"),
+                (col("exp_e9").cast(DoubleType) / col("z").cast(DoubleType))
+                  .as("weight_eg"),
+                ((lit(0.8) * col("exp_e9").cast(DoubleType)) /
+                   col("z").cast(DoubleType) +
+                 lit(0.2) / col("k").cast(DoubleType)).as("weight"))
+    },
+
     "q171_unimax_alloc" -> { (s, dir) =>
       val t = Tables(s, dir).documents.select(
         col("doc_id"), col("lang"),
@@ -1705,9 +1807,15 @@ object CurationQueries {
     // the operator's knob in production), every shard's exact restart
     // state. Per copy the cut is pure integer interval arithmetic on
     // the prefix sums q191 already carries (consumed: cum ≤ T; partial:
-    // the ONE copy whose [cum−n, cum) interval straddles T, with its
-    // intra-document token offset; pending: starts at or after T) — so
-    // a resumed loader skips consumed copies wholesale, seeks
+    // a copy whose [cum−n, cum) interval STRICTLY straddles T, with its
+    // intra-document token offset; pending: starts at or after T).
+    // Boundary contract: when T lands exactly on a copy boundary
+    // (some cum_tokens == T) there is NO partial copy — the interrupt
+    // fell between copies — and resume_doc_id / resume_epoch_copy /
+    // resume_token_offset are NULL in EVERY shard. Consumers must read
+    // all-NULL resume_* as "clean cut: start at the first pending copy,
+    // offset 0", not as a malformed manifest. Otherwise a resumed
+    // loader skips consumed copies wholesale, seeks
     // resume_token_offset into the partial one, and replays NOTHING
     // (the data-side complement of the streaming legs' restart-from-
     // checkpoint discipline: recovery must be computed, not re-read).
@@ -2269,6 +2377,31 @@ object CurationQueries {
       |FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
       |WHERE t.doc_id % 10 <> 0""".stripMargin
 
+  /** The q78 oracle body — shared verbatim by q78 and (as a derived
+    * table) q243's unigram-proxy side.
+    */
+  private val unigramOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (
+      |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      |  FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks))) AS i FROM t)),
+      |vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+      |tot AS (SELECT sum(cnt) AS total FROM vocab),
+      |scored AS (
+      |  SELECT doc_id, pos,
+      |         floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |               * 1e9 + 0.5) / 1e9 AS logp
+      |  FROM tok JOIN vocab USING (tok) CROSS JOIN tot),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, s AS sum_logprob,
+      |  s / CAST(n_tokens AS DOUBLE) AS avg_logprob,
+      |  floor(exp(-(s / CAST(n_tokens AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS perplexity
+      |FROM agg""".stripMargin
+
   /** The q175 oracle body — shared verbatim by q175 and (as a derived
     * table) q176.
     */
@@ -2674,27 +2807,7 @@ object CurationQueries {
          |FROM sc JOIN thr USING (lang)""".stripMargin,
 
 
-    "q78_unigram_lm" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |tok AS (
-        |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
-        |  FROM (SELECT doc_id, toks,
-        |               unnest(generate_series(1, len(toks))) AS i FROM t)),
-        |vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
-        |tot AS (SELECT sum(cnt) AS total FROM vocab),
-        |scored AS (
-        |  SELECT doc_id, pos,
-        |         floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
-        |               * 1e9 + 0.5) / 1e9 AS logp
-        |  FROM tok JOIN vocab USING (tok) CROSS JOIN tot),
-        |agg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |         list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
-        |  FROM scored GROUP BY doc_id)
-        |SELECT doc_id, n_tokens, s AS sum_logprob,
-        |  s / CAST(n_tokens AS DOUBLE) AS avg_logprob,
-        |  floor(exp(-(s / CAST(n_tokens AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS perplexity
-        |FROM agg""".stripMargin,
+    "q78_unigram_lm" -> unigramOracleSql,
 
     "q82_ngram_novelty" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
@@ -2836,6 +2949,73 @@ object CurationQueries {
         |  greatest(0, least(src_tokens, budget - cum_before)) < src_tokens AS is_partial,
         |  greatest(0, least(src_tokens, budget - cum_before)) * value_x8 AS weighted_value_x8
         |FROM c""".stripMargin,
+
+    // q241: unique-token mass from the q67 canonical set, 1e9-quantized
+    // exp decay, same multiply/divide order in the DOUBLE readouts.
+    "q241_epoch_yield" ->
+      s"""WITH cl AS (
+         |  SELECT doc_id FROM (${TextQueries.oracles("q67_dedup_clusters")}) c
+         |  WHERE is_canonical),
+         |tk AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |u AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS unique_tokens
+         |  FROM cl JOIN tk USING (doc_id)),
+         |sw AS (
+         |  SELECT CAST(e AS BIGINT) AS epochs,
+         |    CAST(floor(exp(CAST(1 - e AS DOUBLE) / 15.0) * 1e9 + 0.5)
+         |         AS BIGINT) AS decay_e9
+         |  FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS e))
+         |SELECT epochs, unique_tokens,
+         |  epochs * unique_tokens AS budget_tokens,
+         |  1000000000 + $EpochRepeatConst * (1000000000 - decay_e9) AS eff_factor_e9,
+         |  CAST(unique_tokens AS DOUBLE)
+         |    * CAST(1000000000 + $EpochRepeatConst * (1000000000 - decay_e9) AS DOUBLE)
+         |    / 1e9 AS effective_tokens,
+         |  CAST(1000000000 + $EpochRepeatConst * (1000000000 - decay_e9) AS DOUBLE)
+         |    / (CAST(epochs AS DOUBLE) * 1e9) AS efficiency
+         |FROM u CROSS JOIN sw""".stripMargin,
+
+    // q243: q78 + q175 oracles as derived tables, identical 1e9-quantized
+    // excess/exp arithmetic, exact BIGINT domain sums and normalizer,
+    // same expression order in the weight chains.
+    "q243_doremi_weights" ->
+      s"""WITH uni AS (
+         |  SELECT doc_id, avg_logprob AS lp_uni, n_tokens
+         |  FROM ($unigramOracleSql) u),
+         |kn AS (
+         |  SELECT doc_id, avg_logprob AS lp_kn, n_bigrams
+         |  FROM ($knOracleSql) k),
+         |pd AS (
+         |  SELECT d.source,
+         |    CAST(floor(greatest(0.0, kn.lp_kn - uni.lp_uni) * 1e9 + 0.5)
+         |         AS BIGINT) AS excess_e9
+         |  FROM documents d
+         |  JOIN uni ON uni.doc_id = d.doc_id
+         |  JOIN kn ON kn.doc_id = d.doc_id
+         |  WHERE uni.n_tokens > 0 AND kn.n_bigrams > 0),
+         |dom AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(excess_e9) AS BIGINT) AS sum_excess_e9
+         |  FROM pd GROUP BY 1),
+         |dx AS (
+         |  SELECT source, n_docs,
+         |    CAST(sum_excess_e9 AS DOUBLE)
+         |      / (CAST(n_docs AS DOUBLE) * 1e9) AS mean_excess
+         |  FROM dom),
+         |de AS (
+         |  SELECT source, n_docs, mean_excess,
+         |    CAST(floor(exp(mean_excess) * 1e9 + 0.5) AS BIGINT) AS exp_e9
+         |  FROM dx),
+         |z AS (SELECT CAST(sum(exp_e9) AS BIGINT) AS z,
+         |             CAST(count(*) AS BIGINT) AS k FROM de)
+         |SELECT source, n_docs, mean_excess,
+         |  CAST(exp_e9 AS DOUBLE) / CAST(z AS DOUBLE) AS weight_eg,
+         |  (0.8 * CAST(exp_e9 AS DOUBLE)) / CAST(z AS DOUBLE)
+         |    + 0.2 / CAST(k AS DOUBLE) AS weight
+         |FROM de CROSS JOIN z""".stripMargin,
 
     "q171_unimax_alloc" -> {
       val bucket = s"(${graft.functions.HexKeys.value16Sql()})"

@@ -5,7 +5,7 @@ import graft.functions.Exact._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** OLAP breadth beyond the reference's own usage (it has no grouping
   * sets, one window function, and no set operations — SURVEY §2.4/2.5/2.7
@@ -190,6 +190,80 @@ object OlapQueries {
     // (integer DIV and bit ops; the one epoch/86400 floor is exact in
     // double), so the oracle replays it bit-for-bit.
     // -----------------------------------------------------------------
+    // -----------------------------------------------------------------
+    // q242: BLOOM SEMI-JOIN reduction audit — the runtime-filter planner
+    // read: before shuffling a 100 TB fact side into a join, fold the
+    // (filtered) build side's keys into a constant-size Bloom filter,
+    // probe the fact rows map-side, and measure what the filter would
+    // save. Here: urgent orders (the build) against every lineitem row
+    // (the probe) — the audit reports probe rows, bloom-pass rows, true
+    // matches, false positives, the measured FP rate among true
+    // negatives, and the pass fraction (the shuffle-volume multiplier a
+    // planner compares against the filter's broadcast cost). Spark's own
+    // runtime filters do this opaquely; this operator is the EXPLICIT,
+    // engine-reproducible form: m = 2^20 bits (32768 BIGINT words — a
+    // broadcast constant at any build size), k = 4 Kirsch–Mitzenmacher
+    // positions (h1 + j·h2) mod 2^20 from two 32-bit md5 slices (q83's
+    // derivation widened — 2^16 bits saturates past ~10k keys), so the
+    // ESTIMATE hash-gates. No false negatives by construction (every
+    // true match passes), so the semi-join is safe to apply, and the FP
+    // rate is the measured (1 − e^{−kn/m})^k. Scale shape: bloom build =
+    // one partial+final bit_or agg to ≤32768 rows; the probe keeps the
+    // fact stream UNSHUFFLED (4 plain position columns, each resolved by
+    // a broadcast word join — the q83 probe discipline); the truth join
+    // rides the same broadcast build keys; one final 1-row agg. The
+    // truth column is the audit's point — a production semi-join applies
+    // the bloom WITHOUT it.
+    // -----------------------------------------------------------------
+    "q242_bloom_semijoin" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val hk = graft.functions.HexKeys
+      val M = 1048576L
+      def hashed(df: DataFrame): DataFrame = {
+        val hex = md5(concat(lit("bsj|"), col("k").cast(StringType)))
+        df.withColumn("h1", hk.value32(hex, 0) % M)
+          .withColumn("h2", hk.value32(hex, 8) % M)
+      }
+      def pos(j: Int): Column = (col("h1") + lit(j.toLong) * col("h2")) % M
+      val build = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k")).distinct()
+      val bloom = hashed(build)
+        .select(explode(array((0 until 4).map(pos): _*)).as("p"))
+        .select(floor(col("p") / 32).cast(LongType).as("word_idx"),
+                expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
+        .groupBy(col("word_idx"))
+        .agg(expr("bit_or(mask)").as("words"))
+      val probe = hashed(t.lineitem.select(col("l_orderkey").as("k")))
+        .select(col("k") +: (0 until 4).map(j => pos(j).as(s"p_$j")): _*)
+      val probed = (0 until 4).foldLeft(probe) { (df, j) =>
+        df.withColumn(s"wi_$j", floor(col(s"p_$j") / 32).cast(LongType))
+          .join(broadcast(bloom.select(col("word_idx").as(s"wi_$j"),
+                                       col("words").as(s"w_$j"))),
+                Seq(s"wi_$j"), "left")
+      }
+      val passAll = (0 until 4).map { j =>
+        coalesce(col(s"w_$j"), lit(0L))
+          .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p_$j % 32 AS INT))")) =!= 0L
+      }.reduce(_ && _)
+      val counts = probed
+        .join(broadcast(build.select(col("k"), lit(true).as("__m"))), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_probe_rows"),
+             sum(when(passAll, 1L).otherwise(0L)).as("n_pass_bloom"),
+             sum(when(col("__m"), 1L).otherwise(0L)).as("n_true_match"),
+             sum(when(passAll && col("__m").isNull, 1L).otherwise(0L))
+               .as("n_false_positive"))
+      counts
+        .crossJoin(broadcast(build.agg(count(lit(1)).as("n_build_keys"))))
+        .select(col("n_probe_rows"), col("n_build_keys"), col("n_pass_bloom"),
+                col("n_true_match"), col("n_false_positive"),
+                when(col("n_probe_rows") - col("n_true_match") > 0L,
+                     col("n_false_positive").cast(DoubleType) /
+                       (col("n_probe_rows") - col("n_true_match")).cast(DoubleType))
+                  .as("fp_rate"),
+                (col("n_pass_bloom").cast(DoubleType) /
+                  col("n_probe_rows").cast(DoubleType)).as("pass_frac"))
+    },
+
     "q218_zorder_layout" -> { (s, dir) =>
       val o = ZOrder.prep(Tables(s, dir).orders)
       val bounds = ZOrder.bounds(o)
@@ -327,6 +401,56 @@ object OlapQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // q242: identical md5 32-bit K–M slices mod 2^20, identical word/mask
+    // arithmetic, same 4 LEFT JOIN probes, same guarded final divisions.
+    "q242_bloom_semijoin" -> {
+      val hk = graft.functions.HexKeys
+      val M = 1048576L
+      def posSql(j: Int) = s"(h1 + $j * h2) % $M"
+      def maskSql(p: String) = s"(CAST(1 AS BIGINT) << CAST($p % 32 AS INTEGER))"
+      s"""WITH build AS (
+         |  SELECT DISTINCT o_orderkey AS k FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'),
+         |bh AS (SELECT k, md5('bsj|' || CAST(k AS VARCHAR)) AS hex FROM build),
+         |bp AS (SELECT k, ${hk.value32Sql(0)} % $M AS h1,
+         |              ${hk.value32Sql(8)} % $M AS h2 FROM bh),
+         |ps AS (SELECT ((h1 + j * h2) % $M) AS p
+         |       FROM bp, (SELECT unnest([0, 1, 2, 3]) AS j)),
+         |bw AS (SELECT p // 32 AS word_idx, bit_or(${maskSql("p")}) AS words
+         |       FROM ps GROUP BY 1),
+         |ph AS (SELECT l_orderkey AS k,
+         |              md5('bsj|' || CAST(l_orderkey AS VARCHAR)) AS hex
+         |       FROM lineitem),
+         |pp AS (SELECT k, ${hk.value32Sql(0)} % $M AS h1,
+         |              ${hk.value32Sql(8)} % $M AS h2 FROM ph),
+         |px AS (SELECT k, ${(0 until 4).map(j => s"${posSql(j)} AS p_$j").mkString(", ")}
+         |       FROM pp),
+         |jn AS (
+         |  SELECT px.*, ${(0 until 4).map(j => s"w$j.words AS w_$j").mkString(", ")},
+         |         (b.k IS NOT NULL) AS m
+         |  FROM px
+         |  ${(0 until 4).map(j => s"LEFT JOIN bw w$j ON w$j.word_idx = px.p_$j // 32").mkString("\n|  ")}
+         |  LEFT JOIN build b ON b.k = px.k),
+         |c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_probe_rows,
+         |    CAST(sum(CASE WHEN ${(0 until 4).map(j =>
+                 s"(coalesce(w_$j, 0) & ${maskSql(s"p_$j")}) <> 0").mkString(" AND ")}
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+         |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+         |    CAST(sum(CASE WHEN ${(0 until 4).map(j =>
+                 s"(coalesce(w_$j, 0) & ${maskSql(s"p_$j")}) <> 0").mkString(" AND ")}
+         |                  AND NOT m THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+         |  FROM jn),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build_keys FROM build)
+         |SELECT n_probe_rows, n_build_keys, n_pass_bloom, n_true_match,
+         |  n_false_positive,
+         |  CASE WHEN n_probe_rows - n_true_match > 0
+         |       THEN CAST(n_false_positive AS DOUBLE)
+         |            / CAST(n_probe_rows - n_true_match AS DOUBLE) END AS fp_rate,
+         |  CAST(n_pass_bloom AS DOUBLE) / CAST(n_probe_rows AS DOUBLE) AS pass_frac
+         |FROM c CROSS JOIN nb""".stripMargin
+    },
+
     "q46_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name,
         |  coalesce(n_name, 'ALL') AS nation_name,

@@ -53,16 +53,62 @@ object TextQueries {
     * screen exists for the distances banding can't certify.
     */
   private val SnmWindow = 2
+
+  /** q240's quadratic guard: clusters spanning more than this many
+    * distinct sources never enter the pairwise matrix (fan-out per
+    * cluster is bounded at CrossSourceCap², independent of |domains|).
+    */
+  private val CrossSourceCap = 64L
+
+  /** q244's banding grid: every factorization (numBands, rowsPerBand) of
+    * the fixed 8-hash signature budget, with the analytic 50%-capture
+    * crossover s50 = (1 − 0.5^(1/b))^(1/r) precomputed driver-side (the
+    * grid is corpus-independent — q199's static-planner discipline), so
+    * both engines receive the identical double literal.
+    */
+  private val LshTuneConfigs: Seq[(Int, Int, Double)] =
+    Seq(8 -> 1, 4 -> 2, 2 -> 4, 1 -> 8).map { case (b, r) =>
+      (b, r, math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r)) }
   private val SnmRotations = 4
   private val SnmMaxHamming = 8
 
   /** q214 audit sample: percent of DISTINCT simhash values (by md5
     * bucket of the hex value — deterministic, engine-portable) whose
     * pairwise ground truth is brute-forced. The audit's cost is
-    * (rate·V)² over VALUES, not documents — the rate is the knob that
-    * keeps the ground-truth quadratic bench-sized at any corpus scale.
+    * (rate·V)²/2 over VALUES, not documents — and round 13's fixed 20%
+    * left the quadratic UNCOUPLED from V (at 100 TB, 20% of a billion
+    * distinct values is a 2·10¹⁶-pair "audit"). The rate is now DERIVED
+    * from V inside the plan (identically in both engines, integer-only
+    * arithmetic): target ≤ [[SnmAuditBudgetPairs]] sampled truth pairs,
+    * i.e. ≈ [[SnmAuditTargetVals]] sampled values, so
+    * rate_pct = clamp(1, [[SnmAuditMaxPct]], 100·target DIV V) — and if
+    * even the 1% floor over-runs the budget (V > 100·target) the query
+    * raises rather than silently running the quadratic. TextSpec pins
+    * the derivation's bounds.
     */
-  private val SnmAuditPct = 20
+  private[graft] val SnmAuditBudgetPairs = 10000000L
+  /** floor(sqrt(2 · SnmAuditBudgetPairs)) — the sampled-value count at
+    * which C(n,2) hits the pair budget. */
+  private[graft] val SnmAuditTargetVals = 4472L
+  /** Cap = round 13's fixed rate, so small-V corpora (every test SF)
+    * sample exactly as before and the gate hashes are unchanged. */
+  private[graft] val SnmAuditMaxPct = 20L
+
+  /** The budget-coupled audit rate over a 1-row frame holding the
+    * distinct-value count as `__v` (BIGINT). Kept expression-level (not
+    * a driver-side collect) so the DuckDB oracle replays the identical
+    * derivation and the plan stays collection-free.
+    */
+  private[graft] def snmAuditRateExpr: Column = {
+    val num = 100L * SnmAuditTargetVals
+    when(col("__v") > lit(num),
+      raise_error(concat(
+        lit("q214 audit budget exceeded: "), col("__v").cast("string"),
+        lit(s" distinct simhash values exceeds ${num} — even the 1% rate floor" +
+            s" implies more than $SnmAuditBudgetPairs sampled truth pairs;" +
+            " lower SnmAuditBudgetPairs' consumer to a value subset or raise the budget"))).cast("long"))
+      .otherwise(greatest(lit(1L), least(lit(SnmAuditMaxPct), expr(s"$num DIV __v"))))
+  }
 
   /** q210 batched-BPE shape: `BpeBatchRounds` rounds, each merging the
     * greedy token-disjoint prefix of the top-`BpeBatchSize` pairs —
@@ -840,7 +886,10 @@ object TextQueries {
                 col("bh_rank"), col("m_tests"),
                 (col("bh_rank").cast(DoubleType) /
                   (lit(20.0) * col("m_tests").cast(DoubleType))).as("bh_crit"),
-                (col("p_q") * 20L < 1000000000L).as("is_significant_raw"),
+                // same <= comparator as the BH step-up (p ≤ α, the
+                // textbook convention): a p-value landing exactly on
+                // 0.05 reads significant under BOTH flags, never one
+                (col("p_q") * 20L <= 1000000000L).as("is_significant_raw"),
                 coalesce(col("bh_rank") <= col("i_max"), lit(false))
                   .as("is_significant_fdr"))
     },
@@ -1171,16 +1220,21 @@ object TextQueries {
     // guess" discipline applied to q213 before trusting it to route a
     // corpus: per hamming distance 1..8, how many of the true
     // value-pairs does the ±2-window 4-rotation screen surface? Ground
-    // truth is brute-forced over a DETERMINISTIC 20% md5 sample of the
-    // distinct VALUES (the quadratic is (rate·V)², value-level, and the
-    // rate is the scale knob — never an all-pairs over documents), and
-    // the found set is q213's full output restricted to sampled ends.
+    // truth is brute-forced over a deterministic md5 sample of the
+    // distinct VALUES whose rate is DERIVED from V against a fixed
+    // ≤1e7-sampled-pair budget (see snmAuditRateExpr — the quadratic is
+    // (rate·V)²/2, value-level, never all-pairs over documents, and the
+    // query raises if even the 1% floor over-runs the budget); the
+    // found set is q213's full output restricted to sampled ends.
     // ≤ 8 output rows; recall is one division of exact counts.
     "q214_snm_recall" -> { (s, dir) =>
       val vals = snmVals(s, dir)
-      val sampled = vals.filter(
-        graft.functions.HexKeys.value16(
-          md5(concat(lit("snm|"), col("h")))) % 100 < SnmAuditPct)
+      val rate = vals.agg(count(lit(1)).as("__v"))
+        .select(snmAuditRateExpr.as("__rate_pct"))
+      val sampled = vals.crossJoin(broadcast(rate)).filter(
+          graft.functions.HexKeys.value16(
+            md5(concat(lit("snm|"), col("h")))) % 100 < col("__rate_pct"))
+        .drop("__rate_pct")
       val a = sampled.select(col("h").as("sh_a"), col("simhash").as("__sa"))
       val b = sampled.select(col("h").as("sh_b"), col("simhash").as("__sb"))
       val truth = a.crossJoin(b).filter(col("sh_a") < col("sh_b"))
@@ -1848,6 +1902,101 @@ object TextQueries {
     },
 
     // ---------------------------------------------------------------
+    // q240: CROSS-SOURCE duplication matrix — which sources mirror each
+    // other: for every unordered source pair, the number of q67 dup
+    // clusters containing documents from BOTH, and how many docs each
+    // side contributes to those shared clusters. This is the crawl-
+    // planning complement of q236's per-source novelty: novelty says a
+    // source is exhausted; this says WHERE its content already lives
+    // (drop the smaller mirror wholesale instead of paying per-doc
+    // dedup). Scale shape: per-(cluster, source) doc counts are ONE
+    // partial+final agg over the memoized q67 assignment ⋈ source
+    // equi-join; the pair fan-out is a self-join ON cluster_id bounded
+    // per cluster by (distinct sources in it)² — and clusters spanning
+    // more than [[CrossSourceCap]] sources are EXCLUDED before pairing
+    // (a boilerplate mega-cluster present in every domain would emit
+    // |domains|² rows and attributes nothing pairwise; at web scale
+    // |domains| is millions, so the cap is the operator's quadratic
+    // guard, same role as q214's budget). Exact integer counts
+    // hash-gate; pair order is canonical (source_a < source_b).
+    // ---------------------------------------------------------------
+    "q240_cross_source_dup" -> { (s, dir) =>
+      val cs = defs("q67_dedup_clusters")(s, dir)
+        .join(Tables(s, dir).documents.select(col("doc_id"), col("source")),
+              "doc_id")
+        .groupBy(col("cluster_id"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val eligible = cs
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_sources"))
+        .filter(col("n_sources").between(2L, CrossSourceCap))
+        .select(col("cluster_id"))
+      val e = cs.join(eligible, "cluster_id")
+      e.as("a").join(e.as("b"),
+          col("a.cluster_id") === col("b.cluster_id") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_clusters"),
+             sum(col("a.n_docs")).as("n_docs_a"),
+             sum(col("b.n_docs")).as("n_docs_b"))
+    },
+
+    // ---------------------------------------------------------------
+    // q244: LSH BANDING TUNER — the measured operating curve behind
+    // q36's fixed 4×2 choice: for every factorization (b bands × r
+    // rows) of the SAME 8-hash signature budget, the analytic 50%-
+    // capture crossover s50 = (1 − 0.5^(1/b))^(1/r) next to the
+    // MEASURED candidate volume, precision, and recall against the
+    // exact Jaccard≥0.5 truth (q35's mined pairs, memoized). This is
+    // the deploy-time read: more rows/band pushes the S-curve right
+    // (fewer, cleaner candidates — recall risk), more bands pull it
+    // left (recall safe — verification cost). s50 literals are
+    // precomputed driver-side (the grid is corpus-independent — q199's
+    // static-planner discipline) so both engines receive the identical
+    // double. Scale shape: ONE signature pass (the 8 sigs are shared by
+    // every config), per config a banded groupBy self-join whose
+    // candidate count is ∝ bucket collisions (never all-pairs), truth
+    // attach by pair equi-join, then a 1-row agg per config unioned
+    // into a 4-row readout with a 1-row broadcast truth total.
+    // ---------------------------------------------------------------
+    "q244_lsh_band_tuning" -> { (s, dir) =>
+      import graft.operators.Dedup
+      val sigs = graft.core.Materialize.cut(
+        Dedup.minhashSignatures(Tables(s, dir).documents, "doc_id", "text"),
+        "q244-sigs")
+      val truthPairs = jaccardQuery(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("__t"))
+      val nTruth = jaccardQuery(s, dir)
+        .agg(count(lit(1)).as("n_truth_total"))
+      val legs = LshTuneConfigs.map { case (b, r, s50) =>
+        val bands = Dedup.lshBands(sigs, numHashes = 8, rowsPerBand = r)
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand.join(truthPairs, Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+               coalesce(sum(when(col("__t"), 1L).otherwise(0L)), lit(0L))
+                 .as("n_true_pairs"))
+          .select(lit(b.toLong).as("num_bands"),
+                  lit(r.toLong).as("rows_per_band"),
+                  lit(s50).as("s50_crossover"),
+                  col("n_candidates"), col("n_true_pairs"))
+      }
+      legs.reduce(_.unionAll(_)).crossJoin(broadcast(nTruth))
+        .select(col("num_bands"), col("rows_per_band"), col("s50_crossover"),
+                col("n_candidates"), col("n_true_pairs"), col("n_truth_total"),
+                when(col("n_candidates") > 0L,
+                     col("n_true_pairs").cast(DoubleType) /
+                       col("n_candidates").cast(DoubleType)).as("precision_05"),
+                when(col("n_truth_total") > 0L,
+                     col("n_true_pairs").cast(DoubleType) /
+                       col("n_truth_total").cast(DoubleType)).as("recall_05"))
+    },
+
+    // ---------------------------------------------------------------
     // q237: dedup ROI curve — WHERE the dedup savings live, ranked: for
     // each of the top-20 dup clusters by reclaimable bytes (savings =
     // member bytes − the largest member kept, the keep-best-copy
@@ -1865,8 +2014,10 @@ object TextQueries {
     // frame only; the corpus-wide total is a 1-row broadcast. Ties at
     // the heap boundary are value-identical rows, so the curve is
     // deterministic without a cluster-id column. A dup-free corpus
-    // (total savings 0) reports an explicit NULL fraction, not an
-    // engine-dependent 0/0.
+    // yields an EMPTY result (the curve ranks positive-savings clusters
+    // only — with none, there is no curve and no 0/0 to dodge), so
+    // whenever a row exists total_savings > 0 and cum_frac is a plain
+    // well-defined division.
     // ---------------------------------------------------------------
     "q237_dedup_roi" -> { (s, dir) =>
       import org.apache.spark.sql.graftx.{SortableDouble, TopKPairs}
@@ -1894,10 +2045,8 @@ object TextQueries {
         .crossJoin(broadcast(tot))
         .select(col("roi_rank"), col("savings_bytes"), col("cum_savings_bytes"),
                 col("total_savings").as("total_savings_bytes"),
-                when(col("total_savings") > 0L,
-                     col("cum_savings_bytes").cast(DoubleType) /
-                       col("total_savings").cast(DoubleType))
-                  .otherwise(lit(null).cast(DoubleType)).as("cum_frac"))
+                (col("cum_savings_bytes").cast(DoubleType) /
+                  col("total_savings").cast(DoubleType)).as("cum_frac"))
     },
 
     // ---------------------------------------------------------------
@@ -2535,6 +2684,26 @@ object TextQueries {
     * (numHashes, rowsPerBand) so q199 can replay the chain at the
     * PLANNER-chosen banding; q36/q145/q152 keep the 8/2 default.
     */
+  /** The q35 oracle body — exact trigram-Jaccard pairs at threshold 0.5,
+    * shared verbatim by q35 and (as the truth derived table) q244.
+    */
+  private val jaccard05OracleSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
+      |  FROM documents),
+      |ex AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_shingles, unnest(tg) AS shingle FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.n_shingles AS size_a, b.n_shingles AS size_b, COUNT(*) AS shared
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, shared,
+      |  CAST(shared AS DOUBLE) / CAST(size_a + size_b - shared AS DOUBLE) AS jaccard
+      |FROM pairs
+      |WHERE CAST(shared AS DOUBLE) / CAST(size_a + size_b - shared AS DOUBLE) >= 0.5""".stripMargin
+
   private def minhashCtesSql: String = minhashCtesSql(8, 2)
   private def minhashCtesSql(numHashes: Int, rowsPerBand: Int): String = {
       require(numHashes % rowsPerBand == 0, "bands must tile the signature")
@@ -4133,7 +4302,7 @@ object TextQueries {
          |  CAST(p_q AS DOUBLE) / 1e9 AS p_value,
          |  bh_rank, m_tests,
          |  CAST(bh_rank AS DOUBLE) / (20.0 * CAST(m_tests AS DOUBLE)) AS bh_crit,
-         |  p_q * 20 < 1000000000 AS is_significant_raw,
+         |  p_q * 20 <= 1000000000 AS is_significant_raw,
          |  coalesce(bh_rank <= i_max, false) AS is_significant_fdr
          |FROM f CROSS JOIN mx""".stripMargin,
     // q211: per-position substr explode, (doc, char) counts, 1e9-quantized
@@ -4344,22 +4513,7 @@ object TextQueries {
         |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
         |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
         |FROM documents""".stripMargin,
-    "q35_jaccard_pairs" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS tg
-        |  FROM documents),
-        |ex AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_shingles, unnest(tg) AS shingle FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.n_shingles AS size_a, b.n_shingles AS size_b, COUNT(*) AS shared
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT doc_a, doc_b, shared,
-        |  CAST(shared AS DOUBLE) / CAST(size_a + size_b - shared AS DOUBLE) AS jaccard
-        |FROM pairs
-        |WHERE CAST(shared AS DOUBLE) / CAST(size_a + size_b - shared AS DOUBLE) >= 0.5""".stripMargin,
+    "q35_jaccard_pairs" -> jaccard05OracleSql,
     "q108_containment_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -4813,11 +4967,17 @@ object TextQueries {
          |vals AS (
          |  SELECT simhash, lpad(to_hex(simhash), 16, '0') AS h
          |  FROM sh GROUP BY 1, 2),
+         |rate AS (
+         |  SELECT CASE WHEN v > ${100L * SnmAuditTargetVals}
+         |              THEN CAST(error('q214 audit budget exceeded') AS BIGINT)
+         |              ELSE greatest(1, least($SnmAuditMaxPct,
+         |                                     ${100L * SnmAuditTargetVals} // v)) END AS rate_pct
+         |  FROM (SELECT count(*) AS v FROM vals)),
          |samp AS (
          |  SELECT simhash, h, md5('snm|' || h) AS hex FROM vals),
          |sv AS (
-         |  SELECT simhash, h FROM samp
-         |  WHERE ${graft.functions.HexKeys.value16Sql()} % 100 < $SnmAuditPct),
+         |  SELECT simhash, h FROM samp, rate
+         |  WHERE ${graft.functions.HexKeys.value16Sql()} % 100 < rate_pct),
          |truth AS (
          |  SELECT a.h AS sh_a, b.h AS sh_b,
          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS d
@@ -5092,6 +5252,57 @@ object TextQueries {
     // replaying the bounded heap (ties value-identical), prefix sum over
     // the 20-row frame, 1-row total cross-joined, NULL (not 0/0) on a
     // dup-free corpus.
+    // q240: same (cluster, source) rollup, same ≤CrossSourceCap
+    // eligibility, same canonical a<b self-join.
+    "q240_cross_source_dup" ->
+      s"""WITH cl AS (SELECT doc_id, cluster_id FROM ($q67Oracle) c),
+         |cs AS (
+         |  SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM cl JOIN documents USING (doc_id) GROUP BY 1, 2),
+         |el AS (
+         |  SELECT cluster_id FROM cs GROUP BY 1
+         |  HAVING count(*) BETWEEN 2 AND $CrossSourceCap),
+         |e AS (SELECT cs.* FROM cs JOIN el USING (cluster_id))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_clusters,
+         |  CAST(sum(a.n_docs) AS BIGINT) AS n_docs_a,
+         |  CAST(sum(b.n_docs) AS BIGINT) AS n_docs_b
+         |FROM e a JOIN e b
+         |  ON a.cluster_id = b.cluster_id AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+
+    // q244: q35's oracle as the truth derived table, one minhash
+    // sig+band+cand chain per banding config (the q36 CTE builder
+    // parameterized on rowsPerBand), identical s50 double literals and
+    // guarded divisions.
+    "q244_lsh_band_tuning" -> {
+      val legs = LshTuneConfigs.map { case (b, r, s50) =>
+        s"""SELECT CAST($b AS BIGINT) AS num_bands,
+           |  CAST($r AS BIGINT) AS rows_per_band,
+           |  CAST('$s50' AS DOUBLE) AS s50_crossover,
+           |  CAST(count(*) AS BIGINT) AS n_candidates,
+           |  CAST(coalesce(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0)
+           |       AS BIGINT) AS n_true_pairs
+           |FROM (${minhashCtesSql(8, r)}
+           |      SELECT doc_a, doc_b FROM cand) c
+           |LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH truth AS (
+         |$jaccard05OracleSql),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth_total FROM truth),
+         |legs AS (
+         |$legs)
+         |SELECT num_bands, rows_per_band, s50_crossover, n_candidates,
+         |  n_true_pairs, n_truth_total,
+         |  CASE WHEN n_candidates > 0
+         |       THEN CAST(n_true_pairs AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+         |  END AS precision_05,
+         |  CASE WHEN n_truth_total > 0
+         |       THEN CAST(n_true_pairs AS DOUBLE) / CAST(n_truth_total AS DOUBLE)
+         |  END AS recall_05
+         |FROM legs CROSS JOIN nt""".stripMargin
+    },
+
     "q237_dedup_roi" ->
       s"""WITH cl AS (SELECT doc_id, cluster_id FROM ($q67Oracle) c),
          |b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nb FROM documents),
@@ -5113,9 +5324,7 @@ object TextQueries {
          |SELECT CAST(rk AS BIGINT) AS roi_rank,
          |  savings AS savings_bytes, cum AS cum_savings_bytes,
          |  total_savings AS total_savings_bytes,
-         |  CASE WHEN total_savings > 0
-         |       THEN CAST(cum AS DOUBLE) / CAST(total_savings AS DOUBLE)
-         |  END AS cum_frac
+         |  CAST(cum AS DOUBLE) / CAST(total_savings AS DOUBLE) AS cum_frac
          |FROM p CROSS JOIN tot""".stripMargin,
 
     // q235: same md5 16-bit slice mod P on both engines, constant 3-way

@@ -757,6 +757,47 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q240 cross-source matrix: equi-join pairing, no window, no cartesian") {
+    // The pair fan-out must ride the cluster_id equi-join (bounded per
+    // cluster by the ≤64-source eligibility filter) — never a cartesian
+    // over sources or a window over the flooded cluster key.
+    val p = planOf(SparkEntry.queries("q240_cross_source_dup")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q240 pairs via a cross join:\n$p")
+    assert(!p.contains("Window"), s"q240 windows over cluster_id:\n$p")
+  }
+
+  test("q242 bloom semi-join: probe stream joins only by broadcast, never sort-merge") {
+    // The operator's whole point is that the fact stream is NEVER
+    // shuffled for the filter: all 4 word probes and the truth join must
+    // be broadcast; a SortMergeJoin means the probe paid the exchange
+    // the bloom exists to avoid.
+    val p = planOf(SparkEntry.queries("q242_bloom_semijoin")(spark, dir))
+    assert(!p.contains("SortMergeJoin"), s"q242 shuffled the probe stream:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q242 lost its broadcast probes:\n$p")
+  }
+
+  test("q243 DoReMi weights: window-free, normalizer broadcast") {
+    // Both LM scorers are the gated vocab-broadcast per-doc folds (never
+    // a rank window); the domain rollup must stay partial+final and the
+    // softmax normalizer Z must reach the ≤|sources| frame as a 1-row
+    // broadcast.
+    val p = planOf(SparkEntry.queries("q243_doremi_weights")(spark, dir))
+    assert(!p.contains("Window"), s"q243 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q243 cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q243 lost its broadcast normalizer:\n$p")
+  }
+
+  test("q244 LSH band tuner: banded equi-joins only, no cartesian, no window") {
+    // Each config's candidates must ride the (band_idx, band_hash)
+    // equi-join — candidate volume ∝ bucket collisions, never all-pairs —
+    // and the 4-row readout needs no window.
+    val p = planOf(SparkEntry.queries("q244_lsh_band_tuning")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"q244 cartesian:\n$p")
+    assert(!p.contains("Window"), s"q244 windows:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no

@@ -294,4 +294,31 @@ class TextSpec extends SparkSpec {
     assert(got.toSeq == expected,
       s"spectrum mismatch:\n got $got\n want $expected")
   }
+
+  test("q214 audit rate is budget-coupled: clamped 1..20%, pair budget never exceeded, over-budget raises") {
+    import graft.queries.TextQueries.{snmAuditRateExpr, SnmAuditBudgetPairs, SnmAuditMaxPct, SnmAuditTargetVals}
+    def rateFor(v: Long): Long =
+      Seq(v).toDF("__v").select(snmAuditRateExpr.as("r")).collect().head.getLong(0)
+    // small V (every test SF): capped at round 13's fixed 20% so the gate
+    // hashes are unchanged
+    assert(rateFor(1L) == SnmAuditMaxPct)
+    assert(rateFor(5000L) == SnmAuditMaxPct)
+    assert(rateFor(100L * SnmAuditTargetVals / SnmAuditMaxPct) == SnmAuditMaxPct)
+    // growth region: expected sampled pairs (rate·V/100)²/2 stays under
+    // budget for every V up to the raise bound
+    for (v <- Seq(30000L, 100000L, 250000L, 447200L)) {
+      val r = rateFor(v)
+      assert(r >= 1L && r <= SnmAuditMaxPct)
+      val sampled = r * v / 100.0
+      assert(sampled * sampled / 2.0 <= SnmAuditBudgetPairs.toDouble * 1.05,
+        s"V=$v rate=$r implies ${sampled * sampled / 2.0} pairs > budget")
+    }
+    // the floor: exactly at the bound the 1% rate is still legal
+    assert(rateFor(100L * SnmAuditTargetVals) == 1L)
+    // beyond it the query must REFUSE to run the quadratic
+    val ex = intercept[Exception] { rateFor(100L * SnmAuditTargetVals + 1L) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("q214 audit budget exceeded")), s"wrong error: $ex")
+  }
 }
