@@ -333,6 +333,47 @@ object CurationQueries {
   /** q157's total sample budget (Hamilton-apportioned across languages). */
   private val QuotaB = 200
 
+  /** The q243/q245 per-doc EXCESS-LOSS frame: (doc_id, source,
+    * excess_e9) where excess = max(0, ℓ_uni − ℓ_kn) = max(0, lp_kn −
+    * lp_uni) on the two gated LM scorers' per-doc avg log-probs,
+    * quantized to a 1e9 BIGINT immediately so every downstream rollup
+    * is an exact integer sum. Docs too short to score under both models
+    * (no tokens or no bigrams) are excluded — a loss is only comparable
+    * where both models emit one.
+    */
+  private def excessPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val uni = defs("q78_unigram_lm")(s, dir)
+      .select(col("doc_id"), col("avg_logprob").as("lp_uni"), col("n_tokens"))
+    val kn = knScores(s, dir)
+      .select(col("doc_id"), col("avg_logprob").as("lp_kn"), col("n_bigrams"))
+    Tables(s, dir).documents.select(col("doc_id"), col("source"))
+      .join(uni, "doc_id").join(kn, "doc_id")
+      .filter(col("n_tokens") > 0L && col("n_bigrams") > 0L)
+      .select(col("doc_id"), col("source"),
+        floor(greatest(lit(0.0), col("lp_kn") - col("lp_uni")) * 1e9 + 0.5)
+          .cast(LongType).as("excess_e9"))
+  }
+
+  /** The q243/q245 oracle CTE chain replaying [[excessPerDoc]]: q78 +
+    * q175 oracles as derived tables, identical quantized excess
+    * arithmetic.
+    */
+  private def excessOracleCtes: String =
+    s"""uni AS (
+       |  SELECT doc_id, avg_logprob AS lp_uni, n_tokens
+       |  FROM ($unigramOracleSql) u),
+       |kn AS (
+       |  SELECT doc_id, avg_logprob AS lp_kn, n_bigrams
+       |  FROM ($knOracleSql) k),
+       |pd AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(floor(greatest(0.0, kn.lp_kn - uni.lp_uni) * 1e9 + 0.5)
+       |         AS BIGINT) AS excess_e9
+       |  FROM documents d
+       |  JOIN uni ON uni.doc_id = d.doc_id
+       |  JOIN kn ON kn.doc_id = d.doc_id
+       |  WHERE uni.n_tokens > 0 AND kn.n_bigrams > 0)""".stripMargin
+
   /** q241's repeat constant R in D'(E) = U·(1 + R·(1 − e^{−(E−1)/R})) —
     * Muennighoff et al. 2023's fitted R* ≈ 15 (kept integral so the
     * factor arithmetic stays BIGINT-exact around the quantized exp).
@@ -1585,17 +1626,7 @@ object CurationQueries {
     // comparable where both models emit one.
     // ---------------------------------------------------------------
     "q243_doremi_weights" -> { (s, dir) =>
-      val uni = defs("q78_unigram_lm")(s, dir)
-        .select(col("doc_id"), col("avg_logprob").as("lp_uni"), col("n_tokens"))
-      val kn = knScores(s, dir)
-        .select(col("doc_id"), col("avg_logprob").as("lp_kn"), col("n_bigrams"))
-      val perDoc = Tables(s, dir).documents.select(col("doc_id"), col("source"))
-        .join(uni, "doc_id").join(kn, "doc_id")
-        .filter(col("n_tokens") > 0L && col("n_bigrams") > 0L)
-        .select(col("source"),
-          floor(greatest(lit(0.0), col("lp_kn") - col("lp_uni")) * 1e9 + 0.5)
-            .cast(LongType).as("excess_e9"))
-      val dom = perDoc.groupBy(col("source"))
+      val dom = excessPerDoc(s, dir).groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("excess_e9")).as("sum_excess_e9"))
         .withColumn("mean_excess",
           col("sum_excess_e9").cast(DoubleType) /
@@ -1610,6 +1641,32 @@ object CurationQueries {
                 ((lit(0.8) * col("exp_e9").cast(DoubleType)) /
                    col("z").cast(DoubleType) +
                  lit(0.2) / col("k").cast(DoubleType)).as("weight"))
+    },
+
+    // ---------------------------------------------------------------
+    // q245: LEARNABILITY filter — q243's excess-loss signal applied at
+    // DOC granularity (the RHO-loss / data-selection read: a document a
+    // weak model finds much harder than a strong model is the most
+    // learnable training material; one both models agree on is either
+    // trivial or noise). Selection is STRATIFIED per source — keep each
+    // source's top quartile by excess — so one verbose domain can't
+    // monopolize the kept set (the q176 / CCNet-tercile discipline:
+    // per-source thresholds via the exact-interpolation percentile
+    // aggregate, ≤|sources| rows broadcast back, label scan-local —
+    // NEVER a per-source rank window over a skewed giant partition).
+    // Determinism: excess_e9 is the shared quantized BIGINT; the
+    // percentile is the established exact-interpolation aggregate; the
+    // keep test compares in double against the interpolated threshold
+    // identically in both engines.
+    // ---------------------------------------------------------------
+    "q245_learnability_filter" -> { (s, dir) =>
+      val pd = excessPerDoc(s, dir)
+      val thr = pd.groupBy(col("source"))
+        .agg(expr("percentile(excess_e9, 0.75)").as("thr_e9"))
+      pd.join(broadcast(thr), "source")
+        .select(col("doc_id"), col("source"), col("excess_e9"), col("thr_e9"),
+                (col("excess_e9").cast(DoubleType) >= col("thr_e9"))
+                  .as("is_selected"))
     },
 
     "q171_unimax_alloc" -> { (s, dir) =>
@@ -2982,20 +3039,7 @@ object CurationQueries {
     // excess/exp arithmetic, exact BIGINT domain sums and normalizer,
     // same expression order in the weight chains.
     "q243_doremi_weights" ->
-      s"""WITH uni AS (
-         |  SELECT doc_id, avg_logprob AS lp_uni, n_tokens
-         |  FROM ($unigramOracleSql) u),
-         |kn AS (
-         |  SELECT doc_id, avg_logprob AS lp_kn, n_bigrams
-         |  FROM ($knOracleSql) k),
-         |pd AS (
-         |  SELECT d.source,
-         |    CAST(floor(greatest(0.0, kn.lp_kn - uni.lp_uni) * 1e9 + 0.5)
-         |         AS BIGINT) AS excess_e9
-         |  FROM documents d
-         |  JOIN uni ON uni.doc_id = d.doc_id
-         |  JOIN kn ON kn.doc_id = d.doc_id
-         |  WHERE uni.n_tokens > 0 AND kn.n_bigrams > 0),
+      s"""WITH $excessOracleCtes,
          |dom AS (
          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |         CAST(sum(excess_e9) AS BIGINT) AS sum_excess_e9
@@ -3016,6 +3060,18 @@ object CurationQueries {
          |  (0.8 * CAST(exp_e9 AS DOUBLE)) / CAST(z AS DOUBLE)
          |    + 0.2 / CAST(k AS DOUBLE) AS weight
          |FROM de CROSS JOIN z""".stripMargin,
+
+    // q245: shared excess CTEs + quantile_cont per-source thresholds
+    // (Spark's percentile and DuckDB's quantile_cont interpolate the
+    // same positions — the q176 pairing), same double comparison.
+    "q245_learnability_filter" ->
+      s"""WITH $excessOracleCtes,
+         |thr AS (
+         |  SELECT source, quantile_cont(excess_e9, 0.75) AS thr_e9
+         |  FROM pd GROUP BY 1)
+         |SELECT pd.doc_id, pd.source, pd.excess_e9, thr.thr_e9,
+         |  CAST(pd.excess_e9 AS DOUBLE) >= thr.thr_e9 AS is_selected
+         |FROM pd JOIN thr USING (source)""".stripMargin,
 
     "q171_unimax_alloc" -> {
       val bucket = s"(${graft.functions.HexKeys.value16Sql()})"

@@ -154,6 +154,65 @@ object VectorQueries {
       kmeans8(s, dir).select(col("vec_id"), col("cluster_id"), col("dist2"))
     },
 
+    // -----------------------------------------------------------------
+    // q246: DAVIES–BOULDIN clustering-quality audit — the "measure,
+    // don't guess" gate for q97's k=8 choice (the q116/q152/q214
+    // discipline applied to clustering): per cluster i, the scatter
+    // S_i (mean member distance to its centroid) and
+    // DB_i = max_{j≠i} (S_i + S_j) / M_ij with M_ij the centroid
+    // separation — DB_i ≫ 1 says cluster i bleeds into a neighbor and
+    // the k/seeding needs revisiting before anything trusts the
+    // partition (q98's semantic dedup, q184's coreset). Determinism:
+    // member distances are sqrt of the already-quantized dist2,
+    // re-quantized to 1e9 BIGINTs so cluster sums are exact; S_i is one
+    // division; the k·(k−1) centroid separations are computed DRIVER-
+    // side from the same decimal-exact Lloyd centroids the oracle
+    // rebuilds in SQL (identical components by construction, sqrt is
+    // IEEE-correctly-rounded in both engines, then 1e9-quantized), and
+    // every ratio re-quantizes before the max. Scale shape: one
+    // partial+final agg over the memoized assignment to ≤k rows; the
+    // pair frame is a k·(k−1)-row broadcast literal; degenerate
+    // coincident centroids (M = 0) are excluded from the max rather
+    // than emitting an engine-dependent inf.
+    // -----------------------------------------------------------------
+    "q246_davies_bouldin" -> { (s, dir) =>
+      import s.implicits._
+      val perDoc = kmeans8(s, dir).select(col("cluster_id"),
+        floor(sqrt(col("dist2")) * 1e9 + 0.5).cast("long").as("d_e9"))
+      val sFrame = perDoc.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("d_e9")).as("sum_d_e9"))
+        .withColumn("s_scatter",
+          col("sum_d_e9").cast("double") /
+            (col("n_members").cast("double") * 1e9))
+      val cents = graft.operators.Clustering.fitCentroids(
+        Tables(s, dir).embeddings, "vec_id", "embedding", k = 8, iters = 2)
+      def dot(a: Seq[Double], b: Seq[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val pairs = (for {
+        i <- cents.indices; j <- cents.indices if i != j
+      } yield {
+        val d2 = dot(cents(i), cents(i)) - 2 * dot(cents(i), cents(j)) +
+          dot(cents(j), cents(j))
+        (i.toLong, j.toLong, math.floor(math.sqrt(d2) * 1e9 + 0.5).toLong)
+      }).toDF("cid_i", "cid_j", "m_e9")
+      val sI = sFrame.select(col("cluster_id").as("cid_i"),
+                             col("n_members"), col("s_scatter").as("s_i"))
+      val sJ = sFrame.select(col("cluster_id").as("cid_j"),
+                             col("s_scatter").as("s_j"))
+      broadcast(pairs).filter(col("m_e9") > 0L)
+        .join(sI, "cid_i").join(sJ, "cid_j")
+        .select(col("cid_i"), col("n_members"), col("s_i"),
+                floor(((col("s_i") + col("s_j")) /
+                        (col("m_e9").cast("double") / 1e9)) * 1e9 + 0.5)
+                  .cast("long").as("r_e9"))
+        .groupBy(col("cid_i").as("cluster_id"), col("n_members"),
+                 col("s_i").as("s_scatter"))
+        .agg((max(col("r_e9")).cast("double") / 1e9).as("db_i"))
+    },
+
     // Product quantization (Jégou et al. 2011 — the FAISS IVF-PQ memory
     // half): 4 independent 16-dim sub-space Lloyd fits (q97's exact
     // arithmetic, per-subspace md5 seeds), every vector stored as 4
@@ -1669,6 +1728,46 @@ object VectorQueries {
          |SELECT vec_id, cid AS cluster_id,
          |  floor(d2 * 1e9 + 0.5) / 1e9 AS dist2
          |FROM af WHERE rn = 1""".stripMargin,
+
+    // q246: q97's Lloyd CTEs rebuilt (identical decimal-exact centroids),
+    // same quantized sqrt/sum/ratio arithmetic, centroid separations from
+    // the SQL-side c2 frame — component-identical to the Spark driver's.
+    "q246_davies_bouldin" ->
+      s"""WITH $kmeansOracleCtes,
+         |asg AS (
+         |  SELECT vec_id, cid, floor(d2 * 1e9 + 0.5) / 1e9 AS dist2
+         |  FROM af WHERE rn = 1),
+         |pdd AS (
+         |  SELECT cid, CAST(floor(sqrt(dist2) * 1e9 + 0.5) AS BIGINT) AS d_e9
+         |  FROM asg),
+         |sf AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |         CAST(sum(d_e9) AS BIGINT) AS sum_d_e9
+         |  FROM pdd GROUP BY 1),
+         |sx AS (
+         |  SELECT cid, n_members,
+         |    CAST(sum_d_e9 AS DOUBLE) / (CAST(n_members AS DOUBLE) * 1e9)
+         |      AS s_scatter
+         |  FROM sf),
+         |cp AS (
+         |  SELECT a.cid AS cid_i, b.cid AS cid_j,
+         |    CAST(floor(sqrt(list_dot_product(a.v, a.v)
+         |                    - 2 * list_dot_product(a.v, b.v)
+         |                    + list_dot_product(b.v, b.v)) * 1e9 + 0.5)
+         |         AS BIGINT) AS m_e9
+         |  FROM c2 a JOIN c2 b ON a.cid <> b.cid),
+         |rt AS (
+         |  SELECT cp.cid_i, si.n_members, si.s_scatter,
+         |    CAST(floor(((si.s_scatter + sj.s_scatter)
+         |                / (CAST(cp.m_e9 AS DOUBLE) / 1e9)) * 1e9 + 0.5)
+         |         AS BIGINT) AS r_e9
+         |  FROM cp
+         |  JOIN sx si ON si.cid = cp.cid_i
+         |  JOIN sx sj ON sj.cid = cp.cid_j
+         |  WHERE cp.m_e9 > 0)
+         |SELECT cid_i AS cluster_id, n_members, s_scatter,
+         |  CAST(max(r_e9) AS DOUBLE) / 1e9 AS db_i
+         |FROM rt GROUP BY 1, 2, 3""".stripMargin,
 
     "q98_semantic_dedup" ->
       s"""WITH $kmeansOracleCtes,

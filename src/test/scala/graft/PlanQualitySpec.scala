@@ -798,6 +798,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"q244 windows:\n$p")
   }
 
+  test("q245 learnability filter: thresholds broadcast back, never a per-source rank window") {
+    // The q176 discipline: per-source selection must be an exact-
+    // percentile THRESHOLD agg (≤|sources| rows) broadcast onto a
+    // scan-local label — a per-source rank window would funnel each
+    // source through one task.
+    val p = planOf(SparkEntry.queries("q245_learnability_filter")(spark, dir))
+    assert(!p.contains("Window"), s"q245 rank-windows a source partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q245 lost its threshold broadcast:\n$p")
+  }
+
+  test("q246 Davies-Bouldin: one agg over the assignment, pair frame broadcast, no window") {
+    // The corpus contributes ONE partial+final agg (member distances to
+    // <=k rows); the k*(k-1) centroid-separation frame is a driver-side
+    // literal that must reach it broadcast — never a corpus-side join
+    // fan-out or a window.
+    val p = planOf(SparkEntry.queries("q246_davies_bouldin")(spark, dir))
+    assert(!p.contains("Window"), s"q246 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q246 cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q246 lost its broadcast pair frame:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
