@@ -217,24 +217,15 @@ object OlapQueries {
     // -----------------------------------------------------------------
     "q242_bloom_semijoin" -> { (s, dir) =>
       val t = Tables(s, dir)
-      val hk = graft.functions.HexKeys
-      val M = 1048576L
-      def hashed(df: DataFrame): DataFrame = {
-        val hex = md5(concat(lit("bsj|"), col("k").cast(StringType)))
-        df.withColumn("h1", hk.value32(hex, 0) % M)
-          .withColumn("h2", hk.value32(hex, 8) % M)
-      }
-      def pos(j: Int): Column = (col("h1") + lit(j.toLong) * col("h2")) % M
+      // layout/arithmetic shared with the streaming word-table leg via
+      // operators.Bloom (same md5 slices, positions, word packing)
+      import graft.operators.Bloom
       val build = t.orders.filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").as("k")).distinct()
-      val bloom = hashed(build)
-        .select(explode(array((0 until 4).map(pos): _*)).as("p"))
-        .select(floor(col("p") / 32).cast(LongType).as("word_idx"),
-                expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
-        .groupBy(col("word_idx"))
-        .agg(expr("bit_or(mask)").as("words"))
-      val probe = hashed(t.lineitem.select(col("l_orderkey").as("k")))
-        .select(col("k") +: (0 until 4).map(j => pos(j).as(s"p_$j")): _*)
+      val bloom = Bloom.words(build, "k")
+      val probe = t.lineitem.select(col("l_orderkey").as("k"))
+        .select(col("k") +: Bloom.positions(col("k")).zipWithIndex
+          .map { case (c, j) => c.as(s"p_$j") }: _*)
       val probed = (0 until 4).foldLeft(probe) { (df, j) =>
         df.withColumn(s"wi_$j", floor(col(s"p_$j") / 32).cast(LongType))
           .join(broadcast(bloom.select(col("word_idx").as(s"wi_$j"),

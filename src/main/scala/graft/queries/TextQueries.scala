@@ -1763,6 +1763,53 @@ object TextQueries {
     },
 
     // ---------------------------------------------------------------
+    // q247: DEDUP THRESHOLD SWEEP — the planner read before fixing the
+    // Jaccard cutoff: for each threshold t ∈ {0.5, 0.6, 0.7, 0.8}, the
+    // transitive dup clusters that survive (mined pairs filtered to
+    // jaccard ≥ t, exact-hash edges included at every t — an exact copy
+    // is a dup under any cutoff), rolled up to the three numbers a
+    // curation review weighs: dup clusters, removable docs (Σ size−1),
+    // reclaimable bytes (Σ cluster bytes − largest member kept, q143's
+    // keep-best convention). Raising t monotonically shrinks all three;
+    // the knee of that curve is where the threshold belongs. Scale
+    // shape: pair mining happens ONCE (the memoized q35 frame — legs
+    // only filter it); exact edges are mined once behind a lineage cut;
+    // per-leg CC runs over edge ENDPOINTS only (nodes not incident to
+    // any surviving edge can't form a dup cluster, so the corpus never
+    // enters the iteration); cluster stats are partial+final aggs —
+    // never a window over the flooded cluster key — and each leg's
+    // readout is one row.
+    // ---------------------------------------------------------------
+    "q247_threshold_sweep" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val bytes = d.select(col("doc_id"),
+                           length(col("text")).cast(LongType).as("nb"))
+      val exactEdges = graft.core.Materialize.cut(
+        Dedup.exact(d, "doc_id", "text").filter(col("is_duplicate"))
+          .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b")),
+        "q247-exact-edges")
+      val legs = Seq(5, 6, 7, 8).map { t =>
+        val edges = exactEdges.union(
+          jaccard05(s, dir).filter(col("jaccard") >= t.toDouble / 10.0)
+            .select(col("doc_a"), col("doc_b")))
+        val nodes = edges.select(col("doc_a").as("id"))
+          .union(edges.select(col("doc_b").as("id"))).distinct()
+        val g = Dedup.connectedComponents(nodes, edges, "doc_a", "doc_b")
+          .join(bytes, col("id") === col("doc_id"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("sz"), sum(col("nb")).as("sum_nb"),
+               max(col("nb")).as("max_nb"))
+        g.agg(count(lit(1)).as("n_dup_clusters"),
+              coalesce(sum(col("sz") - 1L), lit(0L)).as("n_dup_docs"),
+              coalesce(sum(col("sum_nb") - col("max_nb")), lit(0L))
+                .as("bytes_saved"))
+          .select(lit(t.toLong).as("threshold_x10"), col("n_dup_clusters"),
+                  col("n_dup_docs"), col("bytes_saved"))
+      }
+      legs.reduce(_.unionAll(_))
+    },
+
+    // ---------------------------------------------------------------
     // q207: dedup survivor WEIGHTS — the inverse-propensity correction
     // statistics over a deduplicated corpus need: dropping near-dup
     // cluster members biases every downstream estimate toward rare
@@ -5270,6 +5317,46 @@ object TextQueries {
          |FROM e a JOIN e b
          |  ON a.cluster_id = b.cluster_id AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+
+    // q247: shared pair CTEs + one recursive min-label closure per
+    // threshold leg seeded from edge ENDPOINTS only (matching the Spark
+    // side's incident-nodes CC), identical integer rollups.
+    "q247_threshold_sweep" -> {
+      val legs = Seq(5, 6, 7, 8).map { t =>
+        s"""e$t AS (
+           |  SELECT doc_a AS s, doc_b AS d FROM jp WHERE jac >= 0.$t
+           |  UNION SELECT doc_b, doc_a FROM jp WHERE jac >= 0.$t
+           |  UNION SELECT doc_a, doc_b FROM eed
+           |  UNION SELECT doc_b, doc_a FROM eed),
+           |n$t AS (SELECT DISTINCT s AS id FROM e$t),
+           |r$t AS (
+           |  SELECT id, id AS r FROM n$t
+           |  UNION
+           |  SELECT rc.id, e.d FROM r$t rc JOIN e$t e ON rc.r = e.s),
+           |c$t AS (SELECT id, min(r) AS cluster_id FROM r$t GROUP BY id),
+           |g$t AS (
+           |  SELECT c$t.cluster_id, CAST(count(*) AS BIGINT) AS sz,
+           |         CAST(sum(b.nb) AS BIGINT) AS sum_nb,
+           |         CAST(max(b.nb) AS BIGINT) AS max_nb
+           |  FROM c$t JOIN byt b ON b.doc_id = c$t.id GROUP BY 1),
+           |a$t AS (
+           |  SELECT CAST($t AS BIGINT) AS threshold_x10,
+           |         CAST(count(*) AS BIGINT) AS n_dup_clusters,
+           |         CAST(coalesce(sum(sz - 1), 0) AS BIGINT) AS n_dup_docs,
+           |         CAST(coalesce(sum(sum_nb - max_nb), 0) AS BIGINT) AS bytes_saved
+           |  FROM g$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |$dupEdgeCtesSql,
+         |jp AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(shared AS DOUBLE) / CAST(sa + sb - shared AS DOUBLE) AS jac
+         |  FROM jpairs),
+         |byt AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nb FROM documents),
+         |$legs
+         |SELECT * FROM a5 UNION ALL SELECT * FROM a6
+         |UNION ALL SELECT * FROM a7 UNION ALL SELECT * FROM a8""".stripMargin
+    },
 
     // q244: q35's oracle as the truth derived table, one minhash
     // sig+band+cand chain per banding config (the q36 CTE builder

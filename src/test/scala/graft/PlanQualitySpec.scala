@@ -819,6 +819,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"q246 lost its broadcast pair frame:\n$p")
   }
 
+  test("q247 threshold sweep: endpoint-seeded CC, cluster stats without a cluster window") {
+    // Every leg filters the ONE memoized pair frame; CC iterates over
+    // edge endpoints only (the corpus never enters the loop); per-cluster
+    // stats must be partial+final aggs — the flooded-cluster-key window
+    // ban applies to every leg.
+    val p = planOf(SparkEntry.queries("q247_threshold_sweep")(spark, dir))
+    assert(!p.contains("Window"), s"q247 windows over a cluster key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q247 cartesian:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
