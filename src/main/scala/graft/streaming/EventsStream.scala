@@ -499,6 +499,52 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming maintenance of the q242 bloom WORD TABLE — the runtime-
+    * filter build side kept warm against a key stream (new urgent
+    * orders arrive; the semi-join filter must reflect them before the
+    * next fact scan): each micro-batch folds its distinct keys into
+    * per-batch (word_idx, words) rows ([[graft.operators.Bloom.words]],
+    * the exact batch arithmetic) and appends them word_idx-bucketed
+    * under an exact-row guard. Bloom words are an OR-SEMILATTICE —
+    * bit_or is idempotent, commutative, and monotone — so batch-
+    * granular rows are the correct state type: the serving read
+    * collapses them with ONE bit_or per word
+    * ([[bloomWordsFromState]]), a redelivered batch's rows change
+    * nothing in that read, and the guard dropping an exact-duplicate
+    * row can never lose a bit. (Contrast the count-typed state the
+    * boilerplate leg avoids for the same redelivery reason — here the
+    * ALGEBRA does the dedup, so no anti-join against content is needed
+    * at all; the guard only bounds storage.) The filter NEVER loses a
+    * key by construction, so a serving semi-join stays false-negative-
+    * free across restarts.
+    */
+  def bloomIndexMaintainStream(
+      keys: DataFrame,
+      table: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    keys.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = graft.operators.Bloom
+          .words(batch.toDF().select(col("k")).distinct(), "k")
+          .withColumn("state_key",
+            concat_ws("|", col("word_idx"), col("words")))
+        idempotentAppendBucketed(w, table, "word_idx", "state_key")
+        ()
+      }
+      .start()
+
+  /** The serving read of [[bloomIndexMaintainStream]]'s state: one
+    * bit_or per word collapses any row multiplicity into the exact
+    * filter the batch-side build would produce.
+    */
+  def bloomWordsFromState(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).groupBy(col("word_idx"))
+      .agg(expr("bit_or(words)").as("words"))
+
   /** Streaming maintenance of the boilerplate-DF index (q204's state):
     * each micro-batch is segmented scan-locally (the q75/q200
     * arithmetic), collapsed to its within-batch distinct

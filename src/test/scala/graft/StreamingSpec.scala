@@ -747,6 +747,54 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(table).count() === want.size.toLong, "replay duplicated chunks")
   }
 
+  test("streaming bloom word table: OR-read ≡ batch build; redelivery changes nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val buildKeys = graft.core.Tables(spark, dir).orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey")).distinct().as[Long].collect().sorted
+    assert(buildKeys.length > 8, "fixture too small to split")
+    val (h1, h2) = buildKeys.splitAt(buildKeys.length / 2)
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_bloom_stream_idx")
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-bloom-ck1").toString
+    val ms = MemoryStream[Long]
+    ms.addData(h1.toSeq)
+    val q1 = EventsStream.bloomIndexMaintainStream(
+      ms.toDF().toDF("k"), table, ck1, "bloom_maint_1")
+    q1.processAllAvailable()
+    ms.addData(h2.toSeq)
+    q1.processAllAvailable(); q1.stop()
+    // the OR-collapsed state must equal the one-shot batch fold over the
+    // union — the exact words q242's audit would build
+    val want = graft.operators.Bloom.words(
+        graft.core.Tables(spark, dir).orders
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("k")).distinct(), "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = EventsStream.bloomWordsFromState(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "streamed bloom words diverged from the batch fold")
+    // fresh-checkpoint redelivery of the FULL key set in one batch: the
+    // OR-semilattice makes the read invariant, and the exact-row guard
+    // keeps byte-identical rows from re-appending
+    val nRows = spark.table(table).count()
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-bloom-ck2").toString
+    val ms2 = MemoryStream[Long]
+    ms2.addData(buildKeys.toSeq)
+    val q2 = EventsStream.bloomIndexMaintainStream(
+      ms2.toDF().toDF("k"), table, ck2, "bloom_maint_2")
+    q2.processAllAvailable(); q2.stop()
+    val got2 = EventsStream.bloomWordsFromState(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === want, "redelivery changed the OR-read")
+    // the full-set batch emits the union words — some rows genuinely new
+    // (OR of both halves), so the table may grow, but never beyond one
+    // extra row per word
+    assert(spark.table(table).count() <= nRows + want.size,
+      "replay appended more than one batch-granular row per word")
+  }
+
   test("streaming CDC chunk index: drained state ≡ arrival-order build; replay is a no-op") {
     val docs  = graft.core.Tables(spark, dir).documents
     val watch = java.nio.file.Files.createTempDirectory("graft-cdc-watch")
