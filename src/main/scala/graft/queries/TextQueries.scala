@@ -1436,6 +1436,42 @@ object TextQueries {
         .drop("__best", "__coarsest")
     },
 
+    // ---------------------------------------------------------------
+    // q249: l-DIVERSITY sweep — the attribute-disclosure audit k-
+    // anonymity (q228) does NOT cover (Machanavajjhala et al. 2007): a
+    // cell whose k ≥ 5 members all share one sensitive value still
+    // leaks that value for everyone the cell re-identifies. Here the
+    // quasi-identifier is (source, width-w n_chars bucket) and the
+    // sensitive attribute is lang: per generalization width w ∈
+    // {1,10,100,1000}, every occupied cell's DISTINCT-l, rolled up to
+    // min l, cells below L = 3, and docs exposed by those cells — the
+    // release review reads this NEXT TO q228's k sweep (both must
+    // clear; they fail independently). Scale shape: the q228/q222/q189
+    // discipline — ONE corpus pass through a constant 4× lattice
+    // explode, per-(w,cell) partial+final countDistinct (bounded:
+    // distinct langs per cell ≤ |langs|), per-w summary agg to 4 rows.
+    // All-integer, so the sweep hash-gates.
+    // ---------------------------------------------------------------
+    "q249_l_diversity_sweep" -> { (s, dir) =>
+      val L = 3L
+      val widths = Seq(1L, 10L, 100L, 1000L)
+      val cells = Tables(s, dir).documents
+        .select(col("lang"), col("source"), col("n_chars"),
+                explode(lit(widths.toArray)).as("bucket_width"))
+        .groupBy(col("bucket_width"), col("source"),
+                 expr("n_chars div bucket_width").as("len_bucket"))
+        .agg(countDistinct(col("lang")).as("cell_l"),
+             count(lit(1)).as("cell_docs"))
+      cells.groupBy(col("bucket_width"))
+        .agg(count(lit(1)).as("n_cells"),
+             min(col("cell_l")).as("min_l"),
+             sum(when(col("cell_l") < L, 1L).otherwise(0L))
+               .as("n_low_diversity_cells"),
+             sum(when(col("cell_l") < L, col("cell_docs")).otherwise(0L))
+               .as("n_exposed_docs"))
+        .withColumn("satisfies_l", col("n_low_diversity_cells") === 0L)
+    },
+
     // q227: q225's CDC dedup in its build-once/probe-deltas form — the
     // q172 discipline at content-defined granularity (see
     // cdcServeIncremental's doc for why the CDC index blocks the
@@ -4733,6 +4769,28 @@ object TextQueries {
         |  n_risky_cells, n_risky_docs, satisfies_k,
         |  bucket_width = coalesce(best, coarsest) AS is_chosen
         |FROM s2""".stripMargin,
+
+    // q249: same 4-width lattice as q228, per-cell DISTINCT lang count,
+    // identical all-integer rollup.
+    "q249_l_diversity_sweep" ->
+      """WITH lat AS (
+        |  SELECT w.bucket_width, d.source,
+        |         d.n_chars // w.bucket_width AS len_bucket, d.lang
+        |  FROM documents d CROSS JOIN
+        |    (SELECT CAST(unnest([1, 10, 100, 1000]) AS BIGINT) AS bucket_width) w),
+        |cells AS (
+        |  SELECT bucket_width, source, len_bucket,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS cell_l,
+        |         CAST(count(*) AS BIGINT) AS cell_docs
+        |  FROM lat GROUP BY 1, 2, 3)
+        |SELECT bucket_width, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(min(cell_l) AS BIGINT) AS min_l,
+        |  CAST(sum(CASE WHEN cell_l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_diversity_cells,
+        |  CAST(sum(CASE WHEN cell_l < 3 THEN cell_docs ELSE 0 END) AS BIGINT)
+        |    AS n_exposed_docs,
+        |  sum(CASE WHEN cell_l < 3 THEN 1 ELSE 0 END) = 0 AS satisfies_l
+        |FROM cells GROUP BY 1""".stripMargin,
 
     // q227: the one-shot CDC restatement of the incremental serve —
     // arrival-order keep via the parity-leading packed key (q172's

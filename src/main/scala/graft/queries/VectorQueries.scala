@@ -29,6 +29,21 @@ object VectorQueries {
     */
   private val TruncDims  = Seq(32, 16)
 
+  /** q248's evaluation depth. */
+  private val NdcgK = 10
+
+  /** q248's position discounts D_i = floor(1e9 / log2(i+1) + 0.5),
+    * i = 1..[[NdcgK]] — precomputed driver-side (corpus-independent,
+    * q199's static-planner discipline) so DCG terms are exact BIGINT
+    * products rel·D_i in both engines and per-query sums are
+    * partition-order-free integers.
+    */
+  private val NdcgDiscounts: Seq[(Long, Long)] =
+    (1 to NdcgK).map { i =>
+      (i.toLong,
+       math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+    }
+
   val defs: Map[String, Q] = Map(
     // Brute-force cosine top-k: broadcast query set × corpus scan, window
     // top-k. The exact baseline every ANN variant is measured against.
@@ -574,6 +589,50 @@ object VectorQueries {
         .select(col("query_id"), col("n_exact"), col("n_hit"),
                 (col("n_hit").cast("double") / col("n_exact").cast("double"))
                   .as("recall_at_3"))
+    },
+
+    // -----------------------------------------------------------------
+    // q248: ANN nDCG@10 — the GRADED companion to q116's recall: recall
+    // treats every exact top-k member equally, but an index that returns
+    // the true #1 at position 1 serves retrieval better than one that
+    // buries it at position 10, and nDCG is the standard read of that
+    // difference. Gains are the exact ranking's positions (rel = k+1−r,
+    // so the true best is worth 10), discounts 1/log2(i+1) enter as the
+    // precomputed BIGINT literals [[NdcgDiscounts]] — every DCG term is
+    // an exact integer product rel·D_i, per-query sums are exact BIGINTs
+    // (partition-order-free), and nDCG is ONE double division against
+    // the query's own ideal (computed from its exact list, so short
+    // lists stay correct). Scale shape: both rankers are the gated
+    // bounded-heap top-k paths (broadcast queries, corpus scanned not
+    // shuffled); the discount attach is a ≤k-row broadcast; readout is
+    // |queries| rows.
+    // -----------------------------------------------------------------
+    "q248_ann_ndcg" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", NdcgK)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+                (lit(NdcgK.toLong) + 1L - col("rank")).as("rel"))
+      val approx = Similarity.annTopKIvf(q, e, "vec_id", "embedding",
+          k = NdcgK, nlist = IvfNlist, nprobe = IvfNprobe)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val dDf = broadcast(NdcgDiscounts.toDF("rank", "d_e9"))
+      val dcg = approx
+        .join(exact.select(col("query_id"), col("neighbor_id"), col("rel")),
+              Seq("query_id", "neighbor_id"), "left")
+        .join(dDf, "rank")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("rel"), lit(0L)) * col("d_e9")).as("dcg_e9"))
+      val idcg = exact.join(dDf, "rank")
+        .groupBy(col("query_id"))
+        .agg(sum(col("rel") * col("d_e9")).as("idcg_e9"))
+      idcg.join(dcg, Seq("query_id"), "left")
+        .select(col("query_id"),
+                coalesce(col("dcg_e9"), lit(0L)).as("dcg_e9"),
+                col("idcg_e9"),
+                (coalesce(col("dcg_e9"), lit(0L)).cast("double") /
+                  col("idcg_e9").cast("double")).as("ndcg"))
     },
 
     // q159: kNN majority-vote classifier over the IVF ANN path — the
@@ -2219,6 +2278,75 @@ object VectorQueries {
          |LEFT JOIN (${baseOracles("q64_ann_ivf")}) a
          |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
          |GROUP BY e.query_id""".stripMargin) +
+    // q248: q37's exact chain and q64's IVF chain re-ranked at depth 10
+    // over the same 20-query set, identical discount VALUES literals,
+    // exact integer DCG sums, one guarded division per query.
+    ("q248_ann_ndcg" -> {
+      val vals = NdcgDiscounts.map { case (r, d) => s"($r, $d)" }.mkString(", ")
+      s"""WITH n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |sx AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN q.nrm > 0 AND c.nrm > 0
+         |         THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS cosine
+         |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id != q.vec_id),
+         |ex AS (
+         |  SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |         CAST(${NdcgK + 1} - rank AS BIGINT) AS rel
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+         |        FROM sx)
+         |  WHERE rank <= $NdcgK),
+         |seeds AS (
+         |  SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+         |  FROM n ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfNlist),
+         |assign AS (
+         |  SELECT n.vec_id, n.v, n.nrm, s.centroid_id,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      (CASE WHEN n.nrm > 0 AND s.cnrm > 0
+         |            THEN list_dot_product(n.v, s.cv) / (n.nrm * s.cnrm) END) DESC NULLS LAST,
+         |      s.centroid_id) AS rn
+         |  FROM n CROSS JOIN seeds s),
+         |lists AS (SELECT vec_id, v, nrm, centroid_id FROM assign WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, s.centroid_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      (CASE WHEN q.nrm > 0 AND s.cnrm > 0
+         |            THEN list_dot_product(q.v, s.cv) / (q.nrm * s.cnrm) END) DESC NULLS LAST,
+         |      s.centroid_id) AS prn
+         |  FROM n q CROSS JOIN seeds s WHERE q.vec_id < 20),
+         |cand AS (
+         |  SELECT p.query_id, p.qv, p.qn, l.vec_id AS neighbor_id, l.v AS cv2, l.nrm AS cn
+         |  FROM (SELECT * FROM qprobe WHERE prn <= $IvfNprobe) p
+         |  JOIN lists l ON p.centroid_id = l.centroid_id
+         |  WHERE l.vec_id != p.query_id),
+         |sc AS (
+         |  SELECT query_id, neighbor_id,
+         |    CASE WHEN qn > 0 AND cn > 0
+         |         THEN list_dot_product(qv, cv2) / (qn * cn) END AS cosine
+         |  FROM cand),
+         |ap AS (
+         |  SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+         |        FROM sc)
+         |  WHERE rank <= $NdcgK),
+         |d AS (SELECT CAST(r AS BIGINT) AS rank, CAST(de9 AS BIGINT) AS d_e9
+         |      FROM (VALUES $vals) AS t(r, de9)),
+         |dc AS (
+         |  SELECT ap.query_id,
+         |         CAST(sum(coalesce(ex.rel, 0) * d.d_e9) AS BIGINT) AS dcg_e9
+         |  FROM ap JOIN d ON d.rank = ap.rank
+         |  LEFT JOIN ex ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         |  GROUP BY 1),
+         |ic AS (
+         |  SELECT query_id, CAST(sum(rel * d_e9) AS BIGINT) AS idcg_e9
+         |  FROM ex JOIN d ON d.rank = ex.rank GROUP BY 1)
+         |SELECT ic.query_id, CAST(coalesce(dc.dcg_e9, 0) AS BIGINT) AS dcg_e9,
+         |  ic.idcg_e9,
+         |  CAST(coalesce(dc.dcg_e9, 0) AS DOUBLE) / CAST(ic.idcg_e9 AS DOUBLE) AS ndcg
+         |FROM ic LEFT JOIN dc ON dc.query_id = ic.query_id""".stripMargin
+    }) +
     // Wraps the q118 oracle as the edge source (q116's derived-table
     // pattern); same symmetrize/deg-cap/quantized-term/tiebreak chain.
     ("q125_adamic_adar" ->

@@ -829,6 +829,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q247 cartesian:\n$p")
   }
 
+  test("q248 ANN nDCG: bounded-heap rankers, no corpus-side rank window, discounts broadcast") {
+    // Both rankers must stay on the TopKPairs heap (the q37 discipline —
+    // a per-query row_number over CANDIDATES is the banned shape). The
+    // only window allowed is q64's query-side probe ranking (bounded at
+    // |queries|×nlist rows, ordered by centroid_id — the accepted IVF
+    // shape), and the ≤k-row discount frame must arrive broadcast.
+    val p = planOf(SparkEntry.queries("q248_ann_ndcg")(spark, dir))
+    val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.forall(_.contains("centroid_id")),
+      s"q248 windows outside the bounded probe:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q248 lost its broadcast discounts:\n$p")
+  }
+
+  test("q249 l-diversity sweep: one lattice pass, no window, no cartesian over the corpus") {
+    // The q228 shape: a constant 4x explode over ONE corpus scan,
+    // partial+final cell aggs, 4-row summary — never a per-cell window.
+    val p = planOf(SparkEntry.queries("q249_l_diversity_sweep")(spark, dir))
+    assert(!p.contains("Window"), s"q249 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q249 cartesian:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
