@@ -28,6 +28,26 @@ object RetrievalQueries {
   private val CmsDepth = 4
   private val CmsWidth = 1024
 
+  /** q250's evaluation depth (= both legs' top-k) and persistence p. */
+  private val RboK = 25
+
+  /** q250's per-depth RBO weights W_d = (1−p)·p^(d−1)/d at p = 0.9,
+    * 1e9-quantized driver-side (corpus-independent — q199's static-
+    * planner discipline).
+    */
+  private val RboWeightsE9: Seq[Long] =
+    (1 to RboK).map(d =>
+      math.floor(0.1 * math.pow(0.9, d - 1) / d * 1e9 + 0.5).toLong)
+
+  /** Suffix sums S_m = Σ_{d=m..K} W_d — exact BIGINT sums of the
+    * quantized weights, so a doc matched at depth m = max(rank_a,
+    * rank_b) contributes its ENTIRE tail of overlap terms in one
+    * integer: RBO_trunc = Σ_matched S_m (Webber et al. 2010's
+    * prefix-overlap sum reassociated per matched document).
+    */
+  private val RboSuffixWeightsE9: Seq[(Long, Long)] =
+    (1 to RboK).map(m => (m.toLong, RboWeightsE9.drop(m - 1).sum))
+
   /** q166 sketch width — wider than [[CmsWidth]] because inner-product
     * (join-size) estimation errors scale with ||a||₁·||b||₁/width, far
     * steeper than the point-query overcount q89 demonstrates.
@@ -159,6 +179,40 @@ object RetrievalQueries {
                 rrf.as("rrf_score"))
         .orderBy(col("rrf_score").desc, col("doc_id"))
         .limit(25)
+    },
+
+    // ---------------------------------------------------------------
+    // q250: RANK-BIASED OVERLAP between q142's two retrieval legs — the
+    // fusion diagnostic: RBO near 1 says lexical and semantic rankings
+    // agree (fusion adds nothing, run the cheaper leg); near 0 says
+    // they surface DISJOINT documents (fusion is load-bearing). RBO
+    // (Webber et al. 2010) weights prefix overlaps geometrically —
+    // truncated at both legs' depth K = 25 with p = 0.9 — and the sum
+    // reassociates per MATCHED document: a doc at m = max(lex_rank,
+    // sem_rank) appears in every prefix overlap from depth m on, so its
+    // total contribution is the precomputed suffix literal S_m
+    // ([[RboSuffixWeightsE9]]) and RBO_trunc = Σ_matched S_m — exact
+    // BIGINT arithmetic end to end, one division at readout. Matched
+    // docs are exactly q142's both-ranks-non-null rows, and ALL of them
+    // survive q142's fused LIMIT 25: the minimum two-leg RRF score
+    // 2/(60+25) ≈ 0.0235 exceeds the maximum single-leg score
+    // 1/(60+1) ≈ 0.0164, so no matched doc can be cut. Scale shape:
+    // rides q142's gated plan + a ≤K-row broadcast lookup + one 1-row
+    // agg.
+    // ---------------------------------------------------------------
+    "q250_rank_biased_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val sDf = broadcast(RboSuffixWeightsE9.toDF("m", "s_e9"))
+      defs("q142_hybrid_rrf")(s, dir)
+        .filter(col("lex_rank").isNotNull && col("sem_rank").isNotNull)
+        .select(greatest(col("lex_rank"), col("sem_rank")).as("m"))
+        .join(sDf, "m")
+        .agg(count(lit(1)).as("n_both"),
+             coalesce(sum(col("s_e9")), lit(0L)).as("rbo_e9"))
+        .select(col("n_both"), col("rbo_e9"),
+                (col("rbo_e9").cast(DoubleType) / 1e9).as("rbo"),
+                (col("n_both").cast(DoubleType) / lit(RboK.toDouble))
+                  .as("overlap_at_k"))
     },
 
     // ---------------------------------------------------------------
@@ -834,6 +888,37 @@ object RetrievalQueries {
   /** The q88 BM25 oracle — a val so q142's fusion oracle composes it
     * (the q127Oracle discipline).
     */
+  /** The q142 oracle body — shared verbatim by q142 and (as a derived
+    * table) q250's overlap read.
+    */
+  private lazy val q142Oracle: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+       |  FROM ($q88Oracle) b),
+       |emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |qv AS (SELECT v AS qvec, nrm AS qn FROM emb WHERE vec_id = 0),
+       |sem0 AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    CASE WHEN e.nrm > 0 AND q.qn > 0
+       |         THEN list_dot_product(e.v, q.qvec) / (e.nrm * q.qn) END AS cosine
+       |  FROM emb e CROSS JOIN qv q WHERE e.vec_id != 0),
+       |sem AS (
+       |  SELECT doc_id, sem_rank FROM (
+       |    SELECT doc_id,
+       |           CAST(row_number() OVER (ORDER BY cosine DESC NULLS LAST, doc_id ASC) AS BIGINT) AS sem_rank
+       |    FROM sem0)
+       |  WHERE sem_rank <= 25)
+       |SELECT doc_id, lex_rank, sem_rank,
+       |  coalesce(1.0 / (60.0 + lex_rank), 0.0)
+       |    + coalesce(1.0 / (60.0 + sem_rank), 0.0) AS rrf_score
+       |FROM lex FULL JOIN sem USING (doc_id)
+       |ORDER BY rrf_score DESC, doc_id ASC
+       |LIMIT 25""".stripMargin
+
   private lazy val q88Oracle: String = {
       val terms = BmTerms
       val tfSel = terms.zipWithIndex
@@ -976,33 +1061,28 @@ object RetrievalQueries {
     // the vec_id-0 query embedding, fused with 1/(60+rank) — every step
     // integer or fixed-order double arithmetic, so the fused ordering
     // hash-gates.
-    "q142_hybrid_rrf" ->
-      s"""WITH lex AS (
-         |  SELECT doc_id,
-         |         CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC) AS BIGINT) AS lex_rank
-         |  FROM ($q88Oracle) b),
-         |emb AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings),
-         |qv AS (SELECT v AS qvec, nrm AS qn FROM emb WHERE vec_id = 0),
-         |sem0 AS (
-         |  SELECT e.vec_id AS doc_id,
-         |    CASE WHEN e.nrm > 0 AND q.qn > 0
-         |         THEN list_dot_product(e.v, q.qvec) / (e.nrm * q.qn) END AS cosine
-         |  FROM emb e CROSS JOIN qv q WHERE e.vec_id != 0),
-         |sem AS (
-         |  SELECT doc_id, sem_rank FROM (
-         |    SELECT doc_id,
-         |           CAST(row_number() OVER (ORDER BY cosine DESC NULLS LAST, doc_id ASC) AS BIGINT) AS sem_rank
-         |    FROM sem0)
-         |  WHERE sem_rank <= 25)
-         |SELECT doc_id, lex_rank, sem_rank,
-         |  coalesce(1.0 / (60.0 + lex_rank), 0.0)
-         |    + coalesce(1.0 / (60.0 + sem_rank), 0.0) AS rrf_score
-         |FROM lex FULL JOIN sem USING (doc_id)
-         |ORDER BY rrf_score DESC, doc_id ASC
-         |LIMIT 25""".stripMargin,
+    "q142_hybrid_rrf" -> q142Oracle,
+
+    // q250: q142's oracle as the fused frame, identical suffix-weight
+    // VALUES literals, same exact-integer rollup and readout divisions.
+    "q250_rank_biased_overlap" -> {
+      val vals = RboSuffixWeightsE9.map { case (m, se9) => s"($m, $se9)" }
+        .mkString(", ")
+      s"""WITH f AS (
+         |$q142Oracle),
+         |s AS (SELECT CAST(m AS BIGINT) AS m, CAST(se9 AS BIGINT) AS s_e9
+         |      FROM (VALUES $vals) AS t(m, se9)),
+         |mm AS (
+         |  SELECT greatest(lex_rank, sem_rank) AS m FROM f
+         |  WHERE lex_rank IS NOT NULL AND sem_rank IS NOT NULL),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_both,
+         |         CAST(coalesce(sum(s_e9), 0) AS BIGINT) AS rbo_e9
+         |  FROM mm JOIN s USING (m))
+         |SELECT n_both, rbo_e9, CAST(rbo_e9 AS DOUBLE) / 1e9 AS rbo,
+         |  CAST(n_both AS DOUBLE) / ${RboK.toDouble} AS overlap_at_k
+         |FROM a""".stripMargin
+    },
 
     "q89_cms_heavy_hitters" -> {
       // DuckDB 1.0 rejects lateral unnest over column-derived arrays

@@ -850,6 +850,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q249 cartesian:\n$p")
   }
 
+  test("q250 RBO: rides q142's gated legs plus one broadcast lookup, no cartesian fan-out") {
+    // The suffix-weight lookup is a ≤K-row broadcast; the only windows
+    // allowed are the ones q142's own gate already admits (none — its
+    // legs rank via the collect_list/posexplode collapse); no corpus
+    // cartesian may appear beyond q142's single-query-vector broadcast.
+    val p = planOf(SparkEntry.queries("q250_rank_biased_overlap")(spark, dir))
+    assert(!p.contains("Window"), s"q250 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q250 cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q250 lost its broadcast lookup:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
