@@ -1752,6 +1752,46 @@ object TextQueries {
     // shape — parallelism = streams, no global window, no driver state
     // (Sharding.packGreedy). The oracle replays every stream's fold as
     // a recursive CTE, so the whole greedy walk hash-gates.
+    // ---------------------------------------------------------------
+    // q251: PACKING-CAPACITY sweep — the context-length planner read
+    // behind q140's fixed 512: for each candidate capacity c ∈
+    // {256, 512, 1024, 2048}, the greedy packer's realized efficiency:
+    // bins opened, capacity·bins vs actual tokens, the WASTE fraction
+    // (padding a trainer would burn), and oversized docs (> c, each
+    // forcing a lone bin — the truncation-policy trigger). Waste rises
+    // with capacity (longer bins are harder to fill from the same doc
+    // length distribution) while per-sequence fixed costs fall; the
+    // sweep is the two-sided read that picks c. Scale shape: the token
+    // projection is cut ONCE and shared; each leg is q140's gated
+    // per-stream sorted fold (parallelism = streams, no global window);
+    // per-leg stats are partial+final aggs to stream-count rows, then
+    // one row per capacity.
+    // ---------------------------------------------------------------
+    "q251_packing_capacity_sweep" -> { (s, dir) =>
+      val d  = Tables(s, dir).documents
+      val toks = graft.core.Materialize.cut(
+        d.select(col("doc_id"),
+                 size(Text.tokens(col("text"))).cast(LongType).as("n_tokens")),
+        "q251-tokens")
+      val legs = Seq(256L, 512L, 1024L, 2048L).map { c =>
+        val packed = graft.operators.Sharding.packGreedy(
+          toks, "doc_id", "n_tokens", capacity = c, numStreams = 8)
+        val bins = packed.groupBy(col("stream_id"))
+          .agg(max(col("bin_seq")).as("mx"))
+          .agg(sum(col("mx")).as("n_bins"))
+        val tot = toks.agg(
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("n_tokens") > c, 1L).otherwise(0L)).as("n_oversized"))
+        tot.crossJoin(bins)
+          .select(lit(c).as("capacity"), col("n_bins"), col("total_tokens"),
+                  col("n_oversized"),
+                  (lit(c) * col("n_bins")).as("capacity_tokens"),
+                  (lit(1.0) - col("total_tokens").cast(DoubleType) /
+                    (lit(c) * col("n_bins")).cast(DoubleType)).as("waste_frac"))
+      }
+      legs.reduce(_.unionAll(_))
+    },
+
     "q140_sequence_packing" -> { (s, dir) =>
       val d  = Tables(s, dir).documents
       val nt = size(Text.tokens(col("text"))).cast(LongType)
@@ -5233,6 +5273,43 @@ object TextQueries {
         |  FROM walk w JOIN t ON t.stream_id = w.stream_id AND t.rn = w.rn + 1)
         |SELECT doc_id, stream_id, bin_seq, n AS n_tokens, fill AS bin_fill_after
         |FROM walk""".stripMargin,
+
+    // q251: q140's recursive greedy walk replayed once per capacity leg
+    // (shared doc/stream CTE), identical stats rollups and waste
+    // division order.
+    "q251_packing_capacity_sweep" -> {
+      def leg(c: Long) =
+        s"""walk$c AS (
+           |  SELECT stream_id, rn, doc_id, n, CAST(1 AS BIGINT) AS bin_seq, n AS fill
+           |  FROM t WHERE rn = 1
+           |  UNION ALL
+           |  SELECT t.stream_id, t.rn, t.doc_id, t.n,
+           |    CASE WHEN w.fill + t.n <= $c THEN w.bin_seq ELSE w.bin_seq + 1 END,
+           |    CASE WHEN w.fill + t.n <= $c THEN w.fill + t.n ELSE t.n END
+           |  FROM walk$c w JOIN t ON t.stream_id = w.stream_id AND t.rn = w.rn + 1),
+           |a$c AS (
+           |  SELECT CAST($c AS BIGINT) AS capacity,
+           |    CAST(nb.n_bins AS BIGINT) AS n_bins,
+           |    CAST(tt.total_tokens AS BIGINT) AS total_tokens,
+           |    CAST(tt.n_oversized AS BIGINT) AS n_oversized,
+           |    CAST($c * nb.n_bins AS BIGINT) AS capacity_tokens,
+           |    1.0 - CAST(tt.total_tokens AS DOUBLE)
+           |          / CAST($c * nb.n_bins AS DOUBLE) AS waste_frac
+           |  FROM (SELECT sum(mx) AS n_bins FROM
+           |          (SELECT stream_id, max(bin_seq) AS mx
+           |           FROM walk$c GROUP BY 1)) nb
+           |  CROSS JOIN (SELECT sum(n) AS total_tokens,
+           |                sum(CASE WHEN n > $c THEN 1 ELSE 0 END) AS n_oversized
+           |              FROM t) tt)""".stripMargin
+      val caps = Seq(256L, 512L, 1024L, 2048L)
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS stream_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |${caps.map(leg).mkString(",\n")}
+         |${caps.map(c => s"SELECT * FROM a$c").mkString("\nUNION ALL ")}""".stripMargin
+    },
 
     "q68_stratified_sample" ->
       """WITH keyed AS (

@@ -635,6 +635,50 @@ object VectorQueries {
                   col("idcg_e9").cast("double")).as("ndcg"))
     },
 
+    // -----------------------------------------------------------------
+    // q252: EMBEDDING-SPACE occupancy drift — the vector-side sibling of
+    // q112's value-PSI: token/value drift monitors miss a corpus whose
+    // SEMANTICS shift while its surface statistics hold (new topic, same
+    // token mix), but the k-means cluster occupancy histogram catches it.
+    // Reference = even vec_ids, current = odd (the established
+    // base/delta convention); per cluster the two counts, the q112
+    // Laplace-smoothed PSI term ((p−q)·ln(p/q), quantized to 1e-9 as ONE
+    // term — the gate-proven cross-engine shape), and the corpus PSI
+    // total with the standard 0.2 drift flag. Scale shape: occupancy is
+    // a partial+final count over the memoized shuffle-free assignment;
+    // everything after runs on the ≤k-row cluster frame against 1-row
+    // broadcast totals; the DECIMAL(18,9) term sum is exact, so the
+    // total is partition-order-free.
+    // -----------------------------------------------------------------
+    "q252_embedding_drift" -> { (s, dir) =>
+      val asg = kmeans8(s, dir).select(col("vec_id"), col("cluster_id"))
+      def counts(parity: Int, name: String) =
+        asg.filter(col("vec_id") % 2 === parity)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as(name))
+      val clusters = s.range(8).select(col("id").as("cluster_id"))
+      val joined = clusters
+        .join(counts(0, "ref_cnt"), Seq("cluster_id"), "left")
+        .join(counts(1, "cur_cnt"), Seq("cluster_id"), "left")
+        .select(col("cluster_id"),
+                coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+                coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+      val totals = joined.agg(sum(col("ref_cnt")).as("n_ref"),
+                              sum(col("cur_cnt")).as("n_cur"))
+      val p = (col("ref_cnt").cast("double") + 0.5) /
+        (col("n_ref").cast("double") + 0.5 * 8)
+      val q = (col("cur_cnt").cast("double") + 0.5) /
+        (col("n_cur").cast("double") + 0.5 * 8)
+      val term = floor((p - q) * log(p / q) * 1e9 + 0.5) / 1e9
+      val perC = joined.crossJoin(broadcast(totals))
+        .select(col("cluster_id"), col("ref_cnt"), col("cur_cnt"),
+                term.as("psi_term"))
+      val total = perC.agg(
+        sum(col("psi_term").cast("decimal(18,9)")).cast("double")
+          .as("psi_total"))
+      perC.crossJoin(broadcast(total))
+        .withColumn("is_drifted", col("psi_total") > 0.2)
+    },
+
     // q159: kNN majority-vote classifier over the IVF ANN path — the
     // label-propagation use of the index q64 builds: each query vector's
     // 3 approximate neighbors vote with their labels (tie → smallest
@@ -1827,6 +1871,39 @@ object VectorQueries {
          |SELECT cid_i AS cluster_id, n_members, s_scatter,
          |  CAST(max(r_e9) AS DOUBLE) / 1e9 AS db_i
          |FROM rt GROUP BY 1, 2, 3""".stripMargin,
+
+    // q252: q97's Lloyd CTEs + parity occupancy counts + q112's exact
+    // smoothed-PSI arithmetic (one 1e-9-quantized term per cluster,
+    // DECIMAL-exact total).
+    "q252_embedding_drift" ->
+      s"""WITH $kmeansOracleCtes,
+         |asg AS (SELECT vec_id, cid AS cluster_id FROM af WHERE rn = 1),
+         |cl AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS cluster_id),
+         |rc AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS ref_cnt
+         |       FROM asg WHERE vec_id % 2 = 0 GROUP BY 1),
+         |cc AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cur_cnt
+         |       FROM asg WHERE vec_id % 2 = 1 GROUP BY 1),
+         |j AS (
+         |  SELECT cl.cluster_id,
+         |    CAST(coalesce(rc.ref_cnt, 0) AS BIGINT) AS ref_cnt,
+         |    CAST(coalesce(cc.cur_cnt, 0) AS BIGINT) AS cur_cnt
+         |  FROM cl LEFT JOIN rc USING (cluster_id)
+         |          LEFT JOIN cc USING (cluster_id)),
+         |tt AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
+         |              CAST(sum(cur_cnt) AS BIGINT) AS n_cur FROM j),
+         |pb AS (
+         |  SELECT cluster_id, ref_cnt, cur_cnt,
+         |    floor(((CAST(ref_cnt AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 4.0)
+         |           - (CAST(cur_cnt AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 4.0))
+         |          * ln(((CAST(ref_cnt AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 4.0))
+         |               / ((CAST(cur_cnt AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 4.0)))
+         |          * 1e9 + 0.5) / 1e9 AS psi_term
+         |  FROM j CROSS JOIN tt),
+         |tot AS (SELECT CAST(sum(CAST(psi_term AS DECIMAL(18,9))) AS DOUBLE)
+         |               AS psi_total FROM pb)
+         |SELECT pb.cluster_id, pb.ref_cnt, pb.cur_cnt, pb.psi_term,
+         |  tot.psi_total, tot.psi_total > 0.2 AS is_drifted
+         |FROM pb CROSS JOIN tot""".stripMargin,
 
     "q98_semantic_dedup" ->
       s"""WITH $kmeansOracleCtes,

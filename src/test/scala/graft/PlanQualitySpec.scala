@@ -861,6 +861,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"q250 lost its broadcast lookup:\n$p")
   }
 
+  test("q251 packing sweep: per-stream folds only, shared token cut, no global window") {
+    // Every capacity leg must keep q140's shape — the per-stream sorted
+    // fold (SortAggregate/flatMapSortedGroups over stream_id), never a
+    // corpus-wide ordering window; leg stats are partial+final aggs.
+    val p = planOf(SparkEntry.queries("q251_packing_capacity_sweep")(spark, dir))
+    assert(!p.contains("Window"), s"q251 global window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q251 cartesian:\n$p")
+  }
+
+  test("q252 embedding drift: shuffle-free assignment, cluster-frame-only arithmetic") {
+    // Occupancy must ride the literal-centroid assignment (no corpus
+    // shuffle for clustering) and the PSI chain must stay on the ≤k-row
+    // cluster frame with broadcast totals — no window anywhere.
+    val p = planOf(SparkEntry.queries("q252_embedding_drift")(spark, dir))
+    assert(!p.contains("Window"), s"q252 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q252 cartesian:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
