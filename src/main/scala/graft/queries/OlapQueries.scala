@@ -57,6 +57,56 @@ object OlapQueries {
           col("revenue"), col("n_orders"))
     },
 
+    // -----------------------------------------------------------------
+    // q253: PIVOT — the wide-matrix reshaping the OLAP family lacked
+    // (rollup/cube/grouping-sets aggregate DOWN the lattice; pivot
+    // rotates a dimension into columns): per language, token volume by
+    // source as 20 fixed columns (src0..src19 — the synthetic corpus's
+    // CLOSED source set at every SF). The value list is EXPLICIT, which
+    // is the 100 TB-safe form: Spark's implicit pivot first runs a
+    // distinct-values job over the corpus, while an explicit list makes
+    // pivot ONE partial+final aggregation (each cell a conditional sum,
+    // map-side combined) — same shape as a 20-way conditional-agg
+    // projection, no extra pass, no shuffle beyond the groupBy. Absent
+    // cells are explicit 0s (not engine-dependent NULLs).
+    // -----------------------------------------------------------------
+    "q253_pivot_matrix" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val toks = d.select(col("lang"), col("source"),
+        size(graft.functions.Text.tokens(col("text"))).cast(LongType)
+          .as("n_tokens"))
+      val srcs = (0 until 20).map(i => s"src$i")
+      toks.groupBy(col("lang"))
+        .pivot("source", srcs)
+        .agg(sum(col("n_tokens")))
+        .select(col("lang") +:
+          srcs.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    },
+
+    // -----------------------------------------------------------------
+    // q254: UNPIVOT/MELT — the inverse reshaping: lineitem's four
+    // numeric measures rotated into (measure, value) long form and
+    // profiled per measure (count / decimal-exact sum / min / max — the
+    // schema-profiling read over a wide fact table). The melt is a
+    // scan-local stack expression (4 rows per input row, no shuffle
+    // until the 4-group agg); the decimal sums keep the DOUBLE readout
+    // partition-order-free.
+    // -----------------------------------------------------------------
+    "q254_unpivot_measures" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val long = li.select(expr(
+        """stack(4,
+          |  'quantity', l_quantity,
+          |  'extendedprice', l_extendedprice,
+          |  'discount', l_discount,
+          |  'tax', l_tax) AS (measure, value)""".stripMargin))
+      long.groupBy(col("measure"))
+        .agg(count(col("value")).as("n_values"),
+             sumExact(col("value")).as("sum_value"),
+             min(col("value")).as("min_value"),
+             max(col("value")).as("max_value"))
+    },
+
     // Full ranking-window family on one ordered partition (the reference
     // uses only rank()).
     "q47_window_family" -> { (s, dir) =>
@@ -441,6 +491,34 @@ object OlapQueries {
          |  CAST(n_pass_bloom AS DOUBLE) / CAST(n_probe_rows AS DOUBLE) AS pass_frac
          |FROM c CROSS JOIN nb""".stripMargin
     },
+
+    // q253: conditional-aggregation restatement of the explicit-list
+    // pivot — per (lang, source) cell one conditional sum, absent cells
+    // exact 0s.
+    "q253_pivot_matrix" -> {
+      val cells = (0 until 20).map { i =>
+        s"CAST(coalesce(sum(CASE WHEN source = 'src$i' THEN n_tokens END), 0) AS BIGINT) AS src$i"
+      }.mkString(",\n        |  ")
+      s"""WITH t AS (
+        |  SELECT lang, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang,
+        |  $cells
+        |FROM t GROUP BY lang""".stripMargin
+    },
+
+    // q254: UNION ALL melt legs, identical decimal-exact sums.
+    "q254_unpivot_measures" ->
+      """WITH long AS (
+        |  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+        |SELECT measure, CAST(count(value) AS BIGINT) AS n_values,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM long GROUP BY measure""".stripMargin,
 
     "q46_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name,

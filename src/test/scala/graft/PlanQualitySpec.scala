@@ -879,6 +879,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q252 cartesian:\n$p")
   }
 
+  test("q253 pivot: explicit value list keeps it one aggregation, no distinct-values job") {
+    // The implicit pivot's hidden corpus pass shows up as a second
+    // aggregate over source; with the explicit list the plan must be a
+    // single partial+final HashAggregate chain — no window, no join.
+    val p = planOf(SparkEntry.queries("q253_pivot_matrix")(spark, dir))
+    assert(!p.contains("Window"), s"q253 windows:\n$p")
+    assert(!p.contains("Join"), s"q253 grew a join:\n$p")
+  }
+
+  test("q254 unpivot: scan-local stack, one grouped agg") {
+    val p = planOf(SparkEntry.queries("q254_unpivot_measures")(spark, dir))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"q254 more than a melt+agg:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
