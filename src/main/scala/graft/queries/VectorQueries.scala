@@ -636,6 +636,45 @@ object VectorQueries {
     },
 
     // -----------------------------------------------------------------
+    // q255: INDEX-STALENESS recall audit — the quantitative form of the
+    // q197 rebuild trigger: per query, recall@3 of the FRESH index
+    // (q64's full-corpus centroids) next to the STALE one (q141's
+    // frozen base-seeded centroids serving base+delta), both against
+    // the exact top-3 — recall_delta is the recall the staleness is
+    // COSTING, the number an operator weighs against a rebuild's cost
+    // (q197's skew/cosine drift says "something moved"; this says what
+    // it's worth). Composes three gated reads via one pair of per-query
+    // hit joins; all counts exact integers, divisions replayed in
+    // identical order.
+    // -----------------------------------------------------------------
+    "q255_index_staleness" -> { (s, dir) =>
+      val exact = defs("q37_cosine_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      def hits(approx: DataFrame, name: String) =
+        exact.join(approx.select(col("query_id"), col("neighbor_id"),
+                                 lit(1L).as("__h")),
+                   Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as(s"__n_$name"),
+               sum(coalesce(col("__h"), lit(0L))).as(name))
+      val f  = hits(defs("q64_ann_ivf")(s, dir), "n_hit_fresh")
+      val st = hits(defs("q141_ann_index_append")(s, dir), "n_hit_stale")
+      f.select(col("query_id"), col("__n_n_hit_fresh").as("n_exact"),
+               col("n_hit_fresh"))
+        .join(st.select(col("query_id"), col("n_hit_stale")), "query_id")
+        .select(col("query_id"), col("n_exact"), col("n_hit_fresh"),
+                col("n_hit_stale"),
+                (col("n_hit_fresh").cast("double") /
+                  col("n_exact").cast("double")).as("recall_fresh"),
+                (col("n_hit_stale").cast("double") /
+                  col("n_exact").cast("double")).as("recall_stale"),
+                (col("n_hit_fresh").cast("double") /
+                   col("n_exact").cast("double") -
+                 col("n_hit_stale").cast("double") /
+                   col("n_exact").cast("double")).as("recall_delta"))
+    },
+
+    // -----------------------------------------------------------------
     // q252: EMBEDDING-SPACE occupancy drift — the vector-side sibling of
     // q112's value-PSI: token/value drift monitors miss a corpus whose
     // SEMANTICS shift while its surface statistics hold (new topic, same
@@ -1355,6 +1394,33 @@ object VectorQueries {
          |  FROM qs q CROSS JOIN c2_$j s)""".stripMargin
     }.mkString(",\n")
   }
+
+  /** The q141 oracle body — the frozen-centroid (stale) serve chain,
+    * shared verbatim by q141 and (as a derived table) q255.
+    */
+  private lazy val q141Oracle: String =
+    s"""WITH $ivfIncListsCtes,
+      |qprobe AS (
+      |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, s.centroid_id,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      (CASE WHEN q.nrm > 0 AND s.cnrm > 0
+      |            THEN list_dot_product(q.v, s.cv) / (q.nrm * s.cnrm) END) DESC NULLS LAST,
+      |      s.centroid_id) AS prn
+      |  FROM n q CROSS JOIN seeds s WHERE q.vec_id < 50),
+      |cand AS (
+      |  SELECT p.query_id, p.qv, p.qn, l.vec_id AS neighbor_id, l.v AS cv2, l.nrm AS cn
+      |  FROM (SELECT * FROM qprobe WHERE prn <= 4) p
+      |  JOIN lists l ON p.centroid_id = l.centroid_id
+      |  WHERE l.vec_id != p.query_id),
+      |sc AS (
+      |  SELECT query_id, neighbor_id,
+      |    CASE WHEN qn > 0 AND cn > 0
+      |         THEN list_dot_product(qv, cv2) / (qn * cn) END AS cosine
+      |  FROM cand)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |      FROM sc)
+      |WHERE rank <= 3""".stripMargin
 
   private def kmeansOracleCtes: String = {
     def dist(vec: String, cen: String) =
@@ -2489,29 +2555,36 @@ object VectorQueries {
     // corpus: assignment is a pure per-row function of (vector,
     // centroids), so the incremental base+append build must equal this
     // one-shot restatement exactly
-    ("q141_ann_index_append" ->
-      s"""WITH $ivfIncListsCtes,
-        |qprobe AS (
-        |  SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, s.centroid_id,
-        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      (CASE WHEN q.nrm > 0 AND s.cnrm > 0
-        |            THEN list_dot_product(q.v, s.cv) / (q.nrm * s.cnrm) END) DESC NULLS LAST,
-        |      s.centroid_id) AS prn
-        |  FROM n q CROSS JOIN seeds s WHERE q.vec_id < 50),
-        |cand AS (
-        |  SELECT p.query_id, p.qv, p.qn, l.vec_id AS neighbor_id, l.v AS cv2, l.nrm AS cn
-        |  FROM (SELECT * FROM qprobe WHERE prn <= 4) p
-        |  JOIN lists l ON p.centroid_id = l.centroid_id
-        |  WHERE l.vec_id != p.query_id),
-        |sc AS (
-        |  SELECT query_id, neighbor_id,
-        |    CASE WHEN qn > 0 AND cn > 0
-        |         THEN list_dot_product(qv, cv2) / (qn * cn) END AS cosine
-        |  FROM cand)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
-        |      FROM sc)
-        |WHERE rank <= 3""".stripMargin) +
+    ("q141_ann_index_append" -> q141Oracle) +
+    // q255: q37 exact / q64 fresh / q141 stale chains joined per query —
+    // the recall the frozen-centroid index LOSES, the rebuild trigger's
+    // quantitative read; identical guarded divisions in both engines.
+    ("q255_index_staleness" ->
+      s"""WITH ex AS (
+         |  SELECT query_id, neighbor_id FROM (${baseOracles("q37_cosine_topk")}) e),
+         |fr AS (
+         |  SELECT query_id, neighbor_id FROM (${baseOracles("q64_ann_ivf")}) f),
+         |stl AS (
+         |  SELECT query_id, neighbor_id FROM ($q141Oracle) g),
+         |h AS (
+         |  SELECT ex.query_id,
+         |    CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(sum(CASE WHEN fr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_hit_fresh,
+         |    CAST(sum(CASE WHEN stl.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_hit_stale
+         |  FROM ex
+         |  LEFT JOIN fr ON fr.query_id = ex.query_id
+         |              AND fr.neighbor_id = ex.neighbor_id
+         |  LEFT JOIN stl ON stl.query_id = ex.query_id
+         |               AND stl.neighbor_id = ex.neighbor_id
+         |  GROUP BY 1)
+         |SELECT query_id, n_exact, n_hit_fresh, n_hit_stale,
+         |  CAST(n_hit_fresh AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_fresh,
+         |  CAST(n_hit_stale AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_stale,
+         |  CAST(n_hit_fresh AS DOUBLE) / CAST(n_exact AS DOUBLE)
+         |    - CAST(n_hit_stale AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_delta
+         |FROM h""".stripMargin) +
     // the q141 lists aggregated per centroid: sizes split base/delta,
     // skew vs uniform, 1e9-quantized mean assignment cosines, and the
     // rebuild trigger (thresholds: PERF.md)

@@ -894,6 +894,17 @@ class PlanQualitySpec extends SparkSpec {
       s"q254 more than a melt+agg:\n$p")
   }
 
+  test("q255 staleness audit: only the bounded probe windows, no corpus cartesian") {
+    // Three gated reads composed by pair equi-joins; the only windows
+    // allowed are the IVF probe rankings (query x centroid, bounded),
+    // same as the q248 contract.
+    val p = planOf(SparkEntry.queries("q255_index_staleness")(spark, dir))
+    val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(wins.forall(_.contains("centroid_id")),
+      s"q255 windows outside the bounded probe:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q255 cartesian:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
