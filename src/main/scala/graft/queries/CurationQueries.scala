@@ -1732,6 +1732,38 @@ object CurationQueries {
     // content-hash window — a mega-dup group would funnel one task);
     // the readout is 5 rows.
     // ---------------------------------------------------------------
+    // ---------------------------------------------------------------
+    // q256: the q182 waterfall ATTRIBUTED BY SOURCE — the curation
+    // review's "who loses what where": per source, how many docs each
+    // stage kills (holdout, min-length, quality, survivor-scoped exact
+    // dedup, decontamination) and the end-to-end survival rate. q182
+    // answers "is the pipeline healthy overall"; this catches the
+    // failure q182 averages away — one source losing 80% to the quality
+    // gate while the corpus-wide rate looks fine (the mixture the
+    // trainer actually sees is the POST-waterfall one, so a skewed kill
+    // pattern silently rewrites q86/q96's carefully chosen weights).
+    // Rides the SAME memoized waterfallFlags frame (stage predicates
+    // are the gated operators' own arithmetic, dedup canonical via the
+    // groupBy+join-back discipline); the rollup is one partial+final
+    // agg to ≤|sources| rows, all-integer until the one final division.
+    // ---------------------------------------------------------------
+    "q256_waterfall_by_source" -> { (s, dir) =>
+      waterfallFlags(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in"),
+             sum(when(!col("s1"), 1L).otherwise(0L)).as("drop_holdout"),
+             sum(when(col("s1") && !col("s2"), 1L).otherwise(0L))
+               .as("drop_length"),
+             sum(when(col("s2") && !col("s3"), 1L).otherwise(0L))
+               .as("drop_quality"),
+             sum(when(col("s3") && !col("s4"), 1L).otherwise(0L))
+               .as("drop_dedup"),
+             sum(when(col("s4") && !col("s5"), 1L).otherwise(0L))
+               .as("drop_decontam"),
+             sum(when(col("s5"), 1L).otherwise(0L)).as("n_out"))
+        .withColumn("survival_rate",
+          col("n_out").cast(DoubleType) / col("n_in").cast(DoubleType))
+    },
+
     "q182_curation_waterfall" -> { (s, dir) =>
       val c = waterfallFlags(s, dir).agg(
         count(lit(1)).as("c0"),
@@ -2810,6 +2842,21 @@ object CurationQueries {
          |UNION ALL SELECT 3, 'quality', c2, c2 - c3, c3 FROM c
          |UNION ALL SELECT 4, 'exact_dedup', c3, c3 - c4, c4 FROM c
          |UNION ALL SELECT 5, 'decontamination', c4, c4 - c5, c5 FROM c""".stripMargin,
+
+    // q256: the same flag CTEs grouped by source, identical all-integer
+    // stage-drop arithmetic and one final division.
+    "q256_waterfall_by_source" ->
+      s"""WITH $waterfallCtesSql
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+         |  CAST(sum(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS BIGINT) AS drop_holdout,
+         |  CAST(sum(CASE WHEN s1 AND NOT s2 THEN 1 ELSE 0 END) AS BIGINT) AS drop_length,
+         |  CAST(sum(CASE WHEN s2 AND NOT s3 THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+         |  CAST(sum(CASE WHEN s3 AND NOT s4 THEN 1 ELSE 0 END) AS BIGINT) AS drop_dedup,
+         |  CAST(sum(CASE WHEN s4 AND NOT s5 THEN 1 ELSE 0 END) AS BIGINT) AS drop_decontam,
+         |  CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+         |  CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS survival_rate
+         |FROM f5 GROUP BY 1""".stripMargin,
 
     // list_reduce folds left-to-right starting from the first element;
     // Spark's aggregate starts from 0.0 — identical in IEEE because

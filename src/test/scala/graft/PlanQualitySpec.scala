@@ -905,6 +905,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q255 cartesian:\n$p")
   }
 
+  test("q256 waterfall by source: the q182 flag frame, no text-hash window, one rollup") {
+    // Same memoized flags as q182 — the dedup canonical must stay on the
+    // groupBy+join-back discipline, never a text_hash window; the
+    // attribution is a single partial+final agg.
+    val p = planOf(SparkEntry.queries("q256_waterfall_by_source")(spark, dir))
+    assert(!p.contains("Window"), s"q256 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q256 cartesian:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
