@@ -17,6 +17,18 @@ object OlapQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q257's Poisson(1) CDF cut points on a 16-bit md5 slice: weight k
+    * iff u < floor(CDF(k)·65536) first fails at k — driver-side literals
+    * (corpus-independent) so both engines compare against the identical
+    * integers. P(W > 4) < 0.4% folds into weight 4.
+    */
+  private val PoissonThresholds: Seq[Long] = {
+    val pmf = (0 to 3).scanLeft(0.0) { (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).product.toDouble
+    }.tail // CDF(0..3)
+    pmf.map(c => math.floor(c * 65536.0).toLong)
+  }
+
   val defs: Map[String, Q] = Map(
     // ROLLUP: region → nation → total revenue hierarchy with grouping ids.
     "q46_rollup" -> { (s, dir) =>
@@ -55,6 +67,56 @@ object OlapQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
           col("grp_segment"), col("grp_priority"),
           col("revenue"), col("n_orders"))
+    },
+
+    // -----------------------------------------------------------------
+    // q257: POISSON-BOOTSTRAP confidence interval — uncertainty
+    // quantification for a corpus statistic (mean document length) in
+    // ONE pass, the resampling scheme that works when the data can't be
+    // materialized B times (Chamandy et al., "Estimating Uncertainty
+    // for Massive Data Streams", Google 2012): each of B = 20
+    // replicates gives every doc an i.i.d. Poisson(1) multiplicity, so
+    // a replicate behaves like a bootstrap resample without shuffling
+    // or copying anything. Determinism: the multiplicity is a pure
+    // md5('boot|r|doc') function — a 16-bit slice compared against the
+    // PRECOMPUTED Poisson(1) CDF thresholds [[PoissonThresholds]]
+    // (driver literals, identical in the oracle), weights ∈ {0..4}
+    // (P(W>4) < 0.4%, folded into 4 — same truncation both engines).
+    // Per-replicate sums are exact integers; replicate means quantize
+    // to 1e-9; the across-replicate mean/stddev ride DECIMAL power sums
+    // (partition-order-free); the CI is the standard ±1.96·sd/√B.
+    // Scale shape: a constant B× lattice explode over one scan,
+    // partial+final per-replicate aggs to 20 rows, then one 1-row agg.
+    // -----------------------------------------------------------------
+    "q257_poisson_bootstrap" -> { (s, dir) =>
+      val b = 20
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars"))
+      val lat = d.select(col("doc_id"), col("n_chars"),
+        explode(lit((1L to b.toLong).toArray)).as("r"))
+      val u = graft.functions.HexKeys.value16(
+        md5(concat(lit("boot|"), col("r").cast(StringType), lit("|"),
+                   col("doc_id").cast(StringType))))
+      val Seq(t0, t1, t2, t3) = PoissonThresholds
+      val wt = when(u < t0, 0L).when(u < t1, 1L).when(u < t2, 2L)
+        .when(u < t3, 3L).otherwise(4L)
+      val rep = lat.select(col("r"), col("n_chars"), wt.as("wt"))
+        .groupBy(col("r"))
+        .agg(sum(col("wt")).as("n_eff"),
+             sum(col("wt") * col("n_chars")).as("sum_len"))
+        .select(col("r"),
+          (floor(col("sum_len").cast(DoubleType) /
+             col("n_eff").cast(DoubleType) * 1e9 + 0.5) / 1e9).as("mean_r"))
+      import graft.functions.Exact
+      val a = rep.agg(
+        count(lit(1)).as("n_replicates"),
+        Exact.avgExact(col("mean_r"), 9).as("mean_of_means"),
+        Exact.stddevSampExact(col("mean_r"), 9).as("stddev_means"))
+      a.select(col("n_replicates"), col("mean_of_means"), col("stddev_means"),
+        (col("mean_of_means") -
+          lit(1.96) * col("stddev_means") / sqrt(lit(b.toDouble))).as("ci_lo"),
+        (col("mean_of_means") +
+          lit(1.96) * col("stddev_means") / sqrt(lit(b.toDouble))).as("ci_hi"))
     },
 
     // -----------------------------------------------------------------
@@ -490,6 +552,56 @@ object OlapQueries {
          |            / CAST(n_probe_rows - n_true_match AS DOUBLE) END AS fp_rate,
          |  CAST(n_pass_bloom AS DOUBLE) / CAST(n_probe_rows AS DOUBLE) AS pass_frac
          |FROM c CROSS JOIN nb""".stripMargin
+    },
+
+    // q257: same md5 slice vs the identical threshold literals, exact
+    // integer replicate sums, quantized means, DECIMAL power-sum
+    // stddev, same CI expression order.
+    "q257_poisson_bootstrap" -> {
+      val Seq(t0, t1, t2, t3) = PoissonThresholds
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+         |lat AS (
+         |  SELECT d.doc_id, d.n_chars, r.r
+         |  FROM d CROSS JOIN
+         |    (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS r) r),
+         |h AS (
+         |  SELECT r, n_chars,
+         |    md5('boot|' || CAST(r AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)) AS hex
+         |  FROM lat),
+         |w AS (
+         |  SELECT r, n_chars,
+         |    CASE WHEN u < $t0 THEN 0 WHEN u < $t1 THEN 1
+         |         WHEN u < $t2 THEN 2 WHEN u < $t3 THEN 3 ELSE 4 END AS wt
+         |  FROM (SELECT r, n_chars, ${graft.functions.HexKeys.value16Sql()} AS u
+         |        FROM h)),
+         |rep AS (
+         |  SELECT r, CAST(sum(wt) AS BIGINT) AS n_eff,
+         |         CAST(sum(wt * n_chars) AS BIGINT) AS sum_len
+         |  FROM w GROUP BY 1),
+         |m AS (
+         |  SELECT r,
+         |    floor(CAST(sum_len AS DOUBLE) / CAST(n_eff AS DOUBLE) * 1e9 + 0.5)
+         |      / 1e9 AS mean_r
+         |  FROM rep),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+         |    CAST(sum(CAST(mean_r AS DECIMAL(18,9))) AS DOUBLE)
+         |      / CAST(count(mean_r) AS DOUBLE) AS mean_of_means,
+         |    CASE WHEN count(mean_r) > 1 THEN
+         |      sqrt(greatest(0.0,
+         |        (CAST(count(mean_r) AS DOUBLE)
+         |           * CAST(sum(CAST(mean_r AS DECIMAL(18,9))
+         |                      * CAST(mean_r AS DECIMAL(18,9))) AS DOUBLE)
+         |         - CAST(sum(CAST(mean_r AS DECIMAL(18,9))) AS DOUBLE)
+         |           * CAST(sum(CAST(mean_r AS DECIMAL(18,9))) AS DOUBLE))
+         |        / (CAST(count(mean_r) AS DOUBLE)
+         |           * (CAST(count(mean_r) AS DOUBLE) - 1.0))))
+         |    END AS stddev_means
+         |  FROM m)
+         |SELECT n_replicates, mean_of_means, stddev_means,
+         |  mean_of_means - 1.96 * stddev_means / sqrt(20.0) AS ci_lo,
+         |  mean_of_means + 1.96 * stddev_means / sqrt(20.0) AS ci_hi
+         |FROM a""".stripMargin
     },
 
     // q253: conditional-aggregation restatement of the explicit-list

@@ -914,6 +914,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q256 cartesian:\n$p")
   }
 
+  test("q257 Poisson bootstrap: one scan through a constant lattice, no window, no join") {
+    // The whole point is resampling WITHOUT copying: a constant B=20
+    // explode over one scan, partial+final replicate aggs, a 1-row
+    // readout — any join or window means it stopped being single-pass.
+    val p = planOf(SparkEntry.queries("q257_poisson_bootstrap")(spark, dir))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"q257 more than a lattice+agg:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
