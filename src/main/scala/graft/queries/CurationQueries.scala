@@ -1644,6 +1644,49 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q258: WEIGHTED reservoir sample (Efraimidis–Spirakis A-ES) — the
+    // sampling family's missing member: q68 samples docs uniformly and
+    // q96 softens source shares, but token-budget curation wants
+    // documents drawn ∝ their token mass in ONE pass with a FIXED-SIZE
+    // result. A-ES: each doc draws u ∈ (0,1) and ranks by u^(1/w) —
+    // equivalently ln(u)/w descending — and the global top-k IS a
+    // weighted-without-replacement sample. Determinism: u derives from
+    // a 16-bit md5 slice as (v+1)/65537 (an exact small-rational
+    // double, identical both engines), ln quantizes to 1e-9 (the
+    // established transcendental discipline), the division by w is ONE
+    // double op, and the top-k rides the bounded TopKPairs heap with
+    // SortableDouble's lossless key — map-side ≤k+1 per task, never a
+    // global sort/window (the q219 discipline; the oracle's row_number
+    // replays the same (key DESC, doc_id ASC) order). Scale shape: one
+    // scan-local projection + the heap agg + a k-row join-back for the
+    // carried columns.
+    // ---------------------------------------------------------------
+    "q258_weighted_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.graftx.{SortableDouble, TopKPairs}
+      val k = 50
+      val d = Tables(s, dir).documents.select(
+          col("doc_id"),
+          size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .filter(col("n_tokens") > 0L)
+      val u = (graft.functions.HexKeys.value16(
+          md5(concat(lit("wrs|"), col("doc_id").cast(StringType))))
+          .cast(DoubleType) + 1.0) / 65537.0
+      val keyed = d.select(col("doc_id"), col("n_tokens"),
+        ((floor(log(u) * 1e9 + 0.5) / 1e9) /
+          col("n_tokens").cast(DoubleType)).as("sample_key"))
+      val top = keyed
+        .agg(TopKPairs.topK(SortableDouble.sortKeyDesc(col("sample_key")),
+                            col("doc_id"), k).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast(LongType).as("sample_rank"),
+                col("col.id").as("doc_id"),
+                SortableDouble.decodeDesc(col("col.key")).as("sample_key"))
+      broadcast(top).join(d, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("sample_key"),
+                col("sample_rank"))
+    },
+
+    // ---------------------------------------------------------------
     // q245: LEARNABILITY filter — q243's excess-loss signal applied at
     // DOC granularity (the RHO-loss / data-selection read: a document a
     // weak model finds much harder than a strong model is the most
@@ -3107,6 +3150,28 @@ object CurationQueries {
          |  (0.8 * CAST(exp_e9 AS DOUBLE)) / CAST(z AS DOUBLE)
          |    + 0.2 / CAST(k AS DOUBLE) AS weight
          |FROM de CROSS JOIN z""".stripMargin,
+
+    // q258: same slice/rational-u/quantized-ln/key arithmetic, global
+    // row_number over (key DESC, doc_id ASC) replaying the heap's
+    // (string-asc, id-asc) order.
+    "q258_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |f AS (SELECT * FROM d WHERE n_tokens > 0),
+         |h AS (SELECT doc_id, n_tokens,
+         |             md5('wrs|' || CAST(doc_id AS VARCHAR)) AS hex FROM f),
+         |kx AS (
+         |  SELECT doc_id, n_tokens,
+         |    (floor(ln((CAST(${graft.functions.HexKeys.value16Sql()} AS DOUBLE) + 1.0)
+         |              / 65537.0) * 1e9 + 0.5) / 1e9)
+         |      / CAST(n_tokens AS DOUBLE) AS sample_key
+         |  FROM h)
+         |SELECT doc_id, n_tokens, sample_key, CAST(rk AS BIGINT) AS sample_rank
+         |FROM (SELECT *, row_number() OVER
+         |        (ORDER BY sample_key DESC, doc_id ASC) AS rk
+         |      FROM kx)
+         |WHERE rk <= 50""".stripMargin,
 
     // q245: shared excess CTEs + quantile_cont per-source thresholds
     // (Spark's percentile and DuckDB's quantile_cont interpolate the

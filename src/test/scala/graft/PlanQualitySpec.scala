@@ -923,6 +923,16 @@ class PlanQualitySpec extends SparkSpec {
       s"q257 more than a lattice+agg:\n$p")
   }
 
+  test("q258 weighted sample: bounded heap, no global sort or rank window") {
+    // A-ES top-k must ride TopKPairs (map-side <= k+1 per task); a global
+    // row_number/Sort over the corpus is the banned shape (the oracle
+    // may sort — the plan may not).
+    val p = planOf(SparkEntry.queries("q258_weighted_sample")(spark, dir))
+    assert(!p.contains("Window"), s"q258 rank-windows the corpus:\n$p")
+    assert(p.contains("TopKPairs") || p.contains("topkpairs"),
+      s"q258 lost its bounded heap:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
