@@ -1472,6 +1472,65 @@ object TextQueries {
         .withColumn("satisfies_l", col("n_low_diversity_cells") === 0L)
     },
 
+    // ---------------------------------------------------------------
+    // q259: t-CLOSENESS sweep — the third rung of the release-privacy
+    // ladder (Li et al. 2007): k-anonymity (q228) bounds
+    // re-identification, l-diversity (q249) bounds single-value
+    // disclosure, but a cell can clear both while its sensitive
+    // DISTRIBUTION still leaks (90/10 where the corpus is 50/50 —
+    // skewness/similarity attacks). t-closeness bounds the distance
+    // between each cell's lang distribution and the corpus-wide one;
+    // for an unordered categorical attribute the standard instance is
+    // total-variation distance TVD = ½·Σ|p_cell − p_global|. Per width
+    // w: every occupied cell's TVD, the max, and cells violating
+    // t = 0.4. Determinism: the violation test is the EXACT integer
+    // cross-multiplication Σ|n_cl·N − N_l·n_cell|·10 > 8·N·n_cell (no
+    // float threshold); TVD itself is one division per cell. Scale
+    // shape: the q228/q249 lattice discipline — per-(w, cell, lang)
+    // partial+final counts, the cell×lang completion via a ≤|langs|-row
+    // broadcast (absent langs contribute their full global mass), per-w
+    // summary to 4 rows.
+    // ---------------------------------------------------------------
+    "q259_t_closeness_sweep" -> { (s, dir) =>
+      val widths = Seq(1L, 10L, 100L, 1000L)
+      val d = Tables(s, dir).documents.select(
+        col("lang"), col("source"), col("n_chars"))
+      val lat = d.select(col("lang"), col("source"), col("n_chars"),
+          explode(lit(widths.toArray)).as("bucket_width"))
+        .withColumn("len_bucket", expr("n_chars div bucket_width"))
+      val cellLang = lat.groupBy(col("bucket_width"), col("source"),
+                                 col("len_bucket"), col("lang"))
+        .agg(count(lit(1)).as("n_cl"))
+      val cell = cellLang.groupBy(col("bucket_width"), col("source"),
+                                  col("len_bucket"))
+        .agg(sum(col("n_cl")).as("n_cell"))
+      val globalLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val globalTot = d.agg(count(lit(1)).as("n_tot"))
+      val full = cell.crossJoin(broadcast(globalLang))
+        .join(cellLang,
+              Seq("bucket_width", "source", "len_bucket", "lang"), "left")
+        .withColumn("n_cl", coalesce(col("n_cl"), lit(0L)))
+        .crossJoin(broadcast(globalTot))
+        .withColumn("dev",
+          abs(col("n_cl") * col("n_tot") - col("n_l") * col("n_cell")))
+      val perCell = full.groupBy(col("bucket_width"), col("source"),
+                                 col("len_bucket"), col("n_cell"),
+                                 col("n_tot"))
+        .agg(sum(col("dev")).as("tvd_num"))
+        .withColumn("tvd",
+          col("tvd_num").cast(DoubleType) /
+            (lit(2.0) * col("n_tot").cast(DoubleType) *
+              col("n_cell").cast(DoubleType)))
+        .withColumn("violates",
+          col("tvd_num") * 10L > lit(8L) * col("n_tot") * col("n_cell"))
+      perCell.groupBy(col("bucket_width"))
+        .agg(count(lit(1)).as("n_cells"),
+             max(col("tvd")).as("max_tvd"),
+             sum(when(col("violates"), 1L).otherwise(0L))
+               .as("n_violating_cells"))
+        .withColumn("satisfies_t", col("n_violating_cells") === 0L)
+    },
+
     // q227: q225's CDC dedup in its build-once/probe-deltas form — the
     // q172 discipline at content-defined granularity (see
     // cdcServeIncremental's doc for why the CDC index blocks the
@@ -4809,6 +4868,54 @@ object TextQueries {
         |  n_risky_cells, n_risky_docs, satisfies_k,
         |  bucket_width = coalesce(best, coarsest) AS is_chosen
         |FROM s2""".stripMargin,
+
+    // q259: same lattice + cell×lang completion via the global lang
+    // frame, identical integer cross-multiplication and guarded
+    // division.
+    "q259_t_closeness_sweep" ->
+      """WITH lat AS (
+        |  SELECT w.bucket_width, d.source,
+        |         d.n_chars // w.bucket_width AS len_bucket, d.lang
+        |  FROM documents d CROSS JOIN
+        |    (SELECT CAST(unnest([1, 10, 100, 1000]) AS BIGINT) AS bucket_width) w),
+        |cl AS (
+        |  SELECT bucket_width, source, len_bucket, lang,
+        |         CAST(count(*) AS BIGINT) AS n_cl
+        |  FROM lat GROUP BY 1, 2, 3, 4),
+        |cell AS (
+        |  SELECT bucket_width, source, len_bucket,
+        |         CAST(sum(n_cl) AS BIGINT) AS n_cell
+        |  FROM cl GROUP BY 1, 2, 3),
+        |gl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+        |       FROM documents GROUP BY 1),
+        |gt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+        |full0 AS (
+        |  SELECT c.bucket_width, c.source, c.len_bucket, c.n_cell,
+        |         gl.lang, gl.n_l,
+        |         CAST(coalesce(x.n_cl, 0) AS BIGINT) AS n_cl
+        |  FROM cell c CROSS JOIN gl
+        |  LEFT JOIN cl x ON x.bucket_width = c.bucket_width
+        |                AND x.source = c.source
+        |                AND x.len_bucket = c.len_bucket
+        |                AND x.lang = gl.lang),
+        |pc AS (
+        |  SELECT f.bucket_width, f.source, f.len_bucket, f.n_cell, gt.n_tot,
+        |         CAST(sum(abs(f.n_cl * gt.n_tot - f.n_l * f.n_cell)) AS BIGINT)
+        |           AS tvd_num
+        |  FROM full0 f CROSS JOIN gt
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |px AS (
+        |  SELECT bucket_width,
+        |    CAST(tvd_num AS DOUBLE)
+        |      / (2.0 * CAST(n_tot AS DOUBLE) * CAST(n_cell AS DOUBLE)) AS tvd,
+        |    (tvd_num * 10 > 8 * n_tot * n_cell) AS violates
+        |  FROM pc)
+        |SELECT bucket_width, CAST(count(*) AS BIGINT) AS n_cells,
+        |  max(tvd) AS max_tvd,
+        |  CAST(sum(CASE WHEN violates THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_cells,
+        |  sum(CASE WHEN violates THEN 1 ELSE 0 END) = 0 AS satisfies_t
+        |FROM px GROUP BY 1""".stripMargin,
 
     // q249: same 4-width lattice as q228, per-cell DISTINCT lang count,
     // identical all-integer rollup.

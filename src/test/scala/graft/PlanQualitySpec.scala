@@ -933,6 +933,15 @@ class PlanQualitySpec extends SparkSpec {
       s"q258 lost its bounded heap:\n$p")
   }
 
+  test("q259 t-closeness sweep: lattice pass + broadcast lang completion, no window") {
+    // The cell x lang completion must arrive as a <=|langs|-row
+    // broadcast; cell stats stay partial+final — never a per-cell
+    // window or a corpus cartesian.
+    val p = planOf(SparkEntry.queries("q259_t_closeness_sweep")(spark, dir))
+    assert(!p.contains("Window"), s"q259 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q259 cartesian:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
