@@ -87,7 +87,12 @@ object ScaleRehearsal {
     // in BENCH_FULL at sf0.1) and a q231-family Good–Turing richness
     // representative
     "q223_calibrated_curation",    // quantile-normalized curationV2 chain
-    "q231_chao1_unseen")           // singleton/doubleton Chao1 over q67 clusters
+    "q231_chao1_unseen",           // singleton/doubleton Chao1 over q67 clusters
+    // round-14 additions: the heaviest new operator (4 endpoint-seeded
+    // CC runs over the shared mined pairs) and the banding tuner's
+    // 4-config candidate generation
+    "q247_threshold_sweep",        // per-threshold CC + byte rollups
+    "q244_lsh_band_tuning")        // 4 banded self-joins, one sig pass
 
   private def copyTable(spark: SparkSession, src: String, out: String,
                         name: String): Unit =
