@@ -740,6 +740,54 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming maintenance of the q252 OCCUPANCY state — the embedding-
+    * drift monitor fed by a vector stream: each micro-batch is assigned
+    * to FROZEN reference centroids (a literal codegen expression — the
+    * corpus never shuffles for clustering, the q97 discipline),
+    * collapsed to per-cluster counts, and appended under a
+    * (cluster_id, batch-min-vec_id) guard. Occupancy is COUNTING state,
+    * so the state granularity must be the per-batch count ROW (the
+    * z-order-stats discipline): a redelivered batch re-derives the same
+    * batch-min key and the anti-join drops it, where a running count
+    * would double-increment. Assumes an append-only id stream (distinct
+    * vec_ids across batches — the same contract the z-order leg
+    * carries). The serving read ([[occupancyFromState]]) sums per
+    * cluster; PSI against a frozen reference occupancy is q252's
+    * arithmetic over that ≤k-row frame.
+    */
+  def occupancyDriftStream(
+      vectors: DataFrame,
+      centroids: Array[Seq[Double]],
+      table: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val v = batch.toDF().select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val counts = v.select(col("vec_id"),
+            graft.operators.Clustering.nearestCentroid(centroids, col("v"))
+              .getField("cid").as("cluster_id"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n"), min(col("vec_id")).as("batch_min_key"))
+          .withColumn("guard_key",
+            md5(concat(col("cluster_id").cast("string"), lit("|"),
+                       col("batch_min_key").cast("string"))))
+        idempotentAppend(counts, table, "guard_key")
+        ()
+      }
+      .start()
+
+  /** The serving read of [[occupancyDriftStream]]'s state: per-cluster
+    * totals from the batch-granular count rows.
+    */
+  def occupancyFromState(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).groupBy(col("cluster_id"))
+      .agg(sum(col("n")).as("n_vecs"))
+
   def decontaminateStream(
       docs: DataFrame,
       bench: DataFrame,

@@ -795,6 +795,55 @@ class StreamingSpec extends SparkSpec {
       "replay appended more than one batch-granular row per word")
   }
 
+  test("streaming occupancy drift: summed state ≡ batch assignment; redelivery changes nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val e = graft.core.Tables(spark, dir).embeddings
+    val rows = e.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // frozen reference: centroids fit on the even half only
+    val cents = graft.operators.Clustering.fitCentroids(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      k = 8, iters = 2)
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_occ_stream")
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-occ-ck1").toString
+    val mid = rows(rows.length / 2)._1
+    val ms = MemoryStream[(Long, Array[Float])]
+    ms.addData(rows.filter(_._1 < mid).toSeq)
+    val q1 = EventsStream.occupancyDriftStream(
+      ms.toDF().toDF("vec_id", "embedding"), cents, table, ck1, "occ_maint_1")
+    q1.processAllAvailable()
+    ms.addData(rows.filter(_._1 >= mid).toSeq)
+    q1.processAllAvailable(); q1.stop()
+    // summed state must equal the one-shot assignment's occupancy over
+    // the full corpus under the SAME frozen centroids
+    val want = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(graft.operators.Clustering.nearestCentroid(cents, col("v"))
+        .getField("cid").as("cluster_id"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = EventsStream.occupancyFromState(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "streamed occupancy diverged from the batch assignment")
+    // fresh-checkpoint redelivery of the full id set: every replayed
+    // per-cluster row re-derives an existing (cluster, batch-min) guard
+    // key, so the append is a no-op and the read is unchanged
+    val nRows = spark.table(table).count()
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-occ-ck2").toString
+    val ms2 = MemoryStream[(Long, Array[Float])]
+    ms2.addData(rows.toSeq)
+    val q2 = EventsStream.occupancyDriftStream(
+      ms2.toDF().toDF("vec_id", "embedding"), cents, table, ck2, "occ_maint_2")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(table).count() === nRows, "replay appended rows")
+    val got2 = EventsStream.occupancyFromState(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === want, "redelivery changed the occupancy read")
+  }
+
   test("streaming CDC chunk index: drained state ≡ arrival-order build; replay is a no-op") {
     val docs  = graft.core.Tables(spark, dir).documents
     val watch = java.nio.file.Files.createTempDirectory("graft-cdc-watch")
