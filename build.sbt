@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs every task in THIS one JVM: with the 253-query bench
+  // suite's session-memoized state resident, an 8g heap spent ~17% of
+  // serve wall in allocation-pressure GC (measured round 14: serve 216s
+  // at 8g vs 179s at 32g, same queries, zero spills either way). The
+  // box has 125 GiB; 32g keeps young-gen pressure off the critical path.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
