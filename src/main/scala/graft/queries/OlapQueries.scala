@@ -17,6 +17,29 @@ object OlapQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q260's hash rings: [[RingNodesBefore]] shards and
+    * [[RingNodesAfter]] (one added), each with [[RingVnodes]] virtual
+    * nodes at positions value16(md5("ring|shard|vnode")) on the 16-bit
+    * circle, packed as pos·32 + shard (shard < 32) so position ties
+    * resolve to the smaller shard identically in both engines. Driver
+    * literals — the ring is configuration, not data.
+    */
+  private val RingVnodes      = 16
+  private val RingNodesBefore = 16
+  private val RingNodesAfter  = 17
+
+  private def ringPacked(nShards: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (for {
+      s <- 0 until nShards
+      v <- 0 until RingVnodes
+    } yield {
+      val hex = md.digest(s"ring|$s|$v".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) * 32L + s.toLong
+    }).sorted
+  }
+
   /** q257's Poisson(1) CDF cut points on a 16-bit md5 slice: weight k
     * iff u < floor(CDF(k)·65536) first fails at k — driver-side literals
     * (corpus-independent) so both engines compare against the identical
@@ -67,6 +90,52 @@ object OlapQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
           col("grp_segment"), col("grp_priority"),
           col("revenue"), col("n_orders"))
+    },
+
+    // -----------------------------------------------------------------
+    // q260: CONSISTENT-HASHING movement audit — the shard-map design
+    // read q239's churn audit points at: growing a MOD-hash layout from
+    // N to N+1 shards remaps ~N/(N+1) of all keys (≈94% here), while a
+    // hash RING (Karger et al. 1997; 16 virtual nodes per shard) moves
+    // only the keys in the arcs the new shard claims (≈1/(N+1) ≈ 6%) —
+    // the difference between re-uploading a 100 TB corpus and touching
+    // one shard's worth. Both strategies measured on the same doc-hash
+    // stream: ring assignment is successor-on-the-circle, evaluated as
+    // a PURE PROJECTION — the ring is a driver literal array (packed
+    // pos·32+shard so position ties break to the smaller shard
+    // identically in both engines) and the successor is
+    // array_min(transform(...)) with wrap handled by adding one full
+    // cycle; no join, no shuffle until the 1-row agg. All-integer until
+    // the two readout divisions.
+    // -----------------------------------------------------------------
+    "q260_consistent_hashing" -> { (s, dir) =>
+      val cycle = 65536L * 32L
+      def assign(ring: Seq[Long], h: Column): Column = {
+        val arr = array(ring.map(lit): _*)
+        (array_min(transform(arr, p =>
+          when(shiftright(p, 5) >= h, p).otherwise(p + cycle)))
+          % cycle) % 32L
+      }
+      val h = graft.functions.HexKeys.value16(
+        md5(concat(lit("ch|"), col("doc_id").cast(StringType))))
+      val a = Tables(s, dir).documents.select(col("doc_id"), h.as("h"))
+        .select(col("doc_id"),
+                assign(ringPacked(RingNodesBefore), col("h")).as("ring_before"),
+                assign(ringPacked(RingNodesAfter), col("h")).as("ring_after"),
+                (col("h") % RingNodesBefore.toLong).as("mod_before"),
+                (col("h") % RingNodesAfter.toLong).as("mod_after"))
+      val g = a.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ring_before") =!= col("ring_after"), 1L).otherwise(0L))
+          .as("moved_ring"),
+        sum(when(col("mod_before") =!= col("mod_after"), 1L).otherwise(0L))
+          .as("moved_mod"))
+      g.select(lit("ring").as("strategy"), col("n_docs"),
+               col("moved_ring").as("n_moved"))
+        .unionAll(g.select(lit("mod").as("strategy"), col("n_docs"),
+                           col("moved_mod").as("n_moved")))
+        .withColumn("moved_frac",
+          col("n_moved").cast(DoubleType) / col("n_docs").cast(DoubleType))
     },
 
     // -----------------------------------------------------------------
@@ -552,6 +621,41 @@ object OlapQueries {
          |            / CAST(n_probe_rows - n_true_match AS DOUBLE) END AS fp_rate,
          |  CAST(n_pass_bloom AS DOUBLE) / CAST(n_probe_rows AS DOUBLE) AS pass_frac
          |FROM c CROSS JOIN nb""".stripMargin
+    },
+
+    // q260: identical ring literal lists, successor arithmetic, and
+    // readout divisions.
+    "q260_consistent_hashing" -> {
+      val cycle = 65536L * 32L
+      def assignSql(ring: Seq[Long]): String =
+        s"(list_min(list_transform([${ring.mkString(", ")}], " +
+          s"p -> CASE WHEN (p >> 5) >= h THEN p ELSE p + $cycle END)) " +
+          s"% $cycle) % 32"
+      s"""WITH d AS (
+         |  SELECT doc_id, ${graft.functions.HexKeys.value16Sql()} AS h
+         |  FROM (SELECT doc_id, md5('ch|' || CAST(doc_id AS VARCHAR)) AS hex
+         |        FROM documents)),
+         |a AS (
+         |  SELECT doc_id,
+         |    ${assignSql(ringPacked(RingNodesBefore))} AS ring_before,
+         |    ${assignSql(ringPacked(RingNodesAfter))} AS ring_after,
+         |    h % $RingNodesBefore AS mod_before,
+         |    h % $RingNodesAfter AS mod_after
+         |  FROM d),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN ring_before <> ring_after THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS moved_ring,
+         |    CAST(sum(CASE WHEN mod_before <> mod_after THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS moved_mod
+         |  FROM a)
+         |SELECT 'ring' AS strategy, n_docs, moved_ring AS n_moved,
+         |  CAST(moved_ring AS DOUBLE) / CAST(n_docs AS DOUBLE) AS moved_frac
+         |FROM g
+         |UNION ALL
+         |SELECT 'mod', n_docs, moved_mod,
+         |  CAST(moved_mod AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |FROM g""".stripMargin
     },
 
     // q257: same md5 slice vs the identical threshold literals, exact

@@ -942,6 +942,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q259 cartesian:\n$p")
   }
 
+  test("q260 consistent hashing: pure-projection ring assignment, no join, no window") {
+    // The ring is a driver literal — assignment must never become a
+    // theta/nested-loop join against a ring table; the whole plan is a
+    // projection + 1-row agg + 2-leg union.
+    val p = planOf(SparkEntry.queries("q260_consistent_hashing")(spark, dir))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q260 more than a projection+agg:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
