@@ -238,6 +238,28 @@ object OlapQueries {
              max(col("value")).as("max_value"))
     },
 
+    // -----------------------------------------------------------------
+    // q261: CUBE — the remaining aggregation-lattice form next to
+    // ROLLUP (q46, hierarchy prefixes) and GROUPING SETS (q65, explicit
+    // lattice): all 2² subsets of (orderstatus, priority) in ONE
+    // partial+final pass with grouping flags disambiguating real NULLs
+    // from subtotal rows. Same decimal-exact revenue so every subtotal
+    // hash-gates.
+    // -----------------------------------------------------------------
+    "q261_cube" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast(LongType).as("grp_status"),
+             grouping(col("o_orderpriority")).cast(LongType).as("grp_priority"),
+             sumExact(col("o_totalprice")).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+          col("grp_status"), col("grp_priority"),
+          col("revenue"), col("n_orders"))
+    },
+
     // Full ranking-window family on one ordered partition (the reference
     // uses only rank()).
     "q47_window_family" -> { (s, dir) =>
@@ -755,6 +777,17 @@ object OlapQueries {
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), (o_orderpriority), ())""".stripMargin,
+
+    // q261: the same lattice arithmetic via CUBE.
+    "q261_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS grp_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS grp_priority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q47_window_family" ->
       """WITH rev AS (
         |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS reference_year,
