@@ -636,6 +636,66 @@ object VectorQueries {
     },
 
     // -----------------------------------------------------------------
+    // q262: MMR DIVERSITY RE-RANKING (Carbonell & Goldstein 1998) — the
+    // retrieval post-processor the top-k family lacked: a near-dup-
+    // heavy corpus fills exact top-k with copies of one document; MMR
+    // greedily selects argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so
+    // each pick is relevant AND far from what's already chosen. λ = 0.5
+    // (both weights exactly representable — no 1−λ rounding skew
+    // between engines), 5 picks from each query's exact top-10. The
+    // greedy loop is FIVE UNROLLED steps (the q126 LPA discipline): per
+    // step one anti-join (remaining), one bounded max-sim agg over the
+    // candidate pair frame (≤k² per query), one argmax via
+    // max(struct(score, −doc)) ≡ the oracle's (score DESC, doc ASC)
+    // row_number. All frames are |queries|·k-sized after the one
+    // ranker pass — constant work per step, nothing corpus-scale.
+    // -----------------------------------------------------------------
+    "q262_mmr_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cand = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 10)
+        .filter(col("cosine").isNotNull)
+        .select(col("query_id"), col("neighbor_id").as("doc"),
+                col("cosine").as("rel"))
+      val v = e.select(col("vec_id").as("doc"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
+      val withVec = cand.join(v, "doc")
+      val pairs = withVec.as("a").join(withVec.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.doc") =!= col("b.doc"))
+        .select(col("a.query_id").as("query_id"), col("a.doc").as("doc"),
+                col("b.doc").as("sel_doc"),
+                when(col("a.nrm") > 0 && col("b.nrm") > 0,
+                     graft.functions.Vectors.dot(col("a.v"), col("b.v")) /
+                       (col("a.nrm") * col("b.nrm"))).as("sim"))
+      def argmax(df: DataFrame,
+                 score: org.apache.spark.sql.Column): DataFrame =
+        df.groupBy(col("query_id"))
+          .agg(max(struct(score.as("s"), (-col("doc")).as("nd"))).as("__m"))
+          .select(col("query_id"), (-col("__m.nd")).as("doc"))
+      var selected = argmax(cand, col("rel")).withColumn("step", lit(1L))
+      for (i <- 2 to 5) {
+        val selSet = selected.select(col("query_id"), col("doc").as("sel_doc"))
+        val remaining = cand.join(
+          selSet.withColumnRenamed("sel_doc", "doc"),
+          Seq("query_id", "doc"), "left_anti")
+        val maxsim = pairs.join(selSet, Seq("query_id", "sel_doc"))
+          .groupBy(col("query_id"), col("doc"))
+          .agg(max(col("sim")).as("maxsim"))
+        val scored = remaining.join(maxsim, Seq("query_id", "doc"), "left")
+          .select(col("query_id"), col("doc"),
+            (lit(0.5) * col("rel") -
+              lit(0.5) * coalesce(col("maxsim"), lit(0.0))).as("mmr"))
+        selected = selected.unionAll(
+          argmax(scored, col("mmr")).withColumn("step", lit(i.toLong)))
+      }
+      selected.join(cand, Seq("query_id", "doc"))
+        .select(col("query_id"), col("step").as("mmr_rank"),
+                col("doc").as("neighbor_id"), col("rel").as("relevance"))
+    },
+
+    // -----------------------------------------------------------------
     // q255: INDEX-STALENESS recall audit — the quantitative form of the
     // q197 rebuild trigger: per query, recall@3 of the FRESH index
     // (q64's full-corpus centroids) next to the STALE one (q141's
@@ -2556,6 +2616,68 @@ object VectorQueries {
     // centroids), so the incremental base+append build must equal this
     // one-shot restatement exactly
     ("q141_ann_index_append" -> q141Oracle) +
+    // q262: exact top-10 chain + candidate pair sims + FIVE unrolled
+    // greedy CTE steps; row_number (score DESC, doc ASC) replays the
+    // max(struct(score, −doc)) argmax exactly, λ = 1−λ = 0.5 exact.
+    ("q262_mmr_rerank" -> {
+      def step(i: Int): String =
+        s"""ms$i AS (
+           |  SELECT p.query_id, p.doc, max(p.sim) AS maxsim
+           |  FROM pairs p JOIN cum${i - 1} s
+           |    ON s.query_id = p.query_id AND s.sel_doc0 = p.sel_doc0
+           |  GROUP BY 1, 2),
+           |sc$i AS (
+           |  SELECT c.query_id, c.doc,
+           |         0.5 * c.rel - 0.5 * coalesce(m.maxsim, 0.0) AS mmr
+           |  FROM cand c LEFT JOIN ms$i m
+           |    ON m.query_id = c.query_id AND m.doc = c.doc
+           |  WHERE NOT EXISTS (SELECT 1 FROM cum${i - 1} s
+           |                    WHERE s.query_id = c.query_id
+           |                      AND s.sel_doc0 = c.doc)),
+           |sel$i AS (
+           |  SELECT query_id, doc, CAST($i AS BIGINT) AS step FROM (
+           |    SELECT query_id, doc,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY mmr DESC, doc ASC) AS rn
+           |    FROM sc$i) WHERE rn = 1),
+           |cum$i AS (SELECT query_id, sel_doc0, step FROM cum${i - 1}
+           |          UNION ALL SELECT query_id, doc, step FROM sel$i)""".stripMargin
+      s"""WITH n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |sx AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc,
+         |    CASE WHEN q.nrm > 0 AND c.nrm > 0
+         |         THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END AS rel
+         |  FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id != q.vec_id),
+         |cand AS (
+         |  SELECT query_id, doc, rel FROM
+         |    (SELECT *, row_number() OVER (PARTITION BY query_id
+         |       ORDER BY rel DESC NULLS LAST, doc) AS rank FROM sx)
+         |  WHERE rank <= 10 AND rel IS NOT NULL),
+         |wv AS (
+         |  SELECT c.query_id, c.doc, n.v, n.nrm
+         |  FROM cand c JOIN n ON n.vec_id = c.doc),
+         |pairs AS (
+         |  SELECT a.query_id, a.doc, b.doc AS sel_doc0,
+         |    CASE WHEN a.nrm > 0 AND b.nrm > 0
+         |         THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS sim
+         |  FROM wv a JOIN wv b
+         |    ON a.query_id = b.query_id AND a.doc <> b.doc),
+         |sel1 AS (
+         |  SELECT query_id, doc, CAST(1 AS BIGINT) AS step FROM (
+         |    SELECT query_id, doc,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY rel DESC, doc ASC) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |cum1 AS (SELECT query_id, doc AS sel_doc0, step FROM sel1),
+         |${(2 to 5).map(step).mkString(",\n")}
+         |SELECT s.query_id, s.step AS mmr_rank, s.sel_doc0 AS neighbor_id,
+         |  c.rel AS relevance
+         |FROM cum5 s JOIN cand c
+         |  ON c.query_id = s.query_id AND c.doc = s.sel_doc0""".stripMargin
+    }) +
     // q255: q37 exact / q64 fresh / q141 stale chains joined per query —
     // the recall the frozen-centroid index LOSES, the rebuild trigger's
     // quantitative read; identical guarded divisions in both engines.

@@ -951,6 +951,15 @@ class PlanQualitySpec extends SparkSpec {
       s"q260 more than a projection+agg:\n$p")
   }
 
+  test("q262 MMR: equi-join greedy steps over query-bounded frames, no rank window") {
+    // The corpus appears only in the one ranker pass; the 5 greedy
+    // steps must be equi-joins/aggs over |queries|*k frames — no window
+    // (argmax is the struct-max), no cartesian.
+    val p = planOf(SparkEntry.queries("q262_mmr_rerank")(spark, dir))
+    assert(!p.contains("Window"), s"q262 rank-windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q262 cartesian:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
