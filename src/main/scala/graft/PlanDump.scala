@@ -67,7 +67,19 @@ object PlanDump {
     "q229_epoch_budget_alloc", "q230_shard_manifest", "q231_chao1_unseen",
     "q232_drift_fdr", "q233_entropy_rate", "q234_resume_manifest",
     "q235_shuffle_skew_plan", "q236_source_novelty", "q237_dedup_roi",
-    "q238_decontam_report", "q239_reshard_churn")
+    "q238_decontam_report", "q239_reshard_churn",
+    // round-14 wave: planner/audit operators, reshaping, privacy ladder,
+    // retrieval evaluation, infra hashing
+    "q240_cross_source_dup", "q241_epoch_yield", "q242_bloom_semijoin",
+    "q243_doremi_weights", "q244_lsh_band_tuning",
+    "q245_learnability_filter", "q246_davies_bouldin",
+    "q247_threshold_sweep", "q248_ann_ndcg", "q249_l_diversity_sweep",
+    "q250_rank_biased_overlap", "q251_packing_capacity_sweep",
+    "q252_embedding_drift", "q253_pivot_matrix", "q254_unpivot_measures",
+    "q255_index_staleness", "q256_waterfall_by_source",
+    "q257_poisson_bootstrap", "q258_weighted_sample",
+    "q259_t_closeness_sweep", "q260_consistent_hashing", "q261_cube",
+    "q262_mmr_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
