@@ -1898,6 +1898,68 @@ object TextQueries {
     },
 
     // ---------------------------------------------------------------
+    // q263: DEDUP-METHOD AGREEMENT matrix — the method-selection read
+    // the per-method gates can't give alone: for every pair of shipped
+    // dedup modalities (exact star edges, Jaccard≥0.5 mined pairs,
+    // MinHash-LSH confirmed pairs, SimHash hamming≤3 pairs), how many
+    // doc pairs each emits, how many they SHARE, and the Jaccard
+    // agreement |A∩B| / |A∪B| — near-1 off-diagonals mean one modality
+    // is redundant at this corpus's dup profile, near-0 means they
+    // screen DIFFERENT phenomena and both earn their cost. Each
+    // method's PAIR OUTPUT is the shipped one (exact emits
+    // canonical→member star edges, not the within-group closure — the
+    // matrix compares what the operators actually produce). Scale
+    // shape: every input frame is an already-gated (and where shipped,
+    // memoized) pair set; the matrix is one self-join on the pair key
+    // over pair-sized frames + a 10-row lattice completion against a
+    // 4-row literal; all-integer until the one division.
+    // ---------------------------------------------------------------
+    "q263_method_agreement" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents
+      def tag(df: DataFrame, m: String) =
+        df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
+      val all = tag(Dedup.exact(d, "doc_id", "text")
+            .filter(col("is_duplicate"))
+            .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b")),
+          "exact")
+        .unionAll(tag(jaccard05(s, dir).select(col("doc_a"), col("doc_b")),
+                      "jaccard"))
+        .unionAll(tag(minhashQuery(s, dir).filter(col("is_near_dup"))
+                        .select(col("doc_a"), col("doc_b")), "minhash"))
+        .unionAll(tag(simhashQuery(s, dir).select(col("doc_a"), col("doc_b")),
+                      "simhash"))
+      val counts = all.groupBy(col("method")).agg(count(lit(1)).as("n"))
+      val overlap = all.as("a").join(all.as("b"),
+          col("a.doc_a") === col("b.doc_a") &&
+            col("a.doc_b") === col("b.doc_b") &&
+            col("a.method") <= col("b.method"))
+        .groupBy(col("a.method").as("method_a"),
+                 col("b.method").as("method_b"))
+        .agg(count(lit(1)).as("n_both"))
+      val m = Seq("exact", "jaccard", "minhash", "simhash").toDF("method")
+      val lattice = m.select(col("method").as("method_a"))
+        .crossJoin(m.select(col("method").as("method_b")))
+        .filter(col("method_a") <= col("method_b"))
+      lattice
+        .join(overlap, Seq("method_a", "method_b"), "left")
+        .join(broadcast(counts.select(col("method").as("method_a"),
+                                      col("n").as("n_a"))),
+              Seq("method_a"), "left")
+        .join(broadcast(counts.select(col("method").as("method_b"),
+                                      col("n").as("n_b"))),
+              Seq("method_b"), "left")
+        .select(col("method_a"), col("method_b"),
+                coalesce(col("n_a"), lit(0L)).as("n_a"),
+                coalesce(col("n_b"), lit(0L)).as("n_b"),
+                coalesce(col("n_both"), lit(0L)).as("n_both"))
+        .withColumn("agreement",
+          when(col("n_a") + col("n_b") - col("n_both") > 0L,
+               col("n_both").cast(DoubleType) /
+                 (col("n_a") + col("n_b") - col("n_both")).cast(DoubleType)))
+    },
+
+    // ---------------------------------------------------------------
     // q247: DEDUP THRESHOLD SWEEP — the planner read before fixing the
     // Jaccard cutoff: for each threshold t ∈ {0.5, 0.6, 0.7, 0.8}, the
     // transitive dup clusters that survive (mined pairs filtered to
@@ -5559,6 +5621,67 @@ object TextQueries {
          |FROM e a JOIN e b
          |  ON a.cluster_id = b.cluster_id AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+
+    // q263: the four shipped pair-set restatements (exact star edges,
+    // q35 Jaccard, q36 confirmed, q41 simhash) unioned with tags, the
+    // same pair-key self-join + lattice completion, guarded division.
+    "q263_method_agreement" ->
+      s"""WITH ex0 AS (
+         |  SELECT md5(text) AS h, min(doc_id) AS mn, count(*) AS c
+         |  FROM documents GROUP BY 1),
+         |exedges AS (
+         |  SELECT e.mn AS doc_a, d.doc_id AS doc_b
+         |  FROM documents d JOIN ex0 e ON md5(d.text) = e.h
+         |  WHERE e.c > 1 AND d.doc_id <> e.mn),
+         |allp AS (
+         |  SELECT doc_a, doc_b, 'exact' AS method FROM exedges
+         |  UNION ALL
+         |  SELECT doc_a, doc_b, 'jaccard' FROM ($jaccard05OracleSql) j
+         |  UNION ALL
+         |  SELECT doc_a, doc_b, 'minhash' FROM ($minhashLshOracleSql) m
+         |  WHERE is_near_dup
+         |  UNION ALL
+         |  SELECT doc_a, doc_b, 'simhash' FROM (
+         |    WITH $simhash64CtesSql,
+         |    bands AS (
+         |      SELECT doc_id, simhash, k AS band_idx,
+         |             (simhash >> (48 - k * 16)) & 65535 AS band_val
+         |      FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+         |    cand AS (
+         |      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             a.simhash AS sh_a, b.simhash AS sh_b
+         |      FROM bands a JOIN bands b
+         |        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |       AND a.doc_id < b.doc_id)
+         |    SELECT doc_a, doc_b FROM cand
+         |    WHERE bit_count(xor(sh_a, sh_b)) <= 3) sh2),
+         |cnt AS (SELECT method, CAST(count(*) AS BIGINT) AS n
+         |        FROM allp GROUP BY 1),
+         |ov AS (
+         |  SELECT a.method AS method_a, b.method AS method_b,
+         |         CAST(count(*) AS BIGINT) AS n_both
+         |  FROM allp a JOIN allp b
+         |    ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b
+         |   AND a.method <= b.method
+         |  GROUP BY 1, 2),
+         |ms AS (SELECT unnest(['exact', 'jaccard', 'minhash', 'simhash']) AS method),
+         |lat AS (
+         |  SELECT a.method AS method_a, b.method AS method_b
+         |  FROM ms a CROSS JOIN ms b WHERE a.method <= b.method),
+         |j AS (
+         |  SELECT l.method_a, l.method_b,
+         |    CAST(coalesce(ca.n, 0) AS BIGINT) AS n_a,
+         |    CAST(coalesce(cb.n, 0) AS BIGINT) AS n_b,
+         |    CAST(coalesce(ov.n_both, 0) AS BIGINT) AS n_both
+         |  FROM lat l
+         |  LEFT JOIN ov ON ov.method_a = l.method_a AND ov.method_b = l.method_b
+         |  LEFT JOIN cnt ca ON ca.method = l.method_a
+         |  LEFT JOIN cnt cb ON cb.method = l.method_b)
+         |SELECT method_a, method_b, n_a, n_b, n_both,
+         |  CASE WHEN n_a + n_b - n_both > 0
+         |       THEN CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE)
+         |  END AS agreement
+         |FROM j""".stripMargin,
 
     // q247: shared pair CTEs + one recursive min-label closure per
     // threshold leg seeded from edge ENDPOINTS only (matching the Spark

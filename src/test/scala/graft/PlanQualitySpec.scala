@@ -960,6 +960,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q262 cartesian:\n$p")
   }
 
+  test("q263 method agreement: pair-key equi-joins over pair-sized frames, no window") {
+    // Every input is an already-gated pair set; the matrix must be a
+    // pair-key self-join + a literal lattice completion — no window, no
+    // corpus-scale cartesian (the 4x4 method lattice is the only cross).
+    val p = planOf(SparkEntry.queries("q263_method_agreement")(spark, dir))
+    assert(!p.contains("Window"), s"q263 windows:\n$p")
+  }
+
   test("q123 triangle counting is equi-join only, over the bucketed edge table") {
     // Degree orientation bounds the per-edge adjacency intersection; the
     // scale contract is that NO stage is a cartesian pair stream and no
