@@ -101,7 +101,13 @@ object TextQueries {
     */
   private[graft] def snmAuditRateExpr: Column = {
     val num = 100L * SnmAuditTargetVals
-    when(col("__v") > lit(num),
+    // __v = 0 (empty corpus) must short-circuit BEFORE the integer
+    // division: Spark's non-ANSI `num DIV 0` yields NULL (least/greatest
+    // would then quietly produce the cap) while DuckDB's `// 0` raises —
+    // the engines would diverge on a degenerate frame. Rate is moot with
+    // zero values (no pairs exist), so both sides pin it to the cap.
+    when(col("__v") === lit(0L), lit(SnmAuditMaxPct))
+      .when(col("__v") > lit(num),
       raise_error(concat(
         lit("q214 audit budget exceeded: "), col("__v").cast("string"),
         lit(s" distinct simhash values exceeds ${num} — even the 1% rate floor" +
@@ -1511,8 +1517,15 @@ object TextQueries {
               Seq("bucket_width", "source", "len_bucket", "lang"), "left")
         .withColumn("n_cl", coalesce(col("n_cl"), lit(0L)))
         .crossJoin(broadcast(globalTot))
+        // the cross-multiplications run on DECIMAL(38,0), not BIGINT:
+        // n_cl·n_tot reaches N² (~1e19 at N≈3e9 docs, past 2⁶³), where
+        // Spark (non-ANSI) would wrap silently while DuckDB raises — the
+        // engines would diverge DIFFERENTLY at web scale. 38 digits keep
+        // the test exact to N ≈ 1e18 docs; the final outputs (counts,
+        // one IEEE division) are unchanged, so gate hashes hold.
         .withColumn("dev",
-          abs(col("n_cl") * col("n_tot") - col("n_l") * col("n_cell")))
+          abs(col("n_cl").cast(DecimalType(38, 0)) * col("n_tot") -
+              col("n_l").cast(DecimalType(38, 0)) * col("n_cell")))
       val perCell = full.groupBy(col("bucket_width"), col("source"),
                                  col("len_bucket"), col("n_cell"),
                                  col("n_tot"))
@@ -1522,7 +1535,8 @@ object TextQueries {
             (lit(2.0) * col("n_tot").cast(DoubleType) *
               col("n_cell").cast(DoubleType)))
         .withColumn("violates",
-          col("tvd_num") * 10L > lit(8L) * col("n_tot") * col("n_cell"))
+          col("tvd_num") * 10L >
+            lit(8L).cast(DecimalType(38, 0)) * col("n_tot") * col("n_cell"))
       perCell.groupBy(col("bucket_width"))
         .agg(count(lit(1)).as("n_cells"),
              max(col("tvd")).as("max_tvd"),
@@ -4961,16 +4975,18 @@ object TextQueries {
         |                AND x.len_bucket = c.len_bucket
         |                AND x.lang = gl.lang),
         |pc AS (
+        |  -- HUGEINT mirrors the Spark side's DECIMAL(38,0): BIGINT would
+        |  -- overflow (raise) at n_cl*n_tot ~ N^2 for web-scale N
         |  SELECT f.bucket_width, f.source, f.len_bucket, f.n_cell, gt.n_tot,
-        |         CAST(sum(abs(f.n_cl * gt.n_tot - f.n_l * f.n_cell)) AS BIGINT)
-        |           AS tvd_num
+        |         sum(abs(CAST(f.n_cl AS HUGEINT) * gt.n_tot
+        |                 - CAST(f.n_l AS HUGEINT) * f.n_cell)) AS tvd_num
         |  FROM full0 f CROSS JOIN gt
         |  GROUP BY 1, 2, 3, 4, 5),
         |px AS (
         |  SELECT bucket_width,
         |    CAST(tvd_num AS DOUBLE)
         |      / (2.0 * CAST(n_tot AS DOUBLE) * CAST(n_cell AS DOUBLE)) AS tvd,
-        |    (tvd_num * 10 > 8 * n_tot * n_cell) AS violates
+        |    (tvd_num * 10 > CAST(8 AS HUGEINT) * n_tot * n_cell) AS violates
         |  FROM pc)
         |SELECT bucket_width, CAST(count(*) AS BIGINT) AS n_cells,
         |  max(tvd) AS max_tvd,
@@ -5282,7 +5298,8 @@ object TextQueries {
          |  SELECT simhash, lpad(to_hex(simhash), 16, '0') AS h
          |  FROM sh GROUP BY 1, 2),
          |rate AS (
-         |  SELECT CASE WHEN v > ${100L * SnmAuditTargetVals}
+         |  SELECT CASE WHEN v = 0 THEN $SnmAuditMaxPct
+         |              WHEN v > ${100L * SnmAuditTargetVals}
          |              THEN CAST(error('q214 audit budget exceeded') AS BIGINT)
          |              ELSE greatest(1, least($SnmAuditMaxPct,
          |                                     ${100L * SnmAuditTargetVals} // v)) END AS rate_pct

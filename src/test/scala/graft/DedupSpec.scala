@@ -496,4 +496,88 @@ class DedupSpec extends SparkSpec {
     assert(key(full) == brute.map(_.toString),
       "full-window SNM diverged from brute force")
   }
+
+  test("adversarial corpus: mega-dup cluster + flooded shingle keep candidates sub-quadratic") {
+    // Round-14 verdict ask: every dedup gate runs on the generator's
+    // well-behaved corpus, so the flooded-key discipline had no direct
+    // test. This fixture is the pathological shape it exists for —
+    //   (a) 30% of the corpus is ONE near-dup cluster (shared 43-token
+    //       base, one distinct suffix token each: pairwise J = 38/44),
+    //   (b) one trigram appears in EVERY document (the universal nav /
+    //       boilerplate shingle — a df = n postings-list bomb).
+    // The assertions pin CANDIDATE counts, not just verified pairs: the
+    // candidate set must stay ~ true-pairs + O(n), never ~ n²/2.
+    val n = 400
+    val k = 120 // the mega cluster: 30% of docs
+    val baseHead = (0 until 20).map(j => s"base$j").mkString(" ")
+    val baseTail = (20 until 40).map(j => s"base$j").mkString(" ")
+    val flood = "flood0 flood1 flood2"
+    val corpus = ((0 until k).map { i =>
+      (i.toLong, s"$baseHead $flood $baseTail uniq$i")
+    } ++ (k until n).map { i =>
+      val t = (0 until 30).map(j => s"d${i}t$j")
+      (i.toLong,
+       (t.take(15) ++ Seq("flood0", "flood1", "flood2") ++ t.drop(15))
+         .mkString(" "))
+    }).toDF("doc_id", "text")
+    val truePairs = k.toLong * (k - 1) / 2 // 7140: all intra-cluster
+    val allPairs = n.toLong * (n - 1) / 2  // 79800
+
+    // q35 leg — AllPairs prefix filter: the universal shingle has the
+    // maximal df, so the (df asc, shingle asc) prefix order pushes it
+    // PAST every prefix; candidates must be exactly the cluster pairs.
+    val sh = Dedup.shingled(corpus, "doc_id", "text")
+    val jacCand = Dedup.jaccardCandidates(sh, threshold = 0.5,
+      materialize = false).count()
+    assert(jacCand <= truePairs + n,
+      s"prefix filter flooded: $jacCand candidates (true pairs $truePairs)")
+    assert(jacCand < allPairs / 10,
+      s"prefix filter quadratic: $jacCand of $allPairs possible")
+    val jacPairs = Dedup.jaccardPairs(corpus, "doc_id", "text",
+      threshold = 0.5, materialize = false).count()
+    assert(jacPairs == truePairs,
+      s"expected exactly the $truePairs intra-cluster pairs, got $jacPairs")
+
+    // q36 leg — MinHash banding: background docs share ONLY the flooded
+    // trigram (J ≈ 1/60), so accidental band collisions stay rare while
+    // the cluster (J = 0.86) is recalled near-fully.
+    val mhCand = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      materialize = false).count()
+    assert(mhCand <= truePairs + n + allPairs / 50,
+      s"LSH banding flooded: $mhCand candidates (true pairs $truePairs)")
+    assert(mhCand >= (truePairs * 90) / 100,
+      s"LSH banding lost the cluster: $mhCand of $truePairs")
+
+    // q41 leg — SimHash banding: near-identical cluster texts hash
+    // within the band-exact hamming range; candidates ≈ cluster pairs.
+    val shPairs = Dedup.simhashPairs(corpus, "doc_id", "text",
+      materialize = false).count()
+    assert(shPairs <= truePairs + n,
+      s"simhash banding flooded: $shPairs pairs (true pairs $truePairs)")
+
+    // SNM leg (q213 family) — the flooded-key discipline proper:
+    // identical values collapse BEFORE any window, so the distinct-value
+    // frame is ≤ n rows and the screen's candidate volume is bounded by
+    // rotations · window · values, linear in V regardless of dup skew.
+    val vals = Dedup.simhashVals(corpus, "doc_id", "text")
+    val v = vals.count()
+    assert(v <= n, s"value collapse failed: $v distinct simhash rows")
+    val snm = Dedup.snmPairsFromVals(vals, windowW = 2, rotations = 4,
+      maxHamming = 8).count()
+    assert(snm <= 4L * 2 * 2 * v,
+      s"SNM screen exceeded its rotations·window·values bound: $snm")
+
+    // q67 leg — connected components over the mined pairs: one cluster
+    // of 120, everything else a singleton, labels converged.
+    val cc = Dedup.connectedComponents(
+      corpus.select(col("doc_id").as("id")),
+      Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.5,
+        materialize = false),
+      "doc_a", "doc_b")
+    val sizes = cc.groupBy(col("cluster_id")).count()
+      .groupBy(col("count")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(k.toLong -> 1L, 1L -> (n - k).toLong),
+      s"cluster spectrum wrong: $sizes")
+  }
 }
