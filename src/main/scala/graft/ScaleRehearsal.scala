@@ -150,7 +150,78 @@ object ScaleRehearsal {
     ()
   }
 
+  /** The round-14 verdict's top-cost tier: every family with a ≥6 s warm
+    * sf1 point (or owning the suite's GC tail). These get the TWO-point
+    * treatment (sf1 + sf3 → a measured scaling exponent per family)
+    * because one superlinear surprise here dominates any 100 TB plan.
+    */
+  private val ExponentTier = Seq(
+    "q123_triangle_count", "q215_snm_incremental", "q209_scrubbed_curation",
+    "q206_winnow_overlap", "q38_embedding_neardup", "q223_calibrated_curation",
+    "q247_threshold_sweep", "q144_bpe_fit_delta", "q36_minhash_lsh",
+    "q161_curation_v2")
+
+  /** Two-scale exponent mode: `runMain graft.ScaleRehearsal exponents
+    * [srcDir]` builds the sf1 (10-copy) and sf3 (30-copy) corpora, runs
+    * the [[ExponentTier]] cold+warm at each scale IN SEPARATE SESSIONS
+    * (a shared session would let sf1's memoized indexes serve sf3), and
+    * writes BENCH_SF3.json with a per-family measured exponent
+    * log(t₃/t₁)/log 3 — the missing leg of the 100 TB scale evidence
+    * (round-14 verdict #1: plan shapes were verified, but 219/257
+    * families had no >1× measured point and none had a >10× point).
+    */
+  private def exponentsMain(src: String): Unit = {
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    case class Pt(cold: Double, warm: Double, rows: Long)
+    def runScale(out: String, copies: Int): (Double, Map[String, Pt]) = {
+      val spark = core.Sessions.local(32, s"scale-exponents-$copies")
+      spark.range(1000).selectExpr("sum(id)").collect()
+      val t0 = System.nanoTime()
+      build(spark, src, out, copies)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val pts = ExponentTier.map { q =>
+        def once(): (Double, Long) = {
+          val s0 = System.nanoTime()
+          val n = SparkEntry.queries(q)(spark, out).count()
+          ((System.nanoTime() - s0) / 1e9, n)
+        }
+        val (c, rows) = once()
+        val (w, _)    = once()
+        System.err.println(f"[x$copies] $q cold=$c%.1f warm=$w%.1f rows=$rows")
+        q -> Pt(c, w, rows)
+      }.toMap
+      spark.stop()
+      // a fresh session per scale: getOrCreate would hand scale 2 the
+      // stopped context otherwise
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      (buildSec, pts)
+    }
+    val (b1, p1) = runScale("/tmp/graft_sf1", 10)
+    val (b3, p3) = runScale("/tmp/graft_sf3", 30)
+    val rows = ExponentTier.map { q =>
+      val (a, b) = (p1(q), p3(q))
+      // exponent from the warm points (cold includes one-time index
+      // builds that the serving story amortizes); floor at 0.2 s to keep
+      // log-noise out of sub-second families
+      val e = math.log(math.max(b.warm, 0.2) / math.max(a.warm, 0.2)) / math.log(3.0)
+      s""""${q.takeWhile(_ != '_')}":{"sf1_cold":${fmt(a.cold)},"sf1_warm":${fmt(a.warm)},""" +
+      s""""sf3_cold":${fmt(b.cold)},"sf3_warm":${fmt(b.warm)},""" +
+      s""""rows_sf1":${a.rows},"rows_sf3":${b.rows},"warm_exponent":${fmt(e)}}"""
+    }
+    val line = s"""{"metric":"sf3_scaling","tier_size":${ExponentTier.size},""" +
+      s""""build_sec_sf1":${fmt(b1)},"build_sec_sf3":${fmt(b3)},""" +
+      s""""families":{${rows.mkString(",")}}}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SF3.json"), line + "\n")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("exponents")) {
+      exponentsMain(if (args.length > 1) args(1) else "/root/testdata/sf0.1")
+      return
+    }
     val src    = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out    = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10

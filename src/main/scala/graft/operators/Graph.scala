@@ -42,7 +42,18 @@ object Graph {
     *              present, no self-loops — the co-purchase contract)
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // Every node-keyed frame on a build side below carries a SHUFFLE_HASH
+    // hint. Past the broadcast threshold the planner would otherwise pick
+    // SortMergeJoin, whose SORT of the probe side is this operator's real
+    // scale cliff: at sf1 the post-orientation probe rows carry the
+    // adjacency ARRAYS, so the sorter churns wedge-volume allocations
+    // (measured: 16.9 s warm at sf1 vs 2.8 s at sf0.1, where AQE still
+    // broadcasts — a 6× jump for 10× data). A shuffled hash join builds
+    // its per-partition map from the node-sized side and STREAMS the
+    // array-carrying rows unsorted; the wedge volume crosses the wire
+    // once (inherent — see PERF.md's q123 model) but is never sorted.
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .hint("shuffle_hash")
     val o = edges
       .join(deg.select(col("node"), col("deg").as("du")), col("src") === col("node"))
       .drop("node")
@@ -61,6 +72,7 @@ object Graph {
     // guarantee — so no hub ever materializes a quadratic set.
     val adj = o.groupBy(col("u").as("node"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .hint("shuffle_hash")
     // q123's warm cost measured ~85% GC (bench gc_ms) — allocation
     // churn, not compute — so the per-edge intersection, the
     // participation emit, and the (node, count) row stream are FUSED

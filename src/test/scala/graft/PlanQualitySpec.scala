@@ -977,6 +977,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!tri.contains("CartesianProduct") && !tri.contains("BroadcastNestedLoopJoin"),
       s"triangle counting cross-joined:\n$tri")
     assert(!tri.contains("Window"), s"per-node window over wedges:\n$tri")
+    // Past the broadcast threshold the joins must plan as SHUFFLED HASH,
+    // never sort-merge: SMJ's sort of the adjacency-carrying probe rows
+    // is the operator's measured scale cliff (sf1: 16.9 s warm unhinted
+    // vs 9.7 s hinted — the sorter churns the full wedge volume, see
+    // PERF.md's q123 scaling model). At this test SF the joins broadcast,
+    // so the gate pins the SHUFFLE_HASH hints surviving to the initial
+    // plan instead.
+    val initial = SparkEntry.queries("q123_triangle_count")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!initial.contains("SortMergeJoin"),
+      s"q123 lost its shuffle-hash hints (SMJ would sort the wedge stream):\n$initial")
   }
 
   test("shuffle budget: headline queries stay within their pinned exchange counts") {
