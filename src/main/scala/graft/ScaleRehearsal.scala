@@ -21,9 +21,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     DISJOINT across copies — dup structure replicates 10×, with no
   *     cross-copy accidental near-dups;
   *   - embeddings: vec_id += i·10^7; a copy-specific SIGNED ROTATION of
-  *     the components (an orthogonal map: rotate by i, flip sign when
-  *     (pos+i) % 3 == 0 for i > 0) — intra-copy cosines are preserved
-  *     EXACTLY, cross-copy vectors decorrelate;
+  *     the components (an orthogonal map: rotate by i, then a per-(copy,
+  *     position) xxhash64-derived Rademacher sign for i > 0) — intra-copy
+  *     cosines are preserved EXACTLY, cross-copy vectors decorrelate.
+  *     (Round 15: the original periodic sign pattern, flip when
+  *     (pos+i) % 3 == 0, decorrelated fine at 10 copies but COLLIDED at
+  *     30 — copies with compatible rotation/sign phases produced ~580k
+  *     accidental cross-copy near-dup pairs at sf3, contaminating q38's
+  *     scaling point with 9× output for 3× data; hash-keyed signs make
+  *     every cross-copy inner product a random ± sum.)
   *   - lineitem: l_orderkey/l_partkey/l_suppkey += i·10^7 — the
   *     co-purchase graph becomes 10 disjoint copies, triangles ×10.
   *
@@ -124,7 +130,8 @@ object ScaleRehearsal {
         val rot = transform(sequence(lit(0), lit(d - 1)), p => {
           val srcPos = (p + i) % d
           element_at(col("embedding"), srcPos + 1) *
-            when((p + i) % 3 === 0, lit(-1.0f)).otherwise(lit(1.0f))
+            when(pmod(xxhash64(lit(i), p), lit(2)) === 0, lit(-1.0f))
+              .otherwise(lit(1.0f))
         })
         e.select((col("vec_id") + i * Shift).as("vec_id"),
                  rot.cast("array<float>").as("embedding"), col("label"))
@@ -185,9 +192,15 @@ object ScaleRehearsal {
           val n = SparkEntry.queries(q)(spark, out).count()
           ((System.nanoTime() - s0) / 1e9, n)
         }
+        // cold + TWO warm reps, warm = min: the first capture's single
+        // warm rep under-warmed the heavy compositions (q209 at sf3:
+        // 55 → 25 → 18 s across reps — JIT + memo convergence), which
+        // read as a fake superlinear exponent
         val (c, rows) = once()
-        val (w, _)    = once()
-        System.err.println(f"[x$copies] $q cold=$c%.1f warm=$w%.1f rows=$rows")
+        val (w1, _)   = once()
+        val (w2, _)   = once()
+        val w = math.min(w1, w2)
+        System.err.println(f"[x$copies] $q cold=$c%.1f warm=$w%.1f ($w1%.1f/$w2%.1f) rows=$rows")
         q -> Pt(c, w, rows)
       }.toMap
       spark.stop()
@@ -217,9 +230,85 @@ object ScaleRehearsal {
       java.nio.file.Paths.get("BENCH_SF3.json"), line + "\n")
   }
 
+  /** 100×-shape demonstration (round-14 verdict stretch): the single most
+    * load-bearing operator chain — MinHash LSH end-to-end (sign → band →
+    * candidate mine → exact verify → connected components) — run at sf10
+    * (100 copies of sf0.1: ~500k documents) with
+    * `spark.sql.shuffle.partitions` sized as a cluster deployment would
+    * be (256), recording per-stage wall time and SHUFFLE BYTES/ROWS so
+    * the 100 TB extrapolation in PERF.md cites measured constants
+    * (shuffle bytes per corpus document) instead of a shape argument.
+    * Usage: runMain graft.ScaleRehearsal lsh100x [srcDir]
+    */
+  private def lsh100xMain(src: String): Unit = {
+    import graft.operators.Dedup
+    val out = "/tmp/graft_sf10"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").appName("lsh-100x")
+      .config("spark.sql.shuffle.partitions", "256")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val tb = System.nanoTime()
+    build(spark, src, out, copies = 100)
+    val buildSec = (System.nanoTime() - tb) / 1e9
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val nDocs = docs.count()
+    val sm = new org.apache.spark.graftbus.ShuffleMetrics
+    spark.sparkContext.addSparkListener(sm)
+    val stages = scala.collection.mutable.LinkedHashMap[String, String]()
+    def stage(name: String)(action: => Long): Long = {
+      sm.reset(spark.sparkContext)
+      val t0 = System.nanoTime()
+      val n = action
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (wb, wr, rb) = sm.snapshot(spark.sparkContext)
+      stages(name) =
+        s"""{"sec":${fmt(sec)},"rows_out":$n,"shuffle_write_bytes":$wb,""" +
+        s""""shuffle_rows":$wr,"shuffle_read_bytes":$rb,""" +
+        s""""write_bytes_per_doc":${fmt(wb.toDouble / nDocs)}}"""
+      System.err.println(s"[lsh100x] $name ${stages(name)}")
+      n
+    }
+    // Stage 1 — sign + band + bucket-join candidate mining (the q36
+    // machinery at its shipped 8-hash/4-band shape, cached signatures).
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val nCand = stage("mine_candidates")(cand.count())
+    // Stage 2 — exact Jaccard verification of the candidates against the
+    // full shingle sets.
+    val sh = Dedup.shingled(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = Dedup.verifyPairs(cand, sh, threshold = 0.5)
+      .localCheckpoint()
+    val nPairs = stage("verify_pairs")(verified.count())
+    sh.unpersist()
+    // Stage 3 — connected components over the verified dup edges
+    // (endpoints-only label propagation: the cluster-labeling leg).
+    val cc = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")), verified, "doc_a", "doc_b")
+    val nDups = stage("connected_components")(
+      cc.filter(col("id") =!= col("cluster_id")).count())
+    val line =
+      s"""{"metric":"lsh_100x","copies":100,"n_docs":$nDocs,""" +
+      s""""shuffle_partitions":256,"build_sec":${fmt(buildSec)},""" +
+      s""""n_candidates":$nCand,"n_verified_pairs":$nPairs,"n_dup_docs":$nDups,""" +
+      s""""stages":{${stages.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LSH100X.json"), line + "\n")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("exponents")) {
       exponentsMain(if (args.length > 1) args(1) else "/root/testdata/sf0.1")
+      return
+    }
+    if (args.headOption.contains("lsh100x")) {
+      lsh100xMain(if (args.length > 1) args(1) else "/root/testdata/sf0.1")
       return
     }
     val src    = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
