@@ -273,24 +273,38 @@ object ScaleRehearsal {
       System.err.println(s"[lsh100x] $name ${stages(name)}")
       n
     }
+    // Constructions happen INSIDE the stage blocks: the dedup operators
+    // run their mining EAGERLY at DataFrame-construction time (the
+    // withCaches/localCheckpoint lineage cuts), so building them outside
+    // would bill every real job to no stage (the first capture measured
+    // 0.15 s / 118 shuffle bytes for the whole mine — all its work had
+    // already run at construction).
+    var cand: org.apache.spark.sql.DataFrame = null
     // Stage 1 — sign + band + bucket-join candidate mining (the q36
     // machinery at its shipped 8-hash/4-band shape, cached signatures).
-    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
-    val nCand = stage("mine_candidates")(cand.count())
+    val nCand = stage("mine_candidates") {
+      cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      cand.count()
+    }
     // Stage 2 — exact Jaccard verification of the candidates against the
     // full shingle sets.
-    val sh = Dedup.shingled(docs, "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = Dedup.verifyPairs(cand, sh, threshold = 0.5)
-      .localCheckpoint()
-    val nPairs = stage("verify_pairs")(verified.count())
-    sh.unpersist()
+    var verified: org.apache.spark.sql.DataFrame = null
+    val nPairs = stage("verify_pairs") {
+      val sh = Dedup.shingled(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      verified = Dedup.verifyPairs(cand, sh, threshold = 0.5)
+        .localCheckpoint()
+      val n = verified.count()
+      sh.unpersist()
+      n
+    }
     // Stage 3 — connected components over the verified dup edges
     // (endpoints-only label propagation: the cluster-labeling leg).
-    val cc = Dedup.connectedComponents(
-      docs.select(col("doc_id").as("id")), verified, "doc_a", "doc_b")
-    val nDups = stage("connected_components")(
-      cc.filter(col("id") =!= col("cluster_id")).count())
+    val nDups = stage("connected_components") {
+      val cc = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), verified, "doc_a", "doc_b")
+      cc.filter(col("id") =!= col("cluster_id")).count()
+    }
     val line =
       s"""{"metric":"lsh_100x","copies":100,"n_docs":$nDocs,""" +
       s""""shuffle_partitions":256,"build_sec":${fmt(buildSec)},""" +
