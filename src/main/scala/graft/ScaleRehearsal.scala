@@ -316,7 +316,63 @@ object ScaleRehearsal {
     spark.stop()
   }
 
+  /** FULL-SUITE sf1 rehearsal: every `SparkEntry.queries` entry (not the
+    * hand-picked 38-family Headline) cold + warm at 10 copies — closing
+    * the round-14 verdict's top gap ("219/257 families have no measured
+    * 10× point"). Writes BENCH_SF1.json (superseding the 38-family
+    * capture with a strict superset; same JSON shape, plus `families`).
+    * Usage: runMain graft.ScaleRehearsal full [srcDir] [outDir]
+    */
+  private def fullMain(src: String, out: String): Unit = {
+    val spark = core.Sessions.local(32, "scale-rehearsal-full")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val t0 = System.nanoTime()
+    build(spark, src, out, copies = 10)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq
+      .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))
+    val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (q <- names) {
+      def once(): Double = {
+        val s0 = System.nanoTime()
+        rows(q) = SparkEntry.queries(q)(spark, out).count()
+        (System.nanoTime() - s0) / 1e9
+      }
+      try { cold(q) = once(); warm(q) = once() }
+      catch { case e: Throwable =>
+        errs(q) = e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage).take(200)
+      }
+      System.err.println(s"[sf1full] $q cold=${cold.get(q).map(fmt)} " +
+        s"warm=${warm.get(q).map(fmt)} rows=${rows.get(q)} err=${errs.get(q)}")
+    }
+    def m(kv: Iterable[(String, String)]): String =
+      kv.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def short(k: String) = k.takeWhile(_ != '_')
+    val line =
+      s"""{"metric":"sf1_rehearsal","copies":10,"families":${names.size},""" +
+      s""""build_sec":${fmt(buildSec)},""" +
+      s""""cold":${m(cold.map { case (k, v) => short(k) -> fmt(v) })},""" +
+      s""""warm":${m(warm.map { case (k, v) => short(k) -> fmt(v) })},""" +
+      s""""rows":${m(rows.map { case (k, v) => short(k) -> v.toString })},""" +
+      s""""errors":${m(errs.map { case (k, v) => short(k) -> ("\"" + v + "\"") })}}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SF1.json"), line + "\n")
+    spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("full")) {
+      fullMain(if (args.length > 1) args(1) else "/root/testdata/sf0.1",
+               if (args.length > 2) args(2) else "/tmp/graft_sf1")
+      return
+    }
     if (args.headOption.contains("exponents")) {
       exponentsMain(if (args.length > 1) args(1) else "/root/testdata/sf0.1")
       return

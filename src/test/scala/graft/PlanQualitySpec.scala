@@ -1030,7 +1030,14 @@ class PlanQualitySpec extends SparkSpec {
       "q119_covariance"        -> 0, // moment frame checkpointed at construction
       "q121_pca_projection"    -> 0, // literal-eigenvector projection
       "q122_zipf_fit"          -> 3, // vocab agg + rank window + 1-row OLS, all post-agg
-      "q123_triangle_count"    -> 1, // src-bucket carries through; final node agg only
+      // re-pinned 1 → 8 in round 15: the SHUFFLE_HASH hints (the sf1
+      // wedge-sort fix) surface the deg/adj attach exchanges in the
+      // INITIAL plan where size-based broadcast used to hide them; at
+      // runtime AQE still broadcasts the tiny sides at this SF (sf0.1
+      // warm unchanged, 2.6 s), and past the threshold SHJ is exactly
+      // the shape we want — the pin is about unexpected growth, and
+      // these eight are the documented orientation/adjacency shuffles
+      "q123_triangle_count"    -> 8,
       "q127_image_neardup"     -> 0, // memoized miner checkpoints at construction (q35 pattern)
       "q128_exact_substr"      -> 6, // gram agg + match join + per-doc islands + zero-fill
                                      // (initial plan; 4 at runtime after exchange reuse)
