@@ -72,6 +72,14 @@ object TextQueries {
   private val SnmRotations = 4
   private val SnmMaxHamming = 8
 
+  /** q164's stop-frame bar: frame hashes present in more than this many
+    * videos are dropped before matching AND before the containment
+    * denominators (black frames, intro cards, test patterns — the same
+    * stop-key role WinnowDfCap plays for q206's fingerprints). Shared by
+    * the Spark def and the DuckDB replay.
+    */
+  private val VideoFrameDfCap = 64L
+
   /** q214 audit sample: percent of DISTINCT simhash values (by md5
     * bucket of the hex value — deterministic, engine-portable) whose
     * pairwise ground truth is brute-forced. The audit's cost is
@@ -2904,13 +2912,26 @@ object TextQueries {
       val para = s.sparkContext.defaultParallelism
       val base = (if (idsDf.rdd.getNumPartitions < para)
                     idsDf.repartition(para) else idsDf).as[Long]
-      val fr = base.flatMap { seq =>
+      val fr0 = base.flatMap { seq =>
         graft.operators.Multimodal.videoFrames(
           graft.operators.Multimodal.syntheticPatternVideo(seq)).map { png =>
           (seq, graft.operators.Multimodal.dHash64(png)
             .getOrElse(sys.error(s"undecodable frame in video $seq")))
         }
       }.toDF("vid", "fh").distinct()
+      // STOP-FRAME cap (round 15): a frame hash present in more than
+      // [[VideoFrameDfCap]] videos is dropped BEFORE the match join and
+      // the denominators — the black-frame/intro-card discipline this
+      // query's scale note always documented, now enforced in-plan. The
+      // full sf1 rehearsal surfaced why: the synthetic pattern generator's
+      // dHash space saturates at ~12.5k videos, and without the cap the
+      // equi-join degenerated toward all-pairs (15.85 M output rows,
+      // 252 s — 20% of every possible pair "matched" through collided
+      // hashes). At oracle density no hash approaches the cap, so the
+      // sf0.01 gate hash is unchanged (re-verified).
+      val dfh = fr0.groupBy(col("fh")).agg(count(lit(1)).as("__dfh"))
+      val fr = fr0.join(dfh.filter(col("__dfh") <= VideoFrameDfCap), Seq("fh"))
+        .select(col("vid"), col("fh"))
       val nd = fr.groupBy(col("vid")).agg(count(lit(1)).as("ndh"))
       val m = fr.select(col("vid").as("vid_a"), col("fh"))
         .join(fr.select(col("vid").as("vid_b"), col("fh")), Seq("fh"))
@@ -5910,7 +5931,12 @@ object TextQueries {
         |    CAST(SUM(CASE WHEN kb < 32 THEN bit * (CAST(1 AS BIGINT) << kb) ELSE 0 END) AS BIGINT) AS h1,
         |    CAST(SUM(CASE WHEN kb >= 32 THEN bit * (CAST(1 AS BIGINT) << (kb - 32)) ELSE 0 END) AS BIGINT) AS h2
         |  FROM bits GROUP BY 1),
-        |vh AS (SELECT DISTINCT vid, h1, h2 FROM keys JOIN h USING (k0)),
+        |vh0 AS (SELECT DISTINCT vid, h1, h2 FROM keys JOIN h USING (k0)),
+        |-- stop-frame cap mirrors the Spark side: hashes in > cap videos
+        |-- are boilerplate frames, dropped before match AND denominators
+        |hot AS (SELECT h1, h2, count(*) AS dfh FROM vh0 GROUP BY 1, 2),
+        |vh AS (SELECT vh0.vid, vh0.h1, vh0.h2
+        |       FROM vh0 JOIN hot USING (h1, h2) WHERE hot.dfh <= 64),
         |nd AS (SELECT vid, CAST(count(*) AS BIGINT) AS ndh FROM vh GROUP BY 1),
         |m AS (
         |  SELECT a.vid AS vid_a, b.vid AS vid_b, CAST(count(*) AS BIGINT) AS n_match
