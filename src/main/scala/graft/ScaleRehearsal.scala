@@ -166,7 +166,13 @@ object ScaleRehearsal {
     "q123_triangle_count", "q215_snm_incremental", "q209_scrubbed_curation",
     "q206_winnow_overlap", "q38_embedding_neardup", "q223_calibrated_curation",
     "q247_threshold_sweep", "q144_bpe_fit_delta", "q36_minhash_lsh",
-    "q161_curation_v2")
+    "q161_curation_v2",
+    // round-15 second wave: the next cost tier from the FULL sf1 sweep
+    // (every family ≥ ~7 s warm at sf1 that the first tier missed)
+    "q108_containment_pairs", "q156_gopher_repetition",
+    "q196_capped_curation", "q145_lsh_index_incremental",
+    "q154_incremental_components", "q205_scrub_then_dedup",
+    "q224_leakage_safe_split", "q164_video_neardup")
 
   /** Two-scale exponent mode: `runMain graft.ScaleRehearsal exponents
     * [srcDir]` builds the sf1 (10-copy) and sf3 (30-copy) corpora, runs
