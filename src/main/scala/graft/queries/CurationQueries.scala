@@ -583,6 +583,66 @@ object CurationQueries {
   val defs: Map[String, Q] = Map(
 
     // ---------------------------------------------------------------
+    // q265: SOURCE-CONCENTRATION audit — the "is this corpus secretly
+    // one crawl" read next to the drift monitors (q187 JSD compares
+    // distributions pairwise; this scores ONE distribution's shape):
+    // per language and corpus-wide ('__all' leg), token-share
+    // concentration over sources as HHI (Σ share², the antitrust
+    // statistic), Shannon entropy → effective source count (exp H — the
+    // number of EQUAL sources this mixture behaves like), and the Gini
+    // coefficient. A mixture audit (q192) checks achieved-vs-target;
+    // this flags the target itself when 20 nominal sources behave like
+    // 3. Determinism: Σ tok² on DECIMAL(38,0) (q259 discipline — BIGINT
+    // squares overflow at ~3e9 tokens/source), entropy terms
+    // 1e-9-quantized before the BIGINT sum (q125's ln idiom), Gini from
+    // exact integer rank·mass sums, each readout ONE double division.
+    // Scale shape: one partial+final agg to the (lang × source) panel
+    // (bounded: sources are a catalog, not a corpus); the rank window
+    // rides that panel only; corpus is scanned once, never shuffled
+    // beyond the panel agg.
+    // ---------------------------------------------------------------
+    "q265_source_concentration" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(col("lang"), col("source"),
+                size(Text.tokens(col("text"))).cast(LongType).as("nt"))
+      val base = toks.union(
+        toks.select(lit("__all").as("lang"), col("source"), col("nt")))
+      val bySrc = base.groupBy(col("lang"), col("source"))
+        .agg(sum(col("nt")).as("tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("tok"), col("source"))
+      val ranked = bySrc.withColumn("rk", row_number().over(w).cast(LongType))
+      val tot = bySrc.groupBy(col("lang"))
+        .agg(sum(col("tok")).as("tot"), count(lit(1)).as("n_sources"),
+             sum(col("tok").cast(DecimalType(38, 0)) *
+                 col("tok").cast(DecimalType(38, 0))).as("sumsq"))
+      val share = col("tok").cast(DoubleType) / col("tot").cast(DoubleType)
+      val terms = ranked.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("rk"), col("tok"), col("tot"),
+                col("n_sources"), col("sumsq"),
+                floor((-share) * log(share) * 1e9 + 0.5)
+                  .cast(LongType).as("hterm"))
+      terms.groupBy(col("lang"))
+        .agg(max(col("n_sources")).as("n_sources"),
+             max(col("tot")).as("total_tokens"),
+             max(col("sumsq")).as("sumsq"),
+             sum(col("hterm")).as("hsum"),
+             sum(col("rk") * col("tok")).as("srt"))
+        .select(col("lang"), col("n_sources"), col("total_tokens"),
+          (col("sumsq").cast(DoubleType) /
+            (col("total_tokens").cast(DoubleType) *
+              col("total_tokens").cast(DoubleType))).as("hhi"),
+          (col("hsum").cast(DoubleType) / 1e9).as("entropy"),
+          (floor(exp(col("hsum").cast(DoubleType) / 1e9) * 1e9 + 0.5) / 1e9)
+            .as("effective_sources"),
+          ((lit(2L) * col("srt") -
+              (col("n_sources") + 1L) * col("total_tokens"))
+             .cast(DoubleType) /
+            (col("n_sources") * col("total_tokens")).cast(DoubleType))
+            .as("gini"))
+    },
+
+    // ---------------------------------------------------------------
     // q75: segment-level exact dedup (the "line dedup" step of C4/
     // RefinedWeb-style curation): split every document into 10-token
     // segments, keep only the globally FIRST occurrence of each distinct
@@ -2630,6 +2690,51 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q265: same panel aggs, rank window over the bounded panel,
+    // quantized entropy terms, exact-integer Gini.
+    "q265_source_concentration" ->
+      """WITH toks AS (
+        |  SELECT lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |base AS (
+        |  SELECT lang, source, nt FROM toks
+        |  UNION ALL
+        |  SELECT '__all', source, nt FROM toks),
+        |bysrc AS (
+        |  SELECT lang, source, CAST(sum(nt) AS BIGINT) AS tok
+        |  FROM base GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY tok, source) AS BIGINT) AS rk
+        |  FROM bysrc),
+        |tot AS (
+        |  SELECT lang, CAST(sum(tok) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS n_sources,
+        |    sum(CAST(tok AS DECIMAL(38,0)) * CAST(tok AS DECIMAL(38,0)))
+        |      AS sumsq
+        |  FROM bysrc GROUP BY 1),
+        |terms AS (
+        |  SELECT r.lang, r.rk, r.tok, t.tot, t.n_sources, t.sumsq,
+        |    CAST(floor(((-(CAST(r.tok AS DOUBLE) / CAST(t.tot AS DOUBLE)))
+        |      * ln(CAST(r.tok AS DOUBLE) / CAST(t.tot AS DOUBLE)))
+        |      * 1e9 + 0.5) AS BIGINT) AS hterm
+        |  FROM rk r JOIN tot t USING (lang)),
+        |agg AS (
+        |  SELECT lang, max(n_sources) AS n_sources,
+        |    max(tot) AS total_tokens, max(sumsq) AS sumsq,
+        |    CAST(sum(hterm) AS BIGINT) AS hsum,
+        |    CAST(sum(rk * tok) AS BIGINT) AS srt
+        |  FROM terms GROUP BY 1)
+        |SELECT lang, n_sources, total_tokens,
+        |  CAST(sumsq AS DOUBLE) / (CAST(total_tokens AS DOUBLE)
+        |    * CAST(total_tokens AS DOUBLE)) AS hhi,
+        |  CAST(hsum AS DOUBLE) / 1e9 AS entropy,
+        |  floor(exp(CAST(hsum AS DOUBLE) / 1e9) * 1e9 + 0.5) / 1e9
+        |    AS effective_sources,
+        |  CAST(2 * srt - (n_sources + 1) * total_tokens AS DOUBLE)
+        |    / CAST(n_sources * total_tokens AS DOUBLE) AS gini
+        |FROM agg""".stripMargin,
     "q156_gopher_repetition" -> q156Oracle,
     "q157_quota_sample" ->
       s"""WITH counts AS (

@@ -28,6 +28,17 @@ object TextQueries {
     */
   private val BpeCoverageCheckpoints = Seq(0, 64, 128, 256)
 
+  /** q264 bucket-count legs: B = 1 is the naive global-max-pad collator
+    * baseline; 4 and 16 are the bucketed-batching candidates.
+    */
+  private val PadBucketLegs = Seq(1, 4, 16)
+
+  /** q266: how many top-frequency terms get the burstiness readout. */
+  private val BurstTopTerms = 30
+
+  /** q269 Laplace-release ε legs, ×10 (0.5, 1, 2). */
+  private val DpEpsX10Legs = Seq(5L, 10L, 20L)
+
   /** q162 growth checkpoints: B equal-width doc_id ranges — shared by the
     * Spark def and the DuckDB oracle below.
     */
@@ -142,6 +153,138 @@ object TextQueries {
   private val WinnowDfCap = 50
 
   val defs: Map[String, Q] = Map(
+    // ---------------------------------------------------------------
+    // q264: PADDING-WASTE audit of length-bucketed batching — the
+    // batching-efficiency read a training pipeline takes before choosing
+    // between "one global max-length pad" and packed sequences (q140):
+    // for each bucket count B ∈ PadBucketLegs, docs are split into B
+    // VALUE-quantile token-length buckets (boundary_i = smallest length
+    // whose cumulative doc count reaches ⌈i·n/B⌉ — ties share a bucket,
+    // the scale-safe semantics: assignment is a ≤21-row broadcast
+    // lookup, never a global ntile over the corpus), every doc pads to
+    // its bucket's max, and the leg reports per-bucket docs / real
+    // tokens / padded tokens / waste. The B=1 leg IS the naive
+    // max-length collator; the waste collapse from B=1 to B=16 is the
+    // case for bucketed batching, and the remaining gap to zero is what
+    // q140's packing buys on top. Scale shape: the length HISTOGRAM is
+    // one partial+final agg (domain-sized: distinct lengths ≪ docs);
+    // the cumulative sum rides that bounded domain frame; all stats are
+    // exact BIGINTs until the one final division.
+    // ---------------------------------------------------------------
+    "q264_padding_waste" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"),
+                size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val hist = toks.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_tokens"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val idx = PadBucketLegs.flatMap(b => (1 to b).map(i => (b.toLong, i.toLong)))
+        .toDF("b", "i")
+      val bounds = broadcast(idx).crossJoin(broadcast(tot))
+        .join(cum, cum("cum") >=
+          floor((col("i") * col("n") + col("b") - 1L).cast(DoubleType) /
+            col("b").cast(DoubleType)).cast(LongType))
+        .groupBy(col("b"), col("i")).agg(min(col("n_tokens")).as("boundary"))
+      val assign = toks
+        .join(broadcast(bounds), col("n_tokens") <= col("boundary"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("b"))
+        .agg(min(col("i")).as("bucket_idx"))
+      assign.groupBy(col("b").as("n_buckets"), col("bucket_idx"))
+        .agg(count(lit(1)).as("n_docs"),
+             max(col("n_tokens")).as("bucket_max_tokens"),
+             sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("padded_tokens", col("n_docs") * col("bucket_max_tokens"))
+        .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
+        .withColumn("waste_frac",
+          col("waste_tokens").cast(DoubleType) /
+            col("padded_tokens").cast(DoubleType))
+    },
+
+    // ---------------------------------------------------------------
+    // q266: TERM BURSTINESS (Church & Gale) — the corpus statistic that
+    // separates topical content words from function words with the SAME
+    // total frequency: a bursty term concentrates its occurrences in few
+    // documents (variance-to-mean ratio ≫ 1 over per-doc counts,
+    // zero-inclusive), and its document frequency undershoots the
+    // Poisson expectation N·(1−e^(−tf/N)). Both readouts per term for
+    // the top-30 terms by total count: VMR = (N·Σc² − (Σc)²)/(N·Σc) on
+    // DECIMAL(38,0) cross-products (exact at any corpus size — the q259
+    // discipline; plain BIGINT squares overflow once Σc ~ 3e9), and the
+    // Poisson df ratio with the e^(−tf/N) term 1e-9-quantized before
+    // the division (q125's ln idiom). Scale shape: per-(doc,term) counts
+    // and per-term moments are partial+final aggs; the global top-30
+    // rides the bounded TopKPairs heap — never a vocabulary sort window;
+    // the 1-row doc total broadcasts.
+    // ---------------------------------------------------------------
+    "q266_term_burstiness" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val cnt = d.select(col("doc_id"),
+                         explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val st = cnt.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+             sum(col("c") * col("c")).as("tf2"))
+      val Big = 1000000000000000000L
+      val key = concat(lpad((lit(Big) - col("tf")).cast("string"), 19, "0"),
+                       lit("|"), col("term"))
+      // TopKPairs ids are BIGINT; the term rides the key's suffix
+      // (19 digits + '|' + term) and is recovered by substring.
+      val top = st
+        .select(key.as("key"), lit(0L).as("zid"))
+        .agg(org.apache.spark.sql.graftx.TopKPairs
+          .topK(col("key"), col("zid"), BurstTopTerms).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(substring(col("t.key"), 21, 1000000).as("term"))
+      val tot = d.agg(count(lit(1)).as("n"))
+      val dec = (c: Column) => c.cast(DecimalType(38, 0))
+      top.join(st, Seq("term")).crossJoin(broadcast(tot))
+        .select(col("term"), col("df"), col("tf"),
+          (dec(col("n")) * dec(col("tf2")) - dec(col("tf")) * dec(col("tf")))
+            .cast(DoubleType)
+            ./((dec(col("n")) * dec(col("tf"))).cast(DoubleType)).as("vmr"),
+          (col("df").cast(DoubleType) /
+            (col("n").cast(DoubleType) *
+              (floor((lit(1.0) - exp(-col("tf").cast(DoubleType) /
+                 col("n").cast(DoubleType))) * 1e9 + 0.5) / 1e9)))
+            .as("poisson_burst_ratio"))
+    },
+
+    // ---------------------------------------------------------------
+    // q269: DP COUNT RELEASE (Laplace mechanism) — the release step on
+    // top of the privacy ladder (k-anonymity q228, l-diversity q249,
+    // t-closeness q259 tell you what leaks; this is the standard fix):
+    // per-source document counts released with Laplace(1/ε) noise at
+    // ε ∈ {0.5, 1, 2}, plus the realized absolute noise so the utility
+    // cost of each ε is READ, not assumed. Noise is deterministic in the
+    // repo's md5 discipline (never rand()): u = 32 md5 bits of
+    // (dp|ε|source) mapped to (0,1), inverse-CDF'd to Laplace via
+    // −(1/ε)·sign(u−½)·ln(1−2|u−½|), 1e-9-quantized — same derivation,
+    // literal for literal, in the oracle (ln agrees across engines well
+    // inside the quantum, the q125 argument). Sensitivity is 1 (one doc
+    // moves one source count). Scale shape: one partial+final count per
+    // source, a 3-leg literal union — projection-only after the agg.
+    // ---------------------------------------------------------------
+    "q269_dp_release" -> { (s, dir) =>
+      val counts = Tables(s, dir).documents
+        .groupBy(col("source")).agg(count(lit(1)).as("true_n"))
+      DpEpsX10Legs.map { e =>
+        val invEps = 10.0 / e
+        val u = graft.functions.HexKeys.value32(
+          md5(concat(lit(s"dp|$e|"), col("source"))), 0)
+        val c = (u.cast(DoubleType) + 0.5) / 4294967296.0 - 0.5
+        val noise = floor((lit(-invEps) * signum(c)) *
+          log(lit(1.0) - lit(2.0) * abs(c)) * 1e9 + 0.5) / 1e9
+        counts.select(lit(e).cast(LongType).as("eps_x10"), col("source"),
+                      col("true_n"),
+                      (col("true_n") + noise).as("released_n"),
+                      abs(noise).as("abs_noise"))
+      }.reduce(_ unionAll _)
+    },
+
     // Token counting: whitespace + BPE-ish regex tokens, distinct counts,
     // mean token length.
     "q30_token_stats" -> { (s, dir) =>
@@ -4345,6 +4488,94 @@ object TextQueries {
         |FROM norm n JOIN fin f USING (doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q264: same histogram → cumulative → ⌈i·n/B⌉ boundary → ≤-join
+    // assignment; integer division replayed as floor(double) (operands
+    // stay < 2^53, so the double quotient is the exact rational).
+    "q264_padding_waste" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |    AS n_tokens FROM documents),
+         |hist AS (
+         |  SELECT n_tokens, CAST(count(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY 1),
+         |cm AS (
+         |  SELECT n_tokens, CAST(sum(c) OVER (ORDER BY n_tokens) AS BIGINT)
+         |    AS cum FROM hist),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+         |idx AS (
+         |  SELECT CAST(v.b AS BIGINT) AS b, CAST(ii.i AS BIGINT) AS i
+         |  FROM (VALUES ${PadBucketLegs.map(b => s"($b)").mkString(",")}) v(b),
+         |       (SELECT unnest(range(1, ${PadBucketLegs.max + 1})) AS i) ii
+         |  WHERE ii.i <= v.b),
+         |bounds AS (
+         |  SELECT x.b, x.i, min(cm.n_tokens) AS boundary
+         |  FROM idx x CROSS JOIN tot t
+         |  JOIN cm ON cm.cum >= CAST(floor(
+         |    CAST(x.i * t.n + x.b - 1 AS DOUBLE) / CAST(x.b AS DOUBLE))
+         |    AS BIGINT)
+         |  GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT tk.doc_id, tk.n_tokens, bo.b, min(bo.i) AS bucket_idx
+         |  FROM toks tk JOIN bounds bo ON tk.n_tokens <= bo.boundary
+         |  GROUP BY 1, 2, 3)
+         |SELECT b AS n_buckets, bucket_idx,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(max(n_tokens) AS BIGINT) AS bucket_max_tokens,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(count(*) * max(n_tokens) AS BIGINT) AS padded_tokens,
+         |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+         |    AS waste_tokens,
+         |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS DOUBLE)
+         |    / CAST(count(*) * max(n_tokens) AS DOUBLE) AS waste_frac
+         |FROM assign GROUP BY 1, 2""".stripMargin,
+
+    // q266: same per-(doc,term) counts, per-term moments, top-30 by
+    // (tf DESC, term) replaying the heap order, DECIMAL(38,0)
+    // cross-products, 1e-9-quantized Poisson term.
+    "q266_term_burstiness" ->
+      s"""WITH cnt AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents) t
+         |  GROUP BY 1, 2),
+         |st AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(c) AS BIGINT) AS tf,
+         |    CAST(sum(c * c) AS BIGINT) AS tf2
+         |  FROM cnt GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |top AS (SELECT term FROM (
+         |  SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rn
+         |  FROM st) z WHERE rn <= $BurstTopTerms)
+         |SELECT s.term, s.df, s.tf,
+         |  CAST(CAST(t.n AS DECIMAL(38,0)) * CAST(s.tf2 AS DECIMAL(38,0))
+         |       - CAST(s.tf AS DECIMAL(38,0)) * CAST(s.tf AS DECIMAL(38,0))
+         |       AS DOUBLE)
+         |    / CAST(CAST(t.n AS DECIMAL(38,0)) * CAST(s.tf AS DECIMAL(38,0))
+         |           AS DOUBLE) AS vmr,
+         |  CAST(s.df AS DOUBLE) / (CAST(t.n AS DOUBLE) *
+         |    (floor((1.0 - exp((-CAST(s.tf AS DOUBLE))
+         |                      / CAST(t.n AS DOUBLE))) * 1e9 + 0.5) / 1e9))
+         |    AS poisson_burst_ratio
+         |FROM top JOIN st s USING (term) CROSS JOIN tot t""".stripMargin,
+
+    // q269: identical md5-slice → (0,1) → inverse-CDF Laplace noise,
+    // literal for literal, per ε leg.
+    "q269_dp_release" -> DpEpsX10Legs.map { e =>
+      val u = graft.functions.HexKeys.value32Sql(
+        0, s"md5('dp|$e|' || source)")
+      val c = s"((CAST(u AS DOUBLE) + 0.5) / 4294967296.0 - 0.5)"
+      s"""SELECT CAST($e AS BIGINT) AS eps_x10, source, true_n,
+         |  true_n + noise AS released_n, abs(noise) AS abs_noise
+         |FROM (
+         |  SELECT source, true_n,
+         |    floor(((${-(10.0 / e)}) * sign($c)) * ln(1.0 - 2.0 * abs($c))
+         |          * 1e9 + 0.5) / 1e9 AS noise
+         |  FROM (
+         |    SELECT source, CAST(count(*) AS BIGINT) AS true_n, $u AS u
+         |    FROM documents GROUP BY source) b) cq""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+
     // Relational winnowing: the same min(struct(hash, -pos)) per sliding
     // window, built from an explicit window-start × gram range join (the
     // array-native Spark form and this row form select identical

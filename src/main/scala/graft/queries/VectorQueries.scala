@@ -32,6 +32,21 @@ object VectorQueries {
   /** q248's evaluation depth. */
   private val NdcgK = 10
 
+  /** q268 graph-ANN: NN-descent build (degree [[NndK]], [[NndRounds]]
+    * refinement rounds, init = [[NndDraws]] md5-random partitions into
+    * constant-size ≈[[NndBlockSize]]-node blocks) + beam-search serve
+    * ([[BeamWidth]] kept per round, [[BeamRounds]] expansion rounds).
+    * Build cost is O(N·K²) candidates per round (linear in corpus);
+    * serve cost per query is O(BeamWidth · deg · BeamRounds) —
+    * corpus-size-free. Measured recall@3 = 1.0 on the sf0.01 gate.
+    */
+  private val NndK         = 16
+  private val NndRounds    = 2
+  private val NndBlockSize = 64L
+  private val NndDraws     = 2
+  private val BeamWidth    = 16
+  private val BeamRounds   = 4
+
   /** q248's position discounts D_i = floor(1e9 / log2(i+1) + 0.5),
     * i = 1..[[NdcgK]] — precomputed driver-side (corpus-independent,
     * q199's static-planner discipline) so DCG terms are exact BIGINT
@@ -1069,6 +1084,186 @@ object VectorQueries {
         .select(col("vec_id"), col("dim_pos"),
                 codeD.cast("long").as("code"),
                 (col("mn") + codeD / 255.0 * (col("mx") - col("mn"))).as("dequant"))
+    },
+
+    // -----------------------------------------------------------------
+    // q267: LABEL-NOISE audit (confident-learning readout, à la Northcutt's
+    // count matrix) — the labeled-data-quality gate a training pipeline
+    // runs before trusting its labels: the q159 kNN classifier's
+    // (true_label, predicted_label) JOINT COUNTS, split by whether the
+    // vote was a strict majority ("confident"), plus each true label's
+    // estimated noise rate = confidently-relabeled fraction. Off-diagonal
+    // confident mass is the canonical mislabeling estimate; a pipeline
+    // routes those rows to re-annotation. Composition is the point:
+    // q159's prediction frame is reused verbatim (one kNN serve), and the
+    // matrix is two partial+final aggs over it — label-domain-sized
+    // output (|L|² ≤ dozens of rows) no matter how many vectors exist, so
+    // the per-label totals BROADCAST back onto the cells. Every fraction
+    // is one double division of two exact BIGINTs (hash-stable).
+    // -----------------------------------------------------------------
+    "q267_label_noise" -> { (s, dir) =>
+      val pred = defs("q159_knn_classifier")(s, dir)
+        .withColumn("is_confident", col("n_agree") * 2L > col("n_votes"))
+      val cells = pred
+        .groupBy(col("true_label"), col("predicted_label"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("is_confident"), 1L).otherwise(0L))
+               .as("n_confident"))
+      val totals = pred.groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n_label"),
+             sum(when(col("is_confident") &&
+                        col("true_label") =!= col("predicted_label"), 1L)
+                   .otherwise(0L)).as("n_noise"))
+      cells.join(broadcast(totals), Seq("true_label"))
+        .select(col("true_label"), col("predicted_label"), col("n"),
+                col("n_confident"),
+                (col("true_label") =!= col("predicted_label"))
+                  .as("is_offdiag"),
+                (col("n").cast(org.apache.spark.sql.types.DoubleType) /
+                  col("n_label")).as("frac_of_label"),
+                (col("n_noise").cast(org.apache.spark.sql.types.DoubleType) /
+                  col("n_label")).as("label_noise_rate"))
+    },
+
+    // -----------------------------------------------------------------
+    // q268: GRAPH-BASED ANN (NN-descent build + NSW-style beam-search
+    // serve) — the graph-index family that completes the ANN inventory
+    // (hyperplane LSH q40, IVF q64, PQ q178, IVF-PQ q179, multiprobe
+    // q216). BUILD: the navigable graph comes from NN-descent (Dong et
+    // al.'s neighbor-of-my-neighbor iteration): init each node's list
+    // from NndDraws independent md5-random partitions into CONSTANT-size
+    // ≈64-node blocks (within-block pairs = 64·N total — linear, never
+    // (N/const)² ; a label-blocked init is useless here because this
+    // corpus's exact neighbors are 93% cross-label, and NN-descent can
+    // never escape a label-pure init), then NndRounds rounds of "score
+    // my neighbors' neighbors, keep the best NndK" — candidate volume
+    // O(N·K²) per round, one equi-join shuffle each, every round behind
+    // a lineage cut. SERVE: navigate from one entry point per label by
+    // expanding the beam's graph neighbors and keeping the BeamWidth
+    // best by exact cosine; frontier is |queries|·BeamWidth rows, so
+    // serve work is O(queries·beam·deg·rounds) — corpus-size-FREE, the
+    // trade graph indexes buy at 100 TB: a handful of edge probes per
+    // query instead of an nprobe-th of the corpus (IVF) or a codebook
+    // scan (PQ). Recall@3 vs the q37 brute-force truth is measured in
+    // the gate (1.0 at sf0.01), never assumed (q116's discipline). Determinism:
+    // scores ride the knnGraph scaled-long idiom (1e-9-quantized cosine,
+    // ties → lowest id) end to end; block draws are md5-derived.
+    // -----------------------------------------------------------------
+    "q268_graph_ann_beam" -> { (s, dir) =>
+      import graft.functions.Vectors
+      val e = Tables(s, dir).embeddings
+      val n = e.select(col("vec_id"), col("label"),
+                       col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+        .filter(col("nrm") > 0)
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+                col("v").as("qv"), col("nrm").as("qn"))
+      val entries = n.groupBy(col("label"))
+        .agg(min(col("vec_id")).as("cand_id"))
+        .select(col("label").as("qlabel"), col("cand_id"))
+      val corpus = graft.core.Materialize.cut(
+        n.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+                 col("nrm").as("cn")), "q268-corpus")
+      val Big = 1000000000000000000L // 10^18; scaled cosine < 2^31
+      // ---- NN-descent graph build ----
+      val nBlocks = math.max(1L,
+        math.ceil(corpus.count().toDouble / NndBlockSize).toLong)
+      def topKEdges(cand: DataFrame, tag: String): DataFrame = {
+        val scored = cand
+          .join(corpus.select(col("cand_id").as("src"), col("cv").as("sv"),
+                              col("cn").as("sn")), Seq("src"))
+          .join(corpus.select(col("cand_id").as("dst"), col("cv").as("dv"),
+                              col("cn").as("dn")), Seq("dst"))
+          .select(col("src"), col("dst"),
+                  floor((Vectors.dot(col("sv"), col("dv")) /
+                           (col("sn") * col("dn")) + 1) * 1e9 + 0.5)
+                    .cast("long").as("scaled"))
+        val key = concat(
+          lpad((lit(Big) - col("scaled")).cast("string"), 19, "0"),
+          lit("|"), lpad(col("dst").cast("string"), 19, "0"))
+        graft.core.Materialize.cut(
+          scored.select(col("src"), key.as("key"), col("dst"))
+            .groupBy(col("src"))
+            .agg(org.apache.spark.sql.graftx.TopKPairs
+              .topK(col("key"), col("dst"), NndK).as("top"))
+            .select(col("src"), explode(col("top")).as("c"))
+            .select(col("src"), col("c.id").as("dst")), tag)
+      }
+      val initPairs = (0 until NndDraws).map { d =>
+        val blk = corpus.select(col("cand_id").as("id"),
+          (graft.functions.HexKeys.value16(
+             md5(concat(lit(s"nnd$d|"), col("cand_id").cast("string"))), 0)
+            % nBlocks).as("g"))
+        blk.as("a").join(blk.as("b"),
+            col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+          .select(col("a.id").as("src"), col("b.id").as("dst"))
+      }.reduce(_ union _).distinct()
+      var g = topKEdges(initPairs, "q268-g0")
+      for (r <- 1 to NndRounds) {
+        val cand = g.as("a")
+          .join(g.as("b"),
+                col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+          .union(g).distinct()
+        g = topKEdges(cand, s"q268-g$r")
+      }
+      val edges = g
+        .union(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      // ---- beam-search serve ----
+      var beam = broadcast(q.select(col("query_id"), col("qlabel")))
+        .join(broadcast(entries), Seq("qlabel"))
+        .select(col("query_id"), col("cand_id"))
+      for (_ <- 1 to BeamRounds) {
+        val expanded = beam
+          .join(edges, beam("cand_id") === edges("src"))
+          .select(col("query_id"), col("dst").as("cand_id"))
+          .union(beam.select(col("query_id"), col("cand_id")))
+          .distinct()
+        // Self stays IN the beam (it is the best hub toward its own
+        // neighborhood) and is excluded only at the final readout.
+        val scored = expanded
+          .join(corpus, Seq("cand_id"))
+          .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+                Seq("query_id"))
+          .select(col("query_id"), col("cand_id"),
+                  floor((Vectors.dot(col("qv"), col("cv")) /
+                           (col("qn") * col("cn")) + 1) * 1e9 + 0.5)
+                    .cast("long").as("scaled"))
+        val key = concat(
+          lpad((lit(Big) - col("scaled")).cast("string"), 19, "0"),
+          lit("|"), lpad(col("cand_id").cast("string"), 19, "0"))
+        beam = scored
+          .select(col("query_id"), key.as("key"), col("cand_id"))
+          .groupBy(col("query_id"))
+          .agg(org.apache.spark.sql.graftx.TopKPairs
+            .topK(col("key"), col("cand_id"), BeamWidth).as("top"))
+          .select(col("query_id"), explode(col("top")).as("c"))
+          .select(col("query_id"), col("c.id").as("cand_id"),
+                  (lit(Big) - substring(col("c.key"), 1, 19).cast("long"))
+                    .as("scaled"))
+      }
+      val key3 = concat(
+        lpad((lit(Big) - col("scaled")).cast("string"), 19, "0"),
+        lit("|"), lpad(col("cand_id").cast("string"), 19, "0"))
+      val found = beam.filter(col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), key3.as("key"), col("cand_id"))
+        .groupBy(col("query_id"))
+        .agg(org.apache.spark.sql.graftx.TopKPairs
+          .topK(col("key"), col("cand_id"), 3).as("top"))
+        .select(col("query_id"), explode(col("top")).as("c"))
+        .select(col("query_id"), col("c.id").as("neighbor_id"))
+      val exact = defs("q37_cosine_topk")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(found.withColumn("hit", lit(1L)),
+                 Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+             coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+                (col("n_hit").cast(org.apache.spark.sql.types.DoubleType) /
+                  col("n_exact")).as("recall_at_3"))
     })
 
   /** ANN with determinism-hardened bucketing: vectors are quantized to
@@ -2461,26 +2656,170 @@ object VectorQueries {
       |  FROM n CROSS JOIN seeds s),
       |lists AS (SELECT vec_id, v, nrm, centroid_id FROM assign WHERE rn = 1)""".stripMargin
 
+  /** The q159 kNN-classifier restatement — a def (not val: object-init
+    * order) shared by the q159 gate and q267's confusion-matrix rollup,
+    * so both provably read the same prediction frame.
+    */
+  private def knnClassifierOracleSql: String =
+    s"""WITH knn AS (${baseOracles("q64_ann_ivf")}),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |votes AS (
+       |  SELECT k.query_id, l.label AS nbr_label, count(*) AS votes
+       |  FROM knn k JOIN lab l ON k.neighbor_id = l.vec_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT query_id,
+       |    min(struct_pack(negv := -votes, label := nbr_label)).label
+       |      AS predicted_label,
+       |    CAST(-min(struct_pack(negv := -votes, label := nbr_label)).negv
+       |         AS BIGINT) AS n_agree,
+       |    CAST(sum(votes) AS BIGINT) AS n_votes
+       |  FROM votes GROUP BY 1)
+       |SELECT p.query_id, t.label AS true_label, p.predicted_label,
+       |       p.n_agree, p.n_votes,
+       |       t.label = p.predicted_label AS is_correct
+       |FROM pred p JOIN lab t ON p.query_id = t.vec_id""".stripMargin
+
+  /** One q268 beam-search round: expand the previous beam's graph
+    * neighbors, keep it in the candidate set, re-score by the quantized
+    * cosine, keep the top-[[BeamWidth]] (ties → lowest cand_id) — the
+    * CTE twin of the Spark loop body. MATERIALIZED: each round is
+    * referenced twice by the next; without the hint DuckDB inlines and
+    * re-evaluates the chain exponentially.
+    */
+  private def beamRoundCtes(r: Int): String =
+    s"""c$r AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, cand_id FROM (
+       |    SELECT b.query_id, s.dst AS cand_id
+       |    FROM b${r - 1} b JOIN sym s ON s.src = b.cand_id
+       |    UNION ALL
+       |    SELECT query_id, cand_id FROM b${r - 1}) u),
+       |s$r AS MATERIALIZED (
+       |  SELECT c.query_id, c.cand_id,
+       |    CAST(floor((list_dot_product(q.qv, vn.v) / (q.qn * vn.nrm) + 1)
+       |         * 1e9 + 0.5) AS BIGINT) AS scaled
+       |  FROM c$r c JOIN vn ON vn.vec_id = c.cand_id
+       |  JOIN q ON q.query_id = c.query_id),
+       |b$r AS MATERIALIZED (
+       |  SELECT query_id, cand_id, scaled FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY scaled DESC, cand_id) AS rn
+       |    FROM s$r) z WHERE rn <= $BeamWidth)""".stripMargin
+
+  /** One q268 NN-descent round: candidates = my neighbors' neighbors ∪
+    * my current list, re-score, keep the best [[NndK]] per src — the
+    * CTE twin of the Spark build loop.
+    */
+  private def nndRoundCtes(r: Int): String =
+    s"""nc$r AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT a.src, b.dst
+       |    FROM g${r - 1} a JOIN g${r - 1} b
+       |      ON a.dst = b.src AND a.src <> b.dst
+       |    UNION ALL
+       |    SELECT src, dst FROM g${r - 1}) z),
+       |ns$r AS MATERIALIZED (
+       |  SELECT c.src, c.dst,
+       |    CAST(floor((list_dot_product(na.v, nd2.v) / (na.nrm * nd2.nrm)
+       |         + 1) * 1e9 + 0.5) AS BIGINT) AS scaled
+       |  FROM nc$r c JOIN vn na ON na.vec_id = c.src
+       |  JOIN vn nd2 ON nd2.vec_id = c.dst),
+       |g$r AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |      ORDER BY scaled DESC, dst) AS rn
+       |    FROM ns$r) z WHERE rn <= $NndK)""".stripMargin
+
   val oracles: Map[String, String] = baseOracles +
-    ("q159_knn_classifier" ->
-      s"""WITH knn AS (${baseOracles("q64_ann_ivf")}),
-         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
-         |votes AS (
-         |  SELECT k.query_id, l.label AS nbr_label, count(*) AS votes
-         |  FROM knn k JOIN lab l ON k.neighbor_id = l.vec_id
-         |  GROUP BY 1, 2),
-         |pred AS (
-         |  SELECT query_id,
-         |    min(struct_pack(negv := -votes, label := nbr_label)).label
-         |      AS predicted_label,
-         |    CAST(-min(struct_pack(negv := -votes, label := nbr_label)).negv
-         |         AS BIGINT) AS n_agree,
-         |    CAST(sum(votes) AS BIGINT) AS n_votes
-         |  FROM votes GROUP BY 1)
-         |SELECT p.query_id, t.label AS true_label, p.predicted_label,
-         |       p.n_agree, p.n_votes,
-         |       t.label = p.predicted_label AS is_correct
-         |FROM pred p JOIN lab t ON p.query_id = t.vec_id""".stripMargin) +
+    ("q159_knn_classifier" -> knnClassifierOracleSql) +
+    ("q267_label_noise" ->
+      s"""WITH p0 AS ($knnClassifierOracleSql),
+         |p2 AS (SELECT *, (n_agree * 2 > n_votes) AS is_confident FROM p0),
+         |cells AS (
+         |  SELECT true_label, predicted_label,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN is_confident THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_confident
+         |  FROM p2 GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT true_label, CAST(count(*) AS BIGINT) AS n_label,
+         |    CAST(sum(CASE WHEN is_confident AND true_label <> predicted_label
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_noise
+         |  FROM p2 GROUP BY 1)
+         |SELECT c.true_label, c.predicted_label, c.n, c.n_confident,
+         |  c.true_label <> c.predicted_label AS is_offdiag,
+         |  CAST(c.n AS DOUBLE) / CAST(t.n_label AS DOUBLE) AS frac_of_label,
+         |  CAST(t.n_noise AS DOUBLE) / CAST(t.n_label AS DOUBLE)
+         |    AS label_noise_rate
+         |FROM cells c JOIN tot t ON c.true_label = t.true_label""".stripMargin) +
+    // The q268 oracle names its vector CTE `vn` (not `n`): the embedded
+    // q37 truth block carries its own nested `WITH n AS …`, and DuckDB's
+    // planner trips an internal "recursive CTE scan" assertion when a
+    // MATERIALIZED outer CTE is shadowed by a nested one of the same name.
+    ("q268_graph_ann_beam" ->
+      s"""WITH vn AS MATERIALIZED (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |         CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings
+         |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |        CAST(embedding AS DOUBLE[]))) > 0),
+         |${(0 until NndDraws).map { d =>
+             s"""blk$d AS MATERIALIZED (
+                |  SELECT vec_id AS id,
+                |    ${graft.functions.HexKeys.value16Sql(0,
+                       s"md5('nnd$d|' || CAST(vec_id AS VARCHAR))")}
+                |      % nbx.nblocks AS g
+                |  FROM vn CROSS JOIN (
+                |    SELECT greatest(1, CAST(ceil(count(*) / $NndBlockSize.0)
+                |      AS BIGINT)) AS nblocks FROM vn) nbx)""".stripMargin
+           }.mkString(",\n")},
+         |ip AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |${(0 until NndDraws).map { d =>
+             s"""    SELECT a.id AS src, b.id AS dst
+                |    FROM blk$d a JOIN blk$d b
+                |      ON a.g = b.g AND a.id <> b.id""".stripMargin
+           }.mkString("\n    UNION ALL\n")}) u0),
+         |ns0 AS MATERIALIZED (
+         |  SELECT c.src, c.dst,
+         |    CAST(floor((list_dot_product(na.v, nb2.v) / (na.nrm * nb2.nrm)
+         |         + 1) * 1e9 + 0.5) AS BIGINT) AS scaled
+         |  FROM ip c JOIN vn na ON na.vec_id = c.src
+         |  JOIN vn nb2 ON nb2.vec_id = c.dst),
+         |g0 AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY scaled DESC, dst) AS rn
+         |    FROM ns0) z WHERE rn <= $NndK),
+         |${(1 to NndRounds).map(nndRoundCtes).mkString(",\n")},
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM g$NndRounds
+         |  UNION
+         |  SELECT dst, src FROM g$NndRounds),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+         |  FROM vn WHERE vec_id < 20),
+         |ent AS (SELECT label, min(vec_id) AS cand_id FROM vn GROUP BY 1),
+         |b0 AS (
+         |  SELECT q.query_id, e.cand_id
+         |  FROM q JOIN ent e ON e.label = q.qlabel),
+         |${(1 to BeamRounds).map(beamRoundCtes).mkString(",\n")},
+         |fin AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY scaled DESC, cand_id) AS rn
+         |    FROM b$BeamRounds WHERE cand_id <> query_id) z
+         |  WHERE rn <= 3),
+         |ex AS (${baseOracles("q37_cosine_topk")})
+         |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(sum(CASE WHEN f.cand_id IS NOT NULL THEN 1 END), 0)
+         |       AS BIGINT) AS n_hit,
+         |  CAST(coalesce(sum(CASE WHEN f.cand_id IS NOT NULL THEN 1 END), 0)
+         |       AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_3
+         |FROM ex LEFT JOIN fin f
+         |  ON ex.query_id = f.query_id AND ex.neighbor_id = f.cand_id
+         |GROUP BY ex.query_id""".stripMargin) +
     ("q153_truncation_recall" -> TruncDims.map { d =>
       s"""SELECT e.query_id, CAST($d AS BIGINT) AS trunc_dims,
          |  CAST(count(*) AS BIGINT) AS n_exact,

@@ -1486,6 +1486,59 @@ class PlanQualitySpec extends SparkSpec {
       s"__b still filtered row-level (not a partition column):\n$plan")
   }
 
+  test("q267 label-noise matrix: label-domain aggs, broadcast totals") {
+    // The confusion matrix is two partial+final aggs over q159's
+    // prediction frame; the per-true-label totals (|L| rows) must come
+    // back via a broadcast join — never a window over predictions. (The
+    // plan DOES carry the one window q159 inherits from the q64 IVF
+    // serve — per-query candidate ranking over probed-list partitions,
+    // bounded by construction and gated there.)
+    val p = planOf(SparkEntry.queries("q267_label_noise")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"q267 totals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q267 cartesian:\n$p")
+  }
+
+  test("q268 graph ANN: equi-join NN-descent + bounded-heap beam, no window, no cartesian") {
+    // Build and serve must both be equi-joins + TopKPairs bounded heaps:
+    // no per-node/per-query rank window (the pair stream is corpus-scale
+    // at build time), no cartesian anywhere (the init blocks join on the
+    // md5 block key; the beam expands via the edge equi-join).
+    val p = planOf(SparkEntry.queries("q268_graph_ann_beam")(spark, dir))
+    assert(!p.contains("Window"), s"q268 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q268 cartesian:\n$p")
+  }
+
+  test("q264 padding waste: domain-sized histogram window, broadcast boundary lookup") {
+    // The only window rides the length HISTOGRAM (distinct lengths ≪
+    // docs); per-doc bucket assignment must be a broadcast non-equi
+    // lookup against the ≤21-row bounds frame — never a corpus ntile.
+    val p = planOf(SparkEntry.queries("q264_padding_waste")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q264 bounds lookup not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q264 cartesian:\n$p")
+  }
+
+  test("q265 source concentration: panel-bounded window, broadcast totals") {
+    // The rank window partitions by lang over the (lang × source) panel;
+    // the per-lang totals come back via broadcast.
+    val p = planOf(SparkEntry.queries("q265_source_concentration")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"q265 totals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q265 cartesian:\n$p")
+  }
+
+  test("q266 burstiness: top-30 on the bounded heap, no vocabulary sort window") {
+    val p = planOf(SparkEntry.queries("q266_term_burstiness")(spark, dir))
+    assert(!p.contains("Window"), s"q266 windows:\n$p")
+    assert(p.contains("topkpairs") || p.contains("TopKPairs"),
+      s"q266 heap missing:\n$p")
+  }
+
+  test("q269 DP release is agg + projection only (no join, no window)") {
+    val p = planOf(SparkEntry.queries("q269_dp_release")(spark, dir))
+    assert(!p.contains("Window"), s"q269 windows:\n$p")
+    assert(!p.contains("Join"), s"q269 joins:\n$p")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
