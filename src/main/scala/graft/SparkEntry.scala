@@ -24,7 +24,8 @@ object SparkEntry {
     RelationalQueries.defs ++ TimeSeriesQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ PipelineQueries.defs ++
       TemporalQueries.defs ++ OlapQueries.defs ++ CurationQueries.defs ++
-      RetrievalQueries.defs ++ GraphQueries.defs ++ IncrementalQueries.defs
+      RetrievalQueries.defs ++ GraphQueries.defs ++ IncrementalQueries.defs ++
+      WebQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++
       TextQueries.oracles ++ VectorQueries.oracles ++ PipelineQueries.oracles ++
       TemporalQueries.oracles ++ OlapQueries.oracles ++ CurationQueries.oracles ++
-      RetrievalQueries.oracles ++ GraphQueries.oracles ++ IncrementalQueries.oracles
+      RetrievalQueries.oracles ++ GraphQueries.oracles ++
+      IncrementalQueries.oracles ++ WebQueries.oracles
 }

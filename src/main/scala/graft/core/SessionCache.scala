@@ -54,4 +54,12 @@ final class SessionCache[K] {
     }
     memo.value
   }
+
+  /** Test hook: the keys currently cached for `spark` (empty if none) —
+    * lets specs assert reuse directly (one build, N readers) instead of
+    * inferring it from plan shape.
+    */
+  def keys(spark: SparkSession): Set[K] = bySession.synchronized {
+    Option(bySession.get(spark)).map(_.keySet.toSet).getOrElse(Set.empty[K])
+  }
 }

@@ -22,6 +22,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Bpe {
 
+  /** Documented driver-state cap (see [[graft.core.Guard]]): the per-round
+    * argmax batch collected to the driver in [[fitDeltaBatched]].
+    */
+  val MaxArgmaxBatch: Int = 4096
+
   /** Merged tokens join with '+', keeping the merge structure visible in
     * the vocab. NOTE: an input token that already contains '+' could
     * collide with a merged form; callers fitting over such corpora
@@ -234,6 +239,10 @@ object Bpe {
                       maxRounds: Int = Int.MaxValue): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    graft.core.Guard.boundedArg(maxBatch, MaxArgmaxBatch, "BPE maxBatch",
+      "each round collects the top maxBatch pair candidates to the " +
+        "driver for the greedy disjoint prefix — a larger batch buys " +
+        "nothing past the merge budget and risks driver memory")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     require(stateBuckets >= 2,
       s"stateBuckets must be >= 2 (a 1-bucket state is the single-task " +

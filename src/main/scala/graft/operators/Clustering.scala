@@ -32,6 +32,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Clustering {
 
+  /** Documented driver-state caps (see [[graft.core.Guard]]): the
+    * centroid matrix and per-iteration (cluster, dim) moment table are
+    * driver-resident — k·dims doubles each.
+    */
+  val MaxCentroids: Int = 65536
+  val MaxCentroidCells: Long = 1L << 24
+
   /** @param vecs   input frame
     * @param idCol  unique integral id column
     * @param vecCol array&lt;float&gt;/array&lt;double&gt; embedding column
@@ -76,6 +83,10 @@ object Clustering {
       iters: Int,
       seedPrefix: String = "km|"): Array[Seq[Double]] = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    graft.core.Guard.boundedArg(k, MaxCentroids, "kmeans k",
+      "centroids (k·dims doubles) live on the driver and ride every " +
+        "NearestCentroid literal — shard the clustering or raise the cap " +
+        "with a matching driver-memory plan")
     val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
 
     // seed selection: a TakeOrdered of k rows (k·dims doubles — driver-
@@ -88,19 +99,27 @@ object Clustering {
       .collect()
       .map(_.getSeq[Double](1))
     require(seeds.nonEmpty, "kmeans: input frame has no rows to seed from")
+    graft.core.Guard.boundedArg(k.toLong * seeds.head.length, MaxCentroidCells,
+      s"kmeans centroid state (k = $k × dims = ${seeds.head.length} cells)",
+      "reduce k or project the vectors down first (JL projection) — the " +
+        "per-iteration moment table is collected to the driver")
 
     var centroids = seeds
     for (_ <- 1 to iters) {
       // one partial+final aggregation of (cluster, dim) cells; exact
-      // decimal sums so the new components are merge-order independent
-      val cells = v
-        .select(nearestCentroid(centroids, col("v")).getField("cid").as("cluster_id"),
-                col("v"))
-        .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster_id"), col("dim"))
-        .agg((sum(graft.functions.Exact.dec(col("x"), 7)).cast(DoubleType) /
-               count(col("x")).cast(DoubleType)).as("c"))
-        .collect()
+      // decimal sums so the new components are merge-order independent;
+      // ≤ k·dims rows by construction — enforced at collect time too, so
+      // a widened group key fails fast instead of OOMing the driver
+      val cells = graft.core.Guard.boundedCollect(
+        v.select(nearestCentroid(centroids, col("v")).getField("cid").as("cluster_id"),
+                 col("v"))
+          .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cluster_id"), col("dim"))
+          .agg((sum(graft.functions.Exact.dec(col("x"), 7)).cast(DoubleType) /
+                 count(col("x")).cast(DoubleType)).as("c")),
+        k.toLong * seeds.head.length,
+        s"kmeans moment cells (k = $k × dims = ${seeds.head.length})",
+        "the group key must stay (cluster_id, dim)")
         .map(r => (r.getLong(0).toInt, r.getInt(1)) -> r.getDouble(2))
         .toMap
       centroids = centroids.zipWithIndex.map { case (prev, j) =>

@@ -27,12 +27,21 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Pq {
 
+  /** Documented driver-state cap (see [[graft.core.Guard]]): m·k codebook
+    * centroids of subDim doubles each, driver-resident.
+    */
+  val MaxCodebookEntries: Long = 1L << 20
+
   /** Per-subspace codebooks: `m` independent Lloyd fits over the sliced
     * sub-vectors. Returns m arrays of k centroids of subDim doubles.
     */
   def fitCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
                    m: Int, subDim: Int, k: Int, iters: Int,
                    seedBase: String = "pq"): Seq[Array[Seq[Double]]] = {
+    graft.core.Guard.boundedArg(m.toLong * k, MaxCodebookEntries,
+      s"PQ codebook state (m = $m × k = $k centroids)",
+      "codebooks are driver-resident and ride the encode projection as " +
+        "literals — reduce m or k, or shard the index")
     val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     (0 until m).map { j =>
       Clustering.fitCentroids(

@@ -176,7 +176,11 @@ object Similarity {
     * left fold the engines run. nlist·dims doubles — driver-sized by
     * construction.
     */
-  def ivfCentroids(n: DataFrame, nlist: Int): Seq[(Long, Array[Double], Double)] =
+  def ivfCentroids(n: DataFrame, nlist: Int): Seq[(Long, Array[Double], Double)] = {
+    graft.core.Guard.boundedArg(nlist, MaxNlist, "ivf nlist",
+      "driver state is nlist·dims doubles (the centroid table) and the " +
+        "probe pruning broadcasts against it — shard the index or raise " +
+        "the cap only with a matching driver-memory plan")
     n.orderBy(md5(concat(lit("ivf|"), col("vec_id").cast("string"))), col("vec_id"))
       .limit(nlist)
       .select(col("vec_id"), col("v"))
@@ -187,6 +191,14 @@ object Similarity {
         while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
         (r.getLong(0), cv, math.sqrt(s))
       }.toSeq
+  }
+
+  /** Documented driver-state caps (see [[graft.core.Guard]]): the IVF
+    * centroid table (nlist·dims doubles) and the serve-path probe frame
+    * (query-batch × nprobe rows) both live on the driver and broadcast.
+    */
+  val MaxNlist: Int = 65536
+  val MaxProbeRows: Long = 1L << 18
 
   /** IVF index build, factored out of [[annTopKIvf]] so the persisted-
     * index serving path (q139) provably shares the same centroid pick
@@ -271,7 +283,10 @@ object Similarity {
     // re-deriving either from the lazy probe plan would re-run the
     // query-side crossJoin/window per consumer.
     val probePlan = ivfProbes(q, cents, nprobe)
-    val probeRows = probePlan.collect()
+    val probeRows = graft.core.Guard.boundedCollect(probePlan, MaxProbeRows,
+      "ivf serve probe frame (query-batch × nprobe)",
+      "chunk the query batch or reduce nprobe — the probe table is " +
+        "broadcast, so it must stay driver-sized")
     val probedIds = probeRows.map(_.getAs[Long]("centroid_id")).distinct.toSeq
     import scala.jdk.CollectionConverters._
     val probes = broadcast(queries.sparkSession.createDataFrame(
@@ -313,7 +328,49 @@ object Similarity {
     */
   def exactNearDupBlocked(corpus: DataFrame, idCol: String, vecCol: String,
                           minCosine: Double, k: Int = 8,
-                          iters: Int = 2): DataFrame = {
+                          iters: Int = 2): DataFrame =
+    blockedQualifyingPairs(corpus, idCol, vecCol, minCosine, k, iters,
+                           bothOrientations = false)
+
+  /** The CAPPED companion to [[exactNearDupBlocked]] — same ball-cover
+    * candidate generation (exact recall by the triangle-inequality
+    * argument), but the output contract is per-doc TOP-`kNeighbors`
+    * above the threshold instead of the full qualifying pair list. That
+    * contract is what survives 100×: the all-pairs-≥t output densifies
+    * superlinearly at a fixed threshold (q38's measured sf1→sf3 exponent
+    * 1.88), while top-k output is ≤ kNeighbors·N rows by construction
+    * AND the rank is a bounded TopKPairs heap with map-side partial
+    * collapse — the candidate stream never materializes as a shuffled
+    * pair list. Emits BOTH orientations (every doc sees its neighbors).
+    * Cosines are 1e-9-quantized (they ride the heap key as integers).
+    */
+  def nearDupTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                  minCosine: Double, kNeighbors: Int, k: Int = 8,
+                  iters: Int = 2): DataFrame = {
+    val Big = 1000000000000000000L // 10^18; scaled cosine < 2^31
+    val scored = blockedQualifyingPairs(corpus, idCol, vecCol, minCosine,
+                                        k, iters, bothOrientations = true)
+      .select(col("id_a"),
+              floor((col("cosine") + 1) * 1e9 + 0.5).cast("long").as("scaled"),
+              col("id_b"))
+    val key = concat(
+      lpad((lit(Big) - col("scaled")).cast("string"), 19, "0"),
+      lit("|"), lpad(col("id_b").cast("string"), 19, "0"))
+    scored
+      .select(col("id_a"), key.as("key"), col("id_b"))
+      .groupBy(col("id_a"))
+      .agg(org.apache.spark.sql.graftx.TopKPairs
+        .topK(col("key"), col("id_b"), kNeighbors).as("top"))
+      .select(col("id_a"), explode(col("top")).as("c"))
+      .select(col("id_a").as("doc_id"), col("c.id").as("neighbor_id"),
+              ((lit(Big) - substring(col("c.key"), 1, 19).cast("long"))
+                 .cast("double") / 1e9 - 1).as("cosine_q"))
+  }
+
+  private def blockedQualifyingPairs(corpus: DataFrame, idCol: String,
+                                     vecCol: String, minCosine: Double,
+                                     k: Int, iters: Int,
+                                     bothOrientations: Boolean): DataFrame = {
     require(minCosine > -1.0 && minCosine <= 1.0, s"minCosine out of range: $minCosine")
     val v0 = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
@@ -342,10 +399,12 @@ object Similarity {
                 best.getField("cid").as("cid"),
                 sqrt(greatest(best.getField("d2"), lit(0.0))).as("cdist")),
       "neardup_assign")
-    // per-cluster radii: k rows, driver-sized by construction
-    val radii: Map[Int, Double] = w.groupBy(col("cid"))
-      .agg(max(col("cdist")).as("r"))
-      .collect()
+    // per-cluster radii: ≤ k rows by construction — enforced, so a
+    // future edit that widens the group key fails fast, not OOM-late
+    val radii: Map[Int, Double] = graft.core.Guard.boundedCollect(
+        w.groupBy(col("cid")).agg(max(col("cdist")).as("r")), k.toLong,
+        s"ball-cover radii (k = $k clusters)",
+        "the group key must stay the ≤k-valued cluster id")
       .map(r => r.getLong(0).toInt -> r.getDouble(1))
       .toMap
     val tau = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
@@ -366,7 +425,8 @@ object Similarity {
                      col("v").as("vb"), col("nrm").as("nb"))
     a.join(probes, Seq("cid")) // ≤ k fan-out per row, broadcast
       .join(b, col("cid_b") === col("bcid")) // ONE shuffle equi-join
-      .filter(col("id_a") < col("id_b"))
+      .filter(if (bothOrientations) col("id_a") =!= col("id_b")
+              else col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
               cosinePrenormed(dot(col("va"), col("vb")),
                               col("na"), col("nb")).as("cosine"))

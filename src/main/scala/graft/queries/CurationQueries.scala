@@ -680,8 +680,11 @@ object CurationQueries {
         .select(col("source"), col("n_s").as("n_docs"),
           (col("t_all").cast(DoubleType) / col("n_all").cast(DoubleType))
             .as("mean_tokens_all"),
-          ((col("t_all") - col("t_s")).cast(DoubleType) /
-            (col("n_all") - col("n_s")).cast(DoubleType))
+          // A source holding the whole corpus leaves zero docs "without"
+          // it — emit NULL (both engines) instead of NaN/div-by-zero.
+          when(col("n_all") === col("n_s"), lit(null).cast(DoubleType))
+            .otherwise((col("t_all") - col("t_s")).cast(DoubleType) /
+              (col("n_all") - col("n_s")).cast(DoubleType))
             .as("mean_tokens_without"),
           col("dup_all").as("removable_dups_all"),
           (col("dup_all") + col("dup_corr")).as("removable_dups_without"),
@@ -2764,7 +2767,8 @@ object CurationQueries {
         |SELECT b.source, b.n_s AS n_docs,
         |  CAST(t.t_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)
         |    AS mean_tokens_all,
-        |  CAST(t.t_all - b.t_s AS DOUBLE) / CAST(t.n_all - b.n_s AS DOUBLE)
+        |  CAST(t.t_all - b.t_s AS DOUBLE)
+        |    / CAST(nullif(t.n_all - b.n_s, 0) AS DOUBLE)
         |    AS mean_tokens_without,
         |  da.dup_all AS removable_dups_all,
         |  da.dup_all + c.dup_corr AS removable_dups_without,

@@ -225,9 +225,13 @@ object TextQueries {
       val cnt = d.select(col("doc_id"),
                          explode(Text.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      // tf2 accumulates in DECIMAL(38,0) (the q259 discipline): a plain
+      // BIGINT sum of c² wraps silently under extreme term skew
+      // (Σc² > 2^63) where DuckDB's HUGEINT→BIGINT cast would throw.
       val st = cnt.groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
-             sum(col("c") * col("c")).as("tf2"))
+             sum(col("c").cast(DecimalType(38, 0)) *
+                 col("c").cast(DecimalType(38, 0))).as("tf2"))
       val Big = 1000000000000000000L
       val key = concat(lpad((lit(Big) - col("tf")).cast("string"), 19, "0"),
                        lit("|"), col("term"))
@@ -4541,7 +4545,8 @@ object TextQueries {
          |st AS (
          |  SELECT term, CAST(count(*) AS BIGINT) AS df,
          |    CAST(sum(c) AS BIGINT) AS tf,
-         |    CAST(sum(c * c) AS BIGINT) AS tf2
+         |    CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+         |         AS DECIMAL(38,0)) AS tf2
          |  FROM cnt GROUP BY 1),
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
          |top AS (SELECT term FROM (

@@ -96,6 +96,24 @@ object VectorQueries {
         .select(col("id_a"), col("id_b"), col("cosine"))
     },
 
+    // q38's CAPPED companion — the form that survives 100×. q38's
+    // all-pairs-≥t output contract densifies superlinearly at a fixed
+    // threshold (measured sf1→sf3 exponent 1.88: the PAIR LIST is the
+    // scale-killer, not the plan); this emits each doc's top-5 neighbors
+    // above the same threshold instead — ≤ 5·N output rows by
+    // construction, ranked by a bounded TopKPairs heap whose partial agg
+    // collapses the candidate stream map-side. Same ball-cover candidate
+    // generation, so recall stays EXACT (triangle-inequality argument in
+    // Similarity.exactNearDupBlocked). Use q38 when the full duplicate
+    // graph is the product (cluster-then-canonicalize); use this when
+    // "who are my near-dups" per doc is (dedup candidate review, dedup
+    // pair sampling, retrieval eval).
+    "q274_neardup_topk" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.nearDupTopK(e, "vec_id", "embedding",
+                             minCosine = 0.4, kNeighbors = 5)
+    },
+
     // Per-label centroids in long format (label × dimension), elementwise
     // exact decimal sums — the clustering/aggregation primitive for
     // embedding pipelines. Long format keeps the oracle to scalar columns.
@@ -1039,8 +1057,15 @@ object VectorQueries {
     // assumption.
     "q121_pca_projection" -> { (s, dir) =>
       import graft.functions.Vectors
-      val covRows = defs("q119_covariance")(s, dir)
-        .select(col("dim_i"), col("dim_j"), col("cov")).collect()
+      // d² upper-triangle cells by construction — enforced (1<<20 cells
+      // ≈ d=1448), so a misconfigured wide-embedding run refuses fast
+      // instead of OOMing the driver mid-eigensolve
+      val covRows = graft.core.Guard.boundedCollect(
+        defs("q119_covariance")(s, dir)
+          .select(col("dim_i"), col("dim_j"), col("cov")),
+        1L << 20, "PCA covariance cells (d² driver eigenproblem)",
+        "project the vectors down first (q117 JL projection) or move to " +
+          "a distributed eigensolver")
       val d = covRows.map(_.getLong(0).toInt).max
       val C = Array.ofDim[Double](d, d)
       covRows.foreach { r =>
@@ -1280,15 +1305,13 @@ object VectorQueries {
     // maintenance vs q268's full rebuild (1.0), read per query.
     // -----------------------------------------------------------------
     "q273_graph_ann_insert" -> { (s, dir) =>
-      val n     = labeledVecs(s, dir)
-      val nBase = n.filter(col("vec_id") % 5 =!= 3)
-      val gBase = nndGraphOver(s, nndCorpus(s, dir, base = true),
-                               s"$dir|base", "q273")
-      val inserted = beamOver(symmetrized(gBase),
-                              nndCorpus(s, dir, base = true),
-                              queryFrame(n, col("vec_id") % 5 === 3),
-                              entryFrame(nBase), BeamWidth, NndK)
-        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val n   = labeledVecs(s, dir)
+      val ctx = insertContext(s, dir)
+      // inserts go through the SAME helper the streaming maintenance leg
+      // uses (EventsStream.annGraphMaintainStream) — the stream ≡ batch
+      // gate is an identity on this arithmetic, not a re-implementation
+      val inserted = insertEdgesOver(ctx,
+        Tables(s, dir).embeddings.filter(col("vec_id") % 5 === 3))
       // src id spaces are disjoint (delta vs base), so plain unionAll.
       // The cut is load-bearing: the serve phase references the edge set
       // twice per round, and without it Spark re-executes the whole
@@ -1296,7 +1319,7 @@ object VectorQueries {
       // warm at sf0.1; the residual is the genuine 1000-vector insert
       // beam + serve).
       val gInc = graft.core.Materialize.cut(
-        gBase.unionAll(inserted), "q273-ginc")
+        ctx.gBase.unionAll(inserted), "q273-ginc")
       val found = beamOver(symmetrized(gInc), nndCorpus(s, dir),
                            queryFrame(n, col("vec_id") < 20),
                            entryFrame(n), BeamWidth, 3)
@@ -1320,6 +1343,12 @@ object VectorQueries {
     */
   private val nndVecCache  = new graft.core.SessionCache[String]
   private val nndEdgeCache = new graft.core.SessionCache[String]
+
+  /** Test hook: NN-descent edge-cache keys for `s` — PlanQualitySpec
+    * asserts the q272 sweep's three legs share ONE build entry.
+    */
+  private[graft] def nndEdgeCacheKeys(s: SparkSession): Set[String] =
+    nndEdgeCache.keys(s)
 
   /** Normalized nonzero vectors (cand_id, cv, cn) behind a lineage cut;
     * `base = true` restricts to the q273 base split (vec_id % 5 != 3).
@@ -1373,8 +1402,12 @@ object VectorQueries {
             .select(col("src"), col("c.id").as("dst")), tag)
       }
       val initPairs = (0 until NndDraws).map { d =>
+        // 32-bit draw: value16 capped the usable block count at 65536,
+        // so past ~4.2M vectors every block silently grew as N/65536 and
+        // the constant-size-block linear build degraded quadratically.
+        // 2^32 draws keep blocks ≈ NndBlockSize up to ~2.7e11 vectors.
         val blk = corpus.select(col("cand_id").as("id"),
-          (graft.functions.HexKeys.value16(
+          (graft.functions.HexKeys.value32(
              md5(concat(lit(s"nnd$d|"), col("cand_id").cast("string"))), 0)
             % nBlocks).as("g"))
         blk.as("a").join(blk.as("b"),
@@ -1395,6 +1428,65 @@ object VectorQueries {
 
   private def nndGraph(s: SparkSession, dir: String): DataFrame =
     nndGraphOver(s, nndCorpus(s, dir), dir, "q268")
+
+  /** Measurement hook (ScaleRehearsal heavy100x): the NN-descent BUILD
+    * leg alone — forcing this frame runs block init + refinement rounds
+    * without the serve-side beam, so per-stage shuffle constants
+    * attribute to the build, not the query batch.
+    */
+  private[graft] def nndBuildFrame(s: SparkSession, dir: String): DataFrame =
+    nndGraph(s, dir)
+
+  /** Shared insert machinery for the batch (q273) and streaming
+    * (EventsStream.annGraphMaintainStream) graph-ANN insert legs: the
+    * base graph (directed + symmetrized view), the base corpus, the
+    * per-label base entry points, and the global fallback entry id for
+    * labels with no base presence. Built ONCE per (session, dir) via the
+    * session caches; the streaming leg captures the frames in its
+    * foreachBatch closure, so micro-batch session CLONES (which would
+    * miss the per-session cache) never rebuild the graph.
+    */
+  private[graft] final case class InsertContext(
+      gBase: DataFrame, gSym: DataFrame, corpus: DataFrame,
+      entries: DataFrame, globalEntry: Long)
+
+  private[graft] def insertContext(s: SparkSession, dir: String): InsertContext = {
+    val nBase = labeledVecs(s, dir).filter(col("vec_id") % 5 =!= 3)
+    val gBase = nndGraphOver(s, nndCorpus(s, dir, base = true),
+                             s"$dir|base", "q273")
+    val geRow = nBase.agg(min(col("vec_id"))).first()
+    require(!geRow.isNullAt(0),
+      "graph-ANN insert: the base split has no nonzero-norm vectors — " +
+        "nothing to beam-search against")
+    InsertContext(gBase, symmetrized(gBase),
+                  nndCorpus(s, dir, base = true),
+                  entryFrame(nBase), geRow.getLong(0))
+  }
+
+  /** One insert wave: beam-search the BASE graph for each raw vector's
+    * NndK nearest base nodes and emit the adoption edges (src, dst).
+    * `raw` is (vec_id, embedding, label) — zero-norm vectors are
+    * unsearchable and skipped (the labeledVecs rule). Entry points cover
+    * EVERY arriving label: a label absent from the base split falls back
+    * to the global min base vec_id (the beam still converges — it just
+    * starts one hop farther out). Inserts depend ONLY on the base graph
+    * (arriving vectors never see each other — the q273 contract), so
+    * any micro-batch partitioning of `raw` yields the same edge set.
+    */
+  private[graft] def insertEdgesOver(ctx: InsertContext,
+                                     raw: DataFrame): DataFrame = {
+    import graft.functions.Vectors
+    val q = raw.select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+                       col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", Vectors.norm(col("qv")))
+      .filter(col("qn") > 0)
+    val ent = q.select(col("qlabel")).distinct()
+      .join(ctx.entries, Seq("qlabel"), "left")
+      .select(col("qlabel"),
+              coalesce(col("cand_id"), lit(ctx.globalEntry)).as("cand_id"))
+    beamOver(ctx.gSym, ctx.corpus, q, ent, BeamWidth, NndK)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+  }
 
   private def symmetrized(g: DataFrame): DataFrame =
     g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
@@ -2217,6 +2309,23 @@ object VectorQueries {
         |FROM n a, n b
         |WHERE a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0
         |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    "q274_neardup_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS doc_id, b.vec_id AS neighbor_id,
+        |    CAST(floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm) + 1)
+        |               * 1e9 + 0.5) AS BIGINT) AS scaled
+        |  FROM n a, n b
+        |  WHERE a.vec_id <> b.vec_id AND a.nrm > 0 AND b.nrm > 0
+        |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+        |SELECT doc_id, neighbor_id,
+        |  CAST(scaled AS DOUBLE) / 1e9 - 1 AS cosine_q
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY scaled DESC, neighbor_id ASC) AS rn FROM p) z
+        |WHERE rn <= 5""".stripMargin,
     "q45_embedding_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim_pos,
         |  COUNT(*) AS n_vectors,
@@ -2922,7 +3031,7 @@ object VectorQueries {
     s"""${(0 until NndDraws).map { d =>
          s"""blk$d AS MATERIALIZED (
             |  SELECT vec_id AS id,
-            |    ${graft.functions.HexKeys.value16Sql(0,
+            |    ${graft.functions.HexKeys.value32Sql(0,
                    s"md5('nnd$d|' || CAST(vec_id AS VARCHAR))")}
             |      % nbx.nblocks AS g
             |  FROM $vec CROSS JOIN (
@@ -3105,7 +3214,13 @@ object VectorQueries {
          |qd AS MATERIALIZED (
          |  SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
          |  FROM vn WHERE vec_id % 5 = 3),
-         |entd AS (SELECT label, min(vec_id) AS cand_id FROM vb GROUP BY 1),
+         |entd AS (
+         |  SELECT ql.qlabel AS label,
+         |    coalesce(e.cand_id, ge.g_cand) AS cand_id
+         |  FROM (SELECT DISTINCT qlabel FROM qd) ql
+         |  LEFT JOIN (SELECT label, min(vec_id) AS cand_id
+         |             FROM vb GROUP BY 1) e ON e.label = ql.qlabel
+         |  CROSS JOIN (SELECT min(vec_id) AS g_cand FROM vb) ge),
          |bd0 AS (
          |  SELECT qd.query_id, e.cand_id
          |  FROM qd JOIN entd e ON e.label = qd.qlabel),

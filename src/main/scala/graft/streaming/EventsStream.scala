@@ -941,6 +941,44 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming graph-ANN index maintenance — q273's insert beam on a
+    * continuously-arriving vector stream (the index-lifecycle leg the
+    * NN-descent family was missing, mirroring what
+    * [[lshIndexMaintainStream]] does for the LSH band index): the base
+    * NN-descent graph, base corpus, per-label entry points, and global
+    * fallback entry are built ONCE at stream-construction time
+    * ([[graft.queries.VectorQueries.insertContext]] — session-cached,
+    * lineage-cut frames CAPTURED by the foreachBatch closure, because
+    * micro-batch session clones would miss the per-session cache and
+    * rebuild the graph every batch). Each micro-batch beam-searches the
+    * BASE graph for its vectors' nearest base nodes and appends the
+    * (src, dst) adoption edges. Inserts depend only on the base graph
+    * (arriving vectors never see each other — the q273 contract), so the
+    * drained edge table is identical under ANY micro-batch partitioning
+    * and ≡ the one-shot batch insert (StreamingSpec asserts); the src
+    * anti-join doubles as the redelivery guard (a vector's NndK edges
+    * land atomically in its batch's append).
+    */
+  def annGraphMaintainStream(
+      vectors: DataFrame,
+      baseDir: String,
+      table: String,
+      checkpointDir: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ctx = graft.queries.VectorQueries.insertContext(
+      vectors.sparkSession, baseDir)
+    vectors.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val edges = graft.queries.VectorQueries.insertEdgesOver(ctx, batch.toDF())
+        idempotentAppend(edges, table, "src")
+        ()
+      }
+      .start()
+  }
+
   /** Schema of the `documents` parquet (the corpus-side streaming legs). */
   val documentSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(

@@ -647,6 +647,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
   }
 
+  test("q274 capped near-dup: blocked equi-join + bounded heap, no window/cartesian") {
+    // the scale-safe companion to q38: same ball-cover candidate plan,
+    // but the rank must be the TopKPairs heap (map-side partial
+    // collapse), never a per-doc window over the pair stream
+    val plan = planOf(SparkEntry.queries("q274_neardup_topk")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"corpus cross-joined:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus nested-loop joined:\n$plan")
+    assert(!plan.contains("Window"), s"pair-stream window crept in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no TopKPairs heap:\n$plan")
+  }
+
+  test("q275 URL canonicalization is a scan-local projection — zero exchanges") {
+    // the crawl-normalization pass must not shuffle: regexp/split/sort
+    // built-ins over the scan, no UDF, no aggregation
+    val df = SparkEntry.queries("q275_url_canonicalize")(spark, dir)
+    val n = physical(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(n == 0, s"q275 plans $n exchanges (want 0 — pure projection):\n${planOf(df)}")
+    assert(!planOf(df).contains("BatchEvalPython"), "UDF crept in")
+  }
+
+  test("q276 host dedup+cap: derived-key aggs + bounded heap, window-free") {
+    // fetch-dedup and host stats are partial+final aggs on derived keys;
+    // the anti-flooding cap rides the TopKPairs heap, never a per-host
+    // window over the page stream
+    val p = planOf(SparkEntry.queries("q276_host_dedup_cap")(spark, dir))
+    assert(!p.contains("Window"), s"q276 windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q276 cartesian:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"no TopKPairs heap:\n$p")
+  }
+
   test("q98 semantic dedup compares only within clusters via an equi-join") {
     // the SemDeDup point: the pairwise compare joins on the CLUSTER key
     // (bucketable equi-join, pairs bounded per cluster) — never a full
@@ -1561,12 +1594,18 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q272 beam-width sweep reuses the session-cached graph across legs") {
     // The three serve legs must read the SAME cached NN-descent edge
-    // list (no per-leg rebuild): after q268/q272 construction the edge
-    // cache holds exactly one entry's lineage — asserted by plan shape
-    // (no window, no cartesian; the graph arrives as a materialized scan).
+    // list (no per-leg rebuild): asserted DIRECTLY on the cache — after
+    // planning the sweep, the full-corpus edge cache holds exactly ONE
+    // entry for this dir (a per-leg rebuild would need per-leg keys, and
+    // three builds behind one key would still be caught by the Memo's
+    // once-only lazy build). Plan-shape gates stay as a backstop.
     val p = planOf(SparkEntry.queries("q272_beam_width_sweep")(spark, dir))
     assert(!p.contains("Window"), s"q272 windows:\n$p")
     assert(!p.contains("CartesianProduct"), s"q272 cartesian:\n$p")
+    val edgeKeys = graft.queries.VectorQueries.nndEdgeCacheKeys(spark)
+      .filter(k => k.startsWith(dir) && !k.endsWith("|base"))
+    assert(edgeKeys == Set(dir),
+      s"q272 expected one full-corpus NN-descent build entry [$dir], got $edgeKeys")
   }
 
   test("q273 incremental insert: beam equi-joins only, no rebuild windows/cartesians") {

@@ -160,6 +160,47 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked.count() == 132L)
   }
 
+  test("nearDupTopK ≡ windowed all-pairs baseline (capped output, exact recall)") {
+    // same two-antipodal-cluster fixture shape as the q38 test; the
+    // capped form must return each doc's top-3 qualifying neighbors with
+    // the heap's (cosine desc, id asc) order ≡ the window's
+    val vecs = ((0 until 12).map { i =>
+      val s = 1.0 + (i % 3)
+      (i.toLong, Array.tabulate(8)(j => (s * (1.0 + 0.05 * math.sin(i + j))).toFloat))
+    } ++ (12 until 24).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (-1.0 - 0.05 * math.cos(i * 8 + j)).toFloat))
+    } :+ (24L, Array.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.nearDupTopK(
+      vecs, "vec_id", "embedding", minCosine = 0.4, kNeighbors = 3,
+      k = 4, iters = 2)
+    val naive = {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val v = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val a = v.select(col("vec_id").as("doc_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
+      a.crossJoin(b)
+        .filter(col("doc_id") =!= col("neighbor_id"))
+        .select(col("doc_id"), col("neighbor_id"),
+                Vectors.cosinePrenormed(
+                  Vectors.dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .withColumn("scaled",
+          floor((col("cosine") + 1) * 1e9 + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("doc_id"))
+            .orderBy(col("scaled").desc, col("neighbor_id").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("neighbor_id"),
+                (col("scaled").cast("double") / 1e9 - 1).as("cosine_q"))
+    }
+    assert(capped.exceptAll(naive).isEmpty && naive.exceptAll(capped).isEmpty,
+      "capped form disagrees with the windowed exact baseline")
+    // output contract: ≤ 3 neighbors per doc, 24 qualifying docs
+    assert(capped.count() == 72L)
+  }
+
   test("durable materialization: blocked near-dup identical with checkpointing off") {
     // same fixture as the ≡-baseline test; here the claim is that the
     // table-backed lineage cut (Materialize durable mode — the cluster

@@ -475,6 +475,52 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "restarted index diverged from the one-shot build")
   }
 
+  test("streaming graph-ANN insert ≡ one-shot batch insert; redelivery is a no-op") {
+    // q273's insert beam as index maintenance on an arriving vector
+    // stream: two micro-batches (maxFilesPerTrigger=1) must drain to the
+    // SAME edge table as one batch insert over the union — inserts
+    // depend only on the base graph, never on each other — and a full
+    // re-read (fresh checkpoint = total redelivery) must not duplicate
+    val src   = java.nio.file.Files.createTempDirectory("graft-anng-src").toString
+    val table = graft.sources.Warehouse.sessionScopedName(spark, "graft_ann_graph_idx")
+    val delta = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 3)
+    // two key-disjoint halves of the delta split → two files
+    delta.filter(col("vec_id") % 10 === 3).coalesce(1)
+      .write.parquet(s"$src/half1")
+    delta.filter(col("vec_id") % 10 === 8).coalesce(1)
+      .write.parquet(s"$src/half2")
+    def halves(d: String) = new java.io.File(s"$src/$d").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(halves("half1").toPath,
+      java.nio.file.Paths.get(src, "b1.parquet"))
+    java.nio.file.Files.copy(halves("half2").toPath,
+      java.nio.file.Paths.get(src, "b2.parquet"))
+    def runOnce(name: String): Unit = {
+      val cp = java.nio.file.Files.createTempDirectory("graft-anng-cp").toString
+      val vecs = spark.readStream.schema(EventsStream.embeddingSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*.parquet")
+      val q = EventsStream.annGraphMaintainStream(vecs, dir, table, cp, name)
+      q.processAllAvailable()
+      assert(q.recentProgress.length >= 2,
+        "maxFilesPerTrigger=1 should yield at least two micro-batches")
+      q.stop()
+    }
+    runOnce("ann_graph_maintain_1")
+    val want = graft.queries.VectorQueries.insertEdgesOver(
+        graft.queries.VectorQueries.insertContext(spark, dir), delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = spark.table(table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "drained edge table diverged from the one-shot insert")
+    // total redelivery (fresh checkpoint re-reads every file): no-op
+    runOnce("ann_graph_maintain_2")
+    val replay = spark.table(table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay === want, "redelivered batches duplicated insert edges")
+  }
+
   test("streaming cap-index maintenance ≡ one-shot cap; evictions happen; replay is a no-op") {
     import spark.implicits._
     val src   = java.nio.file.Files.createTempDirectory("graft-cap-src").toString
