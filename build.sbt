@@ -37,4 +37,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at 8g vs 179s at 32g, same queries, zero spills either way). The
   // box has 125 GiB; 32g keeps young-gen pressure off the critical path.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Round-16 same-box A/B finding: with -Xms unset, G1 commits lazily
+  // (~3-7g observed against the 32g ceiling) and back-to-back bench runs
+  // of IDENTICAL code swung 253.7s/99s-GC vs 215.6s/59s-GC purely on
+  // ergonomics luck. A 16g floor gives the collector headroom from the
+  // first query and removes that run-to-run mode.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MIN_MEM", "16g")}",
 )
