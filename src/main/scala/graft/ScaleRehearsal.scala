@@ -176,7 +176,12 @@ object ScaleRehearsal {
     // round-15 third wave: the NN-descent graph-ANN family (its sf1
     // build is the one new ≥10 s warm entry) and the q75 segment dedup
     // that the regenerated full sweep surfaced in the cost tail
-    "q268_graph_ann_beam", "q75_segment_dedup")
+    "q268_graph_ann_beam", "q75_segment_dedup",
+    // round-16: the q38 capped companion (its whole point is exponent
+    // ≤ ~1 where q38 reads 1.88 — measure it, don't claim it) and the
+    // q273 insert leg that the isolated sf1 sweep surfaced as the new
+    // top-cost family (29.6 s warm at sf1)
+    "q274_neardup_topk", "q273_graph_ann_insert")
 
   /** Two-scale exponent mode: `runMain graft.ScaleRehearsal exponents
     * [srcDir]` builds the sf1 (10-copy) and sf3 (30-copy) corpora, runs

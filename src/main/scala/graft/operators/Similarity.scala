@@ -329,8 +329,7 @@ object Similarity {
   def exactNearDupBlocked(corpus: DataFrame, idCol: String, vecCol: String,
                           minCosine: Double, k: Int = 8,
                           iters: Int = 2): DataFrame =
-    blockedQualifyingPairs(corpus, idCol, vecCol, minCosine, k, iters,
-                           bothOrientations = false)
+    blockedQualifyingPairs(corpus, idCol, vecCol, minCosine, k, iters)
 
   /** The CAPPED companion to [[exactNearDupBlocked]] — same ball-cover
     * candidate generation (exact recall by the triangle-inequality
@@ -348,11 +347,22 @@ object Similarity {
                   minCosine: Double, kNeighbors: Int, k: Int = 8,
                   iters: Int = 2): DataFrame = {
     val Big = 1000000000000000000L // 10^18; scaled cosine < 2^31
-    val scored = blockedQualifyingPairs(corpus, idCol, vecCol, minCosine,
-                                        k, iters, bothOrientations = true)
-      .select(col("id_a"),
-              floor((col("cosine") + 1) * 1e9 + 0.5).cast("long").as("scaled"),
-              col("id_b"))
+    // Score each UNORDERED candidate pair once (id_a < id_b — the same
+    // half-join q38 runs; the dot product is the dominant cost), then
+    // emit both orientations with a scan-local explode so every doc sees
+    // its neighbors. Scoring both ordered pairs doubled the sf3 wall for
+    // zero information — cosine is symmetric.
+    val half = blockedQualifyingPairs(corpus, idCol, vecCol, minCosine,
+                                      k, iters)
+      .select(col("id_a"), col("id_b"),
+              floor((col("cosine") + 1) * 1e9 + 0.5).cast("long").as("scaled"))
+    val scored = half
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"), col("scaled")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"), col("scaled"))))
+        .as("e"))
+      .select(col("e.src").as("id_a"), col("e.scaled").as("scaled"),
+              col("e.dst").as("id_b"))
     val key = concat(
       lpad((lit(Big) - col("scaled")).cast("string"), 19, "0"),
       lit("|"), lpad(col("id_b").cast("string"), 19, "0"))
@@ -369,8 +379,7 @@ object Similarity {
 
   private def blockedQualifyingPairs(corpus: DataFrame, idCol: String,
                                      vecCol: String, minCosine: Double,
-                                     k: Int, iters: Int,
-                                     bothOrientations: Boolean): DataFrame = {
+                                     k: Int, iters: Int): DataFrame = {
     require(minCosine > -1.0 && minCosine <= 1.0, s"minCosine out of range: $minCosine")
     val v0 = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
@@ -425,8 +434,7 @@ object Similarity {
                      col("v").as("vb"), col("nrm").as("nb"))
     a.join(probes, Seq("cid")) // ≤ k fan-out per row, broadcast
       .join(b, col("cid_b") === col("bcid")) // ONE shuffle equi-join
-      .filter(if (bothOrientations) col("id_a") =!= col("id_b")
-              else col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
               cosinePrenormed(dot(col("va"), col("vb")),
                               col("na"), col("nb")).as("cosine"))
