@@ -1350,6 +1350,14 @@ object VectorQueries {
   private[graft] def nndEdgeCacheKeys(s: SparkSession): Set[String] =
     nndEdgeCache.keys(s)
 
+  /** Catalog name of the cand_id-bucketed NN-descent corpus table for one
+    * (session, cache key) — the persisted index every build-round vector
+    * attach joins exchange-free. Exposed for PlanQualitySpec's probe.
+    */
+  private[graft] def nndCorpusTable(s: SparkSession, cacheKey: String): String =
+    graft.sources.Warehouse.sessionScopedName(s,
+      "graft_nnd_corpus_" + cacheKey.replaceAll("[^a-zA-Z0-9]", "_").takeRight(40))
+
   /** Normalized nonzero vectors (cand_id, cv, cn) behind a lineage cut;
     * `base = true` restricts to the q273 base split (vec_id % 5 != 3).
     */
@@ -1373,58 +1381,123 @@ object VectorQueries {
   /** NN-descent over an arbitrary corpus frame (cand_id, cv, cn):
     * md5-random constant-size block init, NndRounds refinement rounds,
     * directed top-NndK edge list. Cached per (session, cacheKey).
+    *
+    * Physical shape (round 17 — the round-16 measured scale-killer): the
+    * corpus is persisted ONCE as a cand_id-bucketed warehouse table (the
+    * q139/q141 persisted-index discipline), so every vector attach joins
+    * it with ZERO corpus-side Exchange; candidate pairs are scored with
+    * the NN-descent "local join" (Dong et al., WWW'11 §2.3): each pair
+    * (x, z) generated via pivot y (edges x→y, y→z) is scored WHERE THE
+    * PIVOT'S NEIGHBOR LISTS GATHER, so per round only ~2·K vectors per
+    * node move (the in/out neighbor-list gathers) plus id+score rows —
+    * never one vector per candidate pair. The ∪g re-score branch reuses
+    * the scores the previous round's heap already computed (`g` carries
+    * `scaled` between rounds), and the heap itself is [[TopKPairs
+    * .topKDistinct]] (set semantics), so the old pre-heap `distinct()`
+    * whole-row shuffles disappear. Round-16 BENCH_HEAVY100X measured the
+    * old shape (both 64-double vectors riding every candidate join,
+    * every round) at ~200 KB of shuffle per corpus vector — ~2 PB at the
+    * 10B-vector target; this shape's vector traffic is K·|vec| per node
+    * per round, independent of the candidate count.
+    *
+    * Candidate sets and scores are bit-identical to the round-16 logical
+    * algorithm (same md5 block draws, same pivot expansion x∈in(y) ×
+    * z∈out(y), same `scaled` expression), so the q268/q272/q273 DuckDB
+    * oracle unrolls are unchanged.
     */
   private def nndGraphOver(s: SparkSession, corpus: DataFrame,
                            cacheKey: String, tagPfx: String): DataFrame =
     nndEdgeCache.getOrElseUpdate(s, cacheKey) {
+      // durable mode: the finished edge list is published as a
+      // cross-session warehouse index (dir-keyed name), so a NEW session
+      // serves from a parquet scan instead of re-paying the build — the
+      // production lifecycle the streaming index maintainer implies
+      // (round-16 verdict #6). Default mode keeps the session-scoped
+      // lifecycle (nothing outlives the JVM).
+      if (graft.core.Materialize.durable(s))
+        graft.sources.Warehouse.durableIndex(s,
+          "graft_nnd_edges_" +
+            cacheKey.replaceAll("[^a-zA-Z0-9]", "_").takeRight(48))(
+          nndGraphBuild(s, corpus, cacheKey, tagPfx))
+      else nndGraphBuild(s, corpus, cacheKey, tagPfx)
+    }
+
+  /** The NN-descent build itself — see [[nndGraphOver]] for the cache /
+    * durable-index lifecycle around it.
+    */
+  private def nndGraphBuild(s: SparkSession, corpus: DataFrame,
+                            cacheKey: String, tagPfx: String): DataFrame = {
       import graft.functions.Vectors
       val nBlocks = math.max(1L,
         math.ceil(corpus.count().toDouble / NndBlockSize).toLong)
+      // one-time bucketed persist: 32 buckets to match this session's
+      // shuffle parallelism (a cluster deployment scales the bucket count
+      // with executors); repartition first so the write emits one file
+      // per bucket instead of tasks×buckets
+      val tbl = nndCorpusTable(s, cacheKey)
+      graft.sources.Warehouse.writeBucketed(
+        corpus.repartition(32, col("cand_id")), tbl, "cand_id", numBuckets = 32)
+      val corpusB = s.table(tbl)
+      val scaled = floor((Vectors.dot(col("sv"), col("dv")) /
+                            (col("sn") * col("dn")) + 1) * 1e9 + 0.5)
+        .cast("long").as("scaled")
+      // heap over (src, dst, scaled) candidates; re-emits scaled so the
+      // next round's ∪g branch reuses it instead of re-joining vectors
       def topKEdges(cand: DataFrame, tag: String): DataFrame = {
-        val scored = cand
-          .join(corpus.select(col("cand_id").as("src"), col("cv").as("sv"),
-                              col("cn").as("sn")), Seq("src"))
-          .join(corpus.select(col("cand_id").as("dst"), col("cv").as("dv"),
-                              col("cn").as("dn")), Seq("dst"))
-          .select(col("src"), col("dst"),
-                  floor((Vectors.dot(col("sv"), col("dv")) /
-                           (col("sn") * col("dn")) + 1) * 1e9 + 0.5)
-                    .cast("long").as("scaled"))
         val key = concat(
           lpad((lit(NndBig) - col("scaled")).cast("string"), 19, "0"),
           lit("|"), lpad(col("dst").cast("string"), 19, "0"))
         graft.core.Materialize.cut(
-          scored.select(col("src"), key.as("key"), col("dst"))
+          cand.select(col("src"), key.as("key"), col("dst"))
             .groupBy(col("src"))
             .agg(org.apache.spark.sql.graftx.TopKPairs
-              .topK(col("key"), col("dst"), NndK).as("top"))
+              .topKDistinct(col("key"), col("dst"), NndK).as("top"))
             .select(col("src"), explode(col("top")).as("c"))
-            .select(col("src"), col("c.id").as("dst")), tag)
+            .select(col("src"), col("c.id").as("dst"),
+                    (lit(NndBig) - substring(col("c.key"), 1, 19).cast("long"))
+                      .as("scaled")), tag)
       }
-      val initPairs = (0 until NndDraws).map { d =>
+      val initScored = (0 until NndDraws).map { d =>
         // 32-bit draw: value16 capped the usable block count at 65536,
         // so past ~4.2M vectors every block silently grew as N/65536 and
         // the constant-size-block linear build degraded quadratically.
         // 2^32 draws keep blocks ≈ NndBlockSize up to ~2.7e11 vectors.
-        val blk = corpus.select(col("cand_id").as("id"),
+        // Vectors ride the block shuffle ONCE per draw (one copy per
+        // vector), and all block-internal pairs score inside the join
+        // stage — the wide two-vector rows never reach an Exchange.
+        val blk = corpusB.select(col("cand_id").as("id"), col("cv"), col("cn"),
           (graft.functions.HexKeys.value32(
              md5(concat(lit(s"nnd$d|"), col("cand_id").cast("string"))), 0)
             % nBlocks).as("g"))
         blk.as("a").join(blk.as("b"),
             col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
-          .select(col("a.id").as("src"), col("b.id").as("dst"))
-      }.reduce(_ union _).distinct()
-      var g = topKEdges(initPairs, s"$tagPfx-g0")
+          .select(col("a.id").as("src"), col("b.id").as("dst"),
+                  col("a.cv").as("sv"), col("a.cn").as("sn"),
+                  col("b.cv").as("dv"), col("b.cn").as("dn"))
+          .select(col("src"), col("dst"), scaled)
+      }.reduce(_ union _)
+      var g = topKEdges(initScored, s"$tagPfx-g0")
       for (r <- 1 to NndRounds) {
-        val cand = g.as("a")
-          .join(g.as("b"),
-                col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
-          .select(col("a.src").as("src"), col("b.dst").as("dst"))
-          .union(g).distinct()
+        // local join at the pivot: edge x→y contributes x (with vector)
+        // to pivot y's in-list, edge y→z contributes z (with vector) to
+        // its out-list; the pivot-keyed join scores in(y)×out(y) pairs
+        // in place. Both vector attaches read the bucketed corpus
+        // exchange-free — only edge id rows shuffle into the buckets.
+        val inV = g.select(col("src"), col("dst").as("pivot"))
+          .join(corpusB.select(col("cand_id").as("src"), col("cv").as("sv"),
+                               col("cn").as("sn")), Seq("src"))
+        val outV = g.select(col("src").as("pivot"), col("dst"))
+          .join(corpusB.select(col("cand_id").as("dst"), col("cv").as("dv"),
+                               col("cn").as("dn")), Seq("dst"))
+        val coScored = inV.join(outV, Seq("pivot"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"), scaled)
+        val cand = coScored
+          .union(g.select(col("src"), col("dst"), col("scaled")))
         g = topKEdges(cand, s"$tagPfx-g$r")
       }
-      g
-    }
+      g.select(col("src"), col("dst"))
+  }
 
   private def nndGraph(s: SparkSession, dir: String): DataFrame =
     nndGraphOver(s, nndCorpus(s, dir), dir, "q268")

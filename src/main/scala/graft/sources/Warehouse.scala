@@ -112,6 +112,43 @@ object Warehouse {
   def appendTable(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
 
+  /** Cross-session durable index (round-16 verdict #6: the session-scoped
+    * graph caches die with the session, so every new session re-paid the
+    * most expensive build in the engine). If `<warehouse>/<name>` already
+    * holds the index, READ it — a new session serves without rebuilding
+    * (its plan is a parquet scan, not the build lineage). Otherwise run
+    * `build`, publish it write-then-rename (a concurrent builder that
+    * loses the rename race deletes its copy and reads the winner — the
+    * same last-writer-safe discipline a production deployment gets from
+    * its index-build coordinator), and return the read-back frame.
+    *
+    * Deliberately NOT registered for exit cleanup and NOT session-scoped:
+    * the name is dataset-dir-derived (the q90 discipline — datasets can't
+    * cross-corrupt) and the files are meant to outlive the JVM. Staleness
+    * follows the testdata contract: a dataset dir's content is immutable;
+    * regenerated data lands in a new dir and therefore a new index name.
+    */
+  def durableIndex(spark: SparkSession, name: String)(build: => DataFrame): DataFrame = {
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.graftx.Bridge.defaultTablePath(spark, name))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) return spark.read.parquet(loc.toString)
+    val df  = build
+    val tmp = new org.apache.hadoop.fs.Path(loc.getParent,
+      "_build_" + loc.getName + "_" + java.util.UUID.randomUUID().toString.take(8))
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(loc) || !fs.rename(tmp, loc)) fs.delete(tmp, true)
+    spark.read.parquet(loc.toString)
+  }
+
+  /** Delete a [[durableIndex]] by name (test hygiene). */
+  def dropDurableIndex(spark: SparkSession, name: String): Unit = {
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.graftx.Bridge.defaultTablePath(spark, name))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Append a delta batch to an EXISTING bucketed table (incremental
     * index/table maintenance): the bucket spec must match the table's —
     * Spark writes the delta as additional per-bucket files, and bucketed

@@ -14,7 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Bounded top-k aggregate: keeps the `k` smallest `(key, id)` pairs per
   * group under `(key ASC, id ASC)` binary order — MULTISET semantics, so
   * duplicate pairs count once each, exactly like a sort-limit — evaluated
-  * as a sorted `array<struct<key,id>>`.
+  * as a sorted `array<struct<key,id>>`. With `distinctPairs = true` the
+  * buffer is a SET instead: duplicate `(key, id)` pairs collapse to one,
+  * so `groupBy(g).agg(topKDistinct(...))` ≡ `distinct().groupBy(g).agg(
+  * topK(...))` WITHOUT the pre-aggregation distinct's extra shuffle —
+  * the dedup happens inside the map-side partial heap.
   *
   * This is the scale shape for "N rows per stratum" sampling: a
   * `row_number().over(Window.partitionBy(stratum))` funnels each stratum's
@@ -36,6 +40,7 @@ case class TopKPairs(
     left: Expression,
     right: Expression,
     k: Int,
+    distinctPairs: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKPairs.Buf]
@@ -60,12 +65,13 @@ case class TopKPairs(
     val iv = right.eval(input)
     if (kv == null || iv == null) return buffer
     // clone: eval may return a reused/unsafe-backed buffer
-    buffer.add((kv.asInstanceOf[UTF8String].clone(), iv.asInstanceOf[Long]), 1, k)
+    buffer.add((kv.asInstanceOf[UTF8String].clone(), iv.asInstanceOf[Long]), 1, k,
+               distinctPairs)
     buffer
   }
 
   override def merge(b1: Buf, b2: Buf): Buf = {
-    b2.m.forEach((pair, cnt) => b1.add(pair, cnt, k))
+    b2.m.forEach((pair, cnt) => b1.add(pair, cnt, k, distinctPairs))
     b1
   }
 
@@ -141,12 +147,16 @@ object TopKPairs {
 
     /** Add `cnt` copies of `pair`, then trim the largest entries so the
       * total stays ≤ k. Skips the insert outright when the buffer is full
-      * and `pair` is not smaller than the current maximum.
+      * and `pair` is not smaller than the current maximum. With
+      * `distinct = true`, a pair already present is a no-op (set
+      * semantics — multiplicity capped at 1).
       */
-    def add(pair: (UTF8String, Long), cnt: Int, k: Int): Unit = {
+    def add(pair: (UTF8String, Long), cnt: Int, k: Int,
+            distinct: Boolean = false): Unit = {
       if (n >= k && cmp.compare(pair, m.lastKey) >= 0) return
-      m.merge(pair, cnt, (a, b) => a + b)
-      n += cnt
+      if (distinct && m.containsKey(pair)) return
+      m.merge(pair, if (distinct) 1 else cnt, (a, b) => a + b)
+      n += (if (distinct) 1 else cnt)
       while (n > k) {
         val last = m.lastEntry
         val drop = math.min(last.getValue.intValue(), n - k)
@@ -163,4 +173,14 @@ object TopKPairs {
   def topK(key: Column, id: Column, k: Int): Column =
     Bridge.column(
       TopKPairs(Bridge.expression(key), Bridge.expression(id), k).toAggregateExpression())
+
+  /** SET-semantics top-k: duplicate (key, id) inputs collapse to one
+    * entry, so callers can skip the pre-aggregation `distinct()` (and
+    * its whole-row shuffle) when the key is a pure function of the id
+    * pair — the NN-descent candidate heap's shape.
+    */
+  def topKDistinct(key: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKPairs(Bridge.expression(key), Bridge.expression(id), k,
+                distinctPairs = true).toAggregateExpression())
 }

@@ -680,6 +680,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), s"no TopKPairs heap:\n$p")
   }
 
+  test("q277 host policy filter broadcasts the policy seed — the corpus never shuffles for it") {
+    val p = planOf(SparkEntry.queries("q277_host_policy_filter")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"policy join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q277 shuffling for the policy join:\n$p")
+    assert(!p.contains("Window"), s"q277 windows:\n$p")
+  }
+
   test("q98 semantic dedup compares only within clusters via an equi-join") {
     // the SemDeDup point: the pairwise compare joins on the CLUSTER key
     // (bucketable equi-join, pairs bounded per cluster) — never a full
@@ -1606,6 +1613,61 @@ class PlanQualitySpec extends SparkSpec {
       .filter(k => k.startsWith(dir) && !k.endsWith("|base"))
     assert(edgeKeys == Set(dir),
       s"q272 expected one full-corpus NN-descent build entry [$dir], got $edgeKeys")
+  }
+
+  test("q268 NN-descent build joins the bucketed corpus exchange-free (only id rows shuffle)") {
+    // Building the graph persists the normalized corpus as a
+    // cand_id-bucketed table (the round-16 verdict's #1 lever: the
+    // un-bucketed build measured ~200 KB of shuffle per corpus vector at
+    // 100× because full vectors rode every candidate join). Probe with
+    // the build's own vector-attach join shape: a non-bucketed edge-id
+    // frame joined on cand_id must plan with the corpus read `Bucketed:
+    // true` and NO Exchange over the corpus side — only the id rows move.
+    SparkEntry.queries("q268_graph_ann_beam")(spark, dir).count()
+    val tbl = graft.queries.VectorQueries.nndCorpusTable(spark, dir)
+    val corpusB = spark.table(tbl)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gIds  = spark.range(100).select(col("id").as("src"), col("id").as("pivot"))
+      val probe = gIds.join(corpusB, gIds("src") === corpusB("cand_id"))
+      val plan  = planOf(probe)
+      assert(plan.contains("Bucketed: true"),
+        s"NN-descent corpus not read as a bucketed table:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(cand_id"),
+        s"corpus side of the build join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("durable mode: a NEW session serves q268 from the persisted graph, no rebuild") {
+    // The production index lifecycle (round-16 verdict #6): in durable
+    // materialization mode the finished NN-descent edge list is published
+    // as a cross-session warehouse index. Session 2 (fresh SessionCache,
+    // fresh session-scoped table namespace) must serve q268 by SCANNING
+    // that index — asserted by (a) identical results, (b) the serve plan
+    // reading the graft_nnd_edges_* parquet, and (c) the build-only
+    // bucketed corpus table NOT existing in session 2's namespace.
+    val d2 = "/root/testdata/sf0.01" // fresh cache key: `dir` is built non-durably by other tests
+    val idx = "graft_nnd_edges_" + d2.replaceAll("[^a-zA-Z0-9]", "_").takeRight(48)
+    graft.sources.Warehouse.dropDurableIndex(spark, idx)
+    spark.conf.set("spark.graft.materialize.durable", "true")
+    try {
+      val r1 = SparkEntry.queries("q268_graph_ann_beam")(spark, d2)
+        .collect().map(_.toSeq).toSet
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.materialize.durable", "true")
+      val df2 = SparkEntry.queries("q268_graph_ann_beam")(s2, d2)
+      val p2  = planOf(df2)
+      assert(p2.contains("graft_nnd_edges_"),
+        s"session 2 is not scanning the persisted graph index:\n$p2")
+      assert(!s2.catalog.tableExists(
+          graft.queries.VectorQueries.nndCorpusTable(s2, d2)),
+        "session 2 ran the build (its bucketed corpus table exists)")
+      assert(df2.collect().map(_.toSeq).toSet == r1,
+        "served results differ between the building and reusing sessions")
+    } finally {
+      spark.conf.set("spark.graft.materialize.durable", "false")
+      graft.sources.Warehouse.dropDurableIndex(spark, idx)
+    }
   }
 
   test("q273 incremental insert: beam equi-joins only, no rebuild windows/cartesians") {

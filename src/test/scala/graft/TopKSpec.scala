@@ -53,4 +53,28 @@ class TopKSpec extends SparkSpec {
       .toDF("g", "key", "id")
     assert(viaAgg(base, 5) == Set(("g", "a", 1L, 1L)))
   }
+
+  private def viaDistinctAgg(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy($"g").agg(TopKPairs.topKDistinct($"key", $"id", k).as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", $"col.key", $"col.id", ($"pos" + 1).cast("long").as("rank"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("topKDistinct ≡ distinct-then-topK, at any partitioning") {
+    // duplicates both within and across partitions: the map-side partial
+    // heaps must dedup locally AND across the merge path
+    val rows = for (i <- 1 to 997) yield (s"g${i % 3}", f"k${(i * 31) % 40}%03d", (i % 80).toLong)
+    val base = rows.toDF("g", "key", "id")
+    val want = viaAgg(base.distinct(), 10)
+    for (parts <- Seq(1, 4, 13)) {
+      assert(viaDistinctAgg(base.repartition(parts), 10) == want, s"parts=$parts")
+    }
+  }
+
+  test("topKDistinct collapses duplicates so distinct survivors fill the heap") {
+    // multiset topK(2) keeps ("k",1) twice and drops ("z",9); set
+    // semantics must keep both distinct pairs
+    val base = Seq(("g", "k", 1L), ("g", "k", 1L), ("g", "z", 9L)).toDF("g", "key", "id")
+    assert(viaDistinctAgg(base, 2) == Set(("g", "k", 1L, 1L), ("g", "z", 9L, 2L)))
+  }
 }
