@@ -31,34 +31,66 @@ object WebQueries {
   /** Pages a host keeps under the anti-flooding cap. */
   private val HostCap = 10
 
-  /** Synthetic raw URL: variant m = doc_id % 4 — see the oracle twin. */
+  /** Host label for the synthetic URL: mostly source-derived, but every
+    * 11th doc lands on one of three shared `mirrorN` hosts REGARDLESS of
+    * its source — so cross-source hosts exist and q276's derived-host cap
+    * genuinely catches flooding no source-level cap can see (round-16
+    * advice: a bijective source→host fixture never exercised that claim).
+    */
+  private def hostLabel(source: Column, docId: Column): Column =
+    when(docId % 11 === 0,
+         concat(lit("mirror"), (docId % 3).cast("string")))
+      .otherwise(source)
+
+  /** Synthetic raw URL: variant m = doc_id % 7 — see the oracle twin.
+    * m=0/1 and m=2/3 collapse pairwise onto shared canonical pages;
+    * m=4 (PATHLESS authority with a query) and m=5 (root-slash twin)
+    * collapse together — the round-16 verdict's latent gap (a); m=6
+    * carries a NON-default port that must survive canonicalization as a
+    * distinct origin from m=2/3's portless news page — latent gap (b).
+    */
   private def rawUrl(source: Column, docId: Column): Column = {
+    val hl   = hostLabel(source, docId)
     val page = (docId % 50).cast("string")
-    val m    = docId % 4
-    when(m === 0, concat(lit("https://www."), source,
+    val m    = docId % 7
+    when(m === 0, concat(lit("https://www."), hl,
         lit(".example.com/articles/"), page,
         lit("/?utm_source=feed&b=2&a=1")))
-      .when(m === 1, concat(lit("HTTPS://"), source,
+      .when(m === 1, concat(lit("HTTPS://"), hl,
         lit(".EXAMPLE.com:443/articles/"), page,
         lit("?a=1&b=2&utm_campaign=x")))
-      .when(m === 2, concat(lit("http://"), source,
+      .when(m === 2, concat(lit("http://"), hl,
         lit(".example.com/news/"), page, lit("?z=9&y=8#top")))
-      .otherwise(concat(lit("HTTP://WWW."), source,
+      .when(m === 3, concat(lit("HTTP://WWW."), hl,
         lit(".Example.COM:80/news/"), page,
         lit("/?y=8&z=9&fbclid=abc")))
+      .when(m === 4, concat(lit("HTTPS://WWW."), hl,
+        lit(".example.COM?b=2&a=1&utm_medium=m")))
+      .when(m === 5, concat(lit("https://"), hl,
+        lit(".example.com/?a=1&b=2")))
+      .otherwise(concat(lit("http://"), hl,
+        lit(".example.com:8080/news/"), page, lit("?y=8&z=9")))
   }
 
-  /** Canonicalize: lowercase scheme+host, strip `www.` and default port,
-    * drop fragment, strip tracking params (utm_*, fbclid), sort the
-    * surviving query params, strip trailing path slashes.
+  /** Canonicalize: lowercase scheme+host, strip `www.` and the SCHEME'S
+    * default port only (`:80` for http, `:443` for https — a non-default
+    * port is a different origin and must survive), drop fragment, strip
+    * tracking params (utm_*, fbclid), sort the surviving query params,
+    * strip trailing path slashes. The authority ends at the first of
+    * `/` or `?` — a pathless URL with a query (`https://h?a=1`) must not
+    * swallow the query into the host.
     */
   private def canonicalize(raw: Column): (Column, Column) = {
     val scheme = lower(regexp_extract(raw, "^([A-Za-z]+)://", 1))
     val rest   = regexp_replace(raw, "^[A-Za-z]+://", "")
     val noFrag = substring_index(rest, "#", 1)
-    val auth   = substring_index(noFrag, "/", 1)
+    val auth   = substring_index(substring_index(noFrag, "/", 1), "?", 1)
+    val authLc = lower(auth)
     val host   = regexp_replace(
-      regexp_replace(lower(auth), ":\\d+$", ""), "^www\\.", "")
+      when(scheme === "http",  regexp_replace(authLc, ":80$", ""))
+        .when(scheme === "https", regexp_replace(authLc, ":443$", ""))
+        .otherwise(authLc),
+      "^www\\.", "")
     val pq     = substring(noFrag, length(auth) + 1, lit(1000000))
     val path   = regexp_replace(substring_index(pq, "?", 1), "/+$", "")
     val query  = when(instr(pq, "?") > 0,
@@ -131,27 +163,62 @@ object WebQueries {
         .select(col("host"), col("canon_url"), col("page_doc_id"),
                 col("n_fetches"), col("n_pages"), col("n_docs"),
                 col("dup_fetches"))
+    },
+
+    // -----------------------------------------------------------------
+    // q277: HOST POLICY FILTER — robots/blocklist-style filtering on the
+    // DERIVED host (round-16 verdict stretch #7): a seed policy table
+    // (blocked hosts — one shared mirror, one source host, one
+    // non-default-port origin) broadcast-joined to the canonicalized
+    // frame; unlisted hosts default to 'allow'. Emits the per-host
+    // policy verdict with doc counts — the filter itself is
+    // `status = 'allow'`. Scale shape: the policy seed is tiny and
+    // BROADCAST (plan-asserted) — the corpus never shuffles for the
+    // policy join; the per-host counts are one partial+final agg.
+    // -----------------------------------------------------------------
+    "q277_host_policy_filter" -> { (s, dir) =>
+      val policy = s.createDataFrame(Seq(
+        ("mirror1.example.com", "block"),
+        ("src3.example.com", "block"),
+        ("src5.example.com:8080", "block"))).toDF("host", "action")
+      urlFrame(s, dir)
+        .join(broadcast(policy), Seq("host"), "left")
+        .groupBy(col("host"),
+                 coalesce(col("action"), lit("allow")).as("status"))
+        .agg(count(lit(1)).as("n_docs"))
     })
 
-  /** DuckDB twin of [[rawUrl]]. */
-  private val rawUrlSql: String =
-    """CASE doc_id % 4
-      |  WHEN 0 THEN 'https://www.' || source || '.example.com/articles/' ||
-      |    CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&b=2&a=1'
-      |  WHEN 1 THEN 'HTTPS://' || source || '.EXAMPLE.com:443/articles/' ||
-      |    CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2&utm_campaign=x'
-      |  WHEN 2 THEN 'http://' || source || '.example.com/news/' ||
-      |    CAST(doc_id % 50 AS VARCHAR) || '?z=9&y=8#top'
-      |  ELSE 'HTTP://WWW.' || source || '.Example.COM:80/news/' ||
-      |    CAST(doc_id % 50 AS VARCHAR) || '/?y=8&z=9&fbclid=abc'
-      |END""".stripMargin
+  /** DuckDB twin of [[hostLabel]] + [[rawUrl]] (CTE bodies). */
+  private val rawUrlCtesSql: String =
+    """h0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0
+      |         THEN 'mirror' || CAST(doc_id % 3 AS VARCHAR)
+      |         ELSE source END AS hl,
+      |    CAST(doc_id % 50 AS VARCHAR) AS page
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, CASE doc_id % 7
+      |    WHEN 0 THEN 'https://www.' || hl || '.example.com/articles/' ||
+      |      page || '/?utm_source=feed&b=2&a=1'
+      |    WHEN 1 THEN 'HTTPS://' || hl || '.EXAMPLE.com:443/articles/' ||
+      |      page || '?a=1&b=2&utm_campaign=x'
+      |    WHEN 2 THEN 'http://' || hl || '.example.com/news/' ||
+      |      page || '?z=9&y=8#top'
+      |    WHEN 3 THEN 'HTTP://WWW.' || hl || '.Example.COM:80/news/' ||
+      |      page || '/?y=8&z=9&fbclid=abc'
+      |    WHEN 4 THEN 'HTTPS://WWW.' || hl ||
+      |      '.example.COM?b=2&a=1&utm_medium=m'
+      |    WHEN 5 THEN 'https://' || hl || '.example.com/?a=1&b=2'
+      |    ELSE 'http://' || hl || '.example.com:8080/news/' ||
+      |      page || '?y=8&z=9'
+      |  END AS raw_url FROM h0)""".stripMargin
 
   /** DuckDB twin of [[canonicalize]] + [[urlFrame]], as a CTE chain
     * ending in `u(doc_id, raw_url, host, canon_url)`.
     */
   private val urlCtesSql: String =
-    s"""r AS (
-       |  SELECT doc_id, $rawUrlSql AS raw_url FROM documents),
+    s"""$rawUrlCtesSql,
        |c1 AS (
        |  SELECT doc_id, raw_url,
        |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
@@ -159,13 +226,20 @@ object WebQueries {
        |               '#', 1) AS nofrag
        |  FROM r),
        |c2 AS (
-       |  SELECT *, split_part(nofrag, '/', 1) AS auth,
-       |    substr(nofrag, length(split_part(nofrag, '/', 1)) + 1) AS pq
+       |  SELECT *,
+       |    split_part(split_part(nofrag, '/', 1), '?', 1) AS auth,
+       |    substr(nofrag, length(
+       |      split_part(split_part(nofrag, '/', 1), '?', 1)) + 1) AS pq
        |  FROM c1),
        |c3 AS (
        |  SELECT doc_id, raw_url, scheme,
-       |    regexp_replace(regexp_replace(lower(auth), ':\\d+$$', ''),
-       |                   '^www\\.', '') AS host,
+       |    regexp_replace(
+       |      CASE WHEN scheme = 'http'
+       |             THEN regexp_replace(lower(auth), ':80$$', '')
+       |           WHEN scheme = 'https'
+       |             THEN regexp_replace(lower(auth), ':443$$', '')
+       |           ELSE lower(auth) END,
+       |      '^www\\.', '') AS host,
        |    regexp_replace(split_part(pq, '?', 1), '/+$$', '') AS path,
        |    CASE WHEN strpos(pq, '?') > 0
        |         THEN substr(pq, strpos(pq, '?') + 1) ELSE '' END AS query
@@ -205,5 +279,15 @@ object WebQueries {
          |    FROM pages) z WHERE rn <= $HostCap)
          |SELECT k.host, k.canon_url, k.page_doc_id, k.n_fetches,
          |  h.n_pages, h.n_docs, h.dup_fetches
-         |FROM kept k JOIN hs h USING (host)""".stripMargin)
+         |FROM kept k JOIN hs h USING (host)""".stripMargin,
+    "q277_host_policy_filter" ->
+      s"""WITH $urlCtesSql,
+         |pol(host, action) AS (VALUES
+         |  ('mirror1.example.com', 'block'),
+         |  ('src3.example.com', 'block'),
+         |  ('src5.example.com:8080', 'block'))
+         |SELECT u.host, coalesce(p.action, 'allow') AS status,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM u LEFT JOIN pol p USING (host)
+         |GROUP BY 1, 2""".stripMargin)
 }
