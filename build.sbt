@@ -37,10 +37,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at 8g vs 179s at 32g, same queries, zero spills either way). The
   // box has 125 GiB; 32g keeps young-gen pressure off the critical path.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  // Round-16 same-box A/B finding: with -Xms unset, G1 commits lazily
-  // (~3-7g observed against the 32g ceiling) and back-to-back bench runs
-  // of IDENTICAL code swung 253.7s/99s-GC vs 215.6s/59s-GC purely on
-  // ergonomics luck. A 16g floor gives the collector headroom from the
-  // first query and removes that run-to-run mode.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MIN_MEM", "16g")}",
 )
+// Round-16 same-box A/B finding: with -Xms unset, G1 commits lazily
+// (~3-7g observed against the 32g ceiling) and back-to-back bench runs
+// of IDENTICAL code swung 253.7s/99s-GC vs 215.6s/59s-GC purely on
+// ergonomics luck. A 16g floor gives the collector headroom from the
+// first query and removes that run-to-run mode. Scoped to the run tasks
+// (Bench/Verify/ScaleRehearsal — the timing-bearing mains) ONLY: an
+// unconditional floor would make every `sbt test` JVM demand 16 GiB at
+// startup and fail outright on a smaller box (round-16 advice). BOTH
+// task axes needed: `runMain` (how every main is actually invoked)
+// resolves javaOptions at its own scope and does NOT delegate to run/.
+run / javaOptions += s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MIN_MEM", "16g")}"
+Compile / runMain / javaOptions +=
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MIN_MEM", "16g")}"
