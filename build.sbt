@@ -16,6 +16,11 @@ run / fork := true
 // consumers of Bench/Verify stdout. StdoutOutput passes the child's
 // stdout through verbatim.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// runMain resolves its own outputStrategy scope and does NOT delegate to
+// run/ (same sbt scoping gotcha as the -Xms floor below) — without this,
+// `sbt "runMain graft.Bench"` stdout carries "[info] " prefixes that
+// break JSON consumers (tools/ab.sh bit this in round 17).
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -51,3 +56,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 run / javaOptions += s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MIN_MEM", "16g")}"
 Compile / runMain / javaOptions +=
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MIN_MEM", "16g")}"
+// Test JVMs get their own, smaller ceiling (round-17 advice: a fresh
+// checkout must `sbt test` on a 16 GiB box with NO env vars). The suite
+// runs at sf0.001/sf0.01 where 12g is ample; Bench/Verify keep the 32g
+// run-scope default above. Appended AFTER the inherited -Xmx32g — the
+// JVM honors the last -Xmx flag, so this override wins in Test scope.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_DRIVER_MEM", "12g")}"

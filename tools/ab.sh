@@ -35,10 +35,19 @@ if ! git -C "$WT" rev-parse HEAD 2>/dev/null | grep -q "$(git rev-parse "$COMMIT
 fi
 
 bench() { # $1 = tree dir, $2 = leg tag
+  # Full stdout to a log first: Bench prints TWO '"metric"' lines (the
+  # per-query map, then a short totals-only tail for the driver's 2 KB
+  # capture) — piping grep (plural) into one file concatenated both
+  # objects and json.load raised 'Extra data', killing the script under
+  # set -e after the first expensive leg. Keep only the FIRST metric
+  # line (it carries the 'queries' map the summary needs) and strip any
+  # sbt '[info] ' prefix — runMain in older baseline trees routes child
+  # stdout through sbt's logger (outputStrategy was only set at run/
+  # scope there, and runMain does not delegate to run/).
   ( cd "$1" &&
     SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
-      sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' ) \
-    > "$OUT/leg_$2.json"
+      sbt -batch "runMain graft.Bench" 2>/dev/null ) > "$OUT/raw_$2.log"
+  grep -m1 '"metric"' "$OUT/raw_$2.log" | sed 's/^\[info\] //' > "$OUT/leg_$2.json"
   python3 -c "import json,sys; d=json.load(open('$OUT/leg_$2.json')); \
 print('[ab] leg $2 total %.1fs queries %d' % (d['value'], len(d.get('queries',{}))))"
 }
