@@ -385,7 +385,13 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0) // zero-norm vectors never qualify (cosine null)
-      .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      // nullif guards the division itself: the filter above does NOT
+      // protect it — codegen subexpression elimination can evaluate this
+      // transform inside a combined predicate BEFORE the nrm > 0 conjunct
+      // (observed under ANSI with a zero vector in the corpus), and
+      // conjunct order is not an evaluation contract. Surviving rows
+      // divide by the same nonzero nrm either way.
+      .withColumn("u", transform(col("v"), x => x / nullif(col("nrm"), lit(0.0))))
     // empty / all-zero-norm corpus: nothing can pair — return the empty
     // frame the crossJoin baseline returned, instead of letting the
     // centroid fit's seeds.nonEmpty require abort plan construction
@@ -467,4 +473,176 @@ object Similarity {
     // scale, so the rank is the bounded heap, not a per-query window.
     rankTopK(scored, k)
   }
+
+  // ---------------------------------------------------------------- //
+  // Low-threshold routing (round-17 verdict #3/#4)                   //
+  // ---------------------------------------------------------------- //
+
+  /** Threshold floor below which the exact ball cover provably cannot
+    * prune: at minCosine = t the pair-distance bound is \u03c4 = \u221a(2\u22122t) on
+    * the unit sphere, and once \u03c4 exceeds the inter-centroid separation
+    * any corpus geometry can offer (BENCH_CLUSTERED's gated_threshold
+    * note proved this for the gated t = 0.4, \u03c4 \u2248 1.10), every cell pair
+    * is reachable and the cover degrades to blockwise all-pairs. 0.8
+    * (\u03c4 \u2248 0.63) is the measured-safe side: the clustered-mode pruning
+    * evidence was captured at 0.95 (\u03c4 \u2248 0.32) and the macro geometry's
+    * \u221a2 center separation still clears 2r + \u03c4 at 0.8.
+    */
+  val PruneFloorCosine = 0.8
+
+  /** Banded sign-LSH parameters for the low-threshold pre-blocker:
+    * bands \u00d7 planesPerBand hyperplanes from the deterministic md5 family
+    * ([[hyperplanes]]). 36 \u00d7 12 puts the collision rate for UNCORRELATED
+    * pairs at ~36/2^12 \u2248 0.9% (the pruning) while true near-duplicates
+    * (cos \u2265 0.9) collide with p \u2248 1 (the recall) \u2014 the trade is
+    * cosine-dependent by sign-LSH's nature and q280 publishes it per
+    * cosine band instead of assuming it.
+    */
+  val PreBlockBands = 36
+  val PreBlockPlanesPerBand = 12
+
+  /** APPROXIMATE near-dup pairs via banded sign-LSH pre-blocking with
+    * exact re-scoring \u2014 the 100 TB low-threshold path (round-17 verdict
+    * #3): below [[PruneFloorCosine]] the exact ball cover scores ~all
+    * pairs on any data, so candidates are instead mined from banded
+    * hyperplane signatures over 1e3-quantized integer dots (the q40/q216
+    * determinism discipline \u2014 the DuckDB oracle replays the buckets
+    * bit-for-bit from SQL-side md5 planes) and only colliding pairs are
+    * cosine-scored, with q38's own expression, INSIDE the join.
+    *
+    * Recall is cosine-dependent (sign-LSH band collision p = (1\u2212\u03b8/\u03c0)^R):
+    * \u2248 1 for true near-duplicates, degrading toward the threshold floor
+    * where no LSH family has a p1/p2 gap \u2014 q280 measures it per cosine
+    * band against q38's exact output. Subset guarantee: every emitted
+    * pair is exact-scored, so output \u2286 the exact pair set with
+    * bit-identical cosines.
+    *
+    * 100 TB shape: signatures are B native-dot sign bits per row (linear
+    * CPU, no shuffle); the candidate join ships each vector B times
+    * (N\u00b7B\u00b7|vec| \u2014 linear in N) keyed on (band, sig); scoring happens in
+    * the join (a pair list never materializes before the threshold
+    * filter); the post-filter distinct dedups band collisions on the
+    * tiny surviving set. Skewed sig buckets (dense dup clusters) are AQE
+    * skew-split, and their pairs qualify anyway.
+    */
+  def nearDupPreBlockedLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                           minCosine: Double,
+                           bands: Int = PreBlockBands,
+                           planesPerBand: Int = PreBlockPlanesPerBand,
+                           dims: Int = 64): DataFrame = {
+    val planes = hyperplanes(bands * planesPerBand, dims)
+    val v0 = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+      // 1e3-quantized copy for the sign bits: integer values in double
+      // slots \u2014 every product and 64-term sum is exact (< 2^53), so the
+      // sign is fold-order-free and the oracle replays it with BIGINT
+      // sums (the q40/q216 bucketing discipline). Vectors shorter than
+      // `dims` simply use a plane prefix (the native dot folds min-len).
+      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("double")))
+    val sigCols = (0 until bands).map { b =>
+      val sig = (0 until planesPerBand).map { i =>
+        val plane = array(planes(b * planesPerBand + i).map(lit): _*)
+        when(dot(col("q"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val sigRows = v0
+      .select(col("id"), col("v"), col("nrm"),
+              explode(array(sigCols: _*)).as("bs"))
+      .select(col("id"), col("v"), col("nrm"),
+              col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = sigRows.select(col("band"), col("sig"), col("id").as("id_a"),
+                           col("v").as("va"), col("nrm").as("na"))
+    val b = sigRows.select(col("band").as("band_b"), col("sig").as("sig_b"),
+                           col("id").as("id_b"), col("v").as("vb"),
+                           col("nrm").as("nb"))
+    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
+              col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              cosinePrenormed(dot(col("va"), col("vb")),
+                              col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      // a pair colliding in several bands scores identically each time
+      // (same fold), so distinct collapses the duplicates exactly
+      .distinct()
+  }
+
+  /** EXACT near-dup with an exact-duplicate COLLAPSE pre-pass (round-17
+    * verdict #4): group byte-identical vectors (ONE hash window on the
+    * raw array<double> \u2014 partition sizes are duplicate-cluster sizes,
+    * never corpus-scale), ball-cover only the representatives, then
+    * expand qualifying rep pairs back through membership. The expansion
+    * is exact on ANY corpus at ANY threshold: if v_a \u2261 v_b then
+    * cos(a, x) = cos(b, x) bit-for-bit (identical bytes, same fold),
+    * intra-cluster pairs all carry the rep's self-cosine (q38's own
+    * dot/(nrm\u00b2) expression), and inter-cluster member pairs inherit the
+    * rep pair's cosine \u2014 so the output is identical to
+    * [[exactNearDupBlocked]] (q279 gates this against a
+    * duplicate-injected brute-force oracle; SimilaritySpec asserts the
+    * \u2261 on a dup-heavy fixture).
+    *
+    * What it buys at scale: duplicate clusters of size c pay ball-cover
+    * SCORING on N/c\u0304 representatives instead of N rows, and the
+    * quadratic-in-c intra-cluster pairs are emitted by JOIN EXPANSION
+    * (no dot products) \u2014 the output is the output, but compute detaches
+    * from it (BENCH_CLUSTERED's dupes geometry measures the exponent
+    * drop). On duplicate-free data the pre-pass is one hash window and
+    * every cluster is a singleton.
+    */
+  def exactNearDupCollapsed(corpus: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double, k: Int = 8,
+                            iters: Int = 2): DataFrame = {
+    val v0 = corpus.select(col(idCol).as("id"),
+                           col(vecCol).cast("array<double>").as("v"))
+    // one shuffle on the vector value: rep = min member id per distinct
+    // vector (the deterministic canonical member)
+    val members = graft.core.Materialize.cut(
+      v0.withColumn("rep", min(col("id")).over(Window.partitionBy(col("v")))),
+      "neardup_collapse_members")
+    val reps = members.filter(col("id") === col("rep"))
+      .select(col("id"), col("v"))
+    // rep-level exact pairs: the full ball-cover machinery on survivors
+    val repPairs = exactNearDupBlocked(reps, "id", "v", minCosine, k, iters)
+    // inter-cluster expansion: every member pair inherits the rep cosine
+    val ma = members.select(col("rep").as("rep_a"), col("id").as("mid_a"))
+    val mb = members.select(col("rep").as("rep_b"), col("id").as("mid_b"))
+    val inter = repPairs
+      .join(ma, col("id_a") === col("rep_a"))
+      .join(mb, col("id_b") === col("rep_b"))
+      .select(least(col("mid_a"), col("mid_b")).as("id_a"),
+              greatest(col("mid_a"), col("mid_b")).as("id_b"),
+              col("cosine"))
+    // intra-cluster expansion: all member pairs of one duplicate cluster
+    // at the rep's self-cosine (null for the zero vector \u2192 filtered out
+    // by the threshold, matching the uncollapsed nrm > 0 behavior)
+    val selfCos = reps
+      .withColumn("nrm", norm(col("v")))
+      .select(col("id").as("rep_s"),
+              cosinePrenormed(dot(col("v"), col("v")),
+                              col("nrm"), col("nrm")).as("self_cos"))
+      .filter(col("self_cos") >= minCosine)
+    val intra = members.select(col("rep"), col("id").as("mid_a"))
+      .join(members.select(col("rep"), col("id").as("mid_b")), Seq("rep"))
+      .filter(col("mid_a") < col("mid_b"))
+      .join(selfCos, col("rep") === col("rep_s"))
+      .select(col("mid_a").as("id_a"), col("mid_b").as("id_b"),
+              col("self_cos").as("cosine"))
+    inter.unionByName(intra)
+  }
+
+  /** The THRESHOLD-ROUTED near-dup front door (round-17 verdict #3's
+    * wiring): at or above [[PruneFloorCosine]], the exact ball-cover
+    * path with the always-exact duplicate collapse \u2014 pruning holds
+    * there by the measured clustered-mode evidence; below it, the
+    * banded-LSH pre-blocker with exact re-scoring \u2014 approximate recall,
+    * published per cosine band by q280, because at low thresholds NO
+    * exact blocking can prune (\u03c4 reaches every cell on any data).
+    */
+  def nearDupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                  minCosine: Double): DataFrame =
+    if (minCosine >= PruneFloorCosine)
+      exactNearDupCollapsed(corpus, idCol, vecCol, minCosine)
+    else nearDupPreBlockedLsh(corpus, idCol, vecCol, minCosine)
 }

@@ -114,6 +114,71 @@ object VectorQueries {
                              minCosine = 0.4, kNeighbors = 5)
     },
 
+    // q278: the LOW-THRESHOLD near-dup route (round-17 verdict #3). At
+    // the gated t = 0.4 the exact ball cover provably cannot prune
+    // (BENCH_CLUSTERED's gated_threshold_note: τ = √1.2 reaches every
+    // cell on any geometry), so nearDupAuto routes sub-PruneFloorCosine
+    // requests to banded sign-LSH pre-blocking with exact re-scoring:
+    // candidates mined from 36 × 12-bit quantized hyperplane signatures
+    // (the q40/q216 integer-dot determinism family — the oracle replays
+    // the buckets bit-for-bit via SQL-side md5 planes), scored with
+    // q38's own cosine expression INSIDE the (band, sig) equi-join.
+    // Output ⊆ q38's exact pair set with identical cosines; recall is
+    // cosine-band-dependent by LSH nature and q280 publishes it. Plan:
+    // linear N·B sig rows, one self-equi-join scored in place, distinct
+    // on the tiny surviving set — never a materialized candidate list.
+    "q278_neardup_preblocked" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      Similarity.nearDupAuto(e, "vec_id", "embedding", minCosine = 0.4)
+    },
+
+    // q279: exact near-dup with the exact-duplicate COLLAPSE pre-pass
+    // (round-17 verdict #4), gated on a duplicate-injected corpus (40
+    // cloned vectors) against a brute-force oracle: byte-identical
+    // vectors group under one hash window, the ball cover scores only
+    // representatives, and pairs expand back through membership —
+    // intra-cluster at the rep's self-cosine, inter-cluster inheriting
+    // the rep pair's cosine. Exact for any corpus/threshold (identical
+    // vectors ⇒ identical cosines under the same fold); the dupes
+    // geometry in BENCH_CLUSTERED measures the compute-exponent drop.
+    "q279_neardup_collapsed" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val dup = e.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.exactNearDupCollapsed(
+        e.unionByName(dup), "vec_id", "embedding", minCosine = 0.4)
+    },
+
+    // q280: the pre-blocker's RECALL instrument (the q116 discipline —
+    // an approximate path ships with its quality measured against the
+    // exact truth, in-engine and oracle-gated): q38's exact pairs LEFT
+    // JOIN q278's found pairs → recall per 0.1 cosine band plus an
+    // overall row (band = -1). Makes the sign-LSH trade visible: ≈ 1
+    // for true near-duplicates, degrading toward the threshold floor
+    // where no LSH family has a p1/p2 gap.
+    "q280_preblock_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val exact = Similarity.exactNearDupBlocked(e, "vec_id", "embedding", 0.4)
+      val found = Similarity.nearDupPreBlockedLsh(e, "vec_id", "embedding", 0.4)
+        .select(col("id_a").as("f_a"), col("id_b").as("f_b"))
+      val per = exact
+        .join(found, col("id_a") === col("f_a") && col("id_b") === col("f_b"),
+              "left")
+        .groupBy((floor(col("cosine") * 10) / 10).as("cosine_band"))
+        .agg(count(lit(1)).as("n_exact"),
+             count(col("f_a")).as("n_found"))
+      val withRecall = per.select(col("cosine_band"), col("n_exact"),
+        col("n_found"),
+        (col("n_found").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      val total = per.agg(sum(col("n_exact")).as("n_exact"),
+                          sum(col("n_found")).as("n_found"))
+        .select(lit(-1.0).as("cosine_band"), col("n_exact"), col("n_found"),
+                (col("n_found").cast("double") / col("n_exact").cast("double"))
+                  .as("recall"))
+      withRecall.unionByName(total)
+    },
+
     // Per-label centroids in long format (label × dimension), elementwise
     // exact decimal sums — the clustering/aggregation primitive for
     // embedding pipelines. Long format keeps the oracle to scalar columns.
@@ -1354,9 +1419,28 @@ object VectorQueries {
     * (session, cache key) — the persisted index every build-round vector
     * attach joins exchange-free. Exposed for PlanQualitySpec's probe.
     */
+  /** 8-hex md5 prefix of the FULL cache key — appended to every
+    * key-derived table/index name so two distinct dataset dirs sharing a
+    * sanitized right-truncated tail can never map to one name and
+    * silently serve each other's index (round-17 advice).
+    */
+  private def keyHash(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
   private[graft] def nndCorpusTable(s: SparkSession, cacheKey: String): String =
     graft.sources.Warehouse.sessionScopedName(s,
-      "graft_nnd_corpus_" + cacheKey.replaceAll("[^a-zA-Z0-9]", "_").takeRight(40))
+      "graft_nnd_corpus_" + cacheKey.replaceAll("[^a-zA-Z0-9]", "_").takeRight(32) +
+        "_" + keyHash(cacheKey))
+
+  /** Warehouse name of the cross-session durable NN-descent edge index
+    * for one cache key (dataset-dir-derived; hash-suffixed so distinct
+    * dirs can never collide) — shared by [[nndGraphOver]] and the
+    * durable-lifecycle tests.
+    */
+  private[graft] def nndDurableIndexName(cacheKey: String): String =
+    "graft_nnd_edges_" + cacheKey.replaceAll("[^a-zA-Z0-9]", "_").takeRight(40) +
+      "_" + keyHash(cacheKey)
 
   /** Normalized nonzero vectors (cand_id, cv, cn) behind a lineage cut;
     * `base = true` restricts to the q273 base split (vec_id % 5 != 3).
@@ -1400,10 +1484,16 @@ object VectorQueries {
     * 10B-vector target; this shape's vector traffic is K·|vec| per node
     * per round, independent of the candidate count.
     *
-    * Candidate sets and scores are bit-identical to the round-16 logical
-    * algorithm (same md5 block draws, same pivot expansion x∈in(y) ×
-    * z∈out(y), same `scaled` expression), so the q268/q272/q273 DuckDB
-    * oracle unrolls are unchanged.
+    * Round 18 (verdict #6): the gathered vectors are INT16-QUANTIZED
+    * (floor(x·10⁴) clamped to ±32000, stored on the bucketed corpus as
+    * cq/cqn) — the 33 KB/vec structural gather term was pure vector
+    * bytes, and 2 B/element cuts it ~4×. Build scoring is the exact
+    * integer dot over the quantized components (fold-order-free longs),
+    * and the q268/q272/q273 DuckDB oracle unrolls quantize IDENTICALLY
+    * (nndVnCteSql's qv2/qnrm), so the gate stays exact: the candidate
+    * evolution is DEFINED over quantized scores on both engines. The
+    * md5 block draws and the pivot expansion x∈in(y) × z∈out(y) are
+    * unchanged; serve/insert beams still score exact doubles.
     */
   private def nndGraphOver(s: SparkSession, corpus: DataFrame,
                            cacheKey: String, tagPfx: String): DataFrame =
@@ -1414,12 +1504,19 @@ object VectorQueries {
       // production lifecycle the streaming index maintainer implies
       // (round-16 verdict #6). Default mode keeps the session-scoped
       // lifecycle (nothing outlives the JVM).
-      if (graft.core.Materialize.durable(s))
-        graft.sources.Warehouse.durableIndex(s,
-          "graft_nnd_edges_" +
-            cacheKey.replaceAll("[^a-zA-Z0-9]", "_").takeRight(48))(
-          nndGraphBuild(s, corpus, cacheKey, tagPfx))
-      else nndGraphBuild(s, corpus, cacheKey, tagPfx)
+      if (graft.core.Materialize.durable(s)) {
+        // content fingerprint of the INPUT (row count + max id — one
+        // column-scan agg, cheap next to the build and to serving):
+        // checked against the fingerprint stored beside the index, so a
+        // dataset dir mutated IN PLACE is refused instead of silently
+        // served a stale graph (round-17 stretch #8). The corpus is
+        // materialized by the serve path anyway, so this adds no pass
+        // class to a serving session.
+        val fpRow = corpus.agg(count(lit(1)), max(col("cand_id"))).first()
+        val fp = s"n=${fpRow.getLong(0)}|maxid=${fpRow.get(1)}"
+        graft.sources.Warehouse.durableIndex(s, nndDurableIndexName(cacheKey),
+          Some(fp))(nndGraphBuild(s, corpus, cacheKey, tagPfx))
+      } else nndGraphBuild(s, corpus, cacheKey, tagPfx)
     }
 
   /** The NN-descent build itself — see [[nndGraphOver]] for the cache /
@@ -1427,19 +1524,36 @@ object VectorQueries {
     */
   private def nndGraphBuild(s: SparkSession, corpus: DataFrame,
                             cacheKey: String, tagPfx: String): DataFrame = {
-      import graft.functions.Vectors
       val nBlocks = math.max(1L,
         math.ceil(corpus.count().toDouble / NndBlockSize).toLong)
       // one-time bucketed persist: 32 buckets to match this session's
       // shuffle parallelism (a cluster deployment scales the bucket count
       // with executors); repartition first so the write emits one file
-      // per bucket instead of tasks×buckets
+      // per bucket instead of tasks×buckets. The persisted copy carries
+      // an INT16-QUANTIZED vector (cq = clamp(floor(x·10⁴)) — exact for
+      // the |x| < 3.2 domain every corpus here satisfies; the clamp makes
+      // an out-of-domain component saturate instead of wrap) plus its
+      // quantized norm: ALL build-round scoring reads cq/cqn, so the
+      // gathered vector payload is 2 B/element instead of 8 (round-17
+      // verdict #6 — the remaining 33 KB/vec structural gather term was
+      // pure vector bytes). Integer dots are fold-order-FREE exact longs,
+      // and the oracle quantizes identically (nndVnCteSql's qv2/qnrm),
+      // so the oracle gate stays exact — the build's candidate evolution
+      // is DEFINED over quantized scores on both engines.
       val tbl = nndCorpusTable(s, cacheKey)
+      val cq = transform(col("cv"), x =>
+        greatest(lit(-32000L), least(lit(32000L), floor(x * 10000)))
+          .cast("smallint"))
       graft.sources.Warehouse.writeBucketed(
-        corpus.repartition(32, col("cand_id")), tbl, "cand_id", numBuckets = 32)
+        corpus.repartition(32, col("cand_id"))
+          .withColumn("cq", cq)
+          .withColumn("cqn", sqrt(org.apache.spark.sql.graftx.DotProductShort
+            .dotShort(col("cq"), col("cq")).cast("double"))),
+        tbl, "cand_id", numBuckets = 32)
       val corpusB = s.table(tbl)
-      val scaled = floor((Vectors.dot(col("sv"), col("dv")) /
-                            (col("sn") * col("dn")) + 1) * 1e9 + 0.5)
+      val scaled = floor((org.apache.spark.sql.graftx.DotProductShort
+                            .dotShort(col("sq"), col("dq")).cast("double") /
+                            (col("sqn") * col("dqn")) + 1) * 1e9 + 0.5)
         .cast("long").as("scaled")
       // heap over (src, dst, scaled) candidates; re-emits scaled so the
       // next round's ∪g branch reuses it instead of re-joining vectors
@@ -1465,15 +1579,15 @@ object VectorQueries {
         // Vectors ride the block shuffle ONCE per draw (one copy per
         // vector), and all block-internal pairs score inside the join
         // stage — the wide two-vector rows never reach an Exchange.
-        val blk = corpusB.select(col("cand_id").as("id"), col("cv"), col("cn"),
+        val blk = corpusB.select(col("cand_id").as("id"), col("cq"), col("cqn"),
           (graft.functions.HexKeys.value32(
              md5(concat(lit(s"nnd$d|"), col("cand_id").cast("string"))), 0)
             % nBlocks).as("g"))
         blk.as("a").join(blk.as("b"),
             col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
           .select(col("a.id").as("src"), col("b.id").as("dst"),
-                  col("a.cv").as("sv"), col("a.cn").as("sn"),
-                  col("b.cv").as("dv"), col("b.cn").as("dn"))
+                  col("a.cq").as("sq"), col("a.cqn").as("sqn"),
+                  col("b.cq").as("dq"), col("b.cqn").as("dqn"))
           .select(col("src"), col("dst"), scaled)
       }.reduce(_ union _)
       var g = topKEdges(initScored, s"$tagPfx-g0")
@@ -1484,11 +1598,11 @@ object VectorQueries {
         // in place. Both vector attaches read the bucketed corpus
         // exchange-free — only edge id rows shuffle into the buckets.
         val inV = g.select(col("src"), col("dst").as("pivot"))
-          .join(corpusB.select(col("cand_id").as("src"), col("cv").as("sv"),
-                               col("cn").as("sn")), Seq("src"))
+          .join(corpusB.select(col("cand_id").as("src"), col("cq").as("sq"),
+                               col("cqn").as("sqn")), Seq("src"))
         val outV = g.select(col("src").as("pivot"), col("dst"))
-          .join(corpusB.select(col("cand_id").as("dst"), col("cv").as("dv"),
-                               col("cn").as("dn")), Seq("dst"))
+          .join(corpusB.select(col("cand_id").as("dst"), col("cq").as("dq"),
+                               col("cqn").as("dqn")), Seq("dst"))
         val coScored = inV.join(outV, Seq("pivot"))
           .filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst"), scaled)
@@ -3089,12 +3203,17 @@ object VectorQueries {
     */
   private def nndVnCteSql: String =
     """vn AS MATERIALIZED (
-      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-      |         CAST(embedding AS DOUBLE[]))) AS nrm
-      |  FROM embeddings
-      |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-      |        CAST(embedding AS DOUBLE[]))) > 0)""".stripMargin
+      |  SELECT vec_id, label, v, nrm, qv2,
+      |    sqrt(CAST(list_dot_product(qv2, qv2) AS DOUBLE)) AS qnrm
+      |  FROM (
+      |    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |           CAST(embedding AS DOUBLE[]))) AS nrm,
+      |      list_transform(CAST(embedding AS DOUBLE[]),
+      |        x -> CAST(greatest(-32000, least(32000, floor(x * 10000)))
+      |             AS BIGINT)) AS qv2
+      |    FROM embeddings) vz
+      |  WHERE nrm > 0)""".stripMargin
 
   /** NN-descent build chain over vector CTE `$vec`: md5-random
     * constant-size block init, refinement rounds, symmetrized edges.
@@ -3120,8 +3239,8 @@ object VectorQueries {
          }.mkString("\n    UNION ALL\n")}) u0),
        |ns0 AS MATERIALIZED (
        |  SELECT c.src, c.dst,
-       |    CAST(floor((list_dot_product(na.v, nb2.v) / (na.nrm * nb2.nrm)
-       |         + 1) * 1e9 + 0.5) AS BIGINT) AS scaled
+       |    CAST(floor((CAST(list_dot_product(na.qv2, nb2.qv2) AS DOUBLE)
+       |         / (na.qnrm * nb2.qnrm) + 1) * 1e9 + 0.5) AS BIGINT) AS scaled
        |  FROM ip c JOIN $vec na ON na.vec_id = c.src
        |  JOIN $vec nb2 ON nb2.vec_id = c.dst),
        |g0 AS MATERIALIZED (
@@ -3193,8 +3312,8 @@ object VectorQueries {
        |    SELECT src, dst FROM g${r - 1}) z),
        |ns$r AS MATERIALIZED (
        |  SELECT c.src, c.dst,
-       |    CAST(floor((list_dot_product(na.v, nd2.v) / (na.nrm * nd2.nrm)
-       |         + 1) * 1e9 + 0.5) AS BIGINT) AS scaled
+       |    CAST(floor((CAST(list_dot_product(na.qv2, nd2.qv2) AS DOUBLE)
+       |         / (na.qnrm * nd2.qnrm) + 1) * 1e9 + 0.5) AS BIGINT) AS scaled
        |  FROM nc$r c JOIN $vec na ON na.vec_id = c.src
        |  JOIN $vec nd2 ON nd2.vec_id = c.dst),
        |g$r AS MATERIALIZED (
@@ -3202,6 +3321,54 @@ object VectorQueries {
        |    SELECT *, row_number() OVER (PARTITION BY src
        |      ORDER BY scaled DESC, dst) AS rn
        |    FROM ns$r) z WHERE rn <= $NndK)""".stripMargin
+
+  /** Shared CTE chain for the q278/q280 oracles: md5-derived \u00b11 planes
+    * computed IN SQL (DuckDB md5 == Java md5 hex, so the plane matrix is
+    * the [[graft.operators.Similarity.hyperplanes]] family bit-for-bit),
+    * 1e3-quantized BIGINT dots (exact, fold-order-free), 12-bit band
+    * signatures, and the found-pair set `fnd` re-scored with q38's own
+    * cosine expression.
+    */
+  private def preBlockCtesSql: String = {
+    val nPlanes = graft.operators.Similarity.PreBlockBands *
+      graft.operators.Similarity.PreBlockPlanesPerBand
+    val r = graft.operators.Similarity.PreBlockPlanesPerBand
+    s"""pl AS MATERIALIZED (
+       |  SELECT p, d,
+       |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' ||
+       |                     CAST(d AS VARCHAR)), 1, 1)
+       |           IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1
+       |    END AS w
+       |  FROM range(0, $nPlanes) t1(p), range(0, 64) t2(d)),
+       |pnv AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |         CAST(embedding AS DOUBLE[]))) AS nrm,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |        CAST(embedding AS DOUBLE[]))) > 0),
+       |pdots AS MATERIALIZED (
+       |  SELECT pnv.vec_id, pl.p, sum(pnv.q[pl.d + 1] * pl.w) AS s
+       |  FROM pnv, pl GROUP BY 1, 2),
+       |psigs AS MATERIALIZED (
+       |  SELECT vec_id, p // $r AS band,
+       |    sum(CASE WHEN s >= 0
+       |        THEN CAST(1 AS BIGINT) << (p % $r)
+       |        ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM pdots GROUP BY 1, 2),
+       |fnd AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b,
+       |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+       |  FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |        FROM psigs a JOIN psigs b
+       |          ON a.band = b.band AND a.sig = b.sig
+       |         AND a.vec_id < b.vec_id) c
+       |  JOIN pnv x ON x.vec_id = c.id_a
+       |  JOIN pnv y ON y.vec_id = c.id_b
+       |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4)""".stripMargin
+  }
 
   val oracles: Map[String, String] = baseOracles +
     ("q159_knn_classifier" -> knnClassifierOracleSql) +
@@ -3682,5 +3849,46 @@ object VectorQueries {
         |       CAST(a.dq AS DOUBLE) / CAST(a.nds AS DOUBLE) / 1e9 <
         |       CAST(a.bq AS DOUBLE) / CAST(a.nbs AS DOUBLE) / 1e9 - 0.05))
         |    AS needs_rebuild
-        |FROM agg a CROSS JOIN c""".stripMargin)
+        |FROM agg a CROSS JOIN c""".stripMargin) +
+    ("q278_neardup_preblocked" ->
+      s"""WITH $preBlockCtesSql
+         |SELECT id_a, id_b, cosine FROM fnd""".stripMargin) +
+    ("q279_neardup_collapsed" ->
+      """WITH cbase AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cu AS (
+        |  SELECT vec_id, v FROM cbase
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, v FROM cbase WHERE vec_id < 40),
+        |cdu AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM cu
+        |  WHERE sqrt(list_dot_product(v, v)) > 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |FROM cdu a, cdu b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin) +
+    ("q280_preblock_recall" ->
+      s"""WITH $preBlockCtesSql,
+         |pex AS MATERIALIZED (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM pnv a, pnv b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+         |pper AS MATERIALIZED (
+         |  SELECT floor(e.cosine * 10) / 10 AS cosine_band,
+         |    CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_found
+         |  FROM pex e LEFT JOIN fnd f ON f.id_a = e.id_a AND f.id_b = e.id_b
+         |  GROUP BY 1)
+         |SELECT cosine_band, n_exact, n_found,
+         |  CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         |FROM pper
+         |UNION ALL
+         |SELECT -1.0, CAST(sum(n_exact) AS BIGINT),
+         |  CAST(sum(n_found) AS BIGINT),
+         |  CAST(sum(n_found) AS DOUBLE) / CAST(sum(n_exact) AS DOUBLE)
+         |FROM pper""".stripMargin)
 }

@@ -128,16 +128,68 @@ object Warehouse {
     * follows the testdata contract: a dataset dir's content is immutable;
     * regenerated data lands in a new dir and therefore a new index name.
     */
-  def durableIndex(spark: SparkSession, name: String)(build: => DataFrame): DataFrame = {
+  def durableIndex(spark: SparkSession, name: String,
+                   fingerprint: Option[String] = None)(build: => DataFrame): DataFrame = {
     val loc = new org.apache.hadoop.fs.Path(
       org.apache.spark.sql.graftx.Bridge.defaultTablePath(spark, name))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) return spark.read.parquet(loc.toString)
+    // round-17 stretch #8: staleness no longer rests on the
+    // immutable-dir convention alone — the builder stores a cheap
+    // content fingerprint of its INPUT beside the index (an
+    // underscore-prefixed file, invisible to the parquet reader); a
+    // reader whose input fingerprints differently is refused with the
+    // fix in the message (the Guard discipline) instead of silently
+    // served a stale graph.
+    def fpFile(dir: org.apache.hadoop.fs.Path) =
+      new org.apache.hadoop.fs.Path(dir, "_GRAFT_FINGERPRINT")
+    if (fs.exists(loc)) {
+      (fingerprint, if (fs.exists(fpFile(loc))) {
+        val in = fs.open(fpFile(loc))
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          Some(new String(buf.toByteArray, "UTF-8").trim)
+        } finally in.close()
+      } else None) match {
+        case (Some(want), Some(have)) if want != have =>
+          throw new IllegalStateException(
+            s"durableIndex '$name': the published index was built from an input " +
+            s"fingerprinting '$have' but the current input fingerprints '$want' — " +
+            "the dataset dir was mutated in place, violating the immutable-dir " +
+            "contract. Regenerate the data into a NEW dir (which derives a new " +
+            "index name), or drop the stale index with " +
+            s"Warehouse.dropDurableIndex(spark, \"$name\").")
+        case _ => ()
+      }
+      return spark.read.parquet(loc.toString)
+    }
+    // sweep _build_ leftovers from builders that crashed between the tmp
+    // write and the rename (they would otherwise leak in the shared
+    // warehouse forever) — only siblings >10 min old, so a concurrent
+    // LIVE builder's tmp is never swept mid-publish
+    val stale = fs.globStatus(new org.apache.hadoop.fs.Path(
+      loc.getParent, "_build_" + loc.getName + "_*"))
+    if (stale != null) stale.foreach { st =>
+      if (st.getModificationTime < System.currentTimeMillis() - 10 * 60 * 1000L)
+        try fs.delete(st.getPath, true) catch { case _: Exception => () }
+    }
     val df  = build
     val tmp = new org.apache.hadoop.fs.Path(loc.getParent,
       "_build_" + loc.getName + "_" + java.util.UUID.randomUUID().toString.take(8))
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fingerprint.foreach { fp =>
+      val out = fs.create(fpFile(tmp), true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    }
     if (fs.exists(loc) || !fs.rename(tmp, loc)) fs.delete(tmp, true)
+    // a rename can fail for reasons OTHER than losing the publish race
+    // (permissions, quota, a non-atomic store) — surface that as a
+    // descriptive error instead of an opaque path-not-found on the read
+    require(fs.exists(loc),
+      s"durableIndex '$name': publish failed — neither this builder's rename " +
+      s"to $loc landed nor a concurrent winner's files exist; the filesystem " +
+      "refused the rename for a reason other than losing the publish race " +
+      "(check permissions/quota on the warehouse dir)")
     spark.read.parquet(loc.toString)
   }
 

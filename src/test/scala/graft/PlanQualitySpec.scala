@@ -659,6 +659,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"no TopKPairs heap:\n$plan")
   }
 
+  test("q278 pre-blocked near-dup: in-join scoring, no cartesian/window") {
+    // the low-threshold route (round-17 verdict #3): candidates come
+    // from the (band, sig) self-equi-join and are scored IN the join —
+    // never a cartesian, never a per-doc window over the pair stream
+    val plan = planOf(SparkEntry.queries("q278_neardup_preblocked")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"q278 cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"q278 BNLJ:\n$plan")
+    assert(!plan.contains("Window"), s"q278 window:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"q278 has no (band, sig) equi-join:\n$plan")
+  }
+
+  test("q279 collapsed near-dup: equi-joins only, no cartesian") {
+    // the collapse pre-pass groups byte-identical vectors with one hash
+    // window; the rep scoring and both expansions must stay equi-join
+    // shaped (a cartesian here would defeat the whole pre-pass)
+    val plan = planOf(SparkEntry.queries("q279_neardup_collapsed")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"q279 cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"q279 BNLJ:\n$plan")
+  }
+
   test("q275 URL canonicalization is a scan-local projection — zero exchanges") {
     // the crawl-normalization pass must not shuffle: regexp/split/sort
     // built-ins over the scan, no UDF, no aggregation
@@ -1647,11 +1668,15 @@ class PlanQualitySpec extends SparkSpec {
     // reading the graft_nnd_edges_* parquet, and (c) the build-only
     // bucketed corpus table NOT existing in session 2's namespace.
     val d2 = "/root/testdata/sf0.01" // fresh cache key: `dir` is built non-durably by other tests
-    val idx = "graft_nnd_edges_" + d2.replaceAll("[^a-zA-Z0-9]", "_").takeRight(48)
+    val idx = graft.queries.VectorQueries.nndDurableIndexName(d2)
     graft.sources.Warehouse.dropDurableIndex(spark, idx)
-    spark.conf.set("spark.graft.materialize.durable", "true")
     try {
-      val r1 = SparkEntry.queries("q268_graph_ann_beam")(spark, d2)
+      // the BUILDING leg runs in a throwaway session too (round-17
+      // advice): the finally-drop below would otherwise leave the main
+      // session's nndEdgeCache holding a frame over deleted files
+      val s1 = spark.newSession()
+      s1.conf.set("spark.graft.materialize.durable", "true")
+      val r1 = SparkEntry.queries("q268_graph_ann_beam")(s1, d2)
         .collect().map(_.toSeq).toSet
       val s2 = spark.newSession()
       s2.conf.set("spark.graft.materialize.durable", "true")
@@ -1665,8 +1690,45 @@ class PlanQualitySpec extends SparkSpec {
       assert(df2.collect().map(_.toSeq).toSet == r1,
         "served results differ between the building and reusing sessions")
     } finally {
-      spark.conf.set("spark.graft.materialize.durable", "false")
       graft.sources.Warehouse.dropDurableIndex(spark, idx)
+    }
+  }
+
+  test("durable index refuses a dataset dir mutated in place (fingerprint)") {
+    // round-17 stretch #8: durableIndex staleness no longer rests on the
+    // immutable-dir convention alone — the builder stores a content
+    // fingerprint (row count + max id) beside the index; a reader whose
+    // corpus fingerprints differently gets a refusal naming the fix.
+    val tmpDir = "/tmp/graft_fp_probe"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(tmpDir))
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src.write.mode("overwrite").parquet(s"$tmpDir/embeddings.parquet")
+    val idx = graft.queries.VectorQueries.nndDurableIndexName(tmpDir)
+    graft.sources.Warehouse.dropDurableIndex(spark, idx)
+    try {
+      val s1 = spark.newSession()
+      s1.conf.set("spark.graft.materialize.durable", "true")
+      SparkEntry.queries("q268_graph_ann_beam")(s1, tmpDir).count()
+      // mutate the dataset dir IN PLACE — the contract violation
+      src.limit(10)
+        .withColumn("vec_id", col("vec_id") + 500000L)
+        .write.mode("append").parquet(s"$tmpDir/embeddings.parquet")
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.materialize.durable", "true")
+      val ex = intercept[IllegalStateException] {
+        SparkEntry.queries("q268_graph_ann_beam")(s2, tmpDir).count()
+      }
+      assert(ex.getMessage.contains("mutated in place"),
+        s"refusal must name the violation: ${ex.getMessage}")
+      assert(ex.getMessage.contains("dropDurableIndex"),
+        s"refusal must name the fix: ${ex.getMessage}")
+    } finally {
+      graft.sources.Warehouse.dropDurableIndex(spark, idx)
+      rmrf(new java.io.File(tmpDir))
     }
   }
 

@@ -19,6 +19,23 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
   }
 
+  test("dotShort is the exact integer dot (matches the composable long fold)") {
+    // int16 gathers (the NN-descent quantized-build primitive) must be
+    // EXACT: every product and sum stays far inside long range, so the
+    // native loop and the cast-to-long composable fold agree bitwise
+    val df = (0 until 30).map { i =>
+      (i.toLong,
+       Array.tabulate(16)(j => (((i * 31 + j * 7) % 60000) - 30000).toShort),
+       Array.tabulate(16)(j => (((i * 17 + j * 13) % 60000) - 30000).toShort))
+    }.toDF("id", "a", "b")
+    val rows = df.select(
+      org.apache.spark.sql.graftx.DotProductShort.dotShort(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+                         (x, y) => x.cast("long") * y.cast("long")),
+                lit(0L), (acc, x) => acc + x).as("composable")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("MomentTerms matches the composable nested-transform form bit-for-bit") {
     // same element order AND same IEEE products as
     // concat(upper-triangle pair structs, first-moment structs)
@@ -386,5 +403,63 @@ class SimilaritySpec extends SparkSpec {
       assert(fullQ.getOrElse(q, 0) == 3,
         s"pair of query $q vanished without displacement")
     }
+  }
+
+  test("nearDupPreBlockedLsh \u2286 exact pairs with bit-identical cosines") {
+    // the two-antipodal-cluster fixture: intra-cluster pairs are tight
+    // (cos \u2248 1) so the banded signatures MUST catch them; the pre-blocked
+    // output must be a subset of the exact pair set with the same cosine
+    // doubles (same scoring expression on mined candidates)
+    val vecs = ((0 until 12).map { i =>
+      val s = 1.0 + (i % 3)
+      (i.toLong, Array.tabulate(8)(j => (s * (1.0 + 0.05 * math.sin(i + j))).toFloat))
+    } ++ (12 until 24).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (-1.0 - 0.05 * math.cos(i * 8 + j)).toFloat))
+    } :+ (24L, Array.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.exactNearDupBlocked(
+      vecs, "vec_id", "embedding", minCosine = 0.4, k = 4, iters = 2)
+    val pre = Similarity.nearDupPreBlockedLsh(
+      vecs, "vec_id", "embedding", minCosine = 0.4)
+    assert(pre.exceptAll(exact).isEmpty,
+      "pre-blocked output is not a subset of the exact pair set")
+    // tight intra-cluster pairs sit at cos \u2248 1 where per-band collision
+    // \u2248 1 \u2014 deterministic given the fixed md5 planes and fixture
+    assert(pre.count() == exact.count(),
+      "pre-blocker missed near-identical pairs (cos \u2248 1 must collide)")
+  }
+
+  test("exactNearDupCollapsed \u2261 exactNearDupBlocked on a duplicate-heavy corpus") {
+    val base = ((0 until 12).map { i =>
+      val s = 1.0 + (i % 3)
+      (i.toLong, Array.tabulate(8)(j => (s * (1.0 + 0.05 * math.sin(i + j))).toFloat))
+    } ++ (12 until 24).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (-1.0 - 0.05 * math.cos(i * 8 + j)).toFloat))
+    } :+ (24L, Array.fill(8)(0.0f)))
+    // byte-identical copies of the first cluster AND of the zero vector:
+    // dup clusters of size 3 (the zero-vector cluster must NOT pair)
+    val withDups = base ++ base.collect {
+      case (id, v) if id < 12 || id == 24L => Seq((id + 100L, v), (id + 200L, v))
+    }.flatten
+    val vecs = withDups.toDF("vec_id", "embedding")
+    val collapsed = Similarity.exactNearDupCollapsed(
+      vecs, "vec_id", "embedding", minCosine = 0.4, k = 4, iters = 2)
+    val blocked = Similarity.exactNearDupBlocked(
+      vecs, "vec_id", "embedding", minCosine = 0.4, k = 4, iters = 2)
+    assert(collapsed.exceptAll(blocked).isEmpty &&
+           blocked.exceptAll(collapsed).isEmpty,
+      "collapse pre-pass changed the exact near-dup output")
+  }
+
+  test("nearDupAuto routes by threshold (exact-collapsed high, pre-blocked low)") {
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (1.0 + 0.05 * math.sin(i + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val hi = Similarity.nearDupAuto(vecs, "vec_id", "embedding", 0.9)
+    val hiRef = Similarity.exactNearDupCollapsed(vecs, "vec_id", "embedding", 0.9)
+    assert(hi.exceptAll(hiRef).isEmpty && hiRef.exceptAll(hi).isEmpty)
+    val lo = Similarity.nearDupAuto(vecs, "vec_id", "embedding", 0.4)
+    val loRef = Similarity.nearDupPreBlockedLsh(vecs, "vec_id", "embedding", 0.4)
+    assert(lo.exceptAll(loRef).isEmpty && loRef.exceptAll(lo).isEmpty)
   }
 }
