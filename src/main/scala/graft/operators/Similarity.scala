@@ -517,13 +517,16 @@ object Similarity {
     * pair is exact-scored, so output \u2286 the exact pair set with
     * bit-identical cosines.
     *
-    * 100 TB shape: signatures are B native-dot sign bits per row (linear
-    * CPU, no shuffle); the candidate join ships each vector B times
-    * (N\u00b7B\u00b7|vec| \u2014 linear in N) keyed on (band, sig); scoring happens in
-    * the join (a pair list never materializes before the threshold
-    * filter); the post-filter distinct dedups band collisions on the
-    * tiny surviving set. Skewed sig buckets (dense dup clusters) are AQE
-    * skew-split, and their pairs qualify anyway.
+    * 100 TB shape (the guide-\u00a78 proxy discipline \u2014 heavy payloads cross
+    * an exchange once, decisions ride lightweight rows): signatures are
+    * computed in ONE fused [[org.apache.spark.sql.graftx.BandSigs]]
+    * traversal per vector (linear CPU, no shuffle) and the candidate
+    * join ships only (band, sig, id) \u2014 N\u00b7B\u00b724 B rows, never the vector;
+    * colliding pairs dedup band collisions BEFORE scoring (each
+    * surviving pair pays its dot product exactly once, not once per
+    * colliding band); the two attach joins then move each vector across
+    * an exchange once per side. Skewed sig buckets (dense dup clusters)
+    * are AQE skew-split, and their pairs qualify anyway.
     */
   def nearDupPreBlockedLsh(corpus: DataFrame, idCol: String, vecCol: String,
                            minCosine: Double,
@@ -535,38 +538,35 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0)
-      // 1e3-quantized copy for the sign bits: integer values in double
-      // slots \u2014 every product and 64-term sum is exact (< 2^53), so the
-      // sign is fold-order-free and the oracle replays it with BIGINT
-      // sums (the q40/q216 bucketing discipline). Vectors shorter than
-      // `dims` simply use a plane prefix (the native dot folds min-len).
-      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("double")))
-    val sigCols = (0 until bands).map { b =>
-      val sig = (0 until planesPerBand).map { i =>
-        val plane = array(planes(b * planesPerBand + i).map(lit): _*)
-        when(dot(col("q"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), sig.as("sig"))
-    }
-    val sigRows = v0
-      .select(col("id"), col("v"), col("nrm"),
-              explode(array(sigCols: _*)).as("bs"))
-      .select(col("id"), col("v"), col("nrm"),
-              col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = sigRows.select(col("band"), col("sig"), col("id").as("id_a"),
-                           col("v").as("va"), col("nrm").as("na"))
-    val b = sigRows.select(col("band").as("band_b"), col("sig").as("sig_b"),
-                           col("id").as("id_b"), col("v").as("vb"),
-                           col("nrm").as("nb"))
-    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
-              col("id_a") < col("id_b"))
+    // 1e3-quantized input for the sign bits: integer values in double
+    // slots \u2014 every product and 64-term sum is exact (< 2^53), so the
+    // sign is fold-order-free and the oracle replays it with BIGINT
+    // sums (the q40/q216 bucketing discipline). Vectors shorter than
+    // `dims` simply use a plane prefix (the fused loop folds min-len).
+    val q = transform(col("v"), x => floor(x * 1000).cast("double"))
+    val sigIds = v0.select(col("id"),
+      posexplode(org.apache.spark.sql.graftx.BandSigs
+        .sigs(q, planes, planesPerBand)).as(Seq("band", "sig")))
+    val candA = sigIds.select(col("band"), col("sig"), col("id").as("id_a"))
+    val candB = sigIds.select(col("band").as("band_b"),
+                              col("sig").as("sig_b"), col("id").as("id_b"))
+    // a pair colliding in several bands would score identically each
+    // time (same fold), so distinct collapses the duplicates exactly \u2014
+    // BEFORE the vectors are attached or any cosine is computed
+    val cand = candA.join(candB,
+        col("band") === col("band_b") && col("sig") === col("sig_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val va = v0.select(col("id").as("id_a"), col("v").as("va"),
+                       col("nrm").as("na"))
+    val vb = v0.select(col("id").as("id_b"), col("v").as("vb"),
+                       col("nrm").as("nb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
               cosinePrenormed(dot(col("va"), col("vb")),
                               col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
-      // a pair colliding in several bands scores identically each time
-      // (same fold), so distinct collapses the duplicates exactly
-      .distinct()
   }
 
   /** EXACT near-dup with an exact-duplicate COLLAPSE pre-pass (round-17

@@ -380,6 +380,16 @@ object CurationQueries {
     */
   private val EpochRepeatConst = 15L
 
+  /** Per-(session, dir) memos for the two corpus-FITTED curation
+    * artifacts (the TextQueries.jacCache discipline): the DSIR doc×dim
+    * feature frame and the canonical dup-cluster representative set.
+    * Both are pure functions of the corpus shared verbatim by every
+    * curationV2 consumer — a deployment materializes them once per
+    * corpus the way it materializes a mined-pair table.
+    */
+  private val dsirDocDimCache = new graft.core.SessionCache[String]
+  private val canonCache      = new graft.core.SessionCache[String]
+
   /** q148's building blocks: (docDim, tot, model).
     *
     * ONE tokenize+md5 pass over the corpus: the per-(doc, dim) feature agg
@@ -398,14 +408,20 @@ object CurationQueries {
   private def dsirParts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables(s, dir).documents
-    val docDim = graft.core.Materialize.cut(docs
-      .select(col("doc_id"), col("lang"),
-              explode(Text.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col("lang"),
-              (hexValue16(md5(concat(lit("fh|"), col("tok"))), 0) % DsirB)
-                .cast(LongType).as("dim"))
-      .groupBy(col("doc_id"), col("lang"), col("dim"))
-      .agg(count(lit(1)).as("c")), "dsir_doc_dim")
+    // memoized per (session, dir) — the jacCache discipline: the DSIR
+    // feature frame is a corpus-FITTED model artifact consumed by five
+    // gated queries (q148/q161/q196/q209/q223); before the memo each of
+    // them re-ran the full tokenize+md5 pass per invocation
+    val docDim = dsirDocDimCache.getOrElseUpdate(s, dir) {
+      graft.core.Materialize.cut(docs
+        .select(col("doc_id"), col("lang"),
+                explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"),
+                (hexValue16(md5(concat(lit("fh|"), col("tok"))), 0) % DsirB)
+                  .cast(LongType).as("dim"))
+        .groupBy(col("doc_id"), col("lang"), col("dim"))
+        .agg(count(lit(1)).as("c")), "dsir_doc_dim")
+    }
     val byDim = docDim.groupBy(col("dim")).agg(
       sum(col("c")).as("r_cnt"),
       sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("t_cnt"))
@@ -513,13 +529,19 @@ object CurationQueries {
       .groupBy(col("doc_id"))
       .agg(sum(col("c") * col("qratio")).as("logw_q"))
     val w = restrict.fold(w0)(r => w0.join(r.select(col("doc_id")), Seq("doc_id")))
-    val canon = graft.operators.Dedup.connectedComponentsStars(
-        d.select(col("doc_id").as("id")),
-        graft.operators.Dedup.dupEdgesFromPairs(
-          d, "doc_id", "text", TextQueries.jaccardQuery(s, dir)),
-        "doc_a", "doc_b")
-      .filter(col("id") === col("cluster_id"))
-      .select(col("id").as("doc_id"))
+    // memoized per (session, dir) — corpus-fitted like the DSIR features:
+    // all four curationV2 consumers share the SAME canonical cluster set
+    // (the restrict hook governs what may be picked, not what the models
+    // see), and the CC star loop is eager per invocation otherwise
+    val canon = canonCache.getOrElseUpdate(s, dir) {
+      graft.operators.Dedup.connectedComponentsStars(
+          d.select(col("doc_id").as("id")),
+          graft.operators.Dedup.dupEdgesFromPairs(
+            d, "doc_id", "text", TextQueries.jaccardQuery(s, dir)),
+          "doc_a", "doc_b")
+        .filter(col("id") === col("cluster_id"))
+        .select(col("id").as("doc_id"))
+    }
     val selected = w.join(canon, Seq("doc_id"))
       .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .orderBy(col("logw_q").desc, col("doc_id")).limit(100)

@@ -1341,18 +1341,31 @@ object VectorQueries {
     // O(queries·w·deg·rounds), corpus-size-free.
     // -----------------------------------------------------------------
     "q272_beam_width_sweep" -> { (s, dir) =>
-      val exact = defs("q37_cosine_topk")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
-      BeamSweepWidths.map { w =>
-        val fin = beamServeTopK(s, dir, w, 3)
-        exact.join(fin.withColumn("hit", lit(1L)),
-                   Seq("query_id", "neighbor_id"), "left")
-          .agg(count(lit(1)).as("total"),
-               coalesce(sum(col("hit")), lit(0L)).as("found"))
-          .select(lit(w.toLong).as("beam_width"), col("found"), col("total"),
-                  (col("found").cast(DoubleType) / col("total").cast(DoubleType))
-                    .as("recall"))
-      }.reduce(_ unionAll _)
+      // cut once: three legs consume the exact truth; uncut, each leg's
+      // job re-runs the q37 brute-force scoring
+      val exact = graft.core.Materialize.cut(
+        defs("q37_cosine_topk")(s, dir)
+          .select(col("query_id"), col("neighbor_id")), "q272-exact")
+      // the three width legs are independent serve runs over the SAME
+      // session-cached graph (the first leg to reach the memo builds it;
+      // the others block on the memo, not on a duplicate build) — their
+      // per-round beam jobs overlap from a thread pool (guide §2.6)
+      // instead of serializing 3 × BeamRounds round-trips
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(BeamSweepWidths.map { w =>
+        Future {
+          val fin = beamServeTopK(s, dir, w, 3)
+          exact.join(fin.withColumn("hit", lit(1L)),
+                     Seq("query_id", "neighbor_id"), "left")
+            .agg(count(lit(1)).as("total"),
+                 coalesce(sum(col("hit")), lit(0L)).as("found"))
+            .select(lit(w.toLong).as("beam_width"), col("found"), col("total"),
+                    (col("found").cast(DoubleType) / col("total").cast(DoubleType))
+                      .as("recall"))
+        }
+      }), Duration.Inf).reduce(_ unionAll _)
     },
 
     // -----------------------------------------------------------------
@@ -1385,7 +1398,12 @@ object VectorQueries {
       // beam + serve).
       val gInc = graft.core.Materialize.cut(
         ctx.gBase.unionAll(inserted), "q273-ginc")
-      val found = beamOver(symmetrized(gInc), nndCorpus(s, dir),
+      // the serve rounds are separate jobs (per-round beam cut), so the
+      // incremental graph's symmetrize is cut once here instead of
+      // re-running union+distinct in every round's job
+      val found = beamOver(
+        graft.core.Materialize.cut(symmetrized(gInc), "q273-gsym"),
+        nndCorpus(s, dir),
                            queryFrame(n, col("vec_id") < 20),
                            entryFrame(n), BeamWidth, 3)
       val exact = defs("q37_cosine_topk")(s, dir)
@@ -1408,6 +1426,20 @@ object VectorQueries {
     */
   private val nndVecCache  = new graft.core.SessionCache[String]
   private val nndEdgeCache = new graft.core.SessionCache[String]
+  private val nndSymCache  = new graft.core.SessionCache[String]
+
+  /** Symmetrized (both directions, distinct) view of an NN-descent edge
+    * frame, materialized ONCE per (session, key). Every beam round
+    * references the edge set, and each beam round is its own job after
+    * the per-round lineage cut — without cutting the symmetrize here,
+    * every round of every serve leg would re-run the union+distinct
+    * (q272's three widths alone re-ran it 12×).
+    */
+  private def symEdgesCached(s: SparkSession, key: String,
+                             g: => DataFrame): DataFrame =
+    nndSymCache.getOrElseUpdate(s, key) {
+      graft.core.Materialize.cut(symmetrized(g), "nnd-sym")
+    }
 
   /** Test hook: NN-descent edge-cache keys for `s` — PlanQualitySpec
     * asserts the q272 sweep's three legs share ONE build entry.
@@ -1645,7 +1677,8 @@ object VectorQueries {
     require(!geRow.isNullAt(0),
       "graph-ANN insert: the base split has no nonzero-norm vectors — " +
         "nothing to beam-search against")
-    InsertContext(gBase, symmetrized(gBase),
+    InsertContext(gBase,
+                  symEdgesCached(s, s"$dir|base-sym", gBase),
                   nndCorpus(s, dir, base = true),
                   entryFrame(nBase), geRow.getLong(0))
   }
@@ -1693,14 +1726,25 @@ object VectorQueries {
       .join(broadcast(entries), Seq("qlabel"))
       .select(col("query_id"), col("cand_id"))
     for (_ <- 1 to BeamRounds) {
-      val expanded = beam
+      // BROADCAST the beam against the edge scan: beam is queries×width
+      // rows of two longs — bounded by the same serve contract that
+      // already broadcasts `queries` below — while the edge set is
+      // corpus-scale. The hinted build side keeps the planner from ever
+      // shuffling (or sorting) the edges, per round or at all (guide
+      // §3.1); the expansion result stays queries×width×(deg+1) ids and
+      // rides the SAME bound into the corpus-attach broadcast, so the
+      // corpus is never shuffled either. Duplicate candidates (reached
+      // via several edges, or already in the beam) are NOT pre-deduped:
+      // they score identically (same fold), and the set-semantics heap
+      // below collapses them map-side — ≡ the old distinct() + topK
+      // without the distinct's exchange (the TopKPairs contract).
+      val expanded = broadcast(beam)
         .join(edges, beam("cand_id") === edges("src"))
         .select(col("query_id"), col("dst").as("cand_id"))
         .union(beam.select(col("query_id"), col("cand_id")))
-        .distinct()
       // Self stays IN the beam (best hub toward its own neighborhood)
       // and is excluded only at the final readout.
-      val scored = expanded
+      val scored = broadcast(expanded)
         .join(corpus, Seq("cand_id"))
         .join(broadcast(queries.select(col("query_id"), col("qv"),
                                        col("qn"))), Seq("query_id"))
@@ -1715,11 +1759,17 @@ object VectorQueries {
         .select(col("query_id"), key.as("key"), col("cand_id"))
         .groupBy(col("query_id"))
         .agg(org.apache.spark.sql.graftx.TopKPairs
-          .topK(col("key"), col("cand_id"), width).as("top"))
+          .topKDistinct(col("key"), col("cand_id"), width).as("top"))
         .select(col("query_id"), explode(col("top")).as("c"))
         .select(col("query_id"), col("c.id").as("cand_id"),
                 (lit(NndBig) - substring(col("c.key"), 1, 19).cast("long"))
                   .as("scaled"))
+        // iterative ROUND state (Materialize routing policy #2, the CC-
+        // loop precedent): without the per-round cut the beam lineage
+        // COMPOUNDS — round r's broadcast subtrees nest rounds 1..r-1
+        // (q273's committed plan hit 292 exchanges) and the A/B probe
+        // measured the uncut form 2-4× slower with wild variance.
+        .localCheckpoint(true)
     }
     val key3 = concat(
       lpad((lit(NndBig) - col("scaled")).cast("string"), 19, "0"),
@@ -1757,7 +1807,8 @@ object VectorQueries {
   private def beamServeTopK(s: SparkSession, dir: String, width: Int,
                             k: Int): DataFrame = {
     val n = labeledVecs(s, dir)
-    beamOver(symmetrized(nndGraph(s, dir)), nndCorpus(s, dir),
+    beamOver(symEdgesCached(s, s"$dir|sym", nndGraph(s, dir)),
+             nndCorpus(s, dir),
              queryFrame(n, col("vec_id") < 20), entryFrame(n), width, k)
   }
 
@@ -1835,13 +1886,17 @@ object VectorQueries {
     * so the DuckDB oracle ([[bucketSqlExpr]]) replays it exactly.
     */
   private def quantSigBits(vec: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    // ONE fused BandSigs traversal (planesPerBand = 1: each "band" is a
+    // single plane's sign bit) instead of NumPlanes separate
+    // aggregate(zip_with(...)) folds each carrying its plane as Dims
+    // literal nodes — same integer-exact arithmetic (quantized values in
+    // double slots, every product and ≤64-term sum < 2^53), same
+    // "1"/"0" strings, ~NumPlanes·Dims fewer expression-tree nodes per
+    // call site.
     val planes = Similarity.hyperplanes(NumPlanes, Dims)
-    val q = transform(vec, x => floor(x * 1000).cast("long"))
-    planes.map { plane =>
-      val p = array(plane.map(v => lit(v.toLong)): _*)
-      when(aggregate(zip_with(q, p, (x, y) => x * y), lit(0L), (acc, x) => acc + x) >= 0,
-           lit("1")).otherwise(lit("0"))
-    }
+    val q = transform(vec, x => floor(x * 1000).cast("double"))
+    val sigs = org.apache.spark.sql.graftx.BandSigs.sigs(q, planes, 1)
+    (0 until NumPlanes).map(i => sigs.getItem(i).cast("string"))
   }
 
   private def annTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

@@ -661,7 +661,8 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q278 pre-blocked near-dup: in-join scoring, no cartesian/window") {
     // the low-threshold route (round-17 verdict #3): candidates come
-    // from the (band, sig) self-equi-join and are scored IN the join —
+    // from the id-only (band, sig) self-equi-join (the guide-§8 proxy —
+    // vectors are re-attached by id and each deduped pair scored once) —
     // never a cartesian, never a per-doc window over the pair stream
     val plan = planOf(SparkEntry.queries("q278_neardup_preblocked")(spark, dir))
     assert(!plan.contains("CartesianProduct"), s"q278 cartesian:\n$plan")
@@ -1681,7 +1682,10 @@ class PlanQualitySpec extends SparkSpec {
       val s2 = spark.newSession()
       s2.conf.set("spark.graft.materialize.durable", "true")
       val df2 = SparkEntry.queries("q268_graph_ann_beam")(s2, d2)
-      val p2  = planOf(df2)
+      // the beam rounds are per-round lineage-cut jobs now (round-18
+      // beamOver), so the index scan no longer appears in the final
+      // readout's plan — assert it on the edge frame the serve consumed
+      val p2 = planOf(graft.queries.VectorQueries.nndBuildFrame(s2, d2))
       assert(p2.contains("graft_nnd_edges_"),
         s"session 2 is not scanning the persisted graph index:\n$p2")
       assert(!s2.catalog.tableExists(
