@@ -328,8 +328,10 @@ object Similarity {
     */
   def exactNearDupBlocked(corpus: DataFrame, idCol: String, vecCol: String,
                           minCosine: Double, k: Int = 8,
-                          iters: Int = 2): DataFrame =
-    blockedQualifyingPairs(corpus, idCol, vecCol, minCosine, k, iters)
+                          iters: Int = 2,
+                          cacheKey: Option[String] = None): DataFrame =
+    blockedQualifyingPairs(corpus, idCol, vecCol, minCosine, k, iters,
+                           cacheKey)
 
   /** The CAPPED companion to [[exactNearDupBlocked]] — same ball-cover
     * candidate generation (exact recall by the triangle-inequality
@@ -345,7 +347,8 @@ object Similarity {
     */
   def nearDupTopK(corpus: DataFrame, idCol: String, vecCol: String,
                   minCosine: Double, kNeighbors: Int, k: Int = 8,
-                  iters: Int = 2): DataFrame = {
+                  iters: Int = 2,
+                  cacheKey: Option[String] = None): DataFrame = {
     val Big = 1000000000000000000L // 10^18; scaled cosine < 2^31
     // Score each UNORDERED candidate pair once (id_a < id_b — the same
     // half-join q38 runs; the dot product is the dominant cost), then
@@ -353,7 +356,7 @@ object Similarity {
     // its neighbors. Scoring both ordered pairs doubled the sf3 wall for
     // zero information — cosine is symmetric.
     val half = blockedQualifyingPairs(corpus, idCol, vecCol, minCosine,
-                                      k, iters)
+                                      k, iters, cacheKey)
       .select(col("id_a"), col("id_b"),
               floor((col("cosine") + 1) * 1e9 + 0.5).cast("long").as("scaled"))
     val scored = half
@@ -377,10 +380,42 @@ object Similarity {
                  .cast("double") / 1e9 - 1).as("cosine_q"))
   }
 
-  private def blockedQualifyingPairs(corpus: DataFrame, idCol: String,
-                                     vecCol: String, minCosine: Double,
-                                     k: Int, iters: Int): DataFrame = {
-    require(minCosine > -1.0 && minCosine <= 1.0, s"minCosine out of range: $minCosine")
+  /** Corpus-FITTED ball-cover state: the assignment frame `w` (id, v,
+    * nrm, cid, cdist — lineage-cut), the fitted centroids, and the
+    * per-cluster radii. A pure function of (corpus, k, iters) —
+    * independent of the query threshold, which only decides the
+    * reachable cell pairs downstream. `None` = empty / all-zero-norm
+    * corpus (nothing can pair).
+    */
+  private[graft] final case class BallCover(
+      w: DataFrame, centroids: Array[Seq[Double]], radii: Map[Int, Double])
+
+  /** Per-(session, cacheKey) memo of fitted covers — the jacCache /
+    * nndGraph build-once discipline: q38, q274 and q280's exact side all
+    * fit the SAME (corpus, k, iters) cover, so the Lloyd jobs, the
+    * assignment cut and the radii collect run once per session, not once
+    * per consumer. Sharing changes nothing downstream: the fit is
+    * deterministic (md5-seeded Lloyd), so the memoized cover is
+    * bit-identical to a per-call fit.
+    */
+  private val coverMemo =
+    new graft.core.SessionMemo[String, Option[BallCover]]
+
+  /** Test hook: whether a cover is memoized for (session, key) — lets
+    * SimilaritySpec assert the share directly.
+    */
+  private[graft] def fittedCoverFor(s: org.apache.spark.sql.SparkSession,
+                                    cacheKey: String, k: Int,
+                                    iters: Int): Boolean = {
+    var hit = true
+    coverMemo.getOrElseUpdate(s, s"$cacheKey|k=$k|iters=$iters") {
+      hit = false; None
+    }
+    hit
+  }
+
+  private def fitBallCover(corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int): Option[BallCover] = {
     val v0 = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -392,13 +427,11 @@ object Similarity {
       // conjunct order is not an evaluation contract. Surviving rows
       // divide by the same nonzero nrm either way.
       .withColumn("u", transform(col("v"), x => x / nullif(col("nrm"), lit(0.0))))
-    // empty / all-zero-norm corpus: nothing can pair — return the empty
-    // frame the crossJoin baseline returned, instead of letting the
-    // centroid fit's seeds.nonEmpty require abort plan construction
+    // empty / all-zero-norm corpus: nothing can pair — the caller returns
+    // the empty frame the crossJoin baseline returned, instead of letting
+    // the centroid fit's seeds.nonEmpty require abort plan construction
     // (the fit is eager anyway, so this probe adds no extra pass class)
-    if (v0.limit(1).isEmpty)
-      return v0.select(col("id").as("id_a"), col("id").as("id_b"),
-                       lit(0.0).as("cosine")).limit(0)
+    if (v0.limit(1).isEmpty) return None
     val centroids =
       Clustering.fitCentroids(v0, "id", "u", k, iters, seedPrefix = "nd|")
     val best = Clustering.nearestCentroid(centroids, col("u"))
@@ -422,6 +455,25 @@ object Similarity {
         "the group key must stay the ≤k-valued cluster id")
       .map(r => r.getLong(0).toInt -> r.getDouble(1))
       .toMap
+    Some(BallCover(w, centroids, radii))
+  }
+
+  private def blockedQualifyingPairs(corpus: DataFrame, idCol: String,
+                                     vecCol: String, minCosine: Double,
+                                     k: Int, iters: Int,
+                                     cacheKey: Option[String]): DataFrame = {
+    require(minCosine > -1.0 && minCosine <= 1.0, s"minCosine out of range: $minCosine")
+    val fitted = cacheKey match {
+      case Some(ck) => coverMemo.getOrElseUpdate(
+        corpus.sparkSession, s"$ck|k=$k|iters=$iters")(
+        fitBallCover(corpus, idCol, vecCol, k, iters))
+      case None => fitBallCover(corpus, idCol, vecCol, k, iters)
+    }
+    val BallCover(w, centroids, radii) = fitted.getOrElse {
+      return corpus
+        .select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+                lit(0.0).as("cosine")).limit(0)
+    }
     val tau = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
     val eps = 1e-6 // absorbs d² fold rounding; only ever ADDS cells
     def cdist(a: Seq[Double], b: Seq[Double]): Double =

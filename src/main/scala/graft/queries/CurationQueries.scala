@@ -341,18 +341,30 @@ object CurationQueries {
     * (no tokens or no bigrams) are excluded — a loss is only comparable
     * where both models emit one.
     */
-  private def excessPerDoc(s: SparkSession, dir: String): DataFrame = {
-    val uni = defs("q78_unigram_lm")(s, dir)
-      .select(col("doc_id"), col("avg_logprob").as("lp_uni"), col("n_tokens"))
-    val kn = knScores(s, dir)
-      .select(col("doc_id"), col("avg_logprob").as("lp_kn"), col("n_bigrams"))
-    Tables(s, dir).documents.select(col("doc_id"), col("source"))
-      .join(uni, "doc_id").join(kn, "doc_id")
-      .filter(col("n_tokens") > 0L && col("n_bigrams") > 0L)
-      .select(col("doc_id"), col("source"),
-        floor(greatest(lit(0.0), col("lp_kn") - col("lp_uni")) * 1e9 + 0.5)
-          .cast(LongType).as("excess_e9"))
-  }
+  /** Per-doc excess loss — memoized per (session, dir) under the
+    * dsirDocDimCache discipline: both LMs are corpus-FITTED scorers and
+    * the quantized excess is a pure function of the corpus, consumed by
+    * two gated queries (q243's domain rollup, q245's stratified filter).
+    * Uncut AND unshared, each consumer's plan duplicated the two LM
+    * scoring passes per reference (q243's committed plan: 44 parquet
+    * scans — `dom` feeds the normalizer and the readout, and each
+    * reference re-expanded the whole upstream).
+    */
+  private val excessCache = new graft.core.SessionCache[String]
+  private def excessPerDoc(s: SparkSession, dir: String): DataFrame =
+    excessCache.getOrElseUpdate(s, dir) {
+      val uni = defs("q78_unigram_lm")(s, dir)
+        .select(col("doc_id"), col("avg_logprob").as("lp_uni"), col("n_tokens"))
+      val kn = knScores(s, dir)
+        .select(col("doc_id"), col("avg_logprob").as("lp_kn"), col("n_bigrams"))
+      graft.core.Materialize.cut(
+        Tables(s, dir).documents.select(col("doc_id"), col("source"))
+          .join(uni, "doc_id").join(kn, "doc_id")
+          .filter(col("n_tokens") > 0L && col("n_bigrams") > 0L)
+          .select(col("doc_id"), col("source"),
+            floor(greatest(lit(0.0), col("lp_kn") - col("lp_uni")) * 1e9 + 0.5)
+              .cast(LongType).as("excess_e9")), "excess_per_doc")
+    }
 
   /** The q243/q245 oracle CTE chain replaying [[excessPerDoc]]: q78 +
     * q175 oracles as derived tables, identical quantized excess

@@ -555,8 +555,14 @@ object RetrievalQueries {
     */
   def psiFromBinned(s: SparkSession, binned: DataFrame): DataFrame = {
       val B = 10
-      val counts = binned.groupBy(col("week_idx"), col("bin"))
-        .agg(count(lit(1)).as("cnt"))
+      // eagerly cut: ≤ weeks×B rows (constant-size — Materialize routing
+      // policy #3), but referenced THREE times below (reference side,
+      // week grid, current side) — uncut, each reference re-expanded the
+      // full corpus-scale `binned` scan (q181's committed plan: 96
+      // parquet scans of events for one PSI curve)
+      val counts = graft.core.Materialize.cut(
+        binned.groupBy(col("week_idx"), col("bin"))
+          .agg(count(lit(1)).as("cnt")), "psi_counts")
       val refCounts = counts.filter(col("week_idx") === 0)
         .select(col("bin"), col("cnt").as("ref_cnt"))
       val weeks = counts.select(col("week_idx")).filter(col("week_idx") >= 1).distinct()

@@ -1319,11 +1319,20 @@ object TextQueries {
     // a single division.
     // ---------------------------------------------------------------
     "q206_winnow_overlap" -> { (s, dir) =>
-      val fp = defs("q87_winnow_fingerprint")(s, dir)
-        .select(col("doc_id"), col("fp_hash")).distinct()
+      // BOTH intermediates are eagerly cut (the mined-pair lineage-cut
+      // discipline): uncut, the committed plan re-ran the corpus-scale
+      // q87 fingerprint pass 16× in ONE execution (16 parquet scans, 44
+      // exchanges, zero reuse — `fp` feeds df + rare, `rare` feeds cnt +
+      // both self-join sides, and the planner duplicates the whole
+      // upstream per reference). Cut, the tokenize+winnow pass runs
+      // once and the self-join reads a checkpointed postings frame.
+      val fp = graft.core.Materialize.cut(
+        defs("q87_winnow_fingerprint")(s, dir)
+          .select(col("doc_id"), col("fp_hash")).distinct(), "winnow_fp")
       val df = fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
-      val rare = fp.join(df.filter(col("df") <= WinnowDfCap), "fp_hash")
-        .select(col("fp_hash"), col("doc_id"))
+      val rare = graft.core.Materialize.cut(
+        fp.join(df.filter(col("df") <= WinnowDfCap), "fp_hash")
+          .select(col("fp_hash"), col("doc_id")), "winnow_rare")
       val cnt = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
       val pairs = rare.select(col("fp_hash"), col("doc_id").as("doc_a"))
         .join(rare.select(col("fp_hash"), col("doc_id").as("doc_b")),
@@ -2347,11 +2356,17 @@ object TextQueries {
     // hash-gate; pair order is canonical (source_a < source_b).
     // ---------------------------------------------------------------
     "q240_cross_source_dup" -> { (s, dir) =>
-      val cs = defs("q67_dedup_clusters")(s, dir)
-        .join(Tables(s, dir).documents.select(col("doc_id"), col("source")),
-              "doc_id")
-        .groupBy(col("cluster_id"), col("source"))
-        .agg(count(lit(1)).as("n_docs"))
+      // eagerly cut: referenced THREE times below (the eligibility agg
+      // and both self-join sides) — uncut, each reference re-expanded
+      // the cluster-assignment ⋈ documents ⋈ groupBy upstream (the
+      // committed plan re-scanned documents 24×); the frame is
+      // per-(cluster, source) counts, far smaller than the corpus
+      val cs = graft.core.Materialize.cut(
+        defs("q67_dedup_clusters")(s, dir)
+          .join(Tables(s, dir).documents.select(col("doc_id"), col("source")),
+                "doc_id")
+          .groupBy(col("cluster_id"), col("source"))
+          .agg(count(lit(1)).as("n_docs")), "xsrc_cs")
       val eligible = cs
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_sources"))

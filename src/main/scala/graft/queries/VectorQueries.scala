@@ -90,9 +90,14 @@ object VectorQueries {
     // bit-identical output, but the plan is broadcast(≤k² probe pairs) +
     // ONE cluster-key equi-join (PlanQualitySpec asserts no
     // CartesianProduct / BroadcastNestedLoopJoin).
+    // cacheKey: q38/q274/q280's exact side share ONE session-memoized
+    // ball-cover fit (corpus-fitted, threshold-independent — the
+    // jacCache discipline); the fit is deterministic, so shared vs
+    // per-call covers are bit-identical.
     "q38_embedding_neardup" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      Similarity.exactNearDupBlocked(e, "vec_id", "embedding", minCosine = 0.4)
+      Similarity.exactNearDupBlocked(e, "vec_id", "embedding", minCosine = 0.4,
+                                     cacheKey = Some(s"$dir|embeddings"))
         .select(col("id_a"), col("id_b"), col("cosine"))
     },
 
@@ -111,7 +116,8 @@ object VectorQueries {
     "q274_neardup_topk" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       Similarity.nearDupTopK(e, "vec_id", "embedding",
-                             minCosine = 0.4, kNeighbors = 5)
+                             minCosine = 0.4, kNeighbors = 5,
+                             cacheKey = Some(s"$dir|embeddings"))
     },
 
     // q278: the LOW-THRESHOLD near-dup route (round-17 verdict #3). At
@@ -158,7 +164,8 @@ object VectorQueries {
     // where no LSH family has a p1/p2 gap.
     "q280_preblock_recall" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val exact = Similarity.exactNearDupBlocked(e, "vec_id", "embedding", 0.4)
+      val exact = Similarity.exactNearDupBlocked(e, "vec_id", "embedding", 0.4,
+        cacheKey = Some(s"$dir|embeddings"))
       val found = Similarity.nearDupPreBlockedLsh(e, "vec_id", "embedding", 0.4)
         .select(col("id_a").as("f_a"), col("id_b").as("f_b"))
       val per = exact
@@ -833,8 +840,7 @@ object VectorQueries {
     // identical order.
     // -----------------------------------------------------------------
     "q255_index_staleness" -> { (s, dir) =>
-      val exact = defs("q37_cosine_topk")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
+      val exact = q37Truth(s, dir)
       def hits(approx: DataFrame, name: String) =
         exact.join(approx.select(col("query_id"), col("neighbor_id"),
                                  lit(1L).as("__h")),
@@ -1317,8 +1323,7 @@ object VectorQueries {
     // -----------------------------------------------------------------
     "q268_graph_ann_beam" -> { (s, dir) =>
       val found = beamServeTopK(s, dir, BeamWidth, 3)
-      val exact = defs("q37_cosine_topk")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
+      val exact = q37Truth(s, dir)
       exact.join(found.withColumn("hit", lit(1L)),
                  Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
@@ -1341,11 +1346,9 @@ object VectorQueries {
     // O(queries·w·deg·rounds), corpus-size-free.
     // -----------------------------------------------------------------
     "q272_beam_width_sweep" -> { (s, dir) =>
-      // cut once: three legs consume the exact truth; uncut, each leg's
-      // job re-runs the q37 brute-force scoring
-      val exact = graft.core.Materialize.cut(
-        defs("q37_cosine_topk")(s, dir)
-          .select(col("query_id"), col("neighbor_id")), "q272-exact")
+      // cut once per session (q37Truth): three legs consume the exact
+      // truth; uncut, each leg's job re-runs the q37 brute-force scoring
+      val exact = q37Truth(s, dir)
       // the three width legs are independent serve runs over the SAME
       // session-cached graph (the first leg to reach the memo builds it;
       // the others block on the memo, not on a duplicate build) — their
@@ -1406,8 +1409,7 @@ object VectorQueries {
         nndCorpus(s, dir),
                            queryFrame(n, col("vec_id") < 20),
                            entryFrame(n), BeamWidth, 3)
-      val exact = defs("q37_cosine_topk")(s, dir)
-        .select(col("query_id"), col("neighbor_id"))
+      val exact = q37Truth(s, dir)
       exact.join(found.withColumn("hit", lit(1L)),
                  Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
@@ -1427,6 +1429,22 @@ object VectorQueries {
   private val nndVecCache  = new graft.core.SessionCache[String]
   private val nndEdgeCache = new graft.core.SessionCache[String]
   private val nndSymCache  = new graft.core.SessionCache[String]
+  private val q37TruthCache = new graft.core.SessionCache[String]
+
+  /** The q37 brute-force truth projected to (query_id, neighbor_id), cut
+    * ONCE per (session, dir): reference labels for the recall gates
+    * (q268, q272's three legs, q273) — q272 already cut it per CALL; the
+    * session memo is the same argument one level up (the truth is a pure
+    * function of the corpus, and each gate re-scoring it added a full
+    * brute-force pass per invocation). The q37 gated query itself stays
+    * uncached — its bench entry still computes from the parquet scan.
+    */
+  private def q37Truth(s: SparkSession, dir: String): DataFrame =
+    q37TruthCache.getOrElseUpdate(s, s"$dir|q37truth") {
+      graft.core.Materialize.cut(
+        defs("q37_cosine_topk")(s, dir)
+          .select(col("query_id"), col("neighbor_id")), "q37-truth")
+    }
 
   /** Symmetrized (both directions, distinct) view of an NN-descent edge
     * frame, materialized ONCE per (session, key). Every beam round
@@ -1669,19 +1687,29 @@ object VectorQueries {
       gBase: DataFrame, gSym: DataFrame, corpus: DataFrame,
       entries: DataFrame, globalEntry: Long)
 
-  private[graft] def insertContext(s: SparkSession, dir: String): InsertContext = {
-    val nBase = labeledVecs(s, dir).filter(col("vec_id") % 5 =!= 3)
-    val gBase = nndGraphOver(s, nndCorpus(s, dir, base = true),
-                             s"$dir|base", "q273")
-    val geRow = nBase.agg(min(col("vec_id"))).first()
-    require(!geRow.isNullAt(0),
-      "graph-ANN insert: the base split has no nonzero-norm vectors — " +
-        "nothing to beam-search against")
-    InsertContext(gBase,
-                  symEdgesCached(s, s"$dir|base-sym", gBase),
-                  nndCorpus(s, dir, base = true),
-                  entryFrame(nBase), geRow.getLong(0))
-  }
+  /** Memoized per (session, dir): every field is corpus-FITTED base
+    * state (the base graph and its symmetrized view, the base corpus,
+    * the per-label entries, the global fallback id) — pure functions of
+    * the base split already individually cached; the memo additionally
+    * retires the per-call `min(vec_id)` job and frame rebuilds (q273 is
+    * re-invoked per bench pass; the streaming leg builds it once anyway).
+    */
+  private val insertCtxMemo = new graft.core.SessionMemo[String, InsertContext]
+
+  private[graft] def insertContext(s: SparkSession, dir: String): InsertContext =
+    insertCtxMemo.getOrElseUpdate(s, dir) {
+      val nBase = labeledVecs(s, dir).filter(col("vec_id") % 5 =!= 3)
+      val gBase = nndGraphOver(s, nndCorpus(s, dir, base = true),
+                               s"$dir|base", "q273")
+      val geRow = nBase.agg(min(col("vec_id"))).first()
+      require(!geRow.isNullAt(0),
+        "graph-ANN insert: the base split has no nonzero-norm vectors — " +
+          "nothing to beam-search against")
+      InsertContext(gBase,
+                    symEdgesCached(s, s"$dir|base-sym", gBase),
+                    nndCorpus(s, dir, base = true),
+                    entryFrame(nBase), geRow.getLong(0))
+    }
 
   /** One insert wave: beam-search the BASE graph for each raw vector's
     * NndK nearest base nodes and emit the adoption edges (src, dst).
@@ -1725,7 +1753,7 @@ object VectorQueries {
     var beam = broadcast(queries.select(col("query_id"), col("qlabel")))
       .join(broadcast(entries), Seq("qlabel"))
       .select(col("query_id"), col("cand_id"))
-    for (_ <- 1 to BeamRounds) {
+    for (round <- 1 to BeamRounds) {
       // BROADCAST the beam against the edge scan: beam is queries×width
       // rows of two longs — bounded by the same serve contract that
       // already broadcasts `queries` below — while the edge set is
@@ -1755,7 +1783,7 @@ object VectorQueries {
       val key = concat(
         lpad((lit(NndBig) - col("scaled")).cast("string"), 19, "0"),
         lit("|"), lpad(col("cand_id").cast("string"), 19, "0"))
-      beam = scored
+      val next = scored
         .select(col("query_id"), key.as("key"), col("cand_id"))
         .groupBy(col("query_id"))
         .agg(org.apache.spark.sql.graftx.TopKPairs
@@ -1764,12 +1792,16 @@ object VectorQueries {
         .select(col("query_id"), col("c.id").as("cand_id"),
                 (lit(NndBig) - substring(col("c.key"), 1, 19).cast("long"))
                   .as("scaled"))
-        // iterative ROUND state (Materialize routing policy #2, the CC-
-        // loop precedent): without the per-round cut the beam lineage
-        // COMPOUNDS — round r's broadcast subtrees nest rounds 1..r-1
-        // (q273's committed plan hit 292 exchanges) and the A/B probe
-        // measured the uncut form 2-4× slower with wild variance.
-        .localCheckpoint(true)
+      // iterative ROUND state (Materialize routing policy #2, the CC-
+      // loop precedent): without the per-round cut the beam lineage
+      // COMPOUNDS — round r's broadcast subtrees nest rounds 1..r-1
+      // (q273's committed plan hit 292 exchanges) and the A/B probe
+      // measured the uncut form 2-4× slower with wild variance. The
+      // FINAL round skips the eager cut: its sole consumer is the
+      // readout below, so lineage stays one round deep and the
+      // checkpoint job would be pure overhead (one fewer action per
+      // serve leg — same truncation argument).
+      beam = if (round < BeamRounds) next.localCheckpoint(true) else next
     }
     val key3 = concat(
       lpad((lit(NndBig) - col("scaled")).cast("string"), 19, "0"),

@@ -27,22 +27,50 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * fold-order-free; the DuckDB oracle replays it from SQL-side md5
   * planes bit-for-bit.
   */
-case class BandSigs(child: Expression, planes: Seq[Seq[Double]],
+/** The plane matrix as a VALUE type with a digest identity: a bare
+  * `Seq[Seq[Double]]` constructor arg made every TreeNode rendering of
+  * the expression print all bands×planesPerBand×dims doubles (the
+  * 36×12×64 pre-blocker: ~24 KB of toString PER REFERENCE — q221's
+  * four call sites rendered 560 KB of plan text), and every case-class
+  * equality/hash during optimizer rule application walked the full
+  * matrix. Equality here compares the precomputed md5 of the flattened
+  * doubles (content-faithful: different planes ⇒ different digest),
+  * hashCode is cached, and toString is a short shape+digest tag.
+  */
+final class PlaneMatrix(val rows: Seq[Seq[Double]]) extends Serializable {
+  require(rows.nonEmpty && rows.forall(_.length == rows.head.length),
+    "empty or ragged plane matrix")
+  def nPlanes: Int = rows.length
+  def dims: Int = rows.head.length
+  val digest: String = {
+    val bb = java.nio.ByteBuffer.allocate(rows.length * dims * 8)
+    rows.foreach(_.foreach(bb.putDouble))
+    java.security.MessageDigest.getInstance("MD5").digest(bb.array())
+      .map("%02x".format(_)).mkString.take(16)
+  }
+  override def equals(o: Any): Boolean = o match {
+    case p: PlaneMatrix =>
+      p.nPlanes == nPlanes && p.dims == dims && p.digest == digest
+    case _ => false
+  }
+  override val hashCode: Int = (nPlanes, dims, digest).hashCode()
+  override def toString: String = s"planes[${nPlanes}x$dims:$digest]"
+}
+
+case class BandSigs(child: Expression, planes: PlaneMatrix,
                     planesPerBand: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(planesPerBand >= 1 && planesPerBand <= 63,
     s"planesPerBand out of range: $planesPerBand")
-  require(planes.nonEmpty && planes.length % planesPerBand == 0,
-    s"planes (${planes.length}) must be a multiple of planesPerBand ($planesPerBand)")
+  require(planes.nPlanes % planesPerBand == 0,
+    s"planes (${planes.nPlanes}) must be a multiple of planesPerBand ($planesPerBand)")
 
-  private def bands: Int = planes.length / planesPerBand
-  private def dims: Int = planes.head.length
+  private def bands: Int = planes.nPlanes / planesPerBand
+  private def dims: Int = planes.dims
 
-  @transient private lazy val flat: Array[Double] = {
-    require(planes.forall(_.length == dims), "ragged plane matrix")
-    planes.flatten.toArray
-  }
+  @transient private lazy val flat: Array[Double] =
+    planes.rows.flatten.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -109,5 +137,6 @@ object BandSigs {
     * ≥ 0).
     */
   def sigs(vec: Column, planes: Seq[Seq[Double]], planesPerBand: Int): Column =
-    Bridge.column(BandSigs(Bridge.expression(vec), planes, planesPerBand))
+    Bridge.column(BandSigs(Bridge.expression(vec), new PlaneMatrix(planes),
+                           planesPerBand))
 }

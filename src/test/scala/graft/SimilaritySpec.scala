@@ -218,6 +218,43 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.count() == 72L)
   }
 
+  test("shared ball-cover memo: one fit, bit-identical outputs (q38/q274/q280 discipline)") {
+    // the round-18 fit memo: consumers passing the same cacheKey share
+    // ONE (session, corpus, k, iters) Lloyd fit + assignment cut; the
+    // fit is deterministic, so shared-vs-fresh covers must be
+    // bit-identical — asserted against cacheKey = None runs of BOTH
+    // consumers, plus the memo-hit probe itself
+    val vecs = ((0 until 12).map { i =>
+      val s = 1.0 + (i % 3)
+      (i.toLong, Array.tabulate(8)(j => (s * (1.0 + 0.05 * math.sin(i + j))).toFloat))
+    } ++ (12 until 24).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (-1.0 - 0.05 * math.cos(i * 8 + j)).toFloat))
+    }).toDF("vec_id", "embedding")
+    val key = "similarity-spec-shared-cover"
+    assert(!Similarity.fittedCoverFor(spark, key + "!absent", k = 4, iters = 2),
+      "probe must report a miss for a never-fitted key")
+    val pairsShared = Similarity.exactNearDupBlocked(
+      vecs, "vec_id", "embedding", minCosine = 0.4, k = 4, iters = 2,
+      cacheKey = Some(key))
+    pairsShared.count() // force the fit through the memo
+    assert(Similarity.fittedCoverFor(spark, key, k = 4, iters = 2),
+      "first consumer must have populated the cover memo")
+    val topShared = Similarity.nearDupTopK(
+      vecs, "vec_id", "embedding", minCosine = 0.4, kNeighbors = 3,
+      k = 4, iters = 2, cacheKey = Some(key))
+    val pairsFresh = Similarity.exactNearDupBlocked(
+      vecs, "vec_id", "embedding", minCosine = 0.4, k = 4, iters = 2)
+    val topFresh = Similarity.nearDupTopK(
+      vecs, "vec_id", "embedding", minCosine = 0.4, kNeighbors = 3,
+      k = 4, iters = 2)
+    assert(pairsShared.exceptAll(pairsFresh).isEmpty &&
+           pairsFresh.exceptAll(pairsShared).isEmpty,
+      "shared-cover pair set differs from the per-call fit")
+    assert(topShared.exceptAll(topFresh).isEmpty &&
+           topFresh.exceptAll(topShared).isEmpty,
+      "shared-cover top-k differs from the per-call fit")
+  }
+
   test("durable materialization: blocked near-dup identical with checkpointing off") {
     // same fixture as the ≡-baseline test; here the claim is that the
     // table-backed lineage cut (Materialize durable mode — the cluster
