@@ -30,6 +30,13 @@ final class SessionMemo[K, V] {
   private val bySession =
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[K, Memo]]()
 
+  /** Non-mutating membership probe (test hook): whether `key` is
+    * memoized for `spark` — unlike `getOrElseUpdate`, never inserts.
+    */
+  def contains(spark: SparkSession, key: K): Boolean = bySession.synchronized {
+    Option(bySession.get(spark)).exists(_.contains(key))
+  }
+
   def getOrElseUpdate(spark: SparkSession, key: K)(build: => V): V = {
     val inner = bySession.synchronized {
       // evict entries of stopped contexts (their values are dead anyway)

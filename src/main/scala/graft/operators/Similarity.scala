@@ -402,17 +402,14 @@ object Similarity {
     new graft.core.SessionMemo[String, Option[BallCover]]
 
   /** Test hook: whether a cover is memoized for (session, key) — lets
-    * SimilaritySpec assert the share directly.
+    * SimilaritySpec assert the share directly. Non-mutating (a probe
+    * that inserted a placeholder would poison a later real consumer of
+    * the same key).
     */
   private[graft] def fittedCoverFor(s: org.apache.spark.sql.SparkSession,
                                     cacheKey: String, k: Int,
-                                    iters: Int): Boolean = {
-    var hit = true
-    coverMemo.getOrElseUpdate(s, s"$cacheKey|k=$k|iters=$iters") {
-      hit = false; None
-    }
-    hit
-  }
+                                    iters: Int): Boolean =
+    coverMemo.contains(s, s"$cacheKey|k=$k|iters=$iters")
 
   private def fitBallCover(corpus: DataFrame, idCol: String, vecCol: String,
                            k: Int, iters: Int): Option[BallCover] = {
