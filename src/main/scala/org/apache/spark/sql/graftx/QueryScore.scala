@@ -1,0 +1,147 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
+
+/** A bounded id-keyed vector table as a VALUE type with a digest
+  * identity — the query-batch side of a beam-search round, held as one
+  * reference object instead of re-broadcast per round.
+  *
+  * The beam serve loop used to attach each query's `(qv, qn)` to its
+  * candidate rows with a per-round `broadcast(queries)` hash join: the
+  * query batch is driver-bounded by the serve contract (that is what
+  * justified the broadcast hint in the first place), yet every round's
+  * job re-ran the query-frame subtree and re-built the broadcast, because
+  * the per-round lineage cut makes each round a fresh job. Holding the
+  * batch as a sorted-array table inside the scoring expression pays the
+  * scan ONCE per beam call and removes one broadcast build + hash join
+  * per round.
+  *
+  * Identity follows the [[PlaneMatrix]] discipline: equality compares a
+  * precomputed md5 digest of keys+vectors+norms (content-faithful),
+  * hashCode is cached, and toString is a short shape+digest tag, so plan
+  * rendering and optimizer-rule equality never walk the arrays.
+  */
+final class VecTable(val keys: Array[Long], val flat: Array[Double],
+                     val norms: Array[Double], val dim: Int)
+    extends Serializable {
+  require(dim > 0, "VecTable: dim must be positive")
+  require(keys.length == norms.length && keys.length.toLong * dim == flat.length,
+    s"VecTable: shape mismatch (${keys.length} keys, ${norms.length} norms, " +
+      s"${flat.length} values, dim $dim)")
+  {
+    var i = 1
+    while (i < keys.length) {
+      require(keys(i - 1) < keys(i),
+        s"VecTable: keys must be strictly ascending (violated at $i)")
+      i += 1
+    }
+  }
+  val digest: String = {
+    val bb = java.nio.ByteBuffer.allocate(
+      keys.length * 8 + flat.length * 8 + norms.length * 8)
+    keys.foreach(bb.putLong)
+    flat.foreach(bb.putDouble)
+    norms.foreach(bb.putDouble)
+    java.security.MessageDigest.getInstance("MD5").digest(bb.array())
+      .map("%02x".format(_)).mkString.take(16)
+  }
+  override def equals(o: Any): Boolean = o match {
+    case t: VecTable =>
+      t.keys.length == keys.length && t.dim == dim && t.digest == digest
+    case _ => false
+  }
+  override val hashCode: Int = (keys.length, dim, digest).hashCode()
+  override def toString: String = s"vecs[${keys.length}x$dim:$digest]"
+}
+
+object VecTable {
+  /** Throw path shared by interpreted and generated code: a beam row
+    * whose query_id is absent from the batch table is impossible by
+    * construction (every beam row's query_id originates from the
+    * collected batch), so a miss means the caller wired a different
+    * frame than it collected — refuse loudly instead of mis-scoring.
+    */
+  def miss(id: Long): Nothing =
+    throw new IllegalStateException(
+      s"beam query table lookup miss for query_id=$id — the beam frame " +
+        "and the collected query batch disagree; pass the same frame to " +
+        "the collect and the loop")
+}
+
+/** `floor((dot(qv(id), cv) / (qn(id) * cn) + 1) * 1e9 + 0.5)` with the
+  * query vector and norm looked up from a [[VecTable]] reference object —
+  * term-for-term the arithmetic of the composed tree it replaces:
+  * `floor((DotProduct(qv, cv) / (qn * cn) + 1) * 1e9 + 0.5).cast(long)`.
+  * The dot is [[DotProduct]]'s strict ascending-index fold over
+  * `min(|cv|, dim)` elements with the query component as the LEFT factor
+  * (IEEE multiplication is commutative bitwise, the fold order is what
+  * matters); the floor-of-double is Spark's own `(long) Math.floor(x)`.
+  * Results are bit-identical, gated by the q255/q268/q272/q273 oracles
+  * and the expression-level parity test in VectorOpsSpec.
+  */
+case class ScaledCosineLookup(first: Expression, second: Expression,
+                              third: Expression, table: VecTable)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  // first = query_id (long), second = cv (array<double>), third = cn (double)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, ArrayType(DoubleType), DoubleType)
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(id: Any, cv: Any, cn: Any): Any = {
+    val k = id.asInstanceOf[Long]
+    val idx = java.util.Arrays.binarySearch(table.keys, k)
+    if (idx < 0) VecTable.miss(k)
+    val a = cv.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), table.dim)
+    val off = idx * table.dim
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += table.flat(off + i) * a.getDouble(i); i += 1 }
+    java.lang.Math.floor(
+      (s / (table.norms(idx) * cn.asInstanceOf[Double]) + 1) * 1e9 + 0.5).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (id, cv, cn) => {
+      val keys  = ctx.addReferenceObj("beamKeys", table.keys, "long[]")
+      val flat  = ctx.addReferenceObj("beamVecs", table.flat, "double[]")
+      val norms = ctx.addReferenceObj("beamNorms", table.norms, "double[]")
+      val idx = ctx.freshName("idx")
+      val n   = ctx.freshName("n")
+      val off = ctx.freshName("off")
+      val s   = ctx.freshName("s")
+      val i   = ctx.freshName("i")
+      s"""
+         |int $idx = java.util.Arrays.binarySearch($keys, $id);
+         |if ($idx < 0) org.apache.spark.sql.graftx.VecTable.miss($id);
+         |int $n = java.lang.Math.min($cv.numElements(), ${table.dim});
+         |int $off = $idx * ${table.dim};
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $flat[$off + $i] * $cv.getDouble($i);
+         |}
+         |${ev.value} = (long) java.lang.Math.floor(
+         |  ($s / ($norms[$idx] * $cn) + 1) * 1.0E9 + 0.5);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object ScaledCosineLookup {
+  /** Column-API entry point: scaled quantized cosine of candidate
+    * `(cv, cn)` against the table row for `id`.
+    */
+  def score(id: Column, cv: Column, cn: Column, table: VecTable): Column =
+    Bridge.column(ScaledCosineLookup(Bridge.expression(id),
+      Bridge.expression(cv), Bridge.expression(cn), table))
+}
