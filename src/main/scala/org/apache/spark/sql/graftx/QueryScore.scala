@@ -32,7 +32,7 @@ final class VecTable(val keys: Array[Long], val flat: Array[Double],
   require(keys.length == norms.length && keys.length.toLong * dim == flat.length,
     s"VecTable: shape mismatch (${keys.length} keys, ${norms.length} norms, " +
       s"${flat.length} values, dim $dim)")
-  {
+  locally {
     var i = 1
     while (i < keys.length) {
       require(keys(i - 1) < keys(i),
