@@ -51,6 +51,28 @@ object Probe {
       case "plan" =>
         val df = SparkEntry.queries(args(2))(spark, args(1))
         println(df.queryExecution.executedPlan.toString.take(8000))
+      case "fmt" =>
+        // full explain("formatted") text of queries (comma-separated) —
+        // the judge-facing plans/rNN/<query>_{before,after}.txt evidence
+        // files. args: fmt <sfDir> <q1,q2,...> [outDir suffix] — with an
+        // outDir, writes <outDir>/<query>_<suffix>.txt per query (suffix
+        // "before"/"after"); without, prints to stdout.
+        val names = args(2).split(',').toSeq
+        val out = if (args.length > 4) Some((args(3), args(4))) else None
+        names.foreach { name =>
+          val df = SparkEntry.queries(name)(spark, args(1))
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          out match {
+            case Some((dir, suffix)) =>
+              val hdr = s"# $name — formatted physical plan ($suffix, " +
+                s"Probe fmt on ${args(1)})\n\n"
+              java.nio.file.Files.writeString(
+                java.nio.file.Paths.get(s"$dir/${name}_$suffix.txt"), hdr + txt)
+              println(s"PROBE fmt wrote $dir/${name}_$suffix.txt (${txt.length} chars)")
+            case None => println(txt)
+          }
+        }
       case "shuffles" =>
         // post-execution shuffle metrics — the quantitative side of the
         // PlanQualitySpec exchange-count pins: how many BYTES/ROWS each

@@ -1749,7 +1749,33 @@ object VectorQueries {
   private def beamOver(edges: DataFrame, corpus: DataFrame,
                        queries: DataFrame, entries: DataFrame,
                        width: Int, k: Int): DataFrame = {
-    import graft.functions.Vectors
+    import org.apache.spark.sql.graftx.{ScaledCosineLookup, VecTable}
+    // The query batch is collected ONCE into a VecTable reference object
+    // (driver-bounded by the same serve contract that justified the old
+    // per-round broadcast(queries) hint). Each beam round's lineage cut
+    // makes the round a fresh job, so the old hash-join attach re-ran the
+    // query-frame subtree and re-BUILT the broadcast once per round;
+    // holding the batch inside the scoring expression pays the scan once
+    // per beamOver call and removes one broadcast build + hash join per
+    // round (r18 verdict #2). Bit parity with the composed tree it
+    // replaces is documented on ScaledCosineLookup and pinned by
+    // VectorOpsSpec; the q255/q268/q272/q273 oracles gate the readouts.
+    val batch = queries.select(col("query_id"), col("qv"), col("qn"))
+      .collect().sortBy(_.getLong(0))
+    val dim = batch.headOption.map(_.getSeq[Double](1).length).getOrElse(1)
+    batch.foreach { r =>
+      require(r.getSeq[Double](1).length == dim,
+        s"beam query batch mixes vector dims (${r.getSeq[Double](1).length} " +
+          s"vs $dim) — the VecTable lookup requires a uniform dim")
+    }
+    val flat = new Array[Double](batch.length * dim)
+    batch.zipWithIndex.foreach { case (r, i) =>
+      val v = r.getSeq[Double](1)
+      var j = 0
+      while (j < dim) { flat(i * dim + j) = v(j); j += 1 }
+    }
+    val table = new VecTable(batch.map(_.getLong(0)), flat,
+                             batch.map(_.getDouble(2)), dim)
     var beam = broadcast(queries.select(col("query_id"), col("qlabel")))
       .join(broadcast(entries), Seq("qlabel"))
       .select(col("query_id"), col("cand_id"))
@@ -1771,15 +1797,15 @@ object VectorQueries {
         .select(col("query_id"), col("dst").as("cand_id"))
         .union(beam.select(col("query_id"), col("cand_id")))
       // Self stays IN the beam (best hub toward its own neighborhood)
-      // and is excluded only at the final readout.
+      // and is excluded only at the final readout. The query vector and
+      // norm come from the VecTable reference object above — no per-round
+      // query-side join; arithmetic is term-for-term the composed tree
+      // (floor((dot(qv,cv)/(qn*cn)+1)*1e9+0.5) cast long).
       val scored = broadcast(expanded)
         .join(corpus, Seq("cand_id"))
-        .join(broadcast(queries.select(col("query_id"), col("qv"),
-                                       col("qn"))), Seq("query_id"))
         .select(col("query_id"), col("cand_id"),
-                floor((Vectors.dot(col("qv"), col("cv")) /
-                         (col("qn") * col("cn")) + 1) * 1e9 + 0.5)
-                  .cast("long").as("scaled"))
+                ScaledCosineLookup.score(col("query_id"), col("cv"),
+                                         col("cn"), table).as("scaled"))
       val key = concat(
         lpad((lit(NndBig) - col("scaled")).cast("string"), 19, "0"),
         lit("|"), lpad(col("cand_id").cast("string"), 19, "0"))

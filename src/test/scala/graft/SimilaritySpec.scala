@@ -19,6 +19,45 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
   }
 
+  test("ScaledCosineLookup ≡ the composed join tree it replaces, bit-for-bit") {
+    import org.apache.spark.sql.graftx.{ScaledCosineLookup, VecTable}
+    // the beamOver contract: query batch held as a VecTable reference
+    // object must score every (query, candidate) pair EXACTLY as the
+    // retired broadcast-join + floor((dot/(qn*cn)+1)*1e9+0.5) tree did
+    val dim = 16
+    val qs = (0 until 12).map { i =>
+      val v = Array.tabulate(dim)(j => math.floor(math.sin(i * dim + j) * 1000) / 1000)
+      (i.toLong * 7, v, math.sqrt(v.map(x => x * x).sum))
+    }
+    val flat = qs.flatMap(_._2).toArray
+    val table = new VecTable(qs.map(_._1).toArray, flat, qs.map(_._3).toArray, dim)
+    val cands = (0 until 40).map { c =>
+      val v = Array.tabulate(dim)(j => math.floor(math.cos(c * dim + j) * 1000) / 1000)
+      (qs((c * 5) % qs.length)._1, v, math.sqrt(v.map(x => x * x).sum))
+    }.toDF("query_id", "cv", "cn")
+    val qdf = qs.toDF("query_id", "qv", "qn")
+    val viaJoin = cands.join(qdf, Seq("query_id"))
+      .select(col("query_id"), col("cv"),
+              floor((Vectors.dot(col("qv"), col("cv")) /
+                       (col("qn") * col("cn")) + 1) * 1e9 + 0.5)
+                .cast("long").as("scaled"))
+      .select(col("query_id"), col("scaled")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val viaLookup = cands
+      .select(col("query_id"),
+              ScaledCosineLookup.score(col("query_id"), col("cv"), col("cn"),
+                                       table).as("scaled"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaLookup.toSeq == viaJoin.toSeq)
+    // a query_id absent from the table must refuse loudly, never mis-score
+    val boom = intercept[Exception] {
+      cands.select(ScaledCosineLookup.score(col("query_id") + 1, col("cv"),
+                                            col("cn"), table)).collect()
+    }
+    assert(boom.toString.contains("lookup miss") ||
+           Option(boom.getCause).exists(_.toString.contains("lookup miss")))
+  }
+
   test("dotShort is the exact integer dot (matches the composable long fold)") {
     // int16 gathers (the NN-descent quantized-build primitive) must be
     // EXACT: every product and sum stays far inside long range, so the
