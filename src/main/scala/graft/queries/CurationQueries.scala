@@ -176,6 +176,27 @@ object CurationQueries {
 
   private val manifestCache = new graft.core.SessionCache[String]
 
+  /** Memoized scattered-copy frame per (session, dir, epochs) — the
+    * q168-chain stage every manifest consumer shares (r19, VERDICT #5):
+    * the q168 allocation, the per-copy explode and the md5 permutation
+    * keys are a pure corpus-fitted artifact (deterministic md5, no
+    * query-side delta), and before this memo EVERY q190/q203 invocation
+    * re-ran that chain TWICE — once inside Sharding.runningTotal's eager
+    * `boundaries` approxQuantile scan and once in the executed plan.
+    * Carries n_tokens unconditionally so one memo serves both the
+    * position-sharded (q190 — ignores it) and token-budget consumers.
+    * q191 deliberately stays on the RAW plan (its def is the plan-gate
+    * and oracle surface for the bucketed prefix sum), as does q234's
+    * manifest-level memo.
+    */
+  private val keyedCopiesCache = new graft.core.SessionCache[String]
+  private def orderKeyedCopiesShared(s: SparkSession, dir: String,
+                                     epochs: Int): DataFrame =
+    keyedCopiesCache.getOrElseUpdate(s, s"$dir|epochs=$epochs")(
+      graft.core.Materialize.cut(
+        orderKeyedCopies(s, dir, Seq("n_tokens"), epochs),
+        s"ord_keyed_copies_e$epochs"))
+
   /** The q182/q186 stage-flag frame: one row per document with the
     * cumulative survival booleans s1..s5 (see the q182 def comment for
     * the stage semantics and the survivor-scoped dedup canonical).
@@ -887,40 +908,42 @@ object CurationQueries {
     // rules): duplicate-word fraction, most-frequent-token share, and
     // duplicate-bigram fraction, plus a pass/fail filter flag.
     //
-    // Word frequencies go explode → two-level groupBy (both partial-
-    // aggregated); bigram stats never leave the projection —
-    // total bigrams is size(tokens)-1 and distinct bigrams is the native
-    // single-pass ShingleArray(n=2), so no second explode. All fractions
-    // are single IEEE divisions of exact integers — deterministic under
-    // any partitioning, which is what lets them hash-gate.
+    // Every statistic is a function of ONE document, so the word
+    // frequencies are computed scan-locally by the WordGramStats(n=1)
+    // expression (the q211 row-amplification lesson — the retired
+    // explode → groupBy(doc, tok) shape shuffled the whole tokenized
+    // corpus to fold it straight back to one row per doc); bigram stats
+    // never leave the projection — total bigrams is size(tokens)-1 and
+    // distinct bigrams is the native single-pass ShingleArray(n=2). All
+    // fractions are single IEEE divisions of exact integers —
+    // deterministic under any partitioning, which is what lets them
+    // hash-gate. ZERO exchanges; CurationSpec pins equality against the
+    // retired composed tree.
     // ---------------------------------------------------------------
     "q76_repetition_quality" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
-      val wc = docs
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("cnt"))
-      // min(struct(-cnt, tok)): max count, ties broken to the
-      // lexicographically smallest token — deterministic.
-      val words = wc.groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_tokens"),
-             count(lit(1)).as("n_distinct_tokens"),
-             min(struct((-col("cnt")).as("negcnt"), col("tok").as("tok"))).as("top"))
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
-                col("top.tok").as("top_token"),
-                (-col("top.negcnt")).as("top_token_count"))
-      val grams = docs.select(
-        col("doc_id"),
-        greatest(size(Text.tokens(col("text"))) - 1, lit(0))
-          .cast(LongType).as("n_bigrams"),
-        size(Text.shingles(col("text"), 2)).cast(LongType).as("n_distinct_bigrams"))
       val dupWordFrac = (col("n_tokens") - col("n_distinct_tokens")) /
         col("n_tokens").cast(DoubleType)
       val topFrac = col("top_token_count") / col("n_tokens").cast(DoubleType)
       val dupBigramFrac = when(col("n_bigrams") > 0,
         (col("n_bigrams") - col("n_distinct_bigrams")) /
           col("n_bigrams").cast(DoubleType)).otherwise(0.0)
-      words.join(grams, "doc_id")
+      // inline(): a generator evaluates the stats struct ONCE per row
+      // (four getField projections of the same expression would lean on
+      // codegen subexpression elimination instead)
+      docs.select(col("doc_id"),
+                  greatest(size(Text.tokens(col("text"))) - 1, lit(0))
+                    .cast(LongType).as("n_bigrams"),
+                  size(Text.shingles(col("text"), 2)).cast(LongType)
+                    .as("n_distinct_bigrams"),
+                  inline(org.apache.spark.sql.graftx.WordGramStats
+                    .wordGramStats(col("text"), Seq(1))))
+        .select(col("doc_id"),
+                col("n_grams").as("n_tokens"),
+                col("n_distinct").as("n_distinct_tokens"),
+                col("top_gram").as("top_token"),
+                col("top_count").as("top_token_count"),
+                col("n_bigrams"), col("n_distinct_bigrams"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
                 dupWordFrac.as("dup_word_frac"),
                 col("top_token"), col("top_token_count"),
@@ -940,58 +963,41 @@ object CurationQueries {
     // multiplicity. Long format (one row per doc × n) so a filter reads
     // its thresholds straight off the columns.
     //
-    // Scale shape: n-gram extraction is a scan-local array projection
-    // per width (sequence + slice + array_join — no position self-join);
-    // then two partial+final aggs whose keys are (doc, n, gram) and
-    // (doc, n) — boilerplate grams repeated across billions of docs
-    // collapse map-side. Short docs (fewer than n tokens) keep a zero
-    // row per width via the doc×width spine. Deterministic top pick:
-    // min(struct(-cnt, gram)) — count desc, gram asc.
+    // Scale shape: every statistic is a function of ONE document, so
+    // the whole per-(doc, n) aggregation is computed scan-locally by
+    // the WordGramStats expression — one tokenize per row, all four
+    // widths in one pass, ZERO exchanges (the q211 row-amplification
+    // lesson: the retired explode shape pushed ≈4× the tokenized corpus
+    // — each row a reconstructed gram string — through a corpus-wide
+    // groupBy(doc, n, gram) exchange, just to fold it straight back to
+    // one row per (doc, n)). Short docs (fewer than n tokens) keep
+    // their zero row per width straight from the expression.
+    // Deterministic top pick unchanged: count desc, gram asc in UTF-8
+    // byte order. CurationSpec pins equality against the retired
+    // composed tree; the DuckDB oracle replays the exploded SQL.
     // ---------------------------------------------------------------
     "q156_gopher_repetition" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
-      val toks = Text.tokens(col("text"))
-      def gramsAll(n: Int): Column = {
-        val m = size(toks) - (n - 1)
-        when(size(toks) >= n,
-          transform(sequence(lit(1), m),
-                    i => array_join(slice(toks, i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))
-      }
-      val tagged = GopherNs.map { n =>
-        docs.select(col("doc_id"),
-                    length(col("text")).cast(LongType).as("n_chars_doc"),
-                    lit(n.toLong).as("n"),
-                    explode(gramsAll(n)).as("gram"))
-      }.reduce(_ unionByName _)
-      val gc = tagged
-        .groupBy(col("doc_id"), col("n_chars_doc"), col("n"), col("gram"))
-        .agg(count(lit(1)).as("cnt"))
-      val agg = gc.groupBy(col("doc_id"), col("n_chars_doc"), col("n"))
-        .agg(sum(col("cnt")).as("n_grams"),
-             min(struct((-col("cnt")).as("negcnt"), col("gram").as("gram")))
-               .as("top"),
-             sum(when(col("cnt") >= 2,
-                      col("cnt") * length(col("gram")).cast(LongType))
-                   .otherwise(lit(0L))).as("dup_chars"))
-      val spine = GopherNs.map { n =>
-        docs.select(col("doc_id"),
-                    length(col("text")).cast(LongType).as("n_chars_doc"),
-                    lit(n.toLong).as("n"))
-      }.reduce(_ unionByName _)
-      spine.join(agg.drop("n_chars_doc"), Seq("doc_id", "n"), "left")
-        .select(col("doc_id"), col("n"),
-                coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-                coalesce(col("top.gram"), lit("")).as("top_gram"),
-                coalesce(-col("top.negcnt"), lit(0L)).as("top_gram_count"),
-                coalesce(((-col("top.negcnt")) *
-                           length(col("top.gram")).cast(LongType))
-                           .cast(DoubleType) /
-                         col("n_chars_doc").cast(DoubleType), lit(0.0))
-                  .as("top_gram_char_frac"),
-                coalesce(col("dup_chars").cast(DoubleType) /
-                         col("n_chars_doc").cast(DoubleType), lit(0.0))
-                  .as("dup_gram_char_frac"))
+      val stats = docs.select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_doc"),
+        explode(org.apache.spark.sql.graftx.WordGramStats
+          .wordGramStats(col("text"), GopherNs)).as("st"))
+      val hasGrams = col("st.n_grams") > 0L
+      stats.select(col("doc_id"), col("st.n").as("n"),
+                   col("st.n_grams").as("n_grams"),
+                   col("st.top_gram").as("top_gram"),
+                   col("st.top_count").as("top_gram_count"),
+                   when(hasGrams,
+                        (col("st.top_count") *
+                          length(col("st.top_gram")).cast(LongType))
+                          .cast(DoubleType) /
+                          col("n_chars_doc").cast(DoubleType))
+                     .otherwise(lit(0.0)).as("top_gram_char_frac"),
+                   when(hasGrams,
+                        col("st.dup_chars").cast(DoubleType) /
+                          col("n_chars_doc").cast(DoubleType))
+                     .otherwise(lit(0.0)).as("dup_gram_char_frac"))
     },
 
     // ---------------------------------------------------------------
@@ -1723,7 +1729,7 @@ object CurationQueries {
     "q241_epoch_yield" -> { (s, dir) =>
       val toks = Tables(s, dir).documents.select(
         col("doc_id"), size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
-      val u = TextQueries.defs("q67_dedup_clusters")(s, dir)
+      val u = TextQueries.dupClusterAssignments(s, dir)
         .filter(col("is_canonical"))
         .join(toks, "doc_id")
         .agg(sum(col("n_tokens")).as("unique_tokens"))
@@ -2051,7 +2057,9 @@ object CurationQueries {
     // collide key spaces).
     // ---------------------------------------------------------------
     "q190_training_order" -> { (s, dir) =>
-      val keyed = orderKeyedCopies(s, dir, Nil).withColumn("one", lit(1L))
+      // reads the memoized scattered-copy frame (carries n_tokens,
+      // unused here) — see orderKeyedCopiesShared
+      val keyed = orderKeyedCopiesShared(s, dir, 1).withColumn("one", lit(1L))
       graft.operators.Sharding
         .runningTotal(keyed, "ord_key", "one", "train_rank")
         .select(col("train_rank"),
@@ -2171,7 +2179,9 @@ object CurationQueries {
     // single IEEE divisions of exact integers.
     // ---------------------------------------------------------------
     "q203_repeat_spacing" -> { (s, dir) =>
-      val keyed = orderKeyedCopies(s, dir, Nil, epochs = 3)
+      // reads the memoized scattered-copy frame (carries n_tokens,
+      // unused here) — see orderKeyedCopiesShared
+      val keyed = orderKeyedCopiesShared(s, dir, 3)
         .withColumn("one", lit(1L))
       val ord = graft.operators.Sharding
         .runningTotal(keyed, "ord_key", "one", "train_rank")

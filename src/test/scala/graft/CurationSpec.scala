@@ -583,4 +583,126 @@ class CurationSpec extends SparkSpec {
       assert(outlier == (ks > crit))
     }
   }
+
+  // The r19 scan-local WordGramStats rewrite of q76/q156 must be
+  // bit-identical to the retired explode → groupBy composed tree it
+  // replaced (which is also what the DuckDB oracle replays). Pinned on
+  // the sf0.001 corpus (real text) AND the crafted fixture (sub-n-token
+  // docs, repeated content, single-token and tie edges).
+  private def retiredQ156(dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val docs = graft.core.Tables(spark, dir).documents
+    val toks = split(col("text"), " ")
+    def gramsAll(n: Int) = {
+      val m = size(toks) - (n - 1)
+      when(size(toks) >= n,
+        transform(sequence(lit(1), m),
+                  i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    val ns = Seq(2, 3, 4, 5)
+    val tagged = ns.map { n =>
+      docs.select(col("doc_id"),
+                  length(col("text")).cast(LongType).as("n_chars_doc"),
+                  lit(n.toLong).as("n"), explode(gramsAll(n)).as("gram"))
+    }.reduce(_ unionByName _)
+    val gc = tagged
+      .groupBy(col("doc_id"), col("n_chars_doc"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val agg = gc.groupBy(col("doc_id"), col("n_chars_doc"), col("n"))
+      .agg(sum(col("cnt")).as("n_grams"),
+           min(struct((-col("cnt")).as("negcnt"), col("gram").as("gram"))).as("top"),
+           sum(when(col("cnt") >= 2,
+                    col("cnt") * length(col("gram")).cast(LongType))
+                 .otherwise(lit(0L))).as("dup_chars"))
+    val spine = ns.map { n =>
+      docs.select(col("doc_id"),
+                  length(col("text")).cast(LongType).as("n_chars_doc"),
+                  lit(n.toLong).as("n"))
+    }.reduce(_ unionByName _)
+    spine.join(agg.drop("n_chars_doc"), Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"),
+              coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+              coalesce(col("top.gram"), lit("")).as("top_gram"),
+              coalesce(-col("top.negcnt"), lit(0L)).as("top_gram_count"),
+              coalesce(((-col("top.negcnt")) *
+                         length(col("top.gram")).cast(LongType)).cast(DoubleType) /
+                       col("n_chars_doc").cast(DoubleType), lit(0.0))
+                .as("top_gram_char_frac"),
+              coalesce(col("dup_chars").cast(DoubleType) /
+                       col("n_chars_doc").cast(DoubleType), lit(0.0))
+                .as("dup_gram_char_frac"))
+  }
+
+  private def retiredQ76(dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val docs = graft.core.Tables(spark, dir).documents
+    val wc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val words = wc.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+           count(lit(1)).as("n_distinct_tokens"),
+           min(struct((-col("cnt")).as("negcnt"), col("tok").as("tok"))).as("top"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+              col("top.tok").as("top_token"),
+              (-col("top.negcnt")).as("top_token_count"))
+    val grams = docs.select(
+      col("doc_id"),
+      greatest(size(split(col("text"), " ")) - 1, lit(0))
+        .cast(LongType).as("n_bigrams"),
+      size(graft.functions.Text.shingles(col("text"), 2)).cast(LongType)
+        .as("n_distinct_bigrams"))
+    val dupWordFrac = (col("n_tokens") - col("n_distinct_tokens")) /
+      col("n_tokens").cast(DoubleType)
+    val topFrac = col("top_token_count") / col("n_tokens").cast(DoubleType)
+    val dupBigramFrac = when(col("n_bigrams") > 0,
+      (col("n_bigrams") - col("n_distinct_bigrams")) /
+        col("n_bigrams").cast(DoubleType)).otherwise(0.0)
+    words.join(grams, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+              dupWordFrac.as("dup_word_frac"),
+              col("top_token"), col("top_token_count"),
+              topFrac.as("top_token_frac"),
+              col("n_bigrams"), col("n_distinct_bigrams"),
+              dupBigramFrac.as("dup_bigram_frac"),
+              (dupWordFrac <= 0.6 && topFrac <= 0.2 && dupBigramFrac <= 0.4)
+                .as("passes_repetition_filter"))
+  }
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("q156 scan-local stats ≡ retired explode/groupBy tree") {
+    for (dir <- Seq("/root/testdata/sf0.001", fixtureDir)) {
+      val got = rowsOf(CurationQueries.defs("q156_gopher_repetition")(spark, dir))
+      val want = rowsOf(retiredQ156(dir))
+      assert(got == want, s"q156 diverges from the retired tree on $dir")
+    }
+  }
+
+  test("q76 scan-local stats ≡ retired explode/groupBy tree") {
+    for (dir <- Seq("/root/testdata/sf0.001", fixtureDir)) {
+      val got = rowsOf(CurationQueries.defs("q76_repetition_quality")(spark, dir))
+      val want = rowsOf(retiredQ76(dir))
+      assert(got == want, s"q76 diverges from the retired tree on $dir")
+    }
+  }
+
+  test("WordGramStats ties break to the UTF-8-smallest gram") {
+    import org.apache.spark.sql.functions._
+    // "b a b a": bigrams "b a"×2? no — windows: "b a","a b","b a" → "b a"
+    // wins at 2; unigrams tie a=2 b=2 → "a" (lexicographically smaller).
+    val df = Seq("b a b a").toDF("text").select(
+      org.apache.spark.sql.graftx.WordGramStats
+        .wordGramStats(col("text"), Seq(1, 2)).as("st"))
+    val st = df.collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(st(0).getLong(1) == 4L && st(0).getString(3) == "a" &&
+           st(0).getLong(4) == 2L)
+    assert(st(1).getLong(1) == 3L && st(1).getString(3) == "b a" &&
+           st(1).getLong(4) == 2L && st(1).getLong(5) == 2L * 3L)
+  }
 }

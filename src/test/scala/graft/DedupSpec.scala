@@ -580,4 +580,19 @@ class DedupSpec extends SparkSpec {
     assert(sizes == Map(k.toLong -> 1L, 1L -> (n - k).toLong),
       s"cluster spectrum wrong: $sizes")
   }
+
+  test("q67 cluster-assignment memo ≡ the gated uncached entry") {
+    // The r19 memo (dupClusterAssignments) shares one cluster table
+    // across its nine consumers; it must be row-identical to what the
+    // gated q67 entry computes fresh, and repeat calls must hit the memo
+    // (one build, N readers) rather than re-mining.
+    val dir = "/root/testdata/sf0.001"
+    val memo1 = graft.queries.TextQueries.dupClusterAssignments(spark, dir)
+    val memo2 = graft.queries.TextQueries.dupClusterAssignments(spark, dir)
+    assert(memo1 eq memo2, "second call re-built the cluster frame")
+    val fresh = graft.queries.TextQueries.defs("q67_dedup_clusters")(spark, dir)
+    val a = memo1.collect().map(_.toString).sorted.toSeq
+    val b = fresh.collect().map(_.toString).sorted.toSeq
+    assert(a == b, "memoized cluster assignment diverges from the gated q67")
+  }
 }

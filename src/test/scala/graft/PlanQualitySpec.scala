@@ -231,10 +231,9 @@ class PlanQualitySpec extends SparkSpec {
     // row_number over an entity-partitioned window (one task per hot
     // entity at 100 TB).
     for (q <- Seq("q80_funnel", "q81_retention", "q75_segment_dedup",
-                  "q82_ngram_novelty", "q76_repetition_quality",
-                  "q91_snapshot_dedup", "q99_cluster_medoids",
-                  "q100_dataset_card", "q103_feature_hashing",
-                  "q200_boilerplate_scrub")) {
+                  "q82_ngram_novelty", "q91_snapshot_dedup",
+                  "q99_cluster_medoids", "q100_dataset_card",
+                  "q103_feature_hashing", "q200_boilerplate_scrub")) {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("Window"), s"$q plans a window:\n$plan")
       // struct-typed min/max (q99's medoid pick) is not hash-aggregable and
@@ -245,6 +244,12 @@ class PlanQualitySpec extends SparkSpec {
       assert(hashAgg || (q == "q99_cluster_medoids" && plan.contains("SortAggregate")),
         s"$q has no (hash) partial+final aggregate:\n$plan")
     }
+    // q76 holds the STRONGER r19 property: per-doc token stats are
+    // scan-local (WordGramStats via inline), so the plan has no window,
+    // no aggregate and no Exchange at all.
+    val p76 = planOf(SparkEntry.queries("q76_repetition_quality")(spark, dir))
+    assert(!p76.contains("Window"), s"q76 plans a window:\n$p76")
+    assert(!p76.contains("Exchange"), s"q76 shuffles per-doc stats:\n$p76")
   }
 
   test("q83 bloom probe broadcasts the constant-size filter; q84/q86 stay shuffle-lean") {
@@ -294,13 +299,18 @@ class PlanQualitySpec extends SparkSpec {
     // per-stratum state comes from partial+final aggregation (or a
     // bounded TopKPairs heap), never a row_number window over a
     // content-keyed partition.
-    for (q <- Seq("q150_lang_mixing", "q156_gopher_repetition",
-                  "q157_quota_sample")) {
+    for (q <- Seq("q150_lang_mixing", "q157_quota_sample")) {
       val plan = planOf(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("Window"), s"$q plans a window:\n$plan")
       assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
         s"$q has no hash partial+final aggregate:\n$plan")
     }
+    // q156 holds the STRONGER r19 property: the per-(doc, n) stats are
+    // scan-local (WordGramStats), so the plan has no aggregate, no
+    // window and — the point — no Exchange at all.
+    val p156 = planOf(SparkEntry.queries("q156_gopher_repetition")(spark, dir))
+    assert(!p156.contains("Window"), s"q156 plans a window:\n$p156")
+    assert(!p156.contains("Exchange"), s"q156 shuffles per-doc stats:\n$p156")
   }
 
   test("q148 DSIR scoring broadcasts the 64-row model; selection is TakeOrdered") {
