@@ -569,8 +569,7 @@ object CurationQueries {
     val canon = canonCache.getOrElseUpdate(s, dir) {
       graft.operators.Dedup.connectedComponentsStars(
           d.select(col("doc_id").as("id")),
-          graft.operators.Dedup.dupEdgesFromPairs(
-            d, "doc_id", "text", TextQueries.jaccardQuery(s, dir)),
+          TextQueries.dupEdges05(s, dir),
           "doc_a", "doc_b")
         .filter(col("id") === col("cluster_id"))
         .select(col("id").as("doc_id"))

@@ -1319,20 +1319,26 @@ object TextQueries {
     // a single division.
     // ---------------------------------------------------------------
     "q206_winnow_overlap" -> { (s, dir) =>
-      // BOTH intermediates are eagerly cut (the mined-pair lineage-cut
-      // discipline): uncut, the committed plan re-ran the corpus-scale
-      // q87 fingerprint pass 16× in ONE execution (16 parquet scans, 44
-      // exchanges, zero reuse — `fp` feeds df + rare, `rare` feeds cnt +
-      // both self-join sides, and the planner duplicates the whole
-      // upstream per reference). Cut, the tokenize+winnow pass runs
-      // once and the self-join reads a checkpointed postings frame.
-      val fp = graft.core.Materialize.cut(
-        defs("q87_winnow_fingerprint")(s, dir)
-          .select(col("doc_id"), col("fp_hash")).distinct(), "winnow_fp")
-      val df = fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
-      val rare = graft.core.Materialize.cut(
-        fp.join(df.filter(col("df") <= WinnowDfCap), "fp_hash")
-          .select(col("fp_hash"), col("doc_id")), "winnow_rare")
+      // The DF-capped postings are the MOSS fingerprint INDEX — pure
+      // corpus-fitted state (the snmValsCache discipline), memoized per
+      // (session, dir) so repeat serves pay the self-join + rollup, not
+      // the corpus tokenize+winnow pass. Inside the build, BOTH
+      // intermediates are eagerly cut (the mined-pair lineage-cut
+      // discipline): uncut, the committed r18 plan re-ran the corpus-
+      // scale q87 fingerprint pass 16× in ONE execution (16 parquet
+      // scans, 44 exchanges, zero reuse — `fp` feeds df + rare, `rare`
+      // feeds cnt + both self-join sides, and the planner duplicated
+      // the whole upstream per reference). The gated q87 entry itself
+      // stays uncached.
+      val rare = winnowRareCache.getOrElseUpdate(s, dir) {
+        val fp = graft.core.Materialize.cut(
+          defs("q87_winnow_fingerprint")(s, dir)
+            .select(col("doc_id"), col("fp_hash")).distinct(), "winnow_fp")
+        val df = fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+        graft.core.Materialize.cut(
+          fp.join(df.filter(col("df") <= WinnowDfCap), "fp_hash")
+            .select(col("fp_hash"), col("doc_id")), "winnow_rare")
+      }
       val cnt = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
       val pairs = rare.select(col("fp_hash"), col("doc_id").as("doc_a"))
         .join(rare.select(col("fp_hash"), col("doc_id").as("doc_b")),
@@ -2089,10 +2095,7 @@ object TextQueries {
       val d = Tables(s, dir).documents
       def tag(df: DataFrame, m: String) =
         df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
-      val all = tag(Dedup.exact(d, "doc_id", "text")
-            .filter(col("is_duplicate"))
-            .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b")),
-          "exact")
+      val all = tag(exactDupEdges(s, dir), "exact")
         .unionAll(tag(jaccard05(s, dir).select(col("doc_a"), col("doc_b")),
                       "jaccard"))
         .unionAll(tag(minhashQuery(s, dir).filter(col("is_near_dup"))
@@ -2151,10 +2154,7 @@ object TextQueries {
       val d = Tables(s, dir).documents
       val bytes = d.select(col("doc_id"),
                            length(col("text")).cast(LongType).as("nb"))
-      val exactEdges = graft.core.Materialize.cut(
-        Dedup.exact(d, "doc_id", "text").filter(col("is_duplicate"))
-          .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b")),
-        "q247-exact-edges")
+      val exactEdges = exactDupEdges(s, dir)
       // the mined-pair memo is forced BEFORE the legs fan out so the
       // concurrent legs read it instead of racing to build it
       val jac = jaccard05(s, dir)
@@ -2595,7 +2595,7 @@ object TextQueries {
       val d = Tables(s, dir).documents
       val comp = Dedup.connectedComponentsStars(
         d.select(col("doc_id").as("id")),
-        Dedup.dupEdgesFromPairs(d, "doc_id", "text", jaccard05(s, dir)),
+        dupEdges05(s, dir),
         "doc_a", "doc_b")
       Dedup.withClusterSize(
         comp.select(col("id").as("doc_id"), col("cluster_id")), "doc_id")
@@ -2614,7 +2614,7 @@ object TextQueries {
     // full-corpus clusters bit for bit.
     "q154_incremental_components" -> { (s, dir) =>
       val d = Tables(s, dir).documents
-      val edges = Dedup.dupEdgesFromPairs(d, "doc_id", "text", jaccard05(s, dir))
+      val edges = dupEdges05(s, dir)
         .localCheckpoint() // consumed by both parity filters below
       val baseEdges = edges
         .filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
@@ -2658,7 +2658,7 @@ object TextQueries {
     "q155_source_dup_matrix" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       val src = d.select(col("doc_id"), col("source"))
-      Dedup.dupEdgesFromPairs(d, "doc_id", "text", jaccard05(s, dir))
+      dupEdges05(s, dir)
         .select(col("doc_a"), col("doc_b")).distinct()
         .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
               Seq("doc_a"))
@@ -3587,6 +3587,36 @@ object TextQueries {
     * via the Runner (which is what the model layer does for every shared
     * stage) instead of relying on this in-session memo.
     */
+  /** q206's DF-capped winnow-fingerprint postings (the MOSS match index)
+    * — corpus-fitted, memoized per (session, dir); see the q206 def.
+    */
+  private val winnowRareCache = new graft.core.SessionCache[String]
+
+  /** Memoized exact-dup STAR edges (canonical → member, the
+    * `Dedup.exact(...).filter(is_duplicate)` pair set) — corpus-fitted
+    * under the jacCache discipline: seven sites (q149 q154 q155 q247
+    * q263 + the q67-cluster and canonical-set memo builds) each re-ran
+    * the full md5 + groupBy + join-back corpus pass per invocation to
+    * mine the identical edge set. The q34 gated entry (which reports
+    * ALL rows, not just edges) stays uncached.
+    */
+  private val exactEdgeCache = new graft.core.SessionCache[String]
+  private[graft] def exactDupEdges(s: SparkSession, dir: String): DataFrame =
+    exactEdgeCache.getOrElseUpdate(s, dir)(
+      graft.core.Materialize.cut(
+        Dedup.exact(Tables(s, dir).documents, "doc_id", "text")
+          .filter(col("is_duplicate"))
+          .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b")),
+        "exact_dup_edges"))
+
+  /** The standard q67 dup-edge set (exact stars ∪ Jaccard≥0.5 pairs)
+    * assembled from the two memoized pair tables — what
+    * `Dedup.dupEdges` mines, without re-mining either side.
+    */
+  private[graft] def dupEdges05(s: SparkSession, dir: String): DataFrame =
+    exactDupEdges(s, dir).union(
+      jaccard05(s, dir).select(col("doc_a"), col("doc_b")))
+
   private val jacCache = new graft.core.SessionCache[String]
   private def jaccard05(s: SparkSession, dir: String): DataFrame =
     jacCache.getOrElseUpdate(s, dir)(
@@ -3601,7 +3631,7 @@ object TextQueries {
     val d = Tables(s, dir).documents
     val comp = Dedup.connectedComponents(
       d.select(col("doc_id").as("id")),
-      Dedup.dupEdgesFromPairs(d, "doc_id", "text", jaccard05(s, dir)),
+      dupEdges05(s, dir),
       "doc_a", "doc_b")
     Dedup.withClusterSize(
       comp.select(col("id").as("doc_id"), col("cluster_id")), "doc_id")
