@@ -3951,12 +3951,19 @@ object TextQueries {
     val deltaVals = graft.core.Materialize.cut(
       graft.operators.Dedup.simhashVals(delta, "doc_id", "text"),
       "snm_delta_vals")
-    val newVals = deltaVals.join(idxVals.select(col("simhash")),
-      Seq("simhash"), "left_anti")
-    val newKeys = graft.operators.Dedup.snmKeys(newVals, SnmRotations)
-      .withColumn("__b", graft.operators.Dedup
-        .snmBucketOf(bounds, graft.operators.Dedup.snmProxy(col("k")))
-        .cast(LongType))
+    // both cut (the q243 within-call rule): uncut, `newVals` re-ran the
+    // anti-join for the keys build AND the __new marks, and `newKeys`
+    // re-expanded per reference (the driver halo collect, the probe
+    // frame union, and the counts union — 3× the rotations explode in
+    // one execution); both frames are V-bounded, never corpus-sized
+    val newVals = graft.core.Materialize.cut(
+      deltaVals.join(idxVals.select(col("simhash")),
+        Seq("simhash"), "left_anti"), "snm_new_vals")
+    val newKeys = graft.core.Materialize.cut(
+      graft.operators.Dedup.snmKeys(newVals, SnmRotations)
+        .withColumn("__b", graft.operators.Dedup
+          .snmBucketOf(bounds, graft.operators.Dedup.snmProxy(col("k")))
+          .cast(LongType)), "snm_new_keys")
     // halo bucket ids on the driver: ≤ (bounds+1) longs — bounded by
     // the bucket count, never the data
     val deltaBs = newKeys.select(col("__b")).distinct()
