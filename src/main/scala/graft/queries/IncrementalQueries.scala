@@ -144,7 +144,10 @@ object IncrementalQueries {
       val h24 = HexKeys.value16(hex, 0).cast(LongType) * 256L +
         HexKeys.digit(hex, 4).cast(LongType) * 16L +
         HexKeys.digit(hex, 5).cast(LongType)
-      val keyed = d
+      // eagerly cut: runningTotal consumes `keyed` twice per call (the
+      // eager boundaries scan + the executed plan), and uncut each pass
+      // re-ran the corpus tokenize; the frame is two longs per doc
+      val keyed = graft.core.Materialize.cut(d
         .withColumn("n_tok", size(Text.tokens(col("text"))).cast(LongType))
         .withColumn("stage", least(lit(3L), expr("n_tok DIV 64")))
         .select(
@@ -156,7 +159,7 @@ object IncrementalQueries {
               col("doc_id").cast(StringType)))
               .cast(LongType))
             .as("curr_key"),
-          lit(1L).as("one"))
+          lit(1L).as("one")), "q165_keyed")
       graft.operators.Sharding
         .runningTotal(keyed, "curr_key", "one", "curriculum_rank")
         .select(

@@ -386,8 +386,14 @@ object TextQueries {
                 array_join(slice(col("toks"), col("seg_idx") * MixSegTokens + 1,
                                  lit(MixSegTokens)), " ").as("seg_text"))
       val p = segs.select(col("doc_id"), Text.langId(col("seg_text")).as("seg_lang"))
-      val cnt = p.groupBy(col("doc_id"), col("seg_lang")).agg(count(lit(1)).as("c"))
-      val tot = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // cut once: `cnt` feeds both the per-doc totals (Σc — derived here
+      // instead of a SECOND per-segment langId pass over the corpus, the
+      // r19 fix: `tot` used to re-run segmentation + scoring) and the
+      // entropy terms join below; the frame is ≤|langs| rows per doc
+      val cnt = graft.core.Materialize.cut(
+        p.groupBy(col("doc_id"), col("seg_lang")).agg(count(lit(1)).as("c")),
+        "q150_seg_lang_counts")
+      val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
       val share = col("c").cast(DoubleType) / col("n").cast(DoubleType)
       val terms = cnt.join(tot, Seq("doc_id"))
         .select(col("doc_id"), col("seg_lang"), col("c"), col("n"),
@@ -774,10 +780,16 @@ object TextQueries {
         .select(col("doc_id"), col("text"))
       // keepInput carries text through the dedup window, so canonicals
       // are filtered without joining the corpus back by id — one scan
-      val ded = Dedup.exact(kept, "doc_id", "text", keepInput = true)
-        .filter(!col("is_duplicate"))
-        .select(col("doc_id"),
-                size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      // eagerly cut: Sharding.byBudget consumes `ded` TWICE per call —
+      // its eager `boundaries` approxQuantile scan plus the executed
+      // prefix-sum plan — and uncut each pass re-ran the quality filter
+      // + exact-dedup pipeline; the frame is two longs per survivor
+      val ded = graft.core.Materialize.cut(
+        Dedup.exact(kept, "doc_id", "text", keepInput = true)
+          .filter(!col("is_duplicate"))
+          .select(col("doc_id"),
+                  size(Text.tokens(col("text"))).cast(LongType).as("n_tokens")),
+        "q110_deduped")
       graft.operators.Sharding.byBudget(ded, "doc_id", "n_tokens", budget = 5000)
         .groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1945,13 +1957,18 @@ object TextQueries {
     // ---------------------------------------------------------------
     "q239_reshard_churn" -> { (s, dir) =>
       val hk = graft.functions.HexKeys
-      val keyed = Tables(s, dir).documents.select(
-        col("doc_id"),
-        size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"),
-        hk.value32(md5(concat(col("doc_id").cast(StringType), lit("|"),
-                              md5(col("text"))))).as("term"),
-        (hk.value16(md5(concat(lit("shard|"), col("doc_id").cast(StringType))))
-          % 256).cast(LongType).as("hash_shard"))
+      // eagerly cut: BOTH strategy manifests over BOTH halves consume
+      // this frame, and each byBudget additionally boundary-scans it —
+      // uncut, the tokenize+md5 projection re-ran per reference; the
+      // frame is four integers per doc
+      val keyed = graft.core.Materialize.cut(
+        Tables(s, dir).documents.select(
+          col("doc_id"),
+          size(Text.tokens(col("text"))).cast(LongType).as("n_tokens"),
+          hk.value32(md5(concat(col("doc_id").cast(StringType), lit("|"),
+                                md5(col("text"))))).as("term"),
+          (hk.value16(md5(concat(lit("shard|"), col("doc_id").cast(StringType))))
+            % 256).cast(LongType).as("hash_shard")), "q239_keyed")
       def manifests(docs: DataFrame): DataFrame = {
         val packed = graft.operators.Sharding.byBudget(
             docs.select(col("doc_id"), col("n_tokens")),

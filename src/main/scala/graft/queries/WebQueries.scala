@@ -139,10 +139,15 @@ object WebQueries {
     // -----------------------------------------------------------------
     "q276_host_dedup_cap" -> { (s, dir) =>
       val u = urlFrame(s, dir)
-      // fetch-dedup: canonical page = min doc_id per canon_url
-      val pages = u.groupBy(col("host"), col("canon_url"))
-        .agg(min(col("doc_id")).as("page_doc_id"),
-             count(lit(1)).as("n_fetches"))
+      // fetch-dedup: canonical page = min doc_id per canon_url. Eagerly
+      // cut: `pages` feeds the host stats, the cap heap AND the final
+      // join-back — uncut, each reference re-ran the regex URL
+      // canonicalization over the corpus; the frame is one narrow row
+      // per distinct page
+      val pages = graft.core.Materialize.cut(
+        u.groupBy(col("host"), col("canon_url"))
+          .agg(min(col("doc_id")).as("page_doc_id"),
+               count(lit(1)).as("n_fetches")), "q276_pages")
       val hostStats = pages.groupBy(col("host"))
         .agg(count(lit(1)).as("n_pages"),
              sum(col("n_fetches")).as("n_docs"),
