@@ -47,7 +47,14 @@ object PipelineQueries {
     */
   private val stageCache = new graft.core.SessionCache[(String, String)]
   private def cached(t: Tables, key: String)(build: => DataFrame): DataFrame =
-    stageCache.getOrElseUpdate(t.spark, (t.dir, key))(build.cache())
+    stageCache.getOrElseUpdate(t.spark, (t.dir, key))(
+      // r19: eager lineage cut instead of a lazy .cache() — the lazy
+      // form kept the full staging lineage in every consumer's plan
+      // (nine queries × ~140 KB plan text re-analyzed/optimized per
+      // invocation, 26 parquet scans rendered inside the InMemory
+      // relation); the cut consumer plans start from the materialized
+      // stage. Same per-(session, sfDir) memo, same rows.
+      graft.core.Materialize.cut(build, "pipeline_" + key))
 
   private def stgUnemp(t: Tables) =
     cached(t, "su")(Staging.unemployment(TestdataRaw.rawUnemployment(t)))
