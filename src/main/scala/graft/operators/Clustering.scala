@@ -56,8 +56,13 @@ object Clustering {
       k: Int,
       iters: Int,
       seedPrefix: String = "km|",
-      keepVectors: Boolean = false): DataFrame = {
-    val centroids = fitCentroids(vecs, idCol, vecCol, k, iters, seedPrefix)
+      keepVectors: Boolean = false,
+      precomputed: Option[Array[Seq[Double]]] = None): DataFrame = {
+    // precomputed: a caller that already holds THIS fit's centroids (the
+    // fit is deterministic, so sharing is bit-identical) skips the
+    // iters × k aggregation jobs — see VectorQueries.cents8
+    val centroids = precomputed.getOrElse(
+      fitCentroids(vecs, idCol, vecCol, k, iters, seedPrefix))
     val v = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     val best = nearestCentroid(centroids, col("v"))
     val out = v.select(col(idCol), col("v"), best.getField("cid").as("cluster_id"),

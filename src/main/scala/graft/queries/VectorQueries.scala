@@ -231,9 +231,13 @@ object VectorQueries {
     // broadcast-join pass either way.
     "q217_multiprobe_recall" -> { (s, dir) =>
       val e  = Tables(s, dir).embeddings
-      val gt = Similarity.bruteForceTopK(
-        e.filter(col("vec_id") < 50), e, "vec_id", "embedding", k = 3)
-        .select(col("query_id"), col("neighbor_id"))
+      // eagerly cut: the 50-query exact truth feeds the per-budget found
+      // counts AND the total - uncut, each reference re-ran the brute-
+      // force corpus pass (and q221 wraps this whole query)
+      val gt = graft.core.Materialize.cut(
+        Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 50), e, "vec_id", "embedding", k = 3)
+          .select(col("query_id"), col("neighbor_id")), "q217_truth")
       val ann = defs("q40_ann_lsh")(s, dir)
         .select(col("query_id"), col("neighbor_id"), lit(0L).as("probe_bits"))
         .unionByName(defs("q216_multiprobe_lsh")(s, dir)
@@ -264,7 +268,11 @@ object VectorQueries {
     // (probes per query). Recall targets are an SLA, probe count is the
     // cost — the choice must come from the measured curve, not intuition.
     "q221_multiprobe_plan" -> { (s, dir) =>
-      val rec = defs("q217_multiprobe_recall")(s, dir)
+      // eagerly cut: the 3-row recall curve feeds the budget pick AND
+      // the readout join — uncut, each reference re-ran the whole q217
+      // multiprobe recall measurement
+      val rec = graft.core.Materialize.cut(
+        defs("q217_multiprobe_recall")(s, dir), "q221_recall_curve")
       val sel = rec.agg(
         min(when(col("recall") >= MultiprobeTargetRecall, col("probe_bits"))).as("met"),
         max(col("probe_bits")).as("fallback"))
@@ -317,8 +325,7 @@ object VectorQueries {
         .withColumn("s_scatter",
           col("sum_d_e9").cast("double") /
             (col("n_members").cast("double") * 1e9))
-      val cents = graft.operators.Clustering.fitCentroids(
-        Tables(s, dir).embeddings, "vec_id", "embedding", k = 8, iters = 2)
+      val cents = cents8(s, dir)
       def dot(a: Seq[Double], b: Seq[Double]): Double = {
         var acc = 0.0; var i = 0
         while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -483,9 +490,7 @@ object VectorQueries {
     // underlying operators.
     "q180_pq_recall" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val exact = Similarity.bruteForceTopK(
-          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
-        .select(col("query_id"), col("neighbor_id"))
+      val exact = q37Truth(s, dir) // the identical 20-query k=3 truth
       val codes = pqCodes(s, dir)
         .select(col("vec_id") +: (0 until PqM).map(j => col(s"code_$j")): _*)
       val adc = graft.operators.Pq.adcTopK(e.filter(col("vec_id") < 20), codes,
@@ -693,9 +698,7 @@ object VectorQueries {
       // query sets mirror the reused gates exactly: q37's exact top-3
       // runs vec_id < 20, q64's IVF runs vec_id < 50 — the join keys on
       // the exact side, so recall is reported for its 20 queries
-      val exact = Similarity.bruteForceTopK(
-          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
-        .select(col("query_id"), col("neighbor_id"))
+      val exact = q37Truth(s, dir) // the identical 20-query k=3 truth
       val approx = Similarity.annTopKIvf(
           e.filter(col("vec_id") < 50), e, "vec_id", "embedding",
           k = 3, nlist = 16, nprobe = 4)
@@ -955,10 +958,7 @@ object VectorQueries {
     // Slicing is scan-local; nothing new shuffles.
     "q153_truncation_recall" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val exact = Similarity.bruteForceTopK(
-          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint() // ≤ 60 rows, re-joined once per truncation
+      val exact = q37Truth(s, dir) // identical 20-query k=3 truth, memo-cut
       TruncDims.map { d =>
         val tr = e.select(col("vec_id"),
                           slice(col("embedding"), 1, d).as("embedding"))
@@ -2121,11 +2121,25 @@ object VectorQueries {
                        (col("a.nrm") * col("b.nrm"))).as("sim"))
     }, "q262-pairs"))
 
+  /** The k=8 Lloyd centroids, fitted ONCE per (session, dir) — pure
+    * corpus-fitted model state (deterministic md5 seeds) shared by the
+    * kmeans8 assignment build and q246's driver-side centroid
+    * separations, which used to re-run the whole iters × k aggregation
+    * fit per invocation next to the memoized assignment it audits.
+    */
+  private val cents8Memo =
+    new graft.core.SessionMemo[String, Array[Seq[Double]]]
+  private def cents8(s: SparkSession, dir: String): Array[Seq[Double]] =
+    cents8Memo.getOrElseUpdate(s, dir)(
+      graft.operators.Clustering.fitCentroids(
+        Tables(s, dir).embeddings, "vec_id", "embedding", k = 8, iters = 2))
+
   private def kmeans8(s: SparkSession, dir: String): DataFrame =
     kmeans8Cache.getOrElseUpdate(s, dir)(
       graft.core.Materialize.cut(
         graft.operators.Clustering.kmeans(Tables(s, dir).embeddings,
-          "vec_id", "embedding", k = 8, iters = 2, keepVectors = true),
+          "vec_id", "embedding", k = 8, iters = 2, keepVectors = true,
+          precomputed = Some(cents8(s, dir))),
         "kmeans8"))
 
   /** The PQ-codes mart contract (q139's discipline): one row per vector,
