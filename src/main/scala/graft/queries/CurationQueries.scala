@@ -854,7 +854,11 @@ object CurationQueries {
         .select(col("doc_id"), col("clean_hash"), col("n_removed"))
       val raw = Tables(s, dir).documents
         .select(col("doc_id"), md5(col("text")).as("raw_hash"))
-      val j = scrub.join(raw, "doc_id")
+      // eagerly cut: `j` feeds the first-occurrence agg AND the readout
+      // join-back — uncut, each reference re-ran the whole q200 scrub
+      // pipeline + the raw md5 scan; the frame is four narrow columns
+      val j = graft.core.Materialize.cut(
+        scrub.join(raw, "doc_id"), "q205_scrubbed")
       val firsts = j.groupBy(col("clean_hash"))
         .agg(min(col("doc_id")).as("canonical_id"),
              count(lit(1)).as("n_copies"),
