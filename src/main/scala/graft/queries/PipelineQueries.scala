@@ -79,6 +79,15 @@ object PipelineQueries {
   private def fct(t: Tables) = cached(t, "fct")(
     Marts.fctEconomicIndicators(intMonthly(t), dim(t), AsOf, "graft-run"))
 
+  /** The LAZY fct plan over the memoized upstream stages (no cut of the
+    * final mart join) — exposed so PlanQualitySpec can assert the
+    * dim-join broadcast shape that the shipped cut form hides behind its
+    * checkpoint scan (the jaccardQuery materialize=false discipline).
+    */
+  def fctPlan(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Marts.fctEconomicIndicators(intMonthly(Tables(s, dir)),
+                                dim(Tables(s, dir)), AsOf, "graft-run")
+
   val defs: Map[String, Q] = Map(
     "q50_stg_unemployment" -> { (s, dir) => out(stgUnemp(Tables(s, dir))) },
     "q51_int_annual_metrics" -> { (s, dir) => out(intAnnual(Tables(s, dir))) },
